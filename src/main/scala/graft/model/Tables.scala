@@ -1,0 +1,48 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Typed accessors for the harness Parquet tables (TESTDATA.md).
+  *
+  * Schema-on-read is the Parquet footer schema; every reader is a plain
+  * `spark.read.parquet` scan so Catalyst can push predicates/projections
+  * into the Parquet row-group reader (`PushedFilters`/`ReadSchema`).
+  * At 100 TB these become partitioned table scans; nothing here assumes
+  * single-file layout.
+  *
+  * The harness files carry INT64 TIMESTAMP(NANOS) columns, which Spark's
+  * Parquet reader only accepts as raw longs (legacy `nanosAsLong` conf);
+  * loaders convert those longs to proper micros TimestampType columns so
+  * every downstream operator sees real timestamps.
+  */
+object Tables {
+  /** Timestamp-typed columns per table (stored as nanos in the files). */
+  private val tsCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"),
+    "events" -> Seq("ts"))
+
+  private def nanosToTs(c: Column): Column = timestamp_micros((c / 1000L).cast(LongType))
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      if (df.schema(c).dataType == LongType) df.withColumn(c, nanosToTs(col(c)))
+      else df
+    }
+  }
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

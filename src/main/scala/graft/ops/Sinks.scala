@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink disciplines exhibited by the reference, re-expressed set-wise.
+  *
+  *  - K1 keyed upsert (dags/racedag.py:68-73 `update_one($set, upsert=True)`
+  *    and the per-row loop variant dags/scheduledag.py:74-81): one
+  *    anti-join + union per batch instead of one round-trip per document.
+  *  - K2 full refresh (dags/driverstandings.py:82-85 `delete_many` +
+  *    `insert_many`): an atomic `overwrite` write — unlike the reference,
+  *    readers never observe the empty intermediate state (SURVEY.md §3.2).
+  *
+  * On plain Parquet the merge is emulated; on a lakehouse table format the
+  * same API maps to MERGE INTO. At scale the write should be partitioned
+  * (partitionBy on a date/bucket column) so overwrite is per-partition.
+  */
+object Sinks {
+
+  /** MERGE semantics on DataFrames: rows of `updates` win over rows of
+    * `base` with the same key; base rows without a matching update pass
+    * through. Pure and distributed: broadcast-able anti join when updates
+    * are small, shuffle join otherwise (Catalyst/AQE picks).
+    */
+  def mergeByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    val kept = base.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(updates.select(base.columns.map(col): _*))
+  }
+
+  /** K1 write path: merge `updates` into the Parquet table at `path` by key.
+    * Idempotent: applying the same updates twice yields the same table.
+    */
+  def upsertByKey(spark: org.apache.spark.sql.SparkSession, path: String,
+                  updates: DataFrame, keys: Seq[String]): Unit = {
+    val dir = new java.io.File(path)
+    val merged =
+      if (dir.exists()) {
+        val base = spark.read.parquet(path)
+        // Materialize the merge before overwriting the input path.
+        mergeByKey(base, updates, keys).localCheckpoint(true)
+      } else updates
+    merged.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** K2: truncate-and-reload as a single atomic overwrite. */
+  def overwriteRefresh(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+}
