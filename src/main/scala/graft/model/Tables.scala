@@ -24,13 +24,14 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  private def nanosToTs(c: Column): Column = timestamp_micros((c / 1000L).cast(LongType))
-
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/$name.parquet")
     tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      if (df.schema(c).dataType == LongType) df.withColumn(c, nanosToTs(col(c)))
+      // Integer DIV, not `/` — Column `/` is double division, which loses
+      // microsecond precision at epoch-nanos magnitude (~1.7e18).
+      if (df.schema(c).dataType == LongType)
+        df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
       else df
     }
   }

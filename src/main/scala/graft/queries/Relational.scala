@@ -1,0 +1,477 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Generalized relational surface (SURVEY.md §2.B): join types, aggregation
+  * families, window functions, sort/top-k, set operations, and the scalar
+  * function families. All are Spark built-ins so Catalyst's rewrites
+  * (pushdown, pruning, join selection, partial aggregation, top-k) apply;
+  * determinism rules follow §5.2 (total ORDER BY, exact integer cents,
+  * unique window-order tiebreaks).
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Exact integer cents from a 2-decimal double price (portable money). */
+  private def cents(c: org.apache.spark.sql.Column) =
+    round(c * 100.0).cast("long")
+
+  // ---- joins -------------------------------------------------------------
+
+  private val qJoinInner: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val qJoinLeft: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
+  private val qJoinSemi: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qJoinAnti: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_totalprice") > 100000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Pure inequality (theta) join — broadcast nested-loop on the small
+    * sides; at scale one side must stay dimension-sized or be banded.
+    */
+  private val qJoinTheta: Q = (s, d) => {
+    val sup = Tables.supplier(s, d)
+    val nat = Tables.nation(s, d)
+    sup.join(broadcast(nat), sup("s_nationkey") < nat("n_nationkey"), "inner")
+      .groupBy(col("s_suppkey"))
+      .agg(count(lit(1)).as("n_higher_nations"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Equi key + range residual: lineitems shipped within 90 days of their
+    * order date. The equi key carries the shuffle; the range predicate is
+    * evaluated as a post-join filter — no cartesian anywhere.
+    */
+  private val qJoinRange: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        li("l_shipdate") >= o("o_orderdate") &&
+        li("l_shipdate") < o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_orderdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** As-of join: for each purchase event, the most recent view timestamp of
+    * the same user at-or-before it. Implemented as ONE window pass over the
+    * unioned stream (single shuffle on user_id) instead of an inequality
+    * self-join — the classic 100 TB-safe as-of shape.
+    */
+  private val qJoinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- aggregation families ---------------------------------------------
+
+  /** TPC-H Q1 shape: multi-aggregate per group, map-side partial agg. */
+  private val qGroupbyAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        avg(col("l_quantity")).as("avg_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
+        min(col("l_quantity").cast("long")).as("min_qty"),
+        max(col("l_quantity").cast("long")).as("max_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val qCountDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .orderBy(col("l_returnflag"))
+
+  /** HLL sketch — approximate by design, so no SQL oracle (rows-only). */
+  private val qApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val qRollup: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qCube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val qGroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // ---- window functions --------------------------------------------------
+
+  private val qWindowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc)
+    Tables.orders(s, d)
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("o_orderpriority"), col("rnk"), col("drnk"), col("o_orderkey"))
+      .orderBy(col("o_orderpriority"), col("rnk"), col("o_orderkey"))
+  }
+
+  private val qWindowLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_cents", lag(cents(col("value")), 1).over(w))
+      .withColumn("delta_cents", cents(col("value")) - col("prev_cents"))
+      .select(col("event_id"), col("user_id"), col("delta_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Running total per user over event time — integer cents keep the
+    * cumulative sum exact (windowed double sums are engine-dependent).
+    */
+  private val qWindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("running_cents", sum(cents(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"), col("running_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  // ---- sort / top-k ------------------------------------------------------
+
+  private val qOrderby: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .orderBy(col("c_mktsegment").asc, col("c_acctbal").desc, col("c_custkey").asc)
+
+  /** ORDER BY + LIMIT k → TakeOrderedAndProject (per-partition heaps, no
+    * full sort, no single-node shuffle of the whole table).
+    */
+  private val qTopk: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  // ---- set operations ----------------------------------------------------
+
+  private val qUnion: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      .union(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      .distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qIntersect: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      .intersect(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val qExcept: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+      .except(c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey")))
+      .orderBy(col("c_custkey"))
+  }
+
+  // ---- scalar function families -----------------------------------------
+
+  private val qStringFuncs: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 5).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        col("p_name").like("%ol%").as("has_ol"),
+        regexp_replace(col("p_type"), " ", "_").as("type_snake"),
+        lower(col("p_type")).as("type_lower"))
+      .orderBy(col("p_partkey"))
+
+  private val qMathFuncs: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        floor(col("l_extendedprice")).cast("long").as("price_floor"),
+        ceil(col("l_extendedprice")).cast("long").as("price_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        (col("l_quantity").cast("long") % 7L).as("qty_mod"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val qDatetimeFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since_epoch0"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("due_ts"))
+      .orderBy(col("o_orderkey"))
+
+  private val qArrayFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        element_at(col("toks"), 2).as("second_token"),
+        array_contains(col("toks"), "spark").as("has_spark"),
+        element_at(array_sort(col("toks")), 1).as("min_token"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Map construction + lookup: per-user event_type→count map, then keyed
+    * extraction — exercises map_from_entries/element_at over an aggregate.
+    */
+  private val qMapFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(
+        array_sort(collect_list(struct(col("event_type"), col("cnt"))))).as("m"))
+      .select(
+        col("user_id"),
+        coalesce(element_at(col("m"), "click"), lit(0L)).as("n_click"),
+        coalesce(element_at(col("m"), "error"), lit(0L)).as("n_error"))
+      .orderBy(col("user_id"))
+
+  private val qJsonFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val registry: Map[String, Q] = Map(
+    "q_join_inner" -> qJoinInner,
+    "q_join_left" -> qJoinLeft,
+    "q_join_semi" -> qJoinSemi,
+    "q_join_anti" -> qJoinAnti,
+    "q_join_theta" -> qJoinTheta,
+    "q_join_range" -> qJoinRange,
+    "q_join_asof" -> qJoinAsof,
+    "q_groupby_agg" -> qGroupbyAgg,
+    "q_count_distinct" -> qCountDistinct,
+    "q_approx_distinct" -> qApproxDistinct,
+    "q_rollup" -> qRollup,
+    "q_cube" -> qCube,
+    "q_grouping_sets" -> qGroupingSets,
+    "q_window_rank" -> qWindowRank,
+    "q_window_lag" -> qWindowLag,
+    "q_window_running" -> qWindowRunning,
+    "q_orderby" -> qOrderby,
+    "q_topk" -> qTopk,
+    "q_union" -> qUnion,
+    "q_intersect" -> qIntersect,
+    "q_except" -> qExcept,
+    "q_string_funcs" -> qStringFuncs,
+    "q_math_funcs" -> qMathFuncs,
+    "q_datetime_funcs" -> qDatetimeFuncs,
+    "q_array_funcs" -> qArrayFuncs,
+    "q_map_funcs" -> qMapFuncs,
+    "q_json_funcs" -> qJsonFuncs,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_higher_nations
+        |FROM supplier JOIN nation ON s_nationkey < n_nationkey
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT l_orderkey, l_linenumber, o_orderdate
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_asof" ->
+      """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "q_groupby_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
+        |  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents,
+        |  min(CAST(floor(l_quantity) AS BIGINT)) AS min_qty,
+        |  max(CAST(floor(l_quantity) AS BIGINT)) AS max_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rnk, drnk, o_orderkey FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+        |  FROM orders) WHERE rnk <= 10
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT event_id, user_id,
+        |  CAST(round(value*100.0) AS BIGINT) -
+        |  lag(CAST(round(value*100.0) AS BIGINT), 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_running" ->
+      """SELECT event_id, user_id,
+        |  sum(CAST(round(value*100.0) AS BIGINT))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_orderby" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin,
+    "q_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_union" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        |ORDER BY c_custkey""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 5) AS name_prefix,
+        |  length(p_name) AS name_len,
+        |  p_name LIKE '%ol%' AS has_ol,
+        |  replace(p_type, ' ', '_') AS type_snake,
+        |  lower(p_type) AS type_lower
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  CAST(floor(l_quantity) AS BIGINT) % 7 AS qty_mod
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS yr,
+        |  month(o_orderdate) AS mo,
+        |  day(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
+        |  o_orderdate + INTERVAL 30 DAY AS due_ts
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  string_split(text, ' ')[2] AS second_token,
+        |  list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |  list_sort(string_split(text, ' '))[1] AS min_token,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
