@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed deduplication operators for LLM training-data pipelines.
+  *
+  * All operators are pure DataFrame transforms — shuffle-based, no driver
+  * collect, no cartesian products except where a caller explicitly asks for
+  * an exact O(n²) pass on a dimension-sized input. The scale paths:
+  *
+  *  - exact dedup: hash-groupBy on a digest of the content (one shuffle).
+  *  - MinHash-LSH: shingle → k min-hashes → banded bucket join; candidate
+  *    pairs are verified with exact Jaccard so false positives never
+  *    survive. Recall is 1-(1-J^r)^b per pair (r rows/band, b bands).
+  *  - SimHash: 64-bit signature (4 × 16-bit chunks); pairs within hamming
+  *    distance h ≤ chunks-1 are guaranteed to collide on ≥1 chunk
+  *    (pigeonhole), so chunk-bucket join + exact hamming verify is
+  *    EXACT for h ≤ 3 — no recall loss, no n².
+  *  - n-gram Jaccard: exact set-similarity join via inverted index on
+  *    shingles (pairs sharing ≥1 shingle), then exact Jaccard — the
+  *    canonical distributed exact algorithm.
+  *
+  * Hashing is md5-based where cross-engine parity matters (the DuckDB
+  * oracle mirrors the same bit construction), xxhash64 where it does not.
+  */
+object Dedup {
+
+  /** Distinct n-token shingles of a whitespace-tokenized text column. */
+  def shingles(toks: String, n: Int = 3): Column = {
+    val parts = (0 until n).map(j => s"$toks[i + $j]").mkString(", ")
+    when(size(col(toks)) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(expr(
+        s"transform(sequence(0, size($toks) - $n), i -> concat_ws(' ', $parts))")))
+  }
+
+  /** (doc key, shingle) long table — the inverted-index layout. */
+  def explodeShingles(df: DataFrame, key: String, text: String, n: Int = 3): DataFrame =
+    df.withColumn("toks", split(col(text), " "))
+      .withColumn("shingle", explode(shingles("toks", n)))
+      .select(col(key), col("shingle"))
+
+  /** Exact dedup: keep the lowest key per content digest. One shuffle on
+    * the digest; at 100 TB the digest groupBy is the only viable exact
+    * dedup (never groupBy the raw text — digest first, the shuffle then
+    * moves 32 bytes/row instead of documents).
+    */
+  def exactDedup(df: DataFrame, key: String, text: String): DataFrame =
+    df.withColumn("digest", sha2(col(text), 256))
+      .groupBy(col("digest"))
+      .agg(min(col(key)).as(key), count(lit(1)).as("n_copies"))
+      .select(col(key), col("n_copies"))
+
+  /** MinHash signatures: `numHashes` columns h0..h{k-1}, each the min of a
+    * seeded xxhash64 over the doc's shingle set. Computed in ONE aggregate
+    * pass over the exploded shingles (no per-hash shuffle).
+    */
+  def minhashSignatures(shingleTable: DataFrame, key: String, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
+    shingleTable.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs from banded signatures: r consecutive hashes per
+    * band, hashed to one bucket id; docs sharing any (band, bucket) pair
+    * up. The self-join shuffles on (band, bucket) — bucket sizes stay
+    * small because a 64-bit band hash only collides for near-identical
+    * signature slices.
+    */
+  def lshCandidates(sigs: DataFrame, key: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      xxhash64(lit(1000 + b) +: slice: _*)
+    }
+    val banded = sigs
+      .select(col(key), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col(key).as("key_a"), col("band"), col("bucket"))
+    val b = banded.select(col(key).as("key_b"), col("band"), col("bucket"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * sets; emits jaccard scaled to integer millionths (portable floats).
+    */
+  def verifyJaccard(candidates: DataFrame, docsWithShingles: DataFrame, key: String,
+                    threshold: Double): DataFrame = {
+    val sa = docsWithShingles.select(col(key).as("key_a"), col("sh").as("sh_a"))
+    val sb = docsWithShingles.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    candidates.join(sa, "key_a").join(sb, "key_b")
+      .withColumn("jac",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(union_arrays(col("sh_a"), col("sh_b"))))
+      .filter(col("jac") >= threshold)
+      .select(col("key_a"), col("key_b"),
+        floor(col("jac") * 1e6).cast("long").as("jaccard_e6"))
+  }
+
+  /** |A ∪ B| without double-counting: array_union is distinct-preserving. */
+  private def union_arrays(a: Column, b: Column): Column = array_union(a, b)
+
+  /** Full MinHash-LSH near-dup pipeline over a text table. */
+  def minhashLshPairs(docs: DataFrame, key: String, text: String,
+                      numHashes: Int = 32, rowsPerBand: Int = 2,
+                      shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = docs
+      .withColumn("toks", split(col(text), " "))
+      .withColumn("sh", shingles("toks", shingleSize))
+      .filter(size(col("sh")) > 0)
+      .select(col(key), col("sh"))
+    val exploded = withSh.select(col(key), explode(col("sh")).as("shingle"))
+    val sigs = minhashSignatures(exploded, key, numHashes)
+    val cands = lshCandidates(sigs, key, numHashes, rowsPerBand)
+    verifyJaccard(cands, withSh, key, threshold)
+      .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
+  }
+
+  /** Exact n-gram-Jaccard similarity join via inverted index: pairs
+    * sharing ≥1 shingle, overlap counted in one groupBy, Jaccard from
+    * |A∩B| = overlap and |A∪B| = |A|+|B|-overlap. Exact (no LSH loss).
+    */
+  def ngramJaccardPairs(docs: DataFrame, key: String, text: String,
+                        shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val withSh = docs
+      .withColumn("toks", split(col(text), " "))
+      .withColumn("sh", shingles("toks", shingleSize))
+      .filter(size(col("sh")) > 0)
+      .select(col(key), col("sh"), size(col("sh")).as("sz"))
+    val inv = withSh.select(col(key), col("sz"), explode(col("sh")).as("shingle"))
+    val a = inv.select(col(key).as("doc_a"), col("sz").as("sz_a"), col("shingle"))
+    val b = inv.select(col(key).as("doc_b"), col("sz").as("sz_b"), col("shingle"))
+    a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("jac",
+        col("overlap").cast("double") / (col("sz_a") + col("sz_b") - col("overlap")))
+      .filter(col("jac") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jac") * 1e6).cast("long").as("jaccard_e6"))
+  }
+
+  /** Number of 16-bit chunks in a simhash signature. */
+  val SimhashChunks = 4
+
+  /** Per-doc simhash as 4 × 16-bit chunk columns sh0..sh3, built from
+    * md5-derived token hashes (md5 so the DuckDB oracle can mirror the
+    * construction bit-for-bit). Token multiplicity is kept (standard
+    * frequency-weighted simhash).
+    */
+  def simhashChunks(docs: DataFrame, key: String, text: String): DataFrame = {
+    val toks = docs
+      .select(col(key), explode(split(col(text), " ")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val withChunks = (0 until SimhashChunks).foldLeft(toks) { (df, c) =>
+      df.withColumn(s"c$c",
+        conv(substring(col("h"), 1 + 4 * c, 4), 16, 10).cast("int"))
+    }
+    val bitSums = (0 until 64).map { bit =>
+      val chunk = bit / 16
+      val k = bit % 16
+      sum(when(expr(s"(shiftright(c$chunk, $k) & 1) = 1"), 1).otherwise(-1)).as(s"s$bit")
+    }
+    val sums = withChunks.groupBy(col(key)).agg(bitSums.head, bitSums.tail: _*)
+    (0 until SimhashChunks).foldLeft(sums) { (df, c) =>
+      val assemble = (0 until 16).map { k =>
+        when(col(s"s${c * 16 + k}") > 0, lit(1 << k)).otherwise(lit(0))
+      }.reduce(_ + _)
+      df.withColumn(s"sh$c", assemble)
+    }.select(col(key) +: (0 until SimhashChunks).map(c => col(s"sh$c")): _*)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (must be
+    * < SimhashChunks for exactness): chunk-equality bucket join generates
+    * candidates (pigeonhole guarantees recall), exact hamming verifies.
+    */
+  def simhashPairs(docs: DataFrame, key: String, text: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < SimhashChunks, "pigeonhole exactness needs h < #chunks")
+    val sigs = simhashChunks(docs, key, text)
+    val banded = sigs.select(col(key),
+      posexplode(array((0 until SimhashChunks).map(c => col(s"sh$c")): _*))
+        .as(Seq("band", "bucket")))
+    val a = banded.select(col(key).as("doc_a"), col("band"), col("bucket"))
+    val b = banded.select(col(key).as("doc_b"), col("band"), col("bucket"))
+    val cands = a.join(b, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = sigs.select(col(key).as("doc_a") +:
+      (0 until SimhashChunks).map(c => col(s"sh$c").as(s"a$c")): _*)
+    val sb = sigs.select(col(key).as("doc_b") +:
+      (0 until SimhashChunks).map(c => col(s"sh$c").as(s"b$c")): _*)
+    val hamming = (0 until SimhashChunks).map(c =>
+      bit_count(col(s"a$c").bitwiseXOR(col(s"b$c")))).reduce(_ + _)
+    cands.join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for LLM-pipeline curation: token statistics,
+  * language identification (marker-token heuristic), quality scoring,
+  * token counting (whitespace + regex "BPE-ish"), and document
+  * fingerprinting (min-shingle-hash winnowing). Everything is a native
+  * expression — deterministic, codegen'd, oracle-mirrorable.
+  */
+object TextStats {
+
+  /** Marker-token lists per language for the n-gram/marker heuristic.
+    * On real corpora these are stopword/character-class lists; they are
+    * plain literals so the scoring stays a pure expression.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("customer", "hash", "join", "merge"),
+    "en" -> Seq("the", "a", "order", "table"),
+    "es" -> Seq("slow", "agg", "vector", "line"),
+    "fr" -> Seq("scan", "data", "batch", "query"),
+    "zh" -> Seq("small", "row", "column", "part"))
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-doc token statistics; ratios exported as integer millionths. */
+  def textStats(docs: DataFrame, key: String, text: String): DataFrame =
+    docs.withColumn("toks", tokens(col(text)))
+      .select(
+        col(key),
+        size(col("toks")).as("n_tokens"),
+        length(col(text)).as("n_chars_total"),
+        length(regexp_replace(col(text), " ", "")).as("n_chars_nospace"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        floor(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")) * 1e6).cast("long").as("ttr_e6"))
+
+  /** Language-ID: score = |doc tokens ∩ marker set| per language; predict
+    * the argmax with deterministic tie-break on language code order.
+    */
+  def langId(docs: DataFrame, key: String, text: String): DataFrame = {
+    val withSet = docs.withColumn("tset", array_distinct(tokens(col(text))))
+    val scored = LangMarkers.foldLeft(withSet) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        size(array_intersect(col("tset"), array(markers.map(lit): _*))))
+    }
+    val best = LangMarkers.map(_._1).map(l => col(s"score_$l"))
+      .reduce((a, b) => greatest(a, b))
+    // First language (in LangMarkers order) achieving the max score.
+    val predictedFirst = LangMarkers.map(_._1).reverse
+      .foldLeft(lit(null).cast("string")) { case (els, lang) =>
+        when(col(s"score_$lang") === best, lit(lang)).otherwise(els)
+      }
+    scored.select(
+      col(key), col("lang").as("actual_lang"),
+      predictedFirst.as("predicted_lang"),
+      best.as("best_score"))
+  }
+
+  /** Quality score: 0.5·length-score + 0.3·type-token-ratio + 0.2·long-token
+    * share — fixed-order arithmetic, exported as integer millionths.
+    */
+  def qualityScore(docs: DataFrame, key: String, text: String): DataFrame =
+    docs.withColumn("toks", tokens(col(text)))
+      .withColumn("n_tokens", size(col("toks")).cast("double"))
+      .withColumn("len_score", least(lit(1.0), col("n_tokens") / 100.0))
+      .withColumn("ttr",
+        size(array_distinct(col("toks"))).cast("double") / col("n_tokens"))
+      .withColumn("long_share",
+        size(filter(col("toks"), t => length(t) >= 5)).cast("double") / col("n_tokens"))
+      .select(col(key),
+        floor((col("len_score") * 0.5 + col("ttr") * 0.3 + col("long_share") * 0.2) * 1e6)
+          .cast("long").as("quality_e6"))
+
+  /** Whitespace token count + regex-segment ("BPE-ish" pre-tokenizer)
+    * count: alpha runs, digit runs, and other non-space symbols.
+    */
+  def tokenCounts(docs: DataFrame, key: String, text: String): DataFrame =
+    docs.select(
+      col(key),
+      size(tokens(col(text))).as("ws_tokens"),
+      size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .as("bpe_ish_tokens"))
+
+  /** Fingerprints: md5 of the full text (exact identity) plus the minimum
+    * shingle md5 (winnowing-style robust fingerprint: equal for docs
+    * sharing their lexicographically-smallest shingle hash).
+    */
+  def fingerprints(docs: DataFrame, key: String, text: String,
+                   shingleSize: Int = 3): DataFrame =
+    docs.withColumn("toks", split(col(text), " "))
+      .withColumn("sh", Dedup.shingles("toks", shingleSize))
+      .select(
+        col(key),
+        md5(col(text)).as("text_md5"),
+        array_min(transform(col("sh"), s => md5(s))).as("min_shingle_md5"))
+}

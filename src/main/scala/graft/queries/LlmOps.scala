@@ -1,0 +1,238 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** LLM-training-data pipeline operators (brief: dedup, similarity search,
+  * text analysis) as oracled queries over `documents`/`embeddings`.
+  *
+  * Oracle-parity notes: every float exported as integer millionths
+  * (`floor(x*1e6)`); md5 is the only hash used where DuckDB must mirror
+  * the computation (simhash oracle SQL is generated from the same loop
+  * as the Spark plan); thresholds are calibrated against the corpus so
+  * LSH recall is exact at sf0.01/sf0.1 (near-dup pairs sit at J≥0.85,
+  * far from the 0.5 threshold: collision prob 1-(1-J²)^16 > 1-1e-11).
+  */
+object LlmOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val qDedupExact: Q = (s, d) =>
+    Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qDedupMinhash: Q = (s, d) =>
+    Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+        numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qDedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qDedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val qDedupEmbedding: Q = (s, d) =>
+    Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  private val qCosineTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Approximate ANN (IVF) — no SQL oracle (approximate by design). */
+  private val qAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  private val qTextStats: Q = (s, d) =>
+    TextStats.textStats(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qLangAgg: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        floor(sum(col("n_tokens")).cast("double") / count(lit(1)) * 1e6)
+          .cast("long").as("avg_tokens_e6"))
+      .orderBy(col("lang"))
+
+  private val qLangId: Q = (s, d) =>
+    TextStats.langId(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qQualityScore: Q = (s, d) =>
+    TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qTokenCount: Q = (s, d) =>
+    TextStats.tokenCounts(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qFingerprint: Q = (s, d) =>
+    TextStats.fingerprints(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val registry: Map[String, Q] = Map(
+    "q_dedup_exact" -> qDedupExact,
+    "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_ngram" -> qDedupNgram,
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_cosine_topk" -> qCosineTopk,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_text_stats" -> qTextStats,
+    "q_lang_agg" -> qLangAgg,
+    "q_lang_id" -> qLangId,
+    "q_quality_score" -> qQualityScore,
+    "q_token_count" -> qTokenCount,
+    "q_fingerprint" -> qFingerprint,
+  )
+
+  /** Shared DuckDB CTE: per-doc distinct 3-shingle list. */
+  private val shingleCte =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                                for i in range(1, len(t) - 1)]) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""$shingleCte,
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |        len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(floor(jac * 1000000) AS BIGINT) AS jaccard_e6
+       |FROM p WHERE jac >= $threshold ORDER BY doc_a, doc_b""".stripMargin
+
+  /** SimHash oracle generated with the same chunk/bit loops as the Spark
+    * plan in [[Dedup.simhashChunks]] — md5 makes the two engines agree
+    * bit-for-bit.
+    */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val chunkDefs = (0 until Dedup.SimhashChunks)
+      .map(c => s"('0x' || substr(md5(tok), ${1 + 4 * c}, 4))::INT AS c$c")
+      .mkString(", ")
+    val bitSums = (0 until 64).map { b =>
+      val c = b / 16; val k = b % 16
+      s"sum(CASE WHEN ((c$c >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val chunkAsm = (0 until Dedup.SimhashChunks).map { c =>
+      (0 until 16).map(k => s"(CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ") + s" AS sh$c"
+    }.mkString(", ")
+    val ham = (0 until Dedup.SimhashChunks)
+      .map(c => s"bit_count(xor(a.sh$c, b.sh$c))").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, $chunkDefs FROM tok),
+       |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, $chunkAsm FROM s),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, $ham AS hamming
+       |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, hamming FROM p
+       |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val cosineCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
+  private def cosExpr(a: String, b: String): String =
+    s"""list_dot_product($a.v, $b.v) /
+       |(sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))""".stripMargin
+
+  private val langIdSql: String = {
+    val scores = TextStats.LangMarkers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString(", ")
+      s"len(list_intersect(tset, [$lst])) AS score_$lang"
+    }.mkString(", ")
+    val langs = TextStats.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map(l => s"score_$l").mkString(", ")})"
+    val cases = langs.map(l => s"WHEN score_$l = best THEN '$l'").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS tset
+       |           FROM documents),
+       |sc AS (SELECT doc_id, lang, $scores FROM t),
+       |b AS (SELECT *, $best AS best FROM sc)
+       |SELECT doc_id, lang AS actual_lang, CASE $cases END AS predicted_lang,
+       |       best AS best_score
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash" -> jaccardPairsSql(0.5),
+    "q_dedup_ngram" -> jaccardPairsSql(0.3),
+    "q_dedup_simhash" -> simhashOracleSql(3),
+    "q_dedup_embedding" ->
+      s"""$cosineCte,
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ${cosExpr("a", "b")} AS cos
+         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+         |FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "q_cosine_topk" ->
+      s"""$cosineCte,
+         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |        ${cosExpr("q", "c")} AS cos
+         |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+         |      FROM p)
+         |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  length(text) AS n_chars_total,
+        |  length(replace(text, ' ', '')) AS n_chars_nospace,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+        |  CAST(floor(len(list_distinct(string_split(text, ' '))) * 1.0 /
+        |       len(string_split(text, ' ')) * 1000000) AS BIGINT) AS ttr_e6
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_agg" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+        |  CAST(floor(sum(len(string_split(text, ' '))) * 1.0 / count(*) * 1000000)
+        |       AS BIGINT) AS avg_tokens_e6
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" -> langIdSql,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |q AS (SELECT doc_id,
+        |  least(1.0, len(toks) / 100.0) AS len_score,
+        |  len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+        |  len([x for x in toks if length(x) >= 5]) * 1.0 / len(toks) AS long_share
+        |FROM t)
+        |SELECT doc_id,
+        |  CAST(floor((len_score * 0.5 + ttr * 0.3 + long_share * 0.2) * 1000000)
+        |       AS BIGINT) AS quality_e6
+        |FROM q ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """WITH s AS (SELECT doc_id, text,
+        |  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS sh
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents))
+        |SELECT doc_id, md5(text) AS text_md5,
+        |  list_min([md5(x) for x in sh]) AS min_shingle_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+  )
+}

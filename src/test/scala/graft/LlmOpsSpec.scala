@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Similarity, TextStats}
+
+class LlmOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 0
+    (2L, "completely different content about spark engines here"),
+    (3L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 0
+    (4L, "one two")                                        // < shingle size
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses identical texts to the lowest key") {
+    val got = Dedup.exactDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L), (1L, 1L), (2L, 1L), (4L, 1L)))
+  }
+
+  test("minhashLshPairs finds near and exact dups, not unrelated docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L)))          // exact dup: J = 1
+    assert(pairs.contains((0L, 1L)))          // near dup: 6/8 shingles shared
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("simhashPairs: identical docs have hamming 0; unrelated docs excluded") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    val h03 = got.find(r => r._1 == 0L && r._2 == 3L)
+    assert(h03.exists(_._3 == 0))
+    assert(!got.exists(r => r._1 == 2L || r._2 == 2L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard in millionths") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((0L, 3L)) == 1000000L)
+    // docs 0/1: 9 tokens → 7 shingles each, 6 shared → J = 6/8 = 0.75
+    assert(got((0L, 1L)) == 750000L)
+  }
+
+  test("cosine: identical vectors → 1, orthogonal → 0") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)), (3L, Array(0.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosinePairs(df, "vec_id", "embedding", threshold = -2.0)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(pairs((1L, 2L)) == 1000000L)
+    assert(pairs((1L, 3L)) == 0L)
+  }
+
+  test("bruteForceTopK ranks nearest first with deterministic tie-break") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), "vec_id", "embedding", 2)
+      .orderBy($"rnk").as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(3L, 1L)) // 3 is closer to 0 than 1 is
+  }
+
+  test("ivfTopK returns k rows per query with plausible neighbors") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val got = graft.queries.LlmOps.registry("q_ann_ivf")(spark, sf)
+    val counts = got.groupBy($"q_id").count().as[(Long, Long)].collect().toMap
+    assert(counts.values.forall(_ == 5L))
+    assert(counts.size == 20)
+  }
+
+  test("langId predicts deterministically with tie-break on language order") {
+    val df = Seq((1L, "the a order table", "en"), (2L, "xyz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = TextStats.langId(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, String, Int)].collect().toSeq
+    assert(got(0)._3 == "en" && got(0)._4 == 4)
+    assert(got(1)._3 == "de" && got(1)._4 == 0) // all-zero tie → first lang
+  }
+
+  test("fingerprints: permuted doc shares no text_md5 but exact dup does") {
+    val df = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "d c b a"))
+      .toDF("doc_id", "text")
+    val got = TextStats.fingerprints(df, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, String)].collect()
+    assert(got(0)._2 == got(1)._2 && got(0)._3 == got(1)._3)
+    assert(got(0)._2 != got(2)._2)
+  }
+}
