@@ -32,12 +32,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RefOps.registry ++
       graft.queries.Relational.registry ++
-      graft.queries.LlmOps.registry
+      graft.queries.LlmOps.registry ++
+      graft.queries.StreamShapes.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RefOps.oracle ++
       graft.queries.Relational.oracle ++
-      graft.queries.LlmOps.oracle
+      graft.queries.LlmOps.oracle ++
+      graft.queries.StreamShapes.oracle
 }

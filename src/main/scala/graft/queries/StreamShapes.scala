@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.streaming.Events
+
+/** Batch-shape equivalents of the streaming aggregations — the same
+  * transform functions from graft.streaming.Events applied to the batch
+  * events table, which makes the window semantics oracle-checkable in
+  * DuckDB (streaming-only semantics — watermark drops, state cleanup —
+  * are unit-tested with MemoryStream instead, see StreamingSpec).
+  */
+object StreamShapes {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val qStreamTumbling: Q = (s, d) =>
+    Events.tumblingCounts(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val qStreamSliding: Q = (s, d) =>
+    Events.slidingCounts(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val qStreamSession: Q = (s, d) =>
+    Events.sessionWindows(Tables.events(s, d))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val registry: Map[String, Q] = Map(
+    "q_stream_tumbling" -> qStreamTumbling,
+    "q_stream_sliding" -> qStreamSliding,
+    "q_stream_session" -> qStreamSession,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS window_start,
+        |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |  event_type, count(*) AS n,
+        |  sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2, 3
+        |ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+        |                 time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+        |           AS window_start,
+        |         event_type
+        |  FROM events)
+        |SELECT window_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_stream_session" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS session_end,
+        |  user_id, count(*) AS n,
+        |  sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_cents
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Events
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+              event_type: String, value: Double, props: String)
+
+/** Streaming-only semantics (SURVEY.md §5.2.4): watermark late-data drop,
+  * stateful dedup, session windows, foreachBatch upsert — driven through
+  * MemoryStream so micro-batch boundaries are explicit.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, ts: String, user: Long = 1L, typ: String = "view") =
+    Ev(id, t(ts), user, typ, 1.0, "{}")
+
+  test("tumbling agg in append mode drops data later than the watermark") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.tumblingCounts(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("tumble_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      // advance watermark past 11:00 → [10:00,11:00) finalizes
+      in.addData(ev(3, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      // late arrival for the already-finalized window → dropped
+      in.addData(ev(4, "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+      val out = spark.table("tumble_out")
+        .select($"window_start", $"n").as[(Timestamp, Long)].collect().toMap
+      assert(out(t("2024-01-01 10:00:00")) == 2L) // late event 4 not counted
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark emits each event_id once") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.dedupWithinWatermark(in.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(1, "2024-01-01 10:00:30"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select($"event_id").as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("session windows close after gap and split distant events") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.sessionWindows(in.toDF(), gap = "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"),
+        ev(3, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 13:00:00")) // advance watermark, close all
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .select($"session_start", $"session_end", $"n")
+        .as[(Timestamp, Timestamp, Long)].collect().toSeq.sortBy(_._1.getTime)
+      assert(out.head == ((t("2024-01-01 10:00:00"), t("2024-01-01 10:15:00"), 2L)))
+      assert(out(1)._1 == t("2024-01-01 11:00:00"))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink merges micro-batches idempotently by key") {
+    implicit val sc = spark.sqlContext
+    val path = "target/tmp/stream_upsert"
+    val ckpt = "target/tmp/stream_upsert_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+      ev(2, "2024-01-01 10:20:00", user = 1),
+      ev(3, "2024-01-01 10:00:00", user = 2))
+    val counts = in.toDF().groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val q = Events.foreachBatchUpsert(counts, path, Seq("user_id"), ckpt)
+    q.awaitTermination()
+    val got = spark.read.parquet(path).orderBy($"user_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)))
+  }
+}
