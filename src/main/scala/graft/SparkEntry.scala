@@ -33,7 +33,8 @@ object SparkEntry {
     graft.queries.RefOps.registry ++
       graft.queries.Relational.registry ++
       graft.queries.LlmOps.registry ++
-      graft.queries.StreamShapes.registry
+      graft.queries.StreamShapes.registry ++
+      graft.queries.ExtOps.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -41,5 +42,6 @@ object SparkEntry {
     graft.queries.RefOps.oracle ++
       graft.queries.Relational.oracle ++
       graft.queries.LlmOps.oracle ++
-      graft.queries.StreamShapes.oracle
+      graft.queries.StreamShapes.oracle ++
+      graft.queries.ExtOps.oracle
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.functions.Udfs
+import graft.ops.Multimodal
+
+/** Extension-surface queries: the custom Catalyst Expression, the Scala
+  * UDF, the typed Aggregator (UDAF), and the multimodal binary-column
+  * plumbing — each oracled where the computation is portable.
+  */
+object ExtOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Millis → "MM:SS.mmm" via the native codegen'd Expression. */
+  private val qExprLapTime: Q = (s, d) => {
+    Udfs.registerAll(s)
+    Tables.events(s, d)
+      .withColumn("lap_ms", floor(col("value") * 1000.0).cast("long"))
+      .withColumn("lap_time", expr("lap_time_millis(lap_ms)"))
+      .select(col("event_id"), col("lap_time"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Same semantics through the black-box Scala UDF registration path. */
+  private val qUdfLapTime: Q = (s, d) => {
+    Udfs.registerAll(s)
+    Tables.events(s, d)
+      .withColumn("lap_ms", floor(col("value") * 1000.0).cast("long"))
+      .withColumn("lap_time", expr("lap_time_udf(lap_ms)"))
+      .select(col("event_id"), col("lap_time"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Typed Aggregator: bounded top-3 per group with map-side heaps. */
+  private val qUdafTopk: Q = (s, d) => {
+    Udfs.registerAll(s)
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(expr("top_k_events(event_id, value)").as("topk"))
+      .select(col("event_type"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .orderBy(col("event_type"), col("pos"))
+  }
+
+  /** Multimodal metadata scan: binary payload + typed meta struct
+    * (the oracle checks the portable parts: byte length and md5).
+    */
+  private val qMultimodalMeta: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.synthesizeMedia(Tables.documents(s, d))
+      .select(col("media_id"), col("kind"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.mime").as("mime"),
+        col("meta.durationMs").as("duration_ms"))
+      .orderBy(col("media_id"))
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_expr_laptime" -> qExprLapTime,
+    "q_udf_laptime" -> qUdfLapTime,
+    "q_udaf_topk" -> qUdafTopk,
+    "q_multimodal_meta" -> qMultimodalMeta,
+  )
+
+  private val lapTimeSql =
+    """SELECT event_id, concat(
+      |lpad(CAST(CAST(floor(value*1000.0) AS BIGINT) // 60000 AS VARCHAR), 2, '0'),
+      |':',
+      |lpad(CAST((CAST(floor(value*1000.0) AS BIGINT) % 60000) // 1000 AS VARCHAR), 2, '0'),
+      |'.',
+      |lpad(CAST(CAST(floor(value*1000.0) AS BIGINT) % 1000 AS VARCHAR), 3, '0'))
+      |AS lap_time FROM events ORDER BY event_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_expr_laptime" -> lapTimeSql,
+    "q_udf_laptime" -> lapTimeSql,
+    "q_udaf_topk" ->
+      """SELECT event_type, CAST(rnk - 1 AS INT) AS pos,
+        |  concat(CAST(event_id AS VARCHAR), ':',
+        |         CAST(CAST(round(value * 100.0) AS BIGINT) AS VARCHAR)) AS entry
+        |FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value DESC, event_id ASC) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY event_type, pos""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  length(text) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'audio/wav' END AS mime,
+        |  n_chars * 10 AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+  )
+}

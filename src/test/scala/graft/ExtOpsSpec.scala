@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{LapTimeMillis, Udfs}
+import graft.ops.Multimodal
+
+class ExtOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("LapTimeMillis expression formats and stays null-safe in codegen") {
+    Udfs.registerAll(spark)
+    val got = Seq[Option[Long]](Some(83456L), None, Some(59L)).toDF("ms")
+      .selectExpr("lap_time_millis(ms) AS s")
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(got == Seq(Some("01:23.456"), None, Some("00:00.059")))
+  }
+
+  test("LapTimeMillis rejects non-long input at analysis time") {
+    Udfs.registerAll(spark)
+    val err = intercept[Exception] {
+      Seq("x").toDF("s").selectExpr("lap_time_millis(s)").collect()
+    }
+    assert(err.getMessage.contains("BIGINT"))
+  }
+
+  test("UDF and native expression agree everywhere") {
+    Udfs.registerAll(spark)
+    val df = graft.model.Tables.events(spark, sf)
+      .withColumn("ms", floor($"value" * 1000).cast("long"))
+    val diff = df.selectExpr("lap_time_millis(ms) a", "lap_time_udf(ms) b")
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
+  test("TopKAggregator keeps the k largest with deterministic ties") {
+    Udfs.registerAll(spark)
+    val df = Seq((1L, 5.0, "a"), (2L, 9.0, "a"), (3L, 9.0, "a"), (4L, 1.0, "a"))
+      .toDF("id", "score", "g")
+    val got = df.groupBy($"g").agg(expr("top_k_events(id, score)").as("t"))
+      .select($"t").as[Seq[String]].collect().head
+    assert(got == Seq("2:900", "3:900", "1:500")) // ties: lower id first
+  }
+
+  test("multimodal decodeFeatures derives deterministic features per item") {
+    val media = Multimodal.synthesizeMedia(
+      Seq((1L, "abc", "en", "s", 3L), (2L, "", "en", "s", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val feats = Multimodal.decodeFeatures(media)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes == 3)
+    assert(feats(1L).checksum == (('a' * 31 + 'b') * 31 + 'c').toLong)
+    assert(feats(2L).n_bytes == 0 && feats(2L).brightness == 0.0)
+  }
+
+  test("multimodal sampleFrames splits payload into strided chunks") {
+    val media = Multimodal.synthesizeMedia(
+      Seq((1L, "0123456789", "en", "s", 10L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val frames = Multimodal.sampleFrames(media, frameSize = 2, stride = 2)
+      .collect().sortBy(_.frame_no)
+    assert(frames.map(_.frame_no).toSeq == Seq(0, 2, 4))
+    assert(new String(frames(1).frame_bytes) == "45")
+  }
+
+  test("multimodal resizePayload bounds output size deterministically") {
+    val media = Multimodal.synthesizeMedia(
+      Seq((1L, "a" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = Multimodal.resizePayload(media, targetBytes = 10).collect().head
+    assert(out.payload.length == 50 || out.payload.length <= 50) // ceil(100/10)=10 → every 10th
+    assert(out.payload.length == 10)
+  }
+}
