@@ -85,24 +85,33 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate pairs against the shingle
     * sets; emits jaccard scaled to integer millionths (portable floats).
+    * Shingles are hashed to sorted long arrays once per doc — the verify
+    * join then ships ~8 bytes per shingle instead of the string, and the
+    * per-pair check is the codegen'd linear-merge
+    * [[graft.functions.JaccardSorted]] on longs (the hash-set
+    * array_intersect/array_union pair was the verify bottleneck; a 64-bit
+    * collision inside one doc's ~10² shingles is ~1e-15 — negligible).
     */
   def verifyJaccard(candidates: DataFrame, docsWithShingles: DataFrame, key: String,
                     threshold: Double): DataFrame = {
-    val sa = docsWithShingles.select(col(key).as("key_a"), col("sh").as("sh_a"))
-    val sb = docsWithShingles.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    docsWithShingles.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction("jaccard_sorted",
+        exprs => graft.functions.JaccardSorted(exprs(0), exprs(1)), "built-in")
+    val hashed = array_sort(transform(col("sh"), s => xxhash64(s)))
+    val sa = docsWithShingles.select(col(key).as("key_a"), hashed.as("sh_a"))
+    val sb = docsWithShingles.select(col(key).as("key_b"), hashed.as("sh_b"))
     candidates.join(sa, "key_a").join(sb, "key_b")
-      .withColumn("jac",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(union_arrays(col("sh_a"), col("sh_b"))))
+      .withColumn("jac", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jac") >= threshold)
       .select(col("key_a"), col("key_b"),
         floor(col("jac") * 1e6).cast("long").as("jaccard_e6"))
   }
 
-  /** |A ∪ B| without double-counting: array_union is distinct-preserving. */
-  private def union_arrays(a: Column, b: Column): Column = array_union(a, b)
-
-  /** Full MinHash-LSH near-dup pipeline over a text table. */
+  /** Full MinHash-LSH near-dup pipeline over a text table. The shingle
+    * table is persisted (memory-and-disk) because the plan fans out into
+    * the signature branch and two verification branches — without it the
+    * tokenize+shingle scan runs three times.
+    */
   def minhashLshPairs(docs: DataFrame, key: String, text: String,
                       numHashes: Int = 32, rowsPerBand: Int = 2,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -111,6 +120,7 @@ object Dedup {
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = withSh.select(col(key), explode(col("sh")).as("shingle"))
     val sigs = minhashSignatures(exploded, key, numHashes)
     val cands = lshCandidates(sigs, key, numHashes, rowsPerBand)
@@ -118,29 +128,40 @@ object Dedup {
       .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
   }
 
-  /** Exact n-gram-Jaccard similarity join via inverted index: pairs
-    * sharing ≥1 shingle, overlap counted in one groupBy, Jaccard from
-    * |A∩B| = overlap and |A∪B| = |A|+|B|-overlap. Exact (no LSH loss).
+  /** Exact n-gram-Jaccard similarity join with PPJoin-style prefix
+    * filtering: under a global shingle order (rarest first), a pair with
+    * J ≥ t must share a shingle within each doc's first
+    * |A| - ceil(t·|A|) + 1 shingles (since |A∩B| ≥ t·|A∪B| ≥ t·|A|), so
+    * only prefix shingles are indexed — the candidate join shrinks by
+    * ~(1-t)² while staying EXACT. Candidates are then verified against
+    * the full shingle sets.
     */
   def ngramJaccardPairs(docs: DataFrame, key: String, text: String,
-                        shingleSize: Int = 3, threshold: Double = 0.3): DataFrame = {
+                        shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     val withSh = docs
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"), size(col("sh")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = withSh.select(col(key), col("sz"), explode(col("sh")).as("shingle"))
-    val a = inv.select(col(key).as("doc_a"), col("sz").as("sz_a"), col("shingle"))
-    val b = inv.select(col(key).as("doc_b"), col("sz").as("sz_b"), col("shingle"))
-    a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
-      .agg(count(lit(1)).as("overlap"))
-      .withColumn("jac",
-        col("overlap").cast("double") / (col("sz_a") + col("sz_b") - col("overlap")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"),
-        floor(col("jac") * 1e6).cast("long").as("jaccard_e6"))
+    // Global rarest-first order; ties broken by shingle text so the
+    // prefix choice is deterministic.
+    val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(key)).orderBy(col("df").asc, col("shingle").asc)
+    val prefix = inv.join(freq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= floor((lit(1.0) - threshold) * col("sz")) + 1)
+      .select(col(key), col("shingle"))
+    val a = prefix.select(col(key).as("key_a"), col("shingle"))
+    val b = prefix.select(col(key).as("key_b"), col("shingle"))
+    val cands = a.join(b, Seq("shingle"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+      .distinct()
+    verifyJaccard(cands, withSh.select(col(key), col("sh")), key, threshold)
+      .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
   }
 
   /** Number of 16-bit chunks in a simhash signature. */

@@ -5,43 +5,46 @@ import org.apache.spark.sql.functions._
 
 /** Embedding similarity search over `array<float>` columns.
   *
-  * Arithmetic is done in double precision with a fixed left-fold order
-  * (`aggregate` over `zip_with`) so results are bit-reproducible and the
-  * DuckDB oracle (`list_dot_product` on DOUBLE[] casts) matches exactly.
+  * Dot products run through the native codegen'd
+  * [[graft.functions.DotProduct]] expression (`dot_arr` — a primitive
+  * loop; the composable `aggregate(zip_with(...))` form is interpreted
+  * and was ~40× slower at sf0.1). Norms are computed once per row on
+  * each join side, not once per pair. The arithmetic (sequential fold,
+  * `dot/(sqrt(aa)*sqrt(bb))` grouping) is bit-identical to DuckDB's
+  * `list_dot_product` oracle formula.
   *
-  * Scale posture: brute-force top-k is the exact baseline — one broadcast
-  * of the (small) query set, map-side cosine, per-query top-k via window.
-  * For corpus×corpus at 100 TB, use `ivfTopK`: vectors are bucketed by
-  * nearest coarse centroid (IVF-flat) and queries only scan `nprobe`
-  * cells, trading recall for a ~#cells/nprobe scan reduction.
+  * Scale posture: brute-force top-k is the exact baseline — broadcast
+  * the (small) query set, scan the corpus once, per-query top-k via a
+  * rank-limited window. For corpus×corpus at 100 TB use `ivfTopK`:
+  * vectors are bucketed by nearest coarse centroid (IVF-flat) and
+  * queries only scan `nprobe` cells.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  /** Cosine similarity with explicit sqrt(x)*sqrt(y) grouping (mirrors the
-    * oracle formula exactly — sqrt(x*y) would differ in the last ulp).
-    */
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  /** Register `dot_arr` on the session owning `df` (idempotent). */
+  private def ensureRegistered(df: DataFrame): Unit =
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_arr", exprs => graft.functions.DotProduct(exprs(0), exprs(1)), "built-in")
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Exact brute-force top-k cosine neighbors for a query subset.
-    * The query side is broadcast; the corpus is scanned once; per-query
-    * top-k runs as a rank-limited window (per-partition heaps at scale).
-    */
+  /** Key + unit-normless vector + precomputed L2 norm, aliased for a join side. */
+  private def side(df: DataFrame, key: String, vec: String,
+                   keyAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(key).as(keyAs), asDouble(col(vec)).as(vecAs))
+      .withColumn(normAs, sqrt(expr(s"dot_arr($vecAs, $vecAs)")))
+
+  /** Exact brute-force top-k cosine neighbors for a query subset. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, key: String,
                      vec: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(key).as("q_id"), asDouble(col(vec)).as("q_vec")))
-    val c = corpus.select(col(key).as("n_id"), asDouble(col(vec)).as("n_vec"))
+    ensureRegistered(corpus)
+    val q = broadcast(side(queries, key, vec, "q_id", "q_vec", "q_norm"))
+    val c = side(corpus, key, vec, "n_id", "n_vec", "n_norm")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
     q.join(c, col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", expr("dot_arr(q_vec, n_vec)") / (col("q_norm") * col("n_norm")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
@@ -53,10 +56,11 @@ object Similarity {
     */
   def cosinePairs(corpus: DataFrame, key: String, vec: String,
                   threshold: Double): DataFrame = {
-    val a = corpus.select(col(key).as("vec_a"), asDouble(col(vec)).as("va"))
-    val b = corpus.select(col(key).as("vec_b"), asDouble(col(vec)).as("vb"))
+    ensureRegistered(corpus)
+    val a = side(corpus, key, vec, "vec_a", "va", "na")
+    val b = side(corpus, key, vec, "vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"),
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
@@ -70,33 +74,30 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
               k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+    ensureRegistered(corpus)
     val cents = broadcast(
-      corpus.orderBy(col(key)).limit(cells)
-        .select(col(key).as("cell_id"), asDouble(col(vec)).as("cent")))
+      side(corpus.orderBy(col(key)).limit(cells), key, vec, "cell_id", "cent", "cent_norm"))
     val assign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_id")).orderBy(col("cdist").asc, col("cell_id").asc)
-    val corpusCells = corpus
-      .select(col(key).as("n_id"), asDouble(col(vec)).as("n_vec"))
+      .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
+    val corpusCells = side(corpus, key, vec, "n_id", "n_vec", "n_norm")
       .join(cents)
-      .withColumn("cdist", -cosine(col("n_vec"), col("cent")))
+      .withColumn("sim", expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
       .withColumn("crnk", row_number().over(assign))
       .filter(col("crnk") === 1)
-      .select(col("cell_id"), col("n_id"), col("n_vec"))
+      .select(col("cell_id"), col("n_id"), col("n_vec"), col("n_norm"))
     val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cdist").asc, col("cell_id").asc)
-    val queryCells = queries
-      .select(col(key).as("q_id"), asDouble(col(vec)).as("q_vec"))
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cell_id").asc)
+    val queryCells = side(queries, key, vec, "q_id", "q_vec", "q_norm")
       .join(cents)
-      .withColumn("cdist", -cosine(col("q_vec"), col("cent")))
+      .withColumn("sim", expr("dot_arr(q_vec, cent)") / (col("q_norm") * col("cent_norm")))
       .withColumn("crnk", row_number().over(probeW))
       .filter(col("crnk") <= nprobe)
-      .select(col("q_id"), col("q_vec"), col("cell_id"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"), col("cell_id"))
     val topW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
     broadcast(queryCells).join(corpusCells, Seq("cell_id"))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", expr("dot_arr(q_vec, n_vec)") / (col("q_norm") * col("n_norm")))
       .withColumn("rnk", row_number().over(topW))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),

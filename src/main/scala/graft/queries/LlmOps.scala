@@ -33,7 +33,7 @@ object LlmOps {
 
   private val qDedupNgram: Q = (s, d) =>
     Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        shingleSize = 3, threshold = 0.3)
+        shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val qDedupEmbedding: Q = (s, d) =>
@@ -177,7 +177,7 @@ object LlmOps {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> jaccardPairsSql(0.5),
-    "q_dedup_ngram" -> jaccardPairsSql(0.3),
+    "q_dedup_ngram" -> jaccardPairsSql(0.5),
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" ->
       s"""$cosineCte,
