@@ -34,7 +34,8 @@ object SparkEntry {
       graft.queries.Relational.registry ++
       graft.queries.LlmOps.registry ++
       graft.queries.StreamShapes.registry ++
-      graft.queries.ExtOps.registry
+      graft.queries.ExtOps.registry ++
+      graft.queries.SqlSurface.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -43,5 +44,6 @@ object SparkEntry {
       graft.queries.Relational.oracle ++
       graft.queries.LlmOps.oracle ++
       graft.queries.StreamShapes.oracle ++
-      graft.queries.ExtOps.oracle
+      graft.queries.ExtOps.oracle ++
+      graft.queries.SqlSurface.oracle
 }

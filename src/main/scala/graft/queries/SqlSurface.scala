@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** The engine's SQL entry point plus remaining relational coverage:
+  * spark.sql over registered views (CTEs, scalar and correlated
+  * subqueries — Catalyst decorrelates them), pivot, exact percentiles,
+  * histogram bucketing, deterministic salted skew join, explode and
+  * distinct.
+  */
+object SqlSurface {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Register every testdata table as a temp view for spark.sql use. */
+  def registerViews(s: SparkSession, d: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+
+  /** TPC-H Q3 shape through the SQL surface (same engine, SQL text in). */
+  private val qSqlTpchQ3: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_orderdate,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin)
+  }
+
+  /** Scalar subquery: orders above the average order value. */
+  private val qSqlScalarSubquery: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >
+        |  (SELECT avg(CAST(round(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS with an inner aggregate threshold. */
+  private val qSqlCorrelated: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** CTE chain through the SQL surface. */
+  private val qSqlCte: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        |per_customer AS (
+        |  SELECT o_custkey, count(*) AS n_big FROM big_orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, p.n_big
+        |FROM customer c JOIN per_customer p ON c.c_custkey = p.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  /** Pivot: per-user event_type counts as fixed columns. */
+  private val qPivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("user_id"))
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`).
+    */
+  private val qPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Fixed-width histogram over event values. */
+  private val qHistogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("bucket", (floor(col("value") / 5.0) * 5.0))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** Salted skew join — result must equal the plain inner join. */
+  private val qJoinSalted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val sup = Tables.supplier(s, d)
+    graft.ops.Skew.saltedJoin(
+        li.select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("s_suppkey")),
+        sup, "s_suppkey",
+        col("l_orderkey") * 8 + col("l_linenumber"), salts = 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("s_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Generator/UDTF shape: one row per token. */
+  private val qExplode: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .orderBy(col("doc_id"), col("token"))
+
+  private val qDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"))
+      .distinct()
+      .orderBy(col("user_id"), col("event_type"))
+
+  val registry: Map[String, Q] = Map(
+    "q_sql_tpch_q3" -> qSqlTpchQ3,
+    "q_sql_scalar_subquery" -> qSqlScalarSubquery,
+    "q_sql_correlated" -> qSqlCorrelated,
+    "q_sql_cte" -> qSqlCte,
+    "q_pivot" -> qPivot,
+    "q_percentile" -> qPercentile,
+    "q_histogram" -> qHistogram,
+    "q_join_salted" -> qJoinSalted,
+    "q_explode" -> qExplode,
+    "q_distinct" -> qDistinct,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+        |    AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q_sql_scalar_subquery" ->
+      """SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |FROM orders
+        |WHERE CAST(round(o_totalprice * 100.0) AS BIGINT) >
+        |  (SELECT avg(CAST(round(o_totalprice * 100.0) AS BIGINT)) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_correlated" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) >= 15
+        |ORDER BY c_custkey""".stripMargin,
+    "q_sql_cte" ->
+      """WITH big_orders AS (
+        |  SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 200000.0),
+        |per_customer AS (
+        |  SELECT o_custkey, count(*) AS n_big FROM big_orders GROUP BY o_custkey)
+        |SELECT c.c_custkey, p.n_big
+        |FROM customer c JOIN per_customer p ON c.c_custkey = p.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_histogram" ->
+      """SELECT floor(value / 5.0) * 5.0 AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_join_salted" ->
+      """SELECT l_orderkey, l_linenumber, s_name
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |FROM documents ORDER BY doc_id, token""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT user_id, event_type FROM events
+        |ORDER BY user_id, event_type""".stripMargin,
+  )
+}
