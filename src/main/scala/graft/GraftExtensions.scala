@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: injects the engine's native expressions so
+  * any session built with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`) gets them without calling
+  * [[graft.functions.Udfs.registerAll]] — the deployment-grade
+  * registration path for a shared cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("lap_time_millis"),
+      info("lap_time_millis", "lap_time_millis(ms BIGINT) - millis to MM:SS.mmm"),
+      (exprs: Seq[Expression]) => graft.functions.LapTimeMillis(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("dot_arr"),
+      info("dot_arr", "dot_arr(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) - dot product"),
+      (exprs: Seq[Expression]) => graft.functions.DotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      info("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted distinct arrays"),
+      (exprs: Seq[Expression]) => graft.functions.JaccardSorted(exprs(0), exprs(1))))
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.LapTimeMillis
+import graft.ops.{Dedup, Sinks}
+
+/** Property-based tests (SURVEY.md §5.2.3): formatting round-trips, merge
+  * idempotence/algebra, dedup fixpoint, set-op laws. ScalaCheck Gens are
+  * sampled with fixed seeds (the scalatest-scalacheck bridge isn't in the
+  * offline cache, so sampling is explicit — deterministic across runs).
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("lap-time format round-trips for ms < 100 minutes") {
+    val cases = samples(Gen.choose(0L, 100L * 60000L - 1), 200) ++
+      Seq(0L, 59L, 999L, 1000L, 59999L, 60000L, 5999999L)
+    cases.foreach { ms =>
+      val s = LapTimeMillis.format(ms)
+      val m = raw"(\d+):(\d{2})\.(\d{3})".r.findFirstMatchIn(s).get
+      val back = m.group(1).toLong * 60000L + m.group(2).toLong * 1000L + m.group(3).toLong
+      assert(back == ms, s"$ms → $s → $back")
+    }
+  }
+
+  private val kvList = Gen.listOf(Gen.zip(Gen.choose(1, 20), Gen.alphaStr.map(_.take(4))))
+
+  test("mergeByKey is idempotent and updates win (K1 algebra)") {
+    samples(Gen.zip(kvList, kvList), 8).foreach { case (baseRows, updRows) =>
+      val base = baseRows.toMap.toSeq.toDF("k", "v")
+      val upd = updRows.toMap.toSeq.toDF("k", "v")
+      val expected = baseRows.toMap ++ updRows.toMap
+      val once = Sinks.mergeByKey(base, upd, Seq("k"))
+      assert(once.as[(Int, String)].collect().toMap == expected)
+      val twice = Sinks.mergeByKey(once, upd, Seq("k"))
+      assert(twice.as[(Int, String)].collect().toMap == expected)
+    }
+  }
+
+  test("exactDedup is a fixpoint and conserves row counts") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("doc_id", "text")
+    val once = Dedup.exactDedup(docs, "doc_id", "text")
+    val survivors = once.select($"doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 5L))
+    val again = Dedup.exactDedup(
+      docs.filter($"doc_id".isin(survivors.toSeq: _*)), "doc_id", "text")
+    assert(again.select($"doc_id").as[Long].collect().toSet == survivors)
+    assert(once.agg(sum($"n_copies")).as[Long].collect().head == 5L)
+  }
+
+  test("set-op algebra: |A∩B| + |A\\B| = |A| on key sets") {
+    val intList = Gen.listOf(Gen.choose(1, 50))
+    samples(Gen.zip(intList, intList), 8).foreach { case (xs, ys) =>
+      val a = xs.distinct.toDF("k")
+      val b = ys.distinct.toDF("k")
+      assert(a.intersect(b).count() + a.except(b).count() == xs.distinct.size)
+    }
+  }
+
+  test("group-max equals per-group reference maximum") {
+    val rowsGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(1, 5), Gen.choose(-100, 100)))
+    samples(rowsGen, 8).foreach { rows =>
+      val viaAgg = rows.toDF("g", "v").groupBy($"g").agg(max($"v").as("m"))
+        .as[(Int, Int)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).max }
+      assert(viaAgg == expected)
+    }
+  }
+
+  test("K2 overwriteRefresh replaces table contents atomically") {
+    val path = "target/tmp/refresh_test"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Sinks.overwriteRefresh(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    Sinks.overwriteRefresh(Seq((3, "c")).toDF("k", "v"), path)
+    val got = spark.read.parquet(path).as[(Int, String)].collect().toSeq
+    assert(got == Seq((3, "c")))
+  }
+
+  test("GraftExtensions injects functions via withExtensions") {
+    // Force a genuinely new session (getOrCreate would return the shared
+    // one, whose registry other suites may already have populated), then
+    // restore the shared session as active/default for later suites.
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT lap_time_millis(83456L) AS s, dot_arr(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .collect().head
+      assert(got.getString(0) == "01:23.456")
+      assert(got.getDouble(1) == 11.0)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+}
