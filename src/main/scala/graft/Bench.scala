@@ -10,6 +10,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/parquet-reader paths so the first timed query
+    // doesn't absorb one-time session cost.
+    try {
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      graft.model.Tables.lineitem(spark, sfDir).limit(1000)
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -57,11 +57,20 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
+    * page-partitioned batch read through the connector API.
+    */
+  private val qDsv2Source: Q = (s, _) =>
+    s.read.format("graft.sources.StandingsSource")
+      .option("season", "2025").load()
+      .orderBy(col("position"))
+
   val registry: Map[String, Q] = Map(
     "q_expr_laptime" -> qExprLapTime,
     "q_udf_laptime" -> qUdfLapTime,
     "q_udaf_topk" -> qUdafTopk,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_dsv2_source" -> qDsv2Source,
   )
 
   private val lapTimeSql =
@@ -86,6 +95,14 @@ object ExtOps {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3 ORDER BY event_type, pos""".stripMargin,
+    "q_dsv2_source" ->
+      """SELECT * FROM (VALUES
+        |(1, 'max', 'Red Bull', 255, 6, '2025'),
+        |(2, 'lando', 'McLaren', 220, 4, '2025'),
+        |(3, 'charles', 'Ferrari', 180, 1, '2025'),
+        |(4, 'lewis', 'Ferrari', 160, 0, '2025'))
+        |AS t(position, driver_id, constructor, points, wins, season)
+        |ORDER BY position""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

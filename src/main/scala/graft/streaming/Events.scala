@@ -16,6 +16,15 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object Events {
 
+  /** Typed row of the events stream (matches the events table schema). */
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                      event_type: String, value: Double, props: String)
+
+  /** Alert emitted by [[purchaseAlerts]] when a running total crosses a
+    * threshold multiple.
+    */
+  case class Alert(user_id: Long, trigger_event_id: Long, total_cents: Long)
+
   /** Streaming source over a parquet events directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -69,6 +78,38 @@ object Events {
                            watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
+    * running purchase total with an alert row emitted every time the
+    * running total crosses a multiple of `alertEvery` cents — the shape
+    * (bounded per-key state + conditional emission) that windowed
+    * aggregates can't express. State is a single long per user; event-time
+    * timeout would bound it in production.
+    */
+  def purchaseAlerts(events: org.apache.spark.sql.Dataset[EventRow],
+                     alertEvery: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, Alert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          var total = state.getOption.getOrElse(0L)
+          val alerts = scala.collection.mutable.ArrayBuffer[Alert]()
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val before = total / alertEvery
+            total += math.round(e.value * 100)
+            if (total / alertEvery > before)
+              alerts += Alert(userId, e.event_id, total)
+          }
+          state.update(total)
+          alerts.iterator
+      }
+      .toDF()
+  }
 
   /** Streaming K1: merge each micro-batch into a Parquet table by key —
     * the reference's `update_one(upsert=True)` discipline applied to a

@@ -79,6 +79,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState carries running state across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    val q = Events.purchaseAlerts(typed, alertEvery = 1000L)
+      .writeStream.format("memory").queryName("alerts_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 6.00 → no alert (600 < 1000)
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 7L, "purchase", 6.0, "{}"))
+      q.processAllAvailable()
+      // batch 2: +5.00 → total 1100 crosses 1000 → alert carries state
+      in.addData(Ev(2, t("2024-01-01 10:05:00"), 7L, "purchase", 5.0, "{}"),
+        Ev(3, t("2024-01-01 10:06:00"), 7L, "view", 99.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("alerts_out")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(out == Seq((7L, 2L, 1100L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches idempotently by key") {
     implicit val sc = spark.sqlContext
     val path = "target/tmp/stream_upsert"
