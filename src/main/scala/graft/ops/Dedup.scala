@@ -52,13 +52,15 @@ object Dedup {
       .select(col(key), col("n_copies"))
 
   /** MinHash signatures: `numHashes` columns h0..h{k-1}, each the min of a
-    * seeded xxhash64 over the doc's shingle set. Computed in ONE aggregate
-    * pass over the exploded shingles (no per-hash shuffle).
+    * seeded xxhash64 over the doc's shingle set. Computed map-side from
+    * the shingle ARRAY (`array_min` over a transform) — zero shuffle,
+    * versus the explode + groupBy formulation which shuffles every
+    * (doc, shingle) pair to re-group what was already grouped.
     */
-  def minhashSignatures(shingleTable: DataFrame, key: String, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("shingle"))).as(s"h$j"))
-    shingleTable.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  def minhashSignatures(docsWithShingles: DataFrame, key: String, numHashes: Int): DataFrame = {
+    val sigCols = (0 until numHashes).map(j =>
+      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"h$j"))
+    docsWithShingles.select(col(key) +: sigCols: _*)
   }
 
   /** LSH candidate pairs from banded signatures: r consecutive hashes per
@@ -73,6 +75,8 @@ object Dedup {
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       xxhash64(lit(1000 + b) +: slice: _*)
     }
+    // Both self-join sides are identical subtrees — Spark's ReusedExchange
+    // computes the signature pipeline once (persisting here measured slower).
     val banded = sigs
       .select(col(key), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
     val a = banded.select(col(key).as("key_a"), col("band"), col("bucket"))
@@ -121,8 +125,7 @@ object Dedup {
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = withSh.select(col(key), explode(col("sh")).as("shingle"))
-    val sigs = minhashSignatures(exploded, key, numHashes)
+    val sigs = minhashSignatures(withSh, key, numHashes)
     val cands = lshCandidates(sigs, key, numHashes, rowsPerBand)
     verifyJaccard(cands, withSh, key, threshold)
       .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
