@@ -182,6 +182,20 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** ntile / lead / first_value / last_value with explicit frames. */
+  private val qWindowMisc: Q = (s, d) => {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wFull = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("quartile", ntile(4).over(wOrd))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wOrd))
+      .withColumn("first_event", first(col("event_id")).over(wFull))
+      .withColumn("last_event", last(col("event_id")).over(wFull))
+      .select(col("event_id"), col("quartile"), col("next_type"),
+        col("first_event"), col("last_event"))
+      .orderBy(col("event_id"))
+  }
+
   // ---- sort / top-k ------------------------------------------------------
 
   private val qOrderby: Q = (s, d) =>
@@ -311,6 +325,7 @@ object Relational {
     "q_window_rank" -> qWindowRank,
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
+    "q_window_misc" -> qWindowMisc,
     "q_orderby" -> qOrderby,
     "q_topk" -> qTopk,
     "q_union" -> qUnion,
@@ -408,6 +423,17 @@ object Relational {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_misc" ->
+      """SELECT event_id,
+        |  ntile(4) OVER w AS quartile,
+        |  lead(event_type, 1) OVER w AS next_type,
+        |  first_value(event_id) OVER wf AS first_event,
+        |  last_value(event_id) OVER wf AS last_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
     "q_orderby" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin,
