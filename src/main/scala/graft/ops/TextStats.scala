@@ -83,6 +83,47 @@ object TextStats {
       size(expr(s"regexp_extract_all($text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
         .as("bpe_ish_tokens"))
 
+  /** Global top-k n-grams by frequency — corpus statistics for curation
+    * (map-side partial counts, one shuffle on the n-gram).
+    */
+  def topNgrams(docs: DataFrame, text: String, n: Int, k: Int): DataFrame =
+    docs.withColumn("toks", tokens(col(text)))
+      .withColumn("ngram", explode(Dedup.shingles("toks", n)))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("ngram").asc)
+      .limit(k)
+
+  /** Stopword removal: rebuilt text with marker/stop tokens filtered out. */
+  def removeStopwords(docs: DataFrame, key: String, text: String,
+                      stopwords: Seq[String]): DataFrame = {
+    val stops = array(stopwords.map(lit): _*)
+    docs.withColumn("toks", tokens(col(text)))
+      .select(col(key),
+        array_join(filter(col("toks"), t => !array_contains(stops, t)), " ")
+          .as("clean_text"),
+        size(filter(col("toks"), t => array_contains(stops, t)))
+          .as("n_removed"))
+  }
+
+  /** TF-IDF per (doc, token): tf · ln(N/df). One aggregate for term
+    * frequencies, one for document frequencies, a broadcast scalar for N —
+    * the standard two-shuffle formulation.
+    */
+  def tfidf(docs: DataFrame, key: String, text: String): DataFrame = {
+    val toks = docs.select(col(key), explode(tokens(col(text))).as("tok"))
+    val tf = toks.groupBy(col(key), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = toks.select(col(key), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    tf.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_e4",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e4)
+          .cast("long"))
+      .select(col(key), col("tok"), col("tf"), col("df"), col("tfidf_e4"))
+  }
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

@@ -87,7 +87,22 @@ object LlmOps {
     TextStats.fingerprints(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  private val qTopNgrams: Q = (s, d) =>
+    TextStats.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
+
+  private val qStopwordFilter: Q = (s, d) =>
+    TextStats.removeStopwords(Tables.documents(s, d), "doc_id", "text",
+        Seq("the", "a", "value", "data"))
+      .orderBy(col("doc_id"))
+
+  private val qTfidf: Q = (s, d) =>
+    TextStats.tfidf(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"), col("tok"))
+
   val registry: Map[String, Q] = Map(
+    "q_top_ngrams" -> qTopNgrams,
+    "q_stopword_filter" -> qStopwordFilter,
+    "q_tfidf" -> qTfidf,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_simhash" -> qDedupSimhash,
@@ -173,6 +188,33 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_top_ngrams" ->
+      """WITH g AS (
+        |  SELECT unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                 for i in range(1, len(t) - 1)])) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3)
+        |SELECT ngram, count(*) AS n_docs FROM g GROUP BY ngram
+        |ORDER BY n_docs DESC, ngram ASC LIMIT 20""".stripMargin,
+    "q_stopword_filter" ->
+      """SELECT doc_id,
+        |  list_aggregate([x for x in string_split(text, ' ')
+        |                  if NOT list_contains(['the','a','value','data'], x)],
+        |                 'string_agg', ' ') AS clean_text,
+        |  len([x for x in string_split(text, ' ')
+        |       if list_contains(['the','a','value','data'], x)]) AS n_removed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |  CAST(floor(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) * 10000)
+        |       AS BIGINT) AS tfidf_e4
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |ORDER BY doc_id, tok""".stripMargin,
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
