@@ -206,7 +206,32 @@ object RefOps {
       .orderBy(col("position"))
   }
 
+  /** S8 dags/driverstandings.py:38 — ingest timestamp stamped per row.
+    * Nondeterministic by nature → no oracle (driver rows-only check).
+    */
+  private val qCurrentTs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ingested_at"))
+      .orderBy(col("event_id"))
+
+  /** K2 dags/driverstandings.py:82-85 — full refresh write path: overwrite
+    * a derived table atomically, then read it back. The write target lives
+    * under the build dir; the read-back result is oracle-checkable.
+    */
+  private val qOverwriteRefresh: Q = (s, d) => {
+    val path = "target/tmp/q_overwrite_refresh"
+    val snapshot = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_custkey"))
+    graft.ops.Sinks.overwriteRefresh(snapshot, path)
+    graft.ops.Sinks.overwriteRefresh(snapshot, path) // idempotent re-run
+    s.read.parquet(path).orderBy(col("o_orderkey"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_current_ts" -> qCurrentTs,
+    "q_overwrite_refresh" -> qOverwriteRefresh,
     "q_filter_eq" -> qFilterEq,
     "q_limit" -> qLimit,
     "q_project" -> qProject,
@@ -229,6 +254,9 @@ object RefOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_overwrite_refresh" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
     "q_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderstatus = 'F' ORDER BY o_orderkey""".stripMargin,
