@@ -53,14 +53,19 @@ object Dedup {
 
   /** MinHash signatures: `numHashes` columns h0..h{k-1}, each the min of a
     * seeded xxhash64 over the doc's shingle set. Computed map-side from
-    * the shingle ARRAY (`array_min` over a transform) — zero shuffle,
-    * versus the explode + groupBy formulation which shuffles every
-    * (doc, shingle) pair to re-group what was already grouped.
+    * the shingle ARRAY — zero shuffle (the explode + groupBy formulation
+    * re-shuffles rows that were already grouped) — in ONE codegen'd pass
+    * via [[graft.functions.MinHashSignature]] (k interpreted
+    * `array_min(transform(...))` HOFs measured ~3× slower).
     */
   def minhashSignatures(docsWithShingles: DataFrame, key: String, numHashes: Int): DataFrame = {
-    val sigCols = (0 until numHashes).map(j =>
-      array_min(transform(col("sh"), s => xxhash64(lit(j), s))).as(s"h$j"))
-    docsWithShingles.select(col(key) +: sigCols: _*)
+    docsWithShingles.sparkSession.sessionState.functionRegistry
+      .createOrReplaceTempFunction("minhash_signature",
+        exprs => graft.functions.MinHashSignature(exprs.head, numHashes), "built-in")
+    val withSig = docsWithShingles
+      .withColumn("sig", expr("minhash_signature(sh)"))
+    val sigCols = (0 until numHashes).map(j => col("sig").getItem(j).as(s"h$j"))
+    withSig.select(col(key) +: sigCols: _*)
   }
 
   /** LSH candidate pairs from banded signatures: r consecutive hashes per

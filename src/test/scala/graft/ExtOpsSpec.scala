@@ -43,6 +43,22 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == Seq("2:900", "3:900", "1:500")) // ties: lower id first
   }
 
+  test("MinHashSignature equals per-seed min of seeded xxhash64") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val arr = new GenericArrayData(shingles.map(UTF8String.fromString).toArray[Any])
+    val got = graft.functions.MinHashSignature.compute(arr, 4)
+    (0 until 4).foreach { j =>
+      val expected = shingles.map { s =>
+        val u = UTF8String.fromString(s)
+        org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), j)
+      }.min
+      assert(got.getLong(j) == expected, s"seed $j")
+    }
+  }
+
   test("multimodal decodeFeatures derives deterministic features per item") {
     val media = Multimodal.synthesizeMedia(
       Seq((1L, "abc", "en", "s", 3L), (2L, "", "en", "s", 0L))
