@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Headline queries: one or more representatives per operator family
+    * (scan/filter, joins incl. broadcast+salted, aggregation families,
+    * windows, top-k, set ops, SQL surface, streaming shapes, dedup,
+    * similarity, text analysis, extension surface). The full 83-key
+    * registry is exercised by Verify; Bench times the representative set.
+    */
+  val headline: Seq[String] = Seq(
+    "q_filter_eq", "q_project", "q_groupby_agg", "q_count_distinct",
+    "q_rollup", "q_broadcast_join", "q_join_inner", "q_join_asof",
+    "q_join_salted", "q_window_rank", "q_window_running", "q_topk",
+    "q_union", "q_collect_struct", "q_json_funcs", "q_upsert_merge",
+    "q_sql_tpch_q3", "q_stream_tumbling", "q_stream_session",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_embedding",
+    "q_cosine_topk", "q_text_stats", "q_tfidf", "q_udaf_topk",
+    "q_expr_laptime")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,11 +33,12 @@ object Bench {
       graft.model.Tables.lineitem(spark, sfDir).limit(1000)
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = headline.filter(SparkEntry.queries.contains).map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
