@@ -25,7 +25,7 @@ object Sinks {
     */
   def mergeByKey(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     val kept = base.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    kept.unionByName(updates.select(base.columns.map(col): _*))
+    kept.unionByName(updates.select(base.columns.toIndexedSeq.map(col): _*))
   }
 
   /** K1 write path: merge `updates` into the Parquet table at `path` by key.
