@@ -124,6 +124,20 @@ object TextStats {
       .select(col(key), col("tok"), col("tf"), col("df"), col("tfidf_e4"))
   }
 
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash (md5 → 32-bit bucket mod 100): reproducible across engines,
+    * runs, and partitionings — the property random() sampling lacks.
+    * Split fractions: [0,80) train, [80,90) val, [90,100) test.
+    */
+  def sampleSplit(docs: DataFrame, key: String): DataFrame =
+    docs.withColumn("bucket",
+        pmod(conv(substring(md5(col(key).cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(100L)))
+      .select(col(key), col("bucket"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

@@ -99,7 +99,28 @@ object LlmOps {
     TextStats.tfidf(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"), col("tok"))
 
+  private val qSampleSplit: Q = (s, d) =>
+    TextStats.sampleSplit(Tables.documents(s, d), "doc_id")
+      .orderBy(col("doc_id"))
+
+  /** Column profiling: per-column count/nulls/distinct in one pass shape
+    * (a union of per-column aggregates — the data-quality health check).
+    */
+  private val qProfile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val cols = Seq("l_returnflag", "l_linestatus", "l_suppkey")
+    cols.map { c =>
+      li.agg(
+        lit(c).as("column_name"),
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_nonnull"),
+        countDistinct(col(c)).as("n_distinct"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_sample_split" -> qSampleSplit,
+    "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_stopword_filter" -> qStopwordFilter,
     "q_tfidf" -> qTfidf,
@@ -188,6 +209,28 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_sample_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+        |      AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "q_profile" ->
+      """SELECT 'l_linestatus' AS column_name, count(*) AS n_rows,
+        |       count(l_linestatus) AS n_nonnull,
+        |       count(DISTINCT l_linestatus) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(l_returnflag),
+        |       count(DISTINCT l_returnflag) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', count(*), count(l_suppkey),
+        |       count(DISTINCT l_suppkey) FROM lineitem
+        |ORDER BY column_name""".stripMargin,
     "q_top_ngrams" ->
       """WITH g AS (
         |  SELECT unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
