@@ -26,17 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct n-token shingles of a whitespace-tokenized text column. */
-  def shingles(toks: String, n: Int = 3): Column = {
-    val parts = (0 until n).map(j => s"$toks[i + $j]").mkString(", ")
-    when(size(col(toks)) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(expr(
-        s"transform(sequence(0, size($toks) - $n), i -> concat_ws(' ', $parts))")))
+  /** Distinct n-token shingles of a whitespace-tokenized token array —
+    * one compiled pass via [[graft.functions.Shingles]] (the composable
+    * `array_distinct(transform(sequence(...)))` form ran interpreted and
+    * dominated the dedup input stage). Callers must have run
+    * [[registerShingleFn]] on the owning session (pipeline entry points
+    * here and in TextStats do).
+    */
+  def shingles(toks: String, n: Int = 3): Column =
+    expr(s"graft_shingles($toks, $n)")
+
+  /** Register the shingle expression on a session (idempotent). */
+  def registerShingleFn(df: DataFrame): DataFrame = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => graft.functions.Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    df
   }
 
   /** (doc key, shingle) long table — the inverted-index layout. */
   def explodeShingles(df: DataFrame, key: String, text: String, n: Int = 3): DataFrame =
-    df.withColumn("toks", split(col(text), " "))
+    registerShingleFn(df).withColumn("toks", split(col(text), " "))
       .withColumn("shingle", explode(shingles("toks", n)))
       .select(col(key), col("shingle"))
 
@@ -124,7 +135,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, key: String, text: String,
                       numHashes: Int = 32, rowsPerBand: Int = 2,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = docs
+    val withSh = registerShingleFn(docs)
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
@@ -146,7 +157,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, key: String, text: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = docs
+    val withSh = registerShingleFn(docs)
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
