@@ -43,6 +43,20 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == Seq("2:900", "3:900", "1:500")) // ties: lower id first
   }
 
+  test("Shingles builds distinct n-grams in first-occurrence order") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(xs: String*) = new GenericArrayData(xs.map(UTF8String.fromString).toArray[Any])
+    def strings(a: org.apache.spark.sql.catalyst.util.ArrayData) =
+      (0 until a.numElements()).map(a.getUTF8String(_).toString)
+    assert(strings(graft.functions.Shingles.compute(arr("a", "b", "c", "d"), 3))
+      == Seq("a b c", "b c d"))
+    assert(strings(graft.functions.Shingles.compute(arr("a", "b"), 3)).isEmpty)
+    // repeated n-gram appears once, first occurrence wins
+    assert(strings(graft.functions.Shingles.compute(arr("x", "y", "x", "y", "x", "y"), 2))
+      == Seq("x y", "y x"))
+  }
+
   test("MinHashSignature equals per-seed min of seeded xxhash64") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
