@@ -301,6 +301,16 @@ object Relational {
         coalesce(element_at(col("m"), "error"), lit(0L)).as("n_error"))
       .orderBy(col("user_id"))
 
+  /** Regex family: extract, match-test, count of matches. */
+  private val qRegexFuncs: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+)$", 1).as("last_word"),
+        col("p_name").rlike("^[a-z]+ ").as("starts_lower_word"),
+        size(expr("regexp_extract_all(p_name, '[aeiou]+', 0)")).as("vowel_runs"))
+      .orderBy(col("p_partkey"))
+
   private val qJsonFuncs: Q = (s, d) =>
     Tables.events(s, d)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
@@ -337,6 +347,7 @@ object Relational {
     "q_array_funcs" -> qArrayFuncs,
     "q_map_funcs" -> qMapFuncs,
     "q_json_funcs" -> qJsonFuncs,
+    "q_regex_funcs" -> qRegexFuncs,
   )
 
   val oracle: Map[String, String] = Map(
@@ -494,6 +505,12 @@ object Relational {
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
         |  count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_type, '([A-Z]+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^[a-z]+ ') AS starts_lower_word,
+        |  len(regexp_extract_all(p_name, '[aeiou]+')) AS vowel_runs
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type,
         |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pipelines.CurationPipeline
+
+/** Integration: the full curation pipeline (quality gate → exact dedup →
+  * near-dedup → split) over the real documents table, end to end, twice —
+  * asserting determinism and the per-stage invariants.
+  */
+class CurationPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("curation pipeline is deterministic and monotone") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val total = docs.count()
+
+    val out1 = CurationPipeline.curate(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+    val out2 = CurationPipeline.curate(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, String)].collect().toSeq
+
+    assert(out1 == out2, "pipeline must be run-to-run deterministic")
+    assert(out1.nonEmpty && out1.size <= total)
+    // splits well-formed and only from the fixed set
+    assert(out1.map(_._3).toSet.subsetOf(Set("train", "val", "test")))
+    // surviving set has no exact duplicate texts
+    assert(out1.map(_._2).distinct.size == out1.size)
+
+    // write partitioned by split and read back losslessly
+    val path = "target/tmp/curated"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    CurationPipeline.curate(docs, "doc_id", "text")
+      .write.partitionBy("split").mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+      .select($"doc_id", $"text", $"split")
+      .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
+    assert(back == out1)
+  }
+}
