@@ -21,10 +21,20 @@ object Udfs {
     *  - `lap_time_millis(col)`  — native codegen'd Expression
     *  - `lap_time_udf(col)`     — black-box Scala UDF equivalent
     *  - `top_k_events(id, score)` — typed Aggregator (bounded top-k heap)
+    *  - `dot_arr(a, b)` / `jaccard_sorted(a, b)` / `graft_shingles(t, n)`
+    *    — the similarity/dedup kernels
     */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "lap_time_millis", exprs => LapTimeMillis(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingles", exprs => Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.udf.register("lap_time_udf", formatLapTimeUdf)
     spark.udf.register("top_k_events",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(3)))

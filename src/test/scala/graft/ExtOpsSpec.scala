@@ -43,6 +43,25 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(got == Seq("2:900", "3:900", "1:500")) // ties: lower id first
   }
 
+  test("custom expressions reject wrong input types at analysis time") {
+    Udfs.registerAll(spark)
+    graft.ops.Dedup.registerShingleFn(spark.range(1).toDF())
+    val dotErr = intercept[Exception] {
+      Seq((Array("x"), Array(1.0))).toDF("a", "b")
+        .selectExpr("dot_arr(a, b)").collect()
+    }
+    assert(dotErr.getMessage.contains("ARRAY<DOUBLE>"))
+    val jacErr = intercept[Exception] {
+      Seq((Array(1.0), Array(2.0))).toDF("a", "b")
+        .selectExpr("jaccard_sorted(a, b)").collect()
+    }
+    assert(jacErr.getMessage.toUpperCase.contains("ARRAY"))
+    val shErr = intercept[Exception] {
+      Seq(Array(1L, 2L)).toDF("a").selectExpr("graft_shingles(a, 3)").collect()
+    }
+    assert(shErr.getMessage.contains("ARRAY<STRING>"))
+  }
+
   test("Shingles builds distinct n-grams in first-occurrence order") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String

@@ -46,6 +46,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(new java.io.File(path).listFiles().exists(_.getName.startsWith("day=")))
   }
 
+  test("parquet schema evolution: mergeSchema unions old and new columns") {
+    val path = "target/tmp/src_evolve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$path/part1")
+    Seq((2L, "b", 9.5)).toDF("id", "name", "score").write.parquet(s"$path/part2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/part1", s"$path/part2")
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy($"id")
+      .collect().map(r => (r.getLong(0), Option(r.get(2)))).toSeq
+    assert(rows == Seq((1L, None), (2L, Some(9.5))))
+  }
+
+  test("parquet zstd compression round-trips") {
+    val path = "target/tmp/src_zstd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    sample.toDF("id", "name", "score")
+      .write.option("compression", "zstd").parquet(path)
+    assert(new java.io.File(path).listFiles().exists(_.getName.contains("zstd")))
+    assert(spark.read.parquet(path).count() == sample.size)
+  }
+
   test("DSv2 standings source plans one partition per API page") {
     val df = spark.read.format("graft.sources.StandingsSource")
       .option("season", "2031").load()

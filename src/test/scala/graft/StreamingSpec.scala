@@ -79,6 +79,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("complete output mode re-emits full aggregate state each batch") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val counts = in.toDF().groupBy($"event_type").agg(count(lit(1)).as("n"))
+    val q = counts.writeStream.format("memory").queryName("complete_out")
+      .outputMode("complete").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      in.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val out = spark.table("complete_out")
+        .as[(String, Long)].collect().toMap
+      assert(out == Map("view" -> 3L)) // latest full state, not deltas
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState carries running state across micro-batches") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
