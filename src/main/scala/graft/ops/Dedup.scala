@@ -183,6 +183,41 @@ object Dedup {
       .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
   }
 
+  /** Incremental near-dedup: find near-duplicate pairs BETWEEN a new
+    * batch and an existing corpus (not within either side) — the
+    * production ingest shape: each arriving batch is checked against the
+    * accumulated corpus without re-pairing the corpus with itself. Same
+    * LSH banding; the band join is new×corpus instead of a self-join, so
+    * cost scales with |new|, not |corpus|².
+    */
+  def incrementalNearDups(corpus: DataFrame, fresh: DataFrame, key: String,
+                          text: String, numHashes: Int = 32, rowsPerBand: Int = 2,
+                          shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def prep(df: DataFrame) = registerShingleFn(df)
+      .withColumn("toks", split(col(text), " "))
+      .withColumn("sh", shingles("toks", shingleSize))
+      .filter(size(col("sh")) > 0)
+      .select(col(key), col("sh"))
+    val corpusSh = prep(corpus)
+    val freshSh = prep(fresh)
+    def banded(sigs: DataFrame) = {
+      val numBands = numHashes / rowsPerBand
+      val bandCols = (0 until numBands).map { b =>
+        val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        xxhash64(lit(1000 + b) +: slice: _*)
+      }
+      sigs.select(col(key), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    }
+    val corpusBands = banded(minhashSignatures(corpusSh, key, numHashes))
+      .select(col(key).as("key_a"), col("band"), col("bucket"))
+    val freshBands = banded(minhashSignatures(freshSh, key, numHashes))
+      .select(col(key).as("key_b"), col("band"), col("bucket"))
+    val cands = corpusBands.join(freshBands, Seq("band", "bucket"))
+      .select(col("key_a"), col("key_b")).distinct()
+    verifyJaccard(cands, corpusSh.unionByName(freshSh).distinct(), key, threshold)
+      .withColumnRenamed("key_a", "corpus_doc").withColumnRenamed("key_b", "new_doc")
+  }
+
   /** Number of 16-bit chunks in a simhash signature. */
   val SimhashChunks = 4
 

@@ -46,4 +46,17 @@ object Sinks {
   /** K2: truncate-and-reload as a single atomic overwrite. */
   def overwriteRefresh(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Small-files compaction: rewrite a Parquet table into `targetFiles`
+    * output files. Streaming/incremental sinks accrete many small files;
+    * at scale the scan cost is dominated by file-open overhead until the
+    * layout is compacted. Content is preserved exactly.
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFiles: Int): Unit = {
+    val compacted = spark.read.parquet(path)
+      .repartition(targetFiles)
+      .localCheckpoint(true) // materialize before overwriting the input
+    compacted.write.mode(SaveMode.Overwrite).parquet(path)
+  }
 }

@@ -118,7 +118,28 @@ object LlmOps {
     }.reduce(_ unionByName _).orderBy(col("column_name"))
   }
 
+  /** Incremental ingest dedup: new docs (doc_id ≥ 400) against the
+    * accumulated corpus (doc_id < 400) — cross pairs only.
+    */
+  private val qDedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text", threshold = 0.5)
+      .orderBy(col("corpus_doc"), col("new_doc"))
+  }
+
+  /** Approximate percentile sketch — approximate by design, rows-only. */
+  private val qApproxPercentile: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+        .as("price_percentiles"))
+      .orderBy(col("l_returnflag"))
+
   val registry: Map[String, Q] = Map(
+    "q_dedup_incremental" -> qDedupIncremental,
+    "q_approx_percentile" -> qApproxPercentile,
     "q_sample_split" -> qSampleSplit,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
@@ -209,6 +230,15 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_dedup_incremental" ->
+      s"""$shingleCte,
+         |p AS (SELECT a.doc_id AS corpus_doc, b.doc_id AS new_doc,
+         |        len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+         |      FROM s a JOIN s b ON a.doc_id < 400 AND b.doc_id >= 400)
+         |SELECT corpus_doc, new_doc,
+         |       CAST(floor(jac * 1000000) AS BIGINT) AS jaccard_e6
+         |FROM p WHERE jac >= 0.5 ORDER BY corpus_doc, new_doc""".stripMargin,
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -68,6 +68,20 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == sample.size)
   }
 
+  test("compactParquet shrinks the file count and preserves content") {
+    val path = "target/tmp/src_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    val events = graft.model.Tables.events(spark, sf)
+    events.repartition(16).write.parquet(path)
+    def nFiles = new java.io.File(path).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val before = nFiles
+    val expected = spark.read.parquet(path).count()
+    graft.ops.Sinks.compactParquet(spark, path, targetFiles = 2)
+    assert(nFiles == 2 && before == 16)
+    assert(spark.read.parquet(path).count() == expected)
+  }
+
   test("DSv2 standings source plans one partition per API page") {
     val df = spark.read.format("graft.sources.StandingsSource")
       .option("season", "2031").load()
