@@ -79,6 +79,32 @@ object Events {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: purchases matched to the views that
+    * preceded them within `within` for the same user. Both sides carry
+    * watermarks and the join condition bounds event-time distance, so
+    * state on each side is reclaimable (unbounded stream-stream joins
+    * cannot clean up state).
+    */
+  def viewToPurchaseJoin(events: DataFrame,
+                         within: String = "1 hour",
+                         watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+      .alias("v")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+      .alias("p")
+    views.join(purchases,
+        expr(s"""user_id = p_user_id AND
+                |purchase_ts >= view_ts AND
+                |purchase_ts <= view_ts + INTERVAL $within""".stripMargin))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running purchase total with an alert row emitted every time the
     * running total crosses a multiple of `alertEvery` cents — the shape

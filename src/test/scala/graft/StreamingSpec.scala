@@ -79,6 +79,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches purchases to preceding views within window") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.viewToPurchaseJoin(in.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),
+        Ev(2, t("2024-01-01 10:30:00"), 5L, "purchase", 9.0, "{}"), // within 1h of view 1
+        Ev(3, t("2024-01-01 13:00:00"), 5L, "purchase", 9.0, "{}"), // too late for view 1
+        Ev(4, t("2024-01-01 10:10:00"), 6L, "purchase", 9.0, "{}")) // other user, no view
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select($"view_id", $"purchase_id").as[(Long, Long)].collect().toSet
+      assert(out == Set((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("complete output mode re-emits full aggregate state each batch") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
