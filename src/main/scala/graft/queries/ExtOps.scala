@@ -57,6 +57,20 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** Multimodal frame sampling: every 2nd 32-byte chunk of each payload
+    * (the video-keyframe shape: 1 input row → N frame rows), with frames
+    * identified portably by md5.
+    */
+  private val qMultimodalFrames: Q = (s, d) => {
+    import s.implicits._
+    Multimodal.sampleFrames(
+        Multimodal.synthesizeMedia(Tables.documents(s, d)),
+        frameSize = 32, stride = 2)
+      .select(col("media_id"), col("frame_no"),
+        md5(col("frame_bytes")).as("frame_md5"))
+      .orderBy(col("media_id"), col("frame_no"))
+  }
+
   /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
     * page-partitioned batch read through the connector API.
     */
@@ -70,6 +84,7 @@ object ExtOps {
     "q_udf_laptime" -> qUdfLapTime,
     "q_udaf_topk" -> qUdafTopk,
     "q_multimodal_meta" -> qMultimodalMeta,
+    "q_multimodal_frames" -> qMultimodalFrames,
     "q_dsv2_source" -> qDsv2Source,
   )
 
@@ -95,6 +110,16 @@ object ExtOps {
         |                       ORDER BY value DESC, event_id ASC) AS rnk
         |  FROM events)
         |WHERE rnk <= 3 ORDER BY event_type, pos""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT))) AS i,
+        |    text
+        |  FROM documents)
+        |SELECT media_id, CAST(i AS INT) AS frame_no,
+        |  md5(substr(text, CAST(1 + i * 32 AS INT), 32)) AS frame_md5
+        |FROM f WHERE i % 2 = 0
+        |ORDER BY media_id, frame_no""".stripMargin,
     "q_dsv2_source" ->
       """SELECT * FROM (VALUES
         |(1, 'max', 'Red Bull', 255, 6, '2025'),
