@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guard: the scale-critical plan properties —
+  * pushdown reaching the scan, broadcast for dimension joins, top-k
+  * short-circuit, no cartesian products in keyed joins, partial
+  * aggregation — must survive refactors. These are the properties that
+  * decide whether a plan survives a 100× scale-up.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q_filter_eq pushes the predicate into the parquet scan") {
+    val p = planOf("q_filter_eq")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(o_orderstatus,F)"), p.take(2000))
+  }
+
+  test("q_project prunes the scan to selected columns only") {
+    val p = planOf("q_project")
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_extendedprice"), "unselected column must not be read")
+  }
+
+  test("q_broadcast_join uses a broadcast hash join") {
+    val p = planOf("q_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_topk plans TakeOrderedAndProject, not a global sort") {
+    val p = planOf("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_join_range stays an equi hash/merge join with range residual") {
+    val p = planOf("q_join_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_groupby_agg uses two-phase (partial+final) hash aggregation") {
+    val p = planOf("q_groupby_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_dedup_exact shuffles digests, not documents") {
+    val p = planOf("q_dedup_exact")
+    assert(p.contains("sha2"), p.take(2000))
+  }
+
+  test("Graft.session builds a configured session with functions registered") {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = Graft.session(master = "local[2]", shufflePartitions = 2)
+      assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
+      assert(s.sql("SELECT lap_time_millis(1500L)").collect().head.getString(0) == "00:01.500")
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+}
