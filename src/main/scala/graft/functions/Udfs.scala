@@ -35,6 +35,9 @@ object Udfs {
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => Shingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "rolling_hash_min", exprs => RollingHashMin(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.udf.register("lap_time_udf", formatLapTimeUdf)
     spark.udf.register("top_k_events",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(3)))

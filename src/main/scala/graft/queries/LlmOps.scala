@@ -87,6 +87,17 @@ object LlmOps {
     TextStats.fingerprints(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Karp-Rabin winnowing fingerprint: min rolling hash over 16-byte
+    * windows (graft.functions.RollingHashMin, O(n) per doc).
+    */
+  private val qFingerprintRolling: Q = (s, d) => {
+    graft.functions.Udfs.registerAll(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("rolling_hash_min(text, 16)").as("min_window_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   private val qTopNgrams: Q = (s, d) =>
     TextStats.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
 
@@ -158,6 +169,7 @@ object LlmOps {
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
+    "q_fingerprint_rolling" -> qFingerprintRolling,
   )
 
   /** Shared DuckDB CTE: per-doc distinct 3-shingle list. */
@@ -203,6 +215,32 @@ object LlmOps {
        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Oracle for the Karp-Rabin winnowing fingerprint: per-window
+    * polynomial sum with mod-powers precomputed here (31^p overflows
+    * BIGINT beyond p=12, so the reduced powers are inlined as literals).
+    * Congruent mod M to the Spark side's O(n) rolling accumulation.
+    */
+  private def rollingFingerprintSql(k: Int): String = {
+    val M = graft.functions.RollingHashMin.Mod
+    val B = graft.functions.RollingHashMin.Base
+    val pows = (0 until k).map { j =>
+      var p = 1L
+      (0 until (k - 1 - j)).foreach(_ => p = p * B % M)
+      p
+    }
+    val terms = (0 until k).map { j =>
+      s"CAST(ord(substr(text, CAST(i + ${j + 1} AS INT), 1)) AS BIGINT) * ${pows(j)} % $M"
+    }.mkString("[", ", ", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id, unnest(range(0, greatest(length(text) - ${k - 1}, 0))) AS i, text
+       |  FROM documents),
+       |h AS (SELECT doc_id, list_sum($terms) % $M AS wh FROM w)
+       |SELECT d.doc_id, hh.mh AS min_window_hash
+       |FROM documents d LEFT JOIN
+       |  (SELECT doc_id, min(wh) AS mh FROM h GROUP BY doc_id) hh USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   private val cosineCte =
@@ -342,6 +380,7 @@ object LlmOps {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint_rolling" -> rollingFingerprintSql(16),
     "q_fingerprint" ->
       """WITH s AS (SELECT doc_id, text,
         |  [t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)] AS sh

@@ -62,6 +62,24 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(shErr.getMessage.contains("ARRAY<STRING>"))
   }
 
+  test("RollingHashMin: rolling update equals direct polynomial evaluation") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.functions.RollingHashMin.{Base, Mod, minHash}
+    val s = "the quick brown fox jumps"
+    val k = 8
+    val direct = s.getBytes.sliding(k).map { w =>
+      w.foldLeft(0L)((h, b) => (h * Base + (b & 0xff)) % Mod)
+    }.min
+    assert(minHash(UTF8String.fromString(s), k) == direct)
+    // shorter than the window → sentinel (rendered as null by the expr)
+    assert(minHash(UTF8String.fromString("short"), 8) == -1L)
+    Udfs.registerAll(spark)
+    val viaSql = Seq("short", s).toDF("t")
+      .selectExpr("rolling_hash_min(t, 8) AS h")
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(viaSql == Seq(None, Some(direct)))
+  }
+
   test("Shingles builds distinct n-grams in first-occurrence order") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
