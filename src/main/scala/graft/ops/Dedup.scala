@@ -224,28 +224,20 @@ object Dedup {
   /** Per-doc simhash as 4 × 16-bit chunk columns sh0..sh3, built from
     * md5-derived token hashes (md5 so the DuckDB oracle can mirror the
     * construction bit-for-bit). Token multiplicity is kept (standard
-    * frequency-weighted simhash).
+    * frequency-weighted simhash). Computed map-side in one pass by
+    * [[graft.functions.SimhashSignature]] — the earlier explode +
+    * 64-column groupBy-sum formulation shuffled every token to rebuild
+    * per-doc groups the input already had.
     */
   def simhashChunks(docs: DataFrame, key: String, text: String): DataFrame = {
-    val toks = docs
-      .select(col(key), explode(split(col(text), " ")).as("tok"))
-      .withColumn("h", md5(col("tok")))
-    val withChunks = (0 until SimhashChunks).foldLeft(toks) { (df, c) =>
-      df.withColumn(s"c$c",
-        conv(substring(col("h"), 1 + 4 * c, 4), 16, 10).cast("int"))
-    }
-    val bitSums = (0 until 64).map { bit =>
-      val chunk = bit / 16
-      val k = bit % 16
-      sum(when(expr(s"(shiftright(c$chunk, $k) & 1) = 1"), 1).otherwise(-1)).as(s"s$bit")
-    }
-    val sums = withChunks.groupBy(col(key)).agg(bitSums.head, bitSums.tail: _*)
-    (0 until SimhashChunks).foldLeft(sums) { (df, c) =>
-      val assemble = (0 until 16).map { k =>
-        when(col(s"s${c * 16 + k}") > 0, lit(1 << k)).otherwise(lit(0))
-      }.reduce(_ + _)
-      df.withColumn(s"sh$c", assemble)
-    }.select(col(key) +: (0 until SimhashChunks).map(c => col(s"sh$c")): _*)
+    docs.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash_signature",
+      exprs => graft.functions.SimhashSignature(exprs.head), "built-in")
+    val withSig = docs
+      .withColumn("toks", split(col(text), " "))
+      .withColumn("sig", expr("simhash_signature(toks)"))
+    withSig.select(col(key) +:
+      (0 until SimhashChunks).map(c => col("sig").getItem(c).as(s"sh$c")): _*)
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (must be

@@ -34,6 +34,10 @@ object TimeStages {
     time("verify")(out.count())
     time("full pipeline")(
       Dedup.minhashLshPairs(docs, "doc_id", "text").count())
+    time("simhash pipeline")(
+      Dedup.simhashPairs(docs, "doc_id", "text").count())
+    time("ngram pipeline")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
     spark.stop()
   }
 }
