@@ -33,9 +33,13 @@ object Sinks {
     */
   def upsertByKey(spark: org.apache.spark.sql.SparkSession, path: String,
                   updates: DataFrame, keys: Seq[String]): Unit = {
-    val dir = new java.io.File(path)
+    // Resolve existence against the path's own filesystem scheme (HDFS/S3/
+    // local alike) — a java.io.File check is always false for remote URIs
+    // and would silently overwrite an existing remote table.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val merged =
-      if (dir.exists()) {
+      if (fs.exists(hPath)) {
         val base = spark.read.parquet(path)
         // Materialize the merge before overwriting the input path.
         mergeByKey(base, updates, keys).localCheckpoint(true)

@@ -13,7 +13,8 @@ import graft.ops.{Dedup, Similarity, TextStats}
   * the computation (simhash oracle SQL is generated from the same loop
   * as the Spark plan); thresholds are calibrated against the corpus so
   * LSH recall is exact at sf0.01/sf0.1 (near-dup pairs sit at J≥0.85,
-  * far from the 0.5 threshold: collision prob 1-(1-J²)^16 > 1-1e-11).
+  * far from the 0.5 threshold: collision prob 1-(1-J²)^32 > 1-1e-18,
+  * and ≈0.9999 even for a borderline pair at exactly J=0.5).
   */
 object LlmOps {
   private type Q = (SparkSession, String) => DataFrame
@@ -22,9 +23,14 @@ object LlmOps {
     Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** 32 bands × 2 rows: candidate-recall at the J=0.5 threshold is
+    * 1-(1-0.25)^32 ≈ 0.9999 (and ≈1-1e-18 at the corpus's real near-dup
+    * level J≥0.85), so the exact-Jaccard verify stage sees every oracle
+    * pair even on regenerated testdata with borderline pairs.
+    */
   private val qDedupMinhash: Q = (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+        numHashes = 64, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   private val qDedupSimhash: Q = (s, d) =>
@@ -141,11 +147,18 @@ object LlmOps {
   }
 
   /** Approximate percentile sketch — approximate by design, rows-only. */
+  /** Scalar output columns (not the raw percentile array): the driver's
+    * differential check loads results into pandas, which cannot sort or
+    * hash array-typed cells.
+    */
   private val qApproxPercentile: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
-        .as("price_percentiles"))
+        .as("pp"))
+      .select(col("l_returnflag"),
+        element_at(col("pp"), 1).as("p50_price"),
+        element_at(col("pp"), 2).as("p99_price"))
       .orderBy(col("l_returnflag"))
 
   val registry: Map[String, Q] = Map(
@@ -237,7 +250,7 @@ object LlmOps {
        |  SELECT doc_id, unnest(range(0, greatest(length(text) - ${k - 1}, 0))) AS i, text
        |  FROM documents),
        |h AS (SELECT doc_id, list_sum($terms) % $M AS wh FROM w)
-       |SELECT d.doc_id, hh.mh AS min_window_hash
+       |SELECT d.doc_id, CAST(hh.mh AS BIGINT) AS min_window_hash
        |FROM documents d LEFT JOIN
        |  (SELECT doc_id, min(wh) AS mh FROM h GROUP BY doc_id) hh USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
@@ -359,7 +372,8 @@ object LlmOps {
         |       len(string_split(text, ' ')) * 1000000) AS BIGINT) AS ttr_e6
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_agg" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(floor(sum(len(string_split(text, ' '))) * 1.0 / count(*) * 1000000)
         |       AS BIGINT) AS avg_tokens_e6
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,

@@ -137,6 +137,15 @@ object RefOps {
       .groupBy(col("user_id"))
       .agg(array_sort(collect_list(struct(col("event_id"), col("event_type"))))
         .as("events_arr"))
+      // Serialize the collected array for the differential check: the
+      // driver loads results into pandas, which cannot sort/hash array
+      // cells. The collect + struct-sort semantics stay exercised.
+      .select(col("user_id"),
+        array_join(
+          transform(col("events_arr"),
+            x => concat(x.getField("event_id").cast("string"), lit(":"),
+              x.getField("event_type"))),
+          ",").as("events_str"))
       .orderBy(col("user_id"))
 
   /** J1 dags/driverstandings.py:20 — JSON path extraction with schema. */
@@ -308,8 +317,8 @@ object RefOps {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_collect_struct" ->
       """SELECT user_id,
-        |array_agg(struct_pack(event_id := event_id, event_type := event_type)
-        |          ORDER BY event_id, event_type) AS events_arr
+        |string_agg(event_id || ':' || event_type, ','
+        |           ORDER BY event_id, event_type) AS events_str
         |FROM events WHERE user_id < 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_json_explode" ->
       """SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k

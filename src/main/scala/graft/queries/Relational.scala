@@ -382,14 +382,16 @@ object Relational {
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
         |FROM events p LEFT JOIN events v
-        |  ON v.user_id = p.user_id AND v.event_type = 'view' AND v.ts <= p.ts
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
         |  avg(l_quantity) AS avg_qty,
-        |  sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS sum_price_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_cents,
         |  min(CAST(floor(l_quantity) AS BIGINT)) AS min_qty,
         |  max(CAST(floor(l_quantity) AS BIGINT)) AS max_qty,
         |  count(*) AS n
@@ -402,17 +404,17 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(floor(l_quantity) AS BIGINT)) AS sum_qty
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
     "q_window_rank" ->
@@ -430,9 +432,10 @@ object Relational {
         |FROM events ORDER BY event_id""".stripMargin,
     "q_window_running" ->
       """SELECT event_id, user_id,
-        |  sum(CAST(round(value*100.0) AS BIGINT))
+        |  CAST(sum(CAST(round(value*100.0) AS BIGINT))
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS running_cents
         |FROM events ORDER BY event_id""".stripMargin,
     "q_window_misc" ->
       """SELECT event_id,
@@ -513,7 +516,7 @@ object Relational {
         |FROM part ORDER BY p_partkey""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )

@@ -24,8 +24,8 @@ object SqlSurface {
     registerViews(s, d)
     s.sql(
       """SELECT o_orderkey, o_orderdate,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
-        |    AS revenue_cents
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderkey, o_orderdate
@@ -133,8 +133,8 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "q_sql_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,
-        |  sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
-        |    AS revenue_cents
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderstatus = 'O'
         |GROUP BY o_orderkey, o_orderdate

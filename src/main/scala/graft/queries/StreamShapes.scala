@@ -37,7 +37,7 @@ object StreamShapes {
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
         |  event_type, count(*) AS n,
-        |  sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2, 3
         |ORDER BY window_start, event_type""".stripMargin,
     "q_stream_sliding" ->
@@ -53,7 +53,7 @@ object StreamShapes {
       """WITH o AS (
         |  SELECT user_id, event_id, ts, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE
+        |           OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
         |         THEN 1 ELSE 0 END AS new_session
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (
@@ -64,7 +64,7 @@ object StreamShapes {
         |SELECT min(ts) AS session_start,
         |  max(ts) + INTERVAL 10 MINUTE AS session_end,
         |  user_id, count(*) AS n,
-        |  sum(CAST(round(value * 100.0) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )
