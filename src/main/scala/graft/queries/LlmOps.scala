@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{Dedup, Similarity, TextStats}
@@ -161,6 +162,39 @@ object LlmOps {
         element_at(col("pp"), 2).as("p99_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Sequence packing (pretraining batch assembly): assign docs to fixed
+    * token-budget packs. Streaming first-boundary packing in doc_id order:
+    * a doc's pack is the exclusive cumulative token count divided by the
+    * budget. The demo window is global (500 docs); at scale partition the
+    * window by a shard key — packing is per-shard, one shuffle total.
+    */
+  private val qPackSequences: Q = (s, d) => {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("cum") - col("n_tokens")) / 512.0).cast("long").as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Overlapping token-window chunking (context-window prep / RAG
+    * indexing): 32-token chunks at stride 16, one row per (doc, offset).
+    * Pure map-side generator — explode(sequence) + slice — no shuffle.
+    */
+  private val qChunkTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), size(col("toks")) - 1, lit(16))).as("start"),
+        col("toks"))
+      .select(col("doc_id"),
+        (col("start") / 16).cast("long").as("chunk_idx"),
+        array_join(slice(col("toks"), col("start") + 1, lit(32)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   val registry: Map[String, Q] = Map(
     "q_dedup_incremental" -> qDedupIncremental,
     "q_approx_percentile" -> qApproxPercentile,
@@ -183,6 +217,8 @@ object LlmOps {
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
     "q_fingerprint_rolling" -> qFingerprintRolling,
+    "q_pack_sequences" -> qPackSequences,
+    "q_chunk_tokens" -> qChunkTokens,
   )
 
   /** Shared DuckDB CTE: per-doc distinct 3-shingle list. */
@@ -394,6 +430,24 @@ object LlmOps {
         |  len(string_split(text, ' ')) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_ish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |          AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_chunk_tokens" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, unnest(range(0, len(toks), 16)) AS start, toks
+        |      FROM t)
+        |SELECT doc_id, CAST(start / 16 AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_fingerprint_rolling" -> rollingFingerprintSql(16),
     "q_fingerprint" ->
       """WITH s AS (SELECT doc_id, text,

@@ -97,6 +97,23 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Full outer join: unmatched rows of BOTH sides survive with nulls. One
+    * side is a grouped aggregate, so neither input subsumes the other.
+    */
+  private val qJoinFull: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+      .filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_name"))
+    val o = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 450000.0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .select(coalesce(c("c_custkey"), o("o_custkey")).as("custkey"),
+        col("c_name"), col("n_big"))
+      .orderBy(col("custkey"))
+  }
+
   // ---- aggregation families ---------------------------------------------
 
   /** TPC-H Q1 shape: multi-aggregate per group, map-side partial agg. */
@@ -195,6 +212,34 @@ object Relational {
         col("first_event"), col("last_event"))
       .orderBy(col("event_id"))
   }
+
+  /** RANGE frame: trailing 1-hour sum per user over event seconds. Rows
+    * with equal epoch seconds are frame peers (all included together), so
+    * the result is deterministic without a tiebreak column — the frame is
+    * defined by VALUE distance, not row position.
+    */
+  private val qWindowRange: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-3600L, 0L)
+    Tables.events(s, d)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("trail_cents", sum(cents(col("value"))).over(w))
+      .select(col("event_id"), col("user_id"), col("trail_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Unpivot/melt: wide metric columns → long (key, metric, value) rows.
+    * Pure map-side generator — no shuffle, survives any scale.
+    */
+  private val qUnpivot: Q = (s, d) =>
+    Tables.part(s, d)
+      .select(col("p_partkey"),
+        col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+      .unpivot(Array(col("p_partkey")), Array(col("size"), col("retail")),
+        "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
 
   // ---- sort / top-k ------------------------------------------------------
 
@@ -326,6 +371,7 @@ object Relational {
     "q_join_theta" -> qJoinTheta,
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
+    "q_join_full" -> qJoinFull,
     "q_groupby_agg" -> qGroupbyAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
@@ -336,6 +382,8 @@ object Relational {
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
     "q_window_misc" -> qWindowMisc,
+    "q_window_range" -> qWindowRange,
+    "q_unpivot" -> qUnpivot,
     "q_orderby" -> qOrderby,
     "q_topk" -> qTopk,
     "q_union" -> qUnion,
@@ -386,6 +434,13 @@ object Relational {
         |  AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "q_join_full" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_name, o.n_big
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |           WHERE o_totalprice > 450000.0 GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -448,6 +503,19 @@ object Relational {
         |  wf AS (PARTITION BY user_id ORDER BY ts, event_id
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY event_id""".stripMargin,
+    "q_window_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(round(value*100.0) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS trail_cents
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_unpivot" ->
+      """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+        |FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'retail' AS metric, p_retailprice AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
     "q_orderby" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
         |ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC""".stripMargin,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-2 breadth operators (full outer join, unpivot,
+  * RANGE-frame window, sequence packing, token chunking) — invariants the
+  * DuckDB differential check can't express directly.
+  */
+class BatchOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_join_full keeps unmatched rows of both sides") {
+    val df = q("q_join_full").cache()
+    assert(df.filter(col("c_name").isNull).count() > 0, "right-only rows")
+    assert(df.filter(col("n_big").isNull).count() > 0, "left-only rows")
+    // custkey is the coalesced join key: never null, unique
+    assert(df.filter(col("custkey").isNull).count() == 0)
+    assert(df.select("custkey").distinct().count() == df.count())
+    df.unpersist()
+  }
+
+  test("q_unpivot emits one row per (key, metric) and round-trips values") {
+    val parts = graft.model.Tables.part(spark, sf).count()
+    val df = q("q_unpivot").cache()
+    assert(df.count() == 2 * parts)
+    val back = df.groupBy("p_partkey").pivot("metric", Seq("size", "retail"))
+      .agg(first("val"))
+    val orig = graft.model.Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+        col("p_retailprice").as("retail"))
+    assert(back.exceptAll(orig).count() == 0 && orig.exceptAll(back).count() == 0)
+    df.unpersist()
+  }
+
+  test("q_window_range trailing sum is bounded by the per-user total") {
+    val df = q("q_window_range")
+    val totals = graft.model.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100.0).cast("long")).as("total_cents"))
+    val bad = df.join(totals, "user_id")
+      .filter(col("trail_cents") > col("total_cents") ||
+        col("trail_cents") <= 0)
+    assert(bad.count() == 0)
+  }
+
+  test("q_pack_sequences: packs are contiguous in doc order and start at 0") {
+    val rows = q("q_pack_sequences")
+      .select("doc_id", "n_tokens", "pack_id")
+      .collect().sortBy(_.getLong(0))
+    assert(rows.head.getLong(2) == 0L)
+    // pack_id is nondecreasing and the exclusive-cum definition holds
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == cum / 512, s"doc ${r.getLong(0)}")
+      cum += r.getInt(1)
+    }
+  }
+
+  test("q_chunk_tokens: chunk 0 prefixes the doc; strides cover every token") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val chunks = q("q_chunk_tokens")
+    val joined = chunks.join(docs, "doc_id").cache()
+    // first chunk is a prefix of the document text
+    val badPrefix = joined.filter(col("chunk_idx") === 0 &&
+      !col("text").startsWith(col("chunk_text")))
+    assert(badPrefix.count() == 0)
+    // per doc: chunk count = ceil(n_tokens / 16) (stride 16 over n-1 max start)
+    val counts = joined.groupBy(col("doc_id"),
+        size(split(col("text"), " ")).as("n"))
+      .agg(countDistinct(col("chunk_idx")).as("n_chunks"))
+      .filter(col("n_chunks") =!= ceil(col("n") / lit(16.0)).cast("long"))
+    assert(counts.count() == 0)
+    joined.unpersist()
+  }
+}
