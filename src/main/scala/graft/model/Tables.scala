@@ -24,17 +24,27 @@ object Tables {
     "lineitem" -> Seq("l_shipdate"),
     "events" -> Seq("ts"))
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
-    tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      // Integer DIV, not `/` — Column `/` is double division, which loses
-      // microsecond precision at epoch-nanos magnitude (~1.7e18).
-      if (df.schema(c).dataType == LongType)
-        df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
-      else df
-    }
-  }
+  /** Memoized per (session, dir, table): `spark.read.parquet` runs a footer
+    * schema-inference job (~100-200 ms each), so re-deriving the same
+    * immutable logical plan on every query call dominates short queries —
+    * registering the 10-table SQL catalog cost more than TPC-H Q3 itself.
+    * The cached value is an unexecuted plan; each use still scans fresh.
+    */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, dir, name), _ => {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+        // Integer DIV, not `/` — Column `/` is double division, which loses
+        // microsecond precision at epoch-nanos magnitude (~1.7e18).
+        if (df.schema(c).dataType == LongType)
+          df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
+        else df
+      }
+    })
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

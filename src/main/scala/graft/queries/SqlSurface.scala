@@ -13,11 +13,20 @@ import graft.model.Tables
 object SqlSurface {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Register every testdata table as a temp view for spark.sql use. */
+  /** Last directory whose tables are registered, per session. */
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]
+
+  /** Register every testdata table as a temp view for spark.sql use.
+    * Memoized on the session's current dir: re-registering 10 views on
+    * every SQL-surface call cost more than the queries themselves. A call
+    * with a different dir re-registers (views always track the last dir).
+    */
   def registerViews(s: SparkSession, d: String): Unit =
-    Seq("region", "nation", "customer", "supplier", "part",
-      "orders", "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
+    if (registered.put(s, d) != d)
+      Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings")
+        .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
   /** TPC-H Q3 shape through the SQL surface (same engine, SQL text in). */
   private val qSqlTpchQ3: Q = (s, d) => {
