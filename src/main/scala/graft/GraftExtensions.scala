@@ -29,5 +29,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sorted"),
       info("jaccard_sorted", "jaccard_sorted(a, b) - jaccard of sorted distinct arrays"),
       (exprs: Seq[Expression]) => graft.functions.JaccardSorted(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      info("graft_shingles", "graft_shingles(toks ARRAY<STRING>, n INT) - distinct sorted n-shingles"),
+      (exprs: Seq[Expression]) => graft.functions.Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("rolling_hash_min"),
+      info("rolling_hash_min", "rolling_hash_min(s STRING, k INT) - min Karp-Rabin k-window hash"),
+      (exprs: Seq[Expression]) => graft.functions.RollingHashMin(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", "minhash_signature(sh ARRAY<STRING>, k INT) - k seeded min-hashes"),
+      (exprs: Seq[Expression]) => graft.functions.MinHashSignature(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
+      FunctionIdentifier("simhash_signature"),
+      info("simhash_signature", "simhash_signature(toks ARRAY<STRING>) - 64-bit simhash"),
+      (exprs: Seq[Expression]) => graft.functions.SimhashSignature(exprs.head)))
   }
 }

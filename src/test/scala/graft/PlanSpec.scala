@@ -48,6 +48,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
+  test("q_window_rank pushes the rank<=k limit below the shuffle") {
+    // Catalyst's InferWindowGroupLimit turns the post-window rank filter
+    // into partial (map-side) + final per-group top-k limits, so only ~k
+    // rows per group cross the exchange — the property that keeps a
+    // rank-filter window viable when a group no longer fits an executor.
+    val p = planOf("q_window_rank")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_chunk_tokens stays shuffle-free (map-side generator)") {
+    val p = planOf("q_chunk_tokens")
+    val body = p.split("TakeOrderedAndProject|Sort \\[").last
+    assert(!body.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
   test("q_dedup_exact shuffles digests, not documents") {
     val p = planOf("q_dedup_exact")
     assert(p.contains("sha2"), p.take(2000))
@@ -61,6 +76,15 @@ class PlanSpec extends AnyFunSuite {
       val s = Graft.session(master = "local[2]", shufflePartitions = 2)
       assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
       assert(s.sql("SELECT lap_time_millis(1500L)").collect().head.getString(0) == "00:01.500")
+      // all seven custom expressions resolve through the extension path
+      val probe = s.sql(
+        """SELECT dot_arr(array(1.0d, 2.0d), array(3.0d, 4.0d)),
+          |  jaccard_sorted(array('a','b'), array('b','c')),
+          |  size(graft_shingles(array('a','b','c'), 2)),
+          |  rolling_hash_min('abcdefghijklmnopqr', 16),
+          |  size(minhash_signature(array('a b c'), 8)),
+          |  simhash_signature(array('a','b'))""".stripMargin).collect().head
+      assert(probe.getDouble(0) == 11.0 && probe.getInt(2) == 2)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
