@@ -135,7 +135,7 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, key: String, text: String,
                       numHashes: Int = 32, rowsPerBand: Int = 2,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = registerShingleFn(docs)
+    val withSh = Par.fanOut(registerShingleFn(docs).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
@@ -157,7 +157,7 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, key: String, text: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = registerShingleFn(docs)
+    val withSh = Par.fanOut(registerShingleFn(docs).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
@@ -193,7 +193,8 @@ object Dedup {
   def incrementalNearDups(corpus: DataFrame, fresh: DataFrame, key: String,
                           text: String, numHashes: Int = 32, rowsPerBand: Int = 2,
                           shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    def prep(df: DataFrame) = registerShingleFn(df)
+    def prep(df: DataFrame) = Par.fanOut(
+        registerShingleFn(df).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
       .withColumn("sh", shingles("toks", shingleSize))
       .filter(size(col("sh")) > 0)
@@ -247,7 +248,7 @@ object Dedup {
   def simhashPairs(docs: DataFrame, key: String, text: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming < SimhashChunks, "pigeonhole exactness needs h < #chunks")
-    val sigs = simhashChunks(docs, key, text)
+    val sigs = simhashChunks(Par.fanOut(docs.select(col(key), col(text))), key, text)
     val banded = sigs.select(col(key),
       posexplode(array((0 until SimhashChunks).map(c => col(s"sh$c")): _*))
         .as(Seq("band", "bucket")))

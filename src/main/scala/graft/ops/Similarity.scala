@@ -39,7 +39,10 @@ object Similarity {
                      vec: String, k: Int): DataFrame = {
     ensureRegistered(corpus)
     val q = broadcast(side(queries, key, vec, "q_id", "q_vec", "q_norm"))
-    val c = side(corpus, key, vec, "n_id", "n_vec", "n_norm")
+    // The q×corpus dot products run map-side on the corpus scan's own
+    // partitioning — fan a narrow corpus out so they use every core.
+    val c = side(Par.fanOut(corpus.select(col(key), col(vec))),
+      key, vec, "n_id", "n_vec", "n_norm")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("n_id").asc)
@@ -57,8 +60,11 @@ object Similarity {
   def cosinePairs(corpus: DataFrame, key: String, vec: String,
                   threshold: Double): DataFrame = {
     ensureRegistered(corpus)
-    val a = side(corpus, key, vec, "vec_a", "va", "na")
-    val b = side(corpus, key, vec, "vec_b", "vb", "nb")
+    // Pairwise compute runs on the streamed side's partitioning — fan a
+    // narrow corpus out once; both join sides reuse the exchange.
+    val wide = Par.fanOut(corpus.select(col(key), col(vec)))
+    val a = side(wide, key, vec, "vec_a", "va", "na")
+    val b = side(wide, key, vec, "vec_b", "vb", "nb")
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
@@ -79,7 +85,8 @@ object Similarity {
       side(corpus.orderBy(col(key)).limit(cells), key, vec, "cell_id", "cent", "cent_norm"))
     val assign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
-    val corpusCells = side(corpus, key, vec, "n_id", "n_vec", "n_norm")
+    val corpusCells = side(Par.fanOut(corpus.select(col(key), col(vec))),
+        key, vec, "n_id", "n_vec", "n_norm")
       .join(cents)
       .withColumn("sim", expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
       .withColumn("crnk", row_number().over(assign))
