@@ -12,6 +12,11 @@ import graft.model.Tables
   * determinism rules follow §5.2 (total ORDER BY, exact integer cents,
   * unique window-order tiebreaks).
   */
+/** Row type for the typed-Dataset aggregation query (top-level so the
+  * product encoder's TypeTag resolves).
+  */
+case class OrderSlim(o_custkey: Long, price_cents: Long)
+
 object Relational {
   private type Q = (SparkSession, String) => DataFrame
 
@@ -114,6 +119,14 @@ object Relational {
       .orderBy(col("custkey"))
   }
 
+  private val qJoinRight: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val c = Tables.customer(s, d)
+    o.join(c, o("o_custkey") === c("c_custkey"), "right")
+      .select(col("c_custkey"), col("o_orderkey"))
+      .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+  }
+
   // ---- aggregation families ---------------------------------------------
 
   /** TPC-H Q1 shape: multi-aggregate per group, map-side partial agg. */
@@ -163,6 +176,69 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Statistical moments with a deterministic cross-engine contract: the
+    * per-group sums are EXACT BIGINT accumulations (order-independent),
+    * and stddev/correlation are derived from them in one fixed double
+    * expression — identical op sequence in the oracle, so the float bits
+    * match. Never aggregate doubles directly when hash-comparing engines:
+    * double `sum()` is accumulation-order-dependent.
+    */
+  private val qStatsMoments: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"),
+        floor(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("x") * col("x")).as("sum_xx"),
+        sum(col("y")).as("sum_y"), sum(col("y") * col("y")).as("sum_yy"),
+        sum(col("x") * col("y")).as("sum_xy"))
+    // cast-to-double BEFORE combining: long*long would overflow (Spark
+    // wraps silently, DuckDB errors) — and both engines must run the same
+    // IEEE op sequence for bit-identical results.
+    def dbl(c: String) = col(c).cast("double")
+    val nd = dbl("n")
+    val varX = (nd * dbl("sum_xx") - dbl("sum_x") * dbl("sum_x")) / (nd * nd)
+    val corr = (nd * dbl("sum_xy") - dbl("sum_x") * dbl("sum_y")) /
+      (sqrt(nd * dbl("sum_xx") - dbl("sum_x") * dbl("sum_x")) *
+        sqrt(nd * dbl("sum_yy") - dbl("sum_y") * dbl("sum_y")))
+    agg.select(col("l_returnflag"), col("n"), col("sum_x"), col("sum_xx"),
+        col("sum_y"), col("sum_yy"), col("sum_xy"),
+        sqrt(varX).as("std_x"), corr.as("corr_xy"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Conditional / boolean / argmax aggregates: count_if, bool_and/bool_or,
+    * max_by keyed on a UNIQUE ordering column (ties in the max_by ordering
+    * value are nondeterministic — never argmax over a non-unique column
+    * when results must be reproducible).
+    */
+  private val qCondAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("o_totalprice") > 100000.0).as("n_big"),
+        bool_or(col("o_orderstatus") === "O").as("any_open"),
+        bool_and(col("o_totalprice") < 500000.0).as("all_under_500k"),
+        max_by(col("o_orderdate"), col("o_orderkey")).as("latest_key_date"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Typed Dataset API: case-class rows, groupByKey + TypedColumn
+    * aggregates — compile-time row types, same shuffle/partial-agg plan
+    * as the untyped groupBy (no RDD fallback).
+    */
+  private val qTypedAgg: Q = (s, d) => {
+    import s.implicits._
+    val ds = Tables.orders(s, d)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100.0).cast("long").as("price_cents"))
+      .as[OrderSlim]
+    ds.groupByKey(_.o_custkey)
+      .agg(sum($"price_cents").as[Long], count(lit(1)).as[Long])
+      .toDF("o_custkey", "sum_cents", "n_orders")
+      .orderBy(col("o_custkey"))
+  }
 
   // ---- window functions --------------------------------------------------
 
@@ -281,6 +357,24 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Bag semantics: INTERSECT ALL keeps min(multiplicity) per value,
+    * EXCEPT ALL subtracts multiplicities — both shuffle-by-value with
+    * partial counting, never materializing the bags.
+    */
+  private val qIntersectAll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") > 25.0).select(col("l_partkey"))
+      .intersectAll(li.filter(col("l_discount") > 0.05).select(col("l_partkey")))
+      .orderBy(col("l_partkey"))
+  }
+
+  private val qExceptAll: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    li.filter(col("l_quantity") > 25.0).select(col("l_partkey"))
+      .exceptAll(li.filter(col("l_discount") > 0.05).select(col("l_partkey")))
+      .orderBy(col("l_partkey"))
+  }
+
   // ---- scalar function families -----------------------------------------
 
   private val qStringFuncs: Q = (s, d) =>
@@ -372,7 +466,11 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_join_asof" -> qJoinAsof,
     "q_join_full" -> qJoinFull,
+    "q_join_right" -> qJoinRight,
     "q_groupby_agg" -> qGroupbyAgg,
+    "q_stats_moments" -> qStatsMoments,
+    "q_cond_agg" -> qCondAgg,
+    "q_typed_agg" -> qTypedAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_rollup" -> qRollup,
@@ -389,6 +487,8 @@ object Relational {
     "q_union" -> qUnion,
     "q_intersect" -> qIntersect,
     "q_except" -> qExcept,
+    "q_intersect_all" -> qIntersectAll,
+    "q_except_all" -> qExceptAll,
     "q_string_funcs" -> qStringFuncs,
     "q_math_funcs" -> qMathFuncs,
     "q_datetime_funcs" -> qDatetimeFuncs,
@@ -441,6 +541,44 @@ object Relational {
         |           WHERE o_totalprice > 450000.0 GROUP BY o_custkey) o
         |  ON c.c_custkey = o.o_custkey
         |ORDER BY custkey""".stripMargin,
+    "q_join_right" ->
+      """SELECT c_custkey, o_orderkey
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_stats_moments" ->
+      """WITH m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(x*x) AS BIGINT) AS sum_xx,
+        |    CAST(sum(y) AS BIGINT) AS sum_y, CAST(sum(y*y) AS BIGINT) AS sum_yy,
+        |    CAST(sum(x*y) AS BIGINT) AS sum_xy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(floor(l_quantity) AS BIGINT) AS x,
+        |          CAST(floor(l_extendedprice) AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag)
+        |SELECT l_returnflag, n, sum_x, sum_xx, sum_y, sum_yy, sum_xy,
+        |  sqrt((CAST(n AS DOUBLE)*CAST(sum_xx AS DOUBLE)
+        |        - CAST(sum_x AS DOUBLE)*CAST(sum_x AS DOUBLE))
+        |       / (CAST(n AS DOUBLE)*CAST(n AS DOUBLE))) AS std_x,
+        |  (CAST(n AS DOUBLE)*CAST(sum_xy AS DOUBLE)
+        |   - CAST(sum_x AS DOUBLE)*CAST(sum_y AS DOUBLE))
+        |  / (sqrt(CAST(n AS DOUBLE)*CAST(sum_xx AS DOUBLE)
+        |          - CAST(sum_x AS DOUBLE)*CAST(sum_x AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE)*CAST(sum_yy AS DOUBLE)
+        |            - CAST(sum_y AS DOUBLE)*CAST(sum_y AS DOUBLE))) AS corr_xy
+        |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_cond_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,
+        |  bool_or(o_orderstatus = 'O') AS any_open,
+        |  bool_and(o_totalprice < 500000.0) AS all_under_500k,
+        |  max_by(o_orderdate, o_orderkey) AS latest_key_date
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_typed_agg" ->
+      """SELECT o_custkey,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
@@ -537,6 +675,16 @@ object Relational {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         |ORDER BY c_custkey""".stripMargin,
+    "q_intersect_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 25.0
+        |INTERSECT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY l_partkey""".stripMargin,
+    "q_except_all" ->
+      """SELECT l_partkey FROM lineitem WHERE l_quantity > 25.0
+        |EXCEPT ALL
+        |SELECT l_partkey FROM lineitem WHERE l_discount > 0.05
+        |ORDER BY l_partkey""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_brand) AS brand_upper,
