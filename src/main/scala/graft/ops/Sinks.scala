@@ -51,6 +51,43 @@ object Sinks {
   def overwriteRefresh(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style partitioned write: one directory per distinct value of
+    * `partCols`. The layout that makes 100 TB tables queryable — a filter
+    * on the partition column prunes whole directories at planning time
+    * (`PartitionFilters` in the scan, zero I/O for pruned partitions), and
+    * incremental jobs rewrite only the partitions they touch.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCols: Seq[String]): Unit =
+    df.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(path)
+
+  /** Incremental partition replacement: overwrite ONLY the partitions
+    * present in `df`, leaving all others intact (dynamic partition
+    * overwrite — the idempotent daily-reload pattern; a static overwrite
+    * would drop the whole table).
+    */
+  def overwritePartitions(df: DataFrame, path: String, partCols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try df.write.partitionBy(partCols: _*).mode(SaveMode.Overwrite).parquet(path)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  /** Range-clustered layout: globally range-partition by `sortCols` into
+    * `files` output files, sorted within each. Every file then covers a
+    * narrow, pairwise-disjoint min/max range of the sort key, so Parquet
+    * footer statistics let selective scans skip whole files/row-groups —
+    * the sorted-layout half of data skipping (partitioning is the other).
+    */
+  def writeRangeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+                       files: Int): Unit =
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Small-files compaction: rewrite a Parquet table into `targetFiles`
     * output files. Streaming/incremental sinks accrete many small files;
     * at scale the scan cost is dominated by file-open overhead until the
