@@ -63,6 +63,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!body.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("q_stats_moments keeps partial aggregation (exact sums combine map-side)") {
+    val p = planOf("q_stats_moments")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_typed_agg plans hash aggregation, not an object/RDD fallback") {
+    val p = planOf("q_typed_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("MapGroups"), p.take(2000))
+  }
+
   test("q_dedup_exact shuffles digests, not documents") {
     val p = planOf("q_dedup_exact")
     assert(p.contains("sha2"), p.take(2000))

@@ -98,6 +98,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch against a dim table") {
+    // the standard enrich shape: the static side is planned as a broadcast
+    // per micro-batch (no stream-side state, no watermark needed)
+    implicit val sc = spark.sqlContext
+    val dim = Seq((5L, "gold"), (6L, "basic")).toDF("user_id", "tier")
+    val in = MemoryStream[Ev]
+    val q = in.toDF().join(broadcast(dim), Seq("user_id"), "left")
+      .select($"event_id", $"user_id", $"tier")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 5),
+        ev(2, "2024-01-01 10:01:00", user = 7))
+      q.processAllAvailable()
+      val out = spark.table("enrich_out")
+        .select($"event_id", $"tier").as[(Long, Option[String])]
+        .collect().toSet
+      assert(out == Set((1L, Some("gold")), (2L, None)))
+    } finally q.stop()
+  }
+
   test("complete output mode re-emits full aggregate state each batch") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
