@@ -268,4 +268,44 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
+
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup edges into duplicate CLUSTERS (keep the
+    * canonical member, drop the rest). Iterative min-label propagation:
+    * each round every node takes the minimum label among itself and its
+    * neighbors, converging in O(diameter) rounds — near-dup clusters are
+    * small and dense, so the diameter is tiny. Each round is one
+    * edges⋈labels shuffle + a partial-agg min; lineage is cut per round
+    * (localCheckpoint) so plans stay bounded. For adversarial
+    * long-diameter graphs swap in large-star/small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond") — same join shape,
+    * O(log n) rounds.
+    *
+    * Returns (node, component) with component = min node id reachable;
+    * only nodes that appear in `edges` are returned.
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 25): DataFrame = {
+    val both = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = both.select(col("src").as("node")).distinct()
+      .withColumn("component", col("node"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val msgs = both.join(labels, both("src") === labels("node"))
+        .select(col("dst").as("node"), col("component"))
+      val next = labels.union(msgs)
+        .groupBy(col("node")).agg(min(col("component")).as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "old"), "node")
+        .filter(col("component") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    both.unpersist()
+    labels
+  }
 }

@@ -5,19 +5,33 @@ import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, TextStats}
 
 /** End-to-end LLM training-data curation: quality-gate → exact dedup →
-  * near-dedup (MinHash-LSH, keep lowest doc of each near-dup pair) →
-  * deterministic split assignment. One lineage graph; every stage is a
-  * pure transform, so the whole pipeline is reproducible and restartable
-  * — the composition target the individual operators exist for.
+  * near-dedup → deterministic split assignment. One lineage graph; every
+  * stage is a pure transform, so the whole pipeline is reproducible and
+  * restartable — the composition target the individual operators exist
+  * for.
   */
 object CurationPipeline {
+
+  /** Near-dup keep strategies:
+    *
+    *  - [[Pairwise]]: drop the higher-keyed doc of each pair — keeps every
+    *    LOCAL minimum, so two docs that are each near a dropped third but
+    *    not near each other both survive. Cheapest (no iteration).
+    *  - [[Cluster]]: connected-components over the pair graph, keep one
+    *    canonical doc per component (the standard corpus-dedup semantic;
+    *    transitively-linked chains collapse to one survivor).
+    */
+  sealed trait NearDupStrategy
+  case object Pairwise extends NearDupStrategy
+  case object Cluster extends NearDupStrategy
 
   /** @param minQualityE6 quality-score gate in millionths
     * @return surviving docs with `split` assignment
     */
   def curate(docs: DataFrame, key: String, text: String,
              minQualityE6: Long = 400000L,
-             nearDupThreshold: Double = 0.5): DataFrame = {
+             nearDupThreshold: Double = 0.5,
+             strategy: NearDupStrategy = Pairwise): DataFrame = {
     val quality = TextStats.qualityScore(docs, key, text)
       .filter(col("quality_e6") >= minQualityE6)
     val gated = docs.join(quality, Seq(key), "left_semi")
@@ -25,10 +39,16 @@ object CurationPipeline {
     val exactSurvivors = Dedup.exactDedup(gated, key, text).select(col(key))
     val afterExact = gated.join(exactSurvivors, Seq(key), "left_semi")
 
-    // Near-dup: drop the higher-keyed doc of each pair above threshold.
     val nearPairs = Dedup.minhashLshPairs(afterExact, key, text,
       threshold = nearDupThreshold)
-    val losers = nearPairs.select(col("doc_b").as(key)).distinct()
+    val losers = strategy match {
+      case Pairwise =>
+        nearPairs.select(col("doc_b").as(key)).distinct()
+      case Cluster =>
+        Dedup.connectedComponents(nearPairs, "doc_a", "doc_b")
+          .filter(col("node") =!= col("component"))
+          .select(col("node").as(key))
+    }
     val survivors = afterExact.join(losers, Seq(key), "left_anti")
 
     survivors.join(TextStats.sampleSplit(survivors, key), Seq(key))

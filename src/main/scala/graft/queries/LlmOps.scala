@@ -34,6 +34,24 @@ object LlmOps {
         numHashes = 64, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Near-dup pairs → duplicate clusters: every document mapped to the
+    * canonical (minimum) doc_id of its connected component; docs in no
+    * pair are their own canonical. This is the keep/drop decision a
+    * dedup pipeline actually executes.
+    */
+  private val qDedupClusters: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      numHashes = 64, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+    val comp = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val qDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -205,6 +223,7 @@ object LlmOps {
     "q_tfidf" -> qTfidf,
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
+    "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -228,6 +247,28 @@ object LlmOps {
       |                                for i in range(1, len(t) - 1)]) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 3)""".stripMargin
+
+  /** Components oracle: exact-Jaccard pairs (same predicate as the Spark
+    * LSH+verify pipeline) closed transitively with a recursive CTE; the
+    * canonical id is the minimum reachable doc_id. Docs outside every
+    * pair canonicalize to themselves.
+    */
+  private def clustersSql(threshold: Double): String =
+    s"""${shingleCte.replace("WITH s AS", "WITH RECURSIVE s AS")},
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |            len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |      UNION SELECT doc_b, doc_a FROM p),
+       |r(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+       |  UNION
+       |  SELECT e.a, r.b FROM e JOIN r ON r.a = e.b),
+       |comp AS (SELECT a AS doc_id, min(b) AS cluster_id FROM r GROUP BY a)
+       |SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   private def jaccardPairsSql(threshold: Double): String =
     s"""$shingleCte,
@@ -379,6 +420,7 @@ object LlmOps {
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
     "q_dedup_minhash" -> jaccardPairsSql(0.5),
+    "q_dedup_clusters" -> clustersSql(0.5),
     "q_dedup_ngram" -> jaccardPairsSql(0.5),
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" ->

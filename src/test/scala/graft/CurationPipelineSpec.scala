@@ -40,4 +40,17 @@ class CurationPipelineSpec extends AnyFunSuite {
       .orderBy($"doc_id").as[(Long, String, String)].collect().toSeq
     assert(back == out1)
   }
+
+  test("cluster strategy keeps a subset of pairwise survivors, one per component") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val pairwise = CurationPipeline.curate(docs, "doc_id", "text",
+        strategy = CurationPipeline.Pairwise)
+      .select($"doc_id").as[Long].collect().toSet
+    val cluster = CurationPipeline.curate(docs, "doc_id", "text",
+        strategy = CurationPipeline.Cluster)
+      .select($"doc_id").as[Long].collect().toSet
+    // component minima ⊆ local minima: clustering can only drop more
+    assert(cluster.subsetOf(pairwise))
+    assert(cluster.nonEmpty)
+  }
 }

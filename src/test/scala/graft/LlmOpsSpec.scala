@@ -95,4 +95,14 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(0)._2 == got(1)._2 && got(0)._3 == got(1)._3)
     assert(got(0)._2 != got(2)._2)
   }
+
+  test("connectedComponents labels a chain, a triangle, and leaves them apart") {
+    // chain 1-2-3-4 (diameter 3, needs >1 propagation round) + triangle 7-8-9
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = graft.ops.Dedup.connectedComponents(edges, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L))
+  }
 }
