@@ -74,6 +74,26 @@ object SqlSurface {
         |ORDER BY c.c_custkey""".stripMargin)
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a month spine from min to
+    * max order month, left-joined to per-month order counts — the gap-
+    * free time-series shape reporting queries need. The recursion depth
+    * is the number of months (driver-side iterations over a tiny spine),
+    * not data-sized.
+    */
+  private val qSqlRecursive: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |)
+        |SELECT m AS month_start, count(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin)
+  }
+
   /** Pivot: per-user event_type counts as fixed columns. */
   private val qPivot: Q = (s, d) =>
     Tables.events(s, d)
@@ -131,6 +151,7 @@ object SqlSurface {
     "q_sql_scalar_subquery" -> qSqlScalarSubquery,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_cte" -> qSqlCte,
+    "q_sql_recursive" -> qSqlRecursive,
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
     "q_histogram" -> qHistogram,
@@ -166,6 +187,16 @@ object SqlSurface {
         |SELECT c.c_custkey, p.n_big
         |FROM customer c JOIN per_customer p ON c.c_custkey = p.o_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+    "q_sql_recursive" ->
+      """WITH RECURSIVE spine(m) AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+        |  UNION ALL
+        |  SELECT m + INTERVAL 1 MONTH FROM spine
+        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |)
+        |SELECT m AS month_start, count(o_orderkey) AS n_orders
+        |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+        |GROUP BY m ORDER BY m""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
