@@ -74,6 +74,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("MapGroups"), p.take(2000))
   }
 
+  test("q_dedup_minhash candidate join is an equi join on (band, bucket)") {
+    val p = planOf("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_dedup_exact shuffles digests, not documents") {
     val p = planOf("q_dedup_exact")
     assert(p.contains("sha2"), p.take(2000))
