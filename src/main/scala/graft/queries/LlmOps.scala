@@ -255,11 +255,11 @@ object LlmOps {
     */
   private def clustersSql(threshold: Double): String =
     s"""${shingleCte.replace("WITH s AS", "WITH RECURSIVE s AS")},
-       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |p AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |      FROM s a JOIN s b ON a.doc_id < b.doc_id
        |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
        |            len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
-       |e AS (SELECT doc_a AS a, doc_b AS b FROM p
+       |e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM p
        |      UNION SELECT doc_b, doc_a FROM p),
        |r(a, b) AS (
        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
