@@ -105,4 +105,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       7L -> 7L, 8L -> 7L, 9L -> 7L))
   }
+
+  test("connectedComponentsStar matches propagation and handles a 300-chain in O(log n) rounds") {
+    // same toy graph → identical labels
+    val toy = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val naive = graft.ops.Dedup.connectedComponents(toy, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    val star = graft.ops.Dedup.connectedComponentsStar(toy, "doc_a", "doc_b")
+      .orderBy($"node").as[(Long, Long)].collect().toSeq
+    assert(star == naive)
+
+    // a 300-node chain with shuffled ids: diameter 299, so min-label
+    // propagation would need ~299 rounds — star must finish within 12
+    val perm = new scala.util.Random(7).shuffle((0L until 300L).toVector)
+    val chain = perm.sliding(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val labels = graft.ops.Dedup.connectedComponentsStar(
+        chain, "doc_a", "doc_b", maxIter = 12)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 300)
+    assert(labels.forall(_._2 == 0L), "single chain collapses to min id 0")
+  }
 }

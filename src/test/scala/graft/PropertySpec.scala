@@ -75,6 +75,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("star and propagation components agree on random graphs") {
+    // reference labeling via union-find on the driver
+    def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+      .map(_.filter(e => e._1 != e._2))
+    samples(edgeGen, 6).filter(_.nonEmpty).foreach { edges =>
+      val df = edges.toDF("doc_a", "doc_b")
+      val expected = ufLabels(edges).toSeq.sorted
+      val naive = Dedup.connectedComponents(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSeq.sorted
+      val star = Dedup.connectedComponentsStar(df, "doc_a", "doc_b")
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(naive == expected, s"propagation diverges on $edges")
+      assert(star == expected, s"star diverges on $edges")
+    }
+  }
+
   test("K2 overwriteRefresh replaces table contents atomically") {
     val path = "target/tmp/refresh_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
