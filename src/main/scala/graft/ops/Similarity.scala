@@ -110,4 +110,62 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("rnk"),
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
+
+  /** Deterministic Rademacher (±1) hyperplanes: component p,i from a
+    * splitmix-style integer mix of (p, i) — no RNG state, identical
+    * across runs and sessions.
+    */
+  private def hyperplane(p: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { i =>
+      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z ^= (z >>> 31); z *= 0x94D049BB133111EBL; z ^= (z >>> 27)
+      if ((z & 1L) == 0L) 1.0 else -1.0
+    }
+
+  /** Approximate top-k via sign-random-projection LSH (hyperplane
+    * hashing): `bands × bitsPerBand` Rademacher hyperplanes give each
+    * vector a sign bit per plane; vectors agreeing on ALL bits of a band
+    * land in the same bucket (P[bit agree] = 1 − θ/π). Candidates come
+    * from an equi join on (band, bucket) — never a cross product — and
+    * are re-ranked by exact cosine. Recall tunes with `bands`;
+    * `bitsPerBand` controls bucket selectivity. The complement of
+    * [[ivfTopK]]: no centroid pass, fully data-independent, so inserts
+    * never re-cluster — the right trade for append-heavy 100 TB corpora.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
+              k: Int, bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+    ensureRegistered(corpus)
+    val dims = corpus.select(size(col(vec))).head().getInt(0)
+    // one codegen'd column per band: Σ (dot(v,h)>0) << bit
+    def bucketCols(vecCol: String): Seq[Column] = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val h = hyperplane(b * bitsPerBand + i, dims)
+          .mkString("cast(array(", ",", ") as array<double>)")
+        (expr(s"dot_arr($vecCol, $h)") > 0).cast("long") * (1L << i)
+      }.reduce(_ + _).as(s"bucket_$b")
+    }
+    def banded(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
+      df.select(Seq(col(idAs), col(vecAs), col(normAs)) ++ bucketCols(vecAs): _*)
+        .select(col(idAs), col(vecAs), col(normAs),
+          posexplode(array((0 until bands).map(b => col(s"bucket_$b")): _*))
+            .as(Seq("band", "bucket")))
+    val c = banded(side(Par.fanOut(corpus.select(col(key), col(vec))),
+      key, vec, "n_id", "n_vec", "n_norm"), "n_id", "n_vec", "n_norm")
+    val q = banded(side(queries, key, vec, "q_id", "q_vec", "q_norm"),
+      "q_id", "q_vec", "q_norm")
+    val topW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
+    broadcast(q).join(c, Seq("band", "bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_vec"), col("q_norm"),
+        col("n_id"), col("n_vec"), col("n_norm"))
+      // a pair can collide in several bands; duplicates are identical
+      // rows, so key-only dedup is safe and avoids hashing the vectors
+      .dropDuplicates(Seq("q_id", "n_id"))
+      .withColumn("cos", expr("dot_arr(q_vec, n_vec)") / (col("q_norm") * col("n_norm")))
+      .withColumn("rnk", row_number().over(topW))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
 }

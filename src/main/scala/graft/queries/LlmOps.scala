@@ -81,6 +81,16 @@ object LlmOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
+    * design); recall vs brute force is spec-asserted (LlmOpsSpec).
+    */
+  private val qAnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private val qTextStats: Q = (s, d) =>
     TextStats.textStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -229,6 +239,7 @@ object LlmOps {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_lsh" -> qAnnLsh,
     "q_text_stats" -> qTextStats,
     "q_lang_agg" -> qLangAgg,
     "q_lang_id" -> qLangId,

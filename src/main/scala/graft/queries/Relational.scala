@@ -308,6 +308,27 @@ object Relational {
   /** Unpivot/melt: wide metric columns → long (key, metric, value) rows.
     * Pure map-side generator — no shuffle, survives any scale.
     */
+  /** Gap-fill navigation: forward-fill the last non-null purchase amount
+    * (the classic sparse-to-dense sensor/event pattern) plus full-frame
+    * nth_value with IGNORE NULLS — both stay single-window-pass,
+    * single-shuffle-on-user_id.
+    */
+  private val qWindowFill: Q = (s, d) => {
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .withColumn("purchase_cents",
+        when(col("event_type") === "purchase",
+          round(col("value") * 100.0).cast("long")))
+      .select(col("event_id"), col("user_id"),
+        last(col("purchase_cents"), ignoreNulls = true).over(run)
+          .as("last_purchase_cents"),
+        nth_value(col("purchase_cents"), 2, ignoreNulls = true).over(full)
+          .as("second_purchase_cents"))
+      .orderBy(col("event_id"))
+  }
+
   private val qUnpivot: Q = (s, d) =>
     Tables.part(s, d)
       .select(col("p_partkey"),
@@ -481,6 +502,7 @@ object Relational {
     "q_window_running" -> qWindowRunning,
     "q_window_misc" -> qWindowMisc,
     "q_window_range" -> qWindowRange,
+    "q_window_fill" -> qWindowFill,
     "q_unpivot" -> qUnpivot,
     "q_orderby" -> qOrderby,
     "q_topk" -> qTopk,
@@ -648,6 +670,20 @@ object Relational {
         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS trail_cents
         |FROM events ORDER BY event_id""".stripMargin,
+    "q_window_fill" ->
+      """SELECT event_id, user_id,
+        |  last_value(purchase_cents IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS last_purchase_cents,
+        |  nth_value(purchase_cents, 2 IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS second_purchase_cents
+        |FROM (SELECT *, CASE WHEN event_type = 'purchase'
+        |        THEN CAST(round(value * 100.0) AS BIGINT) END AS purchase_cents
+        |      FROM events)
+        |ORDER BY event_id""".stripMargin,
     "q_unpivot" ->
       """SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
         |FROM part

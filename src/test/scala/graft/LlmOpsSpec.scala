@@ -78,6 +78,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.size == 20)
   }
 
+  test("lshTopK recall vs brute force is high and output shape matches") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = graft.ops.Similarity
+      .bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = graft.ops.Similarity
+      .lshTopK(emb, queries, "vec_id", "embedding", k = 5,
+        bands = 16, bitsPerBand = 4)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low (found ${approx.size})")
+  }
+
   test("langId predicts deterministically with tie-break on language order") {
     val df = Seq((1L, "the a order table", "en"), (2L, "xyz", "de"))
       .toDF("doc_id", "text", "lang")
