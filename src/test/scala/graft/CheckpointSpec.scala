@@ -54,4 +54,30 @@ class CheckpointSpec extends AnyFunSuite {
     assert(rows.select(col("id")).distinct().count() == 150,
       "a reprocessed file would duplicate ids")
   }
+
+  test("maxFilesPerTrigger bounds each micro-batch under AvailableNow") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("rate_in").toString
+    val cp = Files.createTempDirectory("rate_cp").toString
+    // three separate input files
+    (0 until 3).foreach { f =>
+      Seq((f.toLong, "x")).toDF("id", "v").coalesce(1)
+        .write.mode("append").parquet(in)
+    }
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream
+      .option("maxFilesPerTrigger", 1)
+      .schema("id LONG, v STRING").parquet(in)
+      .writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) batches.incrementAndGet(): Unit
+      }
+      .start()
+    q.awaitTermination()
+    // the backlog drains in file-sized micro-batches, not one giant batch —
+    // the knob that keeps a restarted stream from OOMing on its backlog
+    assert(batches.get() == 3, s"expected 3 rate-limited batches, got ${batches.get()}")
+  }
 }
