@@ -105,6 +105,33 @@ object Events {
         col("view_ts"), col("purchase_ts"))
   }
 
+  /** Left-outer stream-stream join: views with no purchase inside the
+    * window STILL emit (with nulls) — but only once the watermark proves
+    * no matching purchase can arrive. State on both sides is bounded by
+    * the watermark + the join's time-range condition; without that range
+    * the state store would grow forever.
+    */
+  def viewToPurchaseJoinOuter(events: DataFrame,
+                              within: String = "1 hour",
+                              watermark: String = "10 minutes"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+      .alias("v")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+      .alias("p")
+    views.join(purchases,
+        expr(s"""user_id = p_user_id AND
+                |purchase_ts >= view_ts AND
+                |purchase_ts <= view_ts + INTERVAL $within""".stripMargin),
+        "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"))
+  }
+
   /** Custom arbitrary-state operator via flatMapGroupsWithState: per-user
     * running purchase total with an alert row emitted every time the
     * running total crosses a multiple of `alertEvery` cents — the shape

@@ -98,6 +98,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched views after watermark closes") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.viewToPurchaseJoinOuter(in.toDF(), within = "1 hour")
+      .writeStream.format("memory").queryName("ssoj_out")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, t("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"),     // will match
+        Ev(2, t("2024-01-01 10:30:00"), 5L, "purchase", 9.0, "{}"),
+        Ev(3, t("2024-01-01 10:00:00"), 6L, "view", 1.0, "{}"))     // never matches
+      q.processAllAvailable()
+      // advance BOTH sides' watermarks far past view 3's join window (the
+      // join watermark is the min of the two, so a stale purchase side
+      // would hold every unmatched view open); the watermark computed at
+      // the end of a batch takes effect in the NEXT one, so nudge twice
+      in.addData(
+        Ev(9, t("2024-01-01 14:00:00"), 7L, "view", 1.0, "{}"),
+        Ev(10, t("2024-01-01 14:00:00"), 7L, "purchase", 9.0, "{}"))
+      q.processAllAvailable()
+      in.addData(
+        Ev(11, t("2024-01-01 14:30:00"), 7L, "view", 1.0, "{}"),
+        Ev(12, t("2024-01-01 14:30:00"), 7L, "purchase", 9.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("ssoj_out")
+        .select($"view_id", $"purchase_id").as[(Long, Option[Long])]
+        .collect().toSet
+      assert(out.contains((1L, Some(2L))))
+      assert(out.contains((3L, None)), s"unmatched view must emit nulls, got $out")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches each micro-batch against a dim table") {
     // the standard enrich shape: the static side is planned as a broadcast
     // per micro-batch (no stream-side state, no watermark needed)
