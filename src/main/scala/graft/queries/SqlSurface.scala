@@ -94,6 +94,18 @@ object SqlSurface {
         |GROUP BY m ORDER BY m""".stripMargin)
   }
 
+  /** Ordered string aggregation (Spark 4 listagg ≡ DuckDB string_agg):
+    * the per-key event-type trail, deterministic via the WITHIN GROUP
+    * ordering on a unique (ts, event_id) pair.
+    */
+  private val qStringAgg: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT user_id,
+        |  listagg(event_type, ',') WITHIN GROUP (ORDER BY ts, event_id) AS type_trail
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+  }
+
   /** Pivot: per-user event_type counts as fixed columns. */
   private val qPivot: Q = (s, d) =>
     Tables.events(s, d)
@@ -152,6 +164,7 @@ object SqlSurface {
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_cte" -> qSqlCte,
     "q_sql_recursive" -> qSqlRecursive,
+    "q_string_agg" -> qStringAgg,
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
     "q_histogram" -> qHistogram,
@@ -197,6 +210,10 @@ object SqlSurface {
         |SELECT m AS month_start, count(o_orderkey) AS n_orders
         |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
         |GROUP BY m ORDER BY m""".stripMargin,
+    "q_string_agg" ->
+      """SELECT user_id,
+        |  string_agg(event_type, ',' ORDER BY ts, event_id) AS type_trail
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_pivot" ->
       """SELECT user_id,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
