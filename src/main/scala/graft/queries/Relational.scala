@@ -224,6 +224,17 @@ object Relational {
         max_by(col("o_orderdate"), col("o_orderkey")).as("latest_key_date"))
       .orderBy(col("o_orderpriority"))
 
+  /** Bitwise aggregates (bit_and/bit_or/bit_xor) — order-independent by
+    * algebra, so they are safely deterministic under any shuffle order.
+    */
+  private val qBitwiseAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(bit_and(col("l_suppkey")).as("and_supp"),
+        bit_or(col("l_suppkey")).as("or_supp"),
+        bit_xor(col("l_suppkey")).as("xor_supp"))
+      .orderBy(col("l_returnflag"))
+
   /** Typed Dataset API: case-class rows, groupByKey + TypedColumn
     * aggregates — compile-time row types, same shuffle/partial-agg plan
     * as the untyped groupBy (no RDD fallback).
@@ -492,6 +503,7 @@ object Relational {
     "q_stats_moments" -> qStatsMoments,
     "q_cond_agg" -> qCondAgg,
     "q_typed_agg" -> qTypedAgg,
+    "q_bitwise_agg" -> qBitwiseAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_rollup" -> qRollup,
@@ -596,6 +608,12 @@ object Relational {
         |  bool_and(o_totalprice < 500000.0) AS all_under_500k,
         |  max_by(o_orderdate, o_orderkey) AS latest_key_date
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bitwise_agg" ->
+      """SELECT l_returnflag,
+        |  bit_and(l_suppkey) AS and_supp,
+        |  bit_or(l_suppkey) AS or_supp,
+        |  bit_xor(l_suppkey) AS xor_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_typed_agg" ->
       """SELECT o_custkey,
         |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents,

@@ -94,6 +94,22 @@ object SqlSurface {
         |GROUP BY m ORDER BY m""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery: per-customer argmax-row (top order by
+    * price) — Catalyst rewrites DomainJoin-decorrelatable laterals; the
+    * per-group-LIMIT shape is the one windowed rank also covers, here in
+    * its SQL-native form.
+    */
+  private val qSqlLateral: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
   /** Ordered string aggregation (Spark 4 listagg ≡ DuckDB string_agg):
     * the per-key event-type trail, deterministic via the WITHIN GROUP
     * ordering on a unique (ts, event_id) pair.
@@ -165,6 +181,7 @@ object SqlSurface {
     "q_sql_cte" -> qSqlCte,
     "q_sql_recursive" -> qSqlRecursive,
     "q_string_agg" -> qStringAgg,
+    "q_sql_lateral" -> qSqlLateral,
     "q_pivot" -> qPivot,
     "q_percentile" -> qPercentile,
     "q_histogram" -> qHistogram,
@@ -210,6 +227,13 @@ object SqlSurface {
         |SELECT m AS month_start, count(o_orderkey) AS n_orders
         |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
         |GROUP BY m ORDER BY m""".stripMargin,
+    "q_sql_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        |ORDER BY c.c_custkey""".stripMargin,
     "q_string_agg" ->
       """SELECT user_id,
         |  string_agg(event_type, ',' ORDER BY ts, event_id) AS type_trail
