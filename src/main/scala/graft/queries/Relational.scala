@@ -407,6 +407,41 @@ object Relational {
       .orderBy(col("l_partkey"))
   }
 
+  /** Null-safe equality join (`<=>` ≡ IS NOT DISTINCT FROM): null keys
+    * match each other instead of vanishing — the semantic for joining on
+    * optional attributes. Null-heavy keys group into ONE hash bucket, so
+    * at scale keep the null-keyed population dimension-sized (or route
+    * nulls around the join).
+    */
+  private val qJoinNullsafe: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .withColumn("pr", nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+    val dim = s.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row("1-URGENT", "hot"),
+        org.apache.spark.sql.Row("2-HIGH", "warm"),
+        org.apache.spark.sql.Row(null, "default")),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pr",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("tier",
+          org.apache.spark.sql.types.StringType))))
+    o.join(broadcast(dim), o("pr") <=> dim("pr"), "inner")
+      .select(col("o_orderkey"), col("tier"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Error-safe arithmetic: try_divide/try_add return NULL instead of
+    * failing or wrapping — the ANSI-mode-safe form for dirty data.
+    */
+  private val qTryArith: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(round(col("l_extendedprice") * 100.0).cast("long"),
+          (col("l_quantity").cast("long") % 7L)).as("per_mod"),
+        try_add(lit(Long.MaxValue), col("l_orderkey")).as("overflowed"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
   // ---- scalar function families -----------------------------------------
 
   private val qStringFuncs: Q = (s, d) =>
@@ -499,6 +534,8 @@ object Relational {
     "q_join_asof" -> qJoinAsof,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
+    "q_join_nullsafe" -> qJoinNullsafe,
+    "q_try_arith" -> qTryArith,
     "q_groupby_agg" -> qGroupbyAgg,
     "q_stats_moments" -> qStatsMoments,
     "q_cond_agg" -> qCondAgg,
@@ -579,6 +616,21 @@ object Relational {
       """SELECT c_custkey, o_orderkey
         |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
         |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT o_orderkey, tier
+        |FROM (SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS pr
+        |      FROM orders) o
+        |JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'warm'), (NULL, 'default'))
+        |  AS dim(pr, tier)
+        |  ON o.pr IS NOT DISTINCT FROM dim.pr
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN CAST(floor(l_quantity) AS BIGINT) % 7 = 0 THEN NULL
+        |       ELSE CAST(round(l_extendedprice * 100.0) AS BIGINT) /
+        |            (CAST(floor(l_quantity) AS BIGINT) % 7) END AS per_mod,
+        |  CASE WHEN l_orderkey = 0 THEN 9223372036854775807 END AS overflowed
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_stats_moments" ->
       """WITH m AS (
         |  SELECT l_returnflag, count(*) AS n,
