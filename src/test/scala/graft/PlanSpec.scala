@@ -74,6 +74,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("MapGroups"), p.take(2000))
   }
 
+  test("q_sql_lateral decorrelates to a group-limit join, not a per-row loop") {
+    val p = planOf("q_sql_lateral")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_dedup_minhash candidate join is an equi join on (band, bucket)") {
     val p = planOf("q_dedup_minhash")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
