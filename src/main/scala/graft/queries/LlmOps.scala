@@ -91,6 +91,25 @@ object LlmOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Blocked fuzzy match — the entity-resolution shape: a cheap blocking
+    * key (brand) bounds the candidate space, an edit-distance verify
+    * runs only within blocks. Never run levenshtein across the full
+    * cross product; the blocking key IS the scale strategy.
+    */
+  private val qFuzzyMatch: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
+      col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("part_a") < col("part_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 10)
+      .select(col("part_a"), col("part_b"), col("dist"))
+      .orderBy(col("part_a"), col("part_b"))
+  }
+
   private val qTextStats: Q = (s, d) =>
     TextStats.textStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -240,6 +259,7 @@ object LlmOps {
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_lsh" -> qAnnLsh,
+    "q_fuzzy_match" -> qFuzzyMatch,
     "q_text_stats" -> qTextStats,
     "q_lang_agg" -> qLangAgg,
     "q_lang_id" -> qLangId,
@@ -430,6 +450,13 @@ object LlmOps {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 10
+        |ORDER BY part_a, part_b""".stripMargin,
     "q_dedup_minhash" -> jaccardPairsSql(0.5),
     "q_dedup_clusters" -> clustersSql(0.5),
     "q_dedup_ngram" -> jaccardPairsSql(0.5),
