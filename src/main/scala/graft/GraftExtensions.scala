@@ -40,8 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.RollingHashMin(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(toks ARRAY<STRING>, n INT) - sorted distinct xxhash64 of n-shingles"),
+      (exprs: Seq[Expression]) => graft.functions.ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
       FunctionIdentifier("minhash_signature"),
-      info("minhash_signature", "minhash_signature(sh ARRAY<STRING>, k INT) - k seeded min-hashes"),
+      info("minhash_signature", "minhash_signature(sh ARRAY<BIGINT>, k INT) - k Carter-Wegman min-hashes"),
       (exprs: Seq[Expression]) => graft.functions.MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((

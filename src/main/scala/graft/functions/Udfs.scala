@@ -22,7 +22,7 @@ object Udfs {
     *  - `lap_time_udf(col)`     — black-box Scala UDF equivalent
     *  - `top_k_events(id, score)` — typed Aggregator (bounded top-k heap)
     *  - `dot_arr(a, b)` / `jaccard_sorted(a, b)` / `graft_shingles(t, n)`
-    *    — the similarity/dedup kernels
+    *    / `shingle_hashes(t, n)` — the similarity/dedup kernels
     */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -34,6 +34,9 @@ object Udfs {
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_shingles", exprs => Shingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHashes(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "rolling_hash_min", exprs => RollingHashMin(exprs(0),

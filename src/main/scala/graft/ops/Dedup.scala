@@ -45,6 +45,25 @@ object Dedup {
     df
   }
 
+  /** Hashed n-shingle set (sorted distinct `array<bigint>`) — the dedup
+    * pipelines' canonical shingle representation, via
+    * [[graft.functions.ShingleHashes]]: one compiled pass, no shingle
+    * strings materialized, ~8 bytes per shingle through every downstream
+    * shuffle/cache instead of the string. Callers must have run
+    * [[registerShingleHashFn]] on the owning session.
+    */
+  def shingleHashes(toks: String, n: Int = 3): Column =
+    expr(s"shingle_hashes($toks, $n)")
+
+  /** Register the hashed-shingle expression on a session (idempotent). */
+  def registerShingleHashFn(df: DataFrame): DataFrame = {
+    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes",
+      exprs => graft.functions.ShingleHashes(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    df
+  }
+
   /** (doc key, shingle) long table — the inverted-index layout. */
   def explodeShingles(df: DataFrame, key: String, text: String, n: Int = 3): DataFrame =
     registerShingleFn(df).withColumn("toks", split(col(text), " "))
@@ -63,11 +82,13 @@ object Dedup {
       .select(col(key), col("n_copies"))
 
   /** MinHash signatures: `numHashes` columns h0..h{k-1}, each the min of a
-    * seeded xxhash64 over the doc's shingle set. Computed map-side from
-    * the shingle ARRAY — zero shuffle (the explode + groupBy formulation
+    * Carter-Wegman family over the doc's HASHED shingle set (`sh` must be
+    * `array<bigint>` from [[shingleHashes]]). Computed map-side from the
+    * shingle ARRAY — zero shuffle (the explode + groupBy formulation
     * re-shuffles rows that were already grouped) — in ONE codegen'd pass
     * via [[graft.functions.MinHashSignature]] (k interpreted
-    * `array_min(transform(...))` HOFs measured ~3× slower).
+    * `array_min(transform(...))` HOFs measured ~3× slower; the k-from-1
+    * family removes the remaining k byte-hashes per shingle).
     */
   def minhashSignatures(docsWithShingles: DataFrame, key: String, numHashes: Int): DataFrame = {
     docsWithShingles.sparkSession.sessionState.functionRegistry
@@ -103,23 +124,24 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard verification of candidate pairs against the shingle
-    * sets; emits jaccard scaled to integer millionths (portable floats).
-    * Shingles are hashed to sorted long arrays once per doc — the verify
-    * join then ships ~8 bytes per shingle instead of the string, and the
-    * per-pair check is the codegen'd linear-merge
-    * [[graft.functions.JaccardSorted]] on longs (the hash-set
-    * array_intersect/array_union pair was the verify bottleneck; a 64-bit
-    * collision inside one doc's ~10² shingles is ~1e-15 — negligible).
+  /** Exact Jaccard verification of candidate pairs against the hashed
+    * shingle sets (`sh` = sorted distinct `array<bigint>` from
+    * [[shingleHashes]]); emits jaccard scaled to integer millionths
+    * (portable floats). The verify join ships ~8 bytes per shingle
+    * instead of the string, and the per-pair check is the codegen'd
+    * linear-merge [[graft.functions.JaccardSorted]] on longs (the
+    * hash-set array_intersect/array_union pair was the verify
+    * bottleneck; a 64-bit collision inside one doc's ~10² shingles is
+    * ~1e-15 — negligible, so hashed-set Jaccard equals string-set
+    * Jaccard, which is what the DuckDB oracle computes).
     */
   def verifyJaccard(candidates: DataFrame, docsWithShingles: DataFrame, key: String,
                     threshold: Double): DataFrame = {
     docsWithShingles.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction("jaccard_sorted",
         exprs => graft.functions.JaccardSorted(exprs(0), exprs(1)), "built-in")
-    val hashed = array_sort(transform(col("sh"), s => xxhash64(s)))
-    val sa = docsWithShingles.select(col(key).as("key_a"), hashed.as("sh_a"))
-    val sb = docsWithShingles.select(col(key).as("key_b"), hashed.as("sh_b"))
+    val sa = docsWithShingles.select(col(key).as("key_a"), col("sh").as("sh_a"))
+    val sb = docsWithShingles.select(col(key).as("key_b"), col("sh").as("sh_b"))
     candidates.join(sa, "key_a").join(sb, "key_b")
       .withColumn("jac", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jac") >= threshold)
@@ -135,9 +157,9 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, key: String, text: String,
                       numHashes: Int = 32, rowsPerBand: Int = 2,
                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = Par.fanOut(registerShingleFn(docs).select(col(key), col(text)))
+    val withSh = Par.fanOut(registerShingleHashFn(docs).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
-      .withColumn("sh", shingles("toks", shingleSize))
+      .withColumn("sh", shingleHashes("toks", shingleSize))
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -157,15 +179,17 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, key: String, text: String,
                         shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val withSh = Par.fanOut(registerShingleFn(docs).select(col(key), col(text)))
+    val withSh = Par.fanOut(registerShingleHashFn(docs).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
-      .withColumn("sh", shingles("toks", shingleSize))
+      .withColumn("sh", shingleHashes("toks", shingleSize))
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"), size(col("sh")).as("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = withSh.select(col(key), col("sz"), explode(col("sh")).as("shingle"))
-    // Global rarest-first order; ties broken by shingle text so the
-    // prefix choice is deterministic.
+    // Global rarest-first order; ties broken by shingle hash so the
+    // prefix choice is deterministic (PPJoin exactness holds for any
+    // total order). The inverted index and candidate join key on the
+    // 8-byte hash, not the shingle string.
     val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(key)).orderBy(col("df").asc, col("shingle").asc)
@@ -194,9 +218,9 @@ object Dedup {
                           text: String, numHashes: Int = 32, rowsPerBand: Int = 2,
                           shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
     def prep(df: DataFrame) = Par.fanOut(
-        registerShingleFn(df).select(col(key), col(text)))
+        registerShingleHashFn(df).select(col(key), col(text)))
       .withColumn("toks", split(col(text), " "))
-      .withColumn("sh", shingles("toks", shingleSize))
+      .withColumn("sh", shingleHashes("toks", shingleSize))
       .filter(size(col("sh")) > 0)
       .select(col(key), col("sh"))
     val corpusSh = prep(corpus)

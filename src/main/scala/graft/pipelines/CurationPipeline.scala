@@ -45,7 +45,7 @@ object CurationPipeline {
       case Pairwise =>
         nearPairs.select(col("doc_b").as(key)).distinct()
       case Cluster =>
-        Dedup.connectedComponents(nearPairs, "doc_a", "doc_b")
+        Dedup.connectedComponentsStar(nearPairs, "doc_a", "doc_b")
           .filter(col("node") =!= col("component"))
           .select(col("node").as(key))
     }

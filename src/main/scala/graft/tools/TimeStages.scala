@@ -19,9 +19,9 @@ object TimeStages {
       println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
     val docs = graft.model.Tables.documents(spark, d)
-    val withSh = Dedup.registerShingleFn(docs)
+    val withSh = Dedup.registerShingleHashFn(docs)
       .withColumn("toks", split(col("text"), " "))
-      .withColumn("sh", Dedup.shingles("toks", 3))
+      .withColumn("sh", Dedup.shingleHashes("toks", 3))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), col("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -94,20 +94,37 @@ class ExtOpsSpec extends AnyFunSuite {
       == Seq("x y", "y x"))
   }
 
-  test("MinHashSignature equals per-seed min of seeded xxhash64") {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
-    import org.apache.spark.unsafe.types.UTF8String
-    val shingles = Seq("a b c", "b c d", "c d e")
-    val arr = new GenericArrayData(shingles.map(UTF8String.fromString).toArray[Any])
-    val got = graft.functions.MinHashSignature.compute(arr, 4)
-    (0 until 4).foreach { j =>
-      val expected = shingles.map { s =>
-        val u = UTF8String.fromString(s)
-        org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), j)
-      }.min
-      assert(got.getLong(j) == expected, s"seed $j")
+  test("ShingleHashes equals sorted distinct xxhash64 of the string shingles") {
+    // the fused pass must agree with the composable reference formulation
+    // (xxhash64 seed 42 — Spark's SQL function), including the distinct
+    // on repeated n-grams and the empty case
+    val df = Seq("a b c d", "x y x y x y", "a b").toDF("text")
+      .selectExpr("split(text, ' ') AS toks")
+    graft.functions.Udfs.registerAll(spark)
+    val rows = df.selectExpr(
+      "shingle_hashes(toks, 3) AS fused",
+      "array_sort(array_distinct(transform(graft_shingles(toks, 3), s -> xxhash64(s)))) AS composed"
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString)
     }
+  }
+
+  test("MinHashSignature equals per-j min of the Carter-Wegman family over shingle hashes") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val hashes = Seq(-7743856125933513497L, 1234567890123456789L, 42L)
+    val arr = new GenericArrayData(hashes.toArray[Any])
+    val got = graft.functions.MinHashSignature.compute(arr, 4)
+    val (as, bs) = graft.functions.MinHashSignature.coeffs(4)
+    (0 until 4).foreach { j =>
+      val expected = hashes.map(h => as(j) * h + bs(j)).min
+      assert(got.getLong(j) == expected, s"hash $j")
+    }
+    // identical shingle sets must produce identical signatures (LSH relies
+    // on equality), and the j-columns must differ (distinct permutations)
+    val again = graft.functions.MinHashSignature.compute(arr, 4)
+    assert((0 until 4).forall(j => again.getLong(j) == got.getLong(j)))
+    assert((0 until 4).map(got.getLong).toSet.size == 4)
   }
 
   test("multimodal decodeFeatures derives deterministic features per item") {

@@ -100,13 +100,13 @@ class PlanSpec extends AnyFunSuite {
       val s = Graft.session(master = "local[2]", shufflePartitions = 2)
       assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
       assert(s.sql("SELECT lap_time_millis(1500L)").collect().head.getString(0) == "00:01.500")
-      // all seven custom expressions resolve through the extension path
+      // all eight custom expressions resolve through the extension path
       val probe = s.sql(
         """SELECT dot_arr(array(1.0d, 2.0d), array(3.0d, 4.0d)),
           |  jaccard_sorted(array('a','b'), array('b','c')),
           |  size(graft_shingles(array('a','b','c'), 2)),
           |  rolling_hash_min('abcdefghijklmnopqr', 16),
-          |  size(minhash_signature(array('a b c'), 8)),
+          |  size(minhash_signature(shingle_hashes(array('a','b','c'), 2), 8)),
           |  simhash_signature(array('a','b'))""".stripMargin).collect().head
       assert(probe.getDouble(0) == 11.0 && probe.getInt(2) == 2)
     } finally {
