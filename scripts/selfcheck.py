@@ -111,6 +111,15 @@ def main():
             for r in [r for r in d_vals if r not in seen_s][:3]:
                 print(f"  duck-only:  {r}")
         n_fail += 1
+    # An oracled key with no result directory means the Spark run crashed on
+    # it (or the registry/oracle keys diverged) — that is a FAIL, not a skip.
+    have = set(result_keys)
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        if name not in have:
+            print(f"FAIL {name}: oracled key has no result directory under {out_dir}")
+            n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail")
     sys.exit(1 if n_fail else 0)
 

@@ -51,8 +51,24 @@ object ShingleHashes {
     */
   private val SparkXxhashSeed = 42L
 
+  /** Null elements are skipped — the shingling runs over the non-null
+    * tokens exactly as if `filter(toks, t -> t IS NOT NULL)` had been
+    * applied first (the type check accepts `containsNull = true`, so a
+    * user-supplied `transform(...)` result must not NPE the kernel).
+    */
   def compute(toks: ArrayData, n: Int): ArrayData = {
-    val len = toks.numElements()
+    val raw = toks.numElements()
+    var nulls = 0
+    var p = 0
+    while (p < raw) { if (toks.isNullAt(p)) nulls += 1; p += 1 }
+    val tokArr = new Array[org.apache.spark.unsafe.types.UTF8String](raw - nulls)
+    var q = 0
+    p = 0
+    while (p < raw) {
+      if (!toks.isNullAt(p)) { tokArr(q) = toks.getUTF8String(p); q += 1 }
+      p += 1
+    }
+    val len = tokArr.length
     if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val m = len - n + 1
     val hashes = new Array[Long](m)
@@ -61,13 +77,15 @@ object ShingleHashes {
     while (i < m) {
       var need = n - 1 // separator spaces
       var j = 0
-      while (j < n) { need += toks.getUTF8String(i + j).numBytes(); j += 1 }
-      if (buf.length < need) buf = new Array[Byte](java.lang.Integer.highestOneBit(need) << 1)
+      while (j < n) { need += tokArr(i + j).numBytes(); j += 1 }
+      // highestOneBit<<1 overflows negative for need >= 2^30; max() clamps.
+      if (buf.length < need)
+        buf = new Array[Byte](math.max(need, java.lang.Integer.highestOneBit(need) << 1))
       var off = 0
       j = 0
       while (j < n) {
         if (j > 0) { buf(off) = ' '; off += 1 }
-        val s = toks.getUTF8String(i + j)
+        val s = tokArr(i + j)
         s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
         off += s.numBytes()
         j += 1

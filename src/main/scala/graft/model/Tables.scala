@@ -28,12 +28,19 @@ object Tables {
     * schema-inference job (~100-200 ms each), so re-deriving the same
     * immutable logical plan on every query call dominates short queries —
     * registering the 10-table SQL catalog cost more than TPC-H Q3 itself.
-    * The cached value is an unexecuted plan; each use still scans fresh.
+    * The cached value is an unexecuted plan; each use still scans fresh
+    * row-group bytes, but the FILE LISTING is captured at first access:
+    * callers must treat a testdata dir as immutable for the session's
+    * lifetime (the harness dirs are read-only; anything mutable goes
+    * through [[graft.ops.Sinks]] paths, never this cache). Entries for
+    * stopped sessions are evicted on the next access so the map cannot
+    * retain dead sessions/plans across a long-lived multi-session JVM.
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, dir, name), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
@@ -45,6 +52,7 @@ object Tables {
         else df
       }
     })
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

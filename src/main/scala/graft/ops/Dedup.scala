@@ -360,6 +360,12 @@ object Dedup {
       cur = next
       i += 1
     }
+    // Unconverged labels are silently WRONG (nodes still point at
+    // non-minimum hubs) and would poison every downstream keep/drop
+    // decision — fail loudly rather than return them.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge within maxIter=$maxIter rounds; " +
+        "raise maxIter (rounds needed is O(log n) in component size)")
     // converged state is a star forest: every edge points node → hub (the
     // component minimum); hubs label themselves
     val nodes = sym(cur).select(col("a").as("node"), col("b"))
@@ -389,6 +395,13 @@ object Dedup {
       i += 1
     }
     both.unpersist()
+    // min-label propagation needs O(component diameter) rounds; a
+    // diameter > maxIter graph would get silently wrong labels here —
+    // fail loudly and point at the O(log n) alternative.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter rounds " +
+        "(component diameter exceeds the cap); raise maxIter or use " +
+        "connectedComponentsStar, which converges in O(log n) rounds")
     labels
   }
 }

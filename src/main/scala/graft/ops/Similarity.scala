@@ -133,13 +133,31 @@ object Similarity {
     * never re-cluster — the right trade for append-heavy 100 TB corpora.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
-              k: Int, bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
+              k: Int, bands: Int = 16, bitsPerBand: Int = 4,
+              dims: Int = -1): DataFrame = {
     ensureRegistered(corpus)
-    val dims = corpus.select(size(col(vec))).head().getInt(0)
+    // The hyperplanes need the vector dimensionality; pass `dims` to skip
+    // the one-row probe job (arrays carry no length in the schema). An
+    // empty corpus has no dimensionality and no neighbors — return an
+    // empty frame with the output schema instead of NoSuchElementException.
+    val dimsResolved =
+      if (dims > 0) dims
+      else corpus.select(size(col(vec))).limit(1).collect().headOption match {
+        case Some(r) => r.getInt(0)
+        case None =>
+          val kt = corpus.schema(key).dataType
+          val outSchema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id", kt),
+            org.apache.spark.sql.types.StructField("n_id", kt),
+            org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("cos_e6", org.apache.spark.sql.types.LongType)))
+          return corpus.sparkSession.createDataFrame(
+            corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+      }
     // one codegen'd column per band: Σ (dot(v,h)>0) << bit
     def bucketCols(vecCol: String): Seq[Column] = (0 until bands).map { b =>
       (0 until bitsPerBand).map { i =>
-        val h = hyperplane(b * bitsPerBand + i, dims)
+        val h = hyperplane(b * bitsPerBand + i, dimsResolved)
           .mkString("cast(array(", ",", ") as array<double>)")
         (expr(s"dot_arr($vecCol, $h)") > 0).cast("long") * (1L << i)
       }.reduce(_ + _).as(s"bucket_$b")

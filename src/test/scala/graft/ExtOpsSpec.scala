@@ -110,6 +110,17 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ShingleHashes skips null tokens (as if filtered) instead of NPE") {
+    graft.functions.Udfs.registerAll(spark)
+    val rows = Seq(Seq("a", null, "b", "c"), Seq(null, null), Seq("a", "b", null))
+      .toDF("toks")
+      .selectExpr(
+        "shingle_hashes(toks, 2) AS withNulls",
+        "shingle_hashes(filter(toks, t -> t IS NOT NULL), 2) AS filtered")
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("MinHashSignature equals per-j min of the Carter-Wegman family over shingle hashes") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val hashes = Seq(-7743856125933513497L, 1234567890123456789L, 42L)

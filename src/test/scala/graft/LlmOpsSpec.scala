@@ -92,6 +92,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${approx.size})")
   }
 
+  test("lshTopK on an empty corpus returns an empty frame with the output schema") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val got = graft.ops.Similarity.lshTopK(
+      emb.filter($"vec_id" < 0), emb.filter($"vec_id" < 10), "vec_id", "embedding", k = 5)
+    assert(got.columns.toSeq == Seq("q_id", "n_id", "rnk", "cos_e6"))
+    assert(got.count() == 0)
+  }
+
+  test("connectedComponents fails loudly instead of returning unconverged labels") {
+    // chain of diameter 5 with maxIter=2 cannot converge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalStateException] {
+      graft.ops.Dedup.connectedComponents(edges, "doc_a", "doc_b", maxIter = 2).collect()
+    }
+    assert(e.getMessage.contains("maxIter=2"))
+  }
+
   test("langId predicts deterministically with tie-break on language order") {
     val df = Seq((1L, "the a order table", "en"), (2L, "xyz", "de"))
       .toDF("doc_id", "text", "lang")
