@@ -61,14 +61,23 @@ object ShingleHashes {
     var nulls = 0
     var p = 0
     while (p < raw) { if (toks.isNullAt(p)) nulls += 1; p += 1 }
-    val tokArr = new Array[org.apache.spark.unsafe.types.UTF8String](raw - nulls)
-    var q = 0
-    p = 0
-    while (p < raw) {
-      if (!toks.isNullAt(p)) { tokArr(q) = toks.getUTF8String(p); q += 1 }
-      p += 1
-    }
-    val len = tokArr.length
+    // Null-free arrays (the overwhelming case) index the ArrayData
+    // directly — no UTF8String[] materialization, zero per-row garbage.
+    val tokArr =
+      if (nulls == 0) null
+      else {
+        val a = new Array[org.apache.spark.unsafe.types.UTF8String](raw - nulls)
+        var q = 0
+        p = 0
+        while (p < raw) {
+          if (!toks.isNullAt(p)) { a(q) = toks.getUTF8String(p); q += 1 }
+          p += 1
+        }
+        a
+      }
+    @inline def tok(i: Int): org.apache.spark.unsafe.types.UTF8String =
+      if (tokArr == null) toks.getUTF8String(i) else tokArr(i)
+    val len = raw - nulls
     if (len < n) return UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
     val m = len - n + 1
     val hashes = new Array[Long](m)
@@ -77,7 +86,7 @@ object ShingleHashes {
     while (i < m) {
       var need = n - 1 // separator spaces
       var j = 0
-      while (j < n) { need += tokArr(i + j).numBytes(); j += 1 }
+      while (j < n) { need += tok(i + j).numBytes(); j += 1 }
       // highestOneBit<<1 overflows negative for need >= 2^30; max() clamps.
       if (buf.length < need)
         buf = new Array[Byte](math.max(need, java.lang.Integer.highestOneBit(need) << 1))
@@ -85,7 +94,7 @@ object ShingleHashes {
       j = 0
       while (j < n) {
         if (j > 0) { buf(off) = ' '; off += 1 }
-        val s = tokArr(i + j)
+        val s = tok(i + j)
         s.writeToMemory(buf, Platform.BYTE_ARRAY_OFFSET + off)
         off += s.numBytes()
         j += 1

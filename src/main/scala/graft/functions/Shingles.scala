@@ -39,15 +39,38 @@ case class Shingles(child: Expression, n: Int)
 object Shingles {
   private val Space = UTF8String.fromString(" ")
 
+  /** Null elements are skipped before windowing — identical semantics to
+    * [[ShingleHashes.compute]], so `shingle_hashes(toks, n)` equals
+    * `transform(shingles(toks, n), s -> xxhash64(s))` (up to sort/distinct)
+    * even for null-containing arrays.
+    */
   def compute(toks: ArrayData, n: Int): ArrayData = {
-    val len = toks.numElements()
+    val raw = toks.numElements()
+    var nulls = 0
+    var p = 0
+    while (p < raw) { if (toks.isNullAt(p)) nulls += 1; p += 1 }
+    val len = raw - nulls
     if (len < n) return new GenericArrayData(Array.empty[Any])
+    val tokArr =
+      if (nulls == 0) null
+      else {
+        val a = new Array[UTF8String](len)
+        var q = 0
+        p = 0
+        while (p < raw) {
+          if (!toks.isNullAt(p)) { a(q) = toks.getUTF8String(p); q += 1 }
+          p += 1
+        }
+        a
+      }
+    @inline def tok(i: Int): UTF8String =
+      if (tokArr == null) toks.getUTF8String(i) else tokArr(i)
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     while (i <= len - n) {
       val parts = new Array[UTF8String](n)
       var j = 0
-      while (j < n) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      while (j < n) { parts(j) = tok(i + j); j += 1 }
       seen.add(UTF8String.concatWs(Space, parts: _*))
       i += 1
     }

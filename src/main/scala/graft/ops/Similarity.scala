@@ -137,18 +137,20 @@ object Similarity {
               dims: Int = -1): DataFrame = {
     ensureRegistered(corpus)
     // The hyperplanes need the vector dimensionality; pass `dims` to skip
-    // the one-row probe job (arrays carry no length in the schema). An
-    // empty corpus has no dimensionality and no neighbors — return an
-    // empty frame with the output schema instead of NoSuchElementException.
+    // the one-row probe job (arrays carry no length in the schema). A
+    // corpus with no non-null vector has no dimensionality and no
+    // neighbors — return an empty frame with the output schema (q_id
+    // typed from the QUERIES frame, n_id from the corpus: the two key
+    // columns may have different types).
     val dimsResolved =
       if (dims > 0) dims
-      else corpus.select(size(col(vec))).limit(1).collect().headOption match {
+      else corpus.where(col(vec).isNotNull)
+        .select(size(col(vec))).limit(1).collect().headOption match {
         case Some(r) => r.getInt(0)
         case None =>
-          val kt = corpus.schema(key).dataType
           val outSchema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("q_id", kt),
-            org.apache.spark.sql.types.StructField("n_id", kt),
+            org.apache.spark.sql.types.StructField("q_id", queries.schema(key).dataType),
+            org.apache.spark.sql.types.StructField("n_id", corpus.schema(key).dataType),
             org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.IntegerType, nullable = false),
             org.apache.spark.sql.types.StructField("cos_e6", org.apache.spark.sql.types.LongType)))
           return corpus.sparkSession.createDataFrame(

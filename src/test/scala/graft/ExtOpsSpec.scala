@@ -121,6 +121,26 @@ class ExtOpsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
   }
 
+  test("Shingles and ShingleHashes agree on null-skip semantics") {
+    // both kernels must behave as if `filter(toks, t -> t IS NOT NULL)`
+    // ran first, so the documented equivalence
+    // shingle_hashes(toks,n) == sort(distinct(transform(shingles(toks,n), xxhash64)))
+    // holds for null-containing arrays too
+    graft.functions.Udfs.registerAll(spark)
+    val rows = Seq(Seq("a", null, "b", "c"), Seq("x", "y", null, "x", "y"), Seq[String](null, null))
+      .toDF("toks")
+      .selectExpr(
+        "graft_shingles(toks, 2) AS withNulls",
+        "graft_shingles(filter(toks, t -> t IS NOT NULL), 2) AS filtered",
+        "shingle_hashes(toks, 2) AS fused",
+        "array_sort(array_distinct(transform(graft_shingles(toks, 2), s -> xxhash64(s)))) AS composed")
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString)
+      assert(r.getSeq[Long](2) == r.getSeq[Long](3), r.toString)
+    }
+  }
+
   test("MinHashSignature equals per-j min of the Carter-Wegman family over shingle hashes") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     val hashes = Seq(-7743856125933513497L, 1234567890123456789L, 42L)

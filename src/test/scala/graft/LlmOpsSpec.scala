@@ -100,6 +100,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got.count() == 0)
   }
 
+  test("lshTopK empty path: all-null vectors and mixed key types") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    // a corpus whose rows exist but whose vectors are all null has no
+    // dimensionality — must hit the empty branch, not NPE on the probe
+    val nullVec = emb.limit(3).withColumn(
+      "embedding", lit(null).cast("array<float>"))
+    // queries key is STRING while corpus key is BIGINT: the empty-path
+    // schema must type q_id from the queries frame, n_id from the corpus
+    val qStr = emb.filter($"vec_id" < 5).withColumn("vec_id", col("vec_id").cast("string"))
+    val got = graft.ops.Similarity.lshTopK(nullVec, qStr, "vec_id", "embedding", k = 3)
+    assert(got.count() == 0)
+    assert(got.schema("q_id").dataType == org.apache.spark.sql.types.StringType)
+    assert(got.schema("n_id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("connectedComponents fails loudly instead of returning unconverged labels") {
     // chain of diameter 5 with maxIter=2 cannot converge
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
