@@ -243,6 +243,35 @@ object Dedup {
       .withColumnRenamed("key_a", "corpus_doc").withColumnRenamed("key_b", "new_doc")
   }
 
+  /** Benchmark decontamination report: for every training document, its
+    * overlap with an evaluation corpus measured in shared distinct
+    * n-gram shingles — the n-gram contamination check run before every
+    * training launch (the GPT-3 appendix-C / PaLM style: a training doc
+    * sharing enough n-grams with a benchmark is dropped or flagged).
+    * Only contaminated docs (≥1 shared shingle) are returned, with the
+    * number of distinct eval docs hit and distinct shared shingles.
+    *
+    * Scale shape: the overlap is an inverted-index equi join keyed on
+    * the 8-byte shingle hash ([[shingleHashes]]), never a doc×doc
+    * product. Eval corpora are benchmark-sized (≪ training corpus), so
+    * the exploded eval shingle table is broadcast and the 100 TB train
+    * side streams map-side; the only shuffle is the per-doc aggregate.
+    */
+  def contaminationReport(train: DataFrame, evalSet: DataFrame, key: String,
+                          text: String, shingleSize: Int = 3): DataFrame = {
+    def shingleTable(df: DataFrame, keyAs: String) =
+      registerShingleHashFn(df).select(col(key), col(text))
+        .withColumn("toks", split(col(text), " "))
+        .select(col(key).as(keyAs),
+          explode(shingleHashes("toks", shingleSize)).as("sh"))
+    val ev = shingleTable(evalSet, "eval_id")
+    shingleTable(Par.fanOut(train), key)
+      .join(broadcast(ev), "sh")
+      .groupBy(col(key))
+      .agg(countDistinct(col("eval_id")).as("n_eval_docs"),
+        countDistinct(col("sh")).as("n_shared_shingles"))
+  }
+
   /** Number of 16-bit chunks in a simhash signature. */
   val SimhashChunks = 4
 

@@ -138,6 +138,69 @@ object TextStats {
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
 
+  /** Gopher-style repetition metrics per document: the duplicate-token
+    * fraction (1 − distinct/total) and the frequency share of the most
+    * repeated bigram, plus the keep/drop decision a repetition filter
+    * makes (Rae et al., "Scaling Language Models" §A1.2 thresholds the
+    * same two families). Ratios are exported as integer millionths and
+    * the keep flag compares those integers, so the decision is
+    * bit-deterministic across engines.
+    *
+    * Scale shape: the bigram histogram is explode → two partial-agg
+    * shuffles (doc,gram → doc), the canonical distributed counting plan —
+    * per-doc state never materializes a map on the driver or in a single
+    * task. Docs with fewer than two tokens have no bigram and are
+    * excluded.
+    */
+  def repetitionMetrics(docs: DataFrame, key: String, text: String,
+                        maxDupTokenFracE6: Long = 300000L,
+                        maxTopBigramFracE6: Long = 180000L): DataFrame = {
+    val base = docs.withColumn("toks", tokens(col(text)))
+      .filter(size(col("toks")) >= 2)
+      .select(col(key), col("toks"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_uniq"))
+    val gramTop = base
+      .select(col(key), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i+1]))"))
+        .as("gram"))
+      .groupBy(col(key), col("gram")).agg(count(lit(1)).as("c"))
+      .groupBy(col(key))
+      .agg(max(col("c")).as("max_bigram"), sum(col("c")).as("n_bigrams"))
+    base.select(col(key), col("n_tok"), col("n_uniq"))
+      .join(gramTop, key)
+      .withColumn("dup_token_frac_e6",
+        floor((lit(1.0) - col("n_uniq").cast("double") / col("n_tok")) * 1e6)
+          .cast("long"))
+      .withColumn("top_bigram_frac_e6",
+        floor(col("max_bigram").cast("double") / col("n_bigrams") * 1e6)
+          .cast("long"))
+      .select(col(key), col("dup_token_frac_e6"), col("top_bigram_frac_e6"),
+        (col("dup_token_frac_e6") <= maxDupTokenFracE6 &&
+          col("top_bigram_frac_e6") <= maxTopBigramFracE6).as("keep"))
+  }
+
+  /** Deterministic stratified sampling — exactly `perStratum` docs per
+    * stratum (fewer when a stratum is smaller), chosen by md5 order of
+    * the key with the key itself as tie-break: the domain-mixing step
+    * that rebalances a corpus's language/source distribution before
+    * training. Reproducible across engines, runs, and partitionings like
+    * [[sampleSplit]], unlike anything seeded by `rand()`.
+    *
+    * Scale shape: one shuffle on the stratum; the rank ≤ quota predicate
+    * is pushed into the sort as a per-partition group limit (Spark's
+    * WindowGroupLimit), so each task keeps `perStratum` rows per stratum
+    * and the full sort never materializes.
+    */
+  def stratifiedSample(docs: DataFrame, key: String, stratum: String,
+                       perStratum: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
+      .orderBy(md5(col(key).cast("string")).asc, col(key).asc)
+    docs.select(col(stratum), col(key))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perStratum)
+  }
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

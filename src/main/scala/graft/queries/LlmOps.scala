@@ -242,7 +242,35 @@ object LlmOps {
           .as("chunk_text"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
+  /** Benchmark decontamination: the held-out eval set is the deterministic
+    * `doc_id % 10 = 7` tenth of the corpus (standing in for a benchmark
+    * suite); every other doc is training data. A train doc is
+    * contaminated if it shares ≥1 distinct 3-shingle with any eval doc.
+    */
+  private val qDecontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.contaminationReport(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.filter(pmod(col("doc_id"), lit(10)) === 7),
+        "doc_id", "text", shingleSize = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qRepetitionFilter: Q = (s, d) =>
+    TextStats.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Domain mixing: rebalance the corpus to ≤40 docs per language,
+    * selected in deterministic md5-of-key order.
+    */
+  private val qDomainMix: Q = (s, d) =>
+    TextStats.stratifiedSample(Tables.documents(s, d), "doc_id", "lang", 40)
+      .orderBy(col("lang"), col("rn"))
+
   val registry: Map[String, Q] = Map(
+    "q_decontaminate" -> qDecontaminate,
+    "q_repetition_filter" -> qRepetitionFilter,
+    "q_domain_mix" -> qDomainMix,
     "q_dedup_incremental" -> qDedupIncremental,
     "q_approx_percentile" -> qApproxPercentile,
     "q_sample_split" -> qSampleSplit,
@@ -389,6 +417,37 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_decontaminate" ->
+      s"""$shingleCte,
+         |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 10 <> 7)
+         |SELECT tr.doc_id, count(DISTINCT ev.eval_id) AS n_eval_docs,
+         |       count(DISTINCT tr.g) AS n_shared_shingles
+         |FROM tr JOIN ev ON tr.g = ev.g
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q_repetition_filter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uniq
+        |      FROM t WHERE len(toks) >= 2),
+        |g AS (SELECT doc_id,
+        |        unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))]) AS gram
+        |      FROM t WHERE len(toks) >= 2),
+        |gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |gt AS (SELECT doc_id, max(c) AS max_bigram, sum(c) AS n_bigrams FROM gc GROUP BY 1),
+        |m AS (SELECT b.doc_id,
+        |        CAST(floor((1.0 - n_uniq * 1.0 / n_tok) * 1000000) AS BIGINT) AS dup_token_frac_e6,
+        |        CAST(floor(max_bigram * 1.0 / n_bigrams * 1000000) AS BIGINT) AS top_bigram_frac_e6
+        |      FROM b JOIN gt ON b.doc_id = gt.doc_id)
+        |SELECT doc_id, dup_token_frac_e6, top_bigram_frac_e6,
+        |       (dup_token_frac_e6 <= 300000 AND top_bigram_frac_e6 <= 180000) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_domain_mix" ->
+      """WITH r AS (SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id, rn FROM r WHERE rn <= 40
+        |ORDER BY lang, rn""".stripMargin,
     "q_dedup_incremental" ->
       s"""$shingleCte,
          |p AS (SELECT a.doc_id AS corpus_doc, b.doc_id AS new_doc,

@@ -34,10 +34,20 @@ object TimeStages {
     time("verify")(out.count())
     time("full pipeline")(
       Dedup.minhashLshPairs(docs, "doc_id", "text").count())
+    time("full pipeline k=64")(
+      Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 64).count())
     time("simhash pipeline")(
       Dedup.simhashPairs(docs, "doc_id", "text").count())
     time("ngram pipeline")(
       Dedup.ngramJaccardPairs(docs, "doc_id", "text").count())
+    // recall audit: the ngram pipeline is EXACT at the same threshold, so
+    // its pair set is ground truth for the LSH parameterizations
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .select("doc_a", "doc_b", "jaccard_e6")
+    val lsh32 = Dedup.minhashLshPairs(docs, "doc_id", "text", numHashes = 32)
+      .select("doc_a", "doc_b", "jaccard_e6")
+    println(s"  exact pairs=${exact.count()}  minJ_e6=${exact.agg(min(col("jaccard_e6"))).first().getLong(0)}")
+    println(s"  lsh32 missing vs exact=${exact.exceptAll(lsh32).count()}")
     spark.stop()
   }
 }

@@ -175,4 +175,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(labels.length == 300)
     assert(labels.forall(_._2 == 0L), "single chain collapses to min id 0")
   }
+
+  test("contaminationReport flags only train docs sharing shingles with eval") {
+    // eval = doc 0; train doc 3 is an exact dup (all shingles shared),
+    // doc 1 shares 6 of its 7 shingles, doc 2 shares none, doc 4 has no
+    // 3-shingle at all.
+    val evalSet = docs.filter($"doc_id" === 0L)
+    val train = docs.filter($"doc_id" =!= 0L)
+    val got = Dedup.contaminationReport(train, evalSet, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 6L), (3L, 1L, 7L)))
+  }
+
+  test("repetitionMetrics measures dup-token and top-bigram fractions") {
+    val d = Seq(
+      (1L, "a b c d"),          // all distinct, every bigram unique
+      (2L, "x x x x"),          // 3/4 dup tokens, sole bigram "x x" = 100%
+      (3L, "solo")              // <2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val got = TextStats.repetitionMetrics(d, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 333333L, false),       // top bigram 1/3 > 0.18 threshold
+      (2L, 750000L, 1000000L, false)))
+  }
+
+  test("stratifiedSample takes exactly perStratum per group, deterministically") {
+    val d = (0L until 20L).map(i => (i, if (i < 15) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val got = TextStats.stratifiedSample(d, "doc_id", "lang", 4)
+    val counts = got.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("en" -> 4L, "de" -> 4L))
+    // deterministic: same rows on a second evaluation
+    val a = got.orderBy($"lang", $"rn").collect().toSeq
+    val b = TextStats.stratifiedSample(d, "doc_id", "lang", 4)
+      .orderBy($"lang", $"rn").collect().toSeq
+    assert(a == b)
+  }
 }
