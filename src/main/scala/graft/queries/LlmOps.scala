@@ -24,14 +24,15 @@ object LlmOps {
     Dedup.exactDedup(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  /** 32 bands × 2 rows: candidate-recall at the J=0.5 threshold is
-    * 1-(1-0.25)^32 ≈ 0.9999 (and ≈1-1e-18 at the corpus's real near-dup
-    * level J≥0.85), so the exact-Jaccard verify stage sees every oracle
-    * pair even on regenerated testdata with borderline pairs.
+  /** 32 hashes × 2 rows/band = 16 bands: candidate-recall at the J=0.5
+    * threshold is 1-(1-0.25)^16 ≈ 0.99 and ≈1 at the J ≥ 0.8 the corpus
+    * actually contains; TimeStages' recall audit shows 0 pairs missed vs
+    * the exact PPJoin ground truth. 64 hashes doubled the banded explode
+    * + candidate shuffle for no recall gain.
     */
   private val qDedupMinhash: Q = (s, d) =>
     Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-        numHashes = 64, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+        numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** Near-dup pairs → duplicate clusters: every document mapped to the
