@@ -87,6 +87,26 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_domain_mix pushes the per-stratum quota below the shuffle") {
+    // stratifiedSample's rank<=quota must become partial+final
+    // WindowGroupLimit so each task ships `perStratum` rows per stratum,
+    // not the whole corpus, into the sort exchange.
+    val p = planOf("q_domain_mix")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_decontaminate broadcasts the eval shingles, never a doc×doc product") {
+    val p = planOf("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_repetition_filter keeps partial aggregation on the bigram histogram") {
+    val p = planOf("q_repetition_filter")
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
   test("q_dedup_exact shuffles digests, not documents") {
     val p = planOf("q_dedup_exact")
     assert(p.contains("sha2"), p.take(2000))
