@@ -104,6 +104,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stratifiedSample takes min(perStratum, |stratum|) and stays a subset") {
+    val rows = Gen.listOf(Gen.zip(Gen.choose(0L, 200L), Gen.oneOf("a", "b", "c", "d")))
+    samples(rows, 6).filter(_.nonEmpty).foreach { data =>
+      val df = data.distinct.toDF("doc_id", "lang")
+      val strata = data.distinct.groupBy(_._2).view.mapValues(_.size).toMap
+      val got = graft.ops.TextStats.stratifiedSample(df, "doc_id", "lang", 3)
+        .as[(String, Long, Int)].collect().toSeq
+      val byStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+      strata.foreach { case (s, n) =>
+        assert(byStratum.getOrElse(s, 0) == math.min(3, n), s"stratum $s of $data")
+      }
+      val inputPairs = data.distinct.map(p => (p._2, p._1)).toSet
+      assert(got.forall(r => inputPairs((r._1, r._2))), "sample must be a subset")
+    }
+  }
+
+  test("repetitionMetrics fractions stay in [0, 1e6]; distinct docs score 0 dup") {
+    val toks = Gen.choose(2, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("w1", "w2", "w3", "w4")))
+    val docs = samples(toks, 20).zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }.toDF("doc_id", "text")
+    val got = graft.ops.TextStats.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(got.forall(r => r._2 >= 0 && r._2 <= 1000000L))
+    assert(got.forall(r => r._3 > 0 && r._3 <= 1000000L))
+    val distinctDoc = Seq((99L, "u1 u2 u3 u4")).toDF("doc_id", "text")
+    val d = graft.ops.TextStats.repetitionMetrics(distinctDoc, "doc_id", "text")
+      .as[(Long, Long, Long, Boolean)].collect().head
+    assert(d._2 == 0L, "all-distinct tokens must have zero dup fraction")
+  }
+
+  test("contaminationReport: disjoint vocabularies yield an empty report") {
+    val train = Seq((1L, "aa bb cc dd"), (2L, "ee ff gg hh")).toDF("doc_id", "text")
+    val ev = Seq((10L, "xx yy zz ww")).toDF("doc_id", "text")
+    assert(Dedup.contaminationReport(train, ev, "doc_id", "text").count() == 0)
+  }
+
   test("K2 overwriteRefresh replaces table contents atomically") {
     val path = "target/tmp/refresh_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
