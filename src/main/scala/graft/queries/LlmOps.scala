@@ -43,7 +43,7 @@ object LlmOps {
   private val qDedupClusters: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      numHashes = 64, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+      numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
     val comp = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
       .withColumnRenamed("node", "doc_id")
     docs.select(col("doc_id"))
