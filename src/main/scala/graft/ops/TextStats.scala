@@ -107,14 +107,16 @@ object TextStats {
   }
 
   /** TF-IDF per (doc, token): tf · ln(N/df). One aggregate for term
-    * frequencies, one for document frequencies, a broadcast scalar for N —
-    * the standard two-shuffle formulation.
+    * frequencies; document frequencies come from the tf aggregate itself
+    * (tf has exactly one row per (doc, token), so counting its rows per
+    * token IS the document frequency) — the exploded token stream is
+    * scanned once, not twice, and the tok-keyed exchange of tf is shared
+    * between the df branch and the join (ReusedExchange).
     */
   def tfidf(docs: DataFrame, key: String, text: String): DataFrame = {
     val toks = docs.select(col(key), explode(tokens(col(text))).as("tok"))
     val tf = toks.groupBy(col(key), col("tok")).agg(count(lit(1)).as("tf"))
-    val df = toks.select(col(key), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.select(count(lit(1)).as("n_docs"))
     tf.join(df, "tok")
       .crossJoin(broadcast(n))
