@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.LlmOps.registry ++
       graft.queries.StreamShapes.registry ++
       graft.queries.ExtOps.registry ++
+      graft.queries.CurateOps.registry ++
       graft.queries.SqlSurface.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -45,5 +46,6 @@ object SparkEntry {
       graft.queries.LlmOps.oracle ++
       graft.queries.StreamShapes.oracle ++
       graft.queries.ExtOps.oracle ++
+      graft.queries.CurateOps.oracle ++
       graft.queries.SqlSurface.oracle
 }

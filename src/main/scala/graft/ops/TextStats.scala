@@ -203,6 +203,32 @@ object TextStats {
       .filter(col("rn") <= perStratum)
   }
 
+  /** Per-doc unigram Shannon entropy (nats) — the distributional quality
+    * signal (low entropy ⇒ repetitive/boilerplate text; pairs with
+    * [[repetitionMetrics]] in a curation filter chain).
+    *
+    * Uses H = ln(n) − (Σ c·ln c)/n. The Σ c·ln c fold runs MAP-SIDE over
+    * the doc's own token array in sorted-distinct-token order via
+    * `aggregate(...)` — a sequential left fold in a deterministic order,
+    * so the float sum is bit-identical to the oracle's `list_reduce` over
+    * the same sorted list (a groupBy-sum formulation would sum in
+    * partition order and could land on the wrong side of the e6 floor).
+    * No shuffle at all: at 100 TB this is a pure scan.
+    */
+  def tokenEntropy(docs: DataFrame, key: String, text: String): DataFrame =
+    docs.withColumn("toks", tokens(col(text)))
+      .withColumn("n", size(col("toks")))
+      .filter(col("n") > 0)
+      .withColumn("uniq", array_sort(array_distinct(col("toks"))))
+      .withColumn("clogc", expr(
+        """aggregate(
+          |  transform(uniq, u -> cast(size(filter(toks, x -> x = u)) as double)),
+          |  cast(0.0 as double),
+          |  (acc, c) -> acc + c * ln(c))""".stripMargin))
+      .select(col(key), col("n").as("n_tokens"),
+        floor((log(col("n").cast("double")) - col("clogc") / col("n")) * 1e6)
+          .cast("long").as("entropy_e6"))
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

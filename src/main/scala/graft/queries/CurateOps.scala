@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{BloomJoin, Privacy, Retrieval, Sessions, TextStats}
+
+/** Round-4 curation/retrieval surface: BM25 scoring, reciprocal-rank
+  * fusion, batch sessionization, token entropy, PII de-identification,
+  * Bloom-prefiltered semi join, exact-moment z-score outliers, and a CSV
+  * source round-trip.
+  *
+  * Determinism posture matches the rest of the registry: float exports as
+  * scaled integers, integer arithmetic wherever an aggregate crosses a
+  * partition boundary (exact under any order), and fixed-operation-order
+  * float formulas mirrored token-for-token by the oracles.
+  */
+object CurateOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Query-term set for the retrieval demos — mid-frequency corpus tokens. */
+  private val Terms = Seq("spark", "join", "window")
+
+  private val qBm25: Q = (s, d) =>
+    Retrieval.bm25(Tables.documents(s, d), "doc_id", "text", Terms)
+      .orderBy(col("doc_id"))
+
+  /** RRF over two independent rankings: lexical (tf of 'spark', then
+    * doc_id) and a length prior (n_chars desc). Global row_number is fine
+    * at demo scale; at 100 TB rank via the distributed sort + a
+    * per-partition offset (zipWithIndex shape) instead of one window.
+    */
+  private val qRrfFusion: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val a = docs
+      .withColumn("tf",
+        size(filter(split(col("text"), " "), x => x === lit("spark"))))
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("tf").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rnk"))
+    val b = docs
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("rnk"))
+    Retrieval.rrf(a, b, "doc_id")
+      .orderBy(col("rrf_e9").desc, col("doc_id").asc)
+      .limit(50)
+  }
+
+  /** Batch gaps-and-islands sessionization of the events stream (12 h
+    * inactivity gap) — the offline mirror of `q_stream_session`.
+    */
+  private val qSessionize: Q = (s, d) =>
+    Sessions.sessionSummary(Tables.events(s, d), "user_id", "ts",
+        "event_id", gapMinutes = 720)
+      .orderBy(col("user_id"), col("session_seq"))
+
+  private val qEntropy: Q = (s, d) =>
+    TextStats.tokenEntropy(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val qPiiMask: Q = (s, d) =>
+    Privacy.maskProfile(Tables.customer(s, d), "c_custkey", "c_name",
+        "c_acctbal")
+      .orderBy(col("c_custkey"))
+
+  /** Bloom-prefiltered semi join: lineitem rows of urgent orders. The
+    * sketch prunes the probe side map-side before its shuffle; the exact
+    * semi join removes Bloom false positives, so the result equals the
+    * plain semi join the oracle runs.
+    */
+  private val qJoinBloom: Q = (s, d) => {
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    BloomJoin.semiJoin(Tables.lineitem(s, d), urgent,
+        "l_orderkey", "o_orderkey", expectedItems = 1L << 20)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-group z-score outliers (|z| > 3) on price, computed from EXACT
+    * integer moments: prices become cents (exact in decimal/hugeint), so
+    * Σx and Σx² are bit-exact under any aggregation order and the final
+    * float formula is evaluated once, identically, on both engines — no
+    * Welford-vs-naive stddev drift, no summation-order boundary risk.
+    */
+  private val qZscoreOutliers: Q = (s, d) => {
+    val c = Tables.events(s, d).select(
+      col("event_id"), col("event_type"),
+      round(col("value") * 100.0).cast("decimal(38,0)").as("cents"))
+    val stats = c.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("cents")).as("s1"),
+      sum(col("cents") * col("cents")).as("s2"))
+    val mu = col("s1").cast("double") / col("n")
+    val z = (col("cents").cast("double") - mu) /
+      sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    c.join(broadcast(stats), "event_type")
+      .withColumn("z", z)
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"),
+        floor(col("z") * 1e3).cast("long").as("z_e3"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CSV source round-trip: region lands as header-ed CSV and is read
+    * back with an explicit schema (schema-on-read, no inference job).
+    */
+  private val qCsvSource: Q = (s, d) => {
+    val path = s"target/tmp/q_csv_source_${math.abs(d.hashCode)}"
+    Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      .coalesce(1)
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true")
+      .schema("r_regionkey INT, r_name STRING").csv(path)
+      .orderBy(col("r_regionkey"))
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_bm25" -> qBm25,
+    "q_rrf_fusion" -> qRrfFusion,
+    "q_sessionize" -> qSessionize,
+    "q_entropy" -> qEntropy,
+    "q_pii_mask" -> qPiiMask,
+    "q_join_bloom" -> qJoinBloom,
+    "q_zscore_outliers" -> qZscoreOutliers,
+    "q_csv_source" -> qCsvSource,
+  )
+
+  /** BM25 oracle generated from the same constants so the float formula
+    * is literally the same operation sequence.
+    */
+  private val bm25Sql: String = {
+    val k1 = 1.2; val b = 0.75
+    val tfDefs = Terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(toks, x -> x = '$t')) AS tf_$i"
+    }.mkString(", ")
+    val dfDefs = Terms.indices.map(i =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(", ")
+    val contribs = Terms.indices.map { i =>
+      s"""ln(1.0 + (n_docs - df_$i + 0.5) / (df_$i + 0.5)) *
+         |   (CAST(tf_$i AS DOUBLE) * ${k1 + 1.0}) /
+         |   (CAST(tf_$i AS DOUBLE) + $k1 * (${1.0 - b} + $b * dl / avgdl))""".stripMargin
+    }.mkString("(", "\n + ", ")")
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |b AS (SELECT doc_id, len(toks) AS dl, $tfDefs FROM t),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(dl) AS BIGINT) AS sum_dl, $dfDefs FROM b),
+       |sc AS (SELECT doc_id,
+       |         $contribs AS score
+       |       FROM b CROSS JOIN
+       |         (SELECT *, CAST(sum_dl AS DOUBLE) / n_docs AS avgdl FROM st))
+       |SELECT doc_id, CAST(floor(score * 1000000) AS BIGINT) AS bm25_e6
+       |FROM sc WHERE score > 0.0 ORDER BY doc_id""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_bm25" -> bm25Sql,
+    "q_rrf_fusion" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf
+        |  FROM documents),
+        |a AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY tf DESC, doc_id ASC) AS rnk_a FROM t),
+        |b AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rnk_b FROM t)
+        |SELECT doc_id, CAST(rnk_a AS INT) AS rnk_a, CAST(rnk_b AS INT) AS rnk_b,
+        |  CAST(floor((1.0 / (60 + rnk_a) + 1.0 / (60 + rnk_b)) * 1000000000)
+        |       AS BIGINT) AS rrf_e9
+        |FROM a JOIN b USING (doc_id)
+        |ORDER BY rrf_e9 DESC, doc_id LIMIT 50""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT user_id, event_id, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id
+        |                         ORDER BY ts_us, event_id) AS prev_us
+        |      FROM e),
+        |f AS (SELECT user_id, event_id, ts_us,
+        |        CASE WHEN prev_us IS NULL OR ts_us - prev_us > 43200000000
+        |             THEN 1 ELSE 0 END AS is_new
+        |      FROM l),
+        |s AS (SELECT user_id, ts_us,
+        |        sum(is_new) OVER (PARTITION BY user_id
+        |                          ORDER BY ts_us, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS session_seq
+        |      FROM f)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us,
+        |  max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_entropy" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n,
+        |        list_sort(list_distinct(toks)) AS uniq, toks
+        |      FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, n,
+        |        list_transform(uniq,
+        |          u -> CAST(len(list_filter(toks, x -> x = u)) AS DOUBLE)) AS cnts
+        |      FROM b),
+        |r AS (SELECT doc_id, n,
+        |        list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |          list_transform(cnts, c -> c * ln(c))), (a, b) -> a + b) AS clogc
+        |      FROM c)
+        |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+        |  CAST(floor((ln(CAST(n AS DOUBLE)) - clogc / n) * 1000000) AS BIGINT)
+        |    AS entropy_e6
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_pii_mask" ->
+      """SELECT c_custkey, sha256(c_name) AS name_token,
+        |  regexp_replace(substr(c_name, 1, length(c_name) - 3),
+        |                 '[0-9]', '*', 'g')
+        |    || substr(c_name, length(c_name) - 2, 3) AS name_masked,
+        |  CAST(floor(c_acctbal / 500.0) AS BIGINT) AS bal_band
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_join_bloom" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_zscore_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |        CAST(round(value * 100.0) AS BIGINT) AS cents
+        |      FROM events),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         sum(cents) AS s1, sum(cents * cents) AS s2
+        |       FROM c GROUP BY event_type),
+        |z AS (SELECT event_id, c.event_type,
+        |        (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+        |        sqrt(CAST(s2 AS DOUBLE) / n -
+        |             (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+        |      FROM c JOIN st ON c.event_type = st.event_type)
+        |SELECT event_id, event_type, CAST(floor(z * 1000) AS BIGINT) AS z_e3
+        |FROM z WHERE abs(z) > 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_csv_source" ->
+      """SELECT r_regionkey, r_name FROM region
+        |ORDER BY r_regionkey""".stripMargin,
+  )
+}

@@ -1,0 +1,168 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{BloomJoin, Privacy, Retrieval, Sessions, TextStats}
+
+/** Semantics of the round-4 curation/retrieval operators on tiny
+  * fixtures, plus scale-shape assertions on their sf0.001 plans.
+  */
+class CurateOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- BM25 -------------------------------------------------------------
+
+  test("bm25: only docs containing a query term score, rarer term scores higher") {
+    val docs = Seq(
+      (0L, "spark spark spark runs fast"),
+      (1L, "rare appears here once today"),
+      (2L, "nothing relevant in this document")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25(docs, "doc_id", "text", Seq("spark", "rare"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == Set(0L, 1L))
+    // Hand check doc 1 / term "rare": tf=1, df=1, N=3, dl=5, avgdl=5:
+    // idf = ln(1 + 2.5/1.5); score = idf*2.2/(1+1.2) — both docs share
+    // df=1 idf and dl=avgdl, doc 0 has tf=3 > tf=1 so scores higher.
+    assert(got(0L) > got(1L))
+    val expected1 = math.floor(
+      math.log(1.0 + 2.5 / 1.5) * (1.0 * 2.2) / (1.0 + 1.2) * 1e6).toLong
+    assert(got(1L) == expected1)
+  }
+
+  test("bm25 plan is scan + one single-row stats aggregate (no explode shuffle)") {
+    val df = Retrieval.bm25(
+      graft.model.Tables.documents(spark, sf), "doc_id", "text",
+      Seq("spark", "join"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), "per-term tf must be map-side, not explode")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      "corpus stats must come back as a broadcast, not a shuffle join")
+  }
+
+  // ---- RRF --------------------------------------------------------------
+
+  test("rrf fuses two rankings with 1/(60+r) weights") {
+    val a = Seq((10L, 1), (20L, 2)).toDF("doc_id", "rnk")
+    val b = Seq((10L, 2), (20L, 1)).toDF("doc_id", "rnk")
+    val got = Retrieval.rrf(a, b, "doc_id")
+      .select($"doc_id", $"rrf_e9").as[(Long, Long)].collect().toMap
+    val expected = math.floor((1.0 / 61 + 1.0 / 62) * 1e9).toLong
+    assert(got(10L) == expected && got(20L) == expected)
+  }
+
+  // ---- Sessionization ---------------------------------------------------
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("sessionize splits on gaps above the threshold, per user") {
+    val events = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(5)),   // session 1 of user 100
+      (3L, 100L, ts(40)),                      // gap 35m > 30m → session 2
+      (4L, 200L, ts(1))                        // other user: own session 1
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessions.sessionize(events, "user_id", "ts", "event_id", 30)
+      .select($"event_id", $"session_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("sessionSummary aggregates counts and integer-micros durations") {
+    val events = Seq(
+      (1L, 100L, ts(0)), (2L, 100L, ts(5)), (3L, 100L, ts(40))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Sessions.sessionSummary(events, "user_id", "ts", "event_id", 30)
+      .select($"session_seq", $"n_events", $"duration_us")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 300000000L), (2L, 1L, 0L)))
+  }
+
+  test("sessionize plans one shuffle: lag and running sum share the sort") {
+    val df = Sessions.sessionize(
+      graft.model.Tables.events(spark, sf), "user_id", "ts", "event_id", 720)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected a single user_id exchange, plan:\n$plan")
+  }
+
+  // ---- Entropy ----------------------------------------------------------
+
+  test("tokenEntropy: uniform tokens → ln(n); constant tokens → 0") {
+    val docs = Seq(
+      (0L, "a b c d"),      // 4 distinct → H = ln 4
+      (1L, "x x x x"),      // one symbol → H = 0
+      (2L, "a a b b")       // two × 2 → H = ln 2
+    ).toDF("doc_id", "text")
+    val got = TextStats.tokenEntropy(docs, "doc_id", "text")
+      .select($"doc_id", $"entropy_e6").as[(Long, Long)].collect().toMap
+    assert(got(0L) == math.floor(math.log(4.0) * 1e6).toLong)
+    assert(got(1L) == 0L)
+    assert(got(2L) == math.floor(math.log(2.0) * 1e6).toLong)
+  }
+
+  // ---- Privacy ----------------------------------------------------------
+
+  test("maskProfile pseudonymizes, masks all but last 3 digits, bands balance") {
+    val df = Seq((7L, "Customer#000001234", 1234.56))
+      .toDF("c_custkey", "c_name", "c_acctbal")
+    val row = Privacy.maskProfile(df, "c_custkey", "c_name", "c_acctbal")
+      .collect().head
+    assert(row.getAs[String]("name_masked") == "Customer#******234")
+    assert(row.getAs[Long]("bal_band") == 2L)  // floor(1234.56/500)
+    // stable pseudonym: same input → same token
+    val again = Privacy.maskProfile(df, "c_custkey", "c_name", "c_acctbal")
+      .collect().head
+    assert(row.getAs[String]("name_token") == again.getAs[String]("name_token"))
+    assert(row.getAs[String]("name_token").matches("[0-9a-f]{64}"))
+  }
+
+  // ---- Bloom semi join --------------------------------------------------
+
+  test("bloom-prefiltered semi join equals the plain semi join") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val urgent = graft.model.Tables.orders(spark, sf)
+      .filter($"o_orderpriority" === "1-URGENT")
+    val got = BloomJoin.semiJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .agg(count(lit(1)), sum($"l_quantity")).as[(Long, Double)].collect().head
+    val want = li.join(urgent.select($"o_orderkey".as("l_orderkey")).distinct(),
+        Seq("l_orderkey"), "left_semi")
+      .agg(count(lit(1)), sum($"l_quantity")).as[(Long, Double)].collect().head
+    assert(got == want)
+  }
+
+  // ---- Z-score outliers -------------------------------------------------
+
+  test("zscore flags the planted outlier and only it") {
+    import graft.queries.CurateOps
+    // 20 values at 10.00 plus one at 1000.00 → only the spike has |z| > 3
+    val rows = (1L to 20L).map(i => (i, "a", 10.0)) :+ (99L, "a", 1000.0)
+    val df = rows.toDF("event_id", "event_type", "value")
+    val c = df.select($"event_id", $"event_type",
+      round($"value" * 100.0).cast("decimal(38,0)").as("cents"))
+    val stats = c.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"cents").as("s1"),
+      sum($"cents" * $"cents").as("s2"))
+    val mu = col("s1").cast("double") / col("n")
+    val z = (col("cents").cast("double") - mu) /
+      sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    val out = c.join(broadcast(stats), "event_type").withColumn("z", z)
+      .filter(abs(col("z")) > 3.0).select($"event_id").as[Long].collect().toSeq
+    assert(out == Seq(99L))
+  }
+
+  // ---- CSV round trip ---------------------------------------------------
+
+  test("csv source round-trips region losslessly with explicit schema") {
+    val path = "target/tmp/curate_spec_csv"
+    val region = graft.model.Tables.region(spark, sf)
+      .select($"r_regionkey", $"r_name")
+    region.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+    val back = spark.read.option("header", "true")
+      .schema("r_regionkey INT, r_name STRING").csv(path)
+    assert(back.orderBy($"r_regionkey").collect().toSeq ==
+      region.orderBy($"r_regionkey").collect().toSeq)
+  }
+}
