@@ -119,7 +119,41 @@ object CurateOps {
       .orderBy(col("r_regionkey"))
   }
 
+  /** CDC compaction: latest state per key from an append-only event log
+    * (the changelog → snapshot step). row_number()=1 compiles to Spark's
+    * WindowGroupLimit, so each task keeps one row per key before the
+    * exchange — at 100 TB the shuffle carries surviving rows only.
+    */
+  private val qKeepLatest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      .orderBy(col("user_id"))
+  }
+
+  /** SCD type-2 build: each event becomes a dimension version valid from
+    * its timestamp until the key's next event (open-ended for the
+    * current version) — one window pass, integer-micros bounds.
+    */
+  private val qScd2: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .withColumn("valid_from_us", unix_micros(col("ts")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("valid_from_us"), col("valid_to_us"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_keep_latest" -> qKeepLatest,
+    "q_scd2" -> qScd2,
     "q_bm25" -> qBm25,
     "q_rrf_fusion" -> qRrfFusion,
     "q_sessionize" -> qSessionize,
@@ -158,6 +192,20 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_keep_latest" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "q_scd2" ->
+      """WITH v AS (SELECT user_id, event_id, event_type,
+        |        epoch_us(ts) AS valid_from_us,
+        |        lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY ts ASC, event_id ASC) AS valid_to_us
+        |      FROM events)
+        |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+        |  valid_to_us IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
     "q_bm25" -> bm25Sql,
     "q_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, n_chars,

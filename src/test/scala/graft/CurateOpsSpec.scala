@@ -153,6 +153,43 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(out == Seq(99L))
   }
 
+  // ---- CDC shapes -------------------------------------------------------
+
+  test("keep_latest returns exactly the newest event per user") {
+    val got = graft.queries.CurateOps.registry("q_keep_latest")(spark, sf)
+    val events = graft.model.Tables.events(spark, sf)
+    assert(got.count() ==
+      events.select($"user_id").distinct().count())
+    // spot-check one user against a direct max-ts lookup
+    val u = events.select($"user_id").as[Long].head()
+    val latest = events.filter($"user_id" === u)
+      .orderBy($"ts".desc, $"event_id".desc).select($"event_id").as[Long].head()
+    assert(got.filter($"user_id" === u).select($"event_id").as[Long].head()
+      == latest)
+  }
+
+  test("keep_latest plans a WindowGroupLimit below the exchange") {
+    val plan = graft.queries.CurateOps.registry("q_keep_latest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rn=1 filter must push as a group limit, plan:\n$plan")
+  }
+
+  test("scd2 versions tile each user's timeline: to = next from, one current") {
+    val got = graft.queries.CurateOps.registry("q_scd2")(spark, sf)
+      .select($"user_id", $"valid_from_us", $"valid_to_us", $"is_current")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val byUser = got.groupBy(_._1)
+    byUser.values.foreach { vs =>
+      val sorted = vs.sortBy(_._2)
+      assert(sorted.count(_._4) == 1 && sorted.last._4, "exactly one current, last")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3.contains(b._2), "interval chain gapless")
+        case _ => ()
+      }
+    }
+  }
+
   // ---- CSV round trip ---------------------------------------------------
 
   test("csv source round-trips region losslessly with explicit schema") {
