@@ -141,6 +141,73 @@ class PropertySpec extends AnyFunSuite {
     assert(Dedup.contaminationReport(train, ev, "doc_id", "text").count() == 0)
   }
 
+  test("tokenEntropy is bounded by [0, ln(n_distinct)] and permutation-invariant") {
+    val tokGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" "))
+    val texts = samples(tokGen, 30).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = graft.ops.TextStats.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Int, Long)].collect()
+    got.foreach { case (id, n, e6) =>
+      val distinct = texts(id.toInt).split(" ").distinct.length
+      assert(e6 >= 0L && e6 <= math.ceil(math.log(distinct.toDouble) * 1e6).toLong)
+    }
+    // permutation invariance: entropy depends on the multiset only
+    val perm = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.split(" ").sorted.reverse.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val gotPerm = graft.ops.TextStats.tokenEntropy(perm, "doc_id", "text")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r._3).toMap
+    got.foreach { case (id, _, e6) => assert(gotPerm(id) == e6) }
+  }
+
+  test("bm25 is monotone in tf when df, dl, and corpus stats are held fixed") {
+    // Same length, same single query term, increasing tf — score must rise.
+    val docs = Seq(
+      (0L, "x x x x pad1 pad2 pad3 pad4"),
+      (1L, "x x x pad1 pad2 pad3 pad4 pad5"),
+      (2L, "x x pad1 pad2 pad3 pad4 pad5 pad6"),
+      (3L, "x pad1 pad2 pad3 pad4 pad5 pad6 pad7")
+    ).toDF("doc_id", "text")
+    val scores = graft.ops.Retrieval.bm25(docs, "doc_id", "text", Seq("x"))
+      .as[(Long, Long)].collect().toMap
+    assert(scores(0L) > scores(1L) && scores(1L) > scores(2L) &&
+      scores(2L) > scores(3L))
+  }
+
+  test("sessionize: session count per user = gap count + 1; seq is contiguous") {
+    val gapsGen = Gen.listOfN(10, Gen.choose(1L, 100L))
+    samples(gapsGen, 10).foreach { deltasMin =>
+      // one user; events at cumulative offsets, threshold 30 minutes
+      var t = 0L
+      val rows = deltasMin.zipWithIndex.map { case (d, i) =>
+        t += d * 60L * 1000000L
+        (i.toLong, 1L, new java.sql.Timestamp(1700000000000L + t / 1000L))
+      }
+      val df = rows.toDF("event_id", "user_id", "ts")
+      val seqs = graft.ops.Sessions
+        .sessionize(df, "user_id", "ts", "event_id", 30)
+        .select($"session_seq").as[Long].collect().sorted
+      val expectedSessions = 1 + deltasMin.drop(1).count(_ > 30)
+      assert(seqs.max == expectedSessions)
+      assert(seqs.distinct.toSeq == (1L to expectedSessions))
+    }
+  }
+
+  test("maskDigitsKeepLast preserves length and non-digit structure") {
+    val nameGen = Gen.listOfN(8, Gen.numChar).map(ds => "Cust#" + ds.mkString)
+    samples(nameGen, 40).distinct.zipWithIndex.foreach { case (name, i) =>
+      val df = Seq((i.toLong, name, 0.0)).toDF("k", "name", "bal")
+      val masked = df.select(
+        graft.ops.Privacy.maskDigitsKeepLast(col("name"), 3).as("m"))
+        .as[String].head()
+      assert(masked.length == name.length)
+      assert(masked.takeRight(3) == name.takeRight(3))
+      assert(masked.drop(5).dropRight(3).forall(_ == '*'))
+      assert(masked.startsWith("Cust#"))
+    }
+  }
+
   test("K2 overwriteRefresh replaces table contents atomically") {
     val path = "target/tmp/refresh_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
