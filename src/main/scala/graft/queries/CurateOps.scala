@@ -151,7 +151,36 @@ object CurateOps {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** Incremental aggregate maintenance: a stored daily rollup is
+    * refreshed by merging the new day's PARTIAL aggregate into it —
+    * counts and exact cent sums re-aggregate with plain sums, so the
+    * refresh touches only the fresh slice, never the history. The stored
+    * base is landed via the overwrite sink and read back (the real
+    * materialized-rollup shape). Result ≡ the full re-aggregate the
+    * oracle computes.
+    */
+  private val qIncrAgg: Q = (s, d) => {
+    val cutoff = "2024-01-25"
+    val ev = Tables.events(s, d)
+      .withColumn("day", date_format(to_date(col("ts")), "yyyy-MM-dd"))
+      .withColumn("cents", round(col("value") * 100.0).cast("long"))
+    def partial(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+    val basePath = s"target/tmp/q_incr_agg_base_${math.abs(d.hashCode)}"
+    graft.ops.Sinks.overwriteRefresh(
+      partial(ev.filter(col("day") < cutoff)), basePath)
+    val base = s.read.parquet(basePath)
+    val fresh = partial(ev.filter(col("day") >= cutoff))
+    base.unionByName(fresh)
+      .groupBy(col("day"), col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_cents")).as("sum_cents"))
+      .orderBy(col("day"), col("event_type"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_incr_agg" -> qIncrAgg,
     "q_keep_latest" -> qKeepLatest,
     "q_scd2" -> qScd2,
     "q_bm25" -> qBm25,
@@ -192,6 +221,11 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_incr_agg" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
     "q_keep_latest" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
         |FROM (SELECT *, row_number() OVER (PARTITION BY user_id

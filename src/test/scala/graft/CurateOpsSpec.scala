@@ -190,6 +190,18 @@ class CurateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental rollup merge equals the direct full aggregate") {
+    val got = graft.queries.CurateOps.registry("q_incr_agg")(spark, sf)
+      .as[(String, String, Long, Long)].collect().toSet
+    val direct = graft.model.Tables.events(spark, sf)
+      .withColumn("day", date_format(to_date($"ts"), "yyyy-MM-dd"))
+      .withColumn("cents", round($"value" * 100.0).cast("long"))
+      .groupBy($"day", $"event_type")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("sum_cents"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == direct)
+  }
+
   // ---- CSV round trip ---------------------------------------------------
 
   test("csv source round-trips region losslessly with explicit schema") {
