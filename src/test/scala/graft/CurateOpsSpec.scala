@@ -88,6 +88,25 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected a single user_id exchange, plan:\n$plan")
   }
 
+  test("sessionize agrees with Spark's session_window on session structure") {
+    // Same gap, same events: gaps-and-islands session count and sizes must
+    // equal the session_window aggregate's (the streaming-native form).
+    val events = graft.model.Tables.events(spark, sf)
+    val gapMin = 720
+    val island = graft.ops.Sessions
+      .sessionSummary(events, "user_id", "ts", "event_id", gapMin)
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    val sw = events
+      .groupBy($"user_id", session_window($"ts", s"$gapMin minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"n_events")
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(island == sw)
+  }
+
   // ---- Entropy ----------------------------------------------------------
 
   test("tokenEntropy: uniform tokens → ln(n); constant tokens → 0") {
