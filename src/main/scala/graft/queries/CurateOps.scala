@@ -179,7 +179,30 @@ object CurateOps {
       .orderBy(col("day"), col("event_type"))
   }
 
+  /** ORC source round-trip: columnar alternative to Parquet, same
+    * pushdown/pruning path through the vectorized ORC reader.
+    */
+  private val qOrcSource: Q = (s, d) => {
+    val path = s"target/tmp/q_orc_source_${math.abs(d.hashCode)}"
+    Tables.nation(s, d).write.mode("overwrite").orc(path)
+    s.read.orc(path).orderBy(col("n_nationkey"))
+  }
+
+  /** Line-oriented text source: documents land as raw lines (the crawl
+    * dump shape) and are re-aggregated from the text scan — order-free
+    * global stats, so the round trip is oracle-checkable.
+    */
+  private val qTextSource: Q = (s, d) => {
+    val path = s"target/tmp/q_text_source_${math.abs(d.hashCode)}"
+    Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("value"))).as("sum_chars"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_orc_source" -> qOrcSource,
+    "q_text_source" -> qTextSource,
     "q_incr_agg" -> qIncrAgg,
     "q_keep_latest" -> qKeepLatest,
     "q_scd2" -> qScd2,
@@ -221,6 +244,13 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_orc_source" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "q_text_source" ->
+      """SELECT count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents""".stripMargin,
     "q_incr_agg" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n_events,
