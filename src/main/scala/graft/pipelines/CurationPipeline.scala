@@ -26,15 +26,37 @@ object CurationPipeline {
   case object Cluster extends NearDupStrategy
 
   /** @param minQualityE6 quality-score gate in millionths
+    * @param maxRepetition optional Gopher-style repetition gate as
+    *        (maxDupTokenFracE6, maxTopBigramFracE6); docs with fewer than
+    *        two tokens have no bigram metrics and are dropped by the gate
+    * @param minEntropyE6 optional unigram-entropy floor (nats, millionths)
     * @return surviving docs with `split` assignment
     */
   def curate(docs: DataFrame, key: String, text: String,
              minQualityE6: Long = 400000L,
              nearDupThreshold: Double = 0.5,
-             strategy: NearDupStrategy = Pairwise): DataFrame = {
+             strategy: NearDupStrategy = Pairwise,
+             maxRepetition: Option[(Long, Long)] = None,
+             minEntropyE6: Option[Long] = None): DataFrame = {
     val quality = TextStats.qualityScore(docs, key, text)
       .filter(col("quality_e6") >= minQualityE6)
-    val gated = docs.join(quality, Seq(key), "left_semi")
+    val qualityGated = docs.join(quality, Seq(key), "left_semi")
+
+    val repGated = maxRepetition match {
+      case Some((maxDup, maxBigram)) =>
+        val keep = TextStats
+          .repetitionMetrics(qualityGated, key, text, maxDup, maxBigram)
+          .filter(col("keep")).select(col(key))
+        qualityGated.join(keep, Seq(key), "left_semi")
+      case None => qualityGated
+    }
+    val gated = minEntropyE6 match {
+      case Some(minE) =>
+        val keep = TextStats.tokenEntropy(repGated, key, text)
+          .filter(col("entropy_e6") >= minE).select(col(key))
+        repGated.join(keep, Seq(key), "left_semi")
+      case None => repGated
+    }
 
     val exactSurvivors = Dedup.exactDedup(gated, key, text).select(col(key))
     val afterExact = gated.join(exactSurvivors, Seq(key), "left_semi")

@@ -26,13 +26,23 @@ object StreamShapes {
     Events.sessionWindows(Tables.events(s, d))
       .orderBy(col("user_id"), col("session_start"))
 
+  private val qStreamUsers: Q = (s, d) =>
+    Events.windowUsers(Tables.events(s, d))
+      .orderBy(col("window_start"), col("event_type"))
+
   val registry: Map[String, Q] = Map(
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
+    "q_stream_users" -> qStreamUsers,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_users" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS window_start,
         |  date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,

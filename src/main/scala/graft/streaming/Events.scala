@@ -70,6 +70,25 @@ object Events {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n"), col("sum_cents"))
 
+  /** Distinct active users per tumbling window and event type, written
+    * streaming-compatibly: `count(DISTINCT ...)` is not supported on
+    * streams, so distinctness comes from a windowed `dropDuplicates`
+    * (keyed state bounded by the watermark) followed by a plain count —
+    * the standard streaming-cardinality shape. Batch runs of the same
+    * function are exact and oracle-checkable.
+    */
+  def windowUsers(events: DataFrame,
+                  windowLen: String = "1 hour",
+                  watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .select(window(col("ts"), windowLen).as("w"),
+        col("event_type"), col("user_id"))
+      .dropDuplicates("w", "event_type", "user_id")
+      .groupBy(col("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("w.start").as("window_start"),
+        col("event_type"), col("n_users"))
+
   /** Stateful exactly-once dedup by event_id, with state bounded by the
     * watermark (duplicates arriving within the watermark are dropped;
     * state for older keys is reclaimed).

@@ -41,6 +41,26 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(back == out1)
   }
 
+  test("repetition and entropy gates tighten the surviving set and hold on it") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val open = CurationPipeline.curate(docs, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    val gated = CurationPipeline.curate(docs, "doc_id", "text",
+        maxRepetition = Some((600000L, 400000L)),
+        minEntropyE6 = Some(1500000L))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gated.subsetOf(open), "gates can only drop docs")
+    assert(gated.nonEmpty)
+    // every survivor satisfies both gate predicates
+    val surviving = docs.join(gated.toSeq.toDF("doc_id"), Seq("doc_id"), "left_semi")
+    val rep = graft.ops.TextStats
+      .repetitionMetrics(surviving, "doc_id", "text", 600000L, 400000L)
+      .filter(!$"keep").count()
+    val lowEnt = graft.ops.TextStats.tokenEntropy(surviving, "doc_id", "text")
+      .filter($"entropy_e6" < 1500000L).count()
+    assert(rep == 0 && lowEnt == 0)
+  }
+
   test("cluster strategy keeps a subset of pairwise survivors, one per component") {
     val docs = graft.model.Tables.documents(spark, sf)
     val pairwise = CurationPipeline.curate(docs, "doc_id", "text",

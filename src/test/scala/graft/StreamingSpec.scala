@@ -190,6 +190,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowUsers streams: dedup state + windowed count compose in append mode") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.windowUsers(in.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("users_out")
+      .outputMode("append").start()
+    try {
+      // three events, two distinct users, same hour — duplicate user
+      // within the window must count once
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:20:00", user = 1),
+        ev(3, "2024-01-01 10:40:00", user = 2))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 12:00:00", user = 9)) // closes [10:00,11:00)
+      q.processAllAvailable()
+      val out = spark.table("users_out")
+        .select($"window_start", $"n_users").as[(Timestamp, Long)].collect().toMap
+      assert(out(t("2024-01-01 10:00:00")) == 2L)
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches idempotently by key") {
     implicit val sc = spark.sqlContext
     val path = "target/tmp/stream_upsert"
