@@ -229,6 +229,47 @@ object TextStats {
         floor((log(col("n").cast("double")) - col("clogc") / col("n")) * 1e6)
           .cast("long").as("entropy_e6"))
 
+  /** Temperature-based mixture sampling: per-stratum quotas proportional
+    * to √n (temperature 0.5 smoothing — upweights small sources, damps
+    * dominant ones, the standard multilingual/source rebalancing before
+    * training), filled in deterministic md5-of-key order.
+    *
+    * Determinism across engines: the weight function is `sqrt` — IEEE
+    * correctly rounded everywhere, unlike `pow(x, α)` which can differ by
+    * an ulp between libm implementations — and the weight total comes
+    * from a RUNNING window sum in stratum order (a sequential fold both
+    * engines execute identically) rather than an unordered aggregate.
+    * Every stratum gets at least one row.
+    *
+    * Scale shape: stratum cardinality is tiny (quotas broadcast); the doc
+    * ranking is the same single-shuffle WindowGroupLimit pattern as
+    * [[stratifiedSample]].
+    */
+  def temperatureSample(docs: DataFrame, key: String, stratum: String,
+                        totalTarget: Int): DataFrame = {
+    val wW = org.apache.spark.sql.expressions.Window.orderBy(col(stratum))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val weights = docs.groupBy(col(stratum)).agg(count(lit(1)).as("n"))
+      .withColumn("w", sqrt(col("n").cast("double")))
+      .withColumn("cum_w", sum(col("w")).over(wW))
+    // w > 0, so the max cumulative value IS the last (full) sequential fold
+    val total = weights.agg(max(col("cum_w")).as("total_w"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("quota",
+        greatest(lit(1L),
+          floor(lit(totalTarget.toDouble) * (col("w") / col("total_w")))
+            .cast("long")))
+      .select(col(stratum), col("quota"))
+    val rankW = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
+      .orderBy(md5(col(key).cast("string")).asc, col(key).asc)
+    docs.select(col(stratum), col(key))
+      .withColumn("rn", row_number().over(rankW))
+      .join(broadcast(quotas), stratum)
+      .filter(col("rn") <= col("quota"))
+      .select(col(stratum), col(key), col("rn"))
+  }
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

@@ -200,7 +200,13 @@ object CurateOps {
         sum(length(col("value"))).as("sum_chars"))
   }
 
+  /** √n temperature mixing over the 20-source corpus, 200-doc target. */
+  private val qTemperatureMix: Q = (s, d) =>
+    TextStats.temperatureSample(Tables.documents(s, d), "doc_id", "source", 200)
+      .orderBy(col("source"), col("rn"))
+
   val registry: Map[String, Q] = Map(
+    "q_temperature_mix" -> qTemperatureMix,
     "q_orc_source" -> qOrcSource,
     "q_text_source" -> qTextSource,
     "q_incr_agg" -> qIncrAgg,
@@ -244,6 +250,23 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_temperature_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM c),
+        |cw AS (SELECT source, w,
+        |         sum(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum_w
+        |       FROM w),
+        |t AS (SELECT max(cum_w) AS total_w FROM cw),
+        |q AS (SELECT source,
+        |        greatest(1, CAST(floor(200.0 * (w / total_w)) AS BIGINT)) AS quota
+        |      FROM cw CROSS JOIN t),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.source, doc_id, CAST(rn AS INT) AS rn
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE rn <= quota ORDER BY r.source, rn""".stripMargin,
     "q_orc_source" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |ORDER BY n_nationkey""".stripMargin,

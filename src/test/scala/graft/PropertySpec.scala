@@ -208,6 +208,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("temperatureSample covers every stratum and upweights small ones") {
+    // skewed strata: 64/16/4 docs
+    val rows = (1L to 64L).map(i => (i, "big")) ++
+      (101L to 116L).map(i => (i, "mid")) ++ (201L to 204L).map(i => (i, "small"))
+    val df = rows.toDF("doc_id", "src")
+    val got = graft.ops.TextStats.temperatureSample(df, "doc_id", "src", 40)
+      .as[(String, Long, Int)].collect()
+    val perStratum = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perStratum.keySet == Set("big", "mid", "small"), "every stratum sampled")
+    // √n weights: 8/4/2 of 14 → quotas floor(40·w/Σw) = 22/11/5,
+    // 'small' capped at its 4 available docs
+    assert(perStratum == Map("big" -> 22, "mid" -> 11, "small" -> 4))
+    // sampled share of 'small' (5/4 capped at 4) exceeds its raw share;
+    // 'big' is damped below its raw 64/84 share
+    assert(perStratum("big").toDouble / got.length < 64.0 / 84.0)
+    // subset + rank contiguity per stratum
+    val ids = rows.toMap
+    got.foreach { case (src, id, _) => assert(ids(id) == src) }
+  }
+
   test("K2 overwriteRefresh replaces table contents atomically") {
     val path = "target/tmp/refresh_test"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
