@@ -322,21 +322,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
-  /** Connected components over an undirected edge list — the step that
-    * turns pairwise near-dup edges into duplicate CLUSTERS (keep the
-    * canonical member, drop the rest). Iterative min-label propagation:
-    * each round every node takes the minimum label among itself and its
-    * neighbors, converging in O(diameter) rounds — near-dup clusters are
-    * small and dense, so the diameter is tiny. Each round is one
-    * edges⋈labels shuffle + a partial-agg min; lineage is cut per round
-    * (localCheckpoint) so plans stay bounded. For adversarial
-    * long-diameter graphs swap in large-star/small-star (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond") — same join shape,
-    * O(log n) rounds.
-    *
-    * Returns (node, component) with component = min node id reachable;
-    * only nodes that appear in `edges` are returned.
-    */
   /** Connected components by alternating large-star/small-star (Kiveris
     * et al., "Connected Components in MapReduce and Beyond") — converges
     * in O(log n) rounds regardless of graph diameter, where the plain
@@ -402,6 +387,20 @@ object Dedup {
     nodes
   }
 
+  /** Connected components over an undirected edge list — the step that
+    * turns pairwise near-dup edges into duplicate CLUSTERS (keep the
+    * canonical member, drop the rest). Iterative min-label propagation:
+    * each round every node takes the minimum label among itself and its
+    * neighbors, converging in O(diameter) rounds — near-dup clusters are
+    * small and dense, so the diameter is tiny. Each round is one
+    * edges⋈labels shuffle + a partial-agg min; lineage is cut per round
+    * (localCheckpoint) so plans stay bounded. For adversarial
+    * long-diameter graphs use [[connectedComponentsStar]] — same join
+    * shape, O(log n) rounds.
+    *
+    * Returns (node, component) with component = min node id reachable;
+    * only nodes that appear in `edges` are returned.
+    */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 25): DataFrame = {
     val both = edges.select(col(aCol).as("src"), col(bCol).as("dst"))
