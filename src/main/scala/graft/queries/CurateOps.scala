@@ -200,12 +200,42 @@ object CurateOps {
         sum(length(col("value"))).as("sum_chars"))
   }
 
+  /** Data-contract validation: one row per rule with its violation count
+    * (the dbt-test / expectation-suite shape) — range rules as
+    * conditional aggregates over one scan, referential integrity as an
+    * anti-join count. All counts, no floats; each rule is a full
+    * scan-parallel aggregate, so the contract check costs one pass at
+    * any scale.
+    */
+  private val qDataContract: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def rangeRule(name: String, violated: org.apache.spark.sql.Column) =
+      li.agg(lit(name).as("rule"),
+        sum(when(violated, 1L).otherwise(0L)).as("n_violations"))
+    val orphans = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).select(col("o_orderkey").as("l_orderkey")),
+        Seq("l_orderkey"), "left_anti")
+      .agg(lit("orderkey_fk_exists").as("rule"),
+        count(lit(1)).as("n_violations"))
+    rangeRule("quantity_in_1_50",
+        !col("l_quantity").between(1.0, 50.0) || col("l_quantity").isNull)
+      .unionByName(rangeRule("discount_in_0_01",
+        !col("l_discount").between(0.0, 0.1) || col("l_discount").isNull))
+      .unionByName(rangeRule("price_positive",
+        col("l_extendedprice") <= 0.0 || col("l_extendedprice").isNull))
+      .unionByName(rangeRule("returnflag_in_domain",
+        !col("l_returnflag").isin("A", "N", "R") || col("l_returnflag").isNull))
+      .unionByName(orphans)
+      .orderBy(col("rule"))
+  }
+
   /** √n temperature mixing over the 20-source corpus, 200-doc target. */
   private val qTemperatureMix: Q = (s, d) =>
     TextStats.temperatureSample(Tables.documents(s, d), "doc_id", "source", 200)
       .orderBy(col("source"), col("rn"))
 
   val registry: Map[String, Q] = Map(
+    "q_data_contract" -> qDataContract,
     "q_temperature_mix" -> qTemperatureMix,
     "q_orc_source" -> qOrcSource,
     "q_text_source" -> qTextSource,
@@ -250,6 +280,30 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_data_contract" ->
+      """SELECT 'discount_in_0_01' AS rule,
+        |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
+        |                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations FROM lineitem
+        |UNION ALL
+        |SELECT 'orderkey_fk_exists', count(*) FROM lineitem
+        |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'price_positive',
+        |  CAST(sum(CASE WHEN l_extendedprice <= 0.0
+        |                  OR l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'quantity_in_1_50',
+        |  CAST(sum(CASE WHEN l_quantity NOT BETWEEN 1.0 AND 50.0
+        |                  OR l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'returnflag_in_domain',
+        |  CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |                  OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem
+        |ORDER BY rule""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM c),

@@ -221,6 +221,40 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(got == direct)
   }
 
+  test("data contract rules fire on planted violations") {
+    // same rule expressions as q_data_contract, against a dirty fixture
+    val li = Seq(
+      (1L, 10.0, 0.05, 100.0, "A"),   // clean
+      (2L, 99.0, 0.05, 100.0, "N"),   // quantity out of range
+      (3L, 10.0, 0.50, 100.0, "R"),   // discount out of range
+      (4L, 10.0, 0.05, -5.0, "A"),    // non-positive price
+      (5L, 10.0, 0.05, 100.0, "X"),   // flag outside domain
+      (99L, 10.0, 0.05, 100.0, "A")   // orphan orderkey
+    ).toDF("l_orderkey", "l_quantity", "l_discount", "l_extendedprice",
+      "l_returnflag")
+    val orders = Seq(1L, 2L, 3L, 4L, 5L).toDF("o_orderkey")
+    def viol(name: String, c: org.apache.spark.sql.Column) =
+      li.agg(lit(name).as("rule"),
+        sum(when(c, 1L).otherwise(0L)).as("n_violations"))
+    val got = viol("quantity_in_1_50",
+        !$"l_quantity".between(1.0, 50.0) || $"l_quantity".isNull)
+      .unionByName(viol("discount_in_0_01",
+        !$"l_discount".between(0.0, 0.1) || $"l_discount".isNull))
+      .unionByName(viol("price_positive",
+        $"l_extendedprice" <= 0.0 || $"l_extendedprice".isNull))
+      .unionByName(viol("returnflag_in_domain",
+        !$"l_returnflag".isin("A", "N", "R") || $"l_returnflag".isNull))
+      .unionByName(li.join(orders.select($"o_orderkey".as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(lit("orderkey_fk_exists").as("rule"),
+          count(lit(1)).as("n_violations")))
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "quantity_in_1_50" -> 1L, "discount_in_0_01" -> 1L,
+      "price_positive" -> 1L, "returnflag_in_domain" -> 1L,
+      "orderkey_fk_exists" -> 1L))
+  }
+
   // ---- CSV round trip ---------------------------------------------------
 
   test("csv source round-trips region losslessly with explicit schema") {
