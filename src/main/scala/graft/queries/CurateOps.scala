@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 import graft.ops.{BloomJoin, Privacy, Retrieval, Sessions, TextStats}
 
-/** Round-4 curation/retrieval surface: BM25 scoring, reciprocal-rank
-  * fusion, batch sessionization, token entropy, PII de-identification,
-  * Bloom-prefiltered semi join, exact-moment z-score outliers, and a CSV
-  * source round-trip.
+/** Curation / retrieval / warehouse-maintenance surface: BM25 scoring,
+  * reciprocal-rank fusion, batch sessionization, token entropy, PII
+  * de-identification, Bloom-prefiltered semi join, exact-moment z-score
+  * outliers, CDC keep-latest + SCD2 + incremental rollup refresh,
+  * √n temperature mixing, a data-contract validator, and CSV/ORC/text
+  * source round-trips.
   *
   * Determinism posture matches the rest of the registry: float exports as
   * scaled integers, integer arithmetic wherever an aggregate crosses a
