@@ -89,6 +89,51 @@ object Events {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_users"))
 
+  /** Per-user running purchase total for the stateful-v2 API: named,
+    * typed `ValueState` instead of one opaque `GroupState` value.
+    */
+  class RunningTotalProcessor(alertEvery: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, Alert] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var total: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+                                 timers: TimerValues): Iterator[Alert] = {
+      var t = if (total.exists()) total.get() else 0L
+      val alerts = scala.collection.mutable.ArrayBuffer[Alert]()
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val before = t / alertEvery
+        t += math.round(e.value * 100)
+        if (t / alertEvery > before) alerts += Alert(user, e.event_id, t)
+      }
+      total.update(t)
+      alerts.iterator
+    }
+  }
+
+  /** [[purchaseAlerts]] re-expressed through Spark 4's stateful-v2
+    * `transformWithState`: state lives in named per-key stores (RocksDB
+    * changelog-checkpointed, TTL-capable, schema-evolvable) — the
+    * forward path for long-lived streaming state at 100 TB, where one
+    * serialized GroupState blob per key stops scaling. Streaming runs
+    * require the RocksDB state store provider (StreamingSpec sets it);
+    * semantics are identical to [[purchaseAlerts]].
+    */
+  def purchaseAlertsTws(events: org.apache.spark.sql.Dataset[EventRow],
+                        alertEvery: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(_.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor(alertEvery),
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Stateful exactly-once dedup by event_id, with state bounded by the
     * watermark (duplicates arriving within the watermark are dropped;
     * state for older keys is reclaimed).

@@ -211,6 +211,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState (stateful v2) carries ValueState across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    val q = Events.purchaseAlertsTws(typed, alertEvery = 1000L)
+      .writeStream.format("memory").queryName("tws_alerts_out")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 7L, "purchase", 6.0, "{}"))
+      q.processAllAvailable()
+      in.addData(Ev(2, t("2024-01-01 10:05:00"), 7L, "purchase", 5.0, "{}"),
+        Ev(3, t("2024-01-01 10:06:00"), 7L, "view", 99.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("tws_alerts_out")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(out == Seq((7L, 2L, 1100L)), "same semantics as flatMapGroupsWithState")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch upsert sink merges micro-batches idempotently by key") {
     implicit val sc = spark.sqlContext
     val path = "target/tmp/stream_upsert"
