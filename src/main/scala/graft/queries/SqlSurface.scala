@@ -41,6 +41,30 @@ object SqlSurface {
         |ORDER BY revenue_cents DESC, o_orderkey LIMIT 20""".stripMargin)
   }
 
+  /** TPC-H Q5 shape: six-table join (lineitem-orders-customer-supplier-
+    * nation-region) with the local-supplier condition and a region
+    * filter — the join-order workout: Catalyst plans the dimension chain
+    * as broadcasts off the lineitem⋈orders backbone. Revenue summed as
+    * per-row-rounded integer hundredths of a cent (exact under any
+    * aggregation order, mirrored by the oracle).
+    */
+  private val qSqlTpchQ5: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus <> 'F'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin)
+  }
+
   /** Scalar subquery: orders above the average order value. */
   private val qSqlScalarSubquery: Q = (s, d) => {
     registerViews(s, d)
@@ -176,6 +200,7 @@ object SqlSurface {
 
   val registry: Map[String, Q] = Map(
     "q_sql_tpch_q3" -> qSqlTpchQ3,
+    "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_scalar_subquery" -> qSqlScalarSubquery,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_cte" -> qSqlCte,
@@ -191,6 +216,19 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE') AND o_orderstatus <> 'F'
+        |GROUP BY n_name
+        |ORDER BY revenue_e4 DESC, n_name""".stripMargin,
     "q_sql_tpch_q3" ->
       """SELECT o_orderkey, o_orderdate,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT))
