@@ -65,6 +65,27 @@ object SqlSurface {
         |ORDER BY revenue_e4 DESC, n_name""".stripMargin)
   }
 
+  /** TPC-H Q18 shape (large-volume orders): IN over an aggregated
+    * subquery — Catalyst plans the HAVING filter as a pre-aggregation
+    * and the IN as a left-semi join, so the fact table is scanned twice
+    * but never joined to itself row-wise. Quantities are integer-valued,
+    * so the sums are exact under any order.
+    */
+  private val qSqlTpchQ18: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)
+  }
+
   /** Scalar subquery: orders above the average order value. */
   private val qSqlScalarSubquery: Q = (s, d) => {
     registerViews(s, d)
@@ -201,6 +222,7 @@ object SqlSurface {
   val registry: Map[String, Q] = Map(
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
+    "q_sql_tpch_q18" -> qSqlTpchQ18,
     "q_sql_scalar_subquery" -> qSqlScalarSubquery,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_cte" -> qSqlCte,
@@ -216,6 +238,17 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q18" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey HAVING sum(l_quantity) > 120)
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q_sql_tpch_q5" ->
       """SELECT n_name,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
