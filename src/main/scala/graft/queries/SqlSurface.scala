@@ -86,6 +86,22 @@ object SqlSurface {
         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin)
   }
 
+  /** Spark 4 VARIANT path for semi-structured data: `parse_json` once
+    * into the binary variant encoding, then typed `variant_get`
+    * extraction — replaces repeated string re-parsing (get_json_object)
+    * with a parse-once binary read, the right shape when a 100 TB events
+    * table is queried on several JSON paths.
+    */
+  private val qVariant: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT variant_get(parse_json(props), '$.k', 'int') DIV 10 AS k_band,
+        |  count(*) AS n,
+        |  CAST(sum(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY k_band ORDER BY k_band""".stripMargin)
+  }
+
   /** Scalar subquery: orders above the average order value. */
   private val qSqlScalarSubquery: Q = (s, d) => {
     registerViews(s, d)
@@ -223,6 +239,7 @@ object SqlSurface {
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_tpch_q18" -> qSqlTpchQ18,
+    "q_variant" -> qVariant,
     "q_sql_scalar_subquery" -> qSqlScalarSubquery,
     "q_sql_correlated" -> qSqlCorrelated,
     "q_sql_cte" -> qSqlCte,
@@ -238,6 +255,12 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_variant" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY k_band ORDER BY k_band""".stripMargin,
     "q_sql_tpch_q18" ->
       """SELECT c_custkey, o_orderkey,
         |  CAST(sum(l_quantity) AS BIGINT) AS total_qty
