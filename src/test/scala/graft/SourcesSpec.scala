@@ -82,6 +82,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == expected)
   }
 
+  test("malformed CSV rows: PERMISSIVE captures, DROPMALFORMED drops, FAILFAST throws") {
+    val path = "target/tmp/sources_spec_malformed"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    new java.io.File(path).mkdirs()
+    // row 3 has more tokens than the schema — unambiguously malformed
+    // (a failed numeric cast alone nulls the field instead, by design)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/part.csv"),
+      "1,alpha\n2,beta\n3,gamma,EXTRA,TOKENS\n4,delta\n")
+    val schema = "id INT, name STRING, _corrupt_record STRING"
+
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path).cache()
+    assert(permissive.count() == 4)
+    val bad = permissive.filter($"_corrupt_record".isNotNull).collect()
+    assert(bad.length == 1 && bad.head.getAs[String]("_corrupt_record").startsWith("3,gamma"))
+    permissive.unpersist()
+
+    // NOTE: a bare count() on a DROPMALFORMED csv scan counts ALL lines —
+    // column pruning skips parsing, so malformed rows are never detected
+    // (the documented csv column-pruning trap). Materialize the columns.
+    val dropped = spark.read.schema("id INT, name STRING")
+      .option("mode", "DROPMALFORMED").csv(path)
+      .select($"id", $"name").collect()
+    assert(dropped.length == 3)
+    assert(dropped.map(_.getAs[Int]("id")).sum == 7)
+
+    val failfast = spark.read.schema("id INT, name STRING")
+      .option("mode", "FAILFAST").csv(path)
+    val e = intercept[org.apache.spark.SparkException] { failfast.collect() }
+    assert(e.getMessage.contains("MALFORMED_RECORD_IN_PARSING") ||
+      e.getCause != null)
+  }
+
   test("DSv2 standings source plans one partition per API page") {
     val df = spark.read.format("graft.sources.StandingsSource")
       .option("season", "2031").load()
