@@ -25,6 +25,8 @@ object BloomJoin {
   def semiJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                dimKey: String, expectedItems: Long = 1000000L,
                fpp: Double = 0.01): DataFrame = {
+    require(expectedItems > 0L, s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0, 1), got $fpp")
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>

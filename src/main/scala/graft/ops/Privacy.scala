@@ -23,10 +23,12 @@ object Privacy {
   /** Mask every digit except the trailing `keep` characters: the
     * "…******123" rendering used for account/phone-style fields.
     */
-  def maskDigitsKeepLast(c: Column, keep: Int): Column =
+  def maskDigitsKeepLast(c: Column, keep: Int): Column = {
+    require(keep >= 1, s"must keep at least one trailing character, got $keep")
     concat(
       regexp_replace(c.substr(lit(1), length(c) - keep), "[0-9]", "*"),
       c.substr(length(c) - (keep - 1), lit(keep)))
+  }
 
   /** Generalize a numeric column into fixed-width bands (floor(x/width)). */
   def band(c: Column, width: Double): Column =

@@ -27,6 +27,9 @@ object Retrieval {
     */
   def bm25(docs: DataFrame, key: String, text: String, terms: Seq[String],
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(terms.distinct.size == terms.size, "bm25 terms must be distinct")
+    require(k1 > 0.0 && b >= 0.0 && b <= 1.0, s"bm25 params out of range: k1=$k1 b=$b")
     val base = docs
       .withColumn("toks", split(col(text), " "))
       .withColumn("dl", size(col("toks")))
@@ -57,10 +60,12 @@ object Retrieval {
     * order, integer ranks — bit-deterministic. Returns all fused rows;
     * callers apply their own top-k.
     */
-  def rrf(a: DataFrame, b: DataFrame, key: String, k: Int = 60): DataFrame =
+  def rrf(a: DataFrame, b: DataFrame, key: String, k: Int = 60): DataFrame = {
+    require(k >= 0, s"rrf smoothing constant must be non-negative, got $k")
     a.select(col(key), col("rnk").as("rnk_a"))
       .join(b.select(col(key), col("rnk").as("rnk_b")), key)
       .withColumn("rrf_e9",
         floor((lit(1.0) / (lit(k) + col("rnk_a")) +
           lit(1.0) / (lit(k) + col("rnk_b"))) * 1e9).cast("long"))
+  }
 }

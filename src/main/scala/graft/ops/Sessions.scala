@@ -22,6 +22,7 @@ object Sessions {
     */
   def sessionize(events: DataFrame, userCol: String, tsCol: String,
                  tieCol: String, gapMinutes: Int): DataFrame = {
+    require(gapMinutes > 0, s"session gap must be positive, got $gapMinutes minutes")
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val gapUs = gapMinutes * 60L * 1000000L
     events

@@ -247,6 +247,7 @@ object TextStats {
     */
   def temperatureSample(docs: DataFrame, key: String, stratum: String,
                         totalTarget: Int): DataFrame = {
+    require(totalTarget > 0, s"sampling target must be positive, got $totalTarget")
     val wW = org.apache.spark.sql.expressions.Window.orderBy(col(stratum))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
