@@ -31,8 +31,8 @@ object BloomJoin {
     val bcast = fact.sparkSession.sparkContext.broadcast(bf)
     val might = udf((k: java.lang.Long) =>
       k != null && bcast.value.mightContainLong(k))
+    // no distinct on the build side: left-semi already ignores duplicates
     fact.filter(might(col(factKey)))
-      .join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey),
-        "left_semi")
+      .join(dim.select(col(dimKey).as(factKey)), Seq(factKey), "left_semi")
   }
 }

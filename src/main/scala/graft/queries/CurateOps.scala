@@ -98,8 +98,13 @@ object CurateOps {
       sum(col("cents")).as("s1"),
       sum(col("cents") * col("cents")).as("s2"))
     val mu = col("s1").cast("double") / col("n")
-    val z = (col("cents").cast("double") - mu) /
-      sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    val varr = col("s2").cast("double") / col("n") - mu * mu
+    // Degenerate (zero/negative-variance) groups must yield NULL, not a
+    // divide: ANSI mode makes x/0 a runtime error, and an unguarded
+    // DuckDB NaN would sort above the threshold — the guard is mirrored
+    // token-for-token in the oracle so both engines drop the same rows.
+    val z = when(varr > 0.0,
+      (col("cents").cast("double") - mu) / sqrt(varr))
     c.join(broadcast(stats), "event_type")
       .withColumn("z", z)
       .filter(abs(col("z")) > 3.0)
@@ -221,7 +226,7 @@ object CurateOps {
         count(lit(1)).as("n_violations"))
     rangeRule("quantity_in_1_50",
         !col("l_quantity").between(1.0, 50.0) || col("l_quantity").isNull)
-      .unionByName(rangeRule("discount_in_0_01",
+      .unionByName(rangeRule("discount_in_0_0p1",
         !col("l_discount").between(0.0, 0.1) || col("l_discount").isNull))
       .unionByName(rangeRule("price_positive",
         col("l_extendedprice") <= 0.0 || col("l_extendedprice").isNull))
@@ -283,7 +288,7 @@ object CurateOps {
 
   val oracle: Map[String, String] = Map(
     "q_data_contract" ->
-      """SELECT 'discount_in_0_01' AS rule,
+      """SELECT 'discount_in_0_0p1' AS rule,
         |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
         |                  OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_violations FROM lineitem
@@ -422,9 +427,12 @@ object CurateOps {
         |         sum(cents) AS s1, sum(cents * cents) AS s2
         |       FROM c GROUP BY event_type),
         |z AS (SELECT event_id, c.event_type,
-        |        (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
-        |        sqrt(CAST(s2 AS DOUBLE) / n -
-        |             (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS z
+        |        CASE WHEN CAST(s2 AS DOUBLE) / n -
+        |               (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0.0
+        |        THEN (CAST(cents AS DOUBLE) - CAST(s1 AS DOUBLE) / n) /
+        |             sqrt(CAST(s2 AS DOUBLE) / n -
+        |                  (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+        |        END AS z
         |      FROM c JOIN st ON c.event_type = st.event_type)
         |SELECT event_id, event_type, CAST(floor(z * 1000) AS BIGINT) AS z_e3
         |FROM z WHERE abs(z) > 3.0

@@ -165,11 +165,31 @@ class CurateOpsSpec extends AnyFunSuite {
       count(lit(1)).as("n"), sum($"cents").as("s1"),
       sum($"cents" * $"cents").as("s2"))
     val mu = col("s1").cast("double") / col("n")
-    val z = (col("cents").cast("double") - mu) /
-      sqrt(col("s2").cast("double") / col("n") - mu * mu)
+    val varr = col("s2").cast("double") / col("n") - mu * mu
+    val z = when(varr > 0.0, (col("cents").cast("double") - mu) / sqrt(varr))
     val out = c.join(broadcast(stats), "event_type").withColumn("z", z)
       .filter(abs(col("z")) > 3.0).select($"event_id").as[Long].collect().toSeq
     assert(out == Seq(99L))
+  }
+
+  test("zscore emits nothing for zero-variance groups (guarded, no ANSI divide)") {
+    // a singleton group and an all-equal group both have variance 0:
+    // the unguarded z = x/0 is an ANSI runtime error; the variance guard
+    // turns it into NULL, which fails the threshold on both engines
+    val rows = Seq((1L, "solo", 5.0), (2L, "flat", 3.0), (3L, "flat", 3.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val c = df.select($"event_id", $"event_type",
+      round($"value" * 100.0).cast("decimal(38,0)").as("cents"))
+    val stats = c.groupBy($"event_type").agg(
+      count(lit(1)).as("n"), sum($"cents").as("s1"),
+      sum($"cents" * $"cents").as("s2"))
+    val mu = col("s1").cast("double") / col("n")
+    val varr = col("s2").cast("double") / col("n") - mu * mu
+    val z = when(varr > 0.0, (col("cents").cast("double") - mu) / sqrt(varr))
+    val out = c.join(broadcast(stats), "event_type").withColumn("z", z)
+      .filter(abs(col("z")) > 3.0)
+      .select($"event_id").as[Long].collect()
+    assert(out.isEmpty)
   }
 
   // ---- CDC shapes -------------------------------------------------------
@@ -238,7 +258,7 @@ class CurateOpsSpec extends AnyFunSuite {
         sum(when(c, 1L).otherwise(0L)).as("n_violations"))
     val got = viol("quantity_in_1_50",
         !$"l_quantity".between(1.0, 50.0) || $"l_quantity".isNull)
-      .unionByName(viol("discount_in_0_01",
+      .unionByName(viol("discount_in_0_0p1",
         !$"l_discount".between(0.0, 0.1) || $"l_discount".isNull))
       .unionByName(viol("price_positive",
         $"l_extendedprice" <= 0.0 || $"l_extendedprice".isNull))
@@ -250,7 +270,7 @@ class CurateOpsSpec extends AnyFunSuite {
           count(lit(1)).as("n_violations")))
       .as[(String, Long)].collect().toMap
     assert(got == Map(
-      "quantity_in_1_50" -> 1L, "discount_in_0_01" -> 1L,
+      "quantity_in_1_50" -> 1L, "discount_in_0_0p1" -> 1L,
       "price_positive" -> 1L, "returnflag_in_domain" -> 1L,
       "orderkey_fk_exists" -> 1L))
   }
