@@ -88,6 +88,72 @@ object Sinks {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Versioned snapshot write — time-travel emulation on plain Parquet
+    * (the capability a lakehouse format provides, rebuilt from
+    * primitives): each write lands a complete immutable snapshot under
+    * `v=<n>/` and then flips a one-line `_LATEST` pointer file. Readers
+    * resolve the pointer first, so they always see a complete snapshot —
+    * a crash mid-write leaves the pointer at the previous version
+    * (write-then-flip is the atomicity discipline). Old versions remain
+    * readable by number until [[vacuumVersions]] trims them.
+    */
+  def writeVersioned(df: DataFrame, path: String): Long = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
+    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
+    val tmp = new org.apache.hadoop.fs.Path(path, "_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    out.write(next.toString.getBytes("UTF-8")); out.close()
+    // rename is the atomic flip on HDFS-like stores; object stores need
+    // their conditional-put equivalent here
+    fs.delete(new org.apache.hadoop.fs.Path(path, "_LATEST"), false)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "_LATEST"))
+    next
+  }
+
+  /** Highest committed version per the pointer file, if any. */
+  def latestVersion(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_LATEST")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+      in.close()
+      Some(s.toLong)
+    }
+  }
+
+  /** Read a snapshot: the committed latest by default, or a pinned
+    * historical version.
+    */
+  def readVersioned(spark: org.apache.spark.sql.SparkSession, path: String,
+                    version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(spark, path)).getOrElse(
+      throw new IllegalStateException(s"no committed version at $path"))
+    spark.read.parquet(s"$path/v=$v")
+  }
+
+  /** Drop all snapshots older than `keep` versions behind latest. */
+  def vacuumVersions(spark: org.apache.spark.sql.SparkSession, path: String,
+                     keep: Int): Unit = {
+    require(keep >= 1, s"must keep at least the latest version, got $keep")
+    latestVersion(spark, path).foreach { latest =>
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hPath).foreach { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("v=") &&
+            name.drop(2).toLong <= latest - keep)
+          fs.delete(st.getPath, true)
+      }
+    }
+  }
+
   /** Small-files compaction: rewrite a Parquet table into `targetFiles`
     * output files. Streaming/incremental sinks accrete many small files;
     * at scale the scan cost is dominated by file-open overhead until the

@@ -80,4 +80,28 @@ class LayoutSpec extends AnyFunSuite {
     val n = spark.read.parquet(dir).filter(col("event_id") < 100).count()
     assert(n == ev.filter(col("event_id") < 100).count())
   }
+
+  test("versioned snapshots: pointer flip, time travel, vacuum") {
+    import spark.implicits._
+    val dir = tmp("versioned")
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v1 = Seq((1L, "a2"), (3L, "c")).toDF("k", "v")
+
+    assert(graft.ops.Sinks.latestVersion(spark, dir).isEmpty)
+    assert(graft.ops.Sinks.writeVersioned(v0, dir) == 0L)
+    assert(graft.ops.Sinks.writeVersioned(v1, dir) == 1L)
+    assert(graft.ops.Sinks.latestVersion(spark, dir).contains(1L))
+
+    // latest read sees v1; pinned read time-travels to v0
+    assert(graft.ops.Sinks.readVersioned(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+    assert(graft.ops.Sinks.readVersioned(spark, dir, Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+
+    // vacuum keeps the latest `keep` versions, drops the rest
+    graft.ops.Sinks.vacuumVersions(spark, dir, keep = 1)
+    assert(!new java.io.File(s"$dir/v=0").exists())
+    assert(graft.ops.Sinks.readVersioned(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+  }
 }
