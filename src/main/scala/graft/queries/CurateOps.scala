@@ -236,6 +236,21 @@ object CurateOps {
       .orderBy(col("rule"))
   }
 
+  /** Versioned-snapshot round trip: two writes land v=N and v=N+1 with
+    * an atomic `_LATEST` pointer flip; the read resolves the pointer, so
+    * it must see exactly the second snapshot (open orders). Old versions
+    * stay pinnable; vacuum bounds the history the repeated driver runs
+    * accumulate.
+    */
+  private val qVersionedRead: Q = (s, d) => {
+    val path = s"target/tmp/q_versioned_${math.abs(d.hashCode)}"
+    val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
+    graft.ops.Sinks.writeVersioned(orders.filter(col("o_orderstatus") === "F"), path)
+    graft.ops.Sinks.writeVersioned(orders.filter(col("o_orderstatus") === "O"), path)
+    graft.ops.Sinks.vacuumVersions(s, path, keep = 2)
+    graft.ops.Sinks.readVersioned(s, path).orderBy(col("o_orderkey"))
+  }
+
   /** √n temperature mixing over the 20-source corpus, 200-doc target. */
   private val qTemperatureMix: Q = (s, d) =>
     TextStats.temperatureSample(Tables.documents(s, d), "doc_id", "source", 200)
@@ -244,6 +259,7 @@ object CurateOps {
   val registry: Map[String, Q] = Map(
     "q_data_contract" -> qDataContract,
     "q_temperature_mix" -> qTemperatureMix,
+    "q_versioned_read" -> qVersionedRead,
     "q_orc_source" -> qOrcSource,
     "q_text_source" -> qTextSource,
     "q_incr_agg" -> qIncrAgg,
@@ -287,6 +303,9 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_versioned_read" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
     "q_data_contract" ->
       """SELECT 'discount_in_0_0p1' AS rule,
         |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1
