@@ -103,5 +103,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/v=0").exists())
     assert(graft.ops.Sinks.readVersioned(spark, dir)
       .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+
+    // crash-safety: a snapshot dir that landed WITHOUT a pointer flip
+    // (simulating a writer dying between write and flip) is invisible —
+    // readers resolve the pointer, never the directory listing
+    Seq((9L, "orphan")).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/v=7")
+    assert(graft.ops.Sinks.latestVersion(spark, dir).contains(1L))
+    assert(graft.ops.Sinks.readVersioned(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((1L, "a2"), (3L, "c")))
+    // the next committed write supersedes the orphan
+    val vNext = graft.ops.Sinks.writeVersioned(
+      Seq((4L, "d")).toDF("k", "v"), dir)
+    assert(vNext == 2L)
+    assert(graft.ops.Sinks.readVersioned(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((4L, "d")))
   }
 }
