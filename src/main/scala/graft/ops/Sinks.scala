@@ -98,19 +98,34 @@ object Sinks {
     * readable by number until [[vacuumVersions]] trims them.
     */
   def writeVersioned(df: DataFrame, path: String): Long = {
-    val spark = df.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = latestVersion(spark, path).map(_ + 1).getOrElse(0L)
-    df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$next")
-    val tmp = new org.apache.hadoop.fs.Path(path, "_LATEST.tmp")
-    val out = fs.create(tmp, true)
-    out.write(next.toString.getBytes("UTF-8")); out.close()
     // rename is the atomic flip on HDFS-like stores; object stores need
-    // their conditional-put equivalent here
-    fs.delete(new org.apache.hadoop.fs.Path(path, "_LATEST"), false)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "_LATEST"))
+    // their conditional-put equivalent
+    val next = latestVersion(df.sparkSession, path).map(_ + 1).getOrElse(0L)
+    writeVersionAt(df, path, next)
     next
+  }
+
+  /** Write snapshot `version` and flip the pointer iff it advances the
+    * table — the idempotent form for callers that own the version number
+    * (e.g. a streaming micro-batch id): replaying an already-committed
+    * version is a no-op, so retries cannot double-write or move the
+    * pointer backwards.
+    */
+  def writeVersionAt(df: DataFrame, path: String, version: Long): Boolean = {
+    val spark = df.sparkSession
+    val committed = latestVersion(spark, path)
+    if (committed.exists(_ >= version)) false
+    else {
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$version")
+      val tmp = new org.apache.hadoop.fs.Path(path, "_LATEST.tmp")
+      val out = fs.create(tmp, true)
+      out.write(version.toString.getBytes("UTF-8")); out.close()
+      fs.delete(new org.apache.hadoop.fs.Path(path, "_LATEST"), false)
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "_LATEST"))
+      true
+    }
   }
 
   /** Highest committed version per the pointer file, if any. */

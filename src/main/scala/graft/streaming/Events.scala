@@ -89,6 +89,26 @@ object Events {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_users"))
 
+  /** Stream into the versioned snapshot sink, exactly once: each
+    * micro-batch commits snapshot `v=batchId` via the idempotent
+    * [[graft.ops.Sinks.writeVersionAt]] — a replayed batch (restart,
+    * at-least-once delivery) finds its version already committed and
+    * no-ops, so the pointer only ever advances. Readers get snapshot
+    * isolation over a live stream: every read is one complete batch's
+    * state, never a torn mix.
+    */
+  def foreachBatchVersioned(df: DataFrame, path: String,
+                            checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.ops.Sinks.writeVersionAt(batch.localCheckpoint(true), path, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user running purchase total for the stateful-v2 API: named,
     * typed `ValueState` instead of one opaque `GroupState` value.
     */

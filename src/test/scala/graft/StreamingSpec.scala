@@ -241,6 +241,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("versioned streaming sink commits one snapshot per batch, replay-safe") {
+    implicit val sc = spark.sqlContext
+    val path = "target/tmp/stream_versioned"
+    val ckpt = "target/tmp/stream_versioned_ckpt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+      ev(2, "2024-01-01 10:20:00", user = 2))
+    val counts = in.toDF().groupBy($"user_id").agg(count(lit(1)).as("n"))
+    Events.foreachBatchVersioned(counts, path, ckpt).awaitTermination()
+    val v0 = graft.ops.Sinks.latestVersion(spark, path)
+    assert(v0.contains(0L))
+    val snap0 = graft.ops.Sinks.readVersioned(spark, path)
+      .as[(Long, Long)].collect().toSet
+    assert(snap0 == Set((1L, 1L), (2L, 1L)))
+
+    // restart with the same checkpoint and new data: batch 0 is NOT
+    // replayed into a duplicate version; batch 1 commits v=1
+    in.addData(ev(3, "2024-01-01 10:40:00", user = 1))
+    Events.foreachBatchVersioned(counts, path, ckpt).awaitTermination()
+    assert(graft.ops.Sinks.latestVersion(spark, path).contains(1L))
+    val snap1 = graft.ops.Sinks.readVersioned(spark, path)
+      .as[(Long, Long)].collect().toSet
+    assert(snap1 == Set((1L, 2L)), "update-mode batch carries changed keys")
+    // time travel back to the first committed batch
+    assert(graft.ops.Sinks.readVersioned(spark, path, Some(0L))
+      .as[(Long, Long)].collect().toSet == snap0)
+  }
+
   test("foreachBatch upsert sink merges micro-batches idempotently by key") {
     implicit val sc = spark.sqlContext
     val path = "target/tmp/stream_upsert"
