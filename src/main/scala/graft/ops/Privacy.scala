@@ -22,6 +22,8 @@ object Privacy {
 
   /** Mask every digit except the trailing `keep` characters: the
     * "…******123" rendering used for account/phone-style fields.
+    * Values no longer than `keep` pass through unchanged (there is
+    * nothing before the kept suffix to mask).
     */
   def maskDigitsKeepLast(c: Column, keep: Int): Column = {
     require(keep >= 1, s"must keep at least one trailing character, got $keep")

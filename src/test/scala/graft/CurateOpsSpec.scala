@@ -138,6 +138,13 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(row.getAs[String]("name_token").matches("[0-9a-f]{64}"))
   }
 
+  test("maskDigitsKeepLast passes short values through unchanged") {
+    val got = Seq("ab", "a1c", "12", "9").toDF("s")
+      .select(Privacy.maskDigitsKeepLast(col("s"), 3).as("m"))
+      .as[String].collect().toSeq
+    assert(got == Seq("ab", "a1c", "12", "9"))
+  }
+
   // ---- Bloom semi join --------------------------------------------------
 
   test("bloom-prefiltered semi join equals the plain semi join") {
