@@ -47,6 +47,21 @@ object Sinks {
     merged.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Apply a CDC change feed (insert / update / delete) to a base table
+    * set-wise: `D` rows anti-join the base out, `U`/`I` rows upsert via
+    * [[mergeByKey]]. A key that is both deleted and (re)inserted in the
+    * same batch ends up inserted — deletes apply first, upserts last,
+    * the MERGE WHEN MATCHED/NOT MATCHED ordering. One anti join + one
+    * merge, no per-row loops, any scale.
+    */
+  def applyCdc(base: DataFrame, changes: DataFrame, keys: Seq[String],
+               opCol: String): DataFrame = {
+    val dels = changes.filter(col(opCol) === "D")
+      .select(keys.map(col): _*).distinct()
+    val upserts = changes.filter(col(opCol).isin("U", "I")).drop(opCol)
+    mergeByKey(base.join(dels, keys, "left_anti"), upserts, keys)
+  }
+
   /** K2: truncate-and-reload as a single atomic overwrite. */
   def overwriteRefresh(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)

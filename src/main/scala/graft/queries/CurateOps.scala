@@ -236,6 +236,26 @@ object CurateOps {
       .orderBy(col("rule"))
   }
 
+  /** CDC change-feed apply: a deterministic I/U/D batch derived from the
+    * orders table (key mod 10: 0→delete, 1-2→price-doubling update,
+    * 3→re-keyed insert) applied to the base set-wise — one anti join for
+    * the deletes, one merge for the upserts.
+    */
+  private val qCdcApply: Q = (s, d) => {
+    val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val m = pmod(col("k"), lit(10))
+    val dels = base.filter(m === 0)
+      .select(col("k"), lit("D").as("op"), lit(null).cast("long").as("cents"))
+    val upds = base.filter(m.isin(1, 2))
+      .select(col("k"), lit("U").as("op"), (col("cents") * 2).as("cents"))
+    val ins = base.filter(m === 3)
+      .select((col("k") + 10000000L).as("k"), lit("I").as("op"), col("cents"))
+    graft.ops.Sinks.applyCdc(base, dels.unionByName(upds).unionByName(ins),
+        Seq("k"), "op")
+      .orderBy(col("k"))
+  }
+
   /** Versioned-snapshot round trip: two writes land v=N and v=N+1 with
     * an atomic `_LATEST` pointer flip; the read resolves the pointer, so
     * it must see exactly the second snapshot (open orders). Old versions
@@ -257,6 +277,7 @@ object CurateOps {
       .orderBy(col("source"), col("rn"))
 
   val registry: Map[String, Q] = Map(
+    "q_cdc_apply" -> qCdcApply,
     "q_data_contract" -> qDataContract,
     "q_temperature_mix" -> qTemperatureMix,
     "q_versioned_read" -> qVersionedRead,
@@ -303,6 +324,15 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_cdc_apply" ->
+      """WITH b AS (SELECT o_orderkey AS k,
+        |             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT k, CASE WHEN k % 10 IN (1, 2) THEN cents * 2 ELSE cents END AS cents
+        |FROM b WHERE k % 10 <> 0
+        |UNION ALL
+        |SELECT k + 10000000, cents FROM b WHERE k % 10 = 3
+        |ORDER BY k""".stripMargin,
     "q_versioned_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,

@@ -236,6 +236,20 @@ class CurateOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("applyCdc: deletes remove, updates replace, inserts add, reinsert wins") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "D", null.asInstanceOf[String]),  // delete key 1
+      (2L, "U", "b2"),                       // update key 2
+      (4L, "I", "d"),                        // insert key 4
+      (3L, "D", null.asInstanceOf[String]),  // delete key 3 ...
+      (3L, "I", "c2")                        // ... and reinsert: insert wins
+    ).toDF("k", "op", "v")
+    val got = graft.ops.Sinks.applyCdc(base, changes, Seq("k"), "op")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(2L -> "b2", 3L -> "c2", 4L -> "d"))
+  }
+
   test("incremental rollup merge equals the direct full aggregate") {
     val got = graft.queries.CurateOps.registry("q_incr_agg")(spark, sf)
       .as[(String, String, Long, Long)].collect().toSet
