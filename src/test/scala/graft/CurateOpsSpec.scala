@@ -250,6 +250,23 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(got == Map(2L -> "b2", 3L -> "c2", 4L -> "d"))
   }
 
+  test("Observation collects in-flight contract metrics with no extra scan") {
+    // data-quality counters ride the SAME job as the real work — the
+    // zero-extra-pass health check a 100 TB pipeline attaches to every
+    // write (vs. re-scanning the table for a separate contract query)
+    val obs = org.apache.spark.sql.Observation("contract")
+    val li = graft.model.Tables.lineitem(spark, sf)
+    val observed = li.observe(obs,
+      count(lit(1)).as("rows_seen"),
+      sum(when(!$"l_quantity".between(1.0, 50.0), 1L).otherwise(0L))
+        .as("qty_violations"))
+    val realWork = observed.groupBy($"l_returnflag").count().collect()
+    assert(realWork.nonEmpty)
+    val metrics = obs.get
+    assert(metrics("rows_seen") == li.count())
+    assert(metrics("qty_violations") == 0L)
+  }
+
   test("incremental rollup merge equals the direct full aggregate") {
     val got = graft.queries.CurateOps.registry("q_incr_agg")(spark, sf)
       .as[(String, String, Long, Long)].collect().toSet
