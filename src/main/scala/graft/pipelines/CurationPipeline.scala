@@ -76,4 +76,31 @@ object CurationPipeline {
     survivors.join(TextStats.sampleSplit(survivors, key), Seq(key))
       .select(col(key), col(text), col("split"))
   }
+
+  /** Full curation run published as a versioned snapshot: the curated
+    * corpus lands under `v=N/` with an atomic pointer flip, and health
+    * metrics (docs kept, characters kept, split sizes) ride the SAME
+    * write job via `Dataset.observe` — no second scan. Returns the
+    * committed version and the observed metrics; consumers pin training
+    * runs to a version while later curation runs publish new ones.
+    */
+  def curateAndPublish(docs: DataFrame, key: String, text: String,
+                       path: String,
+                       minQualityE6: Long = 400000L,
+                       nearDupThreshold: Double = 0.5,
+                       strategy: NearDupStrategy = Pairwise,
+                       maxRepetition: Option[(Long, Long)] = None,
+                       minEntropyE6: Option[Long] = None): (Long, Map[String, Any]) = {
+    val obs = org.apache.spark.sql.Observation()
+    val curated = curate(docs, key, text, minQualityE6, nearDupThreshold,
+        strategy, maxRepetition, minEntropyE6)
+      .observe(obs,
+        count(lit(1)).as("docs_kept"),
+        sum(length(col(text))).as("chars_kept"),
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val version = graft.ops.Sinks.writeVersioned(curated, path)
+    (version, obs.get)
+  }
 }

@@ -61,6 +61,28 @@ class CurationPipelineSpec extends AnyFunSuite {
     assert(rep == 0 && lowEnt == 0)
   }
 
+  test("curateAndPublish lands versioned snapshots with riding metrics") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val path = "target/tmp/curated_versions"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+
+    val (v0, m0) = CurationPipeline.curateAndPublish(docs, "doc_id", "text", path)
+    assert(v0 == 0L)
+    val snap0 = graft.ops.Sinks.readVersioned(spark, path)
+    assert(m0("docs_kept") == snap0.count())
+    assert(m0("n_train").asInstanceOf[Long] + m0("n_val").asInstanceOf[Long] +
+      m0("n_test").asInstanceOf[Long] == m0("docs_kept"))
+
+    // a stricter re-run publishes v1; v0 stays pinnable and unchanged
+    val (v1, m1) = CurationPipeline.curateAndPublish(docs, "doc_id", "text",
+      path, minEntropyE6 = Some(1500000L))
+    assert(v1 == 1L)
+    assert(m1("docs_kept").asInstanceOf[Long] <= m0("docs_kept").asInstanceOf[Long])
+    assert(graft.ops.Sinks.readVersioned(spark, path, Some(0L)).count() ==
+      m0("docs_kept"))
+    assert(graft.ops.Sinks.readVersioned(spark, path).count() == m1("docs_kept"))
+  }
+
   test("cluster strategy keeps a subset of pairwise survivors, one per component") {
     val docs = graft.model.Tables.documents(spark, sf)
     val pairwise = CurationPipeline.curate(docs, "doc_id", "text",
