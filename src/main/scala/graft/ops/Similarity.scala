@@ -72,17 +72,56 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
-  /** Approximate top-k via IVF-flat with deterministic coarse centroids:
-    * the first `cells` corpus vectors (by key order) act as centroids —
-    * deterministic and cheap versus k-means, adequate for bucketing.
-    * Every vector is assigned to its nearest centroid (one broadcast
-    * join); a query probes the `nprobe` nearest cells only.
+  /** Coarse centroids refined by Lloyd iterations (distributed k-means):
+    * seeds are the first `k` corpus vectors in key order (deterministic
+    * init); each iteration assigns every vector to its nearest centroid
+    * (broadcast join + rank-1 window) and recomputes per-cell means via
+    * positional explode + partial-agg average — the standard distributed
+    * mean, one shuffle per iteration. Cells that lose all members drop
+    * out (k can shrink). `iters = 0` returns the raw seeds.
+    */
+  def kmeansCentroids(corpus: DataFrame, key: String, vec: String,
+                      k: Int, iters: Int): DataFrame = {
+    ensureRegistered(corpus)
+    var cents = side(corpus.orderBy(col(key)).limit(k),
+      key, vec, "cell_id", "cent", "cent_norm")
+    if (iters > 0) {
+      val members = side(Par.fanOut(corpus.select(col(key), col(vec))),
+        key, vec, "n_id", "n_vec", "n_norm")
+      for (_ <- 0 until iters) {
+        val assignW = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
+        val assigned = members.join(broadcast(cents))
+          .withColumn("sim",
+            expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
+          .withColumn("crnk", row_number().over(assignW))
+          .filter(col("crnk") === 1)
+          .select(col("cell_id"), col("n_vec"))
+        cents = assigned
+          .select(col("cell_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
+          .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s.getField("m")).as("cent"))
+          .withColumn("cent_norm", sqrt(expr("dot_arr(cent, cent)")))
+          .localCheckpoint(true)
+      }
+    }
+    cents
+  }
+
+  /** Approximate top-k via IVF-flat: coarse centroids are the first
+    * `cells` corpus vectors (by key order) — deterministic and cheap,
+    * adequate for bucketing — optionally tightened with `refineIters`
+    * Lloyd rounds ([[kmeansCentroids]]). Every vector is assigned to its
+    * nearest centroid (one broadcast join); a query probes the `nprobe`
+    * nearest cells only.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
-              k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, cells: Int = 16, nprobe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     ensureRegistered(corpus)
-    val cents = broadcast(
-      side(corpus.orderBy(col(key)).limit(cells), key, vec, "cell_id", "cent", "cent_norm"))
+    val cents = broadcast(kmeansCentroids(corpus, key, vec, cells, refineIters))
     val assign = org.apache.spark.sql.expressions.Window
       .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
     val corpusCells = side(Par.fanOut(corpus.select(col(key), col(vec))),

@@ -89,6 +89,14 @@ class LlmOpsSpec extends AnyFunSuite {
     // measured 0.94 with the default cells=16/nprobe=4 on the sf0.01
     // embeddings; 0.8 matches the LSH spec's bound
     assert(recall >= 0.8, s"IVF recall $recall too low")
+
+    // Lloyd-refined centroids must stay at least as usable: the refined
+    // index meets the same recall bound (and keeps the output shape)
+    val refined = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, refineIters = 2)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val refinedRecall = (exact & refined).size.toDouble / exact.size
+    assert(refinedRecall >= 0.8, s"refined IVF recall $refinedRecall too low")
   }
 
   test("lshTopK recall vs brute force is high and output shape matches") {
