@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{BloomJoin, Privacy, Retrieval, Sessions, TextStats}
 
-/** Semantics of the round-4 curation/retrieval operators on tiny
-  * fixtures, plus scale-shape assertions on their sf0.001 plans.
+/** Semantics of the curation/retrieval/CDC operators on tiny fixtures,
+  * plus scale-shape assertions on their sf0.001 plans.
   */
 class CurateOpsSpec extends AnyFunSuite {
   import TestSpark._
