@@ -4,8 +4,10 @@ object Bench {
   /** Headline queries: one or more representatives per operator family
     * (scan/filter, joins incl. broadcast+salted, aggregation families,
     * windows, top-k, set ops, SQL surface, streaming shapes, dedup,
-    * similarity, text analysis, extension surface). The full 135-key
-    * registry is exercised by Verify; Bench times the representative set.
+    * similarity, text analysis, extension surface). The full 136-key
+    * registry is exercised by Verify; Bench times the representative set
+    * (frozen since r2 so BENCH_r{N} totals stay comparable across
+    * rounds).
     */
   val headline: Seq[String] = Seq(
     "q_filter_eq", "q_project", "q_groupby_agg", "q_count_distinct",
@@ -39,19 +41,39 @@ object Bench {
     // A failing query must surface as a failure, not as a near-zero timing
     // that deflates the headline total: failed queries report -1 and are
     // excluded from `value`, and their names are listed under `errors`.
+    //
+    // Each query runs 3× and reports the MEDIAN — single-shot timings on
+    // a shared host absorb JIT/GC/contention spikes (a one-off +26%
+    // artifact total in round 4 re-ran clean), and the median of three
+    // rejects any single outlier run. All three raw timings are emitted
+    // under `runs` so per-key variance is visible in the artifact.
+    val reps = 3
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      val median =
+        if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2)
+      (name, median, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val runs = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    // `value` sums warm medians (execution-bound engine cost); r1–r4
+    // totals were single-shot and so included each query's one-time
+    // planning/codegen — `first_run_total` preserves that definition for
+    // cross-round comparison.
+    val firstTotal = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => graft.functions.MinHashSignature(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue())))
     e.injectFunction((
+      FunctionIdentifier("srp_bands"),
+      info("srp_bands", "srp_bands(v ARRAY<DOUBLE>, bands INT, bits INT) - band-tagged hyperplane LSH codes"),
+      (exprs: Seq[Expression]) => graft.functions.SrpBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    e.injectFunction((
       FunctionIdentifier("simhash_signature"),
       info("simhash_signature", "simhash_signature(toks ARRAY<STRING>) - 64-bit simhash"),
       (exprs: Seq[Expression]) => graft.functions.SimhashSignature(exprs.head)))

@@ -41,6 +41,10 @@ object Udfs {
     reg.createOrReplaceTempFunction(
       "rolling_hash_min", exprs => RollingHashMin(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_bands", exprs => SrpBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     spark.udf.register("lap_time_udf", formatLapTimeUdf)
     spark.udf.register("top_k_events",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(3)))

@@ -21,11 +21,25 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
 
-  /** Repartition `df` to the session default parallelism iff it currently
-    * has fewer partitions — a no-op on already-wide inputs.
+  /** Repartition `df` to the session default parallelism iff its scan
+    * would yield fewer splits — a no-op on already-wide inputs.
+    *
+    * The gate reads the optimizer's size estimate (Parquet footer
+    * totals, scaled by projection) against `files.maxPartitionBytes`:
+    * a source smaller than `target × maxPartitionBytes` cannot produce
+    * `target` splits, so it gets one round-robin exchange. This is a
+    * pure plan-side probe — no `.rdd` conversion, no job — so the gate
+    * costs nothing on the hot planning path (it previously forced an
+    * RDD plan conversion per call). Inputs whose size the optimizer
+    * cannot estimate (e.g. checkpointed RDD scans) report huge defaults
+    * and correctly skip the exchange — they are already post-shuffle
+    * wide.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val bytesPerSplit = spark.sessionState.conf.filesMaxPartitionBytes
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes < BigInt(bytesPerSplit) * target) df.repartition(target) else df
   }
 }

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global-ordering primitives: total-order row numbers and
+  * running totals WITHOUT a single-partition window.
+  *
+  * A global `Window.orderBy(...)` funnels the whole table through one
+  * task — the classic scale-killer. These helpers use the zipWithIndex
+  * discipline instead, expressed DataFrame-first:
+  *
+  *  1. range-repartition on the order key and sort within partitions
+  *     (one shuffle; partition i holds a contiguous key range, ranges
+  *     ascending with i);
+  *  2. a per-partition position — `monotonically_increasing_id()` over
+  *     the sorted, materialized partitions encodes
+  *     `partitionId << 33 | localIndex`, so the local position needs no
+  *     window at all — or a window PARTITIONED by the partition id
+  *     (parallel across partitions) for running totals;
+  *  3. per-partition counts/totals (a tiny aggregate, ≤ one row per
+  *     partition) collected to the driver and turned into cumulative
+  *     offsets — the same per-partition count job `RDD.zipWithIndex`
+  *     runs, a few dozen longs regardless of table size;
+  *  4. global value = partition offset + local value, via a literal
+  *     when-chain on the partition id (codegen'd, no join, no shuffle).
+  *
+  * The order columns must define a TOTAL order (include a unique
+  * tiebreaker): rows equal on all order columns compare equal to every
+  * range bound, land in one partition, and then tie arbitrarily within
+  * it. The sorted prefix is localCheckpointed so the offset job and the
+  * consuming query see the same materialized layout (and the sort runs
+  * once, not twice).
+  */
+object Ranks {
+
+  /** Range-sorted input with its partition id, materialized. */
+  private def sortedWithPid(df: DataFrame, order: Seq[Column],
+                            partitions: Int): DataFrame = {
+    val n =
+      if (partitions > 0) partitions
+      else math.max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    df.repartitionByRange(n, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true)
+  }
+
+  /** Cumulative exclusive offsets from per-partition subtotals. */
+  private def cumOffsets(perPid: Array[(Int, Long)]): Seq[(Int, Long)] = {
+    var acc = 0L
+    perPid.sortBy(_._1).toIndexedSeq.map { case (pid, c) =>
+      val out = (pid, acc); acc += c; out
+    }
+  }
+
+  /** Offset lookup as a literal when-chain over the partition id —
+    * partition counts are bounded by the shuffle width, so the chain
+    * stays small and fully codegen'd.
+    */
+  private def offsetCol(offsets: Seq[(Int, Long)]): Column =
+    offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("_pid") === pid, lit(off)).otherwise(e)
+    }
+
+  /** Global 1-based row number by `order` (must be a total order), as
+    * INT column `as` — equivalent to
+    * `row_number().over(Window.orderBy(order))` but with no
+    * single-partition stage anywhere in the plan.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], as: String,
+                      partitions: Int = 0): DataFrame = {
+    val sorted = sortedWithPid(df, order, partitions)
+      .withColumn("_mid", monotonically_increasing_id())
+    val counts = sorted.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val localIdx = col("_mid") - shiftleft(col("_pid").cast("long"), 33)
+    sorted
+      .withColumn(as, (offsetCol(cumOffsets(counts)) + localIdx + 1L).cast("int"))
+      .drop("_pid", "_mid")
+  }
+
+  /** Global inclusive running sum of `value` by `order` (must be a total
+    * order), as LONG column `as` — equivalent to
+    * `sum(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
+    * currentRow))`, computed as a per-partition running sum (window
+    * PARTITIONED by the partition id — parallel) plus the collected
+    * cumulative partition subtotals.
+    */
+  def globalRunningSum(df: DataFrame, order: Seq[Column], value: Column,
+                       as: String, partitions: Int = 0): DataFrame = {
+    val sorted = sortedWithPid(df, order, partitions)
+    val totals = sorted.groupBy(col("_pid"))
+      .agg(coalesce(sum(value), lit(0L)).as("_t"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sorted
+      .withColumn(as, offsetCol(cumOffsets(totals)) + sum(value).over(w))
+      .drop("_pid")
+  }
+}

@@ -8,31 +8,62 @@ import org.apache.spark.sql.functions._
   * Dot products run through the native codegen'd
   * [[graft.functions.DotProduct]] expression (`dot_arr` — a primitive
   * loop; the composable `aggregate(zip_with(...))` form is interpreted
-  * and was ~40× slower at sf0.1). Norms are computed once per row on
-  * each join side, not once per pair. The arithmetic (sequential fold,
-  * `dot/(sqrt(aa)*sqrt(bb))` grouping) is bit-identical to DuckDB's
-  * `list_dot_product` oracle formula.
+  * and was ~40× slower at sf0.1); sign-random-projection band codes run
+  * through [[graft.functions.SrpBands]] (`srp_bands` — all bands in one
+  * pass). Norms are computed once per row on each join side, not once
+  * per pair. The arithmetic (sequential fold, `dot/(sqrt(aa)*sqrt(bb))`
+  * grouping) is bit-identical to DuckDB's `list_dot_product` oracle
+  * formula.
   *
   * Scale posture: brute-force top-k is the exact baseline — broadcast
   * the (small) query set, scan the corpus once, per-query top-k via a
-  * rank-limited window. For corpus×corpus at 100 TB use `ivfTopK`:
-  * vectors are bucketed by nearest coarse centroid (IVF-flat) and
-  * queries only scan `nprobe` cells.
+  * rank-limited window. For corpus×corpus pair detection use
+  * [[cosinePairsBlocked]] (banded equi join, never a theta join); for
+  * corpus×corpus top-k at 100 TB use [[ivfTopK]] (vectors bucketed by
+  * nearest coarse centroid, queries scan `nprobe` cells) or [[lshTopK]]
+  * (data-independent banding, append-friendly).
   */
 object Similarity {
 
-  /** Register `dot_arr` on the session owning `df` (idempotent). */
-  private def ensureRegistered(df: DataFrame): Unit =
-    df.sparkSession.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the native expressions on the session owning `df`
+    * (idempotent).
+    */
+  private def ensureRegistered(df: DataFrame): Unit = {
+    val reg = df.sparkSession.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "dot_arr", exprs => graft.functions.DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "srp_bands", exprs => graft.functions.SrpBands(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+  }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Quantization scale for distributed centroid means: per-dimension
+    * sums accumulate as exact integers (order-independent under any
+    * partitioning), then divide once — bit-deterministic, unlike a
+    * double `avg` whose summation order follows the partitioning. The
+    * ≈6e-8 quantization of each member is irrelevant for coarse IVF
+    * cells and is the price of exactness-under-reordering.
+    */
+  private val MeanScale = (1L << 24).toDouble
 
   /** Key + unit-normless vector + precomputed L2 norm, aliased for a join side. */
   private def side(df: DataFrame, key: String, vec: String,
                    keyAs: String, vecAs: String, normAs: String): DataFrame =
     df.select(col(key).as(keyAs), asDouble(col(vec)).as(vecAs))
       .withColumn(normAs, sqrt(expr(s"dot_arr($vecAs, $vecAs)")))
+
+  /** Banded view: one row per (row, band) keyed by the band-tagged
+    * bucket code, so a plain equi join on `bucket` is the per-band
+    * bucket join. Null vectors produce no rows (they have no buckets
+    * and can match nothing).
+    */
+  private def banded(df: DataFrame, bands: Int, bitsPerBand: Int,
+                     vecCol: String, keep: Column*): DataFrame =
+    df.select(keep :+
+      explode(expr(s"srp_bands($vecCol, $bands, $bitsPerBand)")).as("bucket"): _*)
 
   /** Exact brute-force top-k cosine neighbors for a query subset. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, key: String,
@@ -55,7 +86,13 @@ object Similarity {
   }
 
   /** Exact cosine near-duplicate pairs (cos ≥ threshold) — O(n²) compare,
-    * intended for dimension-sized inputs or per-LSH-bucket use at scale.
+    * intended for dimension-sized inputs or per-bucket verification at
+    * scale. An EXACT sub-quadratic threshold join needs a margin around
+    * the threshold: when the corpus has pairs densely on both sides of
+    * the cut (this repo's synthetic embeddings place pairs at 0.3999 and
+    * 0.4001), any complete candidate filter must admit essentially every
+    * pair, so the registered scale path is [[cosinePairsBlocked]] and
+    * this exact form stays scoped to small inputs.
     */
   def cosinePairs(corpus: DataFrame, key: String, vec: String,
                   threshold: Double): DataFrame = {
@@ -72,13 +109,56 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** LSH-blocked cosine near-duplicate pairs — the corpus×corpus scale
+    * path: candidates come from a banded equi self-join on
+    * sign-random-projection bucket codes (never a theta join / cartesian
+    * product), each candidate is verified with the exact cosine, and
+    * only verified pairs (a 24-byte projection) reach the final
+    * duplicate-elimination shuffle. A pair colliding in several bands is
+    * verified once per collision — redundant map-side flops are strictly
+    * cheaper than shuffling the full candidate set with vectors attached
+    * to dedup it first.
+    *
+    * The operator's contract is deliberately "exact cosine over LSH
+    * candidates", not "exact cosine over all pairs": recall against the
+    * all-pairs ideal is 1 − (1 − p^bits)^bands with p = 1 − θ/π, a
+    * data-dependent quantity with no exact sub-quadratic alternative
+    * (see [[cosinePairs]]). With the defaults (96 bands × 8 bits) on the
+    * repo's synthetic corpus — true pairs planted at cos ∈ [0.4, 0.6],
+    * background up to 0.3999, i.e. zero margin at the 0.4 threshold, the
+    * hardest possible regime for any blocking scheme — measured recall
+    * is 0.94–0.97 at sf0.001–0.1 with ~34% candidate pairs; on a real
+    * near-dup corpus (dups at cos ≥ 0.9) the same defaults give recall
+    * 1 − 5e-15 and far sparser candidates, and fewer bands suffice.
+    */
+  def cosinePairsBlocked(corpus: DataFrame, key: String, vec: String,
+                         threshold: Double, bands: Int = 96,
+                         bitsPerBand: Int = 8): DataFrame = {
+    ensureRegistered(corpus)
+    val wide = side(Par.fanOut(corpus.select(col(key), col(vec))),
+      key, vec, "vec_a", "va", "na")
+    val a = banded(wide, bands, bitsPerBand, "va",
+      col("vec_a"), col("va"), col("na"))
+    val b = a.select(col("bucket"), col("vec_a").as("vec_b"),
+      col("va").as("vb"), col("na").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("vec_a"), col("vec_b"),
+        floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+      .dropDuplicates(Seq("vec_a", "vec_b"))
+  }
+
   /** Coarse centroids refined by Lloyd iterations (distributed k-means):
     * seeds are the first `k` corpus vectors in key order (deterministic
     * init); each iteration assigns every vector to its nearest centroid
-    * (broadcast join + rank-1 window) and recomputes per-cell means via
-    * positional explode + partial-agg average — the standard distributed
-    * mean, one shuffle per iteration. Cells that lose all members drop
-    * out (k can shrink). `iters = 0` returns the raw seeds.
+    * via a broadcast join + `min_by` partial aggregate (map-side
+    * combine: one row per vector crosses the exchange, not one per
+    * vector×centroid) and recomputes per-cell means from exact
+    * integer-scaled sums (see [[MeanScale]]) — bit-deterministic under
+    * any partitioning, one shuffle per iteration. Cells that lose all
+    * members drop out (k can shrink). `iters = 0` returns the raw seeds.
     */
   def kmeansCentroids(corpus: DataFrame, key: String, vec: String,
                       k: Int, iters: Int): DataFrame = {
@@ -89,19 +169,25 @@ object Similarity {
       val members = side(Par.fanOut(corpus.select(col(key), col(vec))),
         key, vec, "n_id", "n_vec", "n_norm")
       for (_ <- 0 until iters) {
-        val assignW = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
+        // argmax cell per vector: min of (−sim, cell_id) ≡ highest sim,
+        // lowest cell on ties — same total order the row_number form had,
+        // but with partial aggregation instead of a window shuffle of the
+        // vector×centroid expansion
         val assigned = members.join(broadcast(cents))
           .withColumn("sim",
             expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
-          .withColumn("crnk", row_number().over(assignW))
-          .filter(col("crnk") === 1)
-          .select(col("cell_id"), col("n_vec"))
+          .groupBy(col("n_id"))
+          .agg(min_by(struct(col("cell_id"), col("n_vec")),
+            struct((-col("sim")).as("neg_sim"), col("cell_id"))).as("best"))
+          .select(col("best.cell_id").as("cell_id"), col("best.n_vec").as("n_vec"))
         cents = assigned
           .select(col("cell_id"), posexplode(col("n_vec")).as(Seq("pos", "x")))
-          .groupBy(col("cell_id"), col("pos")).agg(avg(col("x")).as("m"))
+          .groupBy(col("cell_id"), col("pos"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(round(col("x") * MeanScale).cast("long")).as("sx"))
           .groupBy(col("cell_id"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+              (col("sx").cast("double") / col("cnt") / MeanScale).as("m")))),
             s => s.getField("m")).as("cent"))
           .withColumn("cent_norm", sqrt(expr("dot_arr(cent, cent)")))
           .localCheckpoint(true)
@@ -114,23 +200,26 @@ object Similarity {
     * `cells` corpus vectors (by key order) — deterministic and cheap,
     * adequate for bucketing — optionally tightened with `refineIters`
     * Lloyd rounds ([[kmeansCentroids]]). Every vector is assigned to its
-    * nearest centroid (one broadcast join); a query probes the `nprobe`
-    * nearest cells only.
+    * nearest centroid via one broadcast join + `min_by` partial
+    * aggregate (the cells-wide expansion never crosses an exchange); a
+    * query probes the `nprobe` nearest cells only. `nprobe = cells`
+    * degenerates to exact brute force — the oracled gate
+    * `q_ann_ivf_exhaustive` pins that equivalence.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
               k: Int, cells: Int = 16, nprobe: Int = 4,
               refineIters: Int = 0): DataFrame = {
     ensureRegistered(corpus)
     val cents = broadcast(kmeansCentroids(corpus, key, vec, cells, refineIters))
-    val assign = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_id")).orderBy(col("sim").desc, col("cell_id").asc)
     val corpusCells = side(Par.fanOut(corpus.select(col(key), col(vec))),
         key, vec, "n_id", "n_vec", "n_norm")
       .join(cents)
       .withColumn("sim", expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
-      .withColumn("crnk", row_number().over(assign))
-      .filter(col("crnk") === 1)
-      .select(col("cell_id"), col("n_id"), col("n_vec"), col("n_norm"))
+      .groupBy(col("n_id"))
+      .agg(min_by(struct(col("cell_id"), col("n_vec"), col("n_norm")),
+        struct((-col("sim")).as("neg_sim"), col("cell_id"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("n_id"),
+        col("best.n_vec").as("n_vec"), col("best.n_norm").as("n_norm"))
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cell_id").asc)
     val queryCells = side(queries, key, vec, "q_id", "q_vec", "q_norm")
@@ -150,71 +239,28 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
-  /** Deterministic Rademacher (±1) hyperplanes: component p,i from a
-    * splitmix-style integer mix of (p, i) — no RNG state, identical
-    * across runs and sessions.
-    */
-  private def hyperplane(p: Int, dims: Int): Seq[Double] =
-    (0 until dims).map { i =>
-      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
-      z ^= (z >>> 31); z *= 0x94D049BB133111EBL; z ^= (z >>> 27)
-      if ((z & 1L) == 0L) 1.0 else -1.0
-    }
-
   /** Approximate top-k via sign-random-projection LSH (hyperplane
     * hashing): `bands × bitsPerBand` Rademacher hyperplanes give each
-    * vector a sign bit per plane; vectors agreeing on ALL bits of a band
-    * land in the same bucket (P[bit agree] = 1 − θ/π). Candidates come
-    * from an equi join on (band, bucket) — never a cross product — and
-    * are re-ranked by exact cosine. Recall tunes with `bands`;
-    * `bitsPerBand` controls bucket selectivity. The complement of
-    * [[ivfTopK]]: no centroid pass, fully data-independent, so inserts
-    * never re-cluster — the right trade for append-heavy 100 TB corpora.
+    * vector a sign bit per plane ([[graft.functions.SrpBands]]); vectors
+    * agreeing on ALL bits of a band land in the same bucket
+    * (P[bit agree] = 1 − θ/π). Candidates come from an equi join on the
+    * band-tagged bucket code — never a cross product — and are re-ranked
+    * by exact cosine. Recall tunes with `bands`; `bitsPerBand` controls
+    * bucket selectivity. The complement of [[ivfTopK]]: no centroid
+    * pass, fully data-independent, so inserts never re-cluster — the
+    * right trade for append-heavy 100 TB corpora.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
-              k: Int, bands: Int = 16, bitsPerBand: Int = 4,
-              dims: Int = -1): DataFrame = {
+              k: Int, bands: Int = 16, bitsPerBand: Int = 4): DataFrame = {
     ensureRegistered(corpus)
-    // The hyperplanes need the vector dimensionality; pass `dims` to skip
-    // the one-row probe job (arrays carry no length in the schema). A
-    // corpus with no non-null vector has no dimensionality and no
-    // neighbors — return an empty frame with the output schema (q_id
-    // typed from the QUERIES frame, n_id from the corpus: the two key
-    // columns may have different types).
-    val dimsResolved =
-      if (dims > 0) dims
-      else corpus.where(col(vec).isNotNull)
-        .select(size(col(vec))).limit(1).collect().headOption match {
-        case Some(r) => r.getInt(0)
-        case None =>
-          val outSchema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("q_id", queries.schema(key).dataType),
-            org.apache.spark.sql.types.StructField("n_id", corpus.schema(key).dataType),
-            org.apache.spark.sql.types.StructField("rnk", org.apache.spark.sql.types.IntegerType, nullable = false),
-            org.apache.spark.sql.types.StructField("cos_e6", org.apache.spark.sql.types.LongType)))
-          return corpus.sparkSession.createDataFrame(
-            corpus.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-      }
-    // one codegen'd column per band: Σ (dot(v,h)>0) << bit
-    def bucketCols(vecCol: String): Seq[Column] = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val h = hyperplane(b * bitsPerBand + i, dimsResolved)
-          .mkString("cast(array(", ",", ") as array<double>)")
-        (expr(s"dot_arr($vecCol, $h)") > 0).cast("long") * (1L << i)
-      }.reduce(_ + _).as(s"bucket_$b")
-    }
-    def banded(df: DataFrame, idAs: String, vecAs: String, normAs: String) =
-      df.select(Seq(col(idAs), col(vecAs), col(normAs)) ++ bucketCols(vecAs): _*)
-        .select(col(idAs), col(vecAs), col(normAs),
-          posexplode(array((0 until bands).map(b => col(s"bucket_$b")): _*))
-            .as(Seq("band", "bucket")))
     val c = banded(side(Par.fanOut(corpus.select(col(key), col(vec))),
-      key, vec, "n_id", "n_vec", "n_norm"), "n_id", "n_vec", "n_norm")
+        key, vec, "n_id", "n_vec", "n_norm"),
+      bands, bitsPerBand, "n_vec", col("n_id"), col("n_vec"), col("n_norm"))
     val q = banded(side(queries, key, vec, "q_id", "q_vec", "q_norm"),
-      "q_id", "q_vec", "q_norm")
+      bands, bitsPerBand, "q_vec", col("q_id"), col("q_vec"), col("q_norm"))
     val topW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id").asc)
-    broadcast(q).join(c, Seq("band", "bucket"))
+    broadcast(q).join(c, Seq("bucket"))
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("q_vec"), col("q_norm"),
         col("n_id"), col("n_vec"), col("n_norm"))

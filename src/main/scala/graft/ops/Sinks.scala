@@ -131,30 +131,53 @@ object Sinks {
     val committed = latestVersion(spark, path)
     if (committed.exists(_ >= version)) false
     else {
+      val conf = spark.sparkContext.hadoopConfiguration
       val hPath = new org.apache.hadoop.fs.Path(path)
-      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = hPath.getFileSystem(conf)
       df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$version")
-      val tmp = new org.apache.hadoop.fs.Path(path, "_LATEST.tmp")
+      val qualified = fs.makeQualified(hPath)
+      val tmp = new org.apache.hadoop.fs.Path(qualified, "_LATEST.tmp")
       val out = fs.create(tmp, true)
       out.write(version.toString.getBytes("UTF-8")); out.close()
-      fs.delete(new org.apache.hadoop.fs.Path(path, "_LATEST"), false)
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(path, "_LATEST"))
+      // One ATOMIC overwriting rename (FileContext + Rename.OVERWRITE),
+      // not delete-then-rename: a crash or concurrent reader between a
+      // delete and a rename would observe NO pointer — under which a
+      // naive writer restarts at v=0 and rolls the table back. With the
+      // atomic flip readers see either the old or the new pointer,
+      // never neither.
+      org.apache.hadoop.fs.FileContext.getFileContext(qualified.toUri, conf)
+        .rename(tmp, new org.apache.hadoop.fs.Path(qualified, "_LATEST"),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       true
     }
   }
 
-  /** Highest committed version per the pointer file, if any. */
+  /** Highest committed version per the pointer file. If the pointer is
+    * missing but complete snapshots exist (`v=N/` with a `_SUCCESS`
+    * marker), fall back to the highest such snapshot rather than
+    * pretending the table is empty — a lost pointer must never make the
+    * next write restart at v=0 over live history. (With the atomic flip
+    * in [[writeVersionAt]] the pointer can only go missing through
+    * external deletion; the scan is the recovery path.)
+    */
   def latestVersion(spark: org.apache.spark.sql.SparkSession,
                     path: String): Option[Long] = {
     val p = new org.apache.hadoop.fs.Path(path, "_LATEST")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) None
-    else {
+    if (fs.exists(p)) {
       val in = fs.open(p)
       val s = new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
       in.close()
       Some(s.toLong)
+    } else {
+      val dir = new org.apache.hadoop.fs.Path(path)
+      if (!fs.exists(dir)) None
+      else fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v=") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName.drop(2).toLong)
+        .sorted(Ordering[Long].reverse).headOption
     }
   }
 

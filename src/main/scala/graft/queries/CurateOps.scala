@@ -29,21 +29,22 @@ object CurateOps {
       .orderBy(col("doc_id"))
 
   /** RRF over two independent rankings: lexical (tf of 'spark', then
-    * doc_id) and a length prior (n_chars desc). Global row_number is fine
-    * at demo scale; at 100 TB rank via the distributed sort + a
-    * per-partition offset (zipWithIndex shape) instead of one window.
+    * doc_id) and a length prior (n_chars desc). Both rankings use the
+    * distributed range-partitioned rank ([[graft.ops.Ranks]]) — no
+    * single-partition window anywhere in the plan (PlanSpec pins this),
+    * so the ranking stage scales with the corpus.
     */
   private val qRrfFusion: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val a = docs
-      .withColumn("tf",
-        size(filter(split(col("text"), " "), x => x === lit("spark"))))
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("tf").desc, col("doc_id").asc)))
+    val a = graft.ops.Ranks.globalRowNumber(
+      docs.withColumn("tf",
+          size(filter(split(col("text"), " "), x => x === lit("spark"))))
+        .select(col("doc_id"), col("tf")),
+      Seq(col("tf").desc, col("doc_id").asc), "rnk")
       .select(col("doc_id"), col("rnk"))
-    val b = docs
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+    val b = graft.ops.Ranks.globalRowNumber(
+      docs.select(col("doc_id"), col("n_chars")),
+      Seq(col("n_chars").desc, col("doc_id").asc), "rnk")
       .select(col("doc_id"), col("rnk"))
     Retrieval.rrf(a, b, "doc_id")
       .orderBy(col("rrf_e9").desc, col("doc_id").asc)
@@ -239,7 +240,11 @@ object CurateOps {
   /** CDC change-feed apply: a deterministic I/U/D batch derived from the
     * orders table (key mod 10: 0→delete, 1-2→price-doubling update,
     * 3→re-keyed insert) applied to the base set-wise — one anti join for
-    * the deletes, one merge for the upserts.
+    * the deletes, one merge for the upserts. Inserts are re-keyed by
+    * NEGATION: o_orderkey is strictly positive at every scale factor, so
+    * the insert namespace is disjoint from the base by construction — a
+    * fixed additive offset would collide once the key domain outgrew it
+    * (TPC-H orderkeys reach 6M×sf).
     */
   private val qCdcApply: Q = (s, d) => {
     val base = Tables.orders(s, d).select(col("o_orderkey").as("k"),
@@ -250,7 +255,7 @@ object CurateOps {
     val upds = base.filter(m.isin(1, 2))
       .select(col("k"), lit("U").as("op"), (col("cents") * 2).as("cents"))
     val ins = base.filter(m === 3)
-      .select((col("k") + 10000000L).as("k"), lit("I").as("op"), col("cents"))
+      .select((-col("k")).as("k"), lit("I").as("op"), col("cents"))
     graft.ops.Sinks.applyCdc(base, dels.unionByName(upds).unionByName(ins),
         Seq("k"), "op")
       .orderBy(col("k"))
@@ -331,7 +336,7 @@ object CurateOps {
         |SELECT k, CASE WHEN k % 10 IN (1, 2) THEN cents * 2 ELSE cents END AS cents
         |FROM b WHERE k % 10 <> 0
         |UNION ALL
-        |SELECT k + 10000000, cents FROM b WHERE k % 10 = 3
+        |SELECT -k, cents FROM b WHERE k % 10 = 3
         |ORDER BY k""".stripMargin,
     "q_versioned_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders

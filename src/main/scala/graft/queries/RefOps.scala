@@ -229,7 +229,9 @@ object RefOps {
     * under the build dir; the read-back result is oracle-checkable.
     */
   private val qOverwriteRefresh: Q = (s, d) => {
-    val path = "target/tmp/q_overwrite_refresh"
+    // dir-hash suffix (repo convention): concurrent verify runs at
+    // different scale factors must not collide on the temp table
+    val path = s"target/tmp/q_overwrite_refresh_${math.abs(d.hashCode)}"
     val snapshot = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"))

@@ -87,18 +87,26 @@ object SqlSurface {
   }
 
   /** Spark 4 VARIANT path for semi-structured data: `parse_json` once
-    * into the binary variant encoding, then typed `variant_get`
-    * extraction — replaces repeated string re-parsing (get_json_object)
-    * with a parse-once binary read, the right shape when a 100 TB events
-    * table is queried on several JSON paths.
+    * into the binary variant encoding, typed `variant_get` extraction,
+    * then aggregation — replacing repeated string re-parsing
+    * (get_json_object). Parse-once is STRUCTURAL, not left to common
+    * subexpression elimination: the inner aggregate groups by the parsed
+    * value itself, so the parse appears exactly once in the plan
+    * (PlanSpec pins one parseJson), and the outer rollup derives the
+    * band from the already-grouped value — also the cheaper shape at
+    * 100 TB, since the partial aggregate collapses rows before the band
+    * projection runs.
     */
   private val qVariant: Q = (s, d) => {
     registerViews(s, d)
     s.sql(
-      """SELECT variant_get(parse_json(props), '$.k', 'int') DIV 10 AS k_band,
-        |  count(*) AS n,
-        |  CAST(sum(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k
-        |FROM events
+      """SELECT k DIV 10 AS k_band,
+        |  CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(sum(sk) AS BIGINT) AS sum_k
+        |FROM (SELECT k, count(*) AS cnt, sum(k) AS sk
+        |      FROM (SELECT variant_get(parse_json(props), '$.k', 'int') AS k
+        |            FROM events)
+        |      GROUP BY k)
         |GROUP BY k_band ORDER BY k_band""".stripMargin)
   }
 

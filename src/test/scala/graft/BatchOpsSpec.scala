@@ -46,6 +46,37 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("Ranks.globalRowNumber equals a global window row_number (total order)") {
+    val ev = graft.model.Tables.events(spark, sf).select(col("event_id"), col("value"))
+    val order = Seq(col("value").desc, col("event_id").asc)
+    val got = graft.ops.Ranks.globalRowNumber(ev, order, "rnk", partitions = 7)
+      .select("event_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val want = ev.withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select("event_id", "rnk").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == want)
+  }
+
+  test("Ranks.globalRunningSum equals a global running-sum window") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+    val order = Seq(col("event_id").asc)
+    val got = graft.ops.Ranks.globalRunningSum(ev, order, col("cents"), "cum",
+        partitions = 7)
+      .select("event_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val want = ev.withColumn("cum", sum(col("cents")).over(w))
+      .select("event_id", "cum").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("q_pack_sequences: packs are contiguous in doc order and start at 0") {
     val rows = q("q_pack_sequences")
       .select("doc_id", "n_tokens", "pack_id")

@@ -119,4 +119,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.ops.Sinks.readVersioned(spark, dir)
       .as[(Long, String)].collect().toSet == Set((4L, "d")))
   }
+
+  test("versioned snapshots: a lost pointer recovers by scanning, never restarts at v=0") {
+    import spark.implicits._
+    val dir = tmp("versioned_recover")
+    graft.ops.Sinks.writeVersioned(Seq((1L, "a")).toDF("k", "v"), dir)
+    graft.ops.Sinks.writeVersioned(Seq((2L, "b")).toDF("k", "v"), dir)
+    // simulate external pointer loss (the flip itself is atomic — an
+    // overwriting FileContext rename — so only deletion can lose it)
+    assert(new java.io.File(s"$dir/_LATEST").delete())
+    // latestVersion falls back to the highest COMPLETE (_SUCCESS) snapshot
+    assert(graft.ops.Sinks.latestVersion(spark, dir).contains(1L))
+    assert(graft.ops.Sinks.readVersioned(spark, dir)
+      .as[(Long, String)].collect().toSet == Set((2L, "b")))
+    // and the next write continues the history instead of clobbering v=0
+    assert(graft.ops.Sinks.writeVersioned(Seq((3L, "c")).toDF("k", "v"), dir) == 2L)
+    assert(graft.ops.Sinks.readVersioned(spark, dir, Some(0L))
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
 }

@@ -99,6 +99,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(refinedRecall >= 0.8, s"refined IVF recall $refinedRecall too low")
   }
 
+  test("cosinePairsBlocked: exact-cosine subset of all-pairs with high recall") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    val blocked = Similarity
+      .cosinePairsBlocked(emb, "vec_id", "embedding", threshold = 0.4)
+      .as[(Long, Long, Long)].collect().toSet
+    // every blocked pair carries the EXACT cosine (verify step), so the
+    // blocked result must be a subset of the exact all-pairs result
+    assert(blocked.subsetOf(exact), s"${(blocked -- exact).take(3)}")
+    // measured 0.939 on the sf0.001 corpus — the zero-margin worst case
+    // (pairs planted at the 0.4 threshold); see cosinePairsBlocked docs
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"blocked recall $recall (${blocked.size}/${exact.size})")
+  }
+
+  test("ivfTopK with nprobe = cells degenerates to exact brute force") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val exhaustive = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 5, cells = 16, nprobe = 16)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(exhaustive == exact)
+  }
+
   test("lshTopK recall vs brute force is high and output shape matches") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val queries = emb.filter($"vec_id" < 10)

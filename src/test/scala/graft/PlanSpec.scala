@@ -112,6 +112,35 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("sha2"), p.take(2000))
   }
 
+  test("q_dedup_embedding candidates come from a banded equi join, not a theta self-join") {
+    val p = planOf("q_dedup_embedding")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  private def globalWindows(key: String): Seq[Any] = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+  }
+
+  test("q_rrf_fusion ranks without a single-partition window") {
+    assert(globalWindows("q_rrf_fusion").isEmpty,
+      "global Window.orderBy funnels the table through one task")
+  }
+
+  test("q_pack_sequences accumulates without a single-partition window") {
+    assert(globalWindows("q_pack_sequences").isEmpty,
+      "global Window.orderBy funnels the table through one task")
+  }
+
+  test("q_variant parses each props string exactly once (structural parse-once)") {
+    val p = planOf("q_variant")
+    assert("parseJson|parse_json".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("Graft.session builds a configured session with functions registered") {
     val shared = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -120,15 +149,17 @@ class PlanSpec extends AnyFunSuite {
       val s = Graft.session(master = "local[2]", shufflePartitions = 2)
       assert(s.conf.get("spark.sql.shuffle.partitions") == "2")
       assert(s.sql("SELECT lap_time_millis(1500L)").collect().head.getString(0) == "00:01.500")
-      // all eight custom expressions resolve through the extension path
+      // all nine custom expressions resolve through the extension path
       val probe = s.sql(
         """SELECT dot_arr(array(1.0d, 2.0d), array(3.0d, 4.0d)),
           |  jaccard_sorted(array('a','b'), array('b','c')),
           |  size(graft_shingles(array('a','b','c'), 2)),
           |  rolling_hash_min('abcdefghijklmnopqr', 16),
           |  size(minhash_signature(shingle_hashes(array('a','b','c'), 2), 8)),
-          |  simhash_signature(array('a','b'))""".stripMargin).collect().head
+          |  simhash_signature(array('a','b')),
+          |  size(srp_bands(array(1.0d, -2.0d), 4, 2))""".stripMargin).collect().head
       assert(probe.getDouble(0) == 11.0 && probe.getInt(2) == 2)
+      assert(probe.getInt(6) == 4)
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
