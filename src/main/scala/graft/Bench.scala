@@ -4,7 +4,7 @@ object Bench {
   /** Headline queries: one or more representatives per operator family
     * (scan/filter, joins incl. broadcast+salted, aggregation families,
     * windows, top-k, set ops, SQL surface, streaming shapes, dedup,
-    * similarity, text analysis, extension surface). The full 136-key
+    * similarity, text analysis, extension surface). The full 140-key
     * registry is exercised by Verify; Bench times the representative set
     * (frozen since r2 so BENCH_r{N} totals stay comparable across
     * rounds).

@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.StreamShapes.registry ++
       graft.queries.ExtOps.registry ++
       graft.queries.CurateOps.registry ++
+      graft.queries.InsightOps.registry ++
       graft.queries.SqlSurface.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -47,5 +48,6 @@ object SparkEntry {
       graft.queries.StreamShapes.oracle ++
       graft.queries.ExtOps.oracle ++
       graft.queries.CurateOps.oracle ++
+      graft.queries.InsightOps.oracle ++
       graft.queries.SqlSurface.oracle
 }

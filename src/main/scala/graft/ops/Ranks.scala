@@ -82,6 +82,40 @@ object Ranks {
       .drop("_pid", "_mid")
   }
 
+  /** Global EXCLUSIVE running minimum of LONG `value` by `order` (must
+    * be a total order), as column `as` — equivalent to
+    * `min(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,
+    * -1))` (null for the globally first row), computed as a
+    * per-partition exclusive-prefix min (window PARTITIONED by the
+    * partition id — parallel) combined via null-skipping `least` with
+    * the collected strictly-earlier-partition minima. The sweep
+    * primitive behind the distributed skyline.
+    */
+  def globalRunningMinExcl(df: DataFrame, order: Seq[Column], value: Column,
+                           as: String, partitions: Int = 0): DataFrame = {
+    val sorted = sortedWithPid(df, order, partitions)
+    val mins = sorted.groupBy(col("_pid")).agg(min(value).as("_m"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // offset(pid) = min over strictly earlier partitions (None if none)
+    var best: Option[Long] = None
+    val offsets = mins.toIndexedSeq.map { case (pid, m) =>
+      val out = (pid, best)
+      best = Some(best.fold(m)(math.min(_, m)))
+      out
+    }
+    val offCol = offsets.foldLeft(lit(null).cast("long")) {
+      case (e, (pid, off)) =>
+        when(col("_pid") === pid, off.map(lit).getOrElse(lit(null))).otherwise(e)
+    }
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // least() skips nulls (null only when both are null) — exactly the
+    // "no earlier row" semantics needed at partition/global heads
+    sorted
+      .withColumn(as, least(offCol, min(value).over(w)))
+      .drop("_pid")
+  }
+
   /** Global inclusive running sum of `value` by `order` (must be a total
     * order), as LONG column `as` — equivalent to
     * `sum(value).over(Window.orderBy(order).rowsBetween(unboundedPreceding,

@@ -1,0 +1,190 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Behavioral / robust-statistics analytics surface: event funnels,
+  * per-label embedding centroids, median-absolute-deviation outliers,
+  * and a distributed 2-D skyline (Pareto frontier).
+  *
+  * Determinism posture matches the rest of the registry: integer
+  * aggregates wherever a sum crosses a partition boundary, exact
+  * percentile interpolation (midpoints of integers — exactly
+  * representable doubles, so DuckDB's `quantile_cont` agrees
+  * bit-for-bit), and fixed-operation-order float formulas mirrored
+  * token-for-token by the oracles.
+  */
+object InsightOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Centroid-mean quantization scale (see Similarity.MeanScale): sums
+    * accumulate as exact integers so the mean is bit-deterministic
+    * under any partitioning/aggregation order.
+    */
+  private val MeanScale = (1L << 24).toDouble
+
+  /** Conversion funnel view→click→purchase per user: first view, first
+    * click strictly after it, first purchase strictly after that — the
+    * product-analytics progression query. Three keyed aggregates and
+    * two keyed joins, no windows: every stage shuffles one row per
+    * surviving user, the right shape at any event volume.
+    */
+  private val qFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t_view_us"))
+      .groupBy("user_id").agg(min("us").as("t_click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t_click_us"))
+      .groupBy("user_id").agg(min("us").as("t_purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        (lit(1) + col("t_click_us").isNotNull.cast("int") +
+          col("t_purchase_us").isNotNull.cast("int")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Per-label mean embedding (the class-centroid feature): positional
+    * explode → exact integer-scaled sums per (label, dimension) → one
+    * division. The distributed mean with NO float-summation-order
+    * dependence — the same discipline `Similarity.kmeansCentroids` uses,
+    * here as an oracled key (long format: one row per label×dimension,
+    * since oracled outputs cannot carry array cells).
+    */
+  private val qLabelCentroids: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("x") * MeanScale).cast("long")).as("sx"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        floor(col("sx").cast("double") / col("n_vecs") / MeanScale * 1e6)
+          .cast("long").as("mean_e6"))
+      .orderBy(col("label"), col("pos"))
+
+  /** Robust outliers via median absolute deviation: |x − median| >
+    * 3·MAD per event_type. Medians interpolate midpoints of integer
+    * cents (halves/quarters — exactly representable), so every
+    * comparison is exact on both engines and there is NO division in
+    * the flagging predicate (nothing to guard under ANSI). The
+    * complement of `q_zscore_outliers`: immune to the outliers
+    * inflating the spread estimate itself.
+    */
+  private val qMadOutliers: Q = (s, d) => {
+    val c = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100.0).cast("long").as("cents"))
+    val med = c.groupBy("event_type")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = c.join(broadcast(med), "event_type")
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("dev") > col("mad") * 3.0)
+      .select(col("event_id"), col("event_type"),
+        floor(col("dev") * 100).cast("long").as("dev_e2"),
+        floor(col("mad") * 100).cast("long").as("mad_e2"))
+      .orderBy(col("event_id"))
+  }
+
+  /** 2-D skyline (Pareto frontier) of orders: maximize value, minimize
+    * date — no other order has ≥ value AND ≤ date with one strict. The
+    * O(n²) NOT-EXISTS definition collapses to a sort sweep: aggregate
+    * min-date per distinct price (keyed shuffle), take the EXCLUSIVE
+    * running min of those dates over strictly-higher prices
+    * ([[graft.ops.Ranks.globalRunningMinExcl]] — range-partitioned, no
+    * single-partition stage), and keep rows beaten by neither the
+    * strictly-higher sweep nor an equal-price earlier date. One
+    * aggregate + one sweep + one keyed join at any scale.
+    */
+  private val qSkyline: Q = (s, d) => {
+    val b = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("d"))
+    val perPrice = b.groupBy("cents").agg(min("d").as("md"))
+    val swept = graft.ops.Ranks.globalRunningMinExcl(
+      perPrice, Seq(col("cents").desc), col("md"), "m_strict")
+    b.join(swept, "cents")
+      .filter((col("m_strict").isNull || col("m_strict") > col("d")) &&
+        col("md") === col("d"))
+      .select(col("o_orderkey"), col("cents"), col("d").as("date_day"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_label_centroids" -> qLabelCentroids,
+    "q_mad_outliers" -> qMadOutliers,
+    "q_skyline" -> qSkyline,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t_click_us FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > t_view_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t_purchase_us FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > t_click_us GROUP BY e.user_id)
+        |SELECT v.user_id, t_view_us, t_click_us, t_purchase_us,
+        |  1 + CAST(t_click_us IS NOT NULL AS INT)
+        |    + CAST(t_purchase_us IS NOT NULL AS INT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q_label_centroids" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |a AS (SELECT label, pos, count(*) AS n_vecs,
+        |        CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sx
+        |      FROM u GROUP BY label, pos)
+        |SELECT label, pos, n_vecs,
+        |  CAST(floor(CAST(sx AS DOUBLE) / n_vecs / 16777216.0 * 1000000.0)
+        |       AS BIGINT) AS mean_e6
+        |FROM a ORDER BY label, pos""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |        CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, quantile_cont(cents, 0.5) AS med
+        |      FROM c GROUP BY event_type),
+        |dv AS (SELECT event_id, c.event_type,
+        |         abs(CAST(cents AS DOUBLE) - med) AS dev
+        |       FROM c JOIN m ON c.event_type = m.event_type),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |       FROM dv GROUP BY event_type)
+        |SELECT event_id, dv.event_type,
+        |  CAST(floor(dev * 100) AS BIGINT) AS dev_e2,
+        |  CAST(floor(mad * 100) AS BIGINT) AS mad_e2
+        |FROM dv JOIN md ON dv.event_type = md.event_type
+        |WHERE dev > mad * 3.0
+        |ORDER BY event_id""".stripMargin,
+    "q_skyline" ->
+      """WITH b AS (SELECT o_orderkey,
+        |        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |      FROM orders),
+        |pc AS (SELECT cents, min(d) AS md FROM b GROUP BY cents),
+        |sw AS (SELECT cents, md,
+        |         min(md) OVER (ORDER BY cents DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict
+        |       FROM pc)
+        |SELECT o_orderkey, b.cents, d AS date_day
+        |FROM b JOIN sw ON b.cents = sw.cents
+        |WHERE (m_strict IS NULL OR m_strict > d) AND md = d
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -136,6 +136,14 @@ class PlanSpec extends AnyFunSuite {
       "global Window.orderBy funnels the table through one task")
   }
 
+  test("q_skyline sweeps without a single-partition window or cross join") {
+    assert(globalWindows("q_skyline").isEmpty,
+      "skyline sweep must not funnel through one task")
+    val p = planOf("q_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_variant parses each props string exactly once (structural parse-once)") {
     val p = planOf("q_variant")
     assert("parseJson|parse_json".r.findAllIn(p).size == 1, p.take(3000))
