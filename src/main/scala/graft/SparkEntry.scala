@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.ExtOps.registry ++
       graft.queries.CurateOps.registry ++
       graft.queries.InsightOps.registry ++
+      graft.queries.GraphOps.registry ++
       graft.queries.SqlSurface.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,5 +50,6 @@ object SparkEntry {
       graft.queries.ExtOps.oracle ++
       graft.queries.CurateOps.oracle ++
       graft.queries.InsightOps.oracle ++
+      graft.queries.GraphOps.oracle ++
       graft.queries.SqlSurface.oracle
 }

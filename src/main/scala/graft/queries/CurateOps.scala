@@ -281,7 +281,28 @@ object CurateOps {
     TextStats.temperatureSample(Tables.documents(s, d), "doc_id", "source", 200)
       .orderBy(col("source"), col("rn"))
 
+  /** Z-order (Morton) clustering stats: interleave the bits of
+    * (l_partkey, l_suppkey) into one z-value ([[graft.ops.ZOrder]] — a
+    * pure shift/mask/or Catalyst fold, fully codegen'd) and aggregate
+    * per 4096-wide z range. Each bucket's (min,max) rectangle in
+    * part×supplier space is what a z-ordered file's parquet footer
+    * would carry: bounded in BOTH dimensions, so predicates on either
+    * key prune most buckets — the lakehouse OPTIMIZE ZORDER layout,
+    * checkable here as exact integer stats. LayoutSpec asserts the
+    * corresponding file-level pruning on a real z-ordered write.
+    */
+  private val qZorder: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .withColumn("z", graft.ops.ZOrder.interleave(col("l_partkey"), col("l_suppkey")))
+      .groupBy(expr("z DIV 4096").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("bucket")
+
   val registry: Map[String, Q] = Map(
+    "q_zorder" -> qZorder,
     "q_cdc_apply" -> qCdcApply,
     "q_data_contract" -> qDataContract,
     "q_temperature_mix" -> qTemperatureMix,
@@ -329,6 +350,14 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+         |    ${graft.ops.ZOrder.interleaveSql("l_partkey", "l_suppkey")} AS z
+         |  FROM lineitem)
+         |SELECT z // 4096 AS bucket, CAST(count(*) AS BIGINT) AS n,
+         |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+         |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_cdc_apply" ->
       """WITH b AS (SELECT o_orderkey AS k,
         |             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents

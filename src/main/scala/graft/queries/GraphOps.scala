@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.model.Tables
+
+/** Graph analytics over the order co-purchase graph: parts are nodes,
+  * and two parts are linked when some order contains both. The graph is
+  * derived, not stored — `lineitem` self-joined on the order key, a
+  * bounded fan-out (C(lines-per-order, 2) pairs per order, ≤21 for
+  * TPC-H-shaped data) that shuffles by order key and never materializes
+  * a cross product.
+  *
+  * Both operators use the canonical distributed formulations:
+  *
+  *  - Triangle counting orients every edge from its lower-(degree, id)
+  *    endpoint to the higher one, so each triangle is generated exactly
+  *    once from its unique lowest-order apex and — the 100 TB point —
+  *    wedge fan-out per node is C(out-degree, 2) with out-degrees
+  *    capped near sqrt(|E|) by the orientation, not C(degree, 2) on raw
+  *    hub degrees. The skew a power-law hub would inject into the wedge
+  *    join is bounded by construction.
+  *  - PageRank runs entirely in scaled integer arithmetic (rank units
+  *    of 1e-9): contributions are integer divisions and the damping mix
+  *    is integer, so every iteration is bit-identical under ANY
+  *    partitioning or aggregation order — no float-summation-order
+  *    divergence between runs, executors, or engines. Each iteration is
+  *    one keyed join + one partial-aggregated shuffle; plans stay
+  *    bounded via per-iteration localCheckpoint exactly like
+  *    [[graft.ops.Dedup.connectedComponents]].
+  *
+  * Reference scope: the reference has no graph operators; this extends
+  * the generalized analytics surface (SURVEY.md §2.B) the same way the
+  * dedup clustering path already needs connected components.
+  */
+object GraphOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** PageRank fixed-point scale: ranks are integers in units of 1e-9. */
+  private val Scale = 1000000000L
+
+  /** Distinct undirected co-purchase edges, emitted once as (u < v). */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v"))
+      .distinct()
+  }
+
+  /** Undirected degree per node (each edge counts at both endpoints). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+
+  /** Per-part triangle participation counts.
+    *
+    * Degree-oriented wedge join: edges point low→high in the total
+    * order (degree, id); a triangle {a,b,c} with apex = its minimum in
+    * that order is found as the apex's out-wedge (a→b, a→c with b
+    * before c in the same order) closed by the oriented edge b→c.
+    * Exactly-once generation, no post-hoc dedup, and hub wedge
+    * explosion is structurally impossible. The id-ordered DuckDB oracle
+    * enumerates the identical triangle set.
+    */
+  private val qTriangles: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val dg = degrees(e)
+    val du = dg.select(col("n").as("u"), col("dg").as("du"))
+    val dv = dg.select(col("n").as("v"), col("dg").as("dv"))
+    // dd = orientation rank of dst, carried so the wedge join can order
+    // its two legs without re-joining degrees.
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst"), col("dv").as("dd")))
+          .otherwise(
+            struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
+    val e2 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val wedges = e1.join(e2,
+      Seq("src")).filter(
+        col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+    val tris = wedges
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(col("src").as("apex"), col("a"), col("b"))
+    tris.select(explode(array(col("apex"), col("a"), col("b"))).as("part"))
+      .groupBy("part").agg(count(lit(1)).as("n_tri"))
+      .orderBy("part")
+  }
+
+  /** Damped PageRank (d=0.85, 3 iterations) in exact integer arithmetic.
+    *
+    * rank' = floor(0.15·Scale) + floor(85 · Σ floor(rank_u / deg_u) / 100)
+    * over in-neighbors u. Every term is a BIGINT, so the distributed sum
+    * is order-independent and the result is bit-deterministic — the
+    * discipline [[graft.ops.Similarity]] uses for centroid means,
+    * applied to an iterative fixpoint. The undirected co-purchase graph
+    * has no dangling nodes (every node has degree ≥ 1) so no mass
+    * redistribution term is needed.
+    */
+  private val qPagerank: Q = (s, d) => {
+    val und = coPurchaseEdges(s, d)
+    // Both directions: an undirected edge contributes along each arc.
+    val arcs = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val dg = degrees(und).select(col("n").as("src"), col("dg"))
+    val outArcs = arcs.join(dg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dg.select(col("src").as("n"), col("dg"))
+    var rank = nodes.select(col("n"), lit(Scale).as("r")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val contrib = outArcs
+        .join(rank.select(col("n").as("src"), col("r")), "src")
+        .select(col("dst").as("n"), expr("r DIV dg").as("c"))
+        .groupBy("n").agg(sum(col("c")).as("sc"))
+      rank = nodes
+        .join(contrib, Seq("n"), "left")
+        .select(col("n"),
+          (lit(15L * Scale / 100L) +
+            expr("85 * coalesce(sc, 0L) DIV 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    outArcs.unpersist()
+    rank.select(col("n").as("part"), col("r").as("rank_e9")).orderBy("part")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_triangles" -> qTriangles,
+    "q_pagerank" -> qPagerank,
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Id-ordered enumeration: same triangle set as the degree-oriented
+    // Spark plan (orientation changes the join shape, not the result).
+    "q_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT part, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT x AS part FROM t
+        |  UNION ALL SELECT y FROM t
+        |  UNION ALL SELECT z FROM t)
+        |GROUP BY part ORDER BY part""".stripMargin,
+    "q_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY src),
+        |r0 AS (SELECT src AS n, CAST(1000000000 AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r0 ON r0.n = arcs.src
+        |       GROUP BY dst),
+        |r1 AS (SELECT deg.src AS n,
+        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c1 ON c1.n = deg.src),
+        |c2 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r1 ON r1.n = arcs.src
+        |       GROUP BY dst),
+        |r2 AS (SELECT deg.src AS n,
+        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c2 ON c2.n = deg.src),
+        |c3 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r2 ON r2.n = arcs.src
+        |       GROUP BY dst),
+        |r3 AS (SELECT deg.src AS n,
+        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c3 ON c3.n = deg.src)
+        |SELECT n AS part, r AS rank_e9 FROM r3 ORDER BY part""".stripMargin,
+  )
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -120,7 +121,53 @@ object InsightOps {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Weekly retention cohorts: users grouped by the week of their first
+    * event; each later week-offset counts how many of them came back —
+    * the product-analytics retention triangle. Week indices are integer
+    * day-counts from the corpus epoch (2024-01-01, a Monday) DIV 7, so
+    * both engines bucket identically with no week-truncation dialect
+    * risk. Shape: one distinct (keyed shuffle), one min-aggregate, one
+    * keyed join, one count-distinct aggregate — no windows, each stage
+    * shuffles at most one row per (user, active week) at any volume.
+    */
+  private val qCohortRetention: Q = (s, d) => {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '2024-01-01') DIV 7 AS BIGINT)")
+          .as("week"))
+      .distinct()
+    val first = wk.groupBy("user_id").agg(min("week").as("cohort_week"))
+    wk.join(first, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Exponential-decay weighted activity: per user, ordered by event
+    * time, an 8-tap dyadic decay sum Σ_{j=0..7} cents(t−j)·2^(7−j) —
+    * the truncated-EWMA trend feature. Dyadic integer weights keep
+    * every term (and the sum) an exact BIGINT, so both engines agree
+    * bit-for-bit — no float recurrence to diverge. The window is
+    * partitioned by user and frame-bounded (8 lags): scale-safe, no
+    * global sort, and the whole tap chain is one Window node.
+    */
+  private val qDecayWavg: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val base = Tables.events(s, d).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"),
+      round(col("value") * 100.0).cast("long").as("cents"))
+    val taps = (0 to 7).map { j =>
+      val tap = if (j == 0) col("cents") else coalesce(lag(col("cents"), j).over(w), lit(0L))
+      tap * lit(1L << (7 - j))
+    }
+    base.select(col("event_id"), col("user_id"),
+        taps.reduce(_ + _).as("decay_x256"))
+      .orderBy("event_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_cohort_retention" -> qCohortRetention,
+    "q_decay_wavg" -> qDecayWavg,
     "q_funnel" -> qFunnel,
     "q_label_centroids" -> qLabelCentroids,
     "q_mad_outliers" -> qMadOutliers,
@@ -128,6 +175,31 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cohort_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+        |SELECT cohort_week, week - cohort_week AS week_offset,
+        |  CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        |FROM wk JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_decay_wavg" ->
+      """WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events)
+        |SELECT event_id, user_id,
+        |  CAST(cents * 128
+        |    + coalesce(lag(cents, 1) OVER w, 0) * 64
+        |    + coalesce(lag(cents, 2) OVER w, 0) * 32
+        |    + coalesce(lag(cents, 3) OVER w, 0) * 16
+        |    + coalesce(lag(cents, 4) OVER w, 0) * 8
+        |    + coalesce(lag(cents, 5) OVER w, 0) * 4
+        |    + coalesce(lag(cents, 6) OVER w, 0) * 2
+        |    + coalesce(lag(cents, 7) OVER w, 0) AS BIGINT) AS decay_x256
+        |FROM b
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |ORDER BY event_id""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS t_view_us FROM e

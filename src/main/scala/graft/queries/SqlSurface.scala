@@ -28,6 +28,58 @@ object SqlSurface {
         "orders", "lineitem", "events", "documents", "embeddings")
         .foreach(t => Tables.table(s, d, t).createOrReplaceTempView(t))
 
+  /** TPC-H Q1 (pricing summary report): the canonical single-table scan
+    * + 4-group hash aggregate — THE whole-stage-codegen / partial-
+    * aggregation benchmark. All nine measures are exact-integer: money
+    * is per-row-rounded cents, discount/tax percents are small ints, so
+    * disc-price (e4) and charge (e6) are integer products and every sum
+    * is order-independent; averages are integer DIV (mirrored by the
+    * oracle's //). The scan reads 7 columns with the date filter pushed
+    * to parquet; the aggregate is map-side partial into 4 final groups.
+    */
+  private val qSqlTpchQ1: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+        |    AS sum_disc_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100.0) AS BIGINT))) AS BIGINT)
+        |    AS sum_charge_e6,
+        |  CAST(CAST(sum(l_quantity) AS BIGINT) DIV count(*) AS BIGINT) AS avg_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) DIV count(*)
+        |    AS BIGINT) AS avg_price_cents,
+        |  CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) DIV count(*)
+        |    AS BIGINT) AS avg_disc_e2,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  /** TPC-H Q6 (forecast revenue change): pure filter + global sum, the
+    * predicate-pushdown benchmark — all three filters reach the parquet
+    * row-group reader, the aggregate is a 1-row partial/final pair.
+    * Revenue = Σ cents·disc_pct, exact e4-unit integers.
+    */
+  private val qSqlTpchQ6: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin)
+  }
+
   /** TPC-H Q3 shape through the SQL surface (same engine, SQL text in). */
   private val qSqlTpchQ3: Q = (s, d) => {
     registerViews(s, d)
@@ -244,6 +296,8 @@ object SqlSurface {
       .orderBy(col("user_id"), col("event_type"))
 
   val registry: Map[String, Q] = Map(
+    "q_sql_tpch_q1" -> qSqlTpchQ1,
+    "q_sql_tpch_q6" -> qSqlTpchQ6,
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_tpch_q18" -> qSqlTpchQ18,
@@ -263,6 +317,36 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_cents,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0) AS BIGINT))) AS BIGINT)
+        |    AS sum_disc_e4,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * (100 - CAST(round(l_discount * 100.0) AS BIGINT))
+        |    * (100 + CAST(round(l_tax * 100.0) AS BIGINT))) AS BIGINT)
+        |    AS sum_charge_e6,
+        |  CAST(CAST(sum(l_quantity) AS BIGINT) // count(*) AS BIGINT) AS avg_qty,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    // count(*) AS BIGINT) AS avg_price_cents,
+        |  CAST(CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT)
+        |    // count(*) AS BIGINT) AS avg_disc_e2,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_sql_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24.0""".stripMargin,
     "q_variant" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
         |  count(*) AS n,

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph-operator semantics and plan-shape guards.
+  *
+  * Triangle counting is checked against a brute-force adjacency-set
+  * enumeration of the same co-purchase graph (the O(n·d²) definition,
+  * fine at sf0.001); PageRank against its conservation/positivity
+  * invariants (exactness vs DuckDB's unrolled integer iterations is the
+  * oracled check). Plan guards pin the properties that make these scale:
+  * keyed joins only — no cartesian/nested-loop fallback anywhere in
+  * either plan.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val edges: Array[(Long, Long)] = {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p"), col("b.p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  }
+
+  test("q_triangles matches brute-force adjacency enumeration") {
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u
+    }
+    // enumerate each triangle once as an ordered triple u < v < w,
+    // crediting all three vertices
+    val expected = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    val nodes = adj.keys.toArray.sorted
+    nodes.foreach { u =>
+      val nu = adj(u).filter(_ > u)
+      nu.foreach { v =>
+        (nu intersect adj(v)).filter(_ > v).foreach { w =>
+          expected(u) += 1; expected(v) += 1; expected(w) += 1
+        }
+      }
+    }
+    val got = SparkEntry.queries("q_triangles")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected.toMap, s"sizes got=${got.size} want=${expected.size}")
+  }
+
+  test("q_pagerank conserves bounded mass and keeps every node") {
+    val rows = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    val n = rows.length
+    assert(n == edges.flatMap(e => Seq(e._1, e._2)).distinct.length)
+    val total = rows.map(_.getLong(1)).sum
+    // floor-division losses only shrink mass; damping keeps ≥ 0.15·Scale
+    assert(rows.forall(_.getLong(1) >= 150000000L))
+    assert(total <= n.toLong * 1000000000L)
+    assert(total >= n.toLong * 150000000L)
+  }
+
+  test("graph plans never fall back to cartesian or nested-loop joins") {
+    Seq("q_triangles", "q_pagerank").foreach { k =>
+      val p = SparkEntry.queries(k)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k:\n${p.take(2000)}")
+    }
+  }
+}

@@ -137,4 +137,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(graft.ops.Sinks.readVersioned(spark, dir, Some(0L))
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
+
+  test("z-ordered layout bounds per-file ranges in BOTH dimensions") {
+    import spark.implicits._
+    // 64×64 grid: symmetric bit-widths make the clustering effect exact
+    val grid = spark.range(64L * 64L)
+      .select((col("id") / 64).cast("long").as("x"), (col("id") % 64).as("y"))
+
+    val zDir = tmp("zorder")
+    graft.ops.ZOrder.write(grid, col("x"), col("y"), zDir, files = 16, bits = 6)
+    // baseline: single-dimension sort leaves y unbounded in every file
+    val xDir = tmp("xsorted")
+    graft.ops.Sinks.writeRangeSorted(grid, xDir, Seq("x"), files = 16)
+
+    def fileRanges(dir: String): Array[(Long, Long)] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(max(col("x")) - min(col("x")), max(col("y")) - min(col("y")))
+            .head()
+          (r.getLong(0), r.getLong(1))
+        }
+
+    val z = fileRanges(zDir)
+    assert(z.length == 16)
+    // a contiguous z range of ~1/16 of the space spans about a quarter
+    // of each dimension (2 of 6 bits); sampled range boundaries blur
+    // that, so assert the mean — far below the global span of 63
+    val meanX = z.map(_._1).sum.toDouble / z.length
+    val meanY = z.map(_._2).sum.toDouble / z.length
+    assert(meanX < 34.0, s"mean per-file x-span $meanX; ranges=${z.toSeq}")
+    assert(meanY < 34.0, s"mean per-file y-span $meanY; ranges=${z.toSeq}")
+    // single-dim sort: x tight but y is the full span in every file —
+    // the quantified reason z-order beats it for two-sided predicates
+    val xs = fileRanges(xDir)
+    val meanYx = xs.map(_._2).sum.toDouble / xs.length
+    assert(meanY < 0.6 * meanYx,
+      s"z-order mean y-span $meanY should beat x-sorted $meanYx")
+  }
 }
