@@ -80,6 +80,102 @@ object SqlSurface {
         |  AND l_quantity < 24.0""".stripMargin)
   }
 
+  /** TPC-H Q4/Q7/Q10/Q12/Q14 shapes, written once in dialect-portable
+    * ANSI SQL: the SAME text runs through spark.sql and the DuckDB
+    * oracle, so the check is pure engine-vs-engine semantics with zero
+    * translation risk. Schema adaptations (this corpus has no
+    * commitdate/receiptdate/shipmode): Q4's late-lineitem EXISTS
+    * compares shipdate against orderdate+60d; Q12 buckets by
+    * returnflag instead of shipmode; Q14 reports promo and total
+    * revenue as separate exact-integer sums instead of a float
+    * percentage. Money is per-row-rounded e4 integers throughout
+    * (aggregation-order independent).
+    *
+    * Plan notes (the 100 TB shapes): Q4 decorrelates to a left-semi
+    * join with the equi key + date residual; Q7 is the
+    * multi-dimension-broadcast backbone with the pair filter pushed
+    * below the aggregate; Q10 is fact⋈fact with a broadcast nation dim
+    * and TakeOrderedAndProject top-20; Q12 and Q14 are two-table joins
+    * with pushed date filters and conditional partial aggregation.
+    */
+  private val tpchQ4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  private val tpchQ7Sql: String =
+    """SELECT supp_nation, cust_nation, yr,
+      |  CAST(sum(vol_e4) AS BIGINT) AS revenue_e4
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS yr,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)
+      |      AS vol_e4
+      |  FROM lineitem
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name IN ('NATION_3', 'NATION_8', 'NATION_12')
+      |    AND n2.n_name IN ('NATION_1', 'NATION_2', 'NATION_5', 'NATION_7')
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, yr
+      |ORDER BY supp_nation, cust_nation, yr""".stripMargin
+
+  private val tpchQ10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_e4 DESC, c_custkey LIMIT 20""".stripMargin
+
+  private val tpchQ12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  private val tpchQ14Sql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol_e4 ELSE 0 END) AS BIGINT)
+      |    AS promo_revenue_e4,
+      |  CAST(sum(vol_e4) AS BIGINT) AS total_revenue_e4
+      |FROM (
+      |  SELECT p_type,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)
+      |      AS vol_e4
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |) pr""".stripMargin
+
+  private def sqlKey(text: String): Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(text)
+  }
+
   /** TPC-H Q3 shape through the SQL surface (same engine, SQL text in). */
   private val qSqlTpchQ3: Q = (s, d) => {
     registerViews(s, d)
@@ -297,7 +393,12 @@ object SqlSurface {
 
   val registry: Map[String, Q] = Map(
     "q_sql_tpch_q1" -> qSqlTpchQ1,
+    "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
     "q_sql_tpch_q6" -> qSqlTpchQ6,
+    "q_sql_tpch_q7" -> sqlKey(tpchQ7Sql),
+    "q_sql_tpch_q10" -> sqlKey(tpchQ10Sql),
+    "q_sql_tpch_q12" -> sqlKey(tpchQ12Sql),
+    "q_sql_tpch_q14" -> sqlKey(tpchQ14Sql),
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_tpch_q18" -> qSqlTpchQ18,
@@ -317,6 +418,11 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_tpch_q4" -> tpchQ4Sql,
+    "q_sql_tpch_q7" -> tpchQ7Sql,
+    "q_sql_tpch_q10" -> tpchQ10Sql,
+    "q_sql_tpch_q12" -> tpchQ12Sql,
+    "q_sql_tpch_q14" -> tpchQ14Sql,
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,

@@ -144,6 +144,52 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_sql_tpch_q1 pushes the date filter into the scan and aggregates in two phases") {
+    val p = planOf("q_sql_tpch_q1")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_sql_tpch_q6 pushes all three predicates into the parquet scan") {
+    val p = planOf("q_sql_tpch_q6")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(p.contains(c), s"expected pushed filter on $c:\n${p.take(2000)}"))
+    assert(p.contains("PushedFilters"), p.take(2000))
+  }
+
+  test("q_sql_tpch_q4 decorrelates EXISTS to a semi join, not a per-row subquery") {
+    val p = planOf("q_sql_tpch_q4")
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_sql_tpch_q10 short-circuits the top-20 via TakeOrderedAndProject") {
+    val p = planOf("q_sql_tpch_q10")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q_cohort_retention aggregates with keyed shuffles only — no windows") {
+    assert(globalWindows("q_cohort_retention").isEmpty)
+    val p = planOf("q_cohort_retention")
+    assert(!p.contains("Window"), "retention must not need a window at all")
+  }
+
+  test("q_decay_wavg evaluates all 8 taps in one partitioned Window node") {
+    val df = SparkEntry.queries("q_decay_wavg")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.size == 1, s"expected one Window node, got ${wins.size}")
+    assert(wins.head.partitionSpec.nonEmpty, "window must be partitioned")
+  }
+
+  test("q_zorder computes the interleave map-side with partial aggregation") {
+    val p = planOf("q_zorder")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
   test("q_variant parses each props string exactly once (structural parse-once)") {
     val p = planOf("q_variant")
     assert("parseJson|parse_json".r.findAllIn(p).size == 1, p.take(3000))
