@@ -19,6 +19,15 @@ object Bench {
     "q_cosine_topk", "q_text_stats", "q_tfidf", "q_udaf_topk",
     "q_expr_laptime")
 
+  /** Post-r4 operators, timed ONCE each and reported under `extended` —
+    * informational visibility for the newer surface without touching
+    * the frozen headline set or its cross-round comparable total.
+    */
+  val extended: Seq[String] = Seq(
+    "q_triangles", "q_pagerank", "q_cohort_retention", "q_decay_wavg",
+    "q_zorder", "q_funnel", "q_skyline", "q_label_centroids",
+    "q_mad_outliers", "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,7 +82,14 @@ object Bench {
     // planning/codegen — `first_run_total` preserves that definition for
     // cross-round comparison.
     val firstTotal = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"errors":$errors,"sf":"$sfDir"}""")
+    val ext = extended.filter(SparkEntry.queries.contains).map { name =>
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      s"\"" + name + "\":" + t
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

