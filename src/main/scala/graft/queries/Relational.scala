@@ -157,6 +157,30 @@ object Relational {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Re-aggregatable distinct counting — the 100 TB materialized-view
+    * pattern: land ONE DataSketches HLL sketch per (day) partition, then
+    * answer any coarser rollup (weeks here) by merging sketches —
+    * `hll_union_agg` — without ever rescanning the raw events. This is
+    * what makes incremental distinct-count views possible at scale:
+    * count_distinct does not re-aggregate, sketches do. Approximate by
+    * design → rows-only check; BatchOpsSpec bounds the estimates against
+    * exact per-week cardinalities (±5%) and pins the sketch-merge
+    * associativity (daily→weekly equals direct-weekly sketching).
+    */
+  private val qHllMerge: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(
+      expr("datediff(to_date(ts), DATE '2024-01-01')").as("day"),
+      col("user_id"))
+    val daily = ev.groupBy("day")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    daily.withColumn("week", expr("day DIV 7"))
+      .groupBy("week")
+      .agg(expr("CAST(hll_sketch_estimate(hll_union_agg(sk, false)) AS BIGINT)")
+          .as("approx_users"),
+        count(lit(1)).as("n_days"))
+      .orderBy("week")
+  }
+
   private val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -543,6 +567,7 @@ object Relational {
     "q_bitwise_agg" -> qBitwiseAgg,
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
+    "q_hll_merge" -> qHllMerge,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,

@@ -107,4 +107,34 @@ class BatchOpsSpec extends AnyFunSuite {
     assert(counts.count() == 0)
     joined.unpersist()
   }
+
+  test("q_hll_merge: merged daily sketches track exact weekly cardinality") {
+    val ev = graft.model.Tables.events(spark, sf).select(
+      expr("datediff(to_date(ts), DATE '2024-01-01') DIV 7").as("week"),
+      col("user_id"))
+    val exact = ev.groupBy("week")
+      .agg(countDistinct("user_id").as("exact_users"))
+    val got = q("q_hll_merge").join(exact, "week").collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (approx, ex) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      assert(math.abs(approx - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"week ${r.get(0)}: approx $approx vs exact $ex")
+    }
+  }
+
+  test("q_hll_merge: daily→weekly merge equals direct weekly sketching") {
+    // the re-aggregation contract: merging partition sketches must give
+    // the same estimate as sketching the coarser grain directly
+    val ev = graft.model.Tables.events(spark, sf).select(
+      expr("datediff(to_date(ts), DATE '2024-01-01') DIV 7").as("week"),
+      col("user_id"))
+    val direct = ev.groupBy("week")
+      .agg(expr("CAST(hll_sketch_estimate(hll_sketch_agg(user_id, 14)) AS BIGINT)")
+        .as("direct_users"))
+    val merged = q("q_hll_merge")
+    val diff = merged.join(direct, "week")
+      .filter(col("approx_users") =!= col("direct_users"))
+    assert(diff.count() == 0, "sketch merge must be associative")
+  }
 }
