@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Set-wise `MERGE INTO`: full SQL merge-statement semantics on plain
+  * DataFrames — the lakehouse write primitive (Delta/Iceberg `MERGE`),
+  * expressed as ONE full-outer keyed join plus map-side clause logic.
+  *
+  * Supported clause forms (each with an optional AND-condition):
+  *
+  *  - `WHEN MATCHED [AND c] THEN DELETE`
+  *  - `WHEN MATCHED [AND c] THEN UPDATE SET *`      (source overwrites)
+  *  - `WHEN NOT MATCHED [AND c] THEN INSERT *`
+  *  - `WHEN NOT MATCHED BY SOURCE [AND c] THEN DELETE`
+  *
+  * Clause precedence follows the SQL statement: for matched rows the
+  * DELETE clause is evaluated before UPDATE (first matching clause
+  * wins); unmatched clauses keep their only possible action. Conditions
+  * may reference both sides' columns via the `t`/`s` aliases the caller
+  * receives (matched rows) — unmatched conditions see only the side
+  * that exists.
+  *
+  * Scale shape: the whole statement is one shuffle (the keyed
+  * full-outer join); every clause decision is a codegen'd map-side
+  * CASE over the joined row — no second pass, no driver loop, no
+  * per-clause scans. Feeding the result to [[Sinks.writeVersioned]]
+  * gives the transactional form: each MERGE lands as a new snapshot,
+  * readable at any prior version (MergeSpec pins that round-trip).
+  *
+  * Both inputs must share the merge schema (`keys` ++ value columns);
+  * like [[Sinks.mergeByKey]], `keys` must be unique per side (enforce
+  * upstream with [[Sinks]] compaction or `q_keep_latest` semantics).
+  */
+object Merge {
+
+  def mergeInto(target: DataFrame, source: DataFrame, keys: Seq[String],
+                matchedDeleteWhen: Option[Column] = None,
+                matchedUpdateWhen: Option[Column] = Some(lit(true)),
+                notMatchedInsertWhen: Option[Column] = Some(lit(true)),
+                notMatchedBySourceDeleteWhen: Option[Column] = None): DataFrame = {
+    require(keys.nonEmpty, "MERGE needs at least one key column")
+    require(target.columns.sorted.sameElements(source.columns.sorted),
+      s"merge schema mismatch: target ${target.columns.mkString(",")} vs " +
+        s"source ${source.columns.mkString(",")}")
+    val valueCols = target.columns.filterNot(keys.contains).toSeq
+
+    val t = target.as("t")
+    val s = source.as("s")
+    val joined = t.join(s, keys.map(k => col(s"t.$k") === col(s"s.$k"))
+      .reduce(_ && _), "full_outer")
+
+    // presence flags from the join keys (keys are non-null by contract)
+    val matched = col(s"t.${keys.head}").isNotNull && col(s"s.${keys.head}").isNotNull
+    val targetOnly = col(s"s.${keys.head}").isNull
+    val sourceOnly = col(s"t.${keys.head}").isNull
+
+    def cond(c: Option[Column], default: Boolean): Column =
+      c.getOrElse(lit(default))
+
+    // keep-decision per SQL clause precedence (matched: DELETE first)
+    val keep =
+      when(matched && cond(matchedDeleteWhen, default = false), lit(false))
+        .when(matched, lit(true))
+        .when(sourceOnly, cond(notMatchedInsertWhen, default = false))
+        .otherwise(!cond(notMatchedBySourceDeleteWhen, default = false))
+
+    // value resolution: matched+update → source, matched otherwise →
+    // target, source-only → source, target-only → target
+    val takeSource =
+      (matched && !cond(matchedDeleteWhen, default = false) &&
+        cond(matchedUpdateWhen, default = false)) || sourceOnly
+
+    val outCols =
+      keys.map(k => coalesce(col(s"t.$k"), col(s"s.$k")).as(k)) ++
+        valueCols.map(c =>
+          when(takeSource, col(s"s.$c")).otherwise(col(s"t.$c")).as(c))
+
+    joined.filter(keep).select(outCols: _*)
+  }
+}

@@ -301,7 +301,33 @@ object CurateOps {
         min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
       .orderBy("bucket")
 
+  /** Full MERGE INTO semantics ([[graft.ops.Merge]]) in one statement:
+    * conditional matched-DELETE (beats UPDATE per SQL clause
+    * precedence), conditional matched-UPDATE (only when the source
+    * row wins), conditional not-matched-INSERT, and
+    * NOT MATCHED BY SOURCE DELETE — the clause the plain CDC apply
+    * path doesn't have. One full-outer keyed join; every clause is a
+    * map-side CASE. The oracle reproduces the clause algebra verbatim.
+    */
+  private val qMergeInto: Q = (s, d) => {
+    val t = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+      col("o_orderstatus").as("st"))
+    val src = t.filter(col("k") % 7 === 1 || col("k") % 7 === 2)
+      .select(col("k"), (col("cents") + col("k") % 100).as("cents"), col("st"))
+      .unionAll(t.filter(col("k") % 7 === 3)
+        .select((-col("k")).as("k"), (col("cents") + 5).as("cents"), col("st")))
+    graft.ops.Merge.mergeInto(t, src, Seq("k"),
+        matchedDeleteWhen = Some(col("s.cents") % 10 === 3),
+        matchedUpdateWhen = Some(col("s.cents") > col("t.cents")),
+        notMatchedInsertWhen = Some(col("s.cents") % 2 === 0),
+        notMatchedBySourceDeleteWhen =
+          Some(col("t.st") === "F" && col("t.k") % 10 === 0))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_merge_into" -> qMergeInto,
     "q_zorder" -> qZorder,
     "q_cdc_apply" -> qCdcApply,
     "q_data_contract" -> qDataContract,
@@ -350,6 +376,32 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_merge_into" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |        o_orderstatus AS st FROM orders),
+        |src AS (SELECT k, cents + k % 100 AS cents, st FROM t WHERE k % 7 IN (1, 2)
+        |        UNION ALL
+        |        SELECT -k, cents + 5, st FROM t WHERE k % 7 = 3),
+        |m AS (SELECT t.k AS tk, t.cents AS tc, t.st AS tst,
+        |        s.k AS sk, s.cents AS sc, s.st AS sst
+        |      FROM t FULL OUTER JOIN src s ON t.k = s.k)
+        |SELECT coalesce(tk, sk) AS k,
+        |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+        |             AND NOT sc % 10 = 3 AND sc > tc)
+        |         OR tk IS NULL
+        |       THEN sc ELSE tc END AS cents,
+        |  CASE WHEN (tk IS NOT NULL AND sk IS NOT NULL
+        |             AND NOT sc % 10 = 3 AND sc > tc)
+        |         OR tk IS NULL
+        |       THEN sst ELSE tst END AS st
+        |FROM m
+        |WHERE CASE
+        |  WHEN tk IS NOT NULL AND sk IS NOT NULL AND sc % 10 = 3 THEN FALSE
+        |  WHEN tk IS NOT NULL AND sk IS NOT NULL THEN TRUE
+        |  WHEN tk IS NULL THEN sc % 2 = 0
+        |  ELSE NOT (tst = 'F' AND tk % 10 = 0) END
+        |ORDER BY k""".stripMargin,
     "q_zorder" ->
       s"""WITH z AS (SELECT l_partkey, l_suppkey,
          |    ${graft.ops.ZOrder.interleaveSql("l_partkey", "l_suppkey")} AS z
