@@ -165,7 +165,24 @@ object InsightOps {
       .orderBy("event_id")
   }
 
+  /** Exact per-group lower median WITHOUT per-group value
+    * materialization — [[graft.ops.Quantiles.medianLow]]'s two-scan
+    * bucket-bisect (coarse histogram → crossing bucket → in-bucket
+    * rank). The scale counterpart of `q_percentile`: built-in exact
+    * `percentile` buffers every group's values in memory; this needs
+    * only groups × buckets state however large a group grows. Discrete
+    * convention (smallest value reaching rank ceil(n/2)), so both
+    * engines agree exactly with no interpolation arithmetic.
+    */
+  private val qExactMedian: Q = (s, d) =>
+    graft.ops.Quantiles.medianLow(
+      Tables.events(s, d).select(col("event_type"),
+        round(col("value") * 100.0).cast("long").as("cents")),
+      "event_type", col("cents"), as = "median_cents")
+      .orderBy("event_type")
+
   val registry: Map[String, Q] = Map(
+    "q_exact_median" -> qExactMedian,
     "q_cohort_retention" -> qCohortRetention,
     "q_decay_wavg" -> qDecayWavg,
     "q_funnel" -> qFunnel,
@@ -175,6 +192,18 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_exact_median" ->
+      """WITH c AS (SELECT event_type,
+        |        CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT event_type, cents, count(*) AS n FROM c GROUP BY 1, 2),
+        |r AS (SELECT event_type, cents,
+        |        sum(n) OVER (PARTITION BY event_type ORDER BY cents) AS cum
+        |      FROM g),
+        |t AS (SELECT event_type, (count(*) + 1) // 2 AS rk FROM c GROUP BY 1)
+        |SELECT r.event_type, min(cents) AS median_cents
+        |FROM r JOIN t ON r.event_type = t.event_type
+        |WHERE cum >= rk
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_cohort_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7

@@ -97,4 +97,24 @@ class InsightOpsSpec extends AnyFunSuite {
       s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
     assert(got.nonEmpty)
   }
+
+  test("q_exact_median equals the sort-and-index brute force, without global windows") {
+    val cents = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100.0).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val want = cents.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      g -> sorted((sorted.length + 1) / 2 - 1) // lower median, 1-based rank
+    }
+    val got = q("q_exact_median").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // scale guard: every window in the two-scan plan is partitioned
+    val df = q("q_exact_median")
+    val global = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty, "bucket-bisect median must not use a global window")
+  }
 }
