@@ -109,6 +109,36 @@ object Events {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming MERGE INTO the versioned table: each update-mode
+    * micro-batch (changed keys only) merges into the CURRENT snapshot —
+    * matched keys update, new keys insert, untouched keys survive —
+    * and commits as snapshot `v=batchId` via the idempotent
+    * [[graft.ops.Sinks.writeVersionAt]] (a replayed batch no-ops). The
+    * lakehouse streaming-upsert shape: where
+    * [[foreachBatchVersioned]] snapshots exactly what the batch
+    * carries, this one folds deltas into a durable keyed table with
+    * [[graft.ops.Merge]]'s full clause algebra behind it.
+    */
+  def foreachBatchMerge(df: DataFrame, path: String, checkpoint: String,
+                        keys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val delta = batch.localCheckpoint(true).toDF()
+        val merged = graft.ops.Sinks.latestVersion(s, path) match {
+          case Some(_) =>
+            graft.ops.Merge.mergeInto(
+              graft.ops.Sinks.readVersioned(s, path), delta, keys)
+          case None => delta
+        }
+        graft.ops.Sinks.writeVersionAt(merged.localCheckpoint(true), path, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Per-user running purchase total for the stateful-v2 API: named,
     * typed `ValueState` instead of one opaque `GroupState` value.
     */
