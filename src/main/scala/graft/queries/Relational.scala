@@ -84,6 +84,31 @@ object Relational {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** Interval-overlap join with NO equi key — the case `q_join_range`'s
+    * equi-key-plus-residual shape cannot express. Maintenance windows
+    * (synthesized per nation: start 1996-01-01 + 100·key days, length
+    * 2–8 days) against order activity windows ([orderdate, +3d)):
+    * [[graft.ops.IntervalJoin.overlapJoin]] restores an equi key by
+    * exploding intervals onto a 7-day grid and keeps each pair exactly
+    * once via the first-overlap-cell predicate — a binned equi join,
+    * never a cartesian product, no dedup exchange. The oracle is the
+    * O(n·m) theta join (fine in DuckDB at oracle scale).
+    */
+  private val qJoinInterval: Q = (s, d) => {
+    // 9497 = days from 1970-01-01 to 1996-01-01, shared with the oracle
+    val win = Tables.nation(s, d).select(col("n_nationkey"),
+      (lit(9497L) + col("n_nationkey") * 100L).as("w_start"),
+      (lit(9497L) + col("n_nationkey") * 100L + col("n_nationkey") % 7L + 2L)
+        .as("w_end"))
+    val act = Tables.orders(s, d).select(col("o_orderkey"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("o_start"))
+      .withColumn("o_end", col("o_start") + 3L)
+    graft.ops.IntervalJoin.overlapJoin(
+        win, "w_start", "w_end", act, "o_start", "o_end", cellWidth = 7L)
+      .select(col("n_nationkey"), col("o_orderkey"), col("o_start"))
+      .orderBy(col("n_nationkey"), col("o_orderkey"))
+  }
+
   /** As-of join: for each purchase event, the most recent view timestamp of
     * the same user at-or-before it. Implemented as ONE window pass over the
     * unioned stream (single shuffle on user_id) instead of an inequality
@@ -555,6 +580,7 @@ object Relational {
     "q_join_anti" -> qJoinAnti,
     "q_join_theta" -> qJoinTheta,
     "q_join_range" -> qJoinRange,
+    "q_join_interval" -> qJoinInterval,
     "q_join_asof" -> qJoinAsof,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
@@ -623,6 +649,18 @@ object Relational {
         |  AND l_shipdate >= o_orderdate
         |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_join_interval" ->
+      """WITH w AS (SELECT n_nationkey,
+        |        9497 + n_nationkey * 100 AS w_start,
+        |        9497 + n_nationkey * 100 + n_nationkey % 7 + 2 AS w_end
+        |      FROM nation),
+        |a AS (SELECT o_orderkey,
+        |        CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |          AS BIGINT) AS o_start
+        |      FROM orders)
+        |SELECT n_nationkey, o_orderkey, o_start
+        |FROM w JOIN a ON w_start < o_start + 3 AND o_start < w_end
+        |ORDER BY n_nationkey, o_orderkey""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
         |FROM events p LEFT JOIN events v

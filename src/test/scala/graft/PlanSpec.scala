@@ -144,6 +144,12 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_join_interval is a binned equi join, never a cartesian product") {
+    val p = planOf("q_join_interval")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
   test("q_sql_tpch_q1 pushes the date filter into the scan and aggregates in two phases") {
     val p = planOf("q_sql_tpch_q1")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
