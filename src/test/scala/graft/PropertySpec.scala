@@ -260,4 +260,64 @@ class PropertySpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("IntervalJoin.overlapJoin equals the theta join on random interval sets") {
+    val iv = Gen.listOfN(12,
+      Gen.zip(Gen.choose(0L, 60L), Gen.choose(1L, 15L)).map {
+        case (s, len) => (s, s + len)
+      })
+    samples(Gen.zip(iv, iv), 6).zipWithIndex.foreach { case ((as, bs), i) =>
+      val a = as.zipWithIndex.map { case ((s, e), id) => (id.toLong, s, e) }
+        .toDF("a_id", "a_s", "a_e")
+      val b = bs.zipWithIndex.map { case ((s, e), id) => (id.toLong, s, e) }
+        .toDF("b_id", "b_s", "b_e")
+      // try several cell widths incl. degenerate tiny/huge cells
+      Seq(1L, 4L, 7L, 64L).foreach { w =>
+        val got = graft.ops.IntervalJoin
+          .overlapJoin(a, "a_s", "a_e", b, "b_s", "b_e", w)
+          .select("a_id", "b_id").as[(Long, Long)].collect().sorted.toSeq
+        val want = for {
+          ((s1, e1), i1) <- as.zipWithIndex
+          ((s2, e2), i2) <- bs.zipWithIndex
+          if s1 < e2 && s2 < e1
+        } yield (i1.toLong, i2.toLong)
+        assert(got == want.sorted,
+          s"case $i width $w: got ${got.size} want ${want.size}")
+      }
+    }
+  }
+
+  test("mergeInto algebra: empty source is identity; self-merge-update is identity") {
+    samples(kvList, 6).foreach { rows =>
+      val t = rows.toMap.toSeq.toDF("k", "v")
+      val empty = Seq.empty[(Int, String)].toDF("k", "v")
+      val idEmpty = graft.ops.Merge.mergeInto(t, empty, Seq("k"))
+        .as[(Int, String)].collect().toSet
+      assert(idEmpty == rows.toMap.toSeq.toSet, "empty source must be identity")
+      val idSelf = graft.ops.Merge.mergeInto(t, t, Seq("k"))
+        .as[(Int, String)].collect().toSet
+      assert(idSelf == rows.toMap.toSeq.toSet, "self-merge-update must be identity")
+      // delete-all-matched with self as source empties the table
+      val deleted = graft.ops.Merge.mergeInto(t, t, Seq("k"),
+        matchedDeleteWhen = Some(lit(true)), notMatchedInsertWhen = None)
+      assert(deleted.count() == 0L)
+    }
+  }
+
+  test("ZOrder.interleave is injective and order-embeds aligned quadrants") {
+    val pts = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
+    val df = pts.toDF("x", "y")
+      .withColumn("z", graft.ops.ZOrder.interleave(col("x"), col("y"), 5))
+    val rows = df.as[(Long, Long, Long)].collect()
+    assert(rows.map(_._3).distinct.length == pts.length, "z must be injective")
+    // aligned 16×16 quadrants occupy contiguous, ordered z ranges
+    def quad(x: Long, y: Long) = (x / 16, y / 16)
+    val byQuad = rows.groupBy(r => quad(r._1, r._2)).view.mapValues(
+      rs => (rs.map(_._3).min, rs.map(_._3).max)).toMap
+    val ranges = byQuad.values.toSeq.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, "quadrant z ranges overlap")
+      case _ => ()
+    }
+  }
 }
