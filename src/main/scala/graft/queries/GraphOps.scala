@@ -154,12 +154,63 @@ object GraphOps {
     rank.select(col("n").as("part"), col("r").as("rank_e9")).orderBy("part")
   }
 
+  /** Association rules over order baskets (market-basket mining, the
+    * co-occurrence half of FP-growth): support counts for item pairs,
+    * confidence and lift as exact integer-scaled ratios. Shape: the
+    * same bounded per-order pair fan-out as the graph ops, one keyed
+    * aggregate per level — counts are re-aggregatable, so the rule
+    * table refreshes incrementally like `q_incr_agg`. The support
+    * floor bounds the output (and at 100 TB it is also what keeps the
+    * pair table sparse — rare pairs die in the partial aggregate).
+    * Ratios are floored millionths computed in integer arithmetic —
+    * both engines agree exactly, no float division anywhere.
+    */
+  private val qAssocRules: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val baskets = li.select(col("o")).distinct().count()
+    val items = li.groupBy(col("p")).agg(count(lit(1)).as("item_n"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
+      .agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= 3L)
+    pairs
+      .join(items.select(col("p").as("p_a"), col("item_n").as("n_a")), "p_a")
+      .join(items.select(col("p").as("p_b"), col("item_n").as("n_b")), "p_b")
+      .select(col("p_a"), col("p_b"), col("pair_n"), col("n_a"), col("n_b"),
+        expr("1000000L * pair_n DIV n_a").as("conf_ab_e6"),
+        expr("1000000L * pair_n DIV n_b").as("conf_ba_e6"),
+        expr(s"1000000L * pair_n * ${baskets}L DIV (n_a * n_b)").as("lift_e6"))
+      .orderBy(col("p_a"), col("p_b"))
+  }
+
   val registry: Map[String, Q] = Map(
     "q_triangles" -> qTriangles,
     "q_pagerank" -> qPagerank,
+    "q_assoc_rules" -> qAssocRules,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_assoc_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |bk AS (SELECT count(DISTINCT o) AS baskets FROM li),
+        |it AS (SELECT p, count(*) AS item_n FROM li GROUP BY p),
+        |pr AS (SELECT a.p AS p_a, b.p AS p_b, count(*) AS pair_n
+        |       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+        |       GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT p_a, p_b, CAST(pair_n AS BIGINT) AS pair_n,
+        |  CAST(ia.item_n AS BIGINT) AS n_a, CAST(ib.item_n AS BIGINT) AS n_b,
+        |  CAST(1000000 * pair_n // ia.item_n AS BIGINT) AS conf_ab_e6,
+        |  CAST(1000000 * pair_n // ib.item_n AS BIGINT) AS conf_ba_e6,
+        |  CAST(1000000 * pair_n * baskets // (ia.item_n * ib.item_n) AS BIGINT)
+        |    AS lift_e6
+        |FROM pr
+        |JOIN it ia ON ia.p = pr.p_a
+        |JOIN it ib ON ib.p = pr.p_b
+        |CROSS JOIN bk
+        |ORDER BY p_a, p_b""".stripMargin,
     // Id-ordered enumeration: same triangle set as the degree-oriented
     // Spark plan (orientation changes the join shape, not the result).
     "q_triangles" ->

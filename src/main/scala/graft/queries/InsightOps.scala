@@ -181,7 +181,31 @@ object InsightOps {
       "event_type", col("cents"), as = "median_cents")
       .orderBy("event_type")
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next type | current type) as exact floored
+    * millionths. One partitioned window (lag per user — scale-safe),
+    * one keyed aggregate, integer ratio arithmetic both engines
+    * execute identically. The behavioral-model complement of
+    * `q_funnel`: the funnel fixes one path, this measures all of them.
+    */
+  private val qMarkovTransitions: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seq = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val trans = seq.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("out_n"))
+    trans.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"), col("n"), col("out_n"),
+        expr("1000000L * n DIV out_n").as("p_e6"))
+      .orderBy("prev_type", "next_type")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_markov_transitions" -> qMarkovTransitions,
     "q_exact_median" -> qExactMedian,
     "q_cohort_retention" -> qCohortRetention,
     "q_decay_wavg" -> qDecayWavg,
@@ -192,6 +216,19 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_markov_transitions" ->
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |       FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, next_type, CAST(n AS BIGINT) AS n, out_n,
+        |  CAST(1000000 * n // out_n AS BIGINT) AS p_e6
+        |FROM tr JOIN tot ON tr.prev_type = tot.prev_type
+        |ORDER BY tr.prev_type, next_type""".stripMargin,
     "q_exact_median" ->
       """WITH c AS (SELECT event_type,
         |        CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
