@@ -24,9 +24,11 @@ object Bench {
     * the frozen headline set or its cross-round comparable total.
     */
   val extended: Seq[String] = Seq(
-    "q_triangles", "q_pagerank", "q_cohort_retention", "q_decay_wavg",
-    "q_zorder", "q_funnel", "q_skyline", "q_label_centroids",
-    "q_mad_outliers", "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10")
+    "q_triangles", "q_pagerank", "q_assoc_rules", "q_cohort_retention",
+    "q_decay_wavg", "q_markov_transitions", "q_zorder", "q_funnel",
+    "q_skyline", "q_label_centroids", "q_mad_outliers", "q_exact_median",
+    "q_merge_into", "q_join_interval", "q_hll_merge",
+    "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
