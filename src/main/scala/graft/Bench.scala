@@ -24,7 +24,8 @@ object Bench {
     * the frozen headline set or its cross-round comparable total.
     */
   val extended: Seq[String] = Seq(
-    "q_triangles", "q_pagerank", "q_assoc_rules", "q_cohort_retention",
+    "q_triangles", "q_pagerank", "q_assoc_rules", "q_graph_bfs",
+    "q_cohort_retention",
     "q_decay_wavg", "q_markov_transitions", "q_zorder", "q_funnel",
     "q_skyline", "q_label_centroids", "q_mad_outliers", "q_exact_median",
     "q_merge_into", "q_join_interval", "q_hll_merge",

@@ -154,6 +154,35 @@ object GraphOps {
     rank.select(col("n").as("part"), col("r").as("rank_e9")).orderBy("part")
   }
 
+  /** Level-synchronous BFS: exact shortest-hop distances (≤ 4 hops)
+    * from a deterministic seed set (parts ≡ 0 mod 97) over the
+    * co-purchase graph. Each level is one keyed join (frontier ⋈ arcs)
+    * plus one min-aggregate — the canonical distributed BFS, NOT the
+    * recursive UNION ALL expansion (which multiplies by average degree
+    * per hop and melts down on dense graphs); per-level
+    * localCheckpoint keeps plans bounded like the PageRank loop. All
+    * distances are integers — bit-exact on both engines; the oracle
+    * unrolls the same four min-aggregated levels.
+    */
+  private val qGraphBfs: Q = (s, d) => {
+    val und = coPurchaseEdges(s, d).localCheckpoint(true)
+    val arcs = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = degrees(und).select(col("n"))
+    var dist = nodes.filter(col("n") % 97L === 0L)
+      .select(col("n"), lit(0L).as("d")).localCheckpoint(true)
+    for (_ <- 1 to 4) {
+      val next = arcs.join(dist.select(col("n").as("src"), col("d")), "src")
+        .select(col("dst").as("n"), (col("d") + 1L).as("d"))
+      dist = dist.unionAll(next)
+        .groupBy("n").agg(min("d").as("d"))
+        .localCheckpoint(true)
+    }
+    arcs.unpersist()
+    dist.select(col("n").as("part"), col("d").as("hops")).orderBy("part")
+  }
+
   /** Association rules over order baskets (market-basket mining, the
     * co-occurrence half of FP-growth): support counts for item pairs,
     * confidence and lift as exact integer-scaled ratios. Shape: the
@@ -190,9 +219,39 @@ object GraphOps {
     "q_triangles" -> qTriangles,
     "q_pagerank" -> qPagerank,
     "q_assoc_rules" -> qAssocRules,
+    "q_graph_bfs" -> qGraphBfs,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |nd AS (SELECT DISTINCT src AS n FROM arcs),
+        |d0 AS (SELECT n, CAST(0 AS BIGINT) AS d FROM nd WHERE n % 97 = 0),
+        |d1 AS (SELECT n, min(d) AS d FROM (
+        |         SELECT n, d FROM d0
+        |         UNION ALL
+        |         SELECT a.dst, d0.d + 1 FROM arcs a JOIN d0 ON a.src = d0.n) x
+        |       GROUP BY n),
+        |d2 AS (SELECT n, min(d) AS d FROM (
+        |         SELECT n, d FROM d1
+        |         UNION ALL
+        |         SELECT a.dst, d1.d + 1 FROM arcs a JOIN d1 ON a.src = d1.n) x
+        |       GROUP BY n),
+        |d3 AS (SELECT n, min(d) AS d FROM (
+        |         SELECT n, d FROM d2
+        |         UNION ALL
+        |         SELECT a.dst, d2.d + 1 FROM arcs a JOIN d2 ON a.src = d2.n) x
+        |       GROUP BY n),
+        |d4 AS (SELECT n, min(d) AS d FROM (
+        |         SELECT n, d FROM d3
+        |         UNION ALL
+        |         SELECT a.dst, d3.d + 1 FROM arcs a JOIN d3 ON a.src = d3.n) x
+        |       GROUP BY n)
+        |SELECT n AS part, CAST(d AS BIGINT) AS hops FROM d4 ORDER BY part""".stripMargin,
     "q_assoc_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |bk AS (SELECT count(DISTINCT o) AS baskets FROM li),
