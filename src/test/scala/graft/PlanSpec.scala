@@ -144,6 +144,26 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  test("q_assoc_rules keeps keyed joins and partial aggregation throughout") {
+    val p = planOf("q_assoc_rules")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q_markov_transitions windows are all partitioned (the lag subtree appears twice logically; exchange reuse dedupes it physically)") {
+    val df = SparkEntry.queries("q_markov_transitions")(spark, sf)
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
+  test("q_hll_merge re-aggregates sketches with two-phase aggregation") {
+    val p = planOf("q_hll_merge")
+    assert("HashAggregate|ObjectHashAggregate".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
   test("q_join_interval is a binned equi join, never a cartesian product") {
     val p = planOf("q_join_interval")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
