@@ -30,19 +30,33 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
-  /** Exact per-group lower median of a non-negative integer column.
-    * `bucketWidth` trades scan-1 histogram size against scan-2
-    * candidate size.
+  /** Exact per-group lower median of a non-negative integer column:
+    * [[quantileAt]] at p = 1/2.
     */
   def medianLow(df: DataFrame, group: String, value: Column,
-                as: String = "median", bucketWidth: Long = 4096L): DataFrame = {
+                as: String = "median", bucketWidth: Long = 4096L): DataFrame =
+    quantileAt(df, group, value, pNum = 1L, pDen = 2L, as, bucketWidth)
+
+  /** Exact per-group discrete quantile at rank ceil(n·pNum/pDen): the
+    * smallest value whose cumulative count reaches that rank. The
+    * fraction arrives as an integer ratio so the rank arithmetic stays
+    * exact (`p = 0.95` ⇒ `pNum = 95, pDen = 100` — no float rounding
+    * at group-size boundaries). `bucketWidth` trades scan-1 histogram
+    * size against scan-2 candidate size.
+    */
+  def quantileAt(df: DataFrame, group: String, value: Column,
+                 pNum: Long, pDen: Long, as: String,
+                 bucketWidth: Long = 4096L): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    require(pDen > 0 && pNum > 0 && pNum <= pDen,
+      s"quantile fraction must be in (0, 1]: $pNum/$pDen")
     val base = df.select(col(group), value.as("_v"))
     val bcnt = base
       .groupBy(col(group), expr(s"_v DIV $bucketWidth").as("_b"))
       .agg(count(lit(1)).as("_n"))
+    // ceil(n·p) = (n·pNum + pDen − 1) DIV pDen, all in exact integers
     val tot = base.groupBy(col(group)).agg(count(lit(1)).as("_tot"))
-      .withColumn("_rk", expr("(_tot + 1) DIV 2"))
+      .withColumn("_rk", expr(s"(_tot * $pNum + $pDen - 1) DIV $pDen"))
     val wb = Window.partitionBy(col(group)).orderBy(col("_b"))
     val target = bcnt.withColumn("_cum", sum(col("_n")).over(wb))
       .join(tot, group)

@@ -304,6 +304,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("Quantiles.quantileAt matches sort-and-index for random groups and ranks") {
+    val grp = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0L, 100000L)))
+    samples(grp, 5).zipWithIndex.foreach { case (rows, i) =>
+      val df = rows.toDF("g", "v")
+      Seq((1L, 2L), (9L, 10L), (99L, 100L), (1L, 1L)).foreach { case (num, den) =>
+        val got = graft.ops.Quantiles
+          .quantileAt(df, "g", col("v"), num, den, "q", bucketWidth = 512L)
+          .as[(String, Long)].collect().toMap
+        val want = rows.groupBy(_._1).map { case (g, vs) =>
+          val sorted = vs.map(_._2).sorted
+          val rk = ((sorted.length * num + den - 1) / den).toInt
+          g -> sorted(rk - 1)
+        }
+        assert(got == want, s"case $i p=$num/$den")
+      }
+    }
+  }
+
   test("ZOrder.interleave is injective and order-embeds aligned quadrants") {
     val pts = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
     val df = pts.toDF("x", "y")
