@@ -190,6 +190,21 @@ object CurateOps {
   /** ORC source round-trip: columnar alternative to Parquet, same
     * pushdown/pruning path through the vectorized ORC reader.
     */
+  /** XML source (built into Spark core since 4.0): nation rows land as
+    * an XML document per row and read back through the schema-on-read
+    * XML reader — the feed-interchange format the CSV/ORC/text trio
+    * doesn't cover. Oracle reads the same rows straight from parquet.
+    */
+  private val qXmlSource: Q = (s, d) => {
+    val path = s"target/tmp/q_xml_source_${math.abs(d.hashCode)}"
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .coalesce(1)
+      .write.mode("overwrite").option("rowTag", "nation").xml(path)
+    s.read.option("rowTag", "nation")
+      .schema("n_nationkey BIGINT, n_name STRING").xml(path)
+      .orderBy(col("n_nationkey"))
+  }
+
   private val qOrcSource: Q = (s, d) => {
     val path = s"target/tmp/q_orc_source_${math.abs(d.hashCode)}"
     Tables.nation(s, d).write.mode("overwrite").orc(path)
@@ -334,6 +349,7 @@ object CurateOps {
     "q_temperature_mix" -> qTemperatureMix,
     "q_versioned_read" -> qVersionedRead,
     "q_orc_source" -> qOrcSource,
+    "q_xml_source" -> qXmlSource,
     "q_text_source" -> qTextSource,
     "q_incr_agg" -> qIncrAgg,
     "q_keep_latest" -> qKeepLatest,
@@ -575,5 +591,8 @@ object CurateOps {
     "q_csv_source" ->
       """SELECT r_regionkey, r_name FROM region
         |ORDER BY r_regionkey""".stripMargin,
+    "q_xml_source" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
   )
 }
