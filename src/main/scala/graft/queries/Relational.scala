@@ -206,6 +206,50 @@ object Relational {
       .orderBy("week")
   }
 
+  /** Theta-sketch churn analytics — set OPERATIONS on sketches, the
+    * capability HLL lacks: per-week distinct-user sketches combine via
+    * `theta_intersection`/`theta_difference` into retained/churned/new
+    * counts with no rescan of raw events. DataSketches theta sketches
+    * are EXACT below their nominal-entries threshold (4096 > the 1500
+    * users at sf0.1), so this key is fully oracled against exact
+    * relational algebra; past that scale the same plan degrades
+    * gracefully to ±1.6% estimates — the documented trade.
+    */
+  private val qThetaRetention: Q = (s, d) => {
+    val wk = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("CAST(datediff(to_date(ts), DATE '2024-01-01') DIV 7 AS BIGINT)")
+          .as("week"))
+      .groupBy("week")
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"),
+        countDistinct("user_id").as("n"))
+    val a = wk.select(col("week").as("week_a"), col("sk").as("sk_a"), col("n").as("n_a"))
+    val b = wk.select((col("week") - 1L).as("week_a"), col("sk").as("sk_b"), col("n").as("n_b"))
+    a.join(b, "week_a")
+      .select(col("week_a"),
+        expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)")
+          .as("retained"),
+        (col("n_a") -
+          expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)"))
+          .as("churned"),
+        (col("n_b") -
+          expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)"))
+          .as("new_users"))
+      .orderBy("week_a")
+  }
+
+  /** Frequency sketch top-k: `approx_top_k` is exact while tracked
+    * capacity exceeds the column's cardinality (64 ≫ 5 event types), so
+    * the key is oracled against exact group counts; on a high-cardinality
+    * column the same plan returns the heavy-hitter estimate — the
+    * mergeable Misra-Gries/sketch shape for streaming leaderboards.
+    */
+  private val qApproxTopk: Q = (s, d) =>
+    Tables.events(s, d)
+      .agg(expr("approx_top_k(event_type, 5, 64)").as("t"))
+      .select(expr("inline(t)"))
+      .orderBy(col("count").desc, col("item").asc)
+
   private val qRollup: Q = (s, d) =>
     Tables.lineitem(s, d)
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -594,6 +638,8 @@ object Relational {
     "q_count_distinct" -> qCountDistinct,
     "q_approx_distinct" -> qApproxDistinct,
     "q_hll_merge" -> qHllMerge,
+    "q_theta_retention" -> qThetaRetention,
+    "q_approx_topk" -> qApproxTopk,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
     "q_grouping_sets" -> qGroupingSets,
@@ -621,6 +667,27 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_theta_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        |      AS BIGINT) AS week FROM events),
+        |ret AS (SELECT x.week AS week_a, count(*) AS retained
+        |        FROM wk x JOIN wk y ON x.user_id = y.user_id
+        |          AND y.week = x.week + 1
+        |        GROUP BY 1),
+        |cnt AS (SELECT week, count(*) AS n FROM wk GROUP BY 1)
+        |SELECT c.week AS week_a,
+        |  CAST(coalesce(r.retained, 0) AS BIGINT) AS retained,
+        |  CAST(c.n - coalesce(r.retained, 0) AS BIGINT) AS churned,
+        |  CAST(c2.n - coalesce(r.retained, 0) AS BIGINT) AS new_users
+        |FROM cnt c
+        |JOIN cnt c2 ON c2.week = c.week + 1
+        |LEFT JOIN ret r ON r.week_a = c.week
+        |ORDER BY week_a""".stripMargin,
+    "q_approx_topk" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS count
+        |FROM events GROUP BY 1
+        |ORDER BY count DESC, item""".stripMargin,
     "q_join_inner" ->
       """SELECT o_orderkey, c_name, c_mktsegment
         |FROM orders JOIN customer ON o_custkey = c_custkey
