@@ -226,15 +226,13 @@ object Relational {
     val a = wk.select(col("week").as("week_a"), col("sk").as("sk_a"), col("n").as("n_a"))
     val b = wk.select((col("week") - 1L).as("week_a"), col("sk").as("sk_b"), col("n").as("n_b"))
     a.join(b, "week_a")
-      .select(col("week_a"),
-        expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)")
-          .as("retained"),
-        (col("n_a") -
-          expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)"))
-          .as("churned"),
-        (col("n_b") -
-          expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)"))
-          .as("new_users"))
+      // structural compute-once for the intersection estimate (not just
+      // relying on CSE), same discipline as q_variant's parse-once
+      .withColumn("retained",
+        expr("CAST(round(theta_sketch_estimate(theta_intersection(sk_a, sk_b))) AS BIGINT)"))
+      .select(col("week_a"), col("retained"),
+        (col("n_a") - col("retained")).as("churned"),
+        (col("n_b") - col("retained")).as("new_users"))
       .orderBy("week_a")
   }
 
