@@ -4,10 +4,10 @@ object Bench {
   /** Headline queries: one or more representatives per operator family
     * (scan/filter, joins incl. broadcast+salted, aggregation families,
     * windows, top-k, set ops, SQL surface, streaming shapes, dedup,
-    * similarity, text analysis, extension surface). The full 140-key
-    * registry is exercised by Verify; Bench times the representative set
-    * (frozen since r2 so BENCH_r{N} totals stay comparable across
-    * rounds).
+    * similarity, text analysis, extension surface). The full registry
+    * (COVERAGE.md carries the current count) is exercised by Verify;
+    * Bench times the representative set (frozen since r2 so BENCH_r{N}
+    * totals stay comparable across rounds).
     */
   val headline: Seq[String] = Seq(
     "q_filter_eq", "q_project", "q_groupby_agg", "q_count_distinct",
@@ -77,22 +77,27 @@ object Bench {
     val runs = results.map { case (k, _, ts) =>
       s"\"" + k + "\":" + ts.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val errors = results.collect { case (k, v, _) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // `value` sums warm medians (execution-bound engine cost); r1–r4
     // totals were single-shot and so included each query's one-time
     // planning/codegen — `first_run_total` preserves that definition for
     // cross-round comparison.
     val firstTotal = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
-    val ext = extended.filter(SparkEntry.queries.contains).map { name =>
+    val extResults = extended.filter(SparkEntry.queries.contains).map { name =>
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      s"\"" + name + "\":" + t
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"errors":$errors,"sf":"$sfDir"}""")
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    val ext = extResults.map { case (k, t) => s"\"" + k + "\":" + t }
+      .mkString("{", ",", "}")
+    // extended failures surface through the same `errors` channel as
+    // headline failures — a -1 buried in `extended` alone must not read
+    // as a clean round
+    val allErrors = (results.collect { case (k, v, _) if v < 0 => k } ++
+      extResults.collect { case (k, t) if t < 0 => k })
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"errors":$allErrors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,8 +28,13 @@ object IntervalJoin {
                   b: DataFrame, bStart: String, bEnd: String,
                   cellWidth: Long): DataFrame = {
     require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    // Empty/inverted intervals ([5,5), [7,3)) overlap nothing by
+    // definition, but the overlap predicate alone would still admit
+    // them (s1 < e2 && s2 < e1 only means non-empty intersection when
+    // BOTH inputs are non-empty) and `sequence` would even generate
+    // descending cell runs — drop them map-side before binning.
     def cells(df: DataFrame, s: String, e: String): DataFrame =
-      df.withColumn("_cell",
+      df.filter(col(s) < col(e)).withColumn("_cell",
         explode(sequence(expr(s"$s DIV $cellWidth"),
           expr(s"($e - 1) DIV $cellWidth"))))
     cells(a, aStart, aEnd).join(cells(b, bStart, bEnd), "_cell")

@@ -55,8 +55,14 @@ object Merge {
     val targetOnly = col(s"s.${keys.head}").isNull
     val sourceOnly = col(s"t.${keys.head}").isNull
 
+    // SQL MERGE applies a clause only when its condition is TRUE — a
+    // NULL condition (e.g. comparing a NULL column) means
+    // clause-not-applicable, never clause-applied. Without the coalesce,
+    // three-valued logic would let a NULL NOT-MATCHED-BY-SOURCE
+    // condition silently DELETE the row (filter drops NULL keeps) and a
+    // NULL matched-DELETE condition suppress a due UPDATE.
     def cond(c: Option[Column], default: Boolean): Column =
-      c.getOrElse(lit(default))
+      c.map(coalesce(_, lit(false))).getOrElse(lit(default))
 
     // keep-decision per SQL clause precedence (matched: DELETE first)
     val keep =

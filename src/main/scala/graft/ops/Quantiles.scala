@@ -54,8 +54,11 @@ object Quantiles {
     val bcnt = base
       .groupBy(col(group), expr(s"_v DIV $bucketWidth").as("_b"))
       .agg(count(lit(1)).as("_n"))
-    // ceil(n·p) = (n·pNum + pDen − 1) DIV pDen, all in exact integers
-    val tot = base.groupBy(col(group)).agg(count(lit(1)).as("_tot"))
+    // ceil(n·p) = (n·pNum + pDen − 1) DIV pDen, all in exact integers.
+    // Totals come from the ALREADY-AGGREGATED histogram (groups×buckets
+    // rows), not a third scan of the raw input — the algorithm really
+    // is two passes over base data.
+    val tot = bcnt.groupBy(col(group)).agg(sum(col("_n")).as("_tot"))
       .withColumn("_rk", expr(s"(_tot * $pNum + $pDen - 1) DIV $pDen"))
     val wb = Window.partitionBy(col(group)).orderBy(col("_b"))
     val target = bcnt.withColumn("_cum", sum(col("_n")).over(wb))

@@ -47,7 +47,7 @@ object Similarity {
     * ≈6e-8 quantization of each member is irrelevant for coarse IVF
     * cells and is the price of exactness-under-reordering.
     */
-  private val MeanScale = (1L << 24).toDouble
+  private[graft] val MeanScale = (1L << 24).toDouble
 
   /** Key + unit-normless vector + precomputed L2 norm, aliased for a join side. */
   private def side(df: DataFrame, key: String, vec: String,

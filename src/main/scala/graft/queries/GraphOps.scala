@@ -87,6 +87,12 @@ object GraphOps {
             struct(col("v").as("src"), col("u").as("dst"), col("du").as("dd")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.dd").as("dd"))
+      // Session-scoped cache, deliberately NOT unpersisted: the
+      // returned plan is lazy, so an eager unpersist here would evict
+      // the cache before the query ever runs (unlike the eager
+      // PageRank/BFS loops, which can release theirs after the last
+      // localCheckpoint). MEMORY_AND_DISK entries are LRU-evicted
+      // under pressure, bounding the cost of repeated invocations.
       .persist(StorageLevel.MEMORY_AND_DISK)
     val e1 = oriented.select(col("src"), col("dst").as("a"), col("dd").as("da"))
     val e2 = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
@@ -211,7 +217,12 @@ object GraphOps {
       .select(col("p_a"), col("p_b"), col("pair_n"), col("n_a"), col("n_b"),
         expr("1000000L * pair_n DIV n_a").as("conf_ab_e6"),
         expr("1000000L * pair_n DIV n_b").as("conf_ba_e6"),
-        expr(s"1000000L * pair_n * ${baskets}L DIV (n_a * n_b)").as("lift_e6"))
+        // two-step association keeps every intermediate ≤ 1e6·baskets —
+        // Long-safe at any corpus size, where the single-expression
+        // 1e6·pair_n·baskets would overflow around 1e12 pair
+        // observations; the oracle floors in the same two steps
+        expr(s"(1000000L * pair_n DIV n_a) * ${baskets}L DIV n_b")
+          .as("lift_e6"))
       .orderBy(col("p_a"), col("p_b"))
   }
 
@@ -263,7 +274,7 @@ object GraphOps {
         |  CAST(ia.item_n AS BIGINT) AS n_a, CAST(ib.item_n AS BIGINT) AS n_b,
         |  CAST(1000000 * pair_n // ia.item_n AS BIGINT) AS conf_ab_e6,
         |  CAST(1000000 * pair_n // ib.item_n AS BIGINT) AS conf_ba_e6,
-        |  CAST(1000000 * pair_n * baskets // (ia.item_n * ib.item_n) AS BIGINT)
+        |  CAST((1000000 * pair_n // ia.item_n) * baskets // ib.item_n AS BIGINT)
         |    AS lift_e6
         |FROM pr
         |JOIN it ia ON ia.p = pr.p_a

@@ -19,11 +19,13 @@ import graft.model.Tables
 object InsightOps {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Centroid-mean quantization scale (see Similarity.MeanScale): sums
-    * accumulate as exact integers so the mean is bit-deterministic
-    * under any partitioning/aggregation order.
+  /** Centroid-mean quantization scale — THE shared constant
+    * ([[graft.ops.Similarity.MeanScale]]), not a copy: sums accumulate
+    * as exact integers so the mean is bit-deterministic under any
+    * partitioning/aggregation order, and the oracle's literal
+    * (16777216.0) must track this exact value.
     */
-  private val MeanScale = (1L << 24).toDouble
+  private val MeanScale = graft.ops.Similarity.MeanScale
 
   /** Conversion funnel view→click→purchase per user: first view, first
     * click strictly after it, first purchase strictly after that — the

@@ -66,19 +66,18 @@ object SqlSurface {
   /** TPC-H Q6 (forecast revenue change): pure filter + global sum, the
     * predicate-pushdown benchmark — all three filters reach the parquet
     * row-group reader, the aggregate is a 1-row partial/final pair.
-    * Revenue = Σ cents·disc_pct, exact e4-unit integers.
+    * Revenue = Σ cents·disc_pct, exact e4-unit integers. One
+    * dialect-portable text, registered for both engines via sqlKey
+    * below — no second copy to drift.
     */
-  private val qSqlTpchQ6: Q = (s, d) => {
-    registerViews(s, d)
-    s.sql(
-      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
-        |    * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e4
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24.0""".stripMargin)
-  }
+  private val tpchQ6Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+      |    * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24.0""".stripMargin
 
   /** TPC-H Q4/Q7/Q10/Q12/Q14 shapes, written once in dialect-portable
     * ANSI SQL: the SAME text runs through spark.sql and the DuckDB
@@ -394,7 +393,7 @@ object SqlSurface {
   val registry: Map[String, Q] = Map(
     "q_sql_tpch_q1" -> qSqlTpchQ1,
     "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
-    "q_sql_tpch_q6" -> qSqlTpchQ6,
+    "q_sql_tpch_q6" -> sqlKey(tpchQ6Sql),
     "q_sql_tpch_q7" -> sqlKey(tpchQ7Sql),
     "q_sql_tpch_q10" -> sqlKey(tpchQ10Sql),
     "q_sql_tpch_q12" -> sqlKey(tpchQ12Sql),
@@ -445,14 +444,7 @@ object SqlSurface {
         |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-    "q_sql_tpch_q6" ->
-      """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
-        |    * CAST(round(l_discount * 100.0) AS BIGINT)) AS BIGINT) AS revenue_e4
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07
-        |  AND l_quantity < 24.0""".stripMargin,
+    "q_sql_tpch_q6" -> tpchQ6Sql,
     "q_variant" ->
       """SELECT CAST(json_extract_string(props, '$.k') AS INT) // 10 AS k_band,
         |  count(*) AS n,

@@ -48,6 +48,29 @@ class MergeSpec extends AnyFunSuite {
     assert(out == Set((1L, 11L), (2L, 22L)))
   }
 
+  test("NULL clause conditions mean clause-not-applicable, never clause-applied") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", LongType, false),
+      StructField("v", StringType, true)))
+    val tN = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, null), Row(2L, "b")), schema)
+    val sN = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "x"), Row(2L, "y")), schema)
+    // matched-DELETE condition is NULL for k=1 (t.v is null): the row
+    // must NOT be deleted, and the due UPDATE must still apply
+    val out = Merge.mergeInto(tN, sN, Seq("k"),
+        matchedDeleteWhen = Some(col("t.v") === "zzz"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "x", 2L -> "y"))
+    // NOT-MATCHED-BY-SOURCE condition NULL for a target-only NULL row:
+    // the row must be KEPT (condition not TRUE ⇒ no delete)
+    val out2 = Merge.mergeInto(tN, sN.filter(col("k") === 2L), Seq("k"),
+        notMatchedBySourceDeleteWhen = Some(col("t.v") === "zzz"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out2 == Map(1L -> null, 2L -> "y"))
+  }
+
   test("schema mismatch fails loud") {
     val bad = Seq((1L, 1L)).toDF("k", "other")
     assertThrows[IllegalArgumentException] {
