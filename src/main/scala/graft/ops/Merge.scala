@@ -84,4 +84,40 @@ object Merge {
 
     joined.filter(keep).select(outCols: _*)
   }
+
+  /** Snapshot diff — the INVERSE of change-apply: given two keyed table
+    * states, emit the minimal I/U/D change feed that transforms
+    * `before` into `after` (table diff for auditing, replication
+    * seeding, or incremental downstream refresh). One keyed full-outer
+    * join; unchanged rows are dropped map-side so the feed size tracks
+    * the CHANGE volume, not the table volume. Null-safe value
+    * comparison (`<=>`): a column flipping to/from NULL is a real
+    * update. Emitted values are the after-image for I/U and the
+    * before-image for D; PropertySpec pins the round-trip law
+    * `apply(diff(A, B), A) == B` (mergeInto for I/U + anti join for D).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "diff needs at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "diff requires identical schemas")
+    val valueCols = before.columns.filterNot(keys.contains).toSeq
+    val b = before.as("b")
+    val a = after.as("a")
+    val joined = b.join(a, keys.map(k => col(s"b.$k") === col(s"a.$k"))
+      .reduce(_ && _), "full_outer")
+    val inBefore = col(s"b.${keys.head}").isNotNull
+    val inAfter = col(s"a.${keys.head}").isNotNull
+    val changed = valueCols.map(c => !(col(s"b.$c") <=> col(s"a.$c")))
+      .foldLeft(lit(false))(_ || _)
+    val op = when(!inBefore, lit("I"))
+      .when(!inAfter, lit("D"))
+      .otherwise(lit("U"))
+    joined
+      .filter(!inBefore || !inAfter || changed)
+      .select(keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) ++
+        Seq(op.as("op")) ++
+        valueCols.map(c =>
+          when(inAfter, col(s"a.$c")).otherwise(col(s"b.$c")).as(c)): _*)
+  }
 }

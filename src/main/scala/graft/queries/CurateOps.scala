@@ -341,7 +341,28 @@ object CurateOps {
       .orderBy("k")
   }
 
+  /** Table diff between two snapshot states ([[graft.ops.Merge
+    * .snapshotDiff]]): the minimal I/U/D feed transforming before into
+    * after — deletes every 10th key, updates every 7th, inserts negated
+    * keys. The inverse of `q_cdc_apply`; PropertySpec pins the
+    * round-trip law apply(diff(A,B), A) == B.
+    */
+  private val qSnapshotDiff: Q = (s, d) => {
+    val before = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+      col("o_orderstatus").as("st"))
+    val after = before.filter(col("k") % 10 =!= 0)
+      .select(col("k"),
+        when(col("k") % 7 === 1, col("cents") + 11L).otherwise(col("cents"))
+          .as("cents"),
+        col("st"))
+      .unionAll(before.filter(col("k") % 7 === 3)
+        .select((-col("k")).as("k"), (col("cents") + 5L).as("cents"), col("st")))
+    graft.ops.Merge.snapshotDiff(before, after, Seq("k")).orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_snapshot_diff" -> qSnapshotDiff,
     "q_merge_into" -> qMergeInto,
     "q_zorder" -> qZorder,
     "q_cdc_apply" -> qCdcApply,
@@ -392,6 +413,26 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_snapshot_diff" ->
+      """WITH t AS (SELECT o_orderkey AS k,
+        |        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |        o_orderstatus AS st FROM orders),
+        |af AS (SELECT k,
+        |         CASE WHEN k % 7 = 1 THEN cents + 11 ELSE cents END AS cents,
+        |         st
+        |       FROM t WHERE k % 10 <> 0
+        |       UNION ALL
+        |       SELECT -k, cents + 5, st FROM t WHERE k % 7 = 3)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN b.k IS NULL THEN 'I'
+        |       WHEN a.k IS NULL THEN 'D' ELSE 'U' END AS op,
+        |  CASE WHEN a.k IS NOT NULL THEN a.cents ELSE b.cents END AS cents,
+        |  CASE WHEN a.k IS NOT NULL THEN a.st ELSE b.st END AS st
+        |FROM t b FULL JOIN af a ON b.k = a.k
+        |WHERE b.k IS NULL OR a.k IS NULL
+        |   OR b.cents IS DISTINCT FROM a.cents
+        |   OR b.st IS DISTINCT FROM a.st
+        |ORDER BY k""".stripMargin,
     "q_merge_into" ->
       """WITH t AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,

@@ -324,6 +324,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshotDiff round-trips (apply(diff(A,B), A) == B) and is minimal") {
+    samples(Gen.zip(kvList, kvList), 6).foreach { case (b0, a0) =>
+      val bm = b0.toMap; val am = a0.toMap
+      val before = bm.toSeq.toDF("k", "v")
+      val after = am.toSeq.toDF("k", "v")
+      val diff = graft.ops.Merge.snapshotDiff(before, after, Seq("k")).cache()
+      val iu = diff.filter(col("op") =!= "D").drop("op")
+      val dels = diff.filter(col("op") === "D").select("k")
+      val applied = graft.ops.Merge.mergeInto(before, iu, Seq("k"))
+        .join(dels, Seq("k"), "left_anti")
+        .as[(Int, String)].collect().toSet
+      assert(applied == am.toSeq.toSet, "round-trip must reproduce after")
+      // minimality: exactly one row per genuinely-changed key
+      val expected = (am.keySet -- bm.keySet).size +
+        (bm.keySet -- am.keySet).size +
+        (am.keySet & bm.keySet).count(k => am(k) != bm(k))
+      assert(diff.count() == expected.toLong)
+      diff.unpersist()
+    }
+  }
+
   test("ZOrder.interleave is injective and order-embeds aligned quadrants") {
     val pts = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
     val df = pts.toDF("x", "y")
