@@ -206,7 +206,37 @@ object InsightOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Time-weighted average value per user (TWAP): each event's value
+    * holds until the next event, so the mean weights by holding
+    * duration, not event count — the metrics/finance complement of the
+    * event-weighted `q_decay_wavg`. Σ(cents·gap_µs) and Σ(gap_µs) are
+    * exact BIGINTs (bounded by max-cents × observed span ≈ 2e18 even
+    * at multi-year spans) and the final ratio is one integer division,
+    * so both engines agree bit-for-bit. One partitioned lead window +
+    * one keyed aggregate; users with a single event carry no interval
+    * and drop out (also guarding the division).
+    */
+  private val qTwap: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+      .withColumn("next_us", lead(col("us"), 1).over(w))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap", col("next_us") - col("us"))
+      .groupBy("user_id")
+      .agg(sum(col("cents") * col("gap")).as("wsum"),
+        sum(col("gap")).as("tsum"),
+        count(lit(1)).as("n_intervals"))
+      .filter(col("tsum") > 0L)
+      .select(col("user_id"), expr("wsum DIV tsum").as("twap_cents"),
+        col("n_intervals"))
+      .orderBy("user_id")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_twap" -> qTwap,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_exact_median" -> qExactMedian,
     "q_cohort_retention" -> qCohortRetention,
@@ -218,6 +248,21 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_twap" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, cents,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+        |          AS gap
+        |      FROM b),
+        |a AS (SELECT user_id,
+        |        CAST(sum(cents * gap) AS BIGINT) AS wsum,
+        |        CAST(sum(gap) AS BIGINT) AS tsum,
+        |        CAST(count(*) AS BIGINT) AS n_intervals
+        |      FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, CAST(wsum // tsum AS BIGINT) AS twap_cents, n_intervals
+        |FROM a WHERE tsum > 0
+        |ORDER BY user_id""".stripMargin,
     "q_markov_transitions" ->
       """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
