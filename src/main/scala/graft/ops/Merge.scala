@@ -95,6 +95,10 @@ object Merge {
     * update. Emitted values are the after-image for I/U and the
     * before-image for D; PropertySpec pins the round-trip law
     * `apply(diff(A, B), A) == B` (mergeInto for I/U + anti join for D).
+    *
+    * Like [[mergeInto]], key columns must be non-null and unique per
+    * side: a NULL key never equi-joins, so its row would misclassify
+    * as an insert on both sides and break the round-trip law.
     */
   def snapshotDiff(before: DataFrame, after: DataFrame,
                    keys: Seq[String]): DataFrame = {

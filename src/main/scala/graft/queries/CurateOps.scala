@@ -187,9 +187,6 @@ object CurateOps {
       .orderBy(col("day"), col("event_type"))
   }
 
-  /** ORC source round-trip: columnar alternative to Parquet, same
-    * pushdown/pruning path through the vectorized ORC reader.
-    */
   /** XML source (built into Spark core since 4.0): nation rows land as
     * an XML document per row and read back through the schema-on-read
     * XML reader — the feed-interchange format the CSV/ORC/text trio
@@ -205,6 +202,9 @@ object CurateOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** ORC source round-trip: columnar alternative to Parquet, same
+    * pushdown/pruning path through the vectorized ORC reader.
+    */
   private val qOrcSource: Q = (s, d) => {
     val path = s"target/tmp/q_orc_source_${math.abs(d.hashCode)}"
     Tables.nation(s, d).write.mode("overwrite").orc(path)

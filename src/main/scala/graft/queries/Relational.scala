@@ -208,14 +208,18 @@ object Relational {
 
   /** Theta-sketch churn analytics — set OPERATIONS on sketches, the
     * capability HLL lacks: per-week distinct-user sketches combine via
-    * `theta_intersection`/`theta_difference` into retained/churned/new
-    * counts with no rescan of raw events. DataSketches theta sketches
+    * `theta_intersection` (complements derived arithmetically from the
+    * exact per-week counts) into retained/churned/new counts with no
+    * rescan of raw events. DataSketches theta sketches
     * are EXACT below their nominal-entries threshold (4096 > the 1500
     * users at sf0.1), so this key is fully oracled against exact
     * relational algebra; past that scale the same plan degrades
     * gracefully to ±1.6% estimates — the documented trade.
     */
   private val qThetaRetention: Q = (s, d) => {
+    // materialized once (a handful of rows): both join sides reference
+    // it, and without the checkpoint each execution would re-scan
+    // events and re-sketch twice
     val wk = Tables.events(s, d)
       .select(col("user_id"),
         expr("CAST(datediff(to_date(ts), DATE '2024-01-01') DIV 7 AS BIGINT)")
@@ -223,6 +227,7 @@ object Relational {
       .groupBy("week")
       .agg(expr("theta_sketch_agg(user_id)").as("sk"),
         countDistinct("user_id").as("n"))
+      .localCheckpoint(true)
     val a = wk.select(col("week").as("week_a"), col("sk").as("sk_a"), col("n").as("n_a"))
     val b = wk.select((col("week") - 1L).as("week_a"), col("sk").as("sk_b"), col("n").as("n_b"))
     a.join(b, "week_a")
