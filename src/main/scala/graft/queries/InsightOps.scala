@@ -235,7 +235,31 @@ object InsightOps {
       .orderBy("user_id")
   }
 
+  /** Sequence-pattern matching over event streams (MATCH_RECOGNIZE
+    * lite): each user's events collapse — in deterministic (time, id)
+    * order — into a string of type initials, and conversion paths are
+    * counted as non-overlapping regex matches of `v[^p]*p` (a view
+    * followed by its first purchase). The sort happens INSIDE
+    * `array_sort` on collected per-user structs (bounded per-user
+    * payload, no global sort); the regex is anchored to simple
+    * character classes so Java and RE2 agree (the same cross-engine
+    * envelope `q_regex_funcs` pins). The general-pattern analytics
+    * shape SQL calls MATCH_RECOGNIZE, built from composable pieces.
+    */
+  private val qSeqPattern: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(transform(array_sort(collect_list(col("e"))),
+        x => x.getField("c")), "").as("seq"))
+      .select(col("user_id"), col("seq"),
+        regexp_count(col("seq"), lit("v[^p]*p")).cast("long").as("n_conv"))
+      .orderBy("user_id")
+
   val registry: Map[String, Q] = Map(
+    "q_seq_pattern" -> qSeqPattern,
     "q_twap" -> qTwap,
     "q_markov_transitions" -> qMarkovTransitions,
     "q_exact_median" -> qExactMedian,
@@ -248,6 +272,14 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_seq_pattern" ->
+      """WITH s AS (SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
+        |      AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, seq,
+        |  CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS n_conv
+        |FROM s ORDER BY user_id""".stripMargin,
     "q_twap" ->
       """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us,
         |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
