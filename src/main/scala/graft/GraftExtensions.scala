@@ -17,6 +17,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // analysis-phase guardrail (opt-in via spark.graft.guard.noCartesian)
+    e.injectCheckRule(graft.plans.CartesianGuard.rule)
     e.injectFunction((
       FunctionIdentifier("lap_time_millis"),
       info("lap_time_millis", "lap_time_millis(ms BIGINT) - millis to MM:SS.mmm"),

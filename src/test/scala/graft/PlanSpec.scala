@@ -221,6 +221,35 @@ class PlanSpec extends AnyFunSuite {
     assert("parseJson|parse_json".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("CartesianGuard rejects accidental cross joins at analysis time, opt-in") {
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = Graft.session(master = "local[2]", shufflePartitions = 2)
+      import s.implicits._
+      val a = Seq(1, 2).toDF("x")
+      val b = Seq(3, 4).toDF("y")
+      s.conf.set(graft.plans.CartesianGuard.Conf, "true")
+      val ex = intercept[org.apache.spark.SparkException] {
+        a.crossJoin(b).collect()
+      }
+      assert(ex.getMessage.contains("cartesian guard"))
+      val ex2 = intercept[org.apache.spark.SparkException] {
+        a.join(b).collect() // no condition — implicit cartesian
+      }
+      assert(ex2.getMessage.contains("cartesian guard"))
+      // conditioned joins (incl. theta) pass untouched
+      assert(a.join(b, $"x" < $"y").count() == 4L)
+      // deliberate cross joins re-enable per session
+      s.conf.set(graft.plans.CartesianGuard.Conf, "false")
+      assert(a.crossJoin(b).count() == 4L)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+    }
+  }
+
   test("Graft.session builds a configured session with functions registered") {
     val shared = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
