@@ -108,6 +108,25 @@ class BatchOpsSpec extends AnyFunSuite {
     joined.unpersist()
   }
 
+  test("percentile_approx degenerates to the exact discrete quantile at high accuracy") {
+    // the approximate-percentile analog of q_ann_ivf_exhaustive: with
+    // rank error < 1 row (accuracy >> n), the sketch MUST return an
+    // exact order statistic — checked against Quantiles' two-scan exact
+    // answer at p = 1/2 and 9/10 per event type
+    val base = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100.0).cast("long").as("cents"))
+    Seq((1L, 2L), (9L, 10L)).foreach { case (num, den) =>
+      val approx = base.groupBy("event_type")
+        .agg(expr(s"percentile_approx(cents, ${num.toDouble / den}, 10000000)")
+          .as("q"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = graft.ops.Quantiles
+        .quantileAt(base, "event_type", col("cents"), num, den, "q")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(approx == exact, s"p=$num/$den")
+    }
+  }
+
   test("q_hll_merge: merged daily sketches track exact weekly cardinality") {
     val ev = graft.model.Tables.events(spark, sf).select(
       expr("datediff(to_date(ts), DATE '2024-01-01') DIV 7").as("week"),
