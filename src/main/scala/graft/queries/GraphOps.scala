@@ -178,12 +178,21 @@ object GraphOps {
     val nodes = degrees(und).select(col("n"))
     var dist = nodes.filter(col("n") % 97L === 0L)
       .select(col("n"), lit(0L).as("d")).localCheckpoint(true)
+    // frontier propagation — the textbook level-synchronous refinement:
+    // each level expands only the nodes REACHED AT THE PREVIOUS level
+    // (one arcs⋈frontier join + an anti join against settled nodes),
+    // so per-level work tracks the frontier size, not the whole settled
+    // set; settled distances grow by disjoint union, no re-aggregation.
+    var frontier = dist
     for (_ <- 1 to 4) {
-      val next = arcs.join(dist.select(col("n").as("src"), col("d")), "src")
+      val next = arcs
+        .join(frontier.select(col("n").as("src"), col("d")), "src")
         .select(col("dst").as("n"), (col("d") + 1L).as("d"))
-      dist = dist.unionAll(next)
         .groupBy("n").agg(min("d").as("d"))
+        .join(dist.select("n"), Seq("n"), "left_anti")
         .localCheckpoint(true)
+      dist = dist.unionAll(next).localCheckpoint(true)
+      frontier = next
     }
     arcs.unpersist()
     dist.select(col("n").as("part"), col("d").as("hops")).orderBy("part")
