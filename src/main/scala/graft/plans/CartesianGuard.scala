@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans.Cross
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, ResolvedHint}
 
 /** Plan guardrail: reject accidental cartesian products at analysis
   * time.
@@ -28,14 +28,34 @@ object CartesianGuard {
   val Conf = "spark.graft.guard.noCartesian"
 
   def rule(session: SparkSession): LogicalPlan => Unit = plan =>
-    if (session.conf.getOption(Conf).contains("true"))
-      plan.foreach {
-        case j @ Join(_, _, Cross, _, _) =>
+    if (session.conf.getOption(Conf).exists(_.equalsIgnoreCase("true")))
+      // subqueriesAll: scalar/IN/EXISTS subquery plans hang off
+      // EXPRESSIONS, which LogicalPlan.foreach does not descend into —
+      // a cartesian inside `WHERE x > (SELECT ... FROM a, b)` must not
+      // slip past the guard
+      (plan +: plan.subqueriesAll).foreach(_.foreach {
+        case j @ Join(left, right, Cross, _, _)
+            if !boundedSide(left) && !boundedSide(right) =>
           fail("explicit CROSS JOIN", j)
-        case j @ Join(_, _, _, None, _) =>
+        case j @ Join(left, right, _, None, _)
+            if !boundedSide(left) && !boundedSide(right) =>
           fail("join with no condition (implicit cartesian product)", j)
         case _ => ()
-      }
+      })
+
+  /** A side that cannot exceed one row (a global aggregate, a LIMIT 1):
+    * crossing with it is |other|×1 — the scalar-stats broadcast pattern
+    * the engine itself uses (BM25 corpus stats, sampling totals), not
+    * an outage risk. Such joins pass even with the guard on.
+    */
+  @scala.annotation.tailrec
+  private def boundedSide(p: LogicalPlan): Boolean =
+    p.maxRows.exists(_ <= 1L) || (p match {
+      // broadcast()/hint() wrap in ResolvedHint, which does not forward
+      // maxRows — look through it (it never changes row counts)
+      case h: ResolvedHint => boundedSide(h.child)
+      case _ => false
+    })
 
   private def fail(what: String, j: Join): Nothing =
     throw new org.apache.spark.SparkException(

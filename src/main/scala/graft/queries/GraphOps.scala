@@ -191,7 +191,11 @@ object GraphOps {
         .groupBy("n").agg(min("d").as("d"))
         .join(dist.select("n"), Seq("n"), "left_anti")
         .localCheckpoint(true)
-      dist = dist.unionAll(next).localCheckpoint(true)
+      // no checkpoint on the union: both inputs are already
+      // materialized, so the lineage is a bounded 4-deep union of
+      // checkpointed nodes — re-materializing the whole settled set
+      // every level would copy O(levels·|settled|) for nothing
+      dist = dist.unionAll(next)
       frontier = next
     }
     arcs.unpersist()

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{broadcast, max}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan regression guard: the scale-critical plan properties —
@@ -230,7 +231,7 @@ class PlanSpec extends AnyFunSuite {
       import s.implicits._
       val a = Seq(1, 2).toDF("x")
       val b = Seq(3, 4).toDF("y")
-      s.conf.set(graft.plans.CartesianGuard.Conf, "true")
+      s.conf.set(graft.plans.CartesianGuard.Conf, "TRUE") // case-insensitive
       val ex = intercept[org.apache.spark.SparkException] {
         a.crossJoin(b).collect()
       }
@@ -239,8 +240,19 @@ class PlanSpec extends AnyFunSuite {
         a.join(b).collect() // no condition — implicit cartesian
       }
       assert(ex2.getMessage.contains("cartesian guard"))
+      // cartesians hiding inside subquery expressions are caught too
+      a.createOrReplaceTempView("ga"); b.createOrReplaceTempView("gb")
+      val ex3 = intercept[org.apache.spark.SparkException] {
+        s.sql("SELECT * FROM ga WHERE x > (SELECT min(ga.x * gb.y) FROM ga, gb)")
+          .collect()
+      }
+      assert(ex3.getMessage.contains("cartesian guard"))
       // conditioned joins (incl. theta) pass untouched
       assert(a.join(b, $"x" < $"y").count() == 4L)
+      // the engine's own scalar-stats broadcast cross (|a|×1) passes —
+      // q_bm25's corpus-stats join is this exact shape
+      assert(a.crossJoin(broadcast(b.agg(max($"y").as("m")))).count() == 2L)
+      assert(SparkEntry.queries("q_bm25")(s, sf).count() > 0)
       // deliberate cross joins re-enable per session
       s.conf.set(graft.plans.CartesianGuard.Conf, "false")
       assert(a.crossJoin(b).count() == 4L)
