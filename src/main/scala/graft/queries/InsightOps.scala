@@ -258,7 +258,42 @@ object InsightOps {
         regexp_count(col("seq"), lit("v[^p]*p")).cast("long").as("n_conv"))
       .orderBy("user_id")
 
+  /** RFM customer segmentation (recency / frequency / monetary): each
+    * customer's three metrics rank into quintiles and compose the
+    * classic 3-digit segment code. Quintiles are arithmetic buckets
+    * over a DISTRIBUTED total-order rank ([[graft.ops.Ranks
+    * .globalRowNumber]] — range-partitioned, no single-partition
+    * window), with the customer key as tiebreak so both engines bucket
+    * identically; the bucket formula ((rn−1)·5 DIV n)+1 is mirrored
+    * token-for-token instead of relying on cross-engine `ntile`
+    * edge-case parity. Higher score = more recent / more orders / more
+    * spend.
+    */
+  private val qRfm: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(unix_date(to_date(col("o_orderdate"))).cast("long")).as("rec"),
+        count(lit(1)).as("freq"),
+        sum(round(col("o_totalprice") * 100.0).cast("long")).as("mon"))
+    val n = base.count()
+    def score(rn: String): org.apache.spark.sql.Column =
+      (expr(s"(CAST($rn AS BIGINT) - 1) * 5 DIV ${n}L") + 1L)
+    val ranked = graft.ops.Ranks.globalRowNumber(
+      graft.ops.Ranks.globalRowNumber(
+        graft.ops.Ranks.globalRowNumber(base,
+          Seq(col("rec").asc, col("o_custkey").asc), "rn_r"),
+        Seq(col("freq").asc, col("o_custkey").asc), "rn_f"),
+      Seq(col("mon").asc, col("o_custkey").asc), "rn_m")
+    ranked.select(col("o_custkey"),
+        score("rn_r").as("r_score"), score("rn_f").as("f_score"),
+        score("rn_m").as("m_score"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .orderBy("o_custkey")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_rfm" -> qRfm,
     "q_seq_pattern" -> qSeqPattern,
     "q_twap" -> qTwap,
     "q_markov_transitions" -> qMarkovTransitions,
@@ -272,6 +307,28 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH b AS (SELECT o_custkey,
+        |    max(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT)) AS rec,
+        |    count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS mon
+        |  FROM orders GROUP BY o_custkey),
+        |n AS (SELECT count(*) AS n FROM b),
+        |r AS (SELECT o_custkey,
+        |    row_number() OVER (ORDER BY rec, o_custkey) AS rn_r,
+        |    row_number() OVER (ORDER BY freq, o_custkey) AS rn_f,
+        |    row_number() OVER (ORDER BY mon, o_custkey) AS rn_m
+        |  FROM b)
+        |SELECT o_custkey,
+        |  CAST((rn_r - 1) * 5 // n + 1 AS BIGINT) AS r_score,
+        |  CAST((rn_f - 1) * 5 // n + 1 AS BIGINT) AS f_score,
+        |  CAST((rn_m - 1) * 5 // n + 1 AS BIGINT) AS m_score,
+        |  CAST(((rn_r - 1) * 5 // n + 1) * 100
+        |    + ((rn_f - 1) * 5 // n + 1) * 10
+        |    + ((rn_m - 1) * 5 // n + 1) AS BIGINT) AS rfm
+        |FROM r CROSS JOIN n
+        |ORDER BY o_custkey""".stripMargin,
     "q_seq_pattern" ->
       """WITH s AS (SELECT user_id,
         |    string_agg(substr(event_type, 1, 1), '' ORDER BY epoch_us(ts), event_id)
