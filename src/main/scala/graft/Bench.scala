@@ -30,6 +30,7 @@ object Bench {
     "q_skyline", "q_label_centroids", "q_mad_outliers", "q_exact_median",
     "q_merge_into", "q_snapshot_diff", "q_join_interval", "q_hll_merge",
     "q_theta_retention", "q_approx_topk", "q_twap", "q_xml_source",
+    "q_seq_pattern", "q_rfm",
     "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10")
 
   def main(args: Array[String]): Unit = {
