@@ -170,6 +170,67 @@ object SqlSurface {
       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       |) pr""".stripMargin
 
+  /** Q13 (customer order-count distribution): left join preserving
+    * order-less customers, two-level aggregation. (The reference
+    * corpus has no o_comment, so the comment exclusion is omitted.)
+    */
+  private val tpchQ13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey) c
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q15 (top supplier): revenue view + scalar-subquery max — ties all
+    * surface together (CTE + agg + scalar subquery + join).
+    */
+  private val tpchQ15Sql: String =
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |      AS BIGINT)) AS BIGINT) AS total_e4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_e4
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no
+      |WHERE total_e4 = (SELECT max(total_e4) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 (small-quantity-order revenue): the correlated-aggregate
+    * brand probe. The original's `l_quantity < 0.2·avg(quantity)`
+    * float threshold is algebraically integerized to
+    * `5·qty·count < sum` — same predicate on integer-valued
+    * quantities, zero float-division parity risk.
+    */
+  private val tpchQ17Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents,
+      |  count(*) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#1'
+      |  AND 5 * CAST(l_quantity AS BIGINT)
+      |        * (SELECT count(*) FROM lineitem l2
+      |           WHERE l2.l_partkey = p_partkey)
+      |      < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+      |         FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** Q19 (disjunctive predicate revenue): three OR-branches of
+    * brand×size×quantity conditions — the filter the optimizer must
+    * keep sargable instead of exploding; revenue as exact e4 integers.
+    */
+  private val tpchQ19Sql: String =
+    """SELECT CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0)
+      |    AS BIGINT)) AS BIGINT) AS revenue_e4
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
+
   private def sqlKey(text: String): Q = (s, d) => {
     registerViews(s, d)
     s.sql(text)
@@ -397,7 +458,11 @@ object SqlSurface {
     "q_sql_tpch_q7" -> sqlKey(tpchQ7Sql),
     "q_sql_tpch_q10" -> sqlKey(tpchQ10Sql),
     "q_sql_tpch_q12" -> sqlKey(tpchQ12Sql),
+    "q_sql_tpch_q13" -> sqlKey(tpchQ13Sql),
     "q_sql_tpch_q14" -> sqlKey(tpchQ14Sql),
+    "q_sql_tpch_q15" -> sqlKey(tpchQ15Sql),
+    "q_sql_tpch_q17" -> sqlKey(tpchQ17Sql),
+    "q_sql_tpch_q19" -> sqlKey(tpchQ19Sql),
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_tpch_q18" -> qSqlTpchQ18,
@@ -421,7 +486,11 @@ object SqlSurface {
     "q_sql_tpch_q7" -> tpchQ7Sql,
     "q_sql_tpch_q10" -> tpchQ10Sql,
     "q_sql_tpch_q12" -> tpchQ12Sql,
+    "q_sql_tpch_q13" -> tpchQ13Sql,
     "q_sql_tpch_q14" -> tpchQ14Sql,
+    "q_sql_tpch_q15" -> tpchQ15Sql,
+    "q_sql_tpch_q17" -> tpchQ17Sql,
+    "q_sql_tpch_q19" -> tpchQ19Sql,
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
