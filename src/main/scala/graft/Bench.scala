@@ -22,6 +22,10 @@ object Bench {
   /** Post-r4 operators, timed ONCE each and reported under `extended` —
     * informational visibility for the newer surface without touching
     * the frozen headline set or its cross-round comparable total.
+    * Caveat for cross-round comparison: the graph keys share a
+    * memoized edge table, so WHICHEVER graph key runs first (list
+    * order: q_triangles) absorbs the one-time derivation cost for all
+    * of them.
     */
   val extended: Seq[String] = Seq(
     "q_triangles", "q_pagerank", "q_assoc_rules", "q_graph_bfs",

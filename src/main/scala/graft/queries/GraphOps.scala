@@ -49,24 +49,42 @@ object GraphOps {
     * re-running the lineitem self-join per query is the graph
     * equivalent of re-scanning a table per query. At 100 TB this is
     * the "materialize the graph once, run many analytics" step a
-    * production pipeline would land as its own table. Entries for
-    * stopped sessions are evicted on the next access.
+    * production pipeline would land as its own durable table
+    * ([[graft.ops.Sinks]]) — localCheckpoint blocks live on executors,
+    * so a lost executor in a real cluster would need this cache entry
+    * rebuilt; the session-scoped cache is the single-JVM form of that
+    * materialization, not a substitute for the durable one.
+    *
+    * Lifecycle: one entry per session — switching dirs evicts the
+    * previous dir's table (dropping the reference lets the context
+    * cleaner free its blocks), so multi-SF runs don't pin one edge
+    * table per dir; stopped sessions are evicted on the next access.
+    * The derivation job runs OUTSIDE the map lock (a multi-stage Spark
+    * job inside computeIfAbsent would serialize unrelated keys that
+    * share a hash bin).
     */
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    edgeCache.computeIfAbsent((s, d), _ => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .localCheckpoint(true)
-    })
+    val cached = edgeCache.get((s, d))
+    if (cached != null) cached
+    else {
+      val built = {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        li.as("a").join(li.as("b"),
+            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+          .select(col("a.p").as("u"), col("b.p").as("v"))
+          .distinct()
+          .localCheckpoint(true)
+      }
+      edgeCache.keySet.removeIf(k => k._1 == s && k._2 != d)
+      val prior = edgeCache.putIfAbsent((s, d), built)
+      if (prior != null) prior else built
+    }
   }
 
   /** Undirected degree per node (each edge counts at both endpoints). */
@@ -107,15 +125,16 @@ object GraphOps {
     // Edge-iterator formulation: a triangle with apex u (the orientation
     // minimum) is an out-neighbor w shared by both endpoints of an
     // oriented edge u→v, i.e. w ∈ N⁺(u) ∩ N⁺(v). Joining each edge with
-    // both endpoints' SORTED out-adjacency arrays and exploding the
-    // array intersection emits each triangle exactly once — and never
+    // both endpoints' out-adjacency arrays (unsorted — ArrayIntersect
+    // hashes one side, so sorting would be wasted work) and exploding
+    // the intersection emits each triangle exactly once — and never
     // materializes the wedge expansion (C(out-degree,2)-fold larger
     // than the edges; 33M wedge rows vs 0.9M edges at sf0.1, measured
     // ~2× slower as a wedge join + Bloom-filtered closing semi join).
     // Orientation still caps array sizes near √E, so a power-law hub
     // costs one bounded row, not a quadratic fan-out.
     val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      .agg(collect_list(col("dst")).as("nbrs"))
     val tris = oriented
       .join(adj.select(col("src"), col("nbrs").as("nbrs_u")), "src")
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nbrs_v")), "dst")

@@ -270,11 +270,15 @@ object InsightOps {
     * spend.
     */
   private val qRfm: Q = (s, d) => {
+    // materialized before count(): the three rank passes AND the size
+    // probe all read the same aggregate — without this, count() ran
+    // the orders aggregation as a separate duplicate job
     val base = Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(max(unix_date(to_date(col("o_orderdate"))).cast("long")).as("rec"),
         count(lit(1)).as("freq"),
         sum(round(col("o_totalprice") * 100.0).cast("long")).as("mon"))
+      .localCheckpoint(true)
     val n = base.count()
     def score(rn: String): org.apache.spark.sql.Column =
       (expr(s"(CAST($rn AS BIGINT) - 1) * 5 DIV ${n}L") + 1L)
