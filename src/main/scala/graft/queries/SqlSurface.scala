@@ -231,6 +231,43 @@ object SqlSurface {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
       |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin
 
+  /** Q21 (suppliers who kept the order waiting, adapted — no
+    * commit/receipt dates in this corpus): the supplier shipping LAST
+    * in a finished multi-supplier order. Correlated scalar max + a
+    * decorrelated EXISTS — the multi-subquery fact-probe shape.
+    */
+  private val tpchQ21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate = (SELECT max(l2.l_shipdate) FROM lineitem l2
+      |                       WHERE l2.l_orderkey = l1.l_orderkey)
+      |  AND EXISTS (SELECT 1 FROM lineitem l3
+      |              WHERE l3.l_orderkey = l1.l_orderkey
+      |                AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin
+
+  /** Q22 (lost customers, adapted — no phone prefixes): positive-
+    * balance customers above the positive-balance average with no
+    * orders. The float average is multiplied out to the portable
+    * integer inequality cents·n_pos > total_pos_cents, so both engines
+    * evaluate the identical exact predicate.
+    */
+  private val tpchQ22Sql: String =
+    """SELECT count(*) AS numcust,
+      |  CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS totacctbal_cents
+      |FROM customer
+      |WHERE c_acctbal > 0.0
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |  AND CAST(round(c_acctbal * 100.0) AS BIGINT)
+      |      * (SELECT count(*) FROM customer c2 WHERE c2.c_acctbal > 0.0)
+      |    > (SELECT CAST(sum(CAST(round(c2.c_acctbal * 100.0) AS BIGINT))
+      |         AS BIGINT) FROM customer c2 WHERE c2.c_acctbal > 0.0)""".stripMargin
+
   private def sqlKey(text: String): Q = (s, d) => {
     registerViews(s, d)
     s.sql(text)
@@ -463,6 +500,8 @@ object SqlSurface {
     "q_sql_tpch_q15" -> sqlKey(tpchQ15Sql),
     "q_sql_tpch_q17" -> sqlKey(tpchQ17Sql),
     "q_sql_tpch_q19" -> sqlKey(tpchQ19Sql),
+    "q_sql_tpch_q21" -> sqlKey(tpchQ21Sql),
+    "q_sql_tpch_q22" -> sqlKey(tpchQ22Sql),
     "q_sql_tpch_q3" -> qSqlTpchQ3,
     "q_sql_tpch_q5" -> qSqlTpchQ5,
     "q_sql_tpch_q18" -> qSqlTpchQ18,
@@ -491,6 +530,8 @@ object SqlSurface {
     "q_sql_tpch_q15" -> tpchQ15Sql,
     "q_sql_tpch_q17" -> tpchQ17Sql,
     "q_sql_tpch_q19" -> tpchQ19Sql,
+    "q_sql_tpch_q21" -> tpchQ21Sql,
+    "q_sql_tpch_q22" -> tpchQ22Sql,
     "q_sql_tpch_q1" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
