@@ -170,6 +170,46 @@ object SqlSurface {
       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
       |) pr""".stripMargin
 
+  /** Q8 (national market share, adapted to this corpus's domains:
+    * `p_type = 'ECONOMY'` stands in for the spec's three-word type,
+    * `NATION_1` for BRAZIL, and the spec's float share ratio is
+    * reported as the two exact e4-integer sums it divides — the Q14
+    * discipline, so both engines agree bit-for-bit with no float
+    * division). The widest join tree in the suite: lineitem ⋈ part ⋈
+    * supplier ⋈ orders ⋈ customer ⋈ nation(cust) ⋈ region ⋈
+    * nation(supp) — 8 relations, 7 joins, nation twice under different
+    * roles. The 100 TB shape: the fact backbone is lineitem ⋈ orders;
+    * part/supplier/customer/nation/region are all dimension-sized and
+    * broadcast, with the selective `p_type` and region filters pushed
+    * below their joins so the backbone is pre-filtered before the
+    * widest fan-in — exactly the join-ordering workout CBO statistics
+    * exist for (PlanSpec pins the broadcast + no-cartesian shape).
+    */
+  private val tpchQ8Sql: String =
+    """SELECT yr,
+      |  CAST(sum(CASE WHEN nation = 'NATION_1' THEN vol_e4 ELSE 0 END)
+      |    AS BIGINT) AS nation_volume_e4,
+      |  CAST(sum(vol_e4) AS BIGINT) AS total_volume_e4
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n2.n_name AS nation,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)
+      |      AS vol_e4
+      |  FROM lineitem
+      |  JOIN part      ON p_partkey = l_partkey
+      |  JOIN supplier  ON s_suppkey = l_suppkey
+      |  JOIN orders    ON o_orderkey = l_orderkey
+      |  JOIN customer  ON c_custkey = o_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region    ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'AMERICA'
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND p_type = 'ECONOMY'
+      |) all_nations
+      |GROUP BY yr
+      |ORDER BY yr""".stripMargin
+
   /** Q13 (customer order-count distribution): left join preserving
     * order-less customers, two-level aggregation. (The reference
     * corpus has no o_comment, so the comment exclusion is omitted.)
@@ -493,6 +533,7 @@ object SqlSurface {
     "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
     "q_sql_tpch_q6" -> sqlKey(tpchQ6Sql),
     "q_sql_tpch_q7" -> sqlKey(tpchQ7Sql),
+    "q_sql_tpch_q8" -> sqlKey(tpchQ8Sql),
     "q_sql_tpch_q10" -> sqlKey(tpchQ10Sql),
     "q_sql_tpch_q12" -> sqlKey(tpchQ12Sql),
     "q_sql_tpch_q13" -> sqlKey(tpchQ13Sql),
@@ -523,6 +564,7 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "q_sql_tpch_q4" -> tpchQ4Sql,
     "q_sql_tpch_q7" -> tpchQ7Sql,
+    "q_sql_tpch_q8" -> tpchQ8Sql,
     "q_sql_tpch_q10" -> tpchQ10Sql,
     "q_sql_tpch_q12" -> tpchQ12Sql,
     "q_sql_tpch_q13" -> tpchQ13Sql,

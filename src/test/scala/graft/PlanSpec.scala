@@ -196,6 +196,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q_sql_tpch_q8 broadcasts every dimension off the fact backbone, no cartesian") {
+    // The widest join tree in the suite (8 relations): part, supplier,
+    // customer, nation ×2, and region must all ride broadcast hash joins
+    // off the lineitem⋈orders backbone — at 100 TB a shuffled dimension
+    // join here repartitions the whole fact table per dimension.
+    val p = planOf("q_sql_tpch_q8")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 5, p.take(4000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(4000))
+    assert(p.contains("PushedFilters") && p.contains("p_type"), p.take(4000))
+  }
+
   test("q_cohort_retention aggregates with keyed shuffles only — no windows") {
     assert(globalWindows("q_cohort_retention").isEmpty)
     val p = planOf("q_cohort_retention")
