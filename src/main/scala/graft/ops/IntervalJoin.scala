@@ -24,10 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object IntervalJoin {
 
+  /** Contract: the two inputs must have DISJOINT column names (the
+    * output carries both sides' columns and the overlap predicate
+    * resolves `aStart`/`bEnd`/… by bare name post-join — a shared name
+    * would be an ambiguous reference), and neither side may already
+    * carry the internal `_cell` binning column. Both are `require`d up
+    * front so a violation fails with the contract, not a resolver
+    * error deep in the plan; callers with overlapping schemas rename
+    * (`withColumnRenamed`) or alias-project first, exactly as
+    * [[graft.ops.Merge.mergeInto]] does internally.
+    */
   def overlapJoin(a: DataFrame, aStart: String, aEnd: String,
                   b: DataFrame, bStart: String, bEnd: String,
                   cellWidth: Long): DataFrame = {
     require(cellWidth > 0, s"cellWidth must be positive: $cellWidth")
+    val shared = a.columns.toSet.intersect(b.columns.toSet)
+    require(shared.isEmpty,
+      s"overlapJoin inputs must have disjoint column names; shared: " +
+        shared.toSeq.sorted.mkString(", "))
+    require(!a.columns.contains("_cell") && !b.columns.contains("_cell"),
+      "overlapJoin reserves the column name _cell for its grid binning")
     // Empty/inverted intervals ([5,5), [7,3)) overlap nothing by
     // definition, but the overlap predicate alone would still admit
     // them (s1 < e2 && s2 < e1 only means non-empty intersection when

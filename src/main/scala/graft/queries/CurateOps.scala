@@ -118,7 +118,7 @@ object CurateOps {
     * back with an explicit schema (schema-on-read, no inference job).
     */
   private val qCsvSource: Q = (s, d) => {
-    val path = s"target/tmp/q_csv_source_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_csv_source", d)
     Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
       .coalesce(1)
       .write.mode("overwrite").option("header", "true").csv(path)
@@ -175,7 +175,7 @@ object CurateOps {
     def partial(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("day"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-    val basePath = s"target/tmp/q_incr_agg_base_${math.abs(d.hashCode)}"
+    val basePath = graft.model.Scratch.dir("q_incr_agg_base", d)
     graft.ops.Sinks.overwriteRefresh(
       partial(ev.filter(col("day") < cutoff)), basePath)
     val base = s.read.parquet(basePath)
@@ -193,7 +193,7 @@ object CurateOps {
     * doesn't cover. Oracle reads the same rows straight from parquet.
     */
   private val qXmlSource: Q = (s, d) => {
-    val path = s"target/tmp/q_xml_source_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_xml_source", d)
     Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
       .coalesce(1)
       .write.mode("overwrite").option("rowTag", "nation").xml(path)
@@ -206,7 +206,7 @@ object CurateOps {
     * pushdown/pruning path through the vectorized ORC reader.
     */
   private val qOrcSource: Q = (s, d) => {
-    val path = s"target/tmp/q_orc_source_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_orc_source", d)
     Tables.nation(s, d).write.mode("overwrite").orc(path)
     s.read.orc(path).orderBy(col("n_nationkey"))
   }
@@ -216,7 +216,7 @@ object CurateOps {
     * global stats, so the round trip is oracle-checkable.
     */
   private val qTextSource: Q = (s, d) => {
-    val path = s"target/tmp/q_text_source_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_text_source", d)
     Tables.documents(s, d).select(col("text")).write.mode("overwrite").text(path)
     s.read.text(path)
       .agg(count(lit(1)).as("n_docs"),
@@ -283,7 +283,7 @@ object CurateOps {
     * accumulate.
     */
   private val qVersionedRead: Q = (s, d) => {
-    val path = s"target/tmp/q_versioned_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_versioned", d)
     val orders = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderstatus"))
     graft.ops.Sinks.writeVersioned(orders.filter(col("o_orderstatus") === "F"), path)
     graft.ops.Sinks.writeVersioned(orders.filter(col("o_orderstatus") === "O"), path)

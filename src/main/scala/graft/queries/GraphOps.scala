@@ -173,11 +173,19 @@ object GraphOps {
         .join(rank.select(col("n").as("src"), col("r")), "src")
         .select(col("dst").as("n"), expr("r DIV dg").as("c"))
         .groupBy("n").agg(sum(col("c")).as("sc"))
+      // The damping term is the quotient/remainder split of
+      // `85·sc DIV 100`: exactly equal for sc ≥ 0 (85·sc = 8500·q +
+      // 85·rem with q = sc DIV 100 divisible through), but the largest
+      // intermediate is 85·q ≤ 0.85·sc — so no Long overflow even when
+      // a hub's in-neighbor rank mass approaches ~1e8 nodes · 1e9 rank
+      // units, where the naive `85 * sc` product would wrap at ~1.1e17
+      // mass. The oracle floors in the same split.
       rank = nodes
         .join(contrib, Seq("n"), "left")
         .select(col("n"),
           (lit(15L * Scale / 100L) +
-            expr("85 * coalesce(sc, 0L) DIV 100")).as("r"))
+            expr("85 * (coalesce(sc, 0L) DIV 100) " +
+              "+ 85 * (coalesce(sc, 0L) % 100) DIV 100")).as("r"))
         .localCheckpoint(true)
     }
     outArcs.unpersist()
@@ -345,19 +353,22 @@ object GraphOps {
         |       FROM arcs JOIN deg USING (src) JOIN r0 ON r0.n = arcs.src
         |       GROUP BY dst),
         |r1 AS (SELECT deg.src AS n,
-        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |         CAST(150000000 + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
         |       FROM deg LEFT JOIN c1 ON c1.n = deg.src),
         |c2 AS (SELECT dst AS n, sum(r // dg) AS sc
         |       FROM arcs JOIN deg USING (src) JOIN r1 ON r1.n = arcs.src
         |       GROUP BY dst),
         |r2 AS (SELECT deg.src AS n,
-        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |         CAST(150000000 + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
         |       FROM deg LEFT JOIN c2 ON c2.n = deg.src),
         |c3 AS (SELECT dst AS n, sum(r // dg) AS sc
         |       FROM arcs JOIN deg USING (src) JOIN r2 ON r2.n = arcs.src
         |       GROUP BY dst),
         |r3 AS (SELECT deg.src AS n,
-        |         CAST(150000000 + 85 * coalesce(sc, 0) // 100 AS BIGINT) AS r
+        |         CAST(150000000 + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
         |       FROM deg LEFT JOIN c3 ON c3.n = deg.src)
         |SELECT n AS part, r AS rank_e9 FROM r3 ORDER BY part""".stripMargin,
   )

@@ -231,7 +231,7 @@ object RefOps {
   private val qOverwriteRefresh: Q = (s, d) => {
     // dir-hash suffix (repo convention): concurrent verify runs at
     // different scale factors must not collide on the temp table
-    val path = s"target/tmp/q_overwrite_refresh_${math.abs(d.hashCode)}"
+    val path = graft.model.Scratch.dir("q_overwrite_refresh", d)
     val snapshot = Tables.orders(s, d)
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey"), col("o_custkey"))

@@ -127,13 +127,27 @@ object Events {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val delta = batch.localCheckpoint(true).toDF()
-        val merged = graft.ops.Sinks.latestVersion(s, path) match {
+        val committed = graft.ops.Sinks.latestVersion(s, path)
+        val merged = committed match {
           case Some(_) =>
             graft.ops.Merge.mergeInto(
               graft.ops.Sinks.readVersioned(s, path), delta, keys)
           case None => delta
         }
-        graft.ops.Sinks.writeVersionAt(merged.localCheckpoint(true), path, batchId)
+        val wrote =
+          graft.ops.Sinks.writeVersionAt(merged.localCheckpoint(true), path, batchId)
+        // A no-op commit is legitimate ONLY as a crash replay: the batch
+        // committed as v=batchId, the checkpoint didn't advance, and the
+        // restarted batch finds committed == batchId. committed > batchId
+        // means a fresh/rebuilt checkpoint is replaying micro-batch ids a
+        // pre-existing table has already passed — every such batch would
+        // be silently dropped until batchId overtakes the table, so fail
+        // loud instead of losing data.
+        if (!wrote && !committed.contains(batchId))
+          throw new IllegalStateException(
+            s"micro-batch $batchId no-oped against $path at committed " +
+              s"version ${committed.orNull}: checkpoint and table disagree " +
+              "(rebuilt checkpoint over a pre-seeded table?)")
         ()
       }
       .trigger(Trigger.AvailableNow())
