@@ -42,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session-window state plateaus under watermark eviction") {
+    // The scale dimension of streaming state: feeding one closed session
+    // per micro-batch for ten batches must NOT accumulate ten sessions in
+    // the state store — once the watermark passes a session's end+gap,
+    // append mode emits and EVICTS it, so numRowsTotal plateaus at the
+    // few sessions still inside the watermark horizon. Without eviction
+    // (state ∝ stream length) a 100 TB stream OOMs its state store.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.sessionWindows(in.toDF(), gap = "5 minutes",
+        watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_state_out")
+      .outputMode("append").start()
+    try {
+      val stateSizes = (0 until 10).map { i =>
+        // one 1-minute session per batch, each a full hour later — every
+        // batch pushes the watermark an hour forward, past all prior
+        // sessions' end + gap
+        in.addData(
+          ev(i * 2L, f"2024-01-01 ${10 + i}%02d:00:00"),
+          ev(i * 2L + 1, f"2024-01-01 ${10 + i}%02d:01:00"))
+        q.processAllAvailable()
+        val prog = q.recentProgress.reverse.find(_.stateOperators.nonEmpty)
+        assert(prog.isDefined, s"batch $i reported no state operator metrics")
+        prog.get.stateOperators.map(_.numRowsTotal).sum
+      }
+      // plateau, not growth: far fewer state rows than the 10 sessions
+      // fed, and the tail holds steady at the watermark-horizon size
+      assert(stateSizes.max <= 3,
+        s"state grew with the stream instead of plateauing: $stateSizes")
+      assert(stateSizes.takeRight(5).distinct.size == 1,
+        s"state still trending in the tail: $stateSizes")
+      // the evicted sessions were emitted downstream, not lost
+      val emitted = spark.table("session_state_out").count()
+      assert(emitted >= 8, s"only $emitted sessions emitted")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark emits each event_id once") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
