@@ -361,7 +361,35 @@ object CurateOps {
     graft.ops.Merge.snapshotDiff(before, after, Seq("k")).orderBy("k")
   }
 
+  /** Incremental join-view maintenance ([[graft.ops.Ivm]]): the
+    * orders⋈customer view kept current by delta algebra. The fixture
+    * splits both sides into base and "newly arrived" slices (orders
+    * key ≡ 0 mod 5, customers ≡ 0 mod 7 — disjoint, deterministic at
+    * any sf) and returns old-view ∪ ΔV; the oracle computes the full
+    * join directly, so the hash match IS the maintenance-correctness
+    * law (and BatchOpsSpec pins it in-engine including the empty-delta
+    * and both-sides-delta corners). Every ΔV term joins a delta
+    * against a base — work tracks the change size, never the base.
+    */
+  private val qIvmJoin: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey").as("ck"),
+      expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents"))
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey").as("ck"), col("c_name"))
+    val (oBase, oDelta) = (o.filter(col("o_orderkey") % 5L =!= 0L),
+      o.filter(col("o_orderkey") % 5L === 0L))
+    val (cBase, cDelta) = (c.filter(col("ck") % 7L =!= 0L),
+      c.filter(col("ck") % 7L === 0L))
+    graft.ops.Ivm
+      .maintain(oBase.join(cBase, Seq("ck")), oBase, oDelta, cBase, cDelta,
+        Seq("ck"))
+      .select(col("o_orderkey"), col("ck"), col("c_name"), col("cents"))
+      .orderBy("o_orderkey")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_ivm_join" -> qIvmJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_merge_into" -> qMergeInto,
     "q_zorder" -> qZorder,
@@ -413,6 +441,11 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_ivm_join" ->
+      """SELECT o_orderkey, o_custkey AS ck, c_name,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q_snapshot_diff" ->
       """WITH t AS (SELECT o_orderkey AS k,
         |        CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,

@@ -296,7 +296,89 @@ object InsightOps {
       .orderBy("o_custkey")
   }
 
+  /** Merged-interval coverage (interval union) per user: each event
+    * opens a 5-minute activity interval; overlapping intervals fuse
+    * into islands and the report is islands + total covered time — the
+    * "how long was the user actually active" question sessionization's
+    * gap rule approximates from the other direction. The sweep is the
+    * gaps-and-islands discipline in exact integer micros: one
+    * partitioned window for the exclusive running max of interval ends
+    * (an interval starts an island iff it begins strictly after every
+    * earlier end), one for the island id running sum — both partitioned
+    * by user, so work shards by key at any event volume.
+    */
+  private val qIntervalUnion: Q = (s, d) => {
+    val iv = 300000000L // 5 minutes in micros
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), unix_micros(col("ts")).as("st"))
+      .withColumn("en", col("st") + iv)
+    val w = Window.partitionBy("user_id").orderBy(col("st"), col("en"))
+    val flagged = ev
+      .withColumn("pmax",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("opens",
+        when(col("pmax").isNull || col("st") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("island",
+        sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("island"))
+      .agg(min("st").as("ist"), max("en").as("ien"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** Missing-successor gap detection over a key sequence: keys k whose
+    * successor k+1 is absent mark the start of a hole in the id space —
+    * the sequence-integrity audit (dropped batches, burned identity
+    * ranges). ONE self anti join on the shifted key, no global window,
+    * no sort: the formulation that scans a 100 TB key column in one
+    * shuffle. The corpus's order keys are dense, so the fixture drops
+    * multiples of 97 first (documented, mirrored by the oracle) to
+    * plant real holes; the trailing max key is excluded via a
+    * broadcast single-row max (open-ended, not a gap).
+    */
+  private val qIdGaps: Q = (s, d) => {
+    val keys = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"))
+      .filter(col("k") % 97L =!= 0L)
+      .distinct()
+    keys
+      .join(keys.select((col("k") - 1L).as("k")), Seq("k"), "left_anti")
+      .crossJoin(broadcast(keys.agg(max(col("k")).as("mx"))))
+      .filter(col("k") < col("mx"))
+      .select((col("k") + 1L).as("gap_start"))
+      .orderBy("gap_start")
+  }
+
+  /** Equi-depth (equal-frequency) histogram of order value: 10 buckets
+    * of (near-)equal row count with per-bucket min/max/count — the
+    * histogram CBO and monitoring actually want for skewed money
+    * columns, where [[qHistogram]]-style fixed-width buckets collapse
+    * into one hot bin. Bucketing needs every row's global rank:
+    * [[graft.ops.Ranks.globalRowNumber]] provides it with no
+    * single-partition window anywhere (range-shuffle sort + collected
+    * per-partition counts), and `(rank-1)·B DIV n` is exact integer
+    * math mirrored token-for-token by the oracle.
+    */
+  private val qEquidepthHist: Q = (s, d) => {
+    val cents = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").as("cents"))
+    graft.ops.Ranks
+      .globalRowNumber(cents, Seq(col("cents"), col("o_orderkey")), "rn")
+      .crossJoin(broadcast(cents.agg(count(lit(1)).as("n"))))
+      .withColumn("bucket",
+        expr("(CAST(rn AS BIGINT) - 1) * 10 DIV n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), min("cents").as("lo"), max("cents").as("hi"))
+      .orderBy("bucket")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_interval_union" -> qIntervalUnion,
+    "q_id_gaps" -> qIdGaps,
+    "q_equidepth_hist" -> qEquidepthHist,
     "q_rfm" -> qRfm,
     "q_seq_pattern" -> qSeqPattern,
     "q_twap" -> qTwap,
@@ -311,6 +393,41 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_interval_union" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 300000000 AS en FROM events),
+        |fl AS (SELECT user_id, st, en,
+        |    max(en) OVER (PARTITION BY user_id ORDER BY st, en
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM ev),
+        |isl AS (SELECT user_id, st, en,
+        |    sum(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY st, en
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM fl),
+        |g AS (SELECT user_id, island, min(st) AS ist, max(en) AS ien
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(ien - ist) AS BIGINT) AS covered_us
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_id_gaps" ->
+      """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |           WHERE o_orderkey % 97 <> 0)
+        |SELECT k + 1 AS gap_start FROM k
+        |WHERE k + 1 NOT IN (SELECT k FROM k)
+        |  AND k < (SELECT max(k) FROM k)
+        |ORDER BY gap_start""".stripMargin,
+    "q_equidepth_hist" ->
+      """WITH c AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents, o_orderkey) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM c)
+        |SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
     "q_rfm" ->
       """WITH b AS (SELECT o_custkey,
         |    max(CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
