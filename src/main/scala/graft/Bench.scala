@@ -36,7 +36,8 @@ object Bench {
     "q_theta_retention", "q_approx_topk", "q_twap", "q_xml_source",
     "q_seq_pattern", "q_rfm",
     "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q8",
-    "q_interval_union", "q_id_gaps", "q_equidepth_hist", "q_ivm_join")
+    "q_interval_union", "q_id_gaps", "q_equidepth_hist", "q_ivm_join",
+    "q_kll_quantiles")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

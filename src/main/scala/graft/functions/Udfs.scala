@@ -45,6 +45,17 @@ object Udfs {
       "srp_bands", exprs => SrpBands(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kll_sketch_agg", exprs => KllSketchAgg(exprs(0),
+        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
+        else KllSketch.DefaultK), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kll_merge_agg", exprs => KllMergeAgg(exprs(0),
+        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
+        else KllSketch.DefaultK), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kll_sketch_quantile",
+      exprs => KllSketchQuantile(exprs(0), exprs(1)), "built-in")
     spark.udf.register("lap_time_udf", formatLapTimeUdf)
     spark.udf.register("top_k_events",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(3)))

@@ -241,6 +241,37 @@ object Relational {
       .orderBy("week_a")
   }
 
+  /** Mergeable quantile sketches (native KLL TypedImperativeAggregate,
+    * [[graft.functions.KllSketchAgg]]): per-nation account-balance
+    * quartiles from ONE sketch aggregate — the re-aggregatable
+    * percentile materialized view (what q_hll_merge is to distinct
+    * counts, this is to quantiles; built-in `percentile` results
+    * cannot merge, sketches can). EXACT while group sizes stay under
+    * the sketch's k=200 (the corpus maxes at 60 customers/nation at
+    * sf0.1), so the key is fully oracled against explicit
+    * order-statistic SQL — the INCLUSIVE quantile of an exact-regime
+    * sketch of n items is the value at 1-based sorted position
+    * ceil(q·n), mirrored token-for-token by the oracle; past k the
+    * same plan degrades to ~1.65% rank-error estimates. Re-aggregation
+    * (band sketches → kll_merge_agg → nation) is BatchOpsSpec-pinned
+    * equal to direct sketching.
+    */
+  private val qKllQuantiles: Q = (s, d) => {
+    graft.functions.Udfs.registerAll(s)
+    Tables.customer(s, d)
+      .select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("cents"))
+      .groupBy("c_nationkey")
+      .agg(expr("kll_sketch_agg(cents, 200)").as("sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col("c_nationkey"),
+        expr("kll_sketch_quantile(sk, CAST(0.25 AS DOUBLE))").as("p25_cents"),
+        expr("kll_sketch_quantile(sk, CAST(0.5 AS DOUBLE))").as("p50_cents"),
+        expr("kll_sketch_quantile(sk, CAST(0.75 AS DOUBLE))").as("p75_cents"),
+        col("n_rows"))
+      .orderBy("c_nationkey")
+  }
+
   /** Frequency sketch top-k: `approx_top_k` is exact while tracked
     * capacity exceeds the column's cardinality (64 ≫ 5 event types), so
     * the key is oracled against exact group counts; on a high-cardinality
@@ -642,6 +673,7 @@ object Relational {
     "q_approx_distinct" -> qApproxDistinct,
     "q_hll_merge" -> qHllMerge,
     "q_theta_retention" -> qThetaRetention,
+    "q_kll_quantiles" -> qKllQuantiles,
     "q_approx_topk" -> qApproxTopk,
     "q_rollup" -> qRollup,
     "q_cube" -> qCube,
@@ -670,6 +702,26 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // Exact-regime KLL: the INCLUSIVE quantile of n ≤ k items is the
+    // order statistic at 1-based position ceil(q·n) — computed here
+    // explicitly so both engines evaluate the identical definition
+    // (DuckDB's quantile_disc uses a different index formula).
+    "q_kll_quantiles" ->
+      """WITH c AS (SELECT c_nationkey,
+        |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS cents FROM customer),
+        |r AS (SELECT c_nationkey, cents,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY cents) AS rn,
+        |    count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM c)
+        |SELECT c_nationkey,
+        |  CAST(max(CASE WHEN rn = CAST(ceiling(0.25 * n) AS BIGINT)
+        |    THEN cents END) AS BIGINT) AS p25_cents,
+        |  CAST(max(CASE WHEN rn = CAST(ceiling(0.5 * n) AS BIGINT)
+        |    THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rn = CAST(ceiling(0.75 * n) AS BIGINT)
+        |    THEN cents END) AS BIGINT) AS p75_cents,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM r GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_theta_retention" ->
       """WITH wk AS (SELECT DISTINCT user_id,
         |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7

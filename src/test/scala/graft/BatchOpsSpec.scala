@@ -168,6 +168,30 @@ class BatchOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KLL sketches re-aggregate: banded merge equals direct sketching") {
+    // the mergeable-quantile contract: sketching fine partitions and
+    // merging must answer the coarse grain identically to sketching it
+    // directly (exact regime: every group under k=200 items)
+    graft.functions.Udfs.registerAll(spark)
+    val c = graft.model.Tables.customer(spark, sf)
+      .select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("cents"))
+    def quantiles(skCol: org.apache.spark.sql.DataFrame) = skCol
+      .select(col("c_nationkey"),
+        expr("kll_sketch_quantile(sk, CAST(0.25 AS DOUBLE))").as("p25"),
+        expr("kll_sketch_quantile(sk, CAST(0.5 AS DOUBLE))").as("p50"),
+        expr("kll_sketch_quantile(sk, CAST(0.75 AS DOUBLE))").as("p75"))
+      .collect().map(r => r.get(0) -> (r.get(1), r.get(2), r.get(3))).toMap
+    val direct = quantiles(c.groupBy("c_nationkey")
+      .agg(expr("kll_sketch_agg(cents, 200)").as("sk")))
+    val banded = quantiles(c.withColumn("band", col("cents") % 4L)
+      .groupBy("c_nationkey", "band")
+      .agg(expr("kll_sketch_agg(cents, 200)").as("sk"))
+      .groupBy("c_nationkey")
+      .agg(expr("kll_merge_agg(sk, 200)").as("sk")))
+    assert(direct.nonEmpty && direct == banded)
+  }
+
   test("q_hll_merge: daily→weekly merge equals direct weekly sketching") {
     // the re-aggregation contract: merging partition sketches must give
     // the same estimate as sketching the coarser grain directly
