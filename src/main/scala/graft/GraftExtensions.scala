@@ -65,14 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_sketch_agg"),
       info("kll_sketch_agg", "kll_sketch_agg(v BIGINT[, k INT]) - mergeable KLL quantile sketch"),
       (exprs: Seq[Expression]) => graft.functions.KllSketchAgg(exprs(0),
-        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
-        else graft.functions.KllSketch.DefaultK)))
+        graft.functions.KllSketch.kArg(exprs))))
     e.injectFunction((
       FunctionIdentifier("kll_merge_agg"),
       info("kll_merge_agg", "kll_merge_agg(sk BINARY[, k INT]) - union stored KLL sketches"),
       (exprs: Seq[Expression]) => graft.functions.KllMergeAgg(exprs(0),
-        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
-        else graft.functions.KllSketch.DefaultK)))
+        graft.functions.KllSketch.kArg(exprs))))
     e.injectFunction((
       FunctionIdentifier("kll_sketch_quantile"),
       info("kll_sketch_quantile", "kll_sketch_quantile(sk BINARY, q DOUBLE) - inclusive quantile"),

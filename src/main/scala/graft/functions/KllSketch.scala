@@ -6,6 +6,7 @@ import org.apache.datasketches.quantilescommon.QuantileSearchCriteria
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -24,10 +25,11 @@ import org.apache.spark.sql.types._
   * Exactness threshold, the DataSketches oracle discipline: a KLL
   * sketch retains every item until its first compaction, so with
   * n ≤ k items `getQuantile(q, INCLUSIVE)` is EXACTLY the order
-  * statistic at 1-based position ceil(q·n) — the test corpus's group
-  * sizes stay under the default k, so the whole surface is oracled by
-  * an explicit order-statistic query; past k it degrades to ~1.65%
-  * normalized rank error (k=200).
+  * statistic at 1-based position ceil(q·n) — q_kll_quantiles sizes k
+  * ABOVE its corpus's largest group (642 customers/nation at sf0.1) so
+  * the whole surface is oracled by an explicit order-statistic query;
+  * past k the sketch degrades to bounded normalized rank error (~1.65%
+  * at k=200, smaller for larger k).
   */
 object KllSketch {
   /** Default sketch size: exact below 200 items/group, ~1.65% rank
@@ -37,6 +39,17 @@ object KllSketch {
 
   private[functions] def heapify(bytes: Array[Byte]): KllLongsSketch =
     KllLongsSketch.heapify(Memory.wrap(bytes))
+
+  /** Shared registration-time parsing of the optional k argument (one
+    * definition for the four registry sites in Udfs/GraftExtensions).
+    * k must be a foldable literal — the sketch size is a plan-time
+    * property, not a per-row value.
+    */
+  def kArg(exprs: Seq[Expression]): Int =
+    if (exprs.size > 1) {
+      require(exprs(1).foldable, "KLL sketch size k must be a literal")
+      exprs(1).eval().asInstanceOf[Number].intValue()
+    } else DefaultK
 }
 
 /** `kll_sketch_agg(value BIGINT, k INT) -> BINARY` — sketch a column. */
@@ -47,13 +60,23 @@ case class KllSketchAgg(child: Expression, k: Int,
   override def prettyName: String = "kll_sketch_agg"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  // AbstractDataType (the ImplicitCastInputTypes vocabulary) is
+  // private[sql] in Spark 4, so coercion is done manually: any
+  // integral column is accepted (checked at analysis below) and
+  // widened per row in update() — no ClassCastException on INT input.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_sketch_agg requires an integral column, got ${other.simpleString}")
+  }
 
   override def createAggregationBuffer(): KllLongsSketch =
     KllLongsSketch.newHeapInstance(k)
 
   override def update(buf: KllLongsSketch, input: InternalRow): KllLongsSketch = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[Long])
+    if (v != null) buf.update(v.asInstanceOf[Number].longValue())
     buf
   }
 
@@ -86,6 +109,11 @@ case class KllMergeAgg(child: Expression, k: Int,
   override def prettyName: String = "kll_merge_agg"
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_merge_agg requires a BINARY sketch column, got ${other.simpleString}")
+  }
 
   override def createAggregationBuffer(): KllLongsSketch =
     KllLongsSketch.newHeapInstance(k)
@@ -127,12 +155,25 @@ case class KllSketchQuantile(left: Expression, right: Expression)
   override def prettyName: String = "kll_sketch_quantile"
   override def nullable: Boolean = true
   override def dataType: DataType = LongType
+  // a bare `0.5` literal parses as DECIMAL(1,1) — accept any numeric
+  // rank and widen in eval (AbstractDataType is private[sql] in Spark
+  // 4, so the ImplicitCastInputTypes route is unavailable here)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, _: NumericType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"kll_sketch_quantile requires (BINARY, numeric rank), got " +
+          s"(${l.simpleString}, ${r.simpleString})")
+    }
 
   override protected def nullSafeEval(sk: Any, q: Any): Any = {
     val sketch = KllSketch.heapify(sk.asInstanceOf[Array[Byte]])
+    val rank = q match {
+      case d: Decimal => d.toDouble
+      case n: Number => n.doubleValue()
+    }
     if (sketch.isEmpty) null
-    else sketch.getQuantile(q.asInstanceOf[Double],
-      QuantileSearchCriteria.INCLUSIVE)
+    else sketch.getQuantile(rank, QuantileSearchCriteria.INCLUSIVE)
   }
 
   override protected def withNewChildrenInternal(

@@ -46,13 +46,11 @@ object Udfs {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
-      "kll_sketch_agg", exprs => KllSketchAgg(exprs(0),
-        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
-        else KllSketch.DefaultK), "built-in")
+      "kll_sketch_agg",
+      exprs => KllSketchAgg(exprs(0), KllSketch.kArg(exprs)), "built-in")
     reg.createOrReplaceTempFunction(
-      "kll_merge_agg", exprs => KllMergeAgg(exprs(0),
-        if (exprs.size > 1) exprs(1).eval().asInstanceOf[Number].intValue()
-        else KllSketch.DefaultK), "built-in")
+      "kll_merge_agg",
+      exprs => KllMergeAgg(exprs(0), KllSketch.kArg(exprs)), "built-in")
     reg.createOrReplaceTempFunction(
       "kll_sketch_quantile",
       exprs => KllSketchQuantile(exprs(0), exprs(1)), "built-in")

@@ -13,10 +13,36 @@ package graft.model
 object Scratch {
   private val runId = java.util.UUID.randomUUID().toString.take(8)
 
+  private val created =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  // This JVM's namespace is unreachable by any other run (the path
+  // embeds runId), so delete it on exit: without the hook every
+  // bench/verify/test invocation would strand its own copy of each
+  // round-trip dir and versioned table, accreting across rounds.
+  // Best-effort — a kill -9 skips it, and the next run neither reads
+  // nor collides with the orphan.
+  sys.addShutdownHook {
+    val it = created.iterator()
+    while (it.hasNext) {
+      val dir = new java.io.File(it.next())
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+    }
+  }
+
   /** Scratch path for query `key` over data dir `d`. The dir component
     * masks to non-negative before hex-rendering (`math.abs` alone is
     * still negative for `Int.MinValue`).
     */
-  def dir(key: String, d: String): String =
-    s"target/tmp/${key}_${runId}_${(d.hashCode & 0x7fffffff).toHexString}"
+  def dir(key: String, d: String): String = {
+    val p = s"target/tmp/${key}_${runId}_${(d.hashCode & 0x7fffffff).toHexString}"
+    created.add(p)
+    p
+  }
 }

@@ -49,9 +49,12 @@ object GraphOps {
     * durable form is what survives a 100 TB posture — localCheckpoint
     * blocks (the previous implementation) are executor-pinned, so one
     * lost executor forces a full re-derivation mid-query; a Parquet
-    * snapshot re-reads from storage like any other table, and a new
-    * session over the same scratch namespace reuses the written table
-    * without re-running the lineitem self-join at all.
+    * snapshot re-reads from storage like any other table, and any
+    * later session in this JVM's scratch namespace (the namespace is
+    * per-JVM and cleaned on exit — see [[graft.model.Scratch]]) reuses
+    * the written table without re-running the lineitem self-join; a
+    * production deployment would point this at a permanent table
+    * location instead.
     *
     * Lifecycle: the (session, dir) map only memoizes the read-back
     * PLAN (a parquet scan — cheap to rebuild, nothing pinned);
@@ -70,22 +73,35 @@ object GraphOps {
     */
   private[graft] val derivations = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Per-path derivation locks: the exists-check + write below is
+    * check-then-act, and two sessions/threads racing it would both
+    * resolve version 0 and Overwrite-write the SAME v=0 directory —
+    * one rewriting files the other's readers are scanning. Scratch
+    * paths are namespaced per JVM, so a JVM-local mutex per path is a
+    * complete fix (no cross-process writer can share the path); the
+    * lock covers only the first derivation, not steady-state reads.
+    */
+  private val deriveLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val cached = edgeCache.get((s, d))
     if (cached != null) cached
     else {
       val path = graft.model.Scratch.dir("graph_edges", d)
-      if (graft.ops.Sinks.latestVersion(s, path).isEmpty) {
-        derivations.incrementAndGet()
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val edges = li.as("a").join(li.as("b"),
-            col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-          .select(col("a.p").as("u"), col("b.p").as("v"))
-          .distinct()
-        graft.ops.Sinks.writeVersioned(edges, path)
+      deriveLocks.computeIfAbsent(path, _ => new Object).synchronized {
+        if (graft.ops.Sinks.latestVersion(s, path).isEmpty) {
+          derivations.incrementAndGet()
+          val li = Tables.lineitem(s, d)
+            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+            .distinct()
+          val edges = li.as("a").join(li.as("b"),
+              col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+            .select(col("a.p").as("u"), col("b.p").as("v"))
+            .distinct()
+          graft.ops.Sinks.writeVersioned(edges, path)
+        }
       }
       val built = graft.ops.Sinks.readVersioned(s, path)
       val prior = edgeCache.putIfAbsent((s, d), built)

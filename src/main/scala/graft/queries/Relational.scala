@@ -247,14 +247,16 @@ object Relational {
     * percentile materialized view (what q_hll_merge is to distinct
     * counts, this is to quantiles; built-in `percentile` results
     * cannot merge, sketches can). EXACT while group sizes stay under
-    * the sketch's k=200 (the corpus maxes at 60 customers/nation at
-    * sf0.1), so the key is fully oracled against explicit
-    * order-statistic SQL — the INCLUSIVE quantile of an exact-regime
-    * sketch of n items is the value at 1-based sorted position
-    * ceil(q·n), mirrored token-for-token by the oracle; past k the
-    * same plan degrades to ~1.65% rank-error estimates. Re-aggregation
-    * (band sketches → kll_merge_agg → nation) is BatchOpsSpec-pinned
-    * equal to direct sketching.
+    * the sketch's k — sized 2048 here because the corpus's most
+    * populous nation holds 642 customers at sf0.1 (13/74/642 at the
+    * three SFs; a k below the max group silently flips that group to
+    * estimates and breaks the oracle gate) — so the key is fully
+    * oracled against explicit order-statistic SQL: the INCLUSIVE
+    * quantile of an exact-regime sketch of n items is the value at
+    * 1-based sorted position ceil(q·n), mirrored token-for-token by
+    * the oracle; past k the same plan degrades to graceful rank-error
+    * estimates. Re-aggregation (band sketches → kll_merge_agg →
+    * nation) is BatchOpsSpec-pinned equal to direct sketching.
     */
   private val qKllQuantiles: Q = (s, d) => {
     graft.functions.Udfs.registerAll(s)
@@ -262,12 +264,12 @@ object Relational {
       .select(col("c_nationkey"),
         expr("CAST(round(c_acctbal * 100.0) AS BIGINT)").as("cents"))
       .groupBy("c_nationkey")
-      .agg(expr("kll_sketch_agg(cents, 200)").as("sk"),
+      .agg(expr("kll_sketch_agg(cents, 2048)").as("sk"),
         count(lit(1)).as("n_rows"))
       .select(col("c_nationkey"),
-        expr("kll_sketch_quantile(sk, CAST(0.25 AS DOUBLE))").as("p25_cents"),
-        expr("kll_sketch_quantile(sk, CAST(0.5 AS DOUBLE))").as("p50_cents"),
-        expr("kll_sketch_quantile(sk, CAST(0.75 AS DOUBLE))").as("p75_cents"),
+        expr("kll_sketch_quantile(sk, 0.25)").as("p25_cents"),
+        expr("kll_sketch_quantile(sk, 0.5)").as("p50_cents"),
+        expr("kll_sketch_quantile(sk, 0.75)").as("p75_cents"),
         col("n_rows"))
       .orderBy("c_nationkey")
   }
