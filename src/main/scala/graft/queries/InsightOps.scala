@@ -375,7 +375,61 @@ object InsightOps {
       .orderBy("bucket")
   }
 
+  /** Last-touch marketing attribution: each purchase is credited to
+    * the user's most recent PRECEDING non-purchase touch (view/click/
+    * signup/error — whatever the channel taxonomy is, the op only
+    * assumes "not the conversion event"). One user-partitioned window
+    * with `last(..., ignoreNulls)` over the strictly-preceding frame —
+    * the IGNORE NULLS forward-fill applied to the attribution problem;
+    * per-user state is frame-bounded, no global sort, shards by user
+    * at any event volume. Purchases with no preceding touch surface
+    * with null attribution (first-session conversions), kept —
+    * dropping them would silently misreport conversion counts.
+    */
+  private val qAttribution: Q = (s, d) => {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("touch_id",
+        last(when(col("event_type") =!= "purchase", col("event_id")),
+          ignoreNulls = true).over(w))
+      .withColumn("touch_type",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("touch_id"), col("touch_type"))
+      .orderBy("user_id", "purchase_id")
+  }
+
+  /** Period-over-period revenue report: monthly order revenue with the
+    * previous month's value, absolute delta, and growth in exact ppm.
+    * The month aggregate collapses the fact table first (the window
+    * then runs over #months rows — never data-sized), and the growth
+    * ratio is integer division, portable even for NEGATIVE deltas:
+    * both Spark's `DIV` and DuckDB's integer `//` truncate toward
+    * zero (measured — DuckDB floors only for float operands). Bound:
+    * |delta| ≤ ~9.2e12 cents before the e6 scaling overflows Long.
+    */
+  private val qPeriodOverPeriod: Q = (s, d) => {
+    val monthly = Tables.orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("cents"))
+    val w = Window.orderBy(col("month_start"))
+    monthly
+      .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+      .withColumn("delta_cents", col("cents") - col("prev_cents"))
+      .withColumn("growth_ppm",
+        expr("CAST(1000000 * delta_cents DIV prev_cents AS BIGINT)"))
+      .orderBy("month_start")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_attribution" -> qAttribution,
+    "q_period_over_period" -> qPeriodOverPeriod,
     "q_interval_union" -> qIntervalUnion,
     "q_id_gaps" -> qIdGaps,
     "q_equidepth_hist" -> qEquidepthHist,
@@ -393,6 +447,35 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |t AS (SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_id,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+        |  FROM e)
+        |SELECT user_id, event_id AS purchase_id, touch_id, touch_type
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY user_id, purchase_id""".stripMargin,
+    "q_period_over_period" ->
+      """WITH m AS (SELECT date_trunc('month', o_orderdate) AS month_start,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month_start, cents,
+        |    lag(cents) OVER (ORDER BY month_start) AS prev_cents
+        |  FROM m)
+        |SELECT month_start, cents, prev_cents,
+        |  cents - prev_cents AS delta_cents,
+        |  CAST(1000000 * (cents - prev_cents) // prev_cents AS BIGINT)
+        |    AS growth_ppm
+        |FROM l ORDER BY month_start""".stripMargin,
     "q_interval_union" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS st,
         |    epoch_us(ts) + 300000000 AS en FROM events),
