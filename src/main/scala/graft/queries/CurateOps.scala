@@ -202,6 +202,25 @@ object CurateOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** Schema evolution on read: a long-lived table whose files were
+    * written under DIFFERENT schema versions (v1 carries n_name, the
+    * later v2 added n_regionkey) reads back as ONE unified relation via
+    * `mergeSchema` — absent columns surface as nulls, by column NAME
+    * not position. The capability that lets a 100 TB table add columns
+    * without rewriting history; the oracle reconstructs the same
+    * union-by-name relation straight from the base table.
+    */
+  private val qSchemaEvolution: Q = (s, d) => {
+    val path = graft.model.Scratch.dir("q_schema_evolution", d)
+    val n = Tables.nation(s, d)
+    n.select(col("n_nationkey"), col("n_name"))
+      .write.mode("overwrite").parquet(s"$path/v=1")
+    n.select(col("n_nationkey"), col("n_regionkey"))
+      .write.mode("overwrite").parquet(s"$path/v=2")
+    s.read.option("mergeSchema", "true").parquet(s"$path/v=1", s"$path/v=2")
+      .orderBy(col("n_nationkey"), col("n_name").asc_nulls_first)
+  }
+
   /** ORC source round-trip: columnar alternative to Parquet, same
     * pushdown/pruning path through the vectorized ORC reader.
     */
@@ -389,6 +408,7 @@ object CurateOps {
   }
 
   val registry: Map[String, Q] = Map(
+    "q_schema_evolution" -> qSchemaEvolution,
     "q_ivm_join" -> qIvmJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
     "q_merge_into" -> qMergeInto,
@@ -441,6 +461,13 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, CAST(NULL AS VARCHAR) AS n_name, n_regionkey
+        |FROM nation
+        |ORDER BY n_nationkey, n_name NULLS FIRST""".stripMargin,
     "q_ivm_join" ->
       """SELECT o_orderkey, o_custkey AS ck, c_name,
         |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
