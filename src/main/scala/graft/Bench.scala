@@ -37,7 +37,8 @@ object Bench {
     "q_seq_pattern", "q_rfm",
     "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q8",
     "q_interval_union", "q_id_gaps", "q_equidepth_hist", "q_ivm_join",
-    "q_kll_quantiles", "q_attribution", "q_period_over_period")
+    "q_kll_quantiles", "q_attribution", "q_period_over_period",
+    "q_schema_evolution", "q_dedup_representatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,7 +40,10 @@ object LlmOps {
     * pair are their own canonical. This is the keep/drop decision a
     * dedup pipeline actually executes.
     */
-  private val qDedupClusters: Q = (s, d) => {
+  /** Cluster assignment shared by q_dedup_clusters and
+    * q_dedup_representatives: doc_id → canonical component id.
+    */
+  private def clusterAssign(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
@@ -50,7 +53,30 @@ object LlmOps {
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("cluster_id"))
-      .orderBy(col("doc_id"))
+  }
+
+  private val qDedupClusters: Q = (s, d) =>
+    clusterAssign(s, d).orderBy(col("doc_id"))
+
+  /** The KEEP decision a dedup pipeline executes after clustering:
+    * one representative per duplicate cluster — the longest member
+    * (quality proxy; swap in any scored column), ties to the lowest
+    * doc_id. One `max(struct(len, -doc_id))` aggregate per cluster —
+    * max_by with a deterministic tie-break in a single shuffle, no
+    * window, no per-cluster buffering; singleton docs are their own
+    * representative, so `Σ n_members = corpus size` (the invariant a
+    * keep-list must satisfy before the drop side ships).
+    */
+  private val qDedupRepresentatives: Q = (s, d) => {
+    clusterAssign(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        length(col("text")).cast("long").as("ln")), Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(max(struct(col("ln"), (-col("doc_id")).as("nid"))).as("m"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster_id"), (-col("m.nid")).as("kept_doc_id"),
+        col("m.ln").as("kept_len"), col("n_members"))
+      .orderBy(col("cluster_id"))
   }
 
   private val qDedupSimhash: Q = (s, d) =>
@@ -317,6 +343,7 @@ object LlmOps {
     "q_dedup_exact" -> qDedupExact,
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_clusters" -> qDedupClusters,
+    "q_dedup_representatives" -> qDedupRepresentatives,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -603,6 +630,21 @@ object LlmOps {
         |ORDER BY part_a, part_b""".stripMargin,
     "q_dedup_minhash" -> jaccardPairsSql(0.5),
     "q_dedup_clusters" -> clustersSql(0.5),
+    // the clusters query wrapped as a derived table (DuckDB allows a
+    // nested WITH RECURSIVE there), then one rank per cluster by
+    // (length DESC, doc_id) — the same (len, -doc_id) max_by order
+    "q_dedup_representatives" ->
+      s"""WITH cl AS (SELECT * FROM (${clustersSql(0.5)})),
+         |j AS (SELECT cl.cluster_id, cl.doc_id, len(d.text) AS ln
+         |      FROM cl JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY ln DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM j)
+         |SELECT cluster_id, doc_id AS kept_doc_id,
+         |  CAST(ln AS BIGINT) AS kept_len, CAST(n_members AS BIGINT) AS n_members
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_dedup_ngram" -> jaccardPairsSql(0.5),
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
