@@ -14,6 +14,72 @@ class InsightOpsSpec extends AnyFunSuite {
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
 
+  test("q_interval_union invariants: coverage bounded by event count, islands disjoint") {
+    val iv = 300000000L
+    val ev = graft.model.Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n_ev")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q("q_interval_union").collect().foreach { r =>
+      val (u, islands, covered) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val n = ev(u)
+      // each island covers at least one whole interval; total coverage
+      // can never exceed one disjoint interval per event
+      assert(islands >= 1 && islands <= n)
+      assert(covered >= islands * iv && covered <= n * iv,
+        s"user $u: covered=$covered islands=$islands events=$n")
+    }
+  }
+
+  test("q_id_gaps invariants: every gap start is truly missing, its predecessor present") {
+    val keys = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderkey")).filter(col("o_orderkey") % 97L =!= 0L)
+      .collect().map(_.getLong(0)).toSet
+    val gaps = q("q_id_gaps").collect().map(_.getLong(0))
+    assert(gaps.nonEmpty)
+    gaps.foreach { g =>
+      assert(!keys.contains(g), s"gap start $g is present in the key set")
+      assert(keys.contains(g - 1), s"gap start $g has no present predecessor")
+      assert(g < keys.max)
+    }
+  }
+
+  test("q_equidepth_hist invariants: equal depths (±1), ordered disjoint ranges") {
+    val rows = q("q_equidepth_hist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    val n = rows.map(_._2).sum
+    rows.foreach { case (_, cnt, lo, hi) =>
+      assert(math.abs(cnt - n / 10) <= 1, s"bucket depth $cnt vs n/10=${n / 10}")
+      assert(lo <= hi)
+    }
+    // value ranges ascend bucket over bucket (equal endpoints allowed:
+    // a value straddling a depth boundary lands in both buckets' ends)
+    rows.sliding(2).foreach { case Array((_, _, _, hi0), (_, _, lo1, _)) =>
+      assert(hi0 <= lo1, s"bucket ranges overlap: hi=$hi0 next lo=$lo1")
+    }
+  }
+
+  test("q_attribution invariants: touch precedes its purchase and is never a purchase") {
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val rows = q("q_attribution").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val purchase = r.getLong(1)
+      assert(ev(purchase)._1 == "purchase")
+      if (!r.isNullAt(2)) {
+        val touch = r.getLong(2)
+        val (tType, tUs) = ev(touch)
+        assert(tType != "purchase" && tType == r.getString(3))
+        // strictly preceding frame: touch ordered before the purchase
+        // in the (ts, event_id) total order
+        assert(tUs < ev(purchase)._2 ||
+          (tUs == ev(purchase)._2 && touch < purchase))
+      }
+    }
+  }
+
   test("q_funnel: stage timestamps strictly increase and stage counts them") {
     val rows = q("q_funnel").collect()
     assert(rows.nonEmpty)
