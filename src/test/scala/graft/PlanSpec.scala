@@ -132,6 +132,29 @@ class PlanSpec extends AnyFunSuite {
       "global Window.orderBy funnels the table through one task")
   }
 
+  test("q_equidepth_hist ranks without a single-partition window") {
+    // the whole point of Ranks.globalRowNumber — a naive
+    // row_number().over(orderBy) would funnel the table into one task
+    assert(globalWindows("q_equidepth_hist").isEmpty)
+  }
+
+  test("q_interval_union and q_attribution windows are all user-partitioned") {
+    assert(globalWindows("q_interval_union").isEmpty)
+    assert(globalWindows("q_attribution").isEmpty)
+  }
+
+  test("q_ivm_join delta terms stay keyed joins, no cartesian fallback") {
+    val p = planOf("q_ivm_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_id_gaps plans the shifted-key anti join without nested loops") {
+    val p = planOf("q_id_gaps")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q_pack_sequences accumulates without a single-partition window") {
     assert(globalWindows("q_pack_sequences").isEmpty,
       "global Window.orderBy funnels the table through one task")
