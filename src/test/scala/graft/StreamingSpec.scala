@@ -42,6 +42,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("KLL sketch aggregate composes with streaming windowed aggregation") {
+    // TypedImperativeAggregate buffers must serialize through the
+    // streaming state store (ObjectHashAggregate → state row) — the
+    // integration a custom native aggregate most easily breaks. The
+    // window's median over integer cents must equal the explicit
+    // order statistic over the same rows (exact regime: 9 items ≪ k).
+    graft.functions.Udfs.registerAll(spark)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("w"))
+      .agg(expr("kll_sketch_quantile(" +
+        "kll_sketch_agg(CAST(round(value * 100) AS BIGINT), 200), 0.5)")
+        .as("p50_cents"))
+      .writeStream.format("memory").queryName("kll_stream_out")
+      .outputMode("update").start()
+    try {
+      val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+      in.addData(vals.zipWithIndex.map { case (v, i) =>
+        Ev(i.toLong, t("2024-01-01 10:00:00"), 1L, "view", v, "{}")
+      }: _*)
+      q.processAllAvailable()
+      // second batch extends the same window's sketch state
+      val more = Seq(2.0, 8.0, 4.0, 6.0)
+      in.addData(more.zipWithIndex.map { case (v, i) =>
+        Ev(100L + i, t("2024-01-01 10:30:00"), 1L, "view", v, "{}")
+      }: _*)
+      q.processAllAvailable()
+      val got = spark.table("kll_stream_out")
+        .orderBy(col("w"))
+        .select($"p50_cents").as[Long].collect().last
+      // 9 items, INCLUSIVE median = ceil(0.5*9) = 5th smallest = 500
+      assert(got == 500L, s"streamed KLL median $got")
+    } finally q.stop()
+  }
+
   test("session-window state plateaus under watermark eviction") {
     // The scale dimension of streaming state: feeding one closed session
     // per micro-batch for ten batches must NOT accumulate ten sessions in
