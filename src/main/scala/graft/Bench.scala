@@ -38,7 +38,8 @@ object Bench {
     "q_sql_tpch_q1", "q_sql_tpch_q6", "q_sql_tpch_q10", "q_sql_tpch_q8",
     "q_interval_union", "q_id_gaps", "q_equidepth_hist", "q_ivm_join",
     "q_kll_quantiles", "q_attribution", "q_period_over_period",
-    "q_schema_evolution", "q_dedup_representatives")
+    "q_schema_evolution", "q_dedup_representatives",
+    "q_linreg_trend", "q_autocorr", "q_winsorize", "q_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

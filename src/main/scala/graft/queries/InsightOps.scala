@@ -427,7 +427,130 @@ object InsightOps {
       .orderBy("month_start")
   }
 
+  /** Per-priority OLS revenue trend: daily revenue regressed on the
+    * day index, slope reported as exact integer cents/day plus the raw
+    * regression numerator/denominator. The fact table collapses to one
+    * row per (priority, day) FIRST (keyed shuffle — the window-free
+    * shape), x is centered per group at its first day so every moment
+    * fits a BIGINT (bound: n·Σxy needs n·span²·daily_cents ≤ 9.2e18 —
+    * holds through ~decade spans at ~1e8 daily cents per group; past
+    * that, promote the two products to DECIMAL(38,0) on both engines),
+    * and slope = (n·Σxy − Σx·Σy) DIV (n·Σx² − (Σx)²) is integer
+    * arithmetic both engines truncate identically. n_days ≥ 2 on the
+    * COLLAPSED table guarantees den > 0 (two distinct x values).
+    */
+  private val qLinregTrend: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("priority"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("y"))
+    val first = daily.groupBy("priority").agg(min("day").as("d0"))
+    daily.join(broadcast(first), "priority")
+      .withColumn("x", col("day") - col("d0"))
+      .groupBy("priority")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") >= 2L)
+      .select(col("priority"), col("n_days"), col("sy").as("sum_cents"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("den"),
+        expr("(n_days * sxy - sx * sy) DIV (n_days * sxx - sx * sx)")
+          .as("slope_cpd"))
+      .orderBy("priority")
+  }
+
+  /** Lag-1 autocorrelation of the daily order-count series: Pearson r
+    * over consecutive-calendar-day pairs (y_t, y_{t+1}) — the "is
+    * yesterday's volume predictive" seasonality probe. All six moments
+    * are exact BIGINTs; r derives from them in ONE fixed float
+    * sequence (num / √den₁ / √den₂ — IEEE sqrt and division are
+    * correctly rounded, so both engines agree bit-for-bit, the
+    * `q_stats_moments` discipline). The lead window runs over the
+    * COLLAPSED day table only — calendar-bounded, never data-sized
+    * (the `q_period_over_period` precedent); gaps in the calendar
+    * pair with nothing and drop out rather than faking adjacency.
+    */
+  private val qAutocorr: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val w = Window.orderBy("day")
+    daily
+      .withColumn("dn", lead(col("day"), 1).over(w))
+      .withColumn("yn", lead(col("y"), 1).over(w))
+      .filter(col("dn") === col("day") + 1L)
+      .agg(count(lit(1)).as("m"), sum("y").as("sa"), sum("yn").as("sb"),
+        sum(col("y") * col("yn")).as("sab"),
+        sum(col("y") * col("y")).as("saa"),
+        sum(col("yn") * col("yn")).as("sbb"))
+      .filter(col("m") * col("saa") - col("sa") * col("sa") > 0L &&
+        col("m") * col("sbb") - col("sb") * col("sb") > 0L)
+      .select(col("m"), col("sa"), col("sb"), col("sab"),
+        floor((col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+          sqrt((col("m") * col("saa") - col("sa") * col("sa")).cast("double")) /
+          sqrt((col("m") * col("sbb") - col("sb") * col("sb")).cast("double")) *
+          lit(1000000.0)).cast("long").as("r_e6"))
+      .orderBy("m")
+  }
+
+  /** Winsorization: clamp event values to their group's exact discrete
+    * [p10, p90] order statistics — the outlier treatment that CAPS
+    * instead of dropping (the robust-prep complement of
+    * `q_mad_outliers`). Bounds use the INCLUSIVE rank ceil(q·n) =
+    * (q·n + 9) DIV 10 — integer arithmetic mirrored token-for-token,
+    * no interpolation to drift cross-engine. One partitioned rank
+    * window finds the bounds; the 5-row bound table broadcasts back —
+    * per-group work shards by event_type at any volume.
+    */
+  private val qWinsorize: Q = (s, d) => {
+    val c = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100.0).cast("long").as("cents"))
+    val w = Window.partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    val r = c.withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+    val lo = r.filter(expr("rn = (n + 9) DIV 10"))
+      .select(col("event_type"), col("cents").as("lo"))
+    val hi = r.filter(expr("rn = (9 * n + 9) DIV 10"))
+      .select(col("event_type"), col("cents").as("hi"))
+    c.join(broadcast(lo), "event_type").join(broadcast(hi), "event_type")
+      .select(col("event_id"), col("event_type"), col("cents"),
+        least(greatest(col("cents"), col("lo")), col("hi")).as("w_cents"))
+      .orderBy("event_id")
+  }
+
+  /** Gini coefficient of customer spend concentration — the standard
+    * inequality measure G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    * ascending-sorted per-customer totals. The global rank comes from
+    * [[graft.ops.Ranks.globalRowNumber]] (range-partitioned — no
+    * single-partition window), ties break on the customer key but the
+    * rank-weighted sum is tie-order-invariant (equal x across a tied
+    * rank block sums the same ranks either way). gini_e6 =
+    * num DIV (den DIV 10⁶) is DEFINED arithmetic, not a rounding of
+    * the real ratio — both engines execute the identical token
+    * sequence. BIGINT bound: Σi·xᵢ ≤ n²·avg_cents needs n ≲ 6e8
+    * dollar-scale customers; past that promote to DECIMAL(38,0).
+    */
+  private val qGini: Q = (s, d) => {
+    val mon = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("mon"))
+    graft.ops.Ranks.globalRowNumber(mon,
+        Seq(col("mon").asc, col("o_custkey").asc), "i")
+      .agg(count(lit(1)).as("n"), sum("mon").as("s"),
+        sum(col("i").cast("long") * col("mon")).as("si"))
+      .filter(col("n") * col("s") >= 1000000L)
+      .select(col("n"), col("s").as("sum_cents"),
+        (lit(2L) * col("si") - (col("n") + 1L) * col("s")).as("num"),
+        (col("n") * col("s")).as("den"),
+        expr("(2 * si - (n + 1) * s) DIV ((n * s) DIV 1000000)").as("gini_e6"))
+      .orderBy("n")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_linreg_trend" -> qLinregTrend,
+    "q_autocorr" -> qAutocorr,
+    "q_winsorize" -> qWinsorize,
+    "q_gini" -> qGini,
     "q_attribution" -> qAttribution,
     "q_period_over_period" -> qPeriodOverPeriod,
     "q_interval_union" -> qIntervalUnion,
@@ -447,6 +570,77 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_linreg_trend" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT priority, min(day) AS d0 FROM daily GROUP BY 1),
+        |c AS (SELECT daily.priority, day - d0 AS x, y
+        |      FROM daily JOIN m ON daily.priority = m.priority),
+        |a AS (SELECT priority, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM c GROUP BY 1)
+        |SELECT priority, CAST(n_days AS BIGINT) AS n_days,
+        |  CAST(sy AS BIGINT) AS sum_cents,
+        |  CAST(n_days * sxy - sx * sy AS BIGINT) AS num,
+        |  CAST(n_days * sxx - sx * sx AS BIGINT) AS den,
+        |  CAST((n_days * sxy - sx * sy) // (n_days * sxx - sx * sx) AS BIGINT)
+        |    AS slope_cpd
+        |FROM a WHERE n_days >= 2 ORDER BY priority""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT day, y,
+        |    lead(day) OVER (ORDER BY day) AS dn,
+        |    lead(y) OVER (ORDER BY day) AS yn
+        |  FROM daily),
+        |a AS (SELECT count(*) AS m, sum(y) AS sa, sum(yn) AS sb,
+        |        sum(y * yn) AS sab, sum(y * y) AS saa, sum(yn * yn) AS sbb
+        |      FROM p WHERE dn = day + 1)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(sa AS BIGINT) AS sa,
+        |  CAST(sb AS BIGINT) AS sb, CAST(sab AS BIGINT) AS sab,
+        |  CAST(floor(CAST(m * sab - sa * sb AS DOUBLE)
+        |    / sqrt(CAST(m * saa - sa * sa AS DOUBLE))
+        |    / sqrt(CAST(m * sbb - sb * sb AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS r_e6
+        |FROM a
+        |WHERE m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+        |ORDER BY m""".stripMargin,
+    "q_winsorize" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM c),
+        |lo AS (SELECT event_type, cents AS lo FROM r WHERE rn = (n + 9) // 10),
+        |hi AS (SELECT event_type, cents AS hi FROM r
+        |       WHERE rn = (9 * n + 9) // 10)
+        |SELECT event_id, c.event_type, cents,
+        |  least(greatest(cents, lo), hi) AS w_cents
+        |FROM c JOIN lo ON c.event_type = lo.event_type
+        |       JOIN hi ON c.event_type = hi.event_type
+        |ORDER BY event_id""".stripMargin,
+    "q_gini" ->
+      """WITH mon AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS mon
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT mon,
+        |    row_number() OVER (ORDER BY mon, o_custkey) AS i FROM mon),
+        |a AS (SELECT count(*) AS n, sum(mon) AS s, sum(i * mon) AS si FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents,
+        |  CAST(2 * si - (n + 1) * s AS BIGINT) AS num,
+        |  CAST(n * s AS BIGINT) AS den,
+        |  CAST((2 * si - (n + 1) * s) // ((n * s) // 1000000) AS BIGINT)
+        |    AS gini_e6
+        |FROM a WHERE n * s >= 1000000 ORDER BY n""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
         |  FROM events),

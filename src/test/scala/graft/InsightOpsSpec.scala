@@ -183,4 +183,77 @@ class InsightOpsSpec extends AnyFunSuite {
     }
     assert(global.isEmpty, "bucket-bisect median must not use a global window")
   }
+
+  test("q_linreg_trend equals the driver-side exact OLS recomputation") {
+    val daily = graft.model.Tables.orders(spark, sf)
+      .select(col("o_orderpriority").as("p"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).map { case (p, rows) =>
+      val byDay = rows.groupBy(_._2).map { case (dy, vs) => dy -> vs.map(_._3).sum }
+      val d0 = byDay.keys.min
+      val xs = byDay.toSeq.map { case (dy, y) => (dy - d0, y) }
+      val n = xs.length.toLong
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxy = xs.map { case (x, y) => x * y }.sum
+      val sxx = xs.map { case (x, _) => x * x }.sum
+      p -> (n, n * sxy - sx * sy, n * sxx - sx * sx)
+    }
+    val got = q("q_linreg_trend").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == want.filter(_._2._1 >= 2))
+    got.foreach { case (p, (_, num, den)) =>
+      assert(den > 0, s"$p: non-positive OLS denominator")
+      assert(num / den == q("q_linreg_trend").filter(col("priority") === p)
+        .collect().head.getLong(5), s"$p: slope is not num DIV den")
+    }
+  }
+
+  test("q_autocorr: correlation bounded, pairs only over consecutive days") {
+    val rows = q("q_autocorr").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (m, rE6) = (r.getLong(0), r.getLong(4))
+    assert(m >= 2, "fixture must yield at least two consecutive-day pairs")
+    assert(rE6 >= -1000000L && rE6 <= 1000000L, s"|r| > 1: $rE6")
+    val days = graft.model.Tables.orders(spark, sf)
+      .select(unix_date(to_date(col("o_orderdate"))).cast("long").as("d"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(m == days.count(d => days.contains(d + 1)),
+      "pair count must equal the number of consecutive-day runs")
+  }
+
+  test("q_winsorize: values clamped to the exact discrete p10/p90 per group") {
+    val cents = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100.0).cast("long").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val bounds = cents.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val n = sorted.length
+      g -> (sorted((n + 9) / 10 - 1), sorted((9 * n + 9) / 10 - 1))
+    }
+    q("q_winsorize").collect().foreach { r =>
+      val (t, c, wc) = (r.getString(1), r.getLong(2), r.getLong(3))
+      val (lo, hi) = bounds(t)
+      assert(wc == math.min(math.max(c, lo), hi),
+        s"$t: cents=$c winsorized to $wc, bounds [$lo,$hi]")
+    }
+  }
+
+  test("q_gini equals the sorted-rank brute force and lands in [0, 1)") {
+    val mon = graft.model.Tables.orders(spark, sf)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2).sum) }.toSeq
+    val sorted = mon.sortBy { case (k, m) => (m, k) }.map(_._2)
+    val n = sorted.length.toLong
+    val s = sorted.sum
+    val si = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+    val num = 2 * si - (n + 1) * s
+    val row = q("q_gini").collect().head
+    assert((row.getLong(0), row.getLong(2), row.getLong(3)) == (n, num, n * s))
+    assert(row.getLong(4) >= 0 && row.getLong(4) < 1000000L)
+  }
 }
