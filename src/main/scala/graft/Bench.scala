@@ -39,7 +39,9 @@ object Bench {
     "q_interval_union", "q_id_gaps", "q_equidepth_hist", "q_ivm_join",
     "q_kll_quantiles", "q_attribution", "q_period_over_period",
     "q_schema_evolution", "q_dedup_representatives",
-    "q_linreg_trend", "q_autocorr", "q_winsorize", "q_gini")
+    "q_linreg_trend", "q_autocorr", "q_winsorize", "q_gini",
+    "q_text_normalize", "q_bigram_lm", "q_sample_bottomk",
+    "q_weighted_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,6 +29,8 @@ object Udfs {
     reg.createOrReplaceTempFunction(
       "lap_time_millis", exprs => LapTimeMillis(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => NfcNormalize(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "dot_arr", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "built-in")

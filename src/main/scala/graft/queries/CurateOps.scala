@@ -407,7 +407,30 @@ object CurateOps {
       .orderBy("o_orderkey")
   }
 
+  /** Canonical text normalization — the step every dedup/join on text
+    * must share or encoding accidents fragment keys: lowercase →
+    * collapse non-alphanumeric runs to single spaces → trim → Unicode
+    * NFC via the native codegen [[graft.functions.NfcNormalize]]
+    * Expression (Spark ships no normalizer built-in; a UDF would break
+    * whole-stage codegen in the hottest map stage of curation). Pure
+    * map-side column work — no shuffle at any corpus size. The corpus
+    * is ASCII so NFC is the fast-path identity here (exactly what it is
+    * for most real corpus rows); the combining-mark recomposition cases
+    * are pinned in CurateOpsSpec, and DuckDB's `nfc_normalize` mirrors
+    * the full pipeline for the oracle.
+    */
+  private val qTextNormalize: Q = (s, d) => {
+    graft.functions.Udfs.registerAll(s)
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        expr("nfc_normalize(trim(" +
+          "regexp_replace(lower(c_name), '[^a-z0-9]+', ' ')))")
+          .as("norm_name"))
+      .orderBy("c_custkey")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_text_normalize" -> qTextNormalize,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_ivm_join" -> qIvmJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -461,6 +484,12 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_text_normalize" ->
+      """SELECT c_custkey,
+        |  nfc_normalize(trim(
+        |    regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')))
+        |    AS norm_name
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_schema_evolution" ->
       """SELECT n_nationkey, n_name, CAST(NULL AS BIGINT) AS n_regionkey
         |FROM nation

@@ -227,6 +227,67 @@ object LlmOps {
     TextStats.sampleSplit(Tables.documents(s, d), "doc_id")
       .orderBy(col("doc_id"))
 
+  /** Deterministic FIXED-SIZE uniform sample: the k smallest
+    * md5-of-key values (salted so this sample is independent of
+    * `q_sample_split`'s bucketing). The rate-based split gives each row
+    * an independent coin flip — sample SIZE varies; bottom-k-by-hash
+    * gives exactly k rows, stable across runs/partitionings, and
+    * distributed as TakeOrderedAndProject: per-partition top-k heaps,
+    * k rows per partition to the driver stage, never a global sort.
+    * The "give me exactly 10k eval docs, reproducibly" primitive.
+    */
+  private val qSampleBottomk: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(concat(lit("smpl:"), col("doc_id").cast("string"))).as("h"))
+      .orderBy(col("h"), col("doc_id"))
+      .limit(100)
+
+  /** Deterministic weighted Bernoulli sampling: each document keeps
+    * with probability `w_ppm/10⁶` decided by comparing its OWN salted
+    * md5 draw against its weight — the row-level form of temperature
+    * sampling (here weight ∝ document length, capped at 1). Pure
+    * map-side filter: no shuffle, no RNG state, reproducible across
+    * runs/partitionings/engines, and upsampling-free (a row is in or
+    * out). Complements `q_temperature_mix` (per-DOMAIN quota √n
+    * reweighting) and `q_sample_split` (unweighted rate split).
+    */
+  private val qWeightedSample: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        pmod(conv(substring(
+            md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), lit(1000000L)).as("u_ppm"),
+        least(lit(999999L), col("n_chars") * 2000L).as("w_ppm"))
+      .filter(col("u_ppm") < col("w_ppm"))
+      .orderBy("doc_id")
+
+  /** Bigram language model over the corpus: P(next word | word) as
+    * exact floored millionths — the Markov-chain view of the token
+    * stream (the n-gram LM builders' first aggregation, and the raw
+    * material for perplexity-style quality scoring). Adjacent pairs
+    * come from zipping the token array with its own tail INSIDE the row
+    * (`zip_with` over two slices — no positional explode+self-join, no
+    * shuffle until the count); counts and conditional ratios are the
+    * `q_markov_transitions` integer discipline applied to text. Output
+    * is vocabulary², corpus-size-independent.
+    */
+  private val qBigramLm: Q = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+    val n = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val tot = n.groupBy("w1").agg(sum("n").as("out_n"))
+    n.join(tot, "w1")
+      .select(col("w1"), col("w2"), col("n"), col("out_n"),
+        expr("1000000L * n DIV out_n").as("p_e6"))
+      .orderBy("w1", "w2")
+  }
+
   /** Column profiling: per-column count/nulls/distinct in one pass shape
     * (a union of per-column aggregates — the data-quality health check).
     */
@@ -336,6 +397,9 @@ object LlmOps {
     "q_dedup_incremental" -> qDedupIncremental,
     "q_approx_percentile" -> qApproxPercentile,
     "q_sample_split" -> qSampleSplit,
+    "q_sample_bottomk" -> qSampleBottomk,
+    "q_weighted_sample" -> qWeightedSample,
+    "q_bigram_lm" -> qBigramLm,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_stopword_filter" -> qStopwordFilter,
@@ -569,6 +633,30 @@ object LlmOps {
          |SELECT corpus_doc, new_doc,
          |       CAST(floor(jac * 1000000) AS BIGINT) AS jaccard_e6
          |FROM p WHERE jac >= 0.5 ORDER BY corpus_doc, new_doc""".stripMargin,
+    "q_sample_bottomk" ->
+      """SELECT doc_id, md5('smpl:' || CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY h, doc_id
+        |LIMIT 100""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    ('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 1000000 AS u_ppm,
+        |    CAST(least(999999, n_chars * 2000) AS BIGINT) AS w_ppm
+        |  FROM documents)
+        |SELECT doc_id, n_chars, u_ppm, w_ppm FROM b
+        |WHERE u_ppm < w_ppm ORDER BY doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |b AS (SELECT unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+        |             unnest(list_slice(w, 2, len(w))) AS w2
+        |      FROM w WHERE len(w) >= 2),
+        |n AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, CAST(sum(n) AS BIGINT) AS out_n FROM n GROUP BY 1)
+        |SELECT n.w1, w2, CAST(n AS BIGINT) AS n, out_n,
+        |  CAST(1000000 * n // out_n AS BIGINT) AS p_e6
+        |FROM n JOIN t ON n.w1 = t.w1
+        |ORDER BY n.w1, w2""".stripMargin,
     "q_sample_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -325,4 +325,32 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(back.orderBy($"r_regionkey").collect().toSeq ==
       region.orderBy($"r_regionkey").collect().toSeq)
   }
+
+  // ---- Unicode normalization -------------------------------------------
+
+  test("nfc_normalize recomposes combining marks; identity on normalized input") {
+    graft.functions.Udfs.registerAll(spark)
+    // "é" decomposed (e + U+0301) vs precomposed (U+00E9): NFC must make
+    // them THE SAME string — the property the corpus (ASCII) can't test
+    val decomposed = "Cafe\u0301"
+    val precomposed = "Caf\u00e9"
+    val got = Seq((1, decomposed), (2, precomposed), (3, "plain ascii"))
+      .toDF("id", "s")
+      .selectExpr("id", "nfc_normalize(s) AS n")
+      .orderBy($"id").collect().map(_.getString(1))
+    assert(got(0) == precomposed, "decomposed form must recompose under NFC")
+    assert(got(1) == precomposed)
+    assert(got(2) == "plain ascii")
+    // null-safety through UnaryExpression's default handling
+    val nulls = Seq((1, null: String)).toDF("id", "s")
+      .selectExpr("nfc_normalize(s) AS n").collect()
+    assert(nulls.head.isNullAt(0))
+    // q_text_normalize end-to-end: lowercase, punctuation collapsed,
+    // trimmed — 'Customer#000000007' → 'customer 000000007'
+    val norm = SparkEntry.queries("q_text_normalize")(spark, sf).collect()
+    assert(norm.forall { r =>
+      val s = r.getString(1)
+      s == s.trim && s == s.toLowerCase && !s.exists(c => c == '#')
+    })
+  }
 }

@@ -280,4 +280,37 @@ class LlmOpsSpec extends AnyFunSuite {
       .orderBy($"lang", $"rn").collect().toSeq
     assert(a == b)
   }
+
+  test("q_bigram_lm: conditional probabilities partition each context word") {
+    val rows = SparkEntry.queries("q_bigram_lm")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (w1, grp) =>
+      val outN = grp.head._3
+      assert(grp.forall(_._3 == outN), s"$w1: inconsistent out_n")
+      assert(grp.map(_._2).sum == outN,
+        s"$w1: bigram counts must sum to the context total")
+      // floored millionths: each p in (0, 1e6], sum within flooring slack
+      assert(grp.forall(t => t._4 > 0 && t._4 <= 1000000L))
+      val pSum = grp.map(_._4).sum
+      assert(pSum > 1000000L - grp.length && pSum <= 1000000L,
+        s"$w1: floored probabilities sum to $pSum over ${grp.length} pairs")
+    }
+  }
+
+  test("deterministic samplers: fixed size bottom-k, weight-monotone Bernoulli") {
+    val k = SparkEntry.queries("q_sample_bottomk")(spark, sf).collect()
+    assert(k.length == 100)
+    assert(k.map(_.getString(1)).sorted.toSeq == k.map(_.getString(1)).toSeq.sorted)
+    // same rows on re-evaluation (no RNG state anywhere)
+    val k2 = SparkEntry.queries("q_sample_bottomk")(spark, sf).collect()
+    assert(k.map(_.getLong(0)).toSet == k2.map(_.getLong(0)).toSet)
+    val w = SparkEntry.queries("q_weighted_sample")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(w.nonEmpty)
+    w.foreach { case (id, nChars, u, wp) =>
+      assert(u < wp, s"doc $id kept with draw $u >= weight $wp")
+      assert(wp == math.min(999999L, nChars * 2000L))
+    }
+  }
 }
