@@ -546,7 +546,67 @@ object InsightOps {
       .orderBy("n")
   }
 
+  /** Chi-square contingency analysis of market segment × order
+    * priority: the observed-vs-expected independence test behind every
+    * "are these two categoricals related" question. Each cell's
+    * χ² contribution (o−e)²/e is re-expressed over the common
+    * denominator — (o·N − r·c)² / (r·c·N) — so the whole table is
+    * integer arithmetic: expected counts as exact floored millionths,
+    * contributions via the `num DIV (den DIV 10⁶)` defined-arithmetic
+    * discipline. One broadcast dim join + one keyed count; row/column
+    * totals re-join as broadcasts (cells = |segments|×|priorities|,
+    * tiny at any fact volume). BIGINT bound: |o·N − r·c| stays ≤ ~3e9
+    * (square ≤ 9.2e18) while no row/column holds more than ~⅓ of a
+    * 1.5e5-order corpus slice — holds with wide margin for
+    * near-uniform marginals at every test SF; promote the square to
+    * DECIMAL(38,0) for adversarial skew at larger N.
+    */
+  private val qChisqContingency: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("seg").agg(sum("o").as("r"))
+    val colT = cells.groupBy("prio").agg(sum("o").as("c"))
+    cells.join(broadcast(rowT), "seg").join(broadcast(colT), "prio")
+      .crossJoin(broadcast(cells.agg(sum("o").as("n"))))
+      .select(col("seg"), col("prio"), col("o"),
+        expr("1000000 * r * c DIV n").as("e_e6"),
+        expr("(o * n - r * c) * (o * n - r * c) DIV ((r * c * n) DIV 1000000)")
+          .as("chi2_e6"))
+      .orderBy("seg", "prio")
+  }
+
+  /** Running distinct-user counts per day — the cumulative-reach curve
+    * ("how many unique users have we EVER seen as of day d"). Naive
+    * running COUNT(DISTINCT) over an expanding frame rescans history
+    * per day; the first-seen collapse makes it incremental: each
+    * user's min event day (one keyed aggregate), new users per day,
+    * then one running sum over the CALENDAR-bounded day table (the
+    * `q_period_over_period` window-over-collapsed-table discipline).
+    * Days with activity but no first-timers still appear, with
+    * new_users = 0 — the left join from active days keeps them.
+    */
+  private val qRunningDistinct: Q = (s, d) => {
+    val days = Tables.events(s, d)
+      .select(col("user_id"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+    val firstSeen = days.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val active = days.select("day").distinct()
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    active.join(firstSeen, Seq("day"), "left")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_chisq_contingency" -> qChisqContingency,
+    "q_running_distinct" -> qRunningDistinct,
     "q_linreg_trend" -> qLinregTrend,
     "q_autocorr" -> qAutocorr,
     "q_winsorize" -> qWinsorize,
@@ -570,6 +630,35 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_chisq_contingency" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT prio, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+        |SELECT seg, prio, CAST(o AS BIGINT) AS o,
+        |  CAST(1000000 * r * c // n AS BIGINT) AS e_e6,
+        |  CAST((o * n - r * c) * (o * n - r * c) // ((r * c * n) // 1000000)
+        |    AS BIGINT) AS chi2_e6
+        |FROM cells JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN nt
+        |ORDER BY seg, prio""".stripMargin,
+    "q_running_distinct" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |fs AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM (SELECT user_id, min(day) AS day FROM d GROUP BY user_id)
+        |       GROUP BY day),
+        |act AS (SELECT DISTINCT day FROM d)
+        |SELECT act.day, coalesce(new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(new_users, 0)) OVER (ORDER BY act.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM act LEFT JOIN fs ON act.day = fs.day
+        |ORDER BY act.day""".stripMargin,
     "q_linreg_trend" ->
       """WITH daily AS (SELECT o_orderpriority AS priority,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -429,6 +429,31 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Distribution window functions with EXACT integer arithmetic:
+    * percent_rank and cume_dist re-derived as ppm ratios from their
+    * defining counts — 10⁶·(rank−1) DIV (n−1) and 10⁶·(#peers ≤ x)
+    * DIV n — instead of the float built-ins, whose division the two
+    * engines need not round identically. The ≤-count comes from a
+    * tie-aware RANGE-frame count (peers included), so no tiebreak
+    * column is needed; all windows are partitioned by event_type.
+    */
+  private val qWindowDist: Q = (s, d) => {
+    val base = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+    val wOrd = Window.partitionBy("event_type").orderBy("cents")
+    val wAll = Window.partitionBy("event_type")
+    base
+      .withColumn("rk", rank().over(wOrd))
+      .withColumn("le", count(lit(1)).over(
+        wOrd.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("n") > 1L)
+      .select(col("event_id"), col("event_type"), col("cents"),
+        expr("1000000 * (CAST(rk AS BIGINT) - 1) DIV (n - 1)").as("pr_ppm"),
+        expr("1000000 * le DIV n").as("cd_ppm"))
+      .orderBy("event_id")
+  }
+
   /** RANGE frame: trailing 1-hour sum per user over event seconds. Rows
     * with equal epoch seconds are frame peers (all included together), so
     * the result is deterministic without a tiebreak column — the frame is
@@ -684,6 +709,7 @@ object Relational {
     "q_window_lag" -> qWindowLag,
     "q_window_running" -> qWindowRunning,
     "q_window_misc" -> qWindowMisc,
+    "q_window_dist" -> qWindowDist,
     "q_window_range" -> qWindowRange,
     "q_window_fill" -> qWindowFill,
     "q_unpivot" -> qUnpivot,
@@ -889,6 +915,19 @@ object Relational {
         |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q_window_dist" ->
+      """WITH b AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_id, event_type, cents,
+        |    rank() OVER (PARTITION BY event_type ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY event_type ORDER BY cents
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS le,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_id, event_type, cents,
+        |  CAST(1000000 * (rk - 1) // (n - 1) AS BIGINT) AS pr_ppm,
+        |  CAST(1000000 * le // n AS BIGINT) AS cd_ppm
+        |FROM r WHERE n > 1 ORDER BY event_id""".stripMargin,
     "q_window_rank" ->
       """SELECT o_orderpriority, rnk, drnk, o_orderkey FROM (
         |  SELECT o_orderpriority, o_orderkey,

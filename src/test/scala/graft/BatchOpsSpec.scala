@@ -206,4 +206,25 @@ class BatchOpsSpec extends AnyFunSuite {
       .filter(col("approx_users") =!= col("direct_users"))
     assert(diff.count() == 0, "sketch merge must be associative")
   }
+
+  test("q_window_dist integer ppm ratios agree with the float built-ins") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("cents")
+    val ref = graft.model.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    q("q_window_dist").collect().foreach { r =>
+      val (id, pr6, cd6) = (r.getLong(0), r.getLong(3), r.getLong(4))
+      val (pr, cd) = ref(id)
+      // exact integer DIV vs float floor: equal up to one ulp-induced ppm
+      assert(math.abs(pr6 - math.floor(pr * 1e6).toLong) <= 1L,
+        s"event $id percent_rank: $pr6 vs float $pr")
+      assert(math.abs(cd6 - math.floor(cd * 1e6).toLong) <= 1L,
+        s"event $id cume_dist: $cd6 vs float $cd")
+    }
+  }
 }

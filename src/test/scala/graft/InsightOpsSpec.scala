@@ -184,6 +184,42 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(global.isEmpty, "bucket-bisect median must not use a global window")
   }
 
+  test("q_chisq_contingency equals the driver-side exact recomputation") {
+    val pairs = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderpriority"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val o = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val r = o.groupBy(_._1._1).map { case (s0, m) => s0 -> m.values.sum }
+    val c = o.groupBy(_._1._2).map { case (p, m) => p -> m.values.sum }
+    val n = o.values.sum
+    val got = q("q_chisq_contingency").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(got.keySet == o.keySet)
+    got.foreach { case ((s0, p), (obs, e6, chi6)) =>
+      assert(obs == o((s0, p)))
+      assert(e6 == 1000000L * r(s0) * c(p) / n)
+      val dev = obs * n - r(s0) * c(p)
+      assert(chi6 == dev * dev / ((r(s0) * c(p) * n) / 1000000L))
+    }
+  }
+
+  test("q_running_distinct: monotone cumulative curve reaching total reach") {
+    val rows = q("q_running_distinct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    rows.sliding(2).foreach {
+      case Array((_, _, c0), (_, nu, c1)) => assert(c1 == c0 + nu)
+      case _ =>
+    }
+    val total = graft.model.Tables.events(spark, sf)
+      .select(countDistinct("user_id")).collect().head.getLong(0)
+    assert(rows.last._3 == total)
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("q_linreg_trend equals the driver-side exact OLS recomputation") {
     val daily = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("p"),
