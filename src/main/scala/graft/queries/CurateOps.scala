@@ -429,7 +429,47 @@ object CurateOps {
       .orderBy("c_custkey")
   }
 
+  /** Population-stability-index drift report between two corpus
+    * slices (orders before vs after 1998-01-01): the monitoring
+    * primitive behind "did the data distribution shift between
+    * snapshots". Value buckets are FIXED-width ($50k of cents DIV —
+    * deterministic, no quantile estimation inside a monitor), both
+    * sides' proportions are Laplace-smoothed exact integer ppm
+    * (missing buckets survive the full-outer join as zero counts
+    * instead of dividing by zero), and only the final
+    * (p−q)·ln(p/q) runs in floats — ONE fixed operation sequence
+    * mirrored token-for-token (the `q_entropy` ln-parity envelope).
+    * Per-bucket contributions are each ≥ 0 by construction; the
+    * consumer sums them against the usual 0.1/0.25 alert thresholds.
+    * Shape: two keyed counts + a bucket-sized (never data-sized)
+    * full-outer join + one broadcast totals row.
+    */
+  private val qPsiDrift: Q = (s, d) => {
+    val c = Tables.orders(s, d).select(
+      (to_date(col("o_orderdate")) < lit("1998-01-01").cast("date")).as("is_a"),
+      expr("CAST(round(o_totalprice * 100.0) AS BIGINT) DIV 5000000")
+        .as("bucket"))
+    val a = c.filter(col("is_a")).groupBy("bucket").agg(count(lit(1)).as("ca"))
+    val b = c.filter(!col("is_a")).groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val full = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = full.agg(sum("ca").as("ta"), sum("cb").as("tb"),
+      count(lit(1)).as("nb"))
+    full.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("ca"), col("cb"),
+        expr("1000000 * (ca + 1) DIV (ta + nb)").as("p_ppm"),
+        expr("1000000 * (cb + 1) DIV (tb + nb)").as("q_ppm"))
+      .withColumn("psi_e9",
+        floor((col("p_ppm").cast("double") - col("q_ppm").cast("double")) /
+          lit(1000000.0) *
+          log(col("p_ppm").cast("double") / col("q_ppm").cast("double")) *
+          lit(1000000000.0)).cast("long"))
+      .orderBy("bucket")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_psi_drift" -> qPsiDrift,
     "q_text_normalize" -> qTextNormalize,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_ivm_join" -> qIvmJoin,
@@ -484,6 +524,30 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_psi_drift" ->
+      """WITH c AS (SELECT CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+        |      AS is_a,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) // 5000000 AS bucket
+        |  FROM orders),
+        |a AS (SELECT bucket, count(*) AS ca FROM c WHERE is_a GROUP BY 1),
+        |b AS (SELECT bucket, count(*) AS cb FROM c WHERE NOT is_a GROUP BY 1),
+        |f AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |        coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |      FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |        CAST(sum(cb) AS BIGINT) AS tb,
+        |        CAST(count(*) AS BIGINT) AS nb FROM f),
+        |p AS (SELECT bucket, ca, cb,
+        |        CAST(1000000 * (ca + 1) // (ta + nb) AS BIGINT) AS p_ppm,
+        |        CAST(1000000 * (cb + 1) // (tb + nb) AS BIGINT) AS q_ppm
+        |      FROM f CROSS JOIN t)
+        |SELECT bucket, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
+        |  p_ppm, q_ppm,
+        |  CAST(floor((CAST(p_ppm AS DOUBLE) - CAST(q_ppm AS DOUBLE))
+        |    / 1000000.0
+        |    * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))
+        |    * 1000000000.0) AS BIGINT) AS psi_e9
+        |FROM p ORDER BY bucket""".stripMargin,
     "q_text_normalize" ->
       """SELECT c_custkey,
         |  nfc_normalize(trim(

@@ -326,6 +326,24 @@ class CurateOpsSpec extends AnyFunSuite {
       region.orderBy($"r_regionkey").collect().toSeq)
   }
 
+  // ---- PSI drift ---------------------------------------------------------
+
+  test("q_psi_drift: nonnegative contributions, counts partition the corpus") {
+    val rows = SparkEntry.queries("q_psi_drift")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    val total = graft.model.Tables.orders(spark, sf).count()
+    assert(rows.map(t => t._2 + t._3).sum == total,
+      "every order must land in exactly one (bucket, side) cell")
+    rows.foreach { case (bucket, _, _, p, qp, psi) =>
+      // (p−q) and ln(p/q) always share a sign, so each term is ≥ 0
+      assert(psi >= 0L, s"bucket $bucket: negative PSI contribution $psi")
+      if (p == qp) assert(psi == 0L)
+      assert(p > 0 && qp > 0, "Laplace smoothing must keep both sides positive")
+    }
+  }
+
   // ---- Unicode normalization -------------------------------------------
 
   test("nfc_normalize recomposes combining marks; identity on normalized input") {

@@ -231,6 +231,29 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("p_type"), p.take(4000))
   }
 
+  test("q_chisq_contingency broadcasts the dim and total joins — no shuffled join") {
+    // cells/rows/columns/N are all category-sized; any SortMergeJoin here
+    // would shuffle the fact-derived cell table for nothing
+    val p = planOf("q_chisq_contingency")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_winsorize broadcasts its per-group bound tables back to the facts") {
+    val p = planOf("q_winsorize")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("q_psi_drift joins bucket-sized tables only; totals come back broadcast") {
+    val p = planOf("q_psi_drift")
+    // the single-row totals join is a broadcast nested-loop (cross of 1 row);
+    // the bucket full-outer join may be any strategy — it is 10 rows — but
+    // the plan must never shuffle the fact scan more than the two counts
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(3000))
+  }
+
   test("q_cohort_retention aggregates with keyed shuffles only — no windows") {
     assert(globalWindows("q_cohort_retention").isEmpty)
     val p = planOf("q_cohort_retention")
