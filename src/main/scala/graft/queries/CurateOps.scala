@@ -408,10 +408,11 @@ object CurateOps {
   }
 
   /** Canonical text normalization — the step every dedup/join on text
-    * must share or encoding accidents fragment keys: lowercase →
-    * collapse non-alphanumeric runs to single spaces → trim → Unicode
-    * NFC via the native codegen [[graft.functions.NfcNormalize]]
-    * Expression (Spark ships no normalizer built-in; a UDF would break
+    * must share or encoding accidents fragment keys: Unicode NFC →
+    * lowercase → collapse non-alphanumeric runs to single spaces →
+    * trim, with NFC via the native codegen
+    * [[graft.functions.NfcNormalize]] Expression (Spark ships no
+    * normalizer built-in; a UDF would break
     * whole-stage codegen in the hottest map stage of curation). Pure
     * map-side column work — no shuffle at any corpus size. The corpus
     * is ASCII so NFC is the fast-path identity here (exactly what it is
@@ -421,10 +422,15 @@ object CurateOps {
     */
   private val qTextNormalize: Q = (s, d) => {
     graft.functions.Udfs.registerAll(s)
+    // NFC runs FIRST — on the raw string — so decomposed and precomposed
+    // encodings of the same character collapse BEFORE case folding and
+    // the punctuation strip see them; normalizing after the strip would
+    // hand NFC pure ASCII (a guaranteed no-op) while the strip treats
+    // 'e'+U+0301 and U+00E9 differently, fragmenting the keys
     Tables.customer(s, d)
       .select(col("c_custkey"),
-        expr("nfc_normalize(trim(" +
-          "regexp_replace(lower(c_name), '[^a-z0-9]+', ' ')))")
+        expr("trim(regexp_replace(" +
+          "lower(nfc_normalize(c_name)), '[^a-z0-9]+', ' '))")
           .as("norm_name"))
       .orderBy("c_custkey")
   }
@@ -456,10 +462,14 @@ object CurateOps {
         coalesce(col("cb"), lit(0L)).as("cb"))
     val tot = full.agg(sum("ca").as("ta"), sum("cb").as("tb"),
       count(lit(1)).as("nb"))
+    // greatest(1, …): above ~1e6 rows per side the +1-smoothed
+    // proportion of a one-sided bucket FLOORS to 0 on the ppm grid,
+    // which would reintroduce the ln(0) the smoothing exists to prevent
+    // (DuckDB raises, Spark yields null) — clamp to the grid's 1 ppm
     full.crossJoin(broadcast(tot))
       .select(col("bucket"), col("ca"), col("cb"),
-        expr("1000000 * (ca + 1) DIV (ta + nb)").as("p_ppm"),
-        expr("1000000 * (cb + 1) DIV (tb + nb)").as("q_ppm"))
+        expr("greatest(1, 1000000 * (ca + 1) DIV (ta + nb))").as("p_ppm"),
+        expr("greatest(1, 1000000 * (cb + 1) DIV (tb + nb))").as("q_ppm"))
       .withColumn("psi_e9",
         floor((col("p_ppm").cast("double") - col("q_ppm").cast("double")) /
           lit(1000000.0) *
@@ -538,8 +548,10 @@ object CurateOps {
         |        CAST(sum(cb) AS BIGINT) AS tb,
         |        CAST(count(*) AS BIGINT) AS nb FROM f),
         |p AS (SELECT bucket, ca, cb,
-        |        CAST(1000000 * (ca + 1) // (ta + nb) AS BIGINT) AS p_ppm,
-        |        CAST(1000000 * (cb + 1) // (tb + nb) AS BIGINT) AS q_ppm
+        |        CAST(greatest(1, 1000000 * (ca + 1) // (ta + nb)) AS BIGINT)
+        |          AS p_ppm,
+        |        CAST(greatest(1, 1000000 * (cb + 1) // (tb + nb)) AS BIGINT)
+        |          AS q_ppm
         |      FROM f CROSS JOIN t)
         |SELECT bucket, CAST(ca AS BIGINT) AS ca, CAST(cb AS BIGINT) AS cb,
         |  p_ppm, q_ppm,
@@ -550,8 +562,8 @@ object CurateOps {
         |FROM p ORDER BY bucket""".stripMargin,
     "q_text_normalize" ->
       """SELECT c_custkey,
-        |  nfc_normalize(trim(
-        |    regexp_replace(lower(c_name), '[^a-z0-9]+', ' ', 'g')))
+        |  trim(regexp_replace(
+        |    lower(nfc_normalize(c_name)), '[^a-z0-9]+', ' ', 'g'))
         |    AS norm_name
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "q_schema_evolution" ->

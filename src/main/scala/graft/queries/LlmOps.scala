@@ -258,7 +258,11 @@ object LlmOps {
         pmod(conv(substring(
             md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 8),
           16, 10).cast("long"), lit(1000000L)).as("u_ppm"),
-        least(lit(999999L), col("n_chars") * 2000L).as("w_ppm"))
+        // cap at the FULL 10⁶ grid: draws live in [0, 10⁶), so a
+        // max-weight doc satisfies u < w with certainty — capping at
+        // 999999 would deterministically drop the ~1e-6 of large docs
+        // whose draw is exactly 999999, forever
+        least(lit(1000000L), col("n_chars") * 2000L).as("w_ppm"))
       .filter(col("u_ppm") < col("w_ppm"))
       .orderBy("doc_id")
 
@@ -642,7 +646,7 @@ object LlmOps {
       """WITH b AS (SELECT doc_id, n_chars,
         |    ('0x' || substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 8))
         |      ::BIGINT % 1000000 AS u_ppm,
-        |    CAST(least(999999, n_chars * 2000) AS BIGINT) AS w_ppm
+        |    CAST(least(1000000, n_chars * 2000) AS BIGINT) AS w_ppm
         |  FROM documents)
         |SELECT doc_id, n_chars, u_ppm, w_ppm FROM b
         |WHERE u_ppm < w_ppm ORDER BY doc_id""".stripMargin,

@@ -370,5 +370,14 @@ class CurateOpsSpec extends AnyFunSuite {
       val s = r.getString(1)
       s == s.trim && s == s.toLowerCase && !s.exists(c => c == '#')
     })
+    // the full pipeline must collapse the two encodings to ONE key:
+    // NFC runs before the strip, so decomposed 'e'+U+0301 first
+    // recomposes to U+00E9 and both forms strip identically — applying
+    // NFC after the strip would leave 'cafe' vs 'caf'
+    val pipeline = "trim(regexp_replace(lower(nfc_normalize(s)), '[^a-z0-9]+', ' '))"
+    val keys = Seq((1, decomposed), (2, precomposed)).toDF("id", "s")
+      .selectExpr(s"$pipeline AS k").collect().map(_.getString(0))
+    assert(keys(0) == keys(1),
+      s"encoding variants fragment into '${keys(0)}' vs '${keys(1)}'")
   }
 }

@@ -310,7 +310,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(w.nonEmpty)
     w.foreach { case (id, nChars, u, wp) =>
       assert(u < wp, s"doc $id kept with draw $u >= weight $wp")
-      assert(wp == math.min(999999L, nChars * 2000L))
+      assert(wp == math.min(1000000L, nChars * 2000L))
     }
   }
 }

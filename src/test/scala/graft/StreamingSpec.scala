@@ -64,17 +64,23 @@ class StreamingSpec extends AnyFunSuite {
         Ev(i.toLong, t("2024-01-01 10:00:00"), 1L, "view", v, "{}")
       }: _*)
       q.processAllAvailable()
-      // second batch extends the same window's sketch state
-      val more = Seq(2.0, 8.0, 4.0, 6.0)
+      // second batch extends the same window's sketch state; its values
+      // are chosen so batch-1-alone (500), batch-2-alone (4000), and
+      // cumulative (900) medians are all DIFFERENT — the update-mode
+      // sink holds one row per batch for the tied window with no
+      // batch-id column to order by, so the assertion pins the SET of
+      // emitted medians: {batch-1, cumulative}. State loss would emit
+      // 4000; a recompute-from-scratch would miss 500.
+      val more = Seq(20.0, 80.0, 40.0, 60.0)
       in.addData(more.zipWithIndex.map { case (v, i) =>
         Ev(100L + i, t("2024-01-01 10:30:00"), 1L, "view", v, "{}")
       }: _*)
       q.processAllAvailable()
       val got = spark.table("kll_stream_out")
-        .orderBy(col("w"))
-        .select($"p50_cents").as[Long].collect().last
-      // 9 items, INCLUSIVE median = ceil(0.5*9) = 5th smallest = 500
-      assert(got == 500L, s"streamed KLL median $got")
+        .select($"p50_cents").as[Long].collect().toSet
+      // batch 1: 5 items, INCLUSIVE median = 3rd smallest = 500;
+      // cumulative: 9 items, 5th smallest of {100..900, 2000..8000} = 900
+      assert(got == Set(500L, 900L), s"streamed KLL medians $got")
     } finally q.stop()
   }
 
