@@ -42,7 +42,8 @@ object Bench {
     "q_linreg_trend", "q_autocorr", "q_winsorize", "q_gini",
     "q_text_normalize", "q_bigram_lm", "q_sample_bottomk",
     "q_weighted_sample", "q_window_dist", "q_chisq_contingency",
-    "q_running_distinct", "q_psi_drift")
+    "q_running_distinct", "q_psi_drift", "q_time_spine",
+    "q_binaryfile_source")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

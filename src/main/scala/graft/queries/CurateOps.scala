@@ -202,6 +202,37 @@ object CurateOps {
       .orderBy(col("n_nationkey"))
   }
 
+  /** `binaryFile` ingest — the source multimodal pipelines actually
+    * start from: a directory of opaque payload files (images/audio/
+    * shards) read as (path, modificationTime, length, content) rows
+    * with NO decode on the scan. The fixture lands one payload per
+    * region row (driver-side — it is a 5-file fixture, not a data
+    * path), reads the directory back through the binaryFile format,
+    * recovers the key from the file NAME, and exposes the payload —
+    * which the oracle checks against the source-of-truth parquet
+    * column, proving the bytes survived the round trip. At scale this
+    * source parallelizes by file and never materializes content twice;
+    * downstream decode belongs to ops/Multimodal.
+    */
+  private val qBinaryfileSource: Q = (s, d) => {
+    val path = graft.model.Scratch.dir("q_binaryfile_source", d)
+    val dir = new java.io.File(path)
+    dir.mkdirs()
+    Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      .collect().foreach { r =>
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(path, s"r_${r.getInt(0)}.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(path)
+      .select(
+        regexp_extract(col("path"), "r_(\\d+)\\.bin$", 1)
+          .cast("bigint").as("r_regionkey"),
+        col("length"),
+        col("content").cast("string").as("payload"))
+      .orderBy("r_regionkey")
+  }
+
   /** Schema evolution on read: a long-lived table whose files were
     * written under DIFFERENT schema versions (v1 carries n_name, the
     * later v2 added n_regionkey) reads back as ONE unified relation via
@@ -481,6 +512,7 @@ object CurateOps {
   val registry: Map[String, Q] = Map(
     "q_psi_drift" -> qPsiDrift,
     "q_text_normalize" -> qTextNormalize,
+    "q_binaryfile_source" -> qBinaryfileSource,
     "q_schema_evolution" -> qSchemaEvolution,
     "q_ivm_join" -> qIvmJoin,
     "q_snapshot_diff" -> qSnapshotDiff,
@@ -800,5 +832,10 @@ object CurateOps {
     "q_xml_source" ->
       """SELECT n_nationkey, n_name FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+    "q_binaryfile_source" ->
+      """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
+        |  CAST(length(r_name) AS BIGINT) AS length,
+        |  r_name AS payload
+        |FROM region ORDER BY r_regionkey""".stripMargin,
   )
 }

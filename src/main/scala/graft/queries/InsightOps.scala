@@ -604,7 +604,30 @@ object InsightOps {
       .orderBy("day")
   }
 
+  /** Gap-filled time spine: daily order counts where days with NO
+    * orders appear explicitly as zero rows — the spine generation every
+    * time-series report needs before rates, moving averages, or SLA
+    * charts mean anything (`q_window_fill` forward-fills values on
+    * EXISTING rows; this materializes the missing rows themselves).
+    * The spine explodes from a single min/max row and is
+    * calendar-bounded — ~2.4k days here, never data-sized — and the
+    * zero-fill left join shuffles only the day-collapsed count table.
+    * sf0.001's 1.5k orders over those days leave real holes, so the
+    * fixture exercises genuine gap rows at every test scale.
+    */
+  private val qTimeSpine: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("n"))
+    daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+      .join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_time_spine" -> qTimeSpine,
     "q_chisq_contingency" -> qChisqContingency,
     "q_running_distinct" -> qRunningDistinct,
     "q_linreg_trend" -> qLinregTrend,
@@ -630,6 +653,17 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_time_spine" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(unnest(generate_series(d0, d1)) AS BIGINT) AS day
+        |      FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily))
+        |SELECT s.day, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM s LEFT JOIN daily ON s.day = daily.day
+        |ORDER BY s.day""".stripMargin,
     "q_chisq_contingency" ->
       """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
         |    count(*) AS o

@@ -220,6 +220,18 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("q_time_spine: contiguous spine, real zero-gap rows, counts conserved") {
+    val rows = q("q_time_spine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val days = rows.map(_._1)
+    assert(days.toSeq == (days.min to days.max).toSeq,
+      "spine must cover every day between min and max exactly once")
+    assert(rows.exists(_._2 == 0L),
+      "fixture must contain genuine gap days (zero-fill rows)")
+    val total = graft.model.Tables.orders(spark, sf).count()
+    assert(rows.map(_._2).sum == total)
+  }
+
   test("q_linreg_trend equals the driver-side exact OLS recomputation") {
     val daily = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("p"),
