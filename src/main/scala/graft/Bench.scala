@@ -43,7 +43,7 @@ object Bench {
     "q_text_normalize", "q_bigram_lm", "q_sample_bottomk",
     "q_weighted_sample", "q_window_dist", "q_chisq_contingency",
     "q_running_distinct", "q_psi_drift", "q_time_spine",
-    "q_binaryfile_source")
+    "q_binaryfile_source", "q_spearman", "q_mode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -626,7 +626,66 @@ object InsightOps {
       .orderBy("day")
   }
 
+  /** Spearman rank correlation between per-customer order count and
+    * total spend — the robust (monotone-invariant, outlier-resistant)
+    * complement of `q_autocorr`'s Pearson machinery. Both rankings are
+    * DISTRIBUTED total-order row numbers ([[graft.ops.Ranks
+    * .globalRowNumber]], range-partitioned — no single-partition
+    * window), ties broken by the customer key and mirrored
+    * token-for-token by the oracle (documented deviation from
+    * average-rank Spearman: with row-number ranks the statistic is
+    * still distribution-free and cross-engine EXACT, which this
+    * registry values over textbook tie handling). ρ_e6 = 10⁶ −
+    * (6·10⁶·Σd²) DIV (n(n²−1)) is exact integer arithmetic, in
+    * [−10⁶, 10⁶] by the Σd² ≤ n(n²−1)/3 bound; 6·10⁶·Σd² ≤ 2·10⁶·n³
+    * fits BIGINT through n ≈ 1.6e5 customers — promote the numerator
+    * to DECIMAL(38,0) on both engines past that.
+    */
+  private val qSpearman: Q = (s, d) => {
+    val base = Tables.orders(s, d).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("freq"),
+        sum(expr("CAST(round(o_totalprice * 100.0) AS BIGINT)")).as("mon"))
+    val ranked = graft.ops.Ranks.globalRowNumber(
+      graft.ops.Ranks.globalRowNumber(base,
+        Seq(col("freq").asc, col("o_custkey").asc), "rx"),
+      Seq(col("mon").asc, col("o_custkey").asc), "ry")
+    ranked
+      .select((col("rx").cast("long") - col("ry").cast("long")).as("dd"))
+      .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sd2"))
+      .filter(col("n") >= 2L)
+      .select(col("n"), col("sd2"),
+        expr("1000000 - (6000000 * sd2) DIV (n * (n * n - 1))")
+          .as("rho_e6"))
+      .orderBy("n")
+  }
+
+  /** Per-group mode (most frequent value, smallest wins ties) with its
+    * frequency — the categorical summary statistic. Two keyed hash
+    * aggregates: value-level counts, then max_by over ONE scalar
+    * composite key cnt·10⁵ − cents that encodes "highest count, then
+    * smallest value" (DuckDB's max_by takes no struct keys, so the
+    * ordering must be arithmetic to mirror). Precondition 0 ≤ cents <
+    * 10⁵ (holds for this corpus: values ∈ [0, 560.21] — and the spec
+    * asserts it on the fixture); cnt·10⁵ fits BIGINT everywhere.
+    * No window, no per-group value buffering: shards by (group, value)
+    * then group at any volume.
+    */
+  private val qMode: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100.0) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+    counts
+      .groupBy("event_type")
+      .agg(max_by(col("cents"), col("cnt") * lit(100000L) - col("cents"))
+          .as("mode_cents"),
+        max("cnt").as("n_mode"))
+      .orderBy("event_type")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_spearman" -> qSpearman,
+    "q_mode" -> qMode,
     "q_time_spine" -> qTimeSpine,
     "q_chisq_contingency" -> qChisqContingency,
     "q_running_distinct" -> qRunningDistinct,
@@ -653,6 +712,30 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_spearman" ->
+      """WITH b AS (SELECT o_custkey, count(*) AS freq,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS mon
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT
+        |    row_number() OVER (ORDER BY freq, o_custkey) AS rx,
+        |    row_number() OVER (ORDER BY mon, o_custkey) AS ry
+        |  FROM b),
+        |a AS (SELECT count(*) AS n,
+        |        sum((rx - ry) * (rx - ry)) AS sd2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sd2,
+        |  CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1))
+        |    AS BIGINT) AS rho_e6
+        |FROM a WHERE n >= 2 ORDER BY n""".stripMargin,
+    "q_mode" ->
+      """WITH c AS (SELECT event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(max_by(cents, cnt * 100000 - cents) AS BIGINT) AS mode_cents,
+        |  CAST(max(cnt) AS BIGINT) AS n_mode
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_time_spine" ->
       """WITH daily AS (SELECT
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

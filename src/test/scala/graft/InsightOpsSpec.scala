@@ -220,6 +220,43 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("q_spearman equals the brute-force rank recomputation, bounded") {
+    val base = graft.model.Tables.orders(spark, sf)
+      .select(col("o_custkey"), round(col("o_totalprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => (k, vs.length.toLong, vs.map(_._2).sum) }
+      .toSeq
+    val rx = base.sortBy { case (k, f, _) => (f, k) }.map(_._1).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    val ry = base.sortBy { case (k, _, m) => (m, k) }.map(_._1).zipWithIndex
+      .map { case (k, i) => k -> (i + 1L) }.toMap
+    val n = base.length.toLong
+    val sd2 = base.map { case (k, _, _) =>
+      val d = rx(k) - ry(k); d * d
+    }.sum
+    val row = q("q_spearman").collect().head
+    assert((row.getLong(0), row.getLong(1)) == (n, sd2))
+    assert(row.getLong(2) == 1000000L - 6000000L * sd2 / (n * (n * n - 1)))
+    assert(row.getLong(2) >= -1000000L && row.getLong(2) <= 1000000L)
+  }
+
+  test("q_mode equals the brute-force mode; composite-key precondition holds") {
+    val cents = graft.model.Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100.0).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // the scalar ordering key cnt*1e5 - cents is only order-correct
+    // while cents stays inside [0, 1e5) — pin the corpus precondition
+    assert(cents.forall { case (_, c) => c >= 0L && c < 100000L })
+    val want = cents.groupBy(_._1).map { case (t, vs) =>
+      val counts = vs.groupBy(_._2).map { case (c, xs) => (c, xs.length.toLong) }
+      val best = counts.toSeq.map { case (c, n) => (n, -c) }.max
+      t -> (-best._2, best._1)
+    }
+    val got = q("q_mode").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("q_time_spine: contiguous spine, real zero-gap rows, counts conserved") {
     val rows = q("q_time_spine").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
