@@ -210,7 +210,10 @@ object CurateOps {
     * path), reads the directory back through the binaryFile format,
     * recovers the key from the file NAME, and exposes the payload —
     * which the oracle checks against the source-of-truth parquet
-    * column, proving the bytes survived the round trip. At scale this
+    * column, proving the bytes survived the round trip (the oracle
+    * compares `strlen` — BYTE length, what binaryFile's `length`
+    * reports — not character count, so the check stays honest the day
+    * a payload carries multi-byte UTF-8). At scale this
     * source parallelizes by file and never materializes content twice;
     * downstream decode belongs to ops/Multimodal.
     */
@@ -834,7 +837,7 @@ object CurateOps {
         |ORDER BY n_nationkey""".stripMargin,
     "q_binaryfile_source" ->
       """SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey,
-        |  CAST(length(r_name) AS BIGINT) AS length,
+        |  CAST(strlen(r_name) AS BIGINT) AS length,
         |  r_name AS payload
         |FROM region ORDER BY r_regionkey""".stripMargin,
   )

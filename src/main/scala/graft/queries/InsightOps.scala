@@ -635,11 +635,14 @@ object InsightOps {
     * token-for-token by the oracle (documented deviation from
     * average-rank Spearman: with row-number ranks the statistic is
     * still distribution-free and cross-engine EXACT, which this
-    * registry values over textbook tie handling). ρ_e6 = 10⁶ −
-    * (6·10⁶·Σd²) DIV (n(n²−1)) is exact integer arithmetic, in
-    * [−10⁶, 10⁶] by the Σd² ≤ n(n²−1)/3 bound; 6·10⁶·Σd² ≤ 2·10⁶·n³
-    * fits BIGINT through n ≈ 1.6e5 customers — promote the numerator
-    * to DECIMAL(38,0) on both engines past that.
+    * registry values over textbook tie handling). n and Σd² are exact
+    * BIGINTs; ρ_e6 = floor(10⁶·(1 − 6·Σd²/(n(n²−1)))) derives from
+    * them in ONE fixed float sequence — IEEE division/multiplication
+    * are correctly rounded, so both engines agree bit-for-bit (the
+    * `q_autocorr` discipline; an all-integer 6·10⁶·Σd² numerator
+    * would overflow BIGINT already at n ≈ 1.6e4). Headroom: den =
+    * n(n²−1) and Σd² ≤ den/3 stay in BIGINT through n ≈ 2e6 ranked
+    * keys — promote the sums to DECIMAL(38,0) past that.
     */
   private val qSpearman: Q = (s, d) => {
     val base = Tables.orders(s, d).groupBy(col("o_custkey"))
@@ -654,8 +657,10 @@ object InsightOps {
       .agg(count(lit(1)).as("n"), sum(col("dd") * col("dd")).as("sd2"))
       .filter(col("n") >= 2L)
       .select(col("n"), col("sd2"),
-        expr("1000000 - (6000000 * sd2) DIV (n * (n * n - 1))")
-          .as("rho_e6"))
+        floor(lit(1000000.0) * (lit(1.0) - lit(6.0) *
+          (col("sd2").cast("double") /
+            (col("n") * (col("n") * col("n") - 1L)).cast("double"))))
+          .cast("long").as("rho_e6"))
       .orderBy("n")
   }
 
@@ -724,7 +729,8 @@ object InsightOps {
         |a AS (SELECT count(*) AS n,
         |        sum((rx - ry) * (rx - ry)) AS sd2 FROM r)
         |SELECT CAST(n AS BIGINT) AS n, CAST(sd2 AS BIGINT) AS sd2,
-        |  CAST(1000000 - (6000000 * sd2) // (n * (n * n - 1))
+        |  CAST(floor(1000000.0 * (1.0 - 6.0 *
+        |    (CAST(sd2 AS DOUBLE) / CAST(n * (n * n - 1) AS DOUBLE))))
         |    AS BIGINT) AS rho_e6
         |FROM a WHERE n >= 2 ORDER BY n""".stripMargin,
     "q_mode" ->

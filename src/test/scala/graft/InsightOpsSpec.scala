@@ -236,7 +236,9 @@ class InsightOpsSpec extends AnyFunSuite {
     }.sum
     val row = q("q_spearman").collect().head
     assert((row.getLong(0), row.getLong(1)) == (n, sd2))
-    assert(row.getLong(2) == 1000000L - 6000000L * sd2 / (n * (n * n - 1)))
+    val den = n * (n * n - 1)
+    assert(row.getLong(2) ==
+      math.floor(1000000.0 * (1.0 - 6.0 * (sd2.toDouble / den.toDouble))).toLong)
     assert(row.getLong(2) >= -1000000L && row.getLong(2) <= 1000000L)
   }
 
