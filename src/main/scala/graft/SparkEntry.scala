@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.ExtOps.registry ++
       graft.queries.CurateOps.registry ++
       graft.queries.InsightOps.registry ++
+      graft.queries.StatOps.registry ++
       graft.queries.GraphOps.registry ++
       graft.queries.SqlSurface.registry
 
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.ExtOps.oracle ++
       graft.queries.CurateOps.oracle ++
       graft.queries.InsightOps.oracle ++
+      graft.queries.StatOps.oracle ++
       graft.queries.GraphOps.oracle ++
       graft.queries.SqlSurface.oracle
 }

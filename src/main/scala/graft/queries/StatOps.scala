@@ -1,0 +1,220 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Statistical-testing / distribution-diagnostics surface: the
+  * experiment-analysis and data-monitoring queries an analytics engine
+  * runs over fact tables — Welch's two-sample t, Benford first-digit
+  * conformance, day-of-week seasonality profiles, and seasonal-baseline
+  * anomaly flagging.
+  *
+  * Determinism posture (registry-wide discipline): every cross-partition
+  * aggregate is an exact integer moment; derived statistics that need
+  * floats compute them in ONE fixed operation sequence mirrored
+  * token-for-token by the DuckDB oracle — IEEE 754 ops are individually
+  * exact-rounded, so identical sequences give identical bits on both
+  * engines (the `q_autocorr` discipline).
+  */
+object StatOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Welch's unequal-variance two-sample t-test of mean order value,
+    * each customer market segment vs the REST of the corpus — the A/B
+    * significance query. Per-group n/Σx/Σx² are exact BIGINT moments in
+    * whole dollars (sumsq headroom: at the corpus's ≤5·10⁵ dollar
+    * prices, Σx² stays under 2⁶³ through ~3.7·10⁷ rows per group; past
+    * that the moments move to DECIMAL(38,0), same plan). The "rest"
+    * side is total−segment — ONE pass over the fact join, a 5-row
+    * aggregate, and a scalar broadcast; no second scan, no windows.
+    * t and the Welch–Satterthwaite df are the only float math, one
+    * mirrored sequence each.
+    */
+  private val qWelchTtest: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), round(col("o_totalprice")).cast("long").as("x"))
+    val per = base.groupBy("seg").agg(count(lit(1)).as("n1"),
+      sum("x").as("s1"), sum(col("x") * col("x")).as("ss1"))
+    val tot = base.agg(count(lit(1)).as("nt"), sum("x").as("st"),
+      sum(col("x") * col("x")).as("sst"))
+    val m = per.crossJoin(broadcast(tot))
+      .withColumn("n2", col("nt") - col("n1"))
+      .withColumn("s2", col("st") - col("s1"))
+      .withColumn("ss2", col("sst") - col("ss1"))
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .withColumn("m1", col("s1").cast("double") / col("n1").cast("double"))
+      .withColumn("m2", col("s2").cast("double") / col("n2").cast("double"))
+      .withColumn("q1", (col("ss1").cast("double") - col("s1").cast("double") * col("m1")) /
+        (col("n1").cast("double") - lit(1.0)) / col("n1").cast("double"))
+      .withColumn("q2", (col("ss2").cast("double") - col("s2").cast("double") * col("m2")) /
+        (col("n2").cast("double") - lit(1.0)) / col("n2").cast("double"))
+    m.filter(col("n1") >= 2L && col("n2") >= 2L)
+      .select(col("seg"), col("n1"), col("n2"), col("s1"), col("s2"),
+        floor(lit(1000000.0) * (col("m1") - col("m2")) /
+          sqrt(col("q1") + col("q2"))).cast("long").as("t_e6"),
+        floor(lit(1000.0) * (col("q1") + col("q2")) * (col("q1") + col("q2")) /
+          (col("q1") * col("q1") / (col("n1").cast("double") - lit(1.0)) +
+            col("q2") * col("q2") / (col("n2").cast("double") - lit(1.0))))
+          .cast("long").as("df_e3"))
+      .orderBy("seg")
+  }
+
+  /** Benford first-significant-digit conformance of order prices — the
+    * fraud/synthetic-data screen. Digit extraction is string-first-char
+    * of the exact cents BIGINT (identical decimal rendering in both
+    * engines, no float log in the bucketing); observed shares are exact
+    * integer ppm; the 9 expected Benford shares log10(1+1/d) are the
+    * only float math — verified >10⁻⁷ away from every floor boundary at
+    * e6 scale, so one-ulp libm drift cannot flip a bucket. Output is
+    * digit-sized (9 rows): one partial-agg shuffle + a scalar broadcast.
+    */
+  private val qBenford: Q = (s, d) => {
+    val c = Tables.orders(s, d)
+      .select(substring(round(col("o_totalprice") * 100.0).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = c.agg(sum("n").as("nt"))
+    c.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        (lit(1000000L) * col("n")).divide(col("nt")).cast("long").as("obs_ppm"),
+        floor(lit(1000000.0) *
+          log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
+          .cast("long").as("benford_ppm"))
+      .orderBy("digit")
+  }
+
+  /** Day-of-week order seasonality profile: count, exact cents revenue,
+    * and mean order value per weekday — the seasonality baseline table.
+    * Weekday = (epoch_day + 3) mod 7 (0 = Monday): pure integer
+    * arithmetic on the epoch-day count, immune to the engines'
+    * conflicting dayofweek numbering conventions. avg_cents is defined
+    * as sum DIV n. One partial-agg shuffle into 7 groups.
+    */
+  private val qDowProfile: Q = (s, d) => {
+    Tables.orders(s, d)
+      .select(((unix_date(to_date(col("o_orderdate"))).cast("long") + 3L) % 7L)
+        .as("dow"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .groupBy("dow")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .withColumn("avg_cents", expr("sum_cents DIV n"))
+      .orderBy("dow")
+  }
+
+  /** Seasonal-baseline anomaly flags over the daily revenue series:
+    * each calendar day's exact cents total compared against its OWN
+    * weekday's median via the median-absolute-deviation rule
+    * (|x−med| > 3·MAD) — the robust monitor that a Monday/weekend
+    * seasonal mix would break if the baseline were global
+    * (`q_mad_outliers` is the global form; this is the seasonal one).
+    * Medians are exact midpoints of integers (exactly representable
+    * doubles — `quantile_cont` agrees bit-for-bit); the weekday
+    * baseline table is 7 rows, broadcast back. Every day is emitted
+    * with its deviation and flag so the result is non-degenerate even
+    * when nothing exceeds the gate. Work: one day-collapse shuffle +
+    * two 7-row aggregates.
+    */
+  private val qAnomalyDays: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      .withColumn("dow", (col("day") + 3L) % 7L)
+    val med = daily.groupBy("dow")
+      .agg(expr("percentile(cents, 0.5)").as("med"))
+    val dev = daily.join(broadcast(med), "dow")
+      .withColumn("dev", abs(col("cents").cast("double") - col("med")))
+    val mad = dev.groupBy("dow").agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "dow")
+      .select(col("day"), col("dow"), col("cents"),
+        floor(col("dev") * 100).cast("long").as("dev_e2"),
+        floor(col("mad") * 100).cast("long").as("mad_e2"),
+        (col("dev") > col("mad") * 3.0).cast("int").as("anom"))
+      .orderBy("day")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_welch_ttest" -> qWelchTtest,
+    "q_benford" -> qBenford,
+    "q_dow_profile" -> qDowProfile,
+    "q_anomaly_days" -> qAnomalyDays,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_welch_ttest" ->
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |    CAST(round(o_totalprice) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT seg, count(*) AS n1,
+        |    CAST(sum(x) AS BIGINT) AS s1,
+        |    CAST(sum(x * x) AS BIGINT) AS ss1
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT count(*) AS nt, CAST(sum(x) AS BIGINT) AS st,
+        |    CAST(sum(x * x) AS BIGINT) AS sst FROM b),
+        |m AS (SELECT seg, n1, nt - n1 AS n2, s1, st - s1 AS s2,
+        |    ss1, sst - ss1 AS ss2 FROM per CROSS JOIN tot),
+        |f AS (SELECT seg, n1, n2, s1, s2,
+        |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+        |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+        |    (CAST(ss1 AS DOUBLE) - CAST(s1 AS DOUBLE) *
+        |      (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))) /
+        |      (CAST(n1 AS DOUBLE) - 1.0) / CAST(n1 AS DOUBLE) AS q1,
+        |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
+        |      (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
+        |      (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS q2
+        |  FROM m WHERE n1 >= 2 AND n2 >= 2)
+        |SELECT seg, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  s1, s2,
+        |  CAST(floor(1000000.0 * (m1 - m2) / sqrt(q1 + q2)) AS BIGINT)
+        |    AS t_e6,
+        |  CAST(floor(1000.0 * (q1 + q2) * (q1 + q2) /
+        |    (q1 * q1 / (CAST(n1 AS DOUBLE) - 1.0) +
+        |     q2 * q2 / (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) AS df_e3
+        |FROM f ORDER BY seg""".stripMargin,
+    "q_benford" ->
+      """WITH c AS (SELECT
+        |    CAST(substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM c)
+        |SELECT digit, CAST(n AS BIGINT) AS n,
+        |  CAST(1000000 * n // nt AS BIGINT) AS obs_ppm,
+        |  CAST(floor(1000000.0 * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        |    AS BIGINT) AS benford_ppm
+        |FROM c CROSS JOIN tot ORDER BY digit""".stripMargin,
+    "q_dow_profile" ->
+      """SELECT (CAST(date_diff('day', DATE '1970-01-01',
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) + 3) % 7 AS dow,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+        |    AS BIGINT) // count(*) AS BIGINT) AS avg_cents
+        |FROM orders GROUP BY 1 ORDER BY dow""".stripMargin,
+    "q_anomaly_days" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |dd AS (SELECT day, cents, (day + 3) % 7 AS dow FROM daily),
+        |med AS (SELECT dow, quantile_cont(cents, 0.5) AS med
+        |  FROM dd GROUP BY 1),
+        |dev AS (SELECT day, dd.dow, cents,
+        |    abs(CAST(cents AS DOUBLE) - med) AS dev
+        |  FROM dd JOIN med ON dd.dow = med.dow),
+        |mad AS (SELECT dow, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT day, dev.dow, cents,
+        |  CAST(floor(dev * 100) AS BIGINT) AS dev_e2,
+        |  CAST(floor(mad * 100) AS BIGINT) AS mad_e2,
+        |  CAST(dev > mad * 3.0 AS INTEGER) AS anom
+        |FROM dev JOIN mad ON dev.dow = mad.dow
+        |ORDER BY day""".stripMargin,
+  )
+}
