@@ -207,6 +207,43 @@ object Dedup {
       .withColumnRenamed("key_a", "doc_a").withColumnRenamed("key_b", "doc_b")
   }
 
+  /** Exact n-gram CONTAINMENT pairs: directed (a → b) where
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the asymmetric near-dup
+    * relation that catches a document EMBEDDED in a larger one, which
+    * symmetric Jaccard misses (a 100-line doc pasted into a 10,000-line
+    * doc has Jaccard ≈ 0.01 but containment ≈ 1.0). The quote/boilerplate
+    * -inclusion screen of a curation pipeline.
+    *
+    * Shape: full inverted index on shingle hashes; the index self-join
+    * yields each shared shingle once per (a,b) (shingle sets are
+    * distinct), so `count(*)` per pair IS the exact intersection size —
+    * no arrays cross the shuffle, no verify pass needed. Cost is
+    * Σ_shingle df² candidate rows (the canonical set-similarity
+    * inverted-index bound); unlike Jaccard, containment admits no
+    * B-side prefix filter (b may be any superset), so the index is
+    * complete — callers on web-scale corpora should cap pathological
+    * shingle document-frequencies (boilerplate shingles) upstream.
+    */
+  def containmentPairs(docs: DataFrame, key: String, text: String,
+                       shingleSize: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val withSh = Par.fanOut(registerShingleHashFn(docs).select(col(key), col(text)))
+      .withColumn("toks", split(col(text), " "))
+      .withColumn("sh", shingleHashes("toks", shingleSize))
+      .filter(size(col("sh")) > 0)
+      .select(col(key), col("sh"), size(col("sh")).cast("long").as("sz"))
+    val inv = withSh.select(col(key), explode(col("sh")).as("shingle"))
+    val a = inv.select(col(key).as("doc_a"), col("shingle"))
+    val b = inv.select(col(key).as("doc_b"), col("shingle"))
+    val inter = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val ppm = math.round(threshold * 1000000L)
+    inter.join(withSh.select(col(key).as("doc_a"), col("sz")), "doc_a")
+      .select(col("doc_a"), col("doc_b"),
+        expr("1000000 * inter DIV sz").as("cont_ppm"))
+      .filter(col("cont_ppm") >= ppm)
+  }
+
   /** Incremental near-dedup: find near-duplicate pairs BETWEEN a new
     * batch and an existing corpus (not within either side) — the
     * production ingest shape: each arriving batch is checked against the

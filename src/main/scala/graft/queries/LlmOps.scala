@@ -214,6 +214,83 @@ object LlmOps {
   private val qTopNgrams: Q = (s, d) =>
     TextStats.topNgrams(Tables.documents(s, d), "text", n = 3, k = 20)
 
+  /** Containment near-dup pairs (doc embedded in doc) — the asymmetric
+    * complement of `q_dedup_ngram`'s Jaccard; see
+    * [[Dedup.containmentPairs]] for why the relation and the plan differ.
+    */
+  private val qDedupContainment: Q = (s, d) =>
+    Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        shingleSize = 3, threshold = 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** BPE merge-candidate table: corpus frequency of every adjacent
+    * character pair inside words — iteration 0 of byte-pair-encoding
+    * tokenizer training (the most frequent pair is the first merge).
+    * Scale shape: pair extraction runs over the VOCABULARY (distinct
+    * words weighted by their corpus counts), not the corpus — the word
+    * collapse is one partial-agg shuffle, the per-word pair explode
+    * fans out ≤ len(word) rows per DISTINCT word. Output is bounded by
+    * alphabet², independent of corpus size.
+    */
+  private val qBpePairs: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    wc.select(col("w"), col("cnt"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+  }
+
+  /** Document-level co-occurrence lift of word pairs: how much more
+    * often two words share a document than independence predicts —
+    * lift = N·c_xy / (c_x·c_y) as exact integer ppm (the PMI
+    * association score without the log, so it stays in integer
+    * arithmetic; PMI = ln(lift) is monotone in it). Shape: distinct
+    * (doc, word) pairs → doc-keyed self-join (fan-out bounded by
+    * per-doc DISTINCT vocabulary, not doc length) → pair counts;
+    * document frequencies broadcast back (vocabulary-sized). The
+    * support floor keeps the output dense-pair only. BIGINT headroom:
+    * 10⁶·N·c_xy needs N·c_xy < 9.2·10¹² — past that the ratio moves
+    * to DECIMAL(38,0), same plan.
+    */
+  private val qPmiCooccur: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dw = docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("w"))
+      .filter(col("w") =!= "")
+    val dfreq = dw.groupBy("w").agg(count(lit(1)).as("df"))
+    val pairs = dw.select(col("doc_id"), col("w").as("w1"))
+      .join(dw.select(col("doc_id"), col("w").as("w2")), "doc_id")
+      .filter(col("w1") < col("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("nxy"))
+      .filter(col("nxy") >= 5L)
+    pairs
+      .join(broadcast(dfreq.select(col("w").as("w1"), col("df").as("df1"))), "w1")
+      .join(broadcast(dfreq.select(col("w").as("w2"), col("df").as("df2"))), "w2")
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select(col("w1"), col("w2"), col("nxy"),
+        expr("1000000 * n_docs * nxy DIV (df1 * df2)").as("lift_ppm"))
+      .orderBy("w1", "w2")
+  }
+
+  /** Vocabulary frequency spectrum (frequency-of-frequencies): how many
+    * distinct tokens occur exactly f times — the Zipf/Heaps corpus
+    * health check (a missing singleton tail or a spike at one f is the
+    * classic symptom of template text or a broken tokenizer). Two
+    * keyed aggregates; the second runs over the vocabulary table.
+    */
+  private val qVocabSpectrum: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n_tokens"))
+      .orderBy("f")
+
   private val qStopwordFilter: Q = (s, d) =>
     TextStats.removeStopwords(Tables.documents(s, d), "doc_id", "text",
         Seq("the", "a", "value", "data"))
@@ -406,6 +483,10 @@ object LlmOps {
     "q_bigram_lm" -> qBigramLm,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
+    "q_bpe_pairs" -> qBpePairs,
+    "q_pmi_cooccur" -> qPmiCooccur,
+    "q_vocab_spectrum" -> qVocabSpectrum,
+    "q_dedup_containment" -> qDedupContainment,
     "q_stopword_filter" -> qStopwordFilter,
     "q_tfidf" -> qTfidf,
     "q_dedup_exact" -> qDedupExact,
@@ -738,6 +819,47 @@ object LlmOps {
          |  CAST(ln AS BIGINT) AS kept_len, CAST(n_members AS BIGINT) AS n_members
          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
     "q_dedup_ngram" -> jaccardPairsSql(0.5),
+    "q_dedup_containment" ->
+      s"""$shingleCte
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(1000000 * len(list_intersect(a.sh, b.sh)) // len(a.sh)
+         |    AS BIGINT) AS cont_ppm
+         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         |WHERE 1000000 * len(list_intersect(a.sh, b.sh)) // len(a.sh)
+         |  >= 500000
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM w0
+        |       WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, cnt
+        |      FROM (SELECT w, cnt,
+        |              unnest(generate_series(1, length(w) - 1)) AS i
+        |            FROM wc))
+        |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |FROM p GROUP BY 1 ORDER BY n DESC, pair""".stripMargin,
+    "q_pmi_cooccur" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, w
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents) WHERE w <> ''),
+        |dfreq AS (SELECT w, count(*) AS df FROM dw GROUP BY 1),
+        |pairs AS (SELECT a.w AS w1, b.w AS w2, count(*) AS nxy
+        |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT w1, w2, CAST(nxy AS BIGINT) AS nxy,
+        |  CAST(1000000 * n_docs * nxy // (f1.df * f2.df) AS BIGINT)
+        |    AS lift_ppm
+        |FROM pairs JOIN dfreq f1 ON w1 = f1.w
+        |  JOIN dfreq f2 ON w2 = f2.w CROSS JOIN nd
+        |ORDER BY w1, w2""".stripMargin,
+    "q_vocab_spectrum" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |tf AS (SELECT w, count(*) AS f FROM w0 WHERE w <> '' GROUP BY 1)
+        |SELECT CAST(f AS BIGINT) AS f, count(*) AS n_tokens
+        |FROM tf GROUP BY f ORDER BY f""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
