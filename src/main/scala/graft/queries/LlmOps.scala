@@ -118,6 +118,94 @@ object LlmOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** kNN majority-vote classification: each held-out query vector
+    * (vec_id < 20) takes the majority label of its 5 exact-cosine
+    * nearest neighbors in the labeled remainder — the
+    * label-propagation / eval-probe query of an embedding pipeline.
+    * Neighbor selection rides [[Similarity.bruteForceTopK]] (broadcast
+    * queries, map-side dot products); the vote is a keyed aggregate
+    * with the `q_mode` composite-key tie-break (most votes, then
+    * smallest label — labels < 1000 by the composite's construction).
+    */
+  private val qKnnLabel: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    top.join(broadcast(labels.withColumnRenamed("vec_id", "n_id")
+        .withColumnRenamed("label", "n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+      .groupBy("q_id")
+      .agg(max_by(col("n_label"), col("votes") * 1000L - col("n_label"))
+        .as("pred_label"), max("votes").as("top_votes"))
+      .join(broadcast(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("top_votes"))
+      .orderBy("q_id")
+  }
+
+  /** Pairwise cosine between per-label centroid embeddings — the
+    * class-separation / cluster-quality matrix (label-count² rows).
+    * Exactness: cosine is invariant to each vector's positive scaling,
+    * so the centroid sums-of-scaled-integers stand in for the means —
+    * no division before the final ratio. Dot products and squared
+    * norms of those BIGINT sums accumulate as DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB): exact integers regardless of aggregation order,
+    * with the single fixed float sequence at the very end. Everything
+    * after the per-(label,dim) collapse is dimension×label sized.
+    */
+  private val qCentroidDist: Q = (s, d) => {
+    val a = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * Similarity.MeanScale)
+        .cast("long")).as("sx"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val n2 = a.groupBy("label").agg(sum(dec(col("sx")) * dec(col("sx"))).as("nn"))
+    val dp = a.select(col("label").as("label_a"), col("pos"), col("sx").as("sxa"))
+      .join(a.select(col("label").as("label_b"), col("pos"), col("sx").as("sxb")),
+        "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(dec(col("sxa")) * dec(col("sxb"))).as("dot"))
+    dp.join(broadcast(n2.select(col("label").as("label_a"), col("nn").as("nna"))),
+        "label_a")
+      .join(broadcast(n2.select(col("label").as("label_b"), col("nn").as("nnb"))),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        floor(lit(1000000.0) * (col("dot").cast("double") /
+          (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double")))))
+          .cast("long").as("cos_e6"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Per-(label, dimension) embedding variance — the dimension-collapse
+    * detector (a dimension whose variance pins near zero inside a class
+    * carries no signal; one that explodes flags a normalization bug).
+    * Moments are exact scaled-integer BIGINTs (Σx̂², at the 2²⁴ scale,
+    * holds ~3·10⁴ vectors per (label,dim) before needing the
+    * DECIMAL(38,0) upgrade); the variance itself is one mirrored float
+    * sequence. Output is label×dimension sized.
+    */
+  private val qEmbVariance: Q = (s, d) => {
+    val sc2 = Similarity.MeanScale * Similarity.MeanScale
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe", round(col("x").cast("double") * Similarity.MeanScale)
+        .cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("xe").as("sx"),
+        sum(col("xe") * col("xe")).as("sxx"))
+      .select(col("label"), col("pos"), col("n"),
+        floor(lit(1000000000.0) *
+          ((col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n"))) / lit(sc2)))
+          .cast("long").as("var_e9"))
+      .orderBy("label", "pos")
+  }
+
   /** Approximate ANN (IVF) — no SQL oracle (approximate by design). */
   private val qAnnIvf: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -497,6 +585,9 @@ object LlmOps {
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
+    "q_knn_label" -> qKnnLabel,
+    "q_centroid_dist" -> qCentroidDist,
+    "q_emb_variance" -> qEmbVariance,
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
@@ -864,6 +955,63 @@ object LlmOps {
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_knn_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS true_label,
+        |        c.vec_id AS n_id, c.label AS n_label,
+        |        list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (SELECT q_id, true_label, n_label,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, n_id ASC) AS rnk
+        |      FROM p),
+        |v AS (SELECT q_id, true_label, n_label, count(*) AS votes
+        |      FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label,
+        |  CAST(max_by(n_label, votes * 1000 - n_label) AS INTEGER)
+        |    AS pred_label,
+        |  CAST(max(votes) AS BIGINT) AS top_votes
+        |FROM v GROUP BY q_id, true_label ORDER BY q_id""".stripMargin,
+    "q_centroid_dist" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |a AS (SELECT label, pos,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM u GROUP BY 1, 2),
+        |n2 AS (SELECT label, sum(CAST(sx AS HUGEINT) * sx) AS nn
+        |  FROM a GROUP BY 1),
+        |dp AS (SELECT a1.label AS label_a, a2.label AS label_b,
+        |    sum(CAST(a1.sx AS HUGEINT) * a2.sx) AS dot
+        |  FROM a a1 JOIN a a2 ON a1.pos = a2.pos AND a1.label < a2.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CAST(floor(1000000.0 * (CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))))
+        |    AS BIGINT) AS cos_e6
+        |FROM dp JOIN n2 x ON label_a = x.label
+        |  JOIN n2 y ON label_b = y.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q_emb_variance" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |a AS (SELECT label, pos, count(*) AS n,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT) *
+        |             CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM u GROUP BY 1, 2)
+        |SELECT label, pos, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(1000000000.0 *
+        |    ((CAST(sxx AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) /
+        |     (16777216.0 * 16777216.0))) AS BIGINT) AS var_e9
+        |FROM a ORDER BY label, pos""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_tokens,
