@@ -210,27 +210,58 @@ object GraphOps {
   private val orientedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
-  private val qTriangles: Q = (s, d) => {
-    val oriented = {
-      orientedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-      val cached = orientedCache.get((s, d))
-      if (cached != null) cached
-      else {
-        val built = orient(coPurchaseEdges(s, d))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        // evict the session's other-dir entries, releasing their blocks
-        val it = orientedCache.entrySet.iterator
-        while (it.hasNext) {
-          val en = it.next()
-          if (en.getKey._1 == s && en.getKey._2 != d) {
-            en.getValue.unpersist(false); it.remove()
-          }
+  private def orientedEdges(s: SparkSession, d: String): DataFrame = {
+    orientedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val cached = orientedCache.get((s, d))
+    if (cached != null) cached
+    else {
+      val built = orient(coPurchaseEdges(s, d))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // evict the session's other-dir entries, releasing their blocks
+      val it = orientedCache.entrySet.iterator
+      while (it.hasNext) {
+        val en = it.next()
+        if (en.getKey._1 == s && en.getKey._2 != d) {
+          en.getValue.unpersist(false); it.remove()
         }
-        val prior = orientedCache.putIfAbsent((s, d), built)
-        if (prior != null) { built.unpersist(false); prior } else built
       }
+      val prior = orientedCache.putIfAbsent((s, d), built)
+      if (prior != null) { built.unpersist(false); prior } else built
     }
-    triangleParticipation(oriented).orderBy("part")
+  }
+
+  private val qTriangles: Q = (s, d) =>
+    triangleParticipation(orientedEdges(s, d)).orderBy("part")
+
+  /** Degree distribution of the co-purchase graph — the first graph
+    * health-check (a power-law tail vs a degenerate hub says whether
+    * the downstream triangle/pagerank costs are safe). Output is
+    * max-degree sized; one aggregate over the node-degree table.
+    */
+  private val qDegreeDist: Q = (s, d) =>
+    degrees(coPurchaseEdges(s, d))
+      .groupBy("dg").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dg")
+
+  /** Global clustering coefficient 3·triangles / wedges — how clique-like
+    * the co-purchase graph is. The triangle total rides the SAME oriented
+    * participation plan as `q_triangles` (Σ participation = 3T exactly,
+    * each triangle counted once per corner); wedges are Σ dg·(dg−1)/2
+    * over the degree table (per-term integer division is exact —
+    * dg·(dg−1) is even). coeff_ppm = 10⁶·3T DIV W in BIGINT: safe while
+    * Σdg² < 9.2·10¹²·… past ~10¹² wedges the ratio moves to
+    * DECIMAL(38,0), same single-row plan.
+    */
+  private val qClusteringCoeff: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val tri3 = triangleParticipation(orientedEdges(s, d))
+      .agg(sum("n_tri").as("tri3"))
+    val wedges = degrees(e)
+      .agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+    tri3.crossJoin(broadcast(wedges))
+      .select(expr("tri3 DIV 3").as("n_tri"), col("n_wedges"),
+        expr("1000000 * tri3 DIV n_wedges").as("coeff_ppm"))
+      .orderBy("n_tri")
   }
 
   /** Damped PageRank (d=0.85, 3 iterations) in exact integer arithmetic.
@@ -361,6 +392,8 @@ object GraphOps {
 
   val registry: Map[String, Q] = Map(
     "q_triangles" -> qTriangles,
+    "q_degree_dist" -> qDegreeDist,
+    "q_clustering_coeff" -> qClusteringCoeff,
     "q_pagerank" -> qPagerank,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
@@ -416,6 +449,30 @@ object GraphOps {
         |ORDER BY p_a, p_b""".stripMargin,
     // Id-ordered enumeration: same triangle set as the degree-oriented
     // Spark plan (orientation changes the join shape, not the result).
+    "q_degree_dist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1)
+        |SELECT CAST(dg AS BIGINT) AS dg, count(*) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY dg""".stripMargin,
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |t AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        |      FROM e e1
+        |      JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+        |      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+        |tc AS (SELECT count(*) AS tri FROM t),
+        |arcs AS (SELECT u AS src FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+        |wd AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+        |       FROM deg)
+        |SELECT CAST(tri AS BIGINT) AS n_tri, n_wedges,
+        |  CAST(1000000 * 3 * tri // n_wedges AS BIGINT) AS coeff_ppm
+        |FROM tc CROSS JOIN wd ORDER BY n_tri""".stripMargin,
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
