@@ -159,6 +159,66 @@ object CurateOps {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** Point-in-time (as-of) fact lookup against an SCD2 dimension — the
+    * warehouse query `q_scd2` exists to serve: each purchase fact finds
+    * the ONE state version (here: the user's signup/error state events
+    * versioned by `valid_from`/`valid_to`) whose half-open interval
+    * [from, to) covers the fact timestamp. Plan shape: equi join on the
+    * dimension key with the interval predicate as a residual — per-key
+    * version chains are short (dimension churn, not fact volume), so
+    * the join shards by user at any fact count; facts preceding the
+    * first version survive with a null version (left join). Half-open
+    * intervals make the match provably unique — the invariant that
+    * separates PIT enrichment from a sloppy BETWEEN join.
+    */
+  private val qScd2Asof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val dim = ev.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id").as("d_user"), col("event_id").as("version_id"),
+        col("event_type").as("state"), unix_micros(col("ts")).as("valid_from_us"))
+      .withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(
+          Window.partitionBy(col("d_user"))
+            .orderBy(col("valid_from_us").asc, col("version_id").asc)))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    facts.join(dim,
+        facts("user_id") === dim("d_user") &&
+          col("t_us") >= col("valid_from_us") &&
+          (col("valid_to_us").isNull || col("t_us") < col("valid_to_us")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("version_id"),
+        col("state"), col("valid_from_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Calendar proration: each lineitem's revenue allocated across the
+    * months its order-to-ship interval touches, weighted by day overlap
+    * — the finance calendarization primitive (recognize revenue over
+    * the service period, not at a point). Exactness contract: the
+    * per-(row, month) allocation is floor(cents·overlap_days /
+    * total_days) — pure integer arithmetic, so the month totals are
+    * order-independent. Fan-out is bounded by the interval's month
+    * count (data-bounded, ≤ 82 here); everything after the explode is
+    * one partial-agg shuffle into month-count groups.
+    */
+  private val qIntervalProrate: Q = (s, d) => {
+    val b = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("cents"),
+        to_date(col("o_orderdate")).as("d0"), to_date(col("l_shipdate")).as("d1"))
+      .filter(col("d1") >= col("d0"))
+    b.withColumn("mstart",
+        explode(expr("sequence(trunc(d0, 'MM'), trunc(d1, 'MM'), interval 1 month)")))
+      .select(date_format(col("mstart"), "yyyy-MM").as("month"),
+        expr("""cents * (datediff(least(last_day(mstart), d1),
+                         greatest(mstart, d0)) + 1)
+                DIV (datediff(d1, d0) + 1)""").as("alloc"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_slices"), sum("alloc").as("alloc_cents"))
+      .orderBy("month")
+  }
+
   /** Incremental aggregate maintenance: a stored daily rollup is
     * refreshed by merging the new day's PARTIAL aggregate into it —
     * counts and exact cent sums re-aggregate with plain sums, so the
@@ -531,6 +591,8 @@ object CurateOps {
     "q_incr_agg" -> qIncrAgg,
     "q_keep_latest" -> qKeepLatest,
     "q_scd2" -> qScd2,
+    "q_scd2_asof" -> qScd2Asof,
+    "q_interval_prorate" -> qIntervalProrate,
     "q_bm25" -> qBm25,
     "q_rrf_fusion" -> qRrfFusion,
     "q_sessionize" -> qSessionize,
@@ -746,6 +808,37 @@ object CurateOps {
         |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q_scd2_asof" ->
+      """WITH dim AS (SELECT user_id AS d_user, event_id AS version_id,
+        |    event_type AS state, epoch_us(ts) AS valid_from_us,
+        |    lead(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS valid_to_us
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |f AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, version_id, state, valid_from_us
+        |FROM f LEFT JOIN dim ON f.user_id = dim.d_user
+        |  AND t_us >= valid_from_us
+        |  AND (valid_to_us IS NULL OR t_us < valid_to_us)
+        |ORDER BY f.event_id""".stripMargin,
+    "q_interval_prorate" ->
+      """WITH b AS (SELECT
+        |    CAST(round(l_extendedprice * 100.0) AS BIGINT) AS cents,
+        |    CAST(o_orderdate AS DATE) AS d0, CAST(l_shipdate AS DATE) AS d1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE CAST(l_shipdate AS DATE) >= CAST(o_orderdate AS DATE)),
+        |m AS (SELECT cents, d0, d1,
+        |    CAST(unnest(generate_series(date_trunc('month', d0),
+        |      date_trunc('month', d1), INTERVAL 1 MONTH)) AS DATE) AS mstart
+        |  FROM b),
+        |x AS (SELECT strftime(mstart, '%Y-%m') AS month,
+        |    cents * (date_diff('day', greatest(mstart, d0),
+        |      least(last_day(mstart), d1)) + 1) //
+        |      (date_diff('day', d0, d1) + 1) AS alloc
+        |  FROM m)
+        |SELECT month, count(*) AS n_slices,
+        |  CAST(sum(alloc) AS BIGINT) AS alloc_cents
+        |FROM x GROUP BY 1 ORDER BY month""".stripMargin,
     "q_bm25" -> bm25Sql,
     "q_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, n_chars,
