@@ -43,7 +43,12 @@ object Bench {
     "q_text_normalize", "q_bigram_lm", "q_sample_bottomk",
     "q_weighted_sample", "q_window_dist", "q_chisq_contingency",
     "q_running_distinct", "q_psi_drift", "q_time_spine",
-    "q_binaryfile_source", "q_spearman", "q_mode")
+    "q_binaryfile_source", "q_spearman", "q_mode",
+    "q_welch_ttest", "q_benford", "q_dow_profile", "q_anomaly_days",
+    "q_bpe_pairs", "q_pmi_cooccur", "q_vocab_spectrum",
+    "q_dedup_containment", "q_knn_label", "q_centroid_dist",
+    "q_emb_variance", "q_degree_dist", "q_clustering_coeff",
+    "q_scd2_asof", "q_interval_prorate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
