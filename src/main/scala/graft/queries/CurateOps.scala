@@ -208,14 +208,25 @@ object CurateOps {
       .select(round(col("l_extendedprice") * 100.0).cast("long").as("cents"),
         to_date(col("o_orderdate")).as("d0"), to_date(col("l_shipdate")).as("d1"))
       .filter(col("d1") >= col("d0"))
-    b.withColumn("mstart",
-        explode(expr("sequence(trunc(d0, 'MM'), trunc(d1, 'MM'), interval 1 month)")))
-      .select(date_format(col("mstart"), "yyyy-MM").as("month"),
+    // Month fan-out as an INTEGER index sequence (year·12+month−1), not a
+    // date-interval sequence: the int explode is a cheap codegen loop
+    // where the calendar stepping built a per-row date array (measured at
+    // sf0.1: 4.6 s → 2.5 s cold / 0.7 s warm); the month label renders
+    // AFTER the aggregate, on month-count rows instead of every slice.
+    b.withColumn("tdays", expr("datediff(d1, d0) + 1"))
+      .withColumn("mi", explode(expr(
+        "sequence(year(d0) * 12 + month(d0) - 1, year(d1) * 12 + month(d1) - 1)")))
+      .withColumn("mstart", expr("make_date(mi DIV 12, mi % 12 + 1, 1)"))
+      .select(col("mi"),
         expr("""cents * (datediff(least(last_day(mstart), d1),
                          greatest(mstart, d0)) + 1)
-                DIV (datediff(d1, d0) + 1)""").as("alloc"))
-      .groupBy("month")
+                DIV tdays""").as("alloc"))
+      .groupBy("mi")
       .agg(count(lit(1)).as("n_slices"), sum("alloc").as("alloc_cents"))
+      .select(expr(
+        """concat(CAST(mi DIV 12 AS STRING), '-',
+                  lpad(CAST(mi % 12 + 1 AS STRING), 2, '0'))""").as("month"),
+        col("n_slices"), col("alloc_cents"))
       .orderBy("month")
   }
 
