@@ -248,19 +248,23 @@ object GraphOps {
     * participation plan as `q_triangles` (Σ participation = 3T exactly,
     * each triangle counted once per corner); wedges are Σ dg·(dg−1)/2
     * over the degree table (per-term integer division is exact —
-    * dg·(dg−1) is even). coeff_ppm = 10⁶·3T DIV W in BIGINT: safe while
-    * Σdg² < 9.2·10¹²·… past ~10¹² wedges the ratio moves to
-    * DECIMAL(38,0), same single-row plan.
+    * dg·(dg−1) is even). coeff_ppm = 10⁶·3T DIV W in BIGINT — the
+    * binding headroom is the NUMERATOR 10⁶·3T, safe while the graph has
+    * under ~9.2·10¹² triangle corners (3T); past that the ratio moves
+    * to DECIMAL(38,0), same single-row plan. Degenerate graphs stay
+    * engine-portable: a triangle-free corpus reports 0 (not NULL), and
+    * a wedge-free one reports 0 instead of dividing by zero.
     */
   private val qClusteringCoeff: Q = (s, d) => {
     val e = coPurchaseEdges(s, d)
     val tri3 = triangleParticipation(orientedEdges(s, d))
-      .agg(sum("n_tri").as("tri3"))
+      .agg(coalesce(sum("n_tri"), lit(0L)).as("tri3"))
     val wedges = degrees(e)
-      .agg(sum(expr("dg * (dg - 1) DIV 2")).as("n_wedges"))
+      .agg(coalesce(sum(expr("dg * (dg - 1) DIV 2")), lit(0L)).as("n_wedges"))
     tri3.crossJoin(broadcast(wedges))
       .select(expr("tri3 DIV 3").as("n_tri"), col("n_wedges"),
-        expr("1000000 * tri3 DIV n_wedges").as("coeff_ppm"))
+        when(col("n_wedges") > 0L, expr("1000000 * tri3 DIV n_wedges"))
+          .otherwise(lit(0L)).as("coeff_ppm"))
       .orderBy("n_tri")
   }
 
@@ -468,10 +472,12 @@ object GraphOps {
         |tc AS (SELECT count(*) AS tri FROM t),
         |arcs AS (SELECT u AS src FROM e UNION ALL SELECT v FROM e),
         |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
-        |wd AS (SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges
+        |wd AS (SELECT CAST(coalesce(sum(dg * (dg - 1) // 2), 0) AS BIGINT)
+        |         AS n_wedges
         |       FROM deg)
         |SELECT CAST(tri AS BIGINT) AS n_tri, n_wedges,
-        |  CAST(1000000 * 3 * tri // n_wedges AS BIGINT) AS coeff_ppm
+        |  CAST(CASE WHEN n_wedges > 0 THEN 1000000 * 3 * tri // n_wedges
+        |       ELSE 0 END AS BIGINT) AS coeff_ppm
         |FROM tc CROSS JOIN wd ORDER BY n_tri""".stripMargin,
     "q_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

@@ -39,8 +39,13 @@ object StatOps {
       .select(col("seg"), round(col("o_totalprice")).cast("long").as("x"))
     val per = base.groupBy("seg").agg(count(lit(1)).as("n1"),
       sum("x").as("s1"), sum(col("x") * col("x")).as("ss1"))
-    val tot = base.agg(count(lit(1)).as("nt"), sum("x").as("st"),
-      sum(col("x") * col("x")).as("sst"))
+    // Totals re-aggregate from the 5-row per-segment moments (counts and
+    // integer sums compose exactly) — deriving them from `base` instead
+    // would plan a second scan of the fact join: the per-segment and
+    // global aggregates exchange on different keys, so ReuseExchange
+    // cannot dedupe them.
+    val tot = per.agg(sum("n1").as("nt"), sum("s1").as("st"),
+      sum("ss1").as("sst"))
     val m = per.crossJoin(broadcast(tot))
       .withColumn("n2", col("nt") - col("n1"))
       .withColumn("s2", col("st") - col("s1"))
@@ -80,7 +85,7 @@ object StatOps {
     val tot = c.agg(sum("n").as("nt"))
     c.crossJoin(broadcast(tot))
       .select(col("digit"), col("n"),
-        (lit(1000000L) * col("n")).divide(col("nt")).cast("long").as("obs_ppm"),
+        expr("1000000 * n DIV nt").as("obs_ppm"),
         floor(lit(1000000.0) *
           log10(lit(1.0) + lit(1.0) / col("digit").cast("double")))
           .cast("long").as("benford_ppm"))
