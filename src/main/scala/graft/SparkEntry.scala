@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.CurateOps.registry ++
       graft.queries.InsightOps.registry ++
       graft.queries.StatOps.registry ++
+      graft.queries.EngageOps.registry ++
       graft.queries.GraphOps.registry ++
       graft.queries.SqlSurface.registry
 
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.CurateOps.oracle ++
       graft.queries.InsightOps.oracle ++
       graft.queries.StatOps.oracle ++
+      graft.queries.EngageOps.oracle ++
       graft.queries.GraphOps.oracle ++
       graft.queries.SqlSurface.oracle
 }

@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** User-engagement analytics surface: new-vs-returning actor splits,
+  * DAU/MAU stickiness, consecutive-activity streaks, and inter-event
+  * arrival statistics — the product-analytics counters every event
+  * warehouse serves.
+  *
+  * Scale discipline shared by all four: raw activity collapses to the
+  * distinct (actor, period) grain FIRST (one keyed shuffle bounded by
+  * actors × active periods, far below event volume), and everything
+  * downstream — windows included — runs on that collapsed table.
+  * Determinism: integer epoch-day / micros arithmetic; ratios as
+  * 10⁶·a DIV b; medians only over integers (midpoints are exactly
+  * representable doubles, `quantile_cont` parity).
+  */
+object EngageOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Daily active customers split new vs returning: a customer is NEW on
+    * their first-ever active day, RETURNING on every later one — the
+    * acquisition/retention overview. Shape: distinct (customer, day) →
+    * per-customer min-day (keyed agg) → broadcast-scale join back →
+    * per-day counts. No windows.
+    */
+  private val qNewVsReturning: Q = (s, d) => {
+    val cd = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"),
+        unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .distinct()
+    val first = cd.groupBy("c").agg(min("day").as("first_day"))
+    cd.join(first, "c")
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        sum((col("day") === col("first_day")).cast("long")).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .orderBy("day")
+  }
+
+  /** Monthly stickiness: Σ daily-active counts over the month divided by
+    * (active-day count × monthly-active count), in exact ppm — the
+    * DAU/MAU engagement ratio (1.0 ⇔ every monthly actor shows up every
+    * active day). Month = epoch-month integer (year·12+month−1 of the
+    * epoch day), so both engines bucket identically. Three keyed
+    * aggregates over the collapsed (customer, day) grain; no windows.
+    */
+  private val qStickiness: Q = (s, d) => {
+    val cd = Tables.orders(s, d)
+      .select(col("o_custkey").as("c"), to_date(col("o_orderdate")).as("dt"))
+      .distinct()
+      .select(col("c"), unix_date(col("dt")).cast("long").as("day"),
+        (year(col("dt")) * 12 + month(col("dt")) - 1).cast("long").as("mo"))
+    val dau = cd.groupBy("mo", "day").agg(count(lit(1)).as("n_day"))
+      .groupBy("mo").agg(sum("n_day").as("sum_dau"),
+        count(lit(1)).as("n_days"))
+    val mau = cd.select("mo", "c").distinct()
+      .groupBy("mo").agg(count(lit(1)).as("mau"))
+    dau.join(mau, "mo")
+      .select(col("mo"), col("sum_dau"), col("n_days"), col("mau"),
+        expr("1000000 * sum_dau DIV (n_days * mau)").as("stickiness_ppm"))
+      .orderBy("mo")
+  }
+
+  /** Longest consecutive-active-day streak per user (events table — the
+    * dense activity grain): the gaps-and-islands day−row_number grouping
+    * key, per-user partitioned window only, then two keyed aggregates.
+    * Work per user is bounded by their active-day count.
+    */
+  private val qActiveStreaks: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id").as("u"),
+        unix_date(to_date(col("ts"))).cast("long").as("day"))
+      .distinct()
+    val w = Window.partitionBy("u").orderBy("day")
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("u", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("u").agg(max("len").as("longest_streak"),
+        sum("len").as("n_active_days"))
+      .orderBy("u")
+  }
+
+  /** Inter-arrival statistics per event type: consecutive same-type
+    * gaps within each user's stream — count, mean (defined as
+    * sum DIV n), and the exact median gap in micros. One partitioned
+    * lag window (user × type), one keyed aggregate; the median is an
+    * integer midpoint (`percentile`/`quantile_cont` parity, the
+    * `q_mad_outliers` discipline).
+    */
+  private val qInterEvent: Q = (s, d) => {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("us").asc, col("event_id").asc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sum_us"),
+        expr("percentile(gap, 0.5)").as("med"))
+      .select(col("event_type"), col("n_gaps"),
+        expr("sum_us DIV n_gaps").as("mean_us"),
+        floor(col("med")).cast("long").as("median_us"))
+      .orderBy("event_type")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_new_vs_returning" -> qNewVsReturning,
+    "q_stickiness" -> qStickiness,
+    "q_active_streaks" -> qActiveStreaks,
+    "q_inter_event" -> qInterEvent,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_new_vs_returning" ->
+      """WITH cd AS (SELECT DISTINCT o_custkey AS c,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM orders),
+        |f AS (SELECT c, min(day) AS first_day FROM cd GROUP BY 1)
+        |SELECT day, count(*) AS n_active,
+        |  CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new,
+        |  count(*) - CAST(sum(CASE WHEN day = first_day THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_returning
+        |FROM cd JOIN f USING (c) GROUP BY day ORDER BY day""".stripMargin,
+    "q_stickiness" ->
+      """WITH cd AS (SELECT DISTINCT o_custkey AS c,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(year(CAST(o_orderdate AS DATE)) * 12 +
+        |         month(CAST(o_orderdate AS DATE)) - 1 AS BIGINT) AS mo
+        |  FROM orders),
+        |dau AS (SELECT mo, CAST(sum(n_day) AS BIGINT) AS sum_dau,
+        |    count(*) AS n_days
+        |  FROM (SELECT mo, day, count(*) AS n_day FROM cd GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |mau AS (SELECT mo, count(*) AS mau
+        |  FROM (SELECT DISTINCT mo, c FROM cd) GROUP BY 1)
+        |SELECT mo, sum_dau, n_days, CAST(mau AS BIGINT) AS mau,
+        |  CAST(1000000 * sum_dau // (n_days * mau) AS BIGINT)
+        |    AS stickiness_ppm
+        |FROM dau JOIN mau USING (mo) ORDER BY mo""".stripMargin,
+    "q_active_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      AS BIGINT) AS day
+        |  FROM events),
+        |g AS (SELECT u, day,
+        |    day - row_number() OVER (PARTITION BY u ORDER BY day) AS grp
+        |  FROM ud),
+        |runs AS (SELECT u, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT u, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY u ORDER BY u""".stripMargin,
+    "q_inter_event" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |g AS (SELECT event_type,
+        |    us - lag(us) OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY us ASC, event_id ASC) AS gap
+        |  FROM e)
+        |SELECT event_type, count(*) AS n_gaps,
+        |  CAST(CAST(sum(gap) AS BIGINT) // count(*) AS BIGINT) AS mean_us,
+        |  CAST(floor(quantile_cont(gap, 0.5)) AS BIGINT) AS median_us
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}
