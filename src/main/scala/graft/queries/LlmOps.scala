@@ -457,6 +457,92 @@ object LlmOps {
       .orderBy("w1", "w2")
   }
 
+  /** Model-based document quality score: each document's mean negative
+    * log-likelihood under the corpus's OWN bigram LM — the perplexity
+    * filter of an LLM curation pipeline (templated/corrupt text scores
+    * abnormally low or high vs the corpus norm). Two-pass train/score
+    * shape by design: pass 1 fits the vocabulary²-bounded probability
+    * table (broadcast back), pass 2 scores every document's bigrams
+    * against it. Determinism: probabilities are `q_bigram_lm`'s exact
+    * floored millionths clamped to ≥1 (so an out-of-model rounding-to-0
+    * tail can never reach ln(0) at any corpus size — the `q_psi_drift`
+    * clamp); each bigram's log term floors to an integer BEFORE the
+    * per-document sum, so the aggregate is order-independent; the mean
+    * is sum DIV n.
+    */
+  private val qPerplexityLm: Q = (s, d) => {
+    val pairs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    val n = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val tot = n.groupBy("w1").agg(sum("n").as("out_n"))
+    val model = n.join(tot, "w1")
+      .select(col("w1"), col("w2"),
+        greatest(expr("1000000L * n DIV out_n"), lit(1L)).as("p_e6"))
+    pairs.join(broadcast(model), Seq("w1", "w2"))
+      .withColumn("lp_e6",
+        floor(lit(1000000.0) *
+          log(col("p_e6").cast("double") / lit(1000000.0))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp_e6").as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("(-sum_lp) DIV n_bigrams").as("nll_e6"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-vector centroid-margin score (silhouette-style cluster
+    * quality): cosine to the vector's OWN class centroid minus the best
+    * cosine to any OTHER class centroid — negative margin = the vector
+    * sits closer to a foreign class (a mislabeled or boundary example;
+    * the embedding-space analogue of a label-noise detector). Centroids
+    * include the vector itself (the centroid-based approximation, not
+    * Rousseeuw's pairwise silhouette — O(n·L·dim), not O(n²)).
+    * Exactness rides the `q_centroid_dist` machinery: scale-invariant
+    * integer sums, DECIMAL(38,0)/HUGEINT dot products, one float
+    * sequence per cosine, floored to e6 BEFORE the max/compare so the
+    * argmax is an integer decision on both engines.
+    */
+  private val qSilhouette: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val xe = emb
+      .select(col("vec_id"), col("label").as("own_label"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe",
+        round(col("x").cast("double") * Similarity.MeanScale).cast("long"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cent = xe.groupBy(col("own_label").as("c_label"), col("pos"))
+      .agg(sum("xe").as("sx"))
+    val cn2 = cent.groupBy("c_label")
+      .agg(sum(dec(col("sx")) * dec(col("sx"))).as("cn"))
+    val vn2 = xe.groupBy("vec_id")
+      .agg(sum(dec(col("xe")) * dec(col("xe"))).as("vn"))
+    val dots = xe.join(broadcast(cent), "pos")
+      .groupBy(col("vec_id"), col("own_label"), col("c_label"))
+      .agg(sum(dec(col("xe")) * dec(col("sx"))).as("dot"))
+    val cos = dots.join(broadcast(cn2), "c_label").join(vn2, "vec_id")
+      .select(col("vec_id"), col("own_label"), col("c_label"),
+        floor(lit(1000000.0) * (col("dot").cast("double") /
+          (sqrt(col("vn").cast("double")) * sqrt(col("cn").cast("double")))))
+          .cast("long").as("cos_e6"))
+    val own = cos.filter(col("c_label") === col("own_label"))
+      .select(col("vec_id"), col("cos_e6").as("own_cos_e6"))
+    val other = cos.filter(col("c_label") =!= col("own_label"))
+      .groupBy("vec_id")
+      .agg(max(col("cos_e6")).as("best_other_cos_e6"),
+        max_by(col("c_label"), col("cos_e6") * 1000L - col("c_label"))
+          .as("best_other"))
+    own.join(other, "vec_id")
+      .join(broadcast(emb.select(col("vec_id"), col("label"))), "vec_id")
+      .select(col("vec_id"), col("label"), col("own_cos_e6"),
+        col("best_other"), col("best_other_cos_e6"),
+        (col("own_cos_e6") - col("best_other_cos_e6")).as("margin_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Column profiling: per-column count/nulls/distinct in one pass shape
     * (a union of per-column aggregates — the data-quality health check).
     */
@@ -569,6 +655,8 @@ object LlmOps {
     "q_sample_bottomk" -> qSampleBottomk,
     "q_weighted_sample" -> qWeightedSample,
     "q_bigram_lm" -> qBigramLm,
+    "q_perplexity_lm" -> qPerplexityLm,
+    "q_silhouette" -> qSilhouette,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_bpe_pairs" -> qBpePairs,
@@ -951,6 +1039,56 @@ object LlmOps {
         |tf AS (SELECT w, count(*) AS f FROM w0 WHERE w <> '' GROUP BY 1)
         |SELECT CAST(f AS BIGINT) AS f, count(*) AS n_tokens
         |FROM tf GROUP BY f ORDER BY f""".stripMargin,
+    "q_perplexity_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+        |             unnest(list_slice(w, 2, len(w))) AS w2
+        |      FROM w WHERE len(w) >= 2),
+        |n AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, CAST(sum(n) AS BIGINT) AS out_n FROM n GROUP BY 1),
+        |m AS (SELECT n.w1, w2, greatest(1000000 * n // out_n, 1) AS p_e6
+        |      FROM n JOIN t ON n.w1 = t.w1),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(1000000.0 * ln(CAST(p_e6 AS DOUBLE) / 1000000.0))
+        |      AS BIGINT) AS lp_e6
+        |  FROM b JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST((-CAST(sum(lp_e6) AS BIGINT)) // count(*) AS BIGINT)
+        |    AS nll_e6
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_silhouette" ->
+      """WITH u AS (SELECT vec_id, label AS own_label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+        |      AS BIGINT) AS xe
+        |  FROM embeddings),
+        |cent AS (SELECT own_label AS c_label, pos,
+        |    CAST(sum(xe) AS BIGINT) AS sx FROM u GROUP BY 1, 2),
+        |cn2 AS (SELECT c_label, sum(CAST(sx AS HUGEINT) * sx) AS cn
+        |        FROM cent GROUP BY 1),
+        |vn2 AS (SELECT vec_id, sum(CAST(xe AS HUGEINT) * xe) AS vn
+        |        FROM u GROUP BY 1),
+        |dots AS (SELECT vec_id, own_label, c_label,
+        |    sum(CAST(xe AS HUGEINT) * sx) AS dot
+        |  FROM u JOIN cent ON u.pos = cent.pos GROUP BY 1, 2, 3),
+        |coss AS (SELECT vec_id, own_label, c_label,
+        |    CAST(floor(1000000.0 * (CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))))
+        |      AS BIGINT) AS cos_e6
+        |  FROM dots JOIN cn2 USING (c_label) JOIN vn2 USING (vec_id)),
+        |own AS (SELECT vec_id, cos_e6 AS own_cos_e6 FROM coss
+        |        WHERE c_label = own_label),
+        |oth AS (SELECT vec_id, max(cos_e6) AS best_other_cos_e6,
+        |    CAST(max_by(c_label, cos_e6 * 1000 - c_label) AS INTEGER)
+        |      AS best_other
+        |  FROM coss WHERE c_label <> own_label GROUP BY 1)
+        |SELECT own.vec_id, e.label, own_cos_e6, best_other,
+        |  best_other_cos_e6,
+        |  own_cos_e6 - best_other_cos_e6 AS margin_e6
+        |FROM own JOIN oth USING (vec_id)
+        |  JOIN embeddings e USING (vec_id)
+        |ORDER BY own.vec_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,

@@ -141,14 +141,61 @@ object StatOps {
       .orderBy("day")
   }
 
+  /** Pareto concentration: the top decile of customers (by exact cents
+    * spend, ties broken on the key) and their share of total revenue in
+    * exact ppm — the "does 10% of the base carry the business" headline
+    * that `q_gini` summarizes as one index. The decile cut is the
+    * INCLUSIVE rank ceil(n/10) = (n+9) DIV 10 on a distributed
+    * total-order rank ([[graft.ops.Ranks.globalRowNumber]] — range-
+    * partitioned, no single-partition window). Two passes over the
+    * customer-sized rollup by design (rank pass + scalar totals — the
+    * totals cannot ride the rank's exchange). BIGINT headroom:
+    * 10⁶·top_cents needs total revenue under ~9.2·10¹² cents; past that
+    * the share moves to DECIMAL(38,0).
+    */
+  private val qParetoShare: Q = (s, d) => {
+    val pc = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+    val ranked = graft.ops.Ranks.globalRowNumber(pc,
+      Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+    val tot = pc.agg(count(lit(1)).as("n_cust"), sum("cents").as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("rnk") <= expr("(n_cust + 9) DIV 10"))
+      .groupBy("n_cust", "total_cents")
+      .agg(count(lit(1)).as("top_n"), sum("cents").as("top_cents"))
+      .select(col("n_cust"), col("top_n"), col("top_cents"),
+        col("total_cents"),
+        expr("1000000 * top_cents DIV total_cents").as("share_ppm"))
+      .orderBy("n_cust")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_welch_ttest" -> qWelchTtest,
+    "q_pareto_share" -> qParetoShare,
     "q_benford" -> qBenford,
     "q_dow_profile" -> qDowProfile,
     "q_anomaly_days" -> qAnomalyDays,
   )
 
   val oracle: Map[String, String] = Map(
+    "q_pareto_share" ->
+      """WITH pc AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey ASC) AS rnk
+        |  FROM pc),
+        |t AS (SELECT count(*) AS n_cust, CAST(sum(cents) AS BIGINT)
+        |        AS total_cents FROM pc)
+        |SELECT CAST(n_cust AS BIGINT) AS n_cust, count(*) AS top_n,
+        |  CAST(sum(r.cents) AS BIGINT) AS top_cents, total_cents,
+        |  CAST(1000000 * CAST(sum(r.cents) AS BIGINT) // total_cents
+        |    AS BIGINT) AS share_ppm
+        |FROM r CROSS JOIN t
+        |WHERE rnk <= (n_cust + 9) // 10
+        |GROUP BY n_cust, total_cents ORDER BY n_cust""".stripMargin,
     "q_welch_ttest" ->
       """WITH b AS (SELECT c_mktsegment AS seg,
         |    CAST(round(o_totalprice) AS BIGINT) AS x
