@@ -159,6 +159,45 @@ object CurateOps {
       .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
   }
 
+  /** String-indexer fit: the categorical→integer dictionary every ML
+    * feature pipeline needs — indices assigned by descending frequency
+    * (most common = 0, the convention that keeps frequent categories in
+    * small embeddings), ties broken lexicographically. The ranking
+    * window runs over the DICTIONARY-sized aggregate (25 brands), never
+    * the fact table — the `q_domain_mix` pattern; the encode step is a
+    * broadcast join of this table back onto facts.
+    */
+  private val qStringIndex: Q = (s, d) => {
+    val freq = Tables.part(s, d)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("n_parts").desc, col("p_brand").asc)
+    freq.withColumn("idx", (row_number().over(w) - 1).cast("long"))
+      .select(col("p_brand"), col("idx"), col("n_parts"))
+      .orderBy("idx")
+  }
+
+  /** Smoothed mean-target encoding: each category's mean order value
+    * shrunk toward the global mean with pseudo-count weight 20 — the
+    * leakage-resistant categorical feature for high-cardinality
+    * columns. enc = (Σcents + 20·global_avg) DIV (n + 20), all
+    * integer: global_avg is itself a defined integer (total DIV n),
+    * so the encoding is bit-deterministic and re-aggregatable. Totals
+    * derive from the per-category moments (no second fact scan).
+    */
+  private val qTargetEncode: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .select(col("o_orderpriority").as("cat"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .groupBy("cat").agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    val tot = per.agg(sum("n").as("n_tot"), sum("sum_cents").as("tot_cents"))
+    per.crossJoin(broadcast(tot))
+      .select(col("cat"), col("n"),
+        expr("sum_cents DIV n").as("avg_cents"),
+        expr("(sum_cents + 20 * (tot_cents DIV n_tot)) DIV (n + 20)")
+          .as("enc_cents"))
+      .orderBy("cat")
+  }
+
   /** Point-in-time (as-of) fact lookup against an SCD2 dimension — the
     * warehouse query `q_scd2` exists to serve: each purchase fact finds
     * the ONE state version (here: the user's signup/error state events
@@ -604,6 +643,8 @@ object CurateOps {
     "q_scd2" -> qScd2,
     "q_scd2_asof" -> qScd2Asof,
     "q_interval_prorate" -> qIntervalProrate,
+    "q_string_index" -> qStringIndex,
+    "q_target_encode" -> qTargetEncode,
     "q_bm25" -> qBm25,
     "q_rrf_fusion" -> qRrfFusion,
     "q_sessionize" -> qSessionize,
@@ -819,6 +860,24 @@ object CurateOps {
         |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
         |  valid_to_us IS NULL AS is_current
         |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin,
+    "q_string_index" ->
+      """WITH f AS (SELECT p_brand, count(*) AS n_parts FROM part GROUP BY 1)
+        |SELECT p_brand,
+        |  CAST(row_number() OVER (ORDER BY n_parts DESC, p_brand ASC) - 1
+        |    AS BIGINT) AS idx,
+        |  n_parts
+        |FROM f ORDER BY idx""".stripMargin,
+    "q_target_encode" ->
+      """WITH per AS (SELECT o_orderpriority AS cat, count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot,
+        |    CAST(sum(sum_cents) AS BIGINT) AS tot_cents FROM per)
+        |SELECT cat, n, CAST(sum_cents // n AS BIGINT) AS avg_cents,
+        |  CAST((sum_cents + 20 * (tot_cents // n_tot)) // (n + 20)
+        |    AS BIGINT) AS enc_cents
+        |FROM per CROSS JOIN tot ORDER BY cat""".stripMargin,
     "q_scd2_asof" ->
       """WITH dim AS (SELECT user_id AS d_user, event_id AS version_id,
         |    event_type AS state, epoch_us(ts) AS valid_from_us,

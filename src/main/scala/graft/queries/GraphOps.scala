@@ -268,6 +268,38 @@ object GraphOps {
       .orderBy("n_tri")
   }
 
+  /** Hub cap for `q_common_neighbors`: wedge apexes with degree above
+    * this are skipped — standard link-prediction practice (a super-hub
+    * connecting everything carries no signal) AND the scale guard: the
+    * wedge fan-out is Σ_z C(deg(z), 2), which orientation cannot cap
+    * here because common neighbors need apexes on BOTH sides. No-op on
+    * this corpus (max degree ≈ 600 at sf0.1); the oracle applies the
+    * same cap.
+    */
+  private val HubCap = 10000L
+
+  /** Common-neighbor link prediction: the top 20 NON-adjacent part
+    * pairs by shared co-purchase neighbors — "customers who bought
+    * these also bought..." for pairs never yet bought together. One
+    * degree-capped wedge self-join + pair count + an anti join against
+    * the edge table; top-k plans as TakeOrderedAndProject (per-partition
+    * heaps, no global sort).
+    */
+  private val qCommonNeighbors: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val dg = degrees(e).select(col("n").as("src"), col("dg"))
+    val capped = arcs.join(dg, "src").filter(col("dg") <= HubCap)
+    val cn = capped.select(col("src"), col("dst").as("a"))
+      .join(capped.select(col("src"), col("dst").as("b")), "src")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_common"))
+    cn.join(e, cn("a") === e("u") && cn("b") === e("v"), "left_anti")
+      .orderBy(col("n_common").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   /** Damped PageRank (d=0.85, 3 iterations) in exact integer arithmetic.
     *
     * rank' = floor(0.15·Scale) + floor(85 · Σ floor(rank_u / deg_u) / 100)
@@ -398,6 +430,7 @@ object GraphOps {
     "q_triangles" -> qTriangles,
     "q_degree_dist" -> qDegreeDist,
     "q_clustering_coeff" -> qClusteringCoeff,
+    "q_common_neighbors" -> qCommonNeighbors,
     "q_pagerank" -> qPagerank,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
@@ -453,6 +486,21 @@ object GraphOps {
         |ORDER BY p_a, p_b""".stripMargin,
     // Id-ordered enumeration: same triangle set as the degree-oriented
     // Spark plan (orientation changes the join shape, not the result).
+    "q_common_neighbors" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM e
+        |         UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+        |mid AS (SELECT a1.dst AS a, a2.dst AS b
+        |        FROM arcs a1 JOIN arcs a2
+        |          ON a1.src = a2.src AND a1.dst < a2.dst
+        |        JOIN deg ON deg.src = a1.src WHERE dg <= 10000),
+        |cn AS (SELECT a, b, count(*) AS n_common FROM mid GROUP BY 1, 2)
+        |SELECT a, b, CAST(n_common AS BIGINT) AS n_common
+        |FROM cn WHERE NOT EXISTS (SELECT 1 FROM e WHERE u = a AND v = b)
+        |ORDER BY n_common DESC, a, b LIMIT 20""".stripMargin,
     "q_degree_dist" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v
