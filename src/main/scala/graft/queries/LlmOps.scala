@@ -543,6 +543,44 @@ object LlmOps {
       .orderBy("vec_id")
   }
 
+  /** Embedding dimension covariance matrix (upper triangle + diagonal)
+    * — the PCA/whitening prep artifact and the redundant-dimension
+    * detector (a high off-diagonal says two dimensions encode the same
+    * signal). Exact moments end-to-end: Σx̂ₐ, Σx̂ₐx̂_b accumulate as
+    * BIGINT / DECIMAL(38,0) scaled integers (order-independent), one
+    * mirrored float sequence per cell at the end. Shape: the positional
+    * self-join fans each vector to dims²/2 rows — cost n·dims², the
+    * Gram-matrix lower bound — then collapses to a dims²-sized output;
+    * per-dimension means broadcast back.
+    */
+  private val qCovarianceMatrix: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val xe = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe",
+        round(col("x").cast("double") * Similarity.MeanScale).cast("long"))
+    val p = xe.select(col("vec_id"), col("pos").as("pos_a"), col("xe").as("xa"))
+      .join(xe.select(col("vec_id"), col("pos").as("pos_b"), col("xe").as("xb")),
+        "vec_id")
+      .filter(col("pos_a") <= col("pos_b"))
+      .groupBy("pos_a", "pos_b")
+      .agg(sum(dec(col("xa")) * dec(col("xb"))).as("pab"))
+    val m = xe.groupBy("pos")
+      .agg(sum("xe").as("sx"), count(lit(1)).as("n"))
+    val sc2 = Similarity.MeanScale * Similarity.MeanScale
+    p.join(broadcast(m.select(col("pos").as("pos_a"), col("sx").as("sa"),
+        col("n"))), "pos_a")
+      .join(broadcast(m.select(col("pos").as("pos_b"), col("sx").as("sb"))),
+        "pos_b")
+      .select(col("pos_a"), col("pos_b"),
+        floor(lit(1000000000.0) *
+          ((col("pab").cast("double") / col("n") -
+            (col("sa").cast("double") / col("n")) *
+              (col("sb").cast("double") / col("n"))) / lit(sc2)))
+          .cast("long").as("cov_e9"))
+      .orderBy("pos_a", "pos_b")
+  }
+
   /** Column profiling: per-column count/nulls/distinct in one pass shape
     * (a union of per-column aggregates — the data-quality health check).
     */
@@ -657,6 +695,7 @@ object LlmOps {
     "q_bigram_lm" -> qBigramLm,
     "q_perplexity_lm" -> qPerplexityLm,
     "q_silhouette" -> qSilhouette,
+    "q_covariance_matrix" -> qCovarianceMatrix,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_bpe_pairs" -> qBpePairs,
@@ -1057,6 +1096,26 @@ object LlmOps {
         |  CAST((-CAST(sum(lp_e6) AS BIGINT)) // count(*) AS BIGINT)
         |    AS nll_e6
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_covariance_matrix" ->
+      """WITH u AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+        |      AS BIGINT) AS xe
+        |  FROM embeddings),
+        |p AS (SELECT a.pos AS pos_a, b.pos AS pos_b,
+        |    sum(CAST(a.xe AS HUGEINT) * b.xe) AS pab
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |  GROUP BY 1, 2),
+        |m AS (SELECT pos, CAST(sum(xe) AS BIGINT) AS sx, count(*) AS n
+        |      FROM u GROUP BY 1)
+        |SELECT pos_a, pos_b,
+        |  CAST(floor(1000000000.0 *
+        |    ((CAST(pab AS DOUBLE) / ma.n -
+        |      (CAST(ma.sx AS DOUBLE) / ma.n) *
+        |        (CAST(mb.sx AS DOUBLE) / ma.n)) /
+        |     (16777216.0 * 16777216.0))) AS BIGINT) AS cov_e9
+        |FROM p JOIN m ma ON pos_a = ma.pos JOIN m mb ON pos_b = mb.pos
+        |ORDER BY pos_a, pos_b""".stripMargin,
     "q_silhouette" ->
       """WITH u AS (SELECT vec_id, label AS own_label,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

@@ -170,7 +170,41 @@ object StatOps {
       .orderBy("n_cust")
   }
 
+  /** Mutual information between customer segment and order priority, in
+    * per-cell µnat contributions — the dependence measure that catches
+    * what `q_chisq_contingency`'s variance test summarizes differently
+    * (MI is the quantity a feature-selection pipeline thresholds on).
+    * Contract: each cell's term (n_xy/N)·ln(n_xy·N / (n_x·n_y)) floors
+    * to e6 BEFORE any cross-cell total (the `q_perplexity_lm`
+    * discipline — the integer cell table is exact, the log is one
+    * mirrored float sequence per cell, and any downstream sum of the
+    * published terms is order-independent). Marginals and N re-aggregate
+    * from the category²-sized cell table; everything after the one
+    * fact-join shuffle is broadcast-sized.
+    */
+  private val qMutualInfo: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("nxy"))
+    val nx = cells.groupBy("seg").agg(sum("nxy").as("nx"))
+    val ny = cells.groupBy("prio").agg(sum("nxy").as("ny"))
+    val tot = cells.agg(sum("nxy").as("nn"))
+    cells.join(broadcast(nx), "seg").join(broadcast(ny), "prio")
+      .crossJoin(broadcast(tot))
+      .select(col("seg"), col("prio"), col("nxy"),
+        floor(lit(1000000.0) *
+          (col("nxy").cast("double") / col("nn")) *
+          log((col("nxy") * col("nn")).cast("double") /
+            (col("nx") * col("ny")).cast("double")))
+          .cast("long").as("mi_term_e6"))
+      .orderBy("seg", "prio")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_mutual_info" -> qMutualInfo,
     "q_welch_ttest" -> qWelchTtest,
     "q_pareto_share" -> qParetoShare,
     "q_benford" -> qBenford,
@@ -179,6 +213,24 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    count(*) AS nxy
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |nx AS (SELECT seg, CAST(sum(nxy) AS BIGINT) AS nx
+        |       FROM cells GROUP BY 1),
+        |ny AS (SELECT prio, CAST(sum(nxy) AS BIGINT) AS ny
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS nn FROM cells)
+        |SELECT seg, prio, nxy,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(nxy AS DOUBLE) / nn) *
+        |    ln(CAST(nxy * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE)))
+        |    AS BIGINT) AS mi_term_e6
+        |FROM cells JOIN nx USING (seg) JOIN ny USING (prio)
+        |  CROSS JOIN tot
+        |ORDER BY seg, prio""".stripMargin,
     "q_pareto_share" ->
       """WITH pc AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
