@@ -48,7 +48,11 @@ object Bench {
     "q_bpe_pairs", "q_pmi_cooccur", "q_vocab_spectrum",
     "q_dedup_containment", "q_knn_label", "q_centroid_dist",
     "q_emb_variance", "q_degree_dist", "q_clustering_coeff",
-    "q_scd2_asof", "q_interval_prorate")
+    "q_scd2_asof", "q_interval_prorate",
+    "q_new_vs_returning", "q_stickiness", "q_active_streaks",
+    "q_inter_event", "q_perplexity_lm", "q_silhouette", "q_pareto_share",
+    "q_string_index", "q_target_encode", "q_common_neighbors",
+    "q_covariance_matrix", "q_mutual_info")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -184,6 +184,153 @@ class StatOpsSpec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(2)))
   }
 
+  test("q_new_vs_returning: acquisition mass equals the customer base; split conserves") {
+    val rows = q("q_new_vs_returning").collect()
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nCust)
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    assert(rows.head.getLong(3) == 0L) // day one: everyone is new
+  }
+
+  test("q_stickiness: ratio bounded and consistent with its own factors") {
+    q("q_stickiness").collect().foreach { r =>
+      val (sumDau, nDays, mau, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(mau <= sumDau && sumDau <= nDays * mau)
+      assert(ppm > 0L && ppm <= 1000000L)
+      assert(ppm == 1000000L * sumDau / (nDays * mau))
+    }
+  }
+
+  test("q_active_streaks: one row per active user; streak bounded by active days") {
+    val rows = q("q_active_streaks").collect()
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.length == users)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1L && r.getLong(1) <= r.getLong(2))
+    }
+  }
+
+  test("q_inter_event: gap count = events - first-events per type") {
+    val ev = graft.model.Tables.events(spark, sf)
+    val perType = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("user_id").as("u"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rows = q("q_inter_event").collect()
+    assert(rows.length == perType.size)
+    rows.foreach { r =>
+      val (n, u) = perType(r.getString(0))
+      assert(r.getLong(1) == n - u, s"${r.getString(0)}: gaps != n - users")
+      assert(r.getLong(2) >= 0L && r.getLong(3) >= 0L)
+    }
+  }
+
+  test("q_perplexity_lm: one row per scorable doc; n_bigrams = tokens - 1; nll >= 0") {
+    val docTok = graft.model.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q_perplexity_lm").collect()
+    assert(rows.length == docTok.count(_._2 >= 2))
+    rows.foreach { r =>
+      assert(r.getLong(1) == docTok(r.getLong(0)) - 1L)
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("q_silhouette: one row per vector; best-other differs from own label") {
+    val n = graft.model.Tables.embeddings(spark, sf).count()
+    val rows = q("q_silhouette").collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      assert(r.getInt(3) != r.getInt(1), "best other equals own label")
+      assert(r.getLong(5) == r.getLong(2) - r.getLong(4))
+    }
+    // this corpus's labels are only weakly clustered (374/1000 margin
+    // mass positive at sf0.001) — assert the measure discriminates at
+    // all, not a majority
+    assert(rows.exists(_.getLong(5) > 0L) && rows.exists(_.getLong(5) < 0L))
+  }
+
+  test("q_pareto_share: decile cut exact; top decile holds at least its pro-rata share") {
+    val r = q("q_pareto_share").collect()(0)
+    val (nCust, topN, topCents, totCents, ppm) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(topN == (nCust + 9) / 10)
+    assert(topCents <= totCents)
+    // top-by-spend decile cannot hold less than a uniform decile
+    assert(ppm >= 1000000L * topN / nCust - 1)
+    assert(ppm == 1000000L * topCents / totCents)
+  }
+
+  test("q_string_index: contiguous ids, frequency-monotone, mass conserves") {
+    val rows = q("q_string_index").collect()
+    assert(rows.map(_.getLong(1)).toSeq == rows.indices.map(_.toLong))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) > b.getLong(2) ||
+        (a.getLong(2) == b.getLong(2) && a.getString(0) < b.getString(0)))
+    }
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.model.Tables.part(spark, sf).count())
+  }
+
+  test("q_target_encode: encoding shrinks toward the global mean") {
+    val rows = q("q_target_encode").collect()
+    val totN = rows.map(_.getLong(1)).sum
+    assert(totN == graft.model.Tables.orders(spark, sf).count())
+    val gavgApprox = rows.map(r => r.getLong(1) * r.getLong(2)).sum / totN
+    rows.foreach { r =>
+      val (avg, enc) = (r.getLong(2), r.getLong(3))
+      val lo = math.min(avg, gavgApprox) - 2
+      val hi = math.max(avg, gavgApprox) + 2
+      assert(enc >= lo && enc <= hi,
+        s"${r.getString(0)}: enc $enc outside [$lo, $hi]")
+    }
+  }
+
+  test("q_common_neighbors: focus-scoped, non-adjacent, ranked top-5 per focus") {
+    val li = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = li.as("a").join(li.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p"), col("b.p")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rows = q("q_common_neighbors").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (f, cand) = (r.getLong(0), r.getLong(1))
+      assert(f < 100L)
+      assert(!edges.contains((math.min(f, cand), math.max(f, cand))),
+        s"pair ($f,$cand) is an existing edge")
+      assert(r.getLong(2) >= 1L && r.getInt(3) >= 1 && r.getInt(3) <= 5)
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getInt(3)).sorted.toSeq == (1 to g.length))
+    }
+  }
+
+  test("q_covariance_matrix: full upper triangle; diagonal matches a driver recompute") {
+    val rows = q("q_covariance_matrix").collect()
+    assert(rows.length == 64 * 65 / 2)
+    rows.filter(r => r.getInt(0) == r.getInt(1))
+      .foreach(r => assert(r.getLong(2) >= -1L, "negative variance"))
+    val xs = graft.model.Tables.embeddings(spark, sf)
+      .select(expr("CAST(embedding[0] AS DOUBLE)")).collect().map(_.getDouble(0))
+    val m = xs.sum / xs.length
+    val v = xs.map(x => (x - m) * (x - m)).sum / xs.length
+    val got = rows.find(r => r.getInt(0) == 0 && r.getInt(1) == 0).get.getLong(2)
+    assert(math.abs(got / 1e9 - v) < 1e-4, s"cov00 $got vs recompute $v")
+  }
+
+  test("q_mutual_info: cell mass conserves; floored total within cell-count of true MI >= 0") {
+    val rows = q("q_mutual_info").collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.model.Tables.orders(spark, sf).count())
+    // true MI >= 0 and each published term under-counts by < 1 µnat
+    assert(rows.map(_.getLong(3)).sum >= -rows.length.toLong)
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
