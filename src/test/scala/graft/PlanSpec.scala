@@ -194,6 +194,69 @@ class PlanSpec extends AnyFunSuite {
       p.take(2000))
   }
 
+  /** Final ADAPTIVE plan (after execution): totals derived from a
+    * per-group aggregate duplicate that aggregate's subtree in the
+    * static plan, but both branches share one identical exchange, so
+    * AQE's ReuseExchange collapses them at runtime — the property that
+    * matters is reuse in the executed plan, not the static tree.
+    */
+  private def finalPlanOf(key: String): String = {
+    val df = SparkEntry.queries(key)(spark, sf)
+    df.collect() // finalize the adaptive plan of THIS query execution
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def reusesExchange(p: String): Boolean =
+    p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      p.contains("reused")
+
+  test("q_welch_ttest totals reuse the per-segment exchange (no second fact scan)") {
+    val p = finalPlanOf("q_welch_ttest")
+    assert(reusesExchange(p) || "Scan parquet".r.findAllIn(p).size <= 2,
+      s"totals branch re-scanned the fact join\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("q_target_encode and q_mutual_info derive totals via exchange reuse") {
+    val te = finalPlanOf("q_target_encode")
+    assert(reusesExchange(te) ||
+      "Scan parquet".r.findAllIn(te).size <= 1, te.take(3000))
+    val mi = finalPlanOf("q_mutual_info")
+    assert(reusesExchange(mi) ||
+      "Scan parquet".r.findAllIn(mi).size <= 2, mi.take(3000))
+    assert(mi.contains("BroadcastHashJoin"))
+  }
+
+  test("q_common_neighbors pushes the per-focus top-5 below the exchange, no cartesian") {
+    val p = planOf("q_common_neighbors")
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_pmi_cooccur broadcasts the vocabulary-sized frequency tables") {
+    val p = planOf("q_pmi_cooccur")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_perplexity_lm broadcasts the model back onto the scoring pass") {
+    val p = planOf("q_perplexity_lm")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q_silhouette and q_covariance_matrix stay keyed joins, no cartesian") {
+    Seq("q_silhouette", "q_covariance_matrix").foreach { k =>
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$k:\n${p.take(2000)}")
+    }
+  }
+
+  test("q_pareto_share ranks without any window at all (partition-offset rank)") {
+    assert(globalWindows("q_pareto_share").isEmpty)
+  }
+
   test("q_sql_tpch_q1 pushes the date filter into the scan and aggregates in two phases") {
     val p = planOf("q_sql_tpch_q1")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p.take(2000))
