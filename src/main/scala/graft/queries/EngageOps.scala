@@ -107,7 +107,50 @@ object EngageOps {
       .orderBy("event_type")
   }
 
+  /** Discrete Kaplan–Meier survival curve of customer lifetime: the
+    * churn-analysis staple. Lifetime = days between first and last
+    * order, bucketed into 90-day periods; a customer whose last order
+    * predates the corpus horizon by >180 days counts as churned at
+    * their bucket, later actives are right-censored (leave the risk
+    * set without a churn event — the distinction that separates KM
+    * from a naive churn histogram). Determinism for the cumulative
+    * product: each bucket's survival factor is an exact ppm integer
+    * (clamped ≥1 so a bucket where everyone churns cannot reach
+    * ln(0)), its log floors to an integer BEFORE the running sum, and
+    * S(t) exponentiates the integer cumsum — the `q_perplexity_lm`
+    * discipline applied to a product. Both running windows scan the
+    * BUCKET-sized table (≤ lifetime-span/90 rows), never customers.
+    */
+  private val qSurvival: Q = (s, d) => {
+    val u = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(min(unix_date(to_date(col("o_orderdate"))).cast("long")).as("f"),
+        max(unix_date(to_date(col("o_orderdate"))).cast("long")).as("l"))
+    val h = u.agg(max("l").as("hend"))
+    val per = u.crossJoin(broadcast(h))
+      .select(expr("(l - f) DIV 90").as("t"),
+        (col("l") < col("hend") - 180L).cast("long").as("ch"))
+      .groupBy("t").agg(count(lit(1)).as("n_at"), sum("ch").as("n_churn"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.withColumn("n_risk", sum("n_at").over(wDesc))
+      .withColumn("f_ppm",
+        greatest(lit(1000000L) - expr("1000000 * n_churn DIV n_risk"), lit(1L)))
+      .withColumn("lnf_e9",
+        floor(lit(1000000000.0) *
+          log(col("f_ppm").cast("double") / lit(1000000.0))).cast("long"))
+      .withColumn("surv_e6",
+        floor(lit(1000000.0) *
+          exp(sum("lnf_e9").over(wAsc).cast("double") / lit(1000000000.0)))
+          .cast("long"))
+      .select(col("t"), col("n_risk"), col("n_churn"), col("surv_e6"))
+      .orderBy("t")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_survival" -> qSurvival,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_stickiness" -> qStickiness,
     "q_active_streaks" -> qActiveStreaks,
@@ -115,6 +158,35 @@ object EngageOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_survival" ->
+      """WITH u AS (SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(min(o_orderdate)
+        |      AS DATE)) AS BIGINT) AS f,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(max(o_orderdate)
+        |      AS DATE)) AS BIGINT) AS l
+        |  FROM orders GROUP BY 1),
+        |h AS (SELECT max(l) AS hend FROM u),
+        |per AS (SELECT (l - f) // 90 AS t, count(*) AS n_at,
+        |    CAST(sum(CASE WHEN l < hend - 180 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_churn
+        |  FROM u CROSS JOIN h GROUP BY 1),
+        |r AS (SELECT t, n_churn,
+        |    CAST(sum(n_at) OVER (ORDER BY t DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS n_risk
+        |  FROM per),
+        |r2 AS (SELECT t, n_risk, n_churn,
+        |    greatest(1000000 - 1000000 * n_churn // n_risk, 1) AS f_ppm
+        |  FROM r),
+        |r3 AS (SELECT t, n_risk, n_churn,
+        |    CAST(floor(1000000000.0 *
+        |      ln(CAST(f_ppm AS DOUBLE) / 1000000.0)) AS BIGINT) AS lnf
+        |  FROM r2)
+        |SELECT t, n_risk, n_churn,
+        |  CAST(floor(1000000.0 * exp(CAST(sum(lnf) OVER (ORDER BY t ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |    1000000000.0)) AS BIGINT) AS surv_e6
+        |FROM r3 ORDER BY t""".stripMargin,
     "q_new_vs_returning" ->
       """WITH cd AS (SELECT DISTINCT o_custkey AS c,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -203,8 +203,43 @@ object StatOps {
       .orderBy("seg", "prio")
   }
 
+  /** Wilson 95% confidence interval for per-segment conversion (share
+    * of customers with at least one urgent order) — the uncertainty
+    * quantification an A/B readout needs beside the point estimate
+    * (`q_welch_ttest` compares means; this bounds a proportion, and
+    * Wilson, unlike the naive Wald interval, stays inside [0,1] at
+    * small n / extreme p). k and n are exact integers off two keyed
+    * aggregates; the interval is one mirrored float sequence with
+    * z = 1.96 literal on both engines.
+    */
+  private val qConversionCi: Q = (s, d) => {
+    val base = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+    val conv = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+    val per = base
+      .join(conv, base("c_custkey") === conv("o_custkey"), "left")
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey").isNotNull.cast("long")).as("k"))
+    per
+      .withColumn("ph", col("k").cast("double") / col("n").cast("double"))
+      .withColumn("z2n", lit(3.8416) / col("n").cast("double"))
+      .withColumn("ctr", (col("ph") + col("z2n") / lit(2.0)) / (lit(1.0) + col("z2n")))
+      .withColumn("hw",
+        lit(1.96) * sqrt(col("ph") * (lit(1.0) - col("ph")) / col("n").cast("double") +
+          col("z2n") / (lit(4.0) * col("n").cast("double"))) / (lit(1.0) + col("z2n")))
+      .select(col("seg"), col("n"), col("k"),
+        floor(lit(1000000.0) * col("ph")).cast("long").as("p_e6"),
+        floor(lit(1000000.0) * (col("ctr") - col("hw"))).cast("long").as("lo_e6"),
+        floor(lit(1000000.0) * (col("ctr") + col("hw"))).cast("long").as("hi_e6"))
+      .orderBy("seg")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_mutual_info" -> qMutualInfo,
+    "q_conversion_ci" -> qConversionCi,
     "q_welch_ttest" -> qWelchTtest,
     "q_pareto_share" -> qParetoShare,
     "q_benford" -> qBenford,
@@ -213,6 +248,28 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_conversion_ci" ->
+      """WITH conv AS (SELECT DISTINCT o_custkey FROM orders
+        |              WHERE o_orderpriority = '1-URGENT'),
+        |per AS (SELECT c_mktsegment AS seg, count(*) AS n,
+        |    CAST(sum(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS k
+        |  FROM customer LEFT JOIN conv ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |f AS (SELECT seg, n, k,
+        |    CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS ph,
+        |    3.8416 / CAST(n AS DOUBLE) AS z2n
+        |  FROM per),
+        |g AS (SELECT seg, n, k, ph, z2n,
+        |    (ph + z2n / 2.0) / (1.0 + z2n) AS ctr,
+        |    1.96 * sqrt(ph * (1.0 - ph) / CAST(n AS DOUBLE) +
+        |      z2n / (4.0 * CAST(n AS DOUBLE))) / (1.0 + z2n) AS hw
+        |  FROM f)
+        |SELECT seg, CAST(n AS BIGINT) AS n, k,
+        |  CAST(floor(1000000.0 * ph) AS BIGINT) AS p_e6,
+        |  CAST(floor(1000000.0 * (ctr - hw)) AS BIGINT) AS lo_e6,
+        |  CAST(floor(1000000.0 * (ctr + hw)) AS BIGINT) AS hi_e6
+        |FROM g ORDER BY seg""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
         |    count(*) AS nxy

@@ -331,6 +331,33 @@ class StatOpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(3)).sum >= -rows.length.toLong)
   }
 
+  test("q_survival: monotone curve, shrinking risk set, churn mass conserves") {
+    val rows = q("q_survival").collect()
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.head.getLong(1) == nCust, "bucket 0 risk set != customer base")
+    assert(rows.head.getLong(3) <= 1000000L)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(0) < b.getLong(0))
+      assert(a.getLong(1) >= b.getLong(1), "risk set must shrink")
+      assert(a.getLong(3) >= b.getLong(3), "survival must be non-increasing")
+    }
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q_conversion_ci: Wilson interval brackets the point estimate inside [0,1]") {
+    val rows = q("q_conversion_ci").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.model.Tables.customer(spark, sf).count())
+    rows.foreach { r =>
+      val (n, k, p, lo, hi) = (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+      assert(k <= n)
+      assert(lo >= 0L && hi <= 1000000L)
+      assert(lo <= p && p <= hi, s"${r.getString(0)}: [$lo, $hi] !∋ $p")
+    }
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
