@@ -6,17 +6,18 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 
 /** User-engagement analytics surface: new-vs-returning actor splits,
-  * DAU/MAU stickiness, consecutive-activity streaks, and inter-event
-  * arrival statistics — the product-analytics counters every event
-  * warehouse serves.
+  * DAU/MAU stickiness, consecutive-activity streaks, inter-event
+  * arrival statistics, and the Kaplan–Meier lifetime survival curve —
+  * the product-analytics counters every event warehouse serves.
   *
-  * Scale discipline shared by all four: raw activity collapses to the
-  * distinct (actor, period) grain FIRST (one keyed shuffle bounded by
-  * actors × active periods, far below event volume), and everything
-  * downstream — windows included — runs on that collapsed table.
-  * Determinism: integer epoch-day / micros arithmetic; ratios as
-  * 10⁶·a DIV b; medians only over integers (midpoints are exactly
-  * representable doubles, `quantile_cont` parity).
+  * Shared scale discipline: raw activity collapses to a bounded grain
+  * FIRST — distinct (actor, period) for the four activity counters,
+  * one (first, last) row per actor for survival — one keyed shuffle
+  * far below event volume, and everything downstream (windows
+  * included) runs on that collapsed table. Determinism: integer
+  * epoch-day / micros arithmetic; ratios as 10⁶·a DIV b; medians only
+  * over integers (midpoints are exactly representable doubles,
+  * `quantile_cont` parity).
   */
 object EngageOps {
   private type Q = (SparkSession, String) => DataFrame

@@ -528,15 +528,17 @@ object LlmOps {
         floor(lit(1000000.0) * (col("dot").cast("double") /
           (sqrt(col("vn").cast("double")) * sqrt(col("cn").cast("double")))))
           .cast("long").as("cos_e6"))
+    // own_label IS the output label — carrying it through `own` avoids
+    // a third scan of the embeddings table just to re-fetch it
     val own = cos.filter(col("c_label") === col("own_label"))
-      .select(col("vec_id"), col("cos_e6").as("own_cos_e6"))
+      .select(col("vec_id"), col("own_label").as("label"),
+        col("cos_e6").as("own_cos_e6"))
     val other = cos.filter(col("c_label") =!= col("own_label"))
       .groupBy("vec_id")
       .agg(max(col("cos_e6")).as("best_other_cos_e6"),
         max_by(col("c_label"), col("cos_e6") * 1000L - col("c_label"))
           .as("best_other"))
     own.join(other, "vec_id")
-      .join(broadcast(emb.select(col("vec_id"), col("label"))), "vec_id")
       .select(col("vec_id"), col("label"), col("own_cos_e6"),
         col("best_other"), col("best_other_cos_e6"),
         (col("own_cos_e6") - col("best_other_cos_e6")).as("margin_e6"))
@@ -1136,17 +1138,16 @@ object LlmOps {
         |      (sqrt(CAST(vn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE)))))
         |      AS BIGINT) AS cos_e6
         |  FROM dots JOIN cn2 USING (c_label) JOIN vn2 USING (vec_id)),
-        |own AS (SELECT vec_id, cos_e6 AS own_cos_e6 FROM coss
-        |        WHERE c_label = own_label),
+        |own AS (SELECT vec_id, own_label AS label, cos_e6 AS own_cos_e6
+        |        FROM coss WHERE c_label = own_label),
         |oth AS (SELECT vec_id, max(cos_e6) AS best_other_cos_e6,
         |    CAST(max_by(c_label, cos_e6 * 1000 - c_label) AS INTEGER)
         |      AS best_other
         |  FROM coss WHERE c_label <> own_label GROUP BY 1)
-        |SELECT own.vec_id, e.label, own_cos_e6, best_other,
+        |SELECT own.vec_id, label, own_cos_e6, best_other,
         |  best_other_cos_e6,
         |  own_cos_e6 - best_other_cos_e6 AS margin_e6
         |FROM own JOIN oth USING (vec_id)
-        |  JOIN embeddings e USING (vec_id)
         |ORDER BY own.vec_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),

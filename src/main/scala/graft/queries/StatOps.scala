@@ -195,10 +195,14 @@ object StatOps {
     cells.join(broadcast(nx), "seg").join(broadcast(ny), "prio")
       .crossJoin(broadcast(tot))
       .select(col("seg"), col("prio"), col("nxy"),
+        // log argument in DOUBLE throughout: the BIGINT products nxy·N
+        // and nx·ny would overflow past ~3·10⁹ fact rows (the
+        // assoc-rules-lift lesson); doubles trade exactness of the
+        // PRODUCTS (still one mirrored sequence) for unbounded scale
         floor(lit(1000000.0) *
           (col("nxy").cast("double") / col("nn")) *
-          log((col("nxy") * col("nn")).cast("double") /
-            (col("nx") * col("ny")).cast("double")))
+          log(col("nxy").cast("double") * col("nn").cast("double") /
+            (col("nx").cast("double") * col("ny").cast("double"))))
           .cast("long").as("mi_term_e6"))
       .orderBy("seg", "prio")
   }
@@ -230,10 +234,16 @@ object StatOps {
       .withColumn("hw",
         lit(1.96) * sqrt(col("ph") * (lit(1.0) - col("ph")) / col("n").cast("double") +
           col("z2n") / (lit(4.0) * col("n").cast("double"))) / (lit(1.0) + col("z2n")))
+      // clamp to the unit interval: at k=0 (or k=n) the exact Wilson
+      // bound IS 0 (or 1), but ctr and hw reach it via different float
+      // sequences, so ctr−hw can round a hair negative — the floor
+      // would then emit −1 and break the documented [0,1] invariant
       .select(col("seg"), col("n"), col("k"),
         floor(lit(1000000.0) * col("ph")).cast("long").as("p_e6"),
-        floor(lit(1000000.0) * (col("ctr") - col("hw"))).cast("long").as("lo_e6"),
-        floor(lit(1000000.0) * (col("ctr") + col("hw"))).cast("long").as("hi_e6"))
+        greatest(floor(lit(1000000.0) * (col("ctr") - col("hw"))).cast("long"),
+          lit(0L)).as("lo_e6"),
+        least(floor(lit(1000000.0) * (col("ctr") + col("hw"))).cast("long"),
+          lit(1000000L)).as("hi_e6"))
       .orderBy("seg")
   }
 
@@ -267,8 +277,10 @@ object StatOps {
         |  FROM f)
         |SELECT seg, CAST(n AS BIGINT) AS n, k,
         |  CAST(floor(1000000.0 * ph) AS BIGINT) AS p_e6,
-        |  CAST(floor(1000000.0 * (ctr - hw)) AS BIGINT) AS lo_e6,
-        |  CAST(floor(1000000.0 * (ctr + hw)) AS BIGINT) AS hi_e6
+        |  greatest(CAST(floor(1000000.0 * (ctr - hw)) AS BIGINT), 0)
+        |    AS lo_e6,
+        |  least(CAST(floor(1000000.0 * (ctr + hw)) AS BIGINT), 1000000)
+        |    AS hi_e6
         |FROM g ORDER BY seg""".stripMargin,
     "q_mutual_info" ->
       """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
@@ -283,7 +295,8 @@ object StatOps {
         |SELECT seg, prio, nxy,
         |  CAST(floor(1000000.0 *
         |    (CAST(nxy AS DOUBLE) / nn) *
-        |    ln(CAST(nxy * nn AS DOUBLE) / CAST(nx * ny AS DOUBLE)))
+        |    ln(CAST(nxy AS DOUBLE) * CAST(nn AS DOUBLE) /
+        |       (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))))
         |    AS BIGINT) AS mi_term_e6
         |FROM cells JOIN nx USING (seg) JOIN ny USING (prio)
         |  CROSS JOIN tot
