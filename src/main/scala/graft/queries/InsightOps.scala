@@ -55,6 +55,100 @@ object InsightOps {
       .orderBy(col("user_id"))
   }
 
+  /** Conversion-window funnel: view→click→purchase where each step must
+    * land within 24 h of the previous one — the funnel variant product
+    * analytics actually ships (an unbounded funnel credits a purchase
+    * months after the view). Same keyed-aggregate shape as `q_funnel`
+    * (no windows, one row per surviving user per stage); the window
+    * bound is a residual predicate on the stage join.
+    */
+  private val qFunnelWindow: Q = (s, d) => {
+    val W = 86400000000L // 24 h in micros
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view_us"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("us") > col("t_view_us") && col("us") <= col("t_view_us") + W)
+      .groupBy("user_id").agg(min("us").as("t_click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("us") > col("t_click_us") && col("us") <= col("t_click_us") + W)
+      .groupBy("user_id").agg(min("us").as("t_purchase_us"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+        col("t_purchase_us"),
+        (lit(1) + col("t_click_us").isNotNull.cast("int") +
+          col("t_purchase_us").isNotNull.cast("int")).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Classical seasonal decomposition (trend / weekly seasonal /
+    * residual) of the daily revenue series: trend = centered 7-day
+    * moving average over the GAP-FILLED calendar spine (missing days
+    * are explicit zeros — without the spine the "7-day" frame silently
+    * spans more than 7 calendar days), seasonal = per-weekday median of
+    * the detrended series, residual = what's left. Exactness: the MA is
+    * sum DIV 7 on exact cents over full frames only (edges emit null
+    * trend); medians are integer midpoints; the residual is defined
+    * integer arithmetic. All windows run over the day-collapsed table
+    * (the `q_autocorr`/`q_period_over_period` posture).
+    */
+  private val qSeasonalDecompose: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("c0"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val full = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(daily, Seq("day"), "left")
+      .withColumn("cents", coalesce(col("c0"), lit(0L)))
+    val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    val t = full
+      .withColumn("cnt7", count(lit(1)).over(w7))
+      .withColumn("s7", sum("cents").over(w7))
+      .withColumn("trend", when(col("cnt7") === 7L, expr("s7 DIV 7")))
+      .withColumn("dow", (col("day") + 3L) % 7L)
+      .withColumn("detr", col("cents") - col("trend"))
+    val sea = t.filter(col("detr").isNotNull)
+      .groupBy("dow").agg(expr("percentile(detr, 0.5)").as("med"))
+      .select(col("dow"), floor(col("med") * 100).cast("long").as("sea_e2"))
+    t.join(broadcast(sea), "dow")
+      .select(col("day"), col("cents"), col("trend"), col("sea_e2"),
+        (col("detr") * 100L - col("sea_e2")).as("resid_e2"))
+      .orderBy("day")
+  }
+
+  /** CUSUM change-point candidates: the 10 days maximizing the exact
+    * integer statistic |n·S_t − t·S_n| (the scaled gap between the
+    * prefix mean and the global mean — the classical level-shift
+    * locator), with the before/after means for interpretation. Prefix
+    * sums and ranks ride one window over the day-collapsed table;
+    * top-10 plans as TakeOrderedAndProject. BIGINT headroom:
+    * n·S_t needs days × total-cents under 2⁶³ (~10⁶ days at 10¹³
+    * cents); past that the statistic moves to DECIMAL(38,0).
+    */
+  private val qChangepoint: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = daily
+      .withColumn("t", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("st", sum("cents").over(w))
+    val tot = pre.agg(max("t").as("n"), max("st").as("sn"))
+    pre.crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .select(col("day"),
+        abs(col("n") * col("st") - col("t") * col("sn")).as("stat"),
+        expr("st DIV t").as("mean_before_cents"),
+        expr("(sn - st) DIV (n - t)").as("mean_after_cents"))
+      .orderBy(col("stat").desc, col("day"))
+      .limit(10)
+  }
+
   /** Per-label mean embedding (the class-centroid feature): positional
     * explode → exact integer-scaled sums per (label, dimension) → one
     * division. The distributed mean with NO float-summation-order
@@ -711,6 +805,9 @@ object InsightOps {
     "q_cohort_retention" -> qCohortRetention,
     "q_decay_wavg" -> qDecayWavg,
     "q_funnel" -> qFunnel,
+    "q_funnel_window" -> qFunnelWindow,
+    "q_seasonal_decompose" -> qSeasonalDecompose,
+    "q_changepoint" -> qChangepoint,
     "q_label_centroids" -> qLabelCentroids,
     "q_mad_outliers" -> qMadOutliers,
     "q_skyline" -> qSkyline,
@@ -1028,6 +1125,72 @@ object InsightOps {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin,
+    "q_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view_us FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(us) AS t_click_us FROM e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE event_type = 'click' AND us > t_view_us
+        |        AND us <= t_view_us + 86400000000 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(us) AS t_purchase_us FROM e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE event_type = 'purchase' AND us > t_click_us
+        |        AND us <= t_click_us + 86400000000 GROUP BY e.user_id)
+        |SELECT v.user_id, t_view_us, t_click_us, t_purchase_us,
+        |  1 + CAST(t_click_us IS NOT NULL AS INT)
+        |    + CAST(t_purchase_us IS NOT NULL AS INT) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin,
+    "q_seasonal_decompose" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS c0
+        |  FROM orders GROUP BY 1),
+        |s AS (SELECT CAST(unnest(generate_series(d0, d1)) AS BIGINT) AS day
+        |      FROM (SELECT min(day) AS d0, max(day) AS d1 FROM daily)),
+        |full0 AS (SELECT s.day, coalesce(c0, 0) AS cents
+        |          FROM s LEFT JOIN daily ON s.day = daily.day),
+        |t AS (SELECT day, cents,
+        |    count(*) OVER w7 AS cnt7,
+        |    CAST(sum(cents) OVER w7 AS BIGINT) AS s7,
+        |    (day + 3) % 7 AS dow
+        |  FROM full0
+        |  WINDOW w7 AS (ORDER BY day
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT day, cents, dow,
+        |    CASE WHEN cnt7 = 7 THEN s7 // 7 END AS trend,
+        |    CASE WHEN cnt7 = 7 THEN cents - s7 // 7 END AS detr
+        |  FROM t),
+        |sea AS (SELECT dow,
+        |    CAST(floor(quantile_cont(detr, 0.5) * 100) AS BIGINT) AS sea_e2
+        |  FROM t2 WHERE detr IS NOT NULL GROUP BY 1)
+        |SELECT day, cents, trend, sea.sea_e2,
+        |  detr * 100 - sea.sea_e2 AS resid_e2
+        |FROM t2 JOIN sea ON t2.dow = sea.dow
+        |ORDER BY day""".stripMargin,
+    "q_changepoint" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |pre AS (SELECT day,
+        |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t,
+        |    CAST(sum(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS st
+        |  FROM daily),
+        |tot AS (SELECT max(t) AS n, max(st) AS sn FROM pre)
+        |SELECT day, abs(n * st - t * sn) AS stat,
+        |  CAST(st // t AS BIGINT) AS mean_before_cents,
+        |  CAST((sn - st) // (n - t) AS BIGINT) AS mean_after_cents
+        |FROM pre CROSS JOIN tot WHERE t < n
+        |ORDER BY stat DESC, day LIMIT 10""".stripMargin,
     "q_label_centroids" ->
       """WITH u AS (SELECT label,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

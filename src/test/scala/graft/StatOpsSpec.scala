@@ -358,6 +358,46 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_funnel_window: the 24h bound only loses or delays conversions vs q_funnel") {
+    val unb = q("q_funnel").collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+    val rows = q("q_funnel_window").collect()
+    assert(rows.length == unb.size)
+    var strictlyFewer = 0
+    rows.foreach { r =>
+      assert(r.getInt(4) <= unb(r.getLong(0)),
+        s"user ${r.getLong(0)}: windowed stage exceeds unbounded")
+      if (r.getInt(4) < unb(r.getLong(0))) strictlyFewer += 1
+      if (!r.isNullAt(2))
+        assert(r.getLong(2) > r.getLong(1) &&
+          r.getLong(2) <= r.getLong(1) + 86400000000L)
+    }
+    assert(strictlyFewer > 0, "window bound never binds on this corpus")
+  }
+
+  test("q_seasonal_decompose: contiguous spine; trend+seasonal+residual reassembles cents") {
+    val rows = q("q_seasonal_decompose").collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      (rows.head.getLong(0) to rows.last.getLong(0)))
+    val interior = rows.filter(!_.isNullAt(2))
+    assert(interior.length == rows.length - 6, "exactly 3 null-trend edge days per side")
+    interior.foreach { r =>
+      assert(r.getLong(3) + r.getLong(4) == (r.getLong(1) - r.getLong(2)) * 100L,
+        s"day ${r.getLong(0)}: decomposition does not reassemble")
+    }
+  }
+
+  test("q_changepoint: descending statistic, split means differ at the top candidate") {
+    val rows = q("q_changepoint").collect()
+    assert(rows.length == 10)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1))
+    }
+    val top = rows.head
+    assert(top.getLong(2) != top.getLong(3),
+      "top change-point has identical before/after means")
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
