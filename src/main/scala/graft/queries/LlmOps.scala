@@ -583,6 +583,24 @@ object LlmOps {
       .orderBy("pos_a", "pos_b")
   }
 
+  /** Inverse-frequency class weights for the language column — the
+    * balancing weight table a training loop multiplies into its loss
+    * (rare classes weigh more; weights average ~1 across classes).
+    * weight_e6 = 10⁶·N DIV (L·n_c), pure integer arithmetic; N and L
+    * re-aggregate from the class-sized table (no second corpus scan —
+    * the exchange-reuse pattern PlanSpec pins for target-encode).
+    */
+  private val qClassWeights: Q = (s, d) => {
+    val per = Tables.documents(s, d)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("n_docs").as("n_total"),
+      count(lit(1)).as("n_classes"))
+    per.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        expr("1000000 * n_total DIV (n_classes * n_docs)").as("weight_e6"))
+      .orderBy("lang")
+  }
+
   /** Column profiling: per-column count/nulls/distinct in one pass shape
     * (a union of per-column aggregates — the data-quality health check).
     */
@@ -698,6 +716,7 @@ object LlmOps {
     "q_perplexity_lm" -> qPerplexityLm,
     "q_silhouette" -> qSilhouette,
     "q_covariance_matrix" -> qCovarianceMatrix,
+    "q_class_weights" -> qClassWeights,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_bpe_pairs" -> qBpePairs,
@@ -1098,6 +1117,15 @@ object LlmOps {
         |  CAST((-CAST(sum(lp_e6) AS BIGINT)) // count(*) AS BIGINT)
         |    AS nll_e6
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_class_weights" ->
+      """WITH per AS (SELECT lang, count(*) AS n_docs
+        |             FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        count(*) AS n_classes FROM per)
+        |SELECT lang, n_docs,
+        |  CAST(1000000 * n_total // (n_classes * n_docs) AS BIGINT)
+        |    AS weight_e6
+        |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
     "q_covariance_matrix" ->
       """WITH u AS (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

@@ -247,8 +247,57 @@ object StatOps {
       .orderBy("seg")
   }
 
+  /** 10%-trimmed mean of event values per type — the robust location
+    * estimate that DROPS the tails (`q_winsorize` is the clamp
+    * counterpart). Interior = ranks in (ceil(n/10), n − ceil(n/10)];
+    * the cut is pure integer arithmetic on a per-group rank window,
+    * and the trimmed mean is sum DIV count over the interior — exact
+    * and order-independent. Work shards by event_type.
+    */
+  private val qTrimmedMean: Q = (s, d) => {
+    val c = Tables.events(s, d).select(col("event_id"), col("event_type"),
+      round(col("value") * 100.0).cast("long").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("cents"), col("event_id"))
+    c.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+      .filter(col("rn") > expr("(n + 9) DIV 10") &&
+        col("rn") <= col("n") - expr("(n + 9) DIV 10"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"), count(lit(1)).as("n_kept"),
+        expr("sum(cents) DIV count(1)").as("trimmed_mean_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Quantity-weighted median of lineitem price: the first price (in
+    * ascending order) whose running weight reaches half the total —
+    * the inventory-weighted "typical price". The running weight rides
+    * [[graft.ops.Ranks.globalRunningSum]] (range-partitioned, no
+    * single-partition window); the crossing row's PRICE is invariant
+    * to tie order within an equal-price block (any reordering crosses
+    * inside the same block), so `min(price | 2·cumw ≥ total)` is
+    * deterministic on both engines.
+    */
+  private val qWeightedMedian: Q = (s, d) => {
+    val b = Tables.lineitem(s, d)
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+    val r = graft.ops.Ranks.globalRunningSum(b,
+      Seq(col("cents").asc), col("qty"), "cumw")
+    val tot = b.agg(sum("qty").as("totw"))
+    r.crossJoin(broadcast(tot))
+      .filter(col("cumw") * 2L >= col("totw"))
+      .groupBy("totw")
+      .agg(min("cents").as("wmedian_cents"))
+      .select(col("totw"), col("wmedian_cents"))
+      .orderBy("totw")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_mutual_info" -> qMutualInfo,
+    "q_trimmed_mean" -> qTrimmedMean,
+    "q_weighted_median" -> qWeightedMedian,
     "q_conversion_ci" -> qConversionCi,
     "q_welch_ttest" -> qWelchTtest,
     "q_pareto_share" -> qParetoShare,
@@ -258,6 +307,31 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_trimmed_mean" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT event_type, cents,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY cents, event_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM c)
+        |SELECT event_type, max(n) AS n, count(*) AS n_kept,
+        |  CAST(CAST(sum(cents) AS BIGINT) // count(*) AS BIGINT)
+        |    AS trimmed_mean_cents
+        |FROM r WHERE rn > (n + 9) // 10 AND rn <= n - (n + 9) // 10
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_weighted_median" ->
+      """WITH b AS (SELECT CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |    AS cents, CAST(l_quantity AS BIGINT) AS qty FROM lineitem),
+        |r AS (SELECT cents,
+        |    CAST(sum(qty) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumw
+        |  FROM b),
+        |tot AS (SELECT CAST(sum(qty) AS BIGINT) AS totw FROM b)
+        |SELECT totw, CAST(min(cents) AS BIGINT) AS wmedian_cents
+        |FROM r CROSS JOIN tot WHERE cumw * 2 >= totw
+        |GROUP BY totw ORDER BY totw""".stripMargin,
     "q_conversion_ci" ->
       """WITH conv AS (SELECT DISTINCT o_custkey FROM orders
         |              WHERE o_orderpriority = '1-URGENT'),

@@ -398,6 +398,40 @@ class StatOpsSpec extends AnyFunSuite {
       "top change-point has identical before/after means")
   }
 
+  test("q_trimmed_mean: interior size identity; mean lies inside the kept range") {
+    val perType = graft.model.Tables.events(spark, sf)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = q("q_trimmed_mean").collect()
+    rows.foreach { r =>
+      val n = perType(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == n - 2 * ((n + 9) / 10), s"${r.getString(0)}")
+    }
+  }
+
+  test("q_weighted_median equals the driver-side brute force") {
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .select(round(col("l_extendedprice") * 100.0).cast("long").as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val tot = rows.map(_._2).sum
+    var cum = 0L
+    val expect = rows.find { case (_, q) => cum += q; cum * 2 >= tot }.get._1
+    val r = q("q_weighted_median").collect()(0)
+    assert(r.getLong(0) == tot && r.getLong(1) == expect)
+  }
+
+  test("q_class_weights: exact inverse-frequency identity, mass conserves") {
+    val rows = q("q_class_weights").collect()
+    val total = rows.map(_.getLong(1)).sum
+    assert(total == graft.model.Tables.documents(spark, sf).count())
+    val l = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1000000L * total / (l * r.getLong(1)))
+    }
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
