@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.model.Tables
 
@@ -294,8 +295,92 @@ object StatOps {
       .orderBy("totw")
   }
 
+  /** Sample-ratio-mismatch check for a hash-bucketed 50/50 experiment
+    * assignment — the first gate every A/B platform runs (an SRM means
+    * the randomizer, not the treatment, explains the difference).
+    * Assignment reuses the `q_sample_split` md5-bucket discipline
+    * (content-independent, reproducible cross-engine); the 2-cell χ²
+    * collapses algebraically to (o₀−o₁)²/n, so the statistic is exact
+    * integer ppm — no float at all. One partial-agg shuffle into 2
+    * groups.
+    */
+  private val qAbSrm: Q = (s, d) => {
+    val g = Tables.customer(s, d)
+      .withColumn("grp",
+        pmod(conv(substring(md5(col("c_custkey").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2L)))
+      .groupBy("grp").agg(count(lit(1)).as("o"))
+    g.agg(sum("o").as("n"),
+        sum(when(col("grp") === 0L, col("o")).otherwise(0L)).as("o0"),
+        sum(when(col("grp") === 1L, col("o")).otherwise(0L)).as("o1"))
+      .select(col("n"), col("o0"), col("o1"),
+        expr("1000000 * (o0 - o1) * (o0 - o1) DIV n").as("srm_chi2_e6"))
+      .orderBy("n")
+  }
+
+  /** Cumulative gains by spend decile: customers ranked by total spend
+    * (the "model score"), bucketed into 10 equal-population deciles,
+    * each reporting its urgent-order conversion rate and the running
+    * share of all conversions captured — the gains/lift chart behind
+    * every targeting-model readout. Ranks ride the distributed
+    * total-order rank; the only window scans the 10-row decile table.
+    */
+  private val qGainsDeciles: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"), sum("conv").as("k_tot"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .select(expr("(CAST(rnk AS BIGINT) - 1) * 10 DIV n_cust").as("decile"),
+        col("conv"), col("k_tot"))
+      .groupBy("decile", "k_tot")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_k", sum("k").over(w))
+      .select(col("decile"), col("n"), col("k"),
+        expr("1000000 * k DIV n").as("conv_ppm"),
+        expr("1000000 * cum_k DIV k_tot").as("cum_capture_ppm"))
+      .orderBy("decile")
+  }
+
+  /** Rank AUC (Mann–Whitney): does customer spend rank urgent-order
+    * converters above non-converters? AUC = (Σranks₊ − n₊(n₊+1)/2) /
+    * (n₊·n₀) — the threshold-free binary-ranking metric, computed
+    * entirely from the distributed total-order rank in exact BIGINT
+    * (auc_e6 = 10⁶·U DIV (n₊·n₀)). Ties in spend break on the customer
+    * key (row-number ranks — the `q_spearman` documented deviation
+    * from average-rank ties, which is what makes the statistic exact
+    * cross-engine). Headroom: Σranks ≤ n²/2 — BIGINT-safe to ~4·10⁹
+    * customers.
+    */
+  private val qRankAuc: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").asc, col("o_custkey").asc), "rnk")
+    ranked
+      .agg(sum("conv").as("n1"),
+        sum(lit(1L) - col("conv")).as("n0"),
+        sum(when(col("conv") === 1L, col("rnk").cast("long"))
+          .otherwise(0L)).as("sumr"))
+      .filter(col("n1") > 0L && col("n0") > 0L)
+      .select(col("n1"), col("n0"),
+        expr("1000000 * (sumr - n1 * (n1 + 1) DIV 2) DIV (n1 * n0)")
+          .as("auc_e6"))
+      .orderBy("n1")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_mutual_info" -> qMutualInfo,
+    "q_ab_srm" -> qAbSrm,
+    "q_gains_deciles" -> qGainsDeciles,
+    "q_rank_auc" -> qRankAuc,
     "q_trimmed_mean" -> qTrimmedMean,
     "q_weighted_median" -> qWeightedMedian,
     "q_conversion_ci" -> qConversionCi,
