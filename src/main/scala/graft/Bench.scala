@@ -19,13 +19,17 @@ object Bench {
     "q_cosine_topk", "q_text_stats", "q_tfidf", "q_udaf_topk",
     "q_expr_laptime")
 
-  /** Post-r4 operators, timed ONCE each and reported under `extended` —
-    * informational visibility for the newer surface without touching
-    * the frozen headline set or its cross-round comparable total.
-    * Caveat for cross-round comparison: the graph keys share a
-    * memoized edge table, so WHICHEVER graph key runs first (list
-    * order: q_triangles) absorbs the one-time derivation cost for all
-    * of them.
+  /** Post-r4 operators reported under `extended` — informational
+    * visibility for the newer surface without touching the frozen
+    * headline set or its cross-round comparable total. The shared
+    * durable tables (graph co-purchase edges, dedup cluster map) are
+    * materialized and timed FIRST as their own `_derive_*` entries, so
+    * every graph/cluster key reports steady-state read-through cost
+    * instead of whichever runs first absorbing the derivation. Each
+    * key is timed once, then the 10 most expensive re-run twice more
+    * and report the median of 3 (`extended_runs` carries their raw
+    * timings) — variance stays visible for the expensive tail without
+    * tripling the whole section.
     */
   val extended: Seq[String] = Seq(
     "q_triangles", "q_pagerank", "q_assoc_rules", "q_graph_bfs",
@@ -109,21 +113,48 @@ object Bench {
     // planning/codegen — `first_run_total` preserves that definition for
     // cross-round comparison.
     val firstTotal = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
-    val extResults = extended.filter(SparkEntry.queries.contains).map { name =>
+    // Shared durable-table derivations, timed as their own entries so
+    // the graph/cluster keys below report steady-state cost.
+    val deriveResults: Seq[(String, Double)] = Seq[(String, () => Long)](
+      "_derive_copurchase" ->
+        (() => graft.queries.GraphOps.materializeEdges(spark, sfDir)),
+      "_derive_dedup_clusters" ->
+        (() => graft.queries.LlmOps.materializeClusters(spark, sfDir))
+    ).map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val ok = try { fn(); true } catch { case _: Throwable => false }
+      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    }
+    def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
-      (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val ext = extResults.map { case (k, t) => s"\"" + k + "\":" + t }
+    val extFirst = extended.filter(SparkEntry.queries.contains)
+      .map(name => (name, timeOnce(name)))
+    val top10 = extFirst.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1).toSet
+    val extResults = extFirst.map { case (name, t1) =>
+      if (top10(name)) {
+        val ts = t1 +: (1 to 2).map(_ => timeOnce(name))
+        if (ts.exists(_ < 0)) (name, -1.0, ts)
+        else (name, ts.sorted.apply(1), ts)
+      } else (name, t1, Seq(t1))
+    }
+    val ext = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
+      .map { case (k, t) => s"\"" + k + "\":" + t }
       .mkString("{", ",", "}")
+    val extRuns = extResults.collect { case (k, _, ts) if ts.size > 1 =>
+      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // extended failures surface through the same `errors` channel as
     // headline failures — a -1 buried in `extended` alone must not read
     // as a clean round
     val allErrors = (results.collect { case (k, v, _) if v < 0 => k } ++
-      extResults.collect { case (k, t) if t < 0 => k })
+      deriveResults.collect { case (k, t) if t < 0 => k } ++
+      extResults.collect { case (k, t, _) if t < 0 => k })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"errors":$allErrors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"errors":$allErrors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.types.LongType
   * At 100 TB these become partitioned table scans; nothing here assumes
   * single-file layout.
   *
-  * The harness files carry INT64 TIMESTAMP(NANOS) columns, which Spark's
-  * Parquet reader only accepts as raw longs (legacy `nanosAsLong` conf);
-  * loaders convert those longs to proper micros TimestampType columns so
-  * every downstream operator sees real timestamps.
+  * Harness timestamp columns have shipped in two physical flavors across
+  * rounds — INT64 TIMESTAMP(NANOS) (readable only as raw longs via the
+  * legacy `nanosAsLong` conf) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+  * (which Spark 4 infers as TIMESTAMP_NTZ by default). Loaders normalize
+  * BOTH to plain micros TimestampType: nanos-longs are divided down
+  * explicitly, and NTZ inference is disabled so unadjusted micros read
+  * as TimestampType with identical raw values — downstream operators
+  * (`unix_micros`, watermarks, window()) all see one timestamp type
+  * regardless of which generation wrote the files.
   */
 object Tables {
   /** Timestamp-typed columns per table (stored as nanos in the files). */
@@ -43,6 +48,7 @@ object Tables {
     cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     cache.computeIfAbsent((spark, dir, name), _ => {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       tsCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
         // Integer DIV, not `/` — Column `/` is double division, which loses

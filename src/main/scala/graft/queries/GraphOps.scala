@@ -84,6 +84,14 @@ object GraphOps {
   private val deriveLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]
 
+  /** Force the durable co-purchase edge-table build (and return its
+    * row count). Bench times this as its own `_derive_copurchase`
+    * entry so the graph keys report steady-state read-through cost
+    * instead of whichever runs first absorbing the derivation.
+    */
+  private[graft] def materializeEdges(s: SparkSession, d: String): Long =
+    coPurchaseEdges(s, d).count()
+
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val cached = edgeCache.get((s, d))

@@ -58,7 +58,12 @@ object StatOps {
         (col("n1").cast("double") - lit(1.0)) / col("n1").cast("double"))
       .withColumn("q2", (col("ss2").cast("double") - col("s2").cast("double") * col("m2")) /
         (col("n2").cast("double") - lit(1.0)) / col("n2").cast("double"))
-    m.filter(col("n1") >= 2L && col("n2") >= 2L)
+    // q1+q2 > 0 guards the degenerate both-groups-constant corpus: Spark
+    // would floor(NaN) to 0/Long.MaxValue under non-ANSI cast while DuckDB
+    // errors on the same cast — filter the zero denominator on BOTH engines
+    // (the qAutocorr/qSpearman discipline).
+    m.filter(col("n1") >= 2L && col("n2") >= 2L &&
+        col("q1") + col("q2") > lit(0.0))
       .select(col("seg"), col("n1"), col("n2"), col("s1"), col("s2"),
         floor(lit(1000000.0) * (col("m1") - col("m2")) /
           sqrt(col("q1") + col("q2"))).cast("long").as("t_e6"),
@@ -354,8 +359,10 @@ object StatOps {
     * (auc_e6 = 10⁶·U DIV (n₊·n₀)). Ties in spend break on the customer
     * key (row-number ranks — the `q_spearman` documented deviation
     * from average-rank ties, which is what makes the statistic exact
-    * cross-engine). Headroom: Σranks ≤ n²/2 — BIGINT-safe to ~4·10⁹
-    * customers.
+    * cross-engine). Headroom: auc_e6 scales U ≤ n²/4 by 10⁶ before the
+    * divide, so 10⁶·n²/4 < 2⁶³ bounds it — BIGINT-safe to ~6·10⁶ ranked
+    * customers; past that, promote the auc_e6 numerator to DECIMAL(38,0)
+    * (the q_pareto_share/q_gini promotion point), same plan shape.
     */
   private val qRankAuc: Q = (s, d) => {
     val spend = Tables.orders(s, d)
@@ -498,7 +505,8 @@ object StatOps {
         |    (CAST(ss2 AS DOUBLE) - CAST(s2 AS DOUBLE) *
         |      (CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) /
         |      (CAST(n2 AS DOUBLE) - 1.0) / CAST(n2 AS DOUBLE) AS q2
-        |  FROM m WHERE n1 >= 2 AND n2 >= 2)
+        |  FROM m WHERE n1 >= 2 AND n2 >= 2),
+        |g AS (SELECT * FROM f WHERE q1 + q2 > 0.0)
         |SELECT seg, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
         |  s1, s2,
         |  CAST(floor(1000000.0 * (m1 - m2) / sqrt(q1 + q2)) AS BIGINT)
@@ -506,7 +514,65 @@ object StatOps {
         |  CAST(floor(1000.0 * (q1 + q2) * (q1 + q2) /
         |    (q1 * q1 / (CAST(n1 AS DOUBLE) - 1.0) +
         |     q2 * q2 / (CAST(n2 AS DOUBLE) - 1.0))) AS BIGINT) AS df_e3
-        |FROM f ORDER BY seg""".stripMargin,
+        |FROM g ORDER BY seg""".stripMargin,
+    "q_ab_srm" ->
+      """WITH g AS (SELECT
+        |    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS grp
+        |  FROM customer),
+        |o AS (SELECT grp, count(*) AS o FROM g GROUP BY 1),
+        |a AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN grp = 0 THEN o ELSE 0 END) AS BIGINT) AS o0,
+        |    CAST(sum(CASE WHEN grp = 1 THEN o ELSE 0 END) AS BIGINT) AS o1
+        |  FROM o)
+        |SELECT n, o0, o1,
+        |  CAST(1000000 * (o0 - o1) * (o0 - o1) // n AS BIGINT)
+        |    AS srm_chi2_e6
+        |FROM a ORDER BY n""".stripMargin,
+    "q_gains_deciles" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(conv) AS BIGINT) AS k_tot FROM spend),
+        |dec AS (SELECT (rnk - 1) * 10 // n_cust AS decile, conv, k_tot
+        |  FROM ranked CROSS JOIN tot),
+        |agg AS (SELECT decile, k_tot, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS k
+        |  FROM dec GROUP BY 1, 2)
+        |SELECT CAST(decile AS BIGINT) AS decile, CAST(n AS BIGINT) AS n, k,
+        |  CAST(1000000 * k // n AS BIGINT) AS conv_ppm,
+        |  CAST(1000000 * CAST(sum(k) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    // k_tot AS BIGINT) AS cum_capture_ppm
+        |FROM agg ORDER BY decile""".stripMargin,
+    "q_rank_auc" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |a AS (SELECT CAST(sum(conv) AS BIGINT) AS n1,
+        |    CAST(sum(1 - conv) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN conv = 1 THEN rnk ELSE 0 END) AS BIGINT)
+        |      AS sumr
+        |  FROM ranked)
+        |SELECT n1, n0,
+        |  CAST(1000000 * (sumr - n1 * (n1 + 1) // 2) // (n1 * n0)
+        |    AS BIGINT) AS auc_e6
+        |FROM a WHERE n1 > 0 AND n0 > 0 ORDER BY n1""".stripMargin,
     "q_benford" ->
       """WITH c AS (SELECT
         |    CAST(substr(CAST(CAST(round(o_totalprice * 100.0) AS BIGINT)

@@ -28,6 +28,7 @@ object Events {
   /** Streaming source over a parquet events directory. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val batchSchema = spark.read.parquet(s"$dir/events.parquet").schema
     val raw = spark.readStream.schema(batchSchema).parquet(s"$dir/events.parquet")
     if (batchSchema("ts").dataType == org.apache.spark.sql.types.LongType)

@@ -244,6 +244,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(labels.forall(_._2 == 0L), "single chain collapses to min id 0")
   }
 
+  test("dedup cluster-table derivation runs at most once across cluster keys") {
+    // Both cluster consumers read the durable cluster-assignment table;
+    // only the FIRST over a (dir) may pay the minhash-LSH + connected
+    // components pipeline. (≤ 1, not == 1: an earlier suite in this JVM
+    // may already have landed the table.)
+    val before = graft.queries.LlmOps.clusterDerivations.get()
+    SparkEntry.queries("q_dedup_clusters")(spark, sf).count()
+    SparkEntry.queries("q_dedup_representatives")(spark, sf).count()
+    val after = graft.queries.LlmOps.clusterDerivations.get()
+    assert(after - before <= 1, s"cluster derivations ran ${after - before}×")
+  }
+
   test("contaminationReport flags only train docs sharing shingles with eval") {
     // eval = doc 0; train doc 3 is an exact dup (all shingles shared),
     // doc 1 shares 6 of its 7 shingles, doc 2 shares none, doc 4 has no
