@@ -59,7 +59,7 @@ object Bench {
     "q_covariance_matrix", "q_mutual_info", "q_survival",
     "q_conversion_ci", "q_funnel_window", "q_seasonal_decompose",
     "q_changepoint", "q_trimmed_mean", "q_weighted_median",
-    "q_class_weights")
+    "q_class_weights", "q_multimodal_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * partition, so decoder setup cost amortizes across the batch and the
   * planner sees real schemas on both sides).
   *
-  * The actual media decoding is STUBBED (this container ships no
-  * image/audio codecs): `decodeFeatures`' "decoder" is a deterministic
-  * fake over the raw bytes, clearly marked below. Everything around it —
-  * binary columns in Parquet, metadata structs, partition-batched UDF
-  * shape, frame sampling, feature schema — is real and tested, so a real
-  * codec drops into `decodeBytes` without touching the plumbing.
+  * Decoding comes in two tiers. Formats that need a codec library
+  * (PNG/JPEG/WAV — none ships in this container) remain STUBBED:
+  * `decodeFeatures`' "decoder" is a deterministic fake over the raw
+  * bytes, clearly marked below. Formats decodable in pure JVM are REAL:
+  * [[decodePpm]] is a complete binary PPM (P6) parser — header
+  * grammar with comments, maxval validation, raw RGB pixel plane — and
+  * [[decodePpmFeatures]] runs it through the same partition-batched
+  * iterator shape, so swapping a codec-backed decoder in for the
+  * stubbed formats touches only the per-item function.
   */
 object Multimodal {
 
@@ -61,6 +64,71 @@ object Multimodal {
     (checksum, if (payload.length == 0) 0.0 else sum / payload.length, hist)
   }
   // -----------------------------------------------------------------------
+
+  case class PpmStats(media_id: Long, width: Int, height: Int, maxval: Int,
+                      n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL decoder: binary PPM (P6). Parses the header per the netpbm
+    * grammar — magic `P6`, then width/height/maxval as ASCII decimals
+    * separated by whitespace, with `#` comments running to end-of-line
+    * allowed anywhere whitespace is, then EXACTLY ONE whitespace byte
+    * before the raw pixel plane (w·h RGB triples, 1 byte/sample for
+    * maxval < 256) — and reduces the plane to exact per-channel sums.
+    * Fail-loud on non-P6 magic, 2-byte maxval (> 255), or a truncated
+    * plane: a silent partial decode would poison downstream stats.
+    */
+  private[graft] def decodePpm(id: Long, bytes: Array[Byte]): PpmStats = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"media $id: not a binary PPM (P6) payload")
+    var pos = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && pos < bytes.length) {
+        val c = bytes(pos)
+        if (c == '#') { while (pos < bytes.length && bytes(pos) != '\n') pos += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') pos += 1
+        else done = true
+      }
+    }
+    def readInt(what: String): Int = {
+      skipWs()
+      val start = pos
+      var v = 0
+      while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
+        v = v * 10 + (bytes(pos) - '0'); pos += 1
+      }
+      require(pos > start, s"media $id: missing $what in PPM header")
+      v
+    }
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxval = readInt("maxval")
+    pos += 1 // the single whitespace byte terminating the header
+    require(maxval > 0 && maxval < 256,
+      s"media $id: unsupported PPM maxval $maxval (2-byte samples)")
+    val npx = w.toLong * h
+    require(bytes.length - pos >= npx * 3,
+      s"media $id: truncated pixel plane (${bytes.length - pos} of ${npx * 3} bytes)")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < npx) {
+      val o = pos + 3 * i
+      sr += bytes(o) & 0xff
+      sg += bytes(o + 1) & 0xff
+      sb += bytes(o + 2) & 0xff
+      i += 1
+    }
+    PpmStats(id, w, h, maxval, npx, sr, sg, sb)
+  }
+
+  /** Partition-batched real decode: (media_id, ppm_payload) rows stream
+    * through [[decodePpm]] — same iterator shape as the stubbed path.
+    */
+  def decodePpmFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[PpmStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => decodePpm(id, bytes) })
+  }
 
   /** Per-partition batched "decode": the mapInPandas-shaped hot path —
     * decoder initialization happens once per partition, rows stream

@@ -71,6 +71,34 @@ object ExtOps {
       .orderBy(col("media_id"), col("frame_no"))
   }
 
+  /** REAL multimodal decode: each document is rendered as an actual
+    * binary PPM (P6) image — header + raw RGB plane, dimensions varying
+    * per doc, pixel bytes cycling through the text — and decoded by the
+    * pure-JVM PPM parser in [[Multimodal.decodePpm]] (header grammar,
+    * maxval check, per-channel pixel sums). The oracle recomputes the
+    * expected stats from the construction rule alone, so a parser that
+    * misreads the header, mis-offsets the plane, or drops a channel
+    * hash-mismatches. Codec-bound formats (PNG/JPEG/WAV) stay stubbed;
+    * this key pins the decode plumbing end-to-end on a real format.
+    */
+  private val qMultimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 7).cast("int").as("h"))
+      .select(col("doc_id"),
+        concat(
+          format_string("P6\n%d %d\n255\n", col("w"), col("h")).cast("binary"),
+          expr("CAST(substring(repeat(text, CAST(ceil(CAST(w * h * 3 AS DOUBLE) " +
+            "/ length(text)) AS INT)), 1, w * h * 3) AS BINARY)")).as("payload"))
+      .as[(Long, Array[Byte])]
+    Multimodal.decodePpmFeatures(media)
+      .select(col("media_id"), col("width"), col("height"), col("maxval"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+  }
+
   /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
     * page-partitioned batch read through the connector API.
     */
@@ -85,6 +113,7 @@ object ExtOps {
     "q_udaf_topk" -> qUdafTopk,
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_frames" -> qMultimodalFrames,
+    "q_multimodal_decode" -> qMultimodalDecode,
     "q_dsv2_source" -> qDsv2Source,
   )
 
@@ -128,6 +157,21 @@ object ExtOps {
         |(4, 'lewis', 'Ferrari', 160, 0, '2025'))
         |AS t(position, driver_id, constructor, points, wins, season)
         |ORDER BY position""".stripMargin,
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, h, i,
+        |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(255 AS INT) AS maxval,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

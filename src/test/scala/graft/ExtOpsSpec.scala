@@ -178,6 +178,45 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(new String(frames(1).frame_bytes) == "45")
   }
 
+  test("decodePpm parses a real P6 header (comments included) and sums channels") {
+    // 2×1 image: pixels (1,2,3) and (250,251,252); a header comment and
+    // mixed whitespace exercise the netpbm grammar, not just the happy path.
+    val header = "P6\n# a comment\n2 1\n# another\n255\n".getBytes("US-ASCII")
+    val plane = Array[Byte](1, 2, 3, 250.toByte, 251.toByte, 252.toByte)
+    val got = Multimodal.decodePpm(7L, header ++ plane)
+    assert(got == Multimodal.PpmStats(7L, 2, 1, 255, 2L, 251L, 253L, 255L))
+  }
+
+  test("decodePpm fails loudly on bad magic, wide maxval, truncated plane") {
+    val ok = "P6\n1 1\n255\nRGB".getBytes("US-ASCII")
+    assert(Multimodal.decodePpm(1L, ok).n_pixels == 1L)
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(2L, "P5\n1 1\n255\nX".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(3L, "P6\n1 1\n65535\nRRGGBB".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodePpm(4L, "P6\n2 2\n255\nRGB".getBytes("US-ASCII"))
+    }
+  }
+
+  test("q_multimodal_decode round-trips synthesized PPMs through the real parser") {
+    val got = SparkEntry.queries("q_multimodal_decode")(spark, sf)
+      .limit(3).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
+      assert(r.getAs[Long]("n_pixels") == w.toLong * h)
+      // every pixel byte is printable ASCII (text-derived): 32..126
+      val npx = r.getAs[Long]("n_pixels")
+      Seq("sum_r", "sum_g", "sum_b").foreach { c =>
+        val sum = r.getAs[Long](c)
+        assert(sum >= 32L * npx && sum <= 126L * npx, s"$c=$sum outside ASCII bounds")
+      }
+    }
+  }
+
   test("multimodal resizePayload bounds output size deterministically") {
     val media = Multimodal.synthesizeMedia(
       Seq((1L, "a" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))

@@ -140,24 +140,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"LSH recall $recall too low (found ${approx.size})")
   }
 
-  test("IVF and LSH recall hold at the sf0.01 scale (5,000-vector corpus)") {
-    // The sf0.001 bounds above could mask a recall cliff that only
-    // appears when cells/bands carve a 10× larger corpus — pin the same
-    // ≥0.8 floor at sf0.01 so index parameters that only work at toy
-    // scale can't land.
-    val emb = graft.model.Tables.embeddings(spark, "/root/testdata/sf0.01")
+  /** Shared body for the larger-scale recall pins: the sf0.001 bounds
+    * above could mask a recall cliff that only appears when cells/bands
+    * carve a larger corpus — pin the same ≥0.8 floor at every harness
+    * scale so index parameters that only work at toy scale can't land.
+    */
+  private def recallAt(dir: String): Unit = {
+    val emb = graft.model.Tables.embeddings(spark, dir)
     val queries = emb.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 5)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val ivfRecall = (exact & ivf).size.toDouble / exact.size
-    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low at sf0.01")
+    assert(ivfRecall >= 0.8, s"IVF recall $ivfRecall too low at $dir")
     val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 5,
         bands = 16, bitsPerBand = 4)
       .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
     val lshRecall = (exact & lsh).size.toDouble / exact.size
-    assert(lshRecall >= 0.8, s"LSH recall $lshRecall too low at sf0.01")
+    assert(lshRecall >= 0.8, s"LSH recall $lshRecall too low at $dir")
+  }
+
+  test("IVF and LSH recall hold at the sf0.01 scale") {
+    recallAt("/root/testdata/sf0.01")
+  }
+
+  test("IVF and LSH recall hold at the sf0.1 bench scale") {
+    recallAt("/root/testdata/sf0.1")
   }
 
   test("lshTopK on an empty corpus returns an empty frame with the output schema") {

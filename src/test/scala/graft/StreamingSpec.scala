@@ -84,6 +84,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("theta/HLL sketch state merged across foreachBatch equals batch recompute") {
+    // The incremental-sketch pipeline shape: each micro-batch reduces to
+    // per-type sketches, and foreachBatch MERGES them into the running
+    // sketch state via the binary union aggregates (old ∪ new) — never
+    // rescanning prior batches. DataSketches sketches are exact far below
+    // their thresholds at this cardinality, so the merged estimates must
+    // EQUAL a from-scratch distinct count over all batches; a state that
+    // summed instead of unioned would overcount the overlapping users,
+    // and lost state would undercount. (The KLL spec above pins the same
+    // composition for the custom TypedImperativeAggregate trio.)
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    var state: org.apache.spark.sql.DataFrame = null
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.groupBy("event_type")
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("hll"),
+            expr("theta_sketch_agg(user_id)").as("th"))
+        // localCheckpoint materializes the merged SKETCH BYTES as the
+        // carried state — without it, state would accrete a lineage of
+        // every past batch (the exact thing the sketch table avoids)
+        state = (if (state == null) b
+          else state.unionByName(b).groupBy("event_type")
+            .agg(expr("hll_union_agg(hll, false)").as("hll"),
+              expr("theta_union_agg(th)").as("th"))).localCheckpoint(true)
+        ()
+      }.start()
+    try {
+      // users 1..30 view / 1..10 click, then 21..50 view / 6..15 click:
+      // overlaps make union (50 / 15) differ from per-batch sums (60 / 20)
+      in.addData((1L to 30L).map(u => Ev(u, t("2024-01-01 10:00:00"), u, "view", 1.0, "{}")) ++
+        (1L to 10L).map(u => Ev(100 + u, t("2024-01-01 10:00:00"), u, "click", 1.0, "{}")): _*)
+      q.processAllAvailable()
+      in.addData((21L to 50L).map(u => Ev(200 + u, t("2024-01-01 11:00:00"), u, "view", 1.0, "{}")) ++
+        (6L to 15L).map(u => Ev(300 + u, t("2024-01-01 11:00:00"), u, "click", 1.0, "{}")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = state.select(col("event_type"),
+        expr("CAST(hll_sketch_estimate(hll) AS BIGINT)").as("hll_n"),
+        expr("CAST(round(theta_sketch_estimate(th)) AS BIGINT)").as("th_n"))
+      .as[(String, Long, Long)].collect()
+      .map { case (k, h, s) => k -> ((h, s)) }.toMap
+    assert(got("view") == ((50L, 50L)), s"view sketches ${got("view")}")
+    assert(got("click") == ((15L, 15L)), s"click sketches ${got("click")}")
+  }
+
   test("session-window state plateaus under watermark eviction") {
     // The scale dimension of streaming state: feeding one closed session
     // per micro-batch for ten batches must NOT accumulate ten sessions in
