@@ -59,7 +59,10 @@ object Bench {
     "q_covariance_matrix", "q_mutual_info", "q_survival",
     "q_conversion_ci", "q_funnel_window", "q_seasonal_decompose",
     "q_changepoint", "q_trimmed_mean", "q_weighted_median",
-    "q_class_weights", "q_multimodal_decode")
+    "q_class_weights", "q_multimodal_decode",
+    "q_doc_filter", "q_source_stats", "q_oov_rate", "q_ngram_novelty",
+    "q_phrase_search", "q_hard_negatives", "q_join_nearest",
+    "q_assortativity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

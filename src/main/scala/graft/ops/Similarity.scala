@@ -85,6 +85,36 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the k most similar corpus vectors whose label DIFFERS
+    * from the query's. Same broadcast-query / fanned-corpus shape as
+    * [[bruteForceTopK]], but the label-mismatch predicate applies
+    * BEFORE the per-query rank — the negatives are the top-k OF the
+    * negative set, which post-filtering a plain top-k cannot produce
+    * (a query surrounded by same-label vectors would lose rows).
+    */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, key: String,
+                    vec: String, label: String, k: Int): DataFrame = {
+    ensureRegistered(corpus)
+    val q = broadcast(queries
+      .select(col(key).as("q_id"), asDouble(col(vec)).as("q_vec"),
+        col(label).as("q_label"))
+      .withColumn("q_norm", sqrt(expr("dot_arr(q_vec, q_vec)"))))
+    val c = Par.fanOut(corpus.select(col(key), col(vec), col(label)))
+      .select(col(key).as("n_id"), asDouble(col(vec)).as("n_vec"),
+        col(label).as("n_label"))
+      .withColumn("n_norm", sqrt(expr("dot_arr(n_vec, n_vec)")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("n_id").asc)
+    q.join(c, col("q_id") =!= col("n_id") && col("q_label") =!= col("n_label"))
+      .withColumn("cos", expr("dot_arr(q_vec, n_vec)") / (col("q_norm") * col("n_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("n_id"), col("n_label"),
+        col("rnk"), floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
   /** Exact cosine near-duplicate pairs (cos ≥ threshold) — O(n²) compare,
     * intended for dimension-sized inputs or per-bucket verification at
     * scale. An EXACT sub-quadratic threshold join needs a margin around

@@ -622,7 +622,154 @@ object CurateOps {
       .orderBy("bucket")
   }
 
+  /** Gopher/RefinedWeb-style rule filter: per-document boolean gates —
+    * word-count bounds, mean-word-length bounds, type-token ratio,
+    * single-token dominance, stopword presence — each an EXACT integer
+    * inequality (`3·n ≤ chars` instead of float means), plus the
+    * composite keep decision a curation pipeline executes. One token
+    * explode + two-level partial agg (map-side combine on (doc, tok)),
+    * joined back to the per-doc lengths: bounded by corpus token count,
+    * no per-doc quadratic work. Thresholds calibrated to split this
+    * corpus (words 10–99/doc): each flag is non-degenerate.
+    */
+  private val qDocFilter: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tokAgg = docs
+      .select(col("doc_id"), explode(graft.ops.TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_distinct"), max("cnt").as("max_cnt"),
+        sum("cnt").as("n_words"),
+        max(when(col("tok").isin("the", "a"), 1L).otherwise(0L)).as("has_stop"))
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .join(tokAgg, Seq("doc_id"))
+      // word chars = len − (n_words − 1) separators (single-space corpus)
+      .withColumn("wchars", col("len") - col("n_words") + 1L)
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 20L && col("n_words") <= 80L).cast("long").as("f_words"),
+        (col("wchars") >= col("n_words") * 3L &&
+          col("wchars") <= col("n_words") * 7L).cast("long").as("f_wordlen"),
+        (col("n_distinct") * 2L >= col("n_words")).cast("long").as("f_ttr"),
+        (col("max_cnt") * 5L <= col("n_words")).cast("long").as("f_rep"),
+        col("has_stop").as("f_stop"))
+      .withColumn("keep",
+        (col("f_words") * col("f_wordlen") * col("f_ttr") * col("f_rep") *
+          col("f_stop")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** C4-style per-domain curation report: for each `source`, document
+    * count, language spread, exact size stats, and the share of docs
+    * whose text is an exact duplicate of ANY corpus doc (the signal
+    * used to drop boilerplate-heavy domains). Duplicate detection is
+    * one md5 groupBy over the corpus joined back — the domain report
+    * rides two shuffles total regardless of corpus size.
+    */
+  private val qSourceStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val dupes = docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n_copies"))
+    docs.withColumn("h", md5(col("text")))
+      .join(dupes, Seq("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("sum(n_chars) DIV count(1)").as("mean_chars"),
+        expr("1000000 * sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) " +
+          "DIV count(1)").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus top-20 vocabulary —
+    * the tokenizer-coverage readout run before committing a vocab
+    * (k=20 < the corpus's 31 distinct tokens so the rate is
+    * non-degenerate; a production run would use top-32k against a
+    * BPE vocab, same plan). The vocab is a deterministic top-k
+    * (count desc, token asc — identical tie-break both engines) and
+    * BROADCAST to the token stream; per-doc OOV is a left join flag
+    * aggregated back to the doc grain. At 100 TB the vocab stays tiny
+    * (top-k of a partial-agg'd count), so no stage shuffles more than
+    * the token explode itself.
+    */
+  private val qOovRate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(graft.ops.TextStats.tokens(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(20)
+      .select(col("tok"), lit(1L).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_words"), col("n_oov"),
+        expr("1000000 * n_oov DIV n_words").as("oov_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** N-gram novelty curve: for each doc, the share of its DISTINCT
+    * word-trigrams appearing in no earlier doc (doc_id order) — the
+    * "how much new text does each increment add" readout behind
+    * crawl-snapshot triage. First-occurrence is one min-agg on the
+    * shingle (the inverted-index shuffle shape); novelty re-aggregates
+    * at the doc grain. Explicit `transform(sequence(...))` shingles so
+    * the oracle can mirror the construction token-for-token.
+    */
+  private val qNgramNovelty: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", graft.ops.TextStats.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+      .distinct()
+    val first = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_doc"))
+    sh.join(first, Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("1000000 * n_novel DIV n_shingles").as("novel_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Positional phrase search: exact consecutive-token phrase hits via
+    * the positional-postings shape — ONE postings table (doc, tok, pos)
+    * joined against itself per phrase word, positions constrained to
+    * adjacency. The phrase list is a broadcast literal; the postings
+    * join keys on (doc, tok), so at scale this is the inverted-index
+    * intersection every phrase-capable search engine runs, never a
+    * substring scan over raw text.
+    */
+  private val qPhraseSearch: Q = (s, d) => {
+    val phrases = Seq("table scan", "fast join", "key value")
+    val ph = phrases.zipWithIndex.map { case (p, i) =>
+      val ws = p.split(' '); (i.toLong, p, ws(0), ws(1))
+    }
+    val phDf = s.createDataFrame(ph).toDF("phrase_id", "phrase", "w1", "w2")
+    val post = Tables.documents(s, d)
+      .withColumn("toks", graft.ops.TextStats.tokens(col("text")))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    val a = post.join(broadcast(phDf), col("tok") === col("w1"))
+      .select(col("phrase_id"), col("phrase"), col("w2"), col("doc_id"), col("pos"))
+    val b = post.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+      col("tok").as("tok_b"))
+    a.join(b, col("doc_id") === col("doc_b") &&
+        col("pos_b") === col("pos") + 1 && col("tok_b") === col("w2"))
+      .groupBy(col("phrase_id"), col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+      .orderBy(col("phrase_id"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_doc_filter" -> qDocFilter,
+    "q_source_stats" -> qSourceStats,
+    "q_oov_rate" -> qOovRate,
+    "q_ngram_novelty" -> qNgramNovelty,
+    "q_phrase_search" -> qPhraseSearch,
     "q_psi_drift" -> qPsiDrift,
     "q_text_normalize" -> qTextNormalize,
     "q_binaryfile_source" -> qBinaryfileSource,
@@ -683,6 +830,93 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_doc_filter" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY 1, 2),
+        |a AS (SELECT doc_id, count(*) AS n_distinct, max(cnt) AS max_cnt,
+        |    CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    max(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS has_stop
+        |  FROM c GROUP BY 1),
+        |f AS (SELECT a.doc_id, n_words,
+        |    CAST(CASE WHEN n_words BETWEEN 20 AND 80 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_words,
+        |    CAST(CASE WHEN length(d.text) - n_words + 1
+        |      BETWEEN n_words * 3 AND n_words * 7 THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_wordlen,
+        |    CAST(CASE WHEN n_distinct * 2 >= n_words THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_ttr,
+        |    CAST(CASE WHEN max_cnt * 5 <= n_words THEN 1 ELSE 0 END
+        |      AS BIGINT) AS f_rep,
+        |    CAST(has_stop AS BIGINT) AS f_stop
+        |  FROM a JOIN documents d ON a.doc_id = d.doc_id)
+        |SELECT doc_id, n_words, f_words, f_wordlen, f_ttr, f_rep, f_stop,
+        |  CAST(f_words * f_wordlen * f_ttr * f_rep * f_stop AS BIGINT)
+        |    AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    "q_source_stats" ->
+      """WITH dup AS (SELECT md5(text) AS h, count(*) AS n_copies
+        |  FROM documents GROUP BY 1)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars,
+        |  CAST(1000000 * sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS dup_ppm
+        |FROM documents d JOIN dup ON md5(d.text) = dup.h
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q_oov_rate" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t
+        |  GROUP BY 1 ORDER BY cnt DESC, tok ASC LIMIT 20)),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN tok IN (SELECT tok FROM v) THEN 0 ELSE 1
+        |      END) AS BIGINT) AS n_oov
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id, n_words, n_oov,
+        |  CAST(1000000 * n_oov // n_words AS BIGINT) AS oov_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1)
+        |      AS BIGINT) AS i
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+        |  FROM t),
+        |s AS (SELECT DISTINCT doc_id, tok || ' ' || t1 || ' ' || t2
+        |    AS shingle
+        |  FROM s0 WHERE t2 IS NOT NULL),
+        |f AS (SELECT shingle, min(doc_id) AS first_doc FROM s GROUP BY 1),
+        |a AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM s JOIN f USING (shingle) GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_novel,
+        |  CAST(1000000 * n_novel // n_shingles AS BIGINT) AS novel_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
+    "q_phrase_search" ->
+      """WITH p AS (SELECT * FROM (VALUES
+        |    (0, 'table scan', 'table', 'scan'),
+        |    (1, 'fast join', 'fast', 'join'),
+        |    (2, 'key value', 'key', 'value'))
+        |    AS t(phrase_id, phrase, w1, w2)),
+        |post AS (SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1)
+        |      AS BIGINT) - 1 AS pos
+        |  FROM documents),
+        |m AS (SELECT p.phrase_id, p.phrase, a.doc_id
+        |  FROM p JOIN post a ON a.tok = p.w1
+        |  JOIN post b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |    AND b.tok = p.w2)
+        |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, phrase,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_hits
+        |FROM m GROUP BY 1, 2 ORDER BY phrase_id""".stripMargin,
     "q_psi_drift" ->
       """WITH c AS (SELECT CAST(o_orderdate AS DATE) < DATE '1998-01-01'
         |      AS is_a,

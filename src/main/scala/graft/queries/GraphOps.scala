@@ -251,6 +251,42 @@ object GraphOps {
       .groupBy("dg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dg")
 
+  /** Degree assortativity — the one-number homophily readout (do
+    * high-degree parts co-purchase with high-degree parts?). Pearson
+    * correlation of endpoint degrees over the 2E ordered pairs, from
+    * EXACT integer moments: S1 = 2E, Sx = Σ(du+dv), Sxx = Σ(du²+dv²),
+    * Sxy = 2Σ du·dv (symmetry makes the x and y moments equal, so one
+    * pass over the undirected edge list suffices); then
+    * r = (S1·Sxy − Sx²)/(S1·Sxx − Sx²). The cross products reach
+    * E·deg²·E ≈ 10²⁰ at bench scale — past BIGINT — so they promote to
+    * DECIMAL(38,0) (HUGEINT in the oracle) with ONE float division at
+    * the end (the q_gini discipline). A degree-regular graph has a 0
+    * denominator (assortativity undefined) → reported as 0, same both
+    * engines. Cost: edges ⋈ degrees twice + a scalar agg — nothing
+    * beyond the degree join every graph metric pays.
+    */
+  private val qAssortativity: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val dg = degrees(e)
+    val j = e.join(dg.select(col("n").as("u"), col("dg").as("du")), "u")
+      .join(dg.select(col("n").as("v"), col("dg").as("dv")), "v")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    j.agg((count(lit(1)) * 2L).as("s1"),
+        sum(col("du") + col("dv")).as("sx"),
+        sum(col("du") * col("du") + col("dv") * col("dv")).as("sxx"),
+        (sum(col("du") * col("dv")) * 2L).as("sxy"))
+      .select(col("s1"),
+        when(dec(col("s1")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+            === lit(0).cast("decimal(38,0)"), lit(0L))
+          .otherwise(floor(lit(1000000.0) *
+            (dec(col("s1")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double") /
+            (dec(col("s1")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double")).cast("long"))
+          .as("r_e6"))
+      .orderBy(col("s1"))
+  }
+
   /** Global clustering coefficient 3·triangles / wedges — how clique-like
     * the co-purchase graph is. The triangle total rides the SAME oriented
     * participation plan as `q_triangles` (Σ participation = 3T exactly,
@@ -451,6 +487,7 @@ object GraphOps {
   val registry: Map[String, Q] = Map(
     "q_triangles" -> qTriangles,
     "q_degree_dist" -> qDegreeDist,
+    "q_assortativity" -> qAssortativity,
     "q_clustering_coeff" -> qClusteringCoeff,
     "q_common_neighbors" -> qCommonNeighbors,
     "q_pagerank" -> qPagerank,
@@ -529,6 +566,27 @@ object GraphOps {
         |  FROM nonadj)
         |SELECT f, cand, n_common, rnk FROM r WHERE rnk <= 5
         |ORDER BY f, rnk""".stripMargin,
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src FROM e UNION ALL SELECT v FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+        |j AS (SELECT du.dg AS du, dv.dg AS dv FROM e
+        |  JOIN deg du ON du.src = e.u JOIN deg dv ON dv.src = e.v),
+        |m AS (SELECT CAST(2 * count(*) AS BIGINT) AS s1,
+        |    CAST(sum(du + dv) AS BIGINT) AS sx,
+        |    CAST(sum(du * du + dv * dv) AS BIGINT) AS sxx,
+        |    CAST(2 * sum(du * dv) AS BIGINT) AS sxy FROM j)
+        |SELECT s1,
+        |  CASE WHEN CAST(s1 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |    THEN 0
+        |    ELSE CAST(floor(1000000.0 *
+        |      CAST(CAST(s1 AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE) /
+        |      CAST(CAST(s1 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE)) AS BIGINT) END AS r_e6
+        |FROM m ORDER BY s1""".stripMargin,
     "q_degree_dist" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

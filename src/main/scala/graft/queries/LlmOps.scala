@@ -176,6 +176,17 @@ object LlmOps {
     * with the `q_mode` composite-key tie-break (most votes, then
     * smallest label — labels < 1000 by the composite's construction).
     */
+  /** Contrastive hard negatives: top-3 nearest different-label corpus
+    * vectors per held-out query — see [[Similarity.hardNegatives]] for
+    * why the label filter precedes the rank.
+    */
+  private val qHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb.filter(col("vec_id") >= 20),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   private val qKnnLabel: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val labels = emb.select(col("vec_id"), col("label"))
@@ -783,6 +794,7 @@ object LlmOps {
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_label" -> qKnnLabel,
+    "q_hard_negatives" -> qHardNegatives,
     "q_centroid_dist" -> qCentroidDist,
     "q_emb_variance" -> qEmbVariance,
     "q_ann_ivf" -> qAnnIvf,
@@ -1230,6 +1242,24 @@ object LlmOps {
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        c.vec_id AS n_id, c.label AS n_label,
+        |        list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20
+        |        AND q.label <> c.label),
+        |r AS (SELECT q_id, q_label, n_id, n_label, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, n_id ASC) AS rnk
+        |      FROM p)
+        |SELECT q_id, CAST(q_label AS INTEGER) AS q_label, n_id,
+        |  CAST(n_label AS INTEGER) AS n_label, CAST(rnk AS INTEGER) AS rnk,
+        |  CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "q_knn_label" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),

@@ -127,6 +127,41 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-event join: for each purchase, the temporally NEAREST view
+    * of the same user — before OR after (sensor-alignment semantics,
+    * where plain as-of only looks one way). Composed from the backward
+    * and forward as-of passes over ONE user-partitioned sort (two
+    * windows, same shuffle, Spark reuses the sort), tie → the earlier
+    * view. The naive form is an all-pairs |Δts| argmin per user; this
+    * stays O(n log n) per partition at any scale.
+    */
+  private val qJoinNearest: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    ev.withColumn("prev_view_ts",
+        last(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(wb))
+      .withColumn("next_view_ts",
+        first(when(col("event_type") === "view", col("ts")),
+          ignoreNulls = true).over(wf))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_view_ts",
+        when(col("prev_view_ts").isNull, col("next_view_ts"))
+          .when(col("next_view_ts").isNull, col("prev_view_ts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_view_ts")) <=
+            unix_micros(col("next_view_ts")) - unix_micros(col("ts")),
+            col("prev_view_ts"))
+          .otherwise(col("next_view_ts")))
+      .select(col("event_id"), col("user_id"), col("nearest_view_ts"),
+        abs(unix_micros(col("nearest_view_ts")) - unix_micros(col("ts")))
+          .as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Full outer join: unmatched rows of BOTH sides survive with nulls. One
     * side is a grouped aggregate, so neither input subsumes the other.
     */
@@ -687,6 +722,7 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_join_interval" -> qJoinInterval,
     "q_join_asof" -> qJoinAsof,
+    "q_join_nearest" -> qJoinNearest,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
     "q_join_nullsafe" -> qJoinNullsafe,
@@ -811,6 +847,30 @@ object Relational {
         |SELECT n_nationkey, o_orderkey, o_start
         |FROM w JOIN a ON w_start < o_start + 3 AND o_start < w_end
         |ORDER BY n_nationkey, o_orderkey""".stripMargin,
+    "q_join_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'view'),
+        |b AS (SELECT p.event_id, max(v.ts) AS prev_view_ts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |    AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
+        |  GROUP BY 1),
+        |f AS (SELECT p.event_id, min(v.ts) AS next_view_ts
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id
+        |    AND (v.ts > p.ts OR (v.ts = p.ts AND v.event_id >= p.event_id))
+        |  GROUP BY 1),
+        |n AS (SELECT p.event_id, p.user_id, p.ts, prev_view_ts, next_view_ts,
+        |    CASE WHEN prev_view_ts IS NULL THEN next_view_ts
+        |         WHEN next_view_ts IS NULL THEN prev_view_ts
+        |         WHEN epoch_us(p.ts) - epoch_us(prev_view_ts) <=
+        |              epoch_us(next_view_ts) - epoch_us(p.ts)
+        |           THEN prev_view_ts
+        |         ELSE next_view_ts END AS nearest_view_ts
+        |  FROM p JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, nearest_view_ts,
+        |  abs(epoch_us(nearest_view_ts) - epoch_us(ts)) AS gap_us
+        |FROM n ORDER BY event_id""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
         |FROM events p LEFT JOIN events v

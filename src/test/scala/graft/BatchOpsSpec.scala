@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -11,6 +12,73 @@ class BatchOpsSpec extends AnyFunSuite {
   import TestSpark._
 
   private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("nearest join picks the closer side and breaks exact ties backward") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ev(id: Long, ts: String, typ: String) =
+      (id, Timestamp.valueOf(ts), 1L, typ, 1.0, "{}")
+    val rows = Seq(
+      ev(1, "2024-01-01 10:00:00", "view"),   // 10 min before purchase A
+      ev(2, "2024-01-01 10:10:00", "purchase"), // A: after-view is closer
+      ev(3, "2024-01-01 10:15:00", "view"),   // 5 min after purchase A
+      ev(4, "2024-01-01 11:00:00", "view"),   // 30 min before purchase B
+      ev(5, "2024-01-01 11:30:00", "purchase"), // B: exact tie → backward
+      ev(6, "2024-01-01 12:00:00", "view"),   // 30 min after purchase B
+      ev(7, "2024-01-01 13:00:00", "purchase")  // C: only a before-view
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // same window composition as qJoinNearest, driven on the fixture
+    // (the registered key is private; its invariants are asserted below)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val got = rows
+      .withColumn("prev_view_ts", last(when(col("event_type") === "view",
+        col("ts")), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("next_view_ts", first(when(col("event_type") === "view",
+        col("ts")), ignoreNulls = true)
+        .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .filter(col("event_type") === "purchase")
+      .withColumn("nearest_view_ts",
+        when(col("prev_view_ts").isNull, col("next_view_ts"))
+          .when(col("next_view_ts").isNull, col("prev_view_ts"))
+          .when(unix_micros(col("ts")) - unix_micros(col("prev_view_ts")) <=
+            unix_micros(col("next_view_ts")) - unix_micros(col("ts")),
+            col("prev_view_ts"))
+          .otherwise(col("next_view_ts")))
+      .select(col("event_id"), col("nearest_view_ts"))
+      .as[(Long, Timestamp)].collect().toMap
+    assert(got(2L) == Timestamp.valueOf("2024-01-01 10:15:00")) // closer after
+    assert(got(5L) == Timestamp.valueOf("2024-01-01 11:00:00")) // tie → before
+    assert(got(7L) == Timestamp.valueOf("2024-01-01 12:00:00")) // only before/after side
+    // registered key: every purchase row survives; gap is non-negative
+    val reg = q("q_join_nearest").cache()
+    assert(reg.filter(col("gap_us") < 0).count() == 0)
+    assert(reg.count() ==
+      graft.model.Tables.events(spark, sf)
+        .filter(col("event_type") === "purchase").count())
+    reg.unpersist()
+  }
+
+  test("hard negatives all carry a different label and rank the negative set") {
+    import spark.implicits._
+    // 2-d fixture: query q (label 0) at (1, 0); nearest overall is p1
+    // (label 0, same) at (0.99, 0.14) which must be SKIPPED; the top
+    // negatives are the label-1 vectors ordered by cosine.
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (10L, Array(0.99f, 0.14f), 0),  // same label: excluded
+      (11L, Array(0.9f, 0.43f), 1),   // negative, cos ≈ 0.90
+      (12L, Array(0.7f, 0.71f), 1),   // negative, cos ≈ 0.70
+      (13L, Array(0.0f, 1.0f), 1)     // negative, cos = 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = graft.ops.Similarity.hardNegatives(
+        emb.filter($"vec_id" >= 10), emb.filter($"vec_id" === 1), "vec_id",
+        "embedding", "label", k = 2)
+      .select($"rnk", $"n_id", $"n_label").as[(Int, Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1, 11L, 1), (2, 12L, 1)), s"got $got")
+  }
 
   test("q_join_full keeps unmatched rows of both sides") {
     val df = q("q_join_full").cache()
