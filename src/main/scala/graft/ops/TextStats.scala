@@ -271,6 +271,47 @@ object TextStats {
       .select(col(stratum), col(key), col("rn"))
   }
 
+  /** Token-budget mixing: the "build a training mix" op at TOKEN (not
+    * document) granularity. A total token budget is allocated across
+    * sources by temperature-weighted token mass (w_s ∝ √tokens_s — the
+    * √n upweighting of small sources), then each source fills its quota
+    * in salted-hash document order with a per-source running token sum;
+    * the document that CROSSES the quota is kept (docs are indivisible,
+    * so every source meets its budget). Deterministic end to end: the
+    * hash order replaces RNG state, and the only global window scans
+    * the source-count-sized weight table. Per-source running sums ride
+    * a (stratum)-partitioned window — event-volume-safe at any scale.
+    */
+  def tokenBudgetSample(docs: DataFrame, key: String, stratum: String,
+                        text: String, totalBudget: Long): DataFrame = {
+    require(totalBudget > 0, s"token budget must be positive, got $totalBudget")
+    val W = org.apache.spark.sql.expressions.Window
+    val docsT = docs.select(col(stratum), col(key),
+      size(split(col(text), " ")).cast("long").as("n_toks"))
+    val wW = W.orderBy(col(stratum))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val weights = docsT.groupBy(col(stratum)).agg(sum("n_toks").as("toks"))
+      .withColumn("w", sqrt(col("toks").cast("double")))
+      .withColumn("cum_w", sum(col("w")).over(wW))
+    val total = weights.agg(max(col("cum_w")).as("total_w"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("quota",
+        greatest(lit(1L),
+          floor(lit(totalBudget.toDouble) * (col("w") / col("total_w")))
+            .cast("long")))
+      .select(col(stratum), col("quota"))
+    val runW = W.partitionBy(col(stratum))
+      .orderBy(md5(col(key).cast("string")).asc, col(key).asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    docsT
+      .withColumn("cum_toks", sum(col("n_toks")).over(runW))
+      .join(broadcast(quotas), stratum)
+      // keep while the budget was not yet met BEFORE this doc — the
+      // crossing doc is included, later docs are not
+      .filter(col("cum_toks") - col("n_toks") < col("quota"))
+      .select(col(stratum), col(key), col("n_toks"), col("cum_toks"))
+  }
+
   /** Fingerprints: md5 of the full text (exact identity) plus the minimum
     * shingle md5 (winnowing-style robust fingerprint: equal for docs
     * sharing their lexicographically-smallest shingle hash).

@@ -459,6 +459,15 @@ object CurateOps {
     TextStats.temperatureSample(Tables.documents(s, d), "doc_id", "source", 200)
       .orderBy(col("source"), col("rn"))
 
+  /** Token-granularity training mix: 10k-token budget split √-weighted
+    * across sources, each filled to its quota in salted-hash order —
+    * see [[TextStats.tokenBudgetSample]].
+    */
+  private val qTokenBudgetMix: Q = (s, d) =>
+    TextStats.tokenBudgetSample(Tables.documents(s, d), "doc_id", "source",
+        "text", totalBudget = 10000L)
+      .orderBy(col("source"), col("cum_toks"))
+
   /** Z-order (Morton) clustering stats: interleave the bits of
     * (l_partkey, l_suppkey) into one z-value ([[graft.ops.ZOrder]] — a
     * pure shift/mask/or Catalyst fold, fully codegen'd) and aggregate
@@ -781,6 +790,7 @@ object CurateOps {
     "q_cdc_apply" -> qCdcApply,
     "q_data_contract" -> qDataContract,
     "q_temperature_mix" -> qTemperatureMix,
+    "q_token_budget_mix" -> qTokenBudgetMix,
     "q_versioned_read" -> qVersionedRead,
     "q_orc_source" -> qOrcSource,
     "q_xml_source" -> qXmlSource,
@@ -1051,6 +1061,30 @@ object CurateOps {
         |                  OR l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |FROM lineitem
         |ORDER BY rule""".stripMargin,
+    "q_token_budget_mix" ->
+      """WITH dt AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT source, CAST(sum(n_toks) AS BIGINT) AS toks
+        |  FROM dt GROUP BY source),
+        |w AS (SELECT source, sqrt(CAST(toks AS DOUBLE)) AS w FROM c),
+        |cw AS (SELECT source, w,
+        |    sum(w) OVER (ORDER BY source ROWS UNBOUNDED PRECEDING) AS cum_w
+        |  FROM w),
+        |t AS (SELECT max(cum_w) AS total_w FROM cw),
+        |q AS (SELECT source,
+        |    greatest(1, CAST(floor(10000.0 * (w / total_w)) AS BIGINT))
+        |      AS quota
+        |  FROM cw CROSS JOIN t),
+        |r AS (SELECT source, doc_id, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        |  FROM dt)
+        |SELECT r.source, doc_id, n_toks, cum_toks
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE cum_toks - n_toks < quota
+        |ORDER BY r.source, cum_toks""".stripMargin,
     "q_temperature_mix" ->
       """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |w AS (SELECT source, sqrt(CAST(n AS DOUBLE)) AS w FROM c),

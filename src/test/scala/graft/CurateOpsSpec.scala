@@ -346,6 +346,42 @@ class CurateOpsSpec extends AnyFunSuite {
 
   // ---- Unicode normalization -------------------------------------------
 
+  test("token-budget mix fills every source to its quota, crossing doc included") {
+    import spark.implicits._
+    val got = SparkEntry.queries("q_token_budget_mix")(spark, sf)
+    val docs = graft.model.Tables.documents(spark, sf)
+    // every source present in the corpus appears in the mix (quota ≥ 1
+    // doc's worth once greatest(1, …) floors the tiny sources)
+    val srcAll = docs.select($"source").distinct().as[String].collect().toSet
+    val srcMix = got.select($"source").distinct().as[String].collect().toSet
+    assert(srcMix == srcAll)
+    // fill semantics: within a source, every kept doc started below the
+    // quota (cum − n < quota) and the LAST kept doc either crosses the
+    // quota or the source ran out of documents
+    val last = got.groupBy($"source")
+      .agg(max($"cum_toks").as("filled"),
+        max(struct($"cum_toks", $"n_toks")).as("lastDoc"),
+        count(lit(1)).as("n_kept"))
+      .select($"source", $"filled", $"lastDoc.n_toks".as("last_n"), $"n_kept")
+    val totals = docs
+      .select($"source", size(split($"text", " ")).cast("long").as("n"))
+      .groupBy($"source").agg(sum($"n").as("avail"), count(lit(1)).as("n_docs"))
+    val joined = last.join(totals, "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    // recompute the quotas with the op's own formula (√ token mass,
+    // sequential fold in source order, floor to BIGINT, min 1)
+    val bySrc = joined.sortBy(_._1)
+    val ws = bySrc.map { case (_, _, _, _, avail, _) => math.sqrt(avail.toDouble) }
+    val totalW = ws.foldLeft(0.0)(_ + _)
+    bySrc.zip(ws).foreach { case ((src, filled, lastN, nKept, avail, nDocs), w) =>
+      val quota = math.max(1L, math.floor(10000.0 * (w / totalW)).toLong)
+      assert(filled <= avail, s"$src kept more tokens than exist")
+      assert(filled - lastN < quota, s"$src kept a doc past the met budget")
+      // if the source still had unkept docs, the kept set reached the quota
+      if (nKept < nDocs) assert(filled >= quota, s"$src under-filled: $filled < $quota")
+    }
+  }
+
   test("nfc_normalize recomposes combining marks; identity on normalized input") {
     graft.functions.Udfs.registerAll(spark)
     // "é" decomposed (e + U+0301) vs precomposed (U+00E9): NFC must make

@@ -127,6 +127,37 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("q_oov_rate and q_phrase_search broadcast their small side, no cartesian") {
+    // vocab (top-20) and the phrase list are broadcast; the postings
+    // self-join stays an equi join on (doc, pos±1) — a cartesian or
+    // nested-loop here would be the substring-scan anti-pattern at scale
+    Seq("q_oov_rate", "q_phrase_search").foreach { k =>
+      val p = planOf(k)
+      assert(p.contains("BroadcastHashJoin"), s"$k: ${p.take(1500)}")
+      assert(!p.contains("CartesianProduct"), s"$k: ${p.take(1500)}")
+    }
+  }
+
+  test("q_hard_negatives broadcasts the query side like bruteForceTopK") {
+    val p = planOf("q_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.take(1500))
+    // corpus side must NOT be exchanged into a single partition: the
+    // per-query rank window partitions by q_id
+    assert(!p.contains("SinglePartition") || !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q_join_nearest is one sort, two window passes, no self-join") {
+    val p = planOf("q_join_nearest")
+    assert(!p.contains("Join"), p.take(1500)) // window composition, not a join
+  }
+
+  test("q_doc_filter keeps partial aggregation on the token counts") {
+    val p = planOf("q_doc_filter")
+    assert(p.contains("partial"), p.take(1500))
+  }
+
   test("q_rrf_fusion ranks without a single-partition window") {
     assert(globalWindows("q_rrf_fusion").isEmpty,
       "global Window.orderBy funnels the table through one task")
