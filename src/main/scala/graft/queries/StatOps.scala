@@ -383,7 +383,64 @@ object StatOps {
       .orderBy("n1")
   }
 
+  /** Difference-in-differences: the 2×2 (treated × pre/post) causal
+    * readout — did the BUILDING segment's mean order value move more
+    * across the 1998 cutoff than everyone else's? Each cell mean is an
+    * exact integer (`Σcents DIV n` — the `q_dow_profile` convention),
+    * so the DID contrast is pure BIGINT arithmetic. One fact⋈dimension
+    * join + a 4-row conditional pivot: the join shuffles on custkey
+    * like any enrichment, everything after is cell-count sized.
+    */
+  private val qDiffInDiff: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING").as("treated"),
+        (to_date(col("o_orderdate")) >= lit("1998-01-01").cast("date"))
+          .as("post"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val cells = o.groupBy("treated", "post")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+      .withColumn("m", expr("sc DIV n"))
+    cells.agg(
+        sum(when(col("treated") && col("post"), col("m"))).as("m_t_post"),
+        sum(when(col("treated") && !col("post"), col("m"))).as("m_t_pre"),
+        sum(when(!col("treated") && col("post"), col("m"))).as("m_c_post"),
+        sum(when(!col("treated") && !col("post"), col("m"))).as("m_c_pre"),
+        sum("n").as("n_orders"))
+      .select(col("n_orders"), col("m_t_post"), col("m_t_pre"),
+        col("m_c_post"), col("m_c_pre"),
+        ((col("m_t_post") - col("m_t_pre")) -
+          (col("m_c_post") - col("m_c_pre"))).as("did_cents"))
+      .orderBy(col("n_orders"))
+  }
+
+  /** Seasonal-naive forecast backtest: predict each day's event-value
+    * total from the SAME weekday one week earlier, report MAE and WAPE
+    * over the scored days — the baseline every forecasting pipeline
+    * must beat before shipping a model. Exact integer cents end to
+    * end; the "model" is a self-join of the day-grain rollup on
+    * day = day−7, so the whole evaluation is bounded by distinct days,
+    * not event volume.
+    */
+  private val qSeasonalNaiveEval: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+      .groupBy("day").agg(sum("cents").as("total"))
+    val pred = daily.select(date_add(col("day"), 7).as("day"),
+      col("total").as("pred"))
+    daily.join(pred, Seq("day"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("total") - col("pred"))).as("sum_abs_err"),
+        expr("sum(abs(total - pred)) DIV count(1)").as("mae_cents"),
+        expr("1000000 * sum(abs(total - pred)) DIV sum(total)")
+          .as("wape_ppm"))
+      .orderBy(col("n_days"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_diff_in_diff" -> qDiffInDiff,
+    "q_seasonal_naive_eval" -> qSeasonalNaiveEval,
     "q_mutual_info" -> qMutualInfo,
     "q_ab_srm" -> qAbSrm,
     "q_gains_deciles" -> qGainsDeciles,
@@ -399,6 +456,41 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_diff_in_diff" ->
+      """WITH o AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
+        |    (CAST(o_orderdate AS DATE) >= DATE '1998-01-01') AS post,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |c AS (SELECT treated, post, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sc
+        |  FROM o GROUP BY 1, 2),
+        |m AS (SELECT treated, post, n, sc // n AS m FROM c),
+        |p AS (SELECT CAST(sum(n) AS BIGINT) AS n_orders,
+        |    CAST(sum(CASE WHEN treated AND post THEN m END) AS BIGINT)
+        |      AS m_t_post,
+        |    CAST(sum(CASE WHEN treated AND NOT post THEN m END) AS BIGINT)
+        |      AS m_t_pre,
+        |    CAST(sum(CASE WHEN NOT treated AND post THEN m END) AS BIGINT)
+        |      AS m_c_post,
+        |    CAST(sum(CASE WHEN NOT treated AND NOT post THEN m END)
+        |      AS BIGINT) AS m_c_pre
+        |  FROM m)
+        |SELECT n_orders, m_t_post, m_t_pre, m_c_post, m_c_pre,
+        |  (m_t_post - m_t_pre) - (m_c_post - m_c_pre) AS did_cents
+        |FROM p ORDER BY n_orders""".stripMargin,
+    "q_seasonal_naive_eval" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS total
+        |  FROM events GROUP BY 1),
+        |j AS (SELECT a.day, a.total, b.total AS pred
+        |  FROM daily a JOIN daily b ON a.day = b.day + 7)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(abs(total - pred)) AS BIGINT) AS sum_abs_err,
+        |  CAST(sum(abs(total - pred)) // count(*) AS BIGINT) AS mae_cents,
+        |  CAST(1000000 * sum(abs(total - pred)) // sum(total) AS BIGINT)
+        |    AS wape_ppm
+        |FROM j ORDER BY n_days""".stripMargin,
     "q_trimmed_mean" ->
       """WITH c AS (SELECT event_id, event_type,
         |    CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),
