@@ -438,7 +438,27 @@ object StatOps {
       .orderBy(col("n_days"))
   }
 
+  /** Burstiness (Fano factor) of daily event arrivals per type: the
+    * variance-to-mean ratio of day-grain counts — ≫1 means bursty
+    * (campaign spikes), ≈1 Poisson-like, <1 regular. Exact integer:
+    * VMR = (n·Σx² − (Σx)²) DIV (n·Σx) on the ppm grid, moments from
+    * one day-grain rollup so the stat is bounded by types×days.
+    */
+  private val qBurstiness: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_days"), col("sx"),
+        expr("1000000 * (n_days * sxx - sx * sx) DIV (n_days * sx)")
+          .as("vmr_e6"))
+      .orderBy(col("event_type"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_burstiness" -> qBurstiness,
     "q_diff_in_diff" -> qDiffInDiff,
     "q_seasonal_naive_eval" -> qSeasonalNaiveEval,
     "q_mutual_info" -> qMutualInfo,
@@ -456,6 +476,18 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_burstiness" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days, sx,
+        |  CAST(1000000 * (n_days * sxx - sx * sx) // (n_days * sx)
+        |    AS BIGINT) AS vmr_e6
+        |FROM m ORDER BY event_type""".stripMargin,
     "q_diff_in_diff" ->
       """WITH o AS (SELECT (c_mktsegment = 'BUILDING') AS treated,
         |    (CAST(o_orderdate AS DATE) >= DATE '1998-01-01') AS post,
