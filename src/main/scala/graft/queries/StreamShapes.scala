@@ -30,7 +30,22 @@ object StreamShapes {
     Events.windowUsers(Tables.events(s, d))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Hourly top-3 spenders — the trending leaderboard: the streaming
+    * half is [[Events.windowUserSpend]]; the per-window rank is the
+    * consumer step (foreachBatch in a live stream, a window here).
+    */
+  private val qStreamTopk: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("cents").desc, col("user_id").asc)
+    Events.windowUserSpend(Tables.events(s, d))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("window_start"), col("rnk"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_stream_topk" -> qStreamTopk,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
     "q_stream_session" -> qStreamSession,
@@ -38,6 +53,17 @@ object StreamShapes {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_topk" ->
+      """WITH a AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_start
+        |    ORDER BY cents DESC, user_id ASC) AS rnk FROM a)
+        |SELECT window_start, user_id, CAST(n AS BIGINT) AS n, cents,
+        |  CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY window_start, rnk""".stripMargin,
     "q_stream_users" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(DISTINCT user_id) AS n_users

@@ -90,6 +90,21 @@ object Events {
       .select(col("w.start").as("window_start"),
         col("event_type"), col("n_users"))
 
+  /** Per-(window, user) spend aggregate feeding the trending-leaderboard
+    * shape: in a stream this runs as an update-mode windowed agg whose
+    * per-window top-k is taken by the consumer (foreachBatch/sink) —
+    * rank-in-stream isn't expressible in append mode, the aggregate is.
+    */
+  def windowUserSpend(events: DataFrame,
+                      windowLen: String = "1 hour",
+                      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100.0).cast("long")).as("cents"))
+      .select(col("w.start").as("window_start"), col("user_id"),
+        col("n"), col("cents"))
+
   /** Stream into the versioned snapshot sink, exactly once: each
     * micro-batch commits snapshot `v=batchId` via the idempotent
     * [[graft.ops.Sinks.writeVersionAt]] — a replayed batch (restart,

@@ -84,6 +84,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed user-spend feed accumulates across micro-batches (leaderboard)") {
+    // q_stream_topk's streaming half: the per-(window,user) aggregate
+    // must fold batch-2 events into batch-1 window state (update mode
+    // re-emits the grown row), so the consumer-side rank always sees
+    // cumulative spend — state loss would surface as a reset count.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Events.windowUserSpend(in.toDF())
+      .writeStream.format("memory").queryName("leaderboard_feed")
+      .outputMode("update").start()
+    try {
+      in.addData(ev(1, "2024-01-01 10:00:00", user = 1),
+        ev(2, "2024-01-01 10:10:00", user = 1),
+        ev(3, "2024-01-01 10:05:00", user = 2))
+      q.processAllAvailable()
+      in.addData(ev(4, "2024-01-01 10:20:00", user = 1))
+      q.processAllAvailable()
+      val got = spark.table("leaderboard_feed")
+        .groupBy($"user_id").agg(max($"n").as("n"), max($"cents").as("cents"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L) == ((3L, 300L)), s"user 1 state ${got(1L)}")
+      assert(got(2L) == ((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("theta/HLL sketch state merged across foreachBatch equals batch recompute") {
     // The incremental-sketch pipeline shape: each micro-batch reduces to
     // per-type sketches, and foreachBatch MERGES them into the running
