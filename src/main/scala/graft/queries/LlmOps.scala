@@ -128,6 +128,17 @@ object LlmOps {
       .orderBy(col("cluster_id"))
   }
 
+  /** Duplicate-cluster size histogram — the dedup health readout (a
+    * heavy tail means boilerplate floods; all-singletons means the
+    * thresholds are dead). Rides the memoized durable cluster table,
+    * so its cost is two tiny aggregates.
+    */
+  private val qClusterSizes: Q = (s, d) =>
+    clusterAssign(s, d).groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("sz"))
+
   private val qDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -789,6 +800,7 @@ object LlmOps {
     "q_dedup_minhash" -> qDedupMinhash,
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_representatives" -> qDedupRepresentatives,
+    "q_cluster_sizes" -> qClusterSizes,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -1106,6 +1118,12 @@ object LlmOps {
     // the clusters query wrapped as a derived table (DuckDB allows a
     // nested WITH RECURSIVE there), then one rank per cluster by
     // (length DESC, doc_id) — the same (len, -doc_id) max_by order
+    "q_cluster_sizes" ->
+      s"""WITH cl AS (SELECT * FROM (${clustersSql(0.5)}))
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |  FROM cl GROUP BY 1)
+         |GROUP BY sz ORDER BY sz""".stripMargin,
     "q_dedup_representatives" ->
       s"""WITH cl AS (SELECT * FROM (${clustersSql(0.5)})),
          |j AS (SELECT cl.cluster_id, cl.doc_id, len(d.text) AS ln
