@@ -64,7 +64,7 @@ object Bench {
     "q_phrase_search", "q_hard_negatives", "q_join_nearest",
     "q_assortativity", "q_token_budget_mix", "q_diff_in_diff",
     "q_seasonal_naive_eval", "q_burstiness", "q_stream_topk",
-    "q_cluster_sizes")
+    "q_cluster_sizes", "q_sql_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

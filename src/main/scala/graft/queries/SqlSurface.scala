@@ -528,7 +528,27 @@ object SqlSurface {
       .distinct()
       .orderBy(col("user_id"), col("event_type"))
 
+  /** SQL-text window surface (named WINDOW clause, running frame +
+    * whole-partition frame + rank) in dialect-portable ANSI — the same
+    * text runs through spark.sql and DuckDB, covering the windows-in-SQL
+    * path the DataFrame window keys can't (parser + named-window
+    * resolution + frame defaulting must agree engine-to-engine).
+    */
+  private val sqlWindowSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(row_number() OVER o AS INT) AS rn,
+      |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER w
+      |    AS BIGINT) AS run_cents,
+      |  CAST(max(CAST(round(o_totalprice * 100.0) AS BIGINT))
+      |    OVER (PARTITION BY o_custkey) AS BIGINT) AS max_cents
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING),
+      |  o AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
   val registry: Map[String, Q] = Map(
+    "q_sql_window" -> sqlKey(sqlWindowSql),
     "q_sql_tpch_q1" -> qSqlTpchQ1,
     "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
     "q_sql_tpch_q6" -> sqlKey(tpchQ6Sql),
@@ -562,6 +582,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_window" -> sqlWindowSql,
     "q_sql_tpch_q4" -> tpchQ4Sql,
     "q_sql_tpch_q7" -> tpchQ7Sql,
     "q_sql_tpch_q8" -> tpchQ8Sql,
