@@ -346,6 +346,29 @@ class CurateOpsSpec extends AnyFunSuite {
 
   // ---- Unicode normalization -------------------------------------------
 
+  test("novelty, OOV, and doc-filter invariants hold on the corpus") {
+    import spark.implicits._
+    // the first doc (lowest doc_id) can share no shingle with an
+    // EARLIER doc, so its novelty is exactly 100%
+    val nov = SparkEntry.queries("q_ngram_novelty")(spark, sf).cache()
+    val firstDoc = nov.agg(min($"doc_id")).as[Long].head()
+    assert(nov.filter($"doc_id" === firstDoc).select($"novel_ppm")
+      .as[Long].head() == 1000000L)
+    assert(nov.filter($"n_novel" > $"n_shingles" || $"n_novel" < 0).count() == 0)
+    nov.unpersist()
+    val oov = SparkEntry.queries("q_oov_rate")(spark, sf).cache()
+    assert(oov.filter($"n_oov" > $"n_words" || $"oov_ppm" > 1000000L).count() == 0)
+    oov.unpersist()
+    // keep implies every flag; flags are 0/1
+    val f = SparkEntry.queries("q_doc_filter")(spark, sf).cache()
+    val flags = Seq("f_words", "f_wordlen", "f_ttr", "f_rep", "f_stop")
+    flags.foreach { c =>
+      assert(f.filter(col(c) =!= 0L && col(c) =!= 1L).count() == 0, c)
+      assert(f.filter($"keep" === 1L && col(c) === 0L).count() == 0, s"keep without $c")
+    }
+    f.unpersist()
+  }
+
   test("token-budget mix fills every source to its quota, crossing doc included") {
     import spark.implicits._
     val got = SparkEntry.queries("q_token_budget_mix")(spark, sf)
