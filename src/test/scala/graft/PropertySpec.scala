@@ -19,6 +19,36 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  test("token-budget mix is monotone in the budget (smaller mix ⊆ larger mix)") {
+    // quota_s = max(1, floor(B·w_s/W)) is nondecreasing in B and the
+    // per-source hash order is fixed, so every doc kept under a smaller
+    // budget must be kept under a larger one — the property that makes
+    // budget sweeps reproducible supersets instead of reshuffles.
+    val docs = graft.model.Tables.documents(spark, sf)
+    def kept(b: Long): Set[Long] =
+      graft.ops.TextStats.tokenBudgetSample(docs, "doc_id", "source", "text", b)
+        .select($"doc_id").as[Long].collect().toSet
+    val small = kept(2000L); val mid = kept(8000L); val large = kept(30000L)
+    assert(small.subsetOf(mid), s"${(small -- mid).take(5)} lost when budget grew")
+    assert(mid.subsetOf(large), s"${(mid -- large).take(5)} lost when budget grew")
+    assert(small.size < large.size, "budget increase had no effect")
+  }
+
+  test("COVERAGE.md header key count matches the actual registry") {
+    // Round-6 advice flagged silent drift between the documented count
+    // and SparkEntry.queries.size — pin them together so the doc can't
+    // go stale without a red test.
+    val header = scala.io.Source.fromFile("COVERAGE.md", "UTF-8").getLines()
+      .take(5).mkString(" ")
+    val m = """(\d+) query keys""".r.findFirstMatchIn(header)
+    assert(m.isDefined, "COVERAGE.md header lost its key-count sentence")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"COVERAGE.md says ${m.get.group(1)} keys; registry has ${SparkEntry.queries.size}")
+    val o = """(\d+) carry DuckDB oracle SQL""".r.findFirstMatchIn(header)
+    assert(o.isDefined && o.get.group(1).toInt == SparkEntry.oracleSql.size,
+      s"COVERAGE.md oracle count vs actual ${SparkEntry.oracleSql.size}")
+  }
+
   test("lap-time format round-trips for ms < 100 minutes") {
     val cases = samples(Gen.choose(0L, 100L * 60000L - 1), 200) ++
       Seq(0L, 59L, 999L, 1000L, 59999L, 60000L, 5999999L)
