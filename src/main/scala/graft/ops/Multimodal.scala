@@ -96,6 +96,11 @@ object Multimodal {
       var v = 0
       while (pos < bytes.length && bytes(pos) >= '0' && bytes(pos) <= '9') {
         v = v * 10 + (bytes(pos) - '0'); pos += 1
+        // fail loudly on absurd header values BEFORE Int wraps negative —
+        // a wrapped width would make the truncation guard below vacuous
+        // and return silent garbage stats
+        require(v <= (1 << 30),
+          s"media $id: $what overflows sane bounds in PPM header")
       }
       require(pos > start, s"media $id: missing $what in PPM header")
       v
@@ -104,6 +109,7 @@ object Multimodal {
     val h = readInt("height")
     val maxval = readInt("maxval")
     pos += 1 // the single whitespace byte terminating the header
+    require(w > 0 && h > 0, s"media $id: degenerate PPM dimensions ${w}x$h")
     require(maxval > 0 && maxval < 256,
       s"media $id: unsupported PPM maxval $maxval (2-byte samples)")
     val npx = w.toLong * h

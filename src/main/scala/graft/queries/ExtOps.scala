@@ -83,7 +83,13 @@ object ExtOps {
     */
   private val qMultimodalDecode: Q = (s, d) => {
     import s.implicits._
+    // ASCII guard, mirrored in the oracle: the pixel plane is built by
+    // CHARACTER substring then UTF-8 cast, so a multibyte character
+    // would break the w·h·3 byte-length invariant and byte↔ord parity.
+    // Filtering octet==char length on BOTH engines keeps a future
+    // non-ASCII corpus consistent instead of latently divergent.
     val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")))
       .select(col("doc_id"), col("text"),
         (lit(4) + col("doc_id") % 5).cast("int").as("w"),
         (lit(3) + col("doc_id") % 7).cast("int").as("h"))
@@ -160,7 +166,8 @@ object ExtOps {
     "q_multimodal_decode" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)),
         |px AS (SELECT doc_id, w, h, i,
         |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
         |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)

@@ -54,35 +54,13 @@ object GraphOps {
     * per-JVM and cleaned on exit — see [[graft.model.Scratch]]) reuses
     * the written table without re-running the lineitem self-join; a
     * production deployment would point this at a permanent table
-    * location instead.
-    *
-    * Lifecycle: the (session, dir) map only memoizes the read-back
-    * PLAN (a parquet scan — cheap to rebuild, nothing pinned);
-    * stopped-session entries are dropped on the next access. The
-    * derivation-and-write job runs OUTSIDE the map lock (a multi-stage
-    * Spark job inside computeIfAbsent would serialize unrelated keys
-    * that share a hash bin); two racing sessions at worst land two
-    * identical snapshots, and every reader sees a complete one.
+    * location instead. Memoization/concurrency discipline lives in
+    * [[graft.ops.DurableTable]] (shared with the dedup cluster map).
     */
-  private val edgeCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val edgeTable = new graft.ops.DurableTable("graph_edges")
 
-  /** Count of edge-table DERIVATION jobs this JVM has run — the
-    * run-once discipline GraphSpec pins (reads through the durable
-    * table must not re-run the self-join).
-    */
-  private[graft] val derivations = new java.util.concurrent.atomic.AtomicLong(0)
-
-  /** Per-path derivation locks: the exists-check + write below is
-    * check-then-act, and two sessions/threads racing it would both
-    * resolve version 0 and Overwrite-write the SAME v=0 directory —
-    * one rewriting files the other's readers are scanning. Scratch
-    * paths are namespaced per JVM, so a JVM-local mutex per path is a
-    * complete fix (no cross-process writer can share the path); the
-    * lock covers only the first derivation, not steady-state reads.
-    */
-  private val deriveLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  /** Edge-table derivation counter, pinned run-once by GraphOpsSpec. */
+  private[graft] val derivations = edgeTable.derivations
 
   /** Force the durable co-purchase edge-table build (and return its
     * row count). Bench times this as its own `_derive_copurchase`
@@ -92,30 +70,16 @@ object GraphOps {
   private[graft] def materializeEdges(s: SparkSession, d: String): Long =
     coPurchaseEdges(s, d).count()
 
-  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
-    edgeCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val cached = edgeCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val path = graft.model.Scratch.dir("graph_edges", d)
-      deriveLocks.computeIfAbsent(path, _ => new Object).synchronized {
-        if (graft.ops.Sinks.latestVersion(s, path).isEmpty) {
-          derivations.incrementAndGet()
-          val li = Tables.lineitem(s, d)
-            .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-            .distinct()
-          val edges = li.as("a").join(li.as("b"),
-              col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-            .select(col("a.p").as("u"), col("b.p").as("v"))
-            .distinct()
-          graft.ops.Sinks.writeVersioned(edges, path)
-        }
-      }
-      val built = graft.ops.Sinks.readVersioned(s, path)
-      val prior = edgeCache.putIfAbsent((s, d), built)
-      if (prior != null) prior else built
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
+    edgeTable(s, d) {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
     }
-  }
 
   /** Undirected degree per node (each edge counts at both endpoints). */
   private def degrees(e: DataFrame): DataFrame =

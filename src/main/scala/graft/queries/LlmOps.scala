@@ -45,30 +45,18 @@ object LlmOps {
     *
     * The minhash-LSH + connected-components derivation is the expensive
     * part (the representative pick after it is one aggregate), so it
-    * follows the durable-versioned-table discipline of
-    * [[GraphOps]]'s co-purchase edges: derive ONCE per (data dir),
-    * write a versioned snapshot under a session-scoped scratch path,
-    * and let every later cluster consumer read the written table. At
-    * 100 TB this is how a dedup pipeline actually ships — the cluster
-    * map is a materialized asset downstream keep/drop jobs join
-    * against, not something recomputed per consumer; here the scratch
-    * table stands in for that permanent location. The cache memoizes
-    * only the read-back PLAN (a parquet scan); the derivation job runs
-    * outside the map lock, and the per-path mutex closes the
-    * check-then-act race on the version-0 write (paths are JVM-local,
-    * so a JVM mutex is complete — same argument as GraphOps).
+    * lands as a [[graft.ops.DurableTable]] — derive ONCE per (data
+    * dir), write a versioned snapshot, serve every later cluster
+    * consumer the read-back table. At 100 TB this is how a dedup
+    * pipeline actually ships: the cluster map is a materialized asset
+    * downstream keep/drop jobs join against, not something recomputed
+    * per consumer; the scratch table stands in for that permanent
+    * location.
     */
-  private val clusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val clusterTable = new graft.ops.DurableTable("dedup_clusters")
 
-  /** Count of cluster-table DERIVATION jobs this JVM has run — the
-    * run-once discipline LlmOpsSpec pins.
-    */
-  private[graft] val clusterDerivations =
-    new java.util.concurrent.atomic.AtomicLong(0)
-
-  private val clusterLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]
+  /** Cluster-table derivation counter, pinned run-once by LlmOpsSpec. */
+  private[graft] val clusterDerivations = clusterTable.derivations
 
   /** Force the durable cluster-table build (and return its row count).
     * Bench times this as its own `_derive_dedup_clusters` entry so the
@@ -77,32 +65,18 @@ object LlmOps {
   private[graft] def materializeClusters(s: SparkSession, d: String): Long =
     clusterAssign(s, d).count()
 
-  private def clusterAssign(s: SparkSession, d: String): DataFrame = {
-    clusterCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val cached = clusterCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val path = graft.model.Scratch.dir("dedup_clusters", d)
-      clusterLocks.computeIfAbsent(path, _ => new Object).synchronized {
-        if (graft.ops.Sinks.latestVersion(s, path).isEmpty) {
-          clusterDerivations.incrementAndGet()
-          val docs = Tables.documents(s, d)
-          val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
-            numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
-          val comp = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
-            .withColumnRenamed("node", "doc_id")
-          val assign = docs.select(col("doc_id"))
-            .join(comp, Seq("doc_id"), "left")
-            .select(col("doc_id"),
-              coalesce(col("component"), col("doc_id")).as("cluster_id"))
-          graft.ops.Sinks.writeVersioned(assign, path)
-        }
-      }
-      val built = graft.ops.Sinks.readVersioned(s, path)
-      val prior = clusterCache.putIfAbsent((s, d), built)
-      if (prior != null) prior else built
+  private def clusterAssign(s: SparkSession, d: String): DataFrame =
+    clusterTable(s, d) {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+        numHashes = 32, rowsPerBand = 2, shingleSize = 3, threshold = 0.5)
+      val comp = Dedup.connectedComponentsStar(pairs, "doc_a", "doc_b")
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("cluster_id"))
     }
-  }
 
   private val qDedupClusters: Q = (s, d) =>
     clusterAssign(s, d).orderBy(col("doc_id"))

@@ -142,10 +142,13 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_hard_negatives")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       p.take(1500))
-    // corpus side must NOT be exchanged into a single partition: the
-    // per-query rank window partitions by q_id
-    assert(!p.contains("SinglePartition") || !p.contains("CartesianProduct"),
-      p.take(1500))
+    // corpus side must NOT be exchanged into a single partition (the
+    // per-query rank window partitions by q_id), and the label-mismatch
+    // predicate must ride the broadcast join, not a cartesian
+    assert(!p.contains("SinglePartition"), p.take(1500))
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the k=3 cut is pushed below the exchange as a group limit
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
   }
 
   test("q_join_nearest is one sort, two window passes, no self-join") {
