@@ -782,7 +782,95 @@ object InsightOps {
       .orderBy("event_type")
   }
 
+  /** Per-brand OLS slope of quantity on order value (the grouped-
+    * regression / elasticity readout): slope_e9 from exact integer
+    * moments, n·Σxy − Σx·Σy over n·Σx² − (Σx)². Dollars (not cents)
+    * keep Σx² BIGINT-safe to ~10⁸ rows/brand; the cross PRODUCTS still
+    * promote to DECIMAL(38,0)/HUGEINT (the q_assortativity discipline)
+    * with one float division at the end. Degenerate single-price
+    * brands (zero denominator) report slope 0 on both engines.
+    */
+  private val qGroupedRegression: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        round(col("l_extendedprice")).cast("long").as("x"),
+        round(col("l_quantity")).cast("long").as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    li.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p_brand"), col("n"),
+        when(dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+            === lit(0).cast("decimal(38,0)"), lit(0L))
+          .otherwise(floor(lit(1000000000.0) *
+            (dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+              .cast("double") /
+            (dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+              .cast("double")).cast("long"))
+          .as("slope_e9"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Cohort revenue curve: customers grouped by first-order month, each
+    * cohort's per-member average revenue at every month age — the ARPU
+    * trajectory behind LTV models (q_cohort_retention's revenue
+    * sibling). Cohort month and age are pure integer month indexes
+    * (immune to date-diff convention splits); ARPU is exact
+    * `Σcents DIV cohort_size`. Two shuffles: the per-customer min-month
+    * aggregate and the (cohort, age) rollup.
+    */
+  private val qCohortRevenue: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("m"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val cohort = o.groupBy("o_custkey").agg(min("m").as("cm"))
+    val size = cohort.groupBy("cm").agg(count(lit(1)).as("n_customers"))
+    o.join(cohort, "o_custkey")
+      .groupBy(col("cm"), (col("m") - col("cm")).as("age"))
+      .agg(sum("cents").as("sum_cents"))
+      .join(size, "cm")
+      .select(col("cm").as("cohort_month"), col("age"), col("n_customers"),
+        col("sum_cents"),
+        expr("sum_cents DIV n_customers").as("arpu_cents"))
+      .orderBy(col("cohort_month"), col("age"))
+  }
+
+  /** Peak concurrency of order→ship intervals: the max number of
+    * lineitems simultaneously in flight, plus the first day the peak is
+    * reached — the warehouse-load high-water mark. Sweep-line as data:
+    * each interval emits (+1 at order day, −1 at ship day, half-open),
+    * the running sum rides [[graft.ops.Ranks.globalRunningSum]]
+    * (per-partition subtotal offsets — no single-partition window), and
+    * the peak is one scalar aggregate over the boundary stream. Ends
+    * sort before starts on the same day, so touching intervals never
+    * double-count.
+    */
+  private val qPeakConcurrency: Q = (s, d) => {
+    val iv = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+        .cast("long").as("d0"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("d1"))
+      .filter(col("d1") > col("d0"))
+    val bounds = iv.select(col("d0").as("day"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("d1").as("day"), lit(-1L).as("delta")))
+    val run = graft.ops.Ranks.globalRunningSum(bounds,
+      Seq(col("day").asc, col("delta").asc), col("delta"), "conc")
+    run.agg(max("conc").as("peak"))
+      .join(run.groupBy("conc").agg(min("day").as("peak_day")),
+        col("peak") === col("conc"))
+      .select(col("peak"), col("peak_day"))
+      .orderBy(col("peak"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_grouped_regression" -> qGroupedRegression,
+    "q_cohort_revenue" -> qCohortRevenue,
+    "q_peak_concurrency" -> qPeakConcurrency,
     "q_spearman" -> qSpearman,
     "q_mode" -> qMode,
     "q_time_spine" -> qTimeSpine,
@@ -814,6 +902,60 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_grouped_regression" ->
+      """WITH li AS (SELECT p_brand,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS x,
+        |    CAST(round(l_quantity) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM li GROUP BY 1)
+        |SELECT p_brand, n,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx = 0
+        |    THEN 0
+        |    ELSE CAST(floor(1000000000.0 *
+        |      CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy
+        |        AS DOUBLE) /
+        |      CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
+        |        AS DOUBLE)) AS BIGINT) END AS slope_e9
+        |FROM m ORDER BY p_brand""".stripMargin,
+    "q_cohort_revenue" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+        |      AS BIGINT) AS m,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |sz AS (SELECT cm, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM c GROUP BY 1),
+        |a AS (SELECT c.cm, o.m - c.cm AS age,
+        |    CAST(sum(cents) AS BIGINT) AS sum_cents
+        |  FROM o JOIN c USING (o_custkey) GROUP BY 1, 2)
+        |SELECT a.cm AS cohort_month, age, n_customers, sum_cents,
+        |  CAST(sum_cents // n_customers AS BIGINT) AS arpu_cents
+        |FROM a JOIN sz ON a.cm = sz.cm
+        |ORDER BY cohort_month, age""".stripMargin,
+    "q_peak_concurrency" ->
+      """WITH iv0 AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS d0,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS d1
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |iv AS (SELECT * FROM iv0 WHERE d1 > d0),
+        |b AS (SELECT d0 AS day, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL SELECT d1, CAST(-1 AS BIGINT) FROM iv),
+        |r AS (SELECT day, delta,
+        |    sum(delta) OVER (ORDER BY day, delta ROWS UNBOUNDED PRECEDING)
+        |      AS conc
+        |  FROM b),
+        |p AS (SELECT CAST(max(conc) AS BIGINT) AS peak FROM r)
+        |SELECT peak,
+        |  CAST((SELECT min(day) FROM r WHERE conc = peak) AS BIGINT)
+        |    AS peak_day
+        |FROM p ORDER BY peak""".stripMargin,
     "q_spearman" ->
       """WITH b AS (SELECT o_custkey, count(*) AS freq,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
