@@ -860,10 +860,11 @@ object InsightOps {
       .unionAll(iv.select(col("d1").as("day"), lit(-1L).as("delta")))
     val run = graft.ops.Ranks.globalRunningSum(bounds,
       Seq(col("day").asc, col("delta").asc), col("delta"), "conc")
-    run.agg(max("conc").as("peak"))
-      .join(run.groupBy("conc").agg(min("day").as("peak_day")),
-        col("peak") === col("conc"))
-      .select(col("peak"), col("peak_day"))
+    // peak and its first day in ONE pass: max(struct(conc, −day)) is
+    // (max conc, −(min day among peak rows)) under lexicographic struct
+    // order — referencing `run` twice would re-run the global sort
+    run.agg(max(struct(col("conc"), (-col("day")).as("nd"))).as("m"))
+      .select(col("m.conc").as("peak"), (-col("m.nd")).as("peak_day"))
       .orderBy(col("peak"))
   }
 
