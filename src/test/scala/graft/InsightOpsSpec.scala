@@ -271,6 +271,66 @@ class InsightOpsSpec extends AnyFunSuite {
     assert(rows.map(_._2).sum == total)
   }
 
+  test("q_peak_concurrency equals the naive count-intervals-containing-day peak") {
+    // The sweep-line result must match the direct definition: for every
+    // interval START day D (peaks can only begin at a start), the number
+    // of intervals with d0 <= D < d1. Brute force at sf0.001 scale.
+    val iv = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(unix_date(to_date(col("o_orderdate"))).cast("long").as("d0"),
+        unix_date(to_date(col("l_shipdate"))).cast("long").as("d1"))
+      .filter(col("d1") > col("d0"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val naivePeakByDay = iv.map(_._1).distinct.map { d =>
+      d -> iv.count { case (a, b) => a <= d && d < b }.toLong
+    }
+    val naivePeak = naivePeakByDay.map(_._2).max
+    val naiveDay = naivePeakByDay.filter(_._2 == naivePeak).map(_._1).min
+    val got = q("q_peak_concurrency").collect().head
+    assert(got.getLong(0) == naivePeak, s"peak ${got.getLong(0)} != $naivePeak")
+    assert(got.getLong(1) == naiveDay, s"day ${got.getLong(1)} != $naiveDay")
+  }
+
+  test("q_grouped_regression slope matches a driver-side exact recomputation") {
+    val rows = graft.model.Tables.lineitem(spark, sf)
+      .join(graft.model.Tables.part(spark, sf),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), round(col("l_extendedprice")).cast("long"),
+        round(col("l_quantity")).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = rows.groupBy(_._1).map { case (b, rs) =>
+      val n = BigInt(rs.length)
+      val sx = BigInt(rs.map(_._2).sum); val sy = BigInt(rs.map(_._3).sum)
+      val sxy = rs.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rs.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val den = n * sxx - sx * sx
+      b -> (if (den == 0) 0L
+      else math.floor(1e9 * (n * sxy - sx * sy).toDouble / den.toDouble).toLong)
+    }
+    val got = q("q_grouped_regression").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == want, s"mismatch: ${got.toSet -- want.toSet}")
+  }
+
+  test("q_diff_in_diff equals the four cell means recombined") {
+    val o = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING"),
+        to_date(col("o_orderdate")) >= lit("1998-01-01").cast("date"),
+        round(col("o_totalprice") * 100.0).cast("long"))
+      .collect().map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2)))
+    def m(t: Boolean, p: Boolean): Long = {
+      val cs = o.filter(x => x._1 == t && x._2 == p).map(_._3)
+      cs.sum / cs.length
+    }
+    val want = (m(true, true) - m(true, false)) - (m(false, true) - m(false, false))
+    val got = q("q_diff_in_diff").collect().head
+    assert(got.getAs[Long]("did_cents") == want)
+    assert(got.getAs[Long]("m_t_post") == m(true, true))
+  }
+
   test("q_linreg_trend equals the driver-side exact OLS recomputation") {
     val daily = graft.model.Tables.orders(spark, sf)
       .select(col("o_orderpriority").as("p"),
