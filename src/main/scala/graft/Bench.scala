@@ -65,7 +65,8 @@ object Bench {
     "q_assortativity", "q_token_budget_mix", "q_diff_in_diff",
     "q_seasonal_naive_eval", "q_burstiness", "q_stream_topk",
     "q_cluster_sizes", "q_sql_window", "q_grouped_regression",
-    "q_cohort_revenue", "q_peak_concurrency")
+    "q_cohort_revenue", "q_peak_concurrency", "q_boilerplate_ngrams",
+    "q_freshness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -773,7 +773,49 @@ object CurateOps {
       .orderBy(col("phrase_id"))
   }
 
+  /** Per-source boilerplate candidates: the top-3 word-trigrams by
+    * DOCUMENT frequency within each source — repeated across many docs
+    * of one domain is the signature of template text (headers, footers,
+    * nav chrome). Distinct (source, doc, shingle) first so a shingle
+    * repeated within one doc counts once; the rank window scans the
+    * per-source ngram table, never documents.
+    */
+  private val qBoilerplateNgrams: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .withColumn("toks", graft.ops.TextStats.tokens(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("source"), col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("shingle"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("n_docs").desc, col("shingle").asc)
+    sh.groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("source"), col("rnk"))
+  }
+
+  /** Ingest freshness: each event type's lag behind the corpus's newest
+    * event, in exact microseconds — the staleness column of every
+    * pipeline health dashboard, deterministic because the reference
+    * point is the data's own high-water mark rather than now().
+    */
+  private val qFreshness: Q = (s, d) => {
+    val m = Tables.events(s, d).groupBy(col("event_type"))
+      .agg(max(unix_micros(col("ts"))).as("latest_us"),
+        count(lit(1)).as("n_events"))
+    val hw = m.agg(max("latest_us").as("corpus_latest_us"))
+    m.crossJoin(broadcast(hw))
+      .select(col("event_type"), col("n_events"),
+        (col("corpus_latest_us") - col("latest_us")).as("lag_us"))
+      .orderBy(col("event_type"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_boilerplate_ngrams" -> qBoilerplateNgrams,
+    "q_freshness" -> qFreshness,
     "q_doc_filter" -> qDocFilter,
     "q_source_stats" -> qSourceStats,
     "q_oov_rate" -> qOovRate,
@@ -840,6 +882,34 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_boilerplate_ngrams" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    unnest(string_split(text, ' ')) AS tok,
+        |    CAST(generate_subscripts(string_split(text, ' '), 1)
+        |      AS BIGINT) AS i
+        |  FROM documents),
+        |s0 AS (SELECT source, doc_id, tok,
+        |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS t1,
+        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY i) AS t2
+        |  FROM t),
+        |sh AS (SELECT DISTINCT source, doc_id,
+        |    tok || ' ' || t1 || ' ' || t2 AS shingle
+        |  FROM s0 WHERE t2 IS NOT NULL),
+        |c AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM sh GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY n_docs DESC, shingle ASC) AS rnk FROM c)
+        |SELECT source, shingle, n_docs, CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY source, rnk""".stripMargin,
+    "q_freshness" ->
+      """WITH m AS (SELECT event_type,
+        |    CAST(epoch_us(max(ts)) AS BIGINT) AS latest_us,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1),
+        |hw AS (SELECT max(latest_us) AS corpus_latest_us FROM m)
+        |SELECT event_type, n_events,
+        |  CAST(corpus_latest_us - latest_us AS BIGINT) AS lag_us
+        |FROM m CROSS JOIN hw ORDER BY event_type""".stripMargin,
     "q_doc_filter" ->
       """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),
