@@ -172,6 +172,26 @@ object LlmOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-label L2-norm² profile of the embedding table — the
+    * broken-embedding detector (zero vectors, un-normalized batches,
+    * and magnitude drift all surface as norm outliers before they
+    * poison cosine math downstream). Each vector's norm² is ONE
+    * map-side left fold floored to e6 (the same sequential-fold parity
+    * `dot_arr`/`list_dot_product` rely on); everything after is exact
+    * integer per-label aggregation.
+    */
+  private val qEmbNormProfile: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        floor(expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)") * 1e6)
+          .cast("long").as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("n2").as("min_n2_e6"),
+        max("n2").as("max_n2_e6"),
+        expr("sum(n2) DIV count(1)").as("mean_n2_e6"))
+      .orderBy(col("label"))
+
   private val qKnnLabel: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val labels = emb.select(col("vec_id"), col("label"))
@@ -781,6 +801,7 @@ object LlmOps {
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_label" -> qKnnLabel,
     "q_hard_negatives" -> qHardNegatives,
+    "q_emb_norm_profile" -> qEmbNormProfile,
     "q_centroid_dist" -> qCentroidDist,
     "q_emb_variance" -> qEmbVariance,
     "q_ann_ivf" -> qAnnIvf,
@@ -1234,6 +1255,17 @@ object LlmOps {
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_emb_norm_profile" ->
+      """WITH v AS (SELECT label,
+        |    CAST(floor(1000000 * list_dot_product(
+        |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT CAST(label AS INTEGER) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(n2) AS min_n2_e6, max(n2) AS max_n2_e6,
+        |  CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2_e6
+        |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |           FROM embeddings),
