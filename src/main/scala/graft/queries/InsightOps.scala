@@ -868,7 +868,35 @@ object InsightOps {
       .orderBy(col("peak"))
   }
 
+  /** Order→ship cycle-time percentiles per priority: exact discrete
+    * order statistics (value at rank ⌈q·n⌉, the `q_trimmed_mean` rank
+    * convention) over day-granularity latency — the fulfillment-SLA
+    * readout. Integer days end to end; ranks ride per-priority windows
+    * (5 balanced partitions), ties broken on the line identity, which
+    * cannot change the k-th smallest VALUE.
+    */
+  private val qCycleTime: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+          .cast("long").as("lat"),
+        col("l_orderkey"), col("l_linenumber"))
+    val w = Window.partitionBy(col("priority"))
+      .orderBy(col("lat"), col("l_orderkey"), col("l_linenumber"))
+    val n = li.groupBy("priority").agg(count(lit(1)).as("n"))
+    li.withColumn("rn", row_number().over(w))
+      .join(n, "priority")
+      .groupBy(col("priority"), col("n"))
+      .agg(max(when(col("rn") === expr("(50 * n + 99) DIV 100"), col("lat")))
+        .as("p50_days"),
+        max(when(col("rn") === expr("(90 * n + 99) DIV 100"), col("lat")))
+          .as("p90_days"))
+      .orderBy(col("priority"))
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_cycle_time" -> qCycleTime,
     "q_grouped_regression" -> qGroupedRegression,
     "q_cohort_revenue" -> qCohortRevenue,
     "q_peak_concurrency" -> qPeakConcurrency,
@@ -903,6 +931,22 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_cycle_time" ->
+      """WITH li AS (SELECT o_orderpriority AS priority,
+        |    CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |      CAST(l_shipdate AS DATE)) AS BIGINT) AS lat,
+        |    l_orderkey, l_linenumber
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |n AS (SELECT priority, CAST(count(*) AS BIGINT) AS n
+        |  FROM li GROUP BY 1),
+        |r AS (SELECT li.priority, lat, n,
+        |    CAST(row_number() OVER (PARTITION BY li.priority
+        |      ORDER BY lat, l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM li JOIN n ON li.priority = n.priority)
+        |SELECT priority, n,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN lat END) AS p50_days,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN lat END) AS p90_days
+        |FROM r GROUP BY 1, 2 ORDER BY priority""".stripMargin,
     "q_grouped_regression" ->
       """WITH li AS (SELECT p_brand,
         |    CAST(round(l_extendedprice) AS BIGINT) AS x,
