@@ -66,7 +66,8 @@ object Bench {
     "q_seasonal_naive_eval", "q_burstiness", "q_stream_topk",
     "q_cluster_sizes", "q_sql_window", "q_grouped_regression",
     "q_cohort_revenue", "q_peak_concurrency", "q_boilerplate_ngrams",
-    "q_freshness", "q_emb_norm_profile", "q_cycle_time")
+    "q_freshness", "q_emb_norm_profile", "q_cycle_time",
+    "q_basket_size_dist", "q_emb_quantize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -895,7 +895,18 @@ object InsightOps {
       .orderBy(col("priority"))
   }
 
+  /** Basket-size distribution: how many orders contain k lineitems —
+    * the order-composition histogram behind packaging/pricing analyses.
+    * Two partial-agg shuffles, output bounded by max basket size.
+    */
+  private val qBasketSizeDist: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket_size"))
+      .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("basket_size"))
+
   val registry: Map[String, Q] = Map(
+    "q_basket_size_dist" -> qBasketSizeDist,
     "q_cycle_time" -> qCycleTime,
     "q_grouped_regression" -> qGroupedRegression,
     "q_cohort_revenue" -> qCohortRevenue,
@@ -931,6 +942,12 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_basket_size_dist" ->
+      """WITH b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
+        |    AS basket_size
+        |  FROM lineitem GROUP BY 1)
+        |SELECT basket_size, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM b GROUP BY 1 ORDER BY basket_size""".stripMargin,
     "q_cycle_time" ->
       """WITH li AS (SELECT o_orderpriority AS priority,
         |    CAST(date_diff('day', CAST(o_orderdate AS DATE),

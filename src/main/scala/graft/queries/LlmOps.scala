@@ -192,6 +192,34 @@ object LlmOps {
         expr("sum(n2) DIV count(1)").as("mean_n2_e6"))
       .orderBy(col("label"))
 
+  /** Per-dimension min-max int8 quantization audit: the storage-
+    * compression dry run (PQ-lite) — each dimension's range and the
+    * worst-case reconstruction error of snapping values to a 256-level
+    * grid. Quantization uses floor(u + 0.5), NOT round(): Spark rounds
+    * doubles HALF_UP while DuckDB rounds HALF_EVEN, and the .5 edges
+    * land exactly on grid midpoints here, so round() is the one
+    * function that would silently diverge cross-engine. Per-element
+    * errors floor to e6 BEFORE the max, keeping the aggregate
+    * order-independent; constant dimensions (mx = mn) define error 0.
+    */
+  private val qEmbQuantize: Q = (s, d) => {
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val rng = el.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+    el.join(broadcast(rng), "pos")
+      .withColumn("err_e6", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor(lit(1e6) * abs(col("x") -
+          (col("mn") + floor((col("x") - col("mn")) /
+            ((col("mx") - col("mn")) / 255.0) + 0.5) *
+            ((col("mx") - col("mn")) / 255.0)))).cast("long")))
+      .groupBy("pos")
+      .agg(floor(min("x") * 1e6).cast("long").as("mn_e6"),
+        floor(max("x") * 1e6).cast("long").as("mx_e6"),
+        max("err_e6").as("max_abs_err_e6"))
+      .orderBy(col("pos"))
+  }
+
   private val qKnnLabel: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val labels = emb.select(col("vec_id"), col("label"))
@@ -802,6 +830,7 @@ object LlmOps {
     "q_knn_label" -> qKnnLabel,
     "q_hard_negatives" -> qHardNegatives,
     "q_emb_norm_profile" -> qEmbNormProfile,
+    "q_emb_quantize" -> qEmbQuantize,
     "q_centroid_dist" -> qCentroidDist,
     "q_emb_variance" -> qEmbVariance,
     "q_ann_ivf" -> qAnnIvf,
@@ -1255,6 +1284,23 @@ object LlmOps {
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_emb_quantize" ->
+      """WITH el AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |rng AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1),
+        |e AS (SELECT el.pos, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(floor(1000000 * abs(x - (mn +
+        |      floor((x - mn) / ((mx - mn) / 255.0) + 0.5) *
+        |      ((mx - mn) / 255.0)))) AS BIGINT) END AS err_e6
+        |  FROM el JOIN rng ON el.pos = rng.pos)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  CAST(floor(min(x) * 1000000) AS BIGINT) AS mn_e6,
+        |  CAST(floor(max(x) * 1000000) AS BIGINT) AS mx_e6,
+        |  CAST(max(err_e6) AS BIGINT) AS max_abs_err_e6
+        |FROM e GROUP BY 1 ORDER BY pos""".stripMargin,
     "q_emb_norm_profile" ->
       """WITH v AS (SELECT label,
         |    CAST(floor(1000000 * list_dot_product(
