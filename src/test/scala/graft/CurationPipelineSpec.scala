@@ -12,6 +12,35 @@ class CurationPipelineSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("keep → budget-mix → pack composes end to end with conserved tokens") {
+    // The round's curation ops as one pipeline: rule-filter the corpus,
+    // token-budget-mix the keepers, pack the mix into 512-token bins.
+    // Invariants: the mix draws only from kept docs, and packing
+    // conserves the mix's token mass exactly (no doc lost or split).
+    val docs = graft.model.Tables.documents(spark, sf)
+    val kept = SparkEntry.queries("q_doc_filter")(spark, sf)
+      .filter($"keep" === 1L).select($"doc_id")
+    val keptDocs = docs.join(kept, "doc_id")
+    val mix = graft.ops.TextStats.tokenBudgetSample(
+      keptDocs, "doc_id", "source", "text", totalBudget = 3000L)
+    val mixIds = mix.select($"doc_id").as[Long].collect().toSet
+    val keptIds = kept.as[Long].collect().toSet
+    assert(mixIds.subsetOf(keptIds), "mix drew from dropped docs")
+    assert(mixIds.nonEmpty)
+    val packed = graft.ops.Ranks.globalRunningSum(
+      mix.select($"doc_id", $"n_toks"), Seq($"doc_id".asc), $"n_toks", "cum")
+      .select($"doc_id", $"n_toks",
+        floor(($"cum" - $"n_toks") / 512.0).cast("long").as("pack_id"))
+    val mixTokens = mix.agg(sum($"n_toks")).as[Long].head()
+    val packedTokens = packed.agg(sum($"n_toks")).as[Long].head()
+    assert(packedTokens == mixTokens, "packing lost or duplicated tokens")
+    // bins are dense 0..max and every bin except possibly the last holds
+    // ≥ 512 tokens once its successor exists (no premature bin break)
+    val bins = packed.groupBy($"pack_id").agg(sum($"n_toks").as("t"))
+      .orderBy($"pack_id").as[(Long, Long)].collect()
+    assert(bins.map(_._1).toSeq == bins.indices.map(_.toLong))
+  }
+
   test("curation pipeline is deterministic and monotone") {
     val docs = graft.model.Tables.documents(spark, sf)
     val total = docs.count()
