@@ -110,10 +110,16 @@ object Bench {
         if (times.exists(_ < 0)) -1.0 else times.sorted.apply(reps / 2)
       (name, median, times)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 0.1 ms resolution keeps the ONE output line ~60% smaller than
+    // full-precision doubles: the driver's capture truncated the tail
+    // of the r5/r6 artifacts, and a ~2.5 KB line fits comfortably under
+    // any plausible buffer where ~6 KB did not.
+    def f(d: Double): String =
+      if (d < 0) "-1" else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val runs = results.map { case (k, _, ts) =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     // `value` sums warm medians (execution-bound engine cost); r1–r4
@@ -150,10 +156,10 @@ object Bench {
       } else (name, t1, Seq(t1))
     }
     val ext = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
-      .map { case (k, t) => s"\"" + k + "\":" + t }
+      .map { case (k, t) => s"\"" + k + "\":" + f(t) }
       .mkString("{", ",", "}")
     val extRuns = extResults.collect { case (k, _, ts) if ts.size > 1 =>
-      s"\"" + k + "\":" + ts.mkString("[", ",", "]")
+      s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     // extended failures surface through the same `errors` channel as
     // headline failures — a -1 buried in `extended` alone must not read
@@ -162,7 +168,12 @@ object Bench {
       deriveResults.collect { case (k, t) if t < 0 => k } ++
       extResults.collect { case (k, t, _) if t < 0 => k })
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","first_run_total":$firstTotal,"queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"errors":$allErrors,"sf":"$sfDir"}""")
+    // critical fields (value, errors, sf) lead the line AND repeat at
+    // its very end: the r5/r6 artifacts arrived truncated and the cut
+    // direction is unknown, so either way one copy of the headline
+    // summary survives a partial capture (duplicate keys are harmless
+    // to json.load — last wins with identical values)
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"value":${f(total)},"first_run_total":${f(firstTotal)},"errors":$allErrors}""")
     spark.stop()
   }
 }
