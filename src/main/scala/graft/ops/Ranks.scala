@@ -135,4 +135,30 @@ object Ranks {
       .withColumn(as, offsetCol(cumOffsets(totals)) + sum(value).over(w))
       .drop("_pid")
   }
+
+  /** Global inclusive running sums of SEVERAL LONG measures by `order`
+    * (must be a total order) off ONE range-sort — the multi-measure
+    * form of [[globalRunningSum]]: one shuffle and one per-partition
+    * subtotal job carry all measures (N separate calls would sort and
+    * checkpoint the table N times). Each (value, name) pair lands as a
+    * LONG running column; all ride the same parallel per-partition
+    * window.
+    */
+  def globalRunningSums(df: DataFrame, order: Seq[Column],
+                        values: Seq[(Column, String)],
+                        partitions: Int = 0): DataFrame = {
+    val sorted = sortedWithPid(df, order, partitions)
+    val aggs = values.zipWithIndex.map { case ((v, _), i) =>
+      coalesce(sum(v), lit(0L)).as(s"_t$i")
+    }
+    val totals = sorted.groupBy(col("_pid")).agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), values.indices.map(i => r.getLong(i + 1))))
+    val w = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    values.zipWithIndex.foldLeft(sorted) { case (acc, ((v, name), i)) =>
+      val per = totals.map { case (pid, ts) => (pid, ts(i)) }
+      acc.withColumn(name, offsetCol(cumOffsets(per)) + sum(v).over(w))
+    }.drop("_pid")
+  }
 }

@@ -113,6 +113,81 @@ object LlmOps {
       .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
       .orderBy(col("sz"))
 
+  /** Near-duplicate rate per source — the per-feed dedup health
+    * readout (one crawler feeding boilerplate shows up as a dup_ppm
+    * outlier long before it floods the corpus). Docs count as
+    * duplicates when their durable-cluster size exceeds 1, so the key
+    * rides the memoized cluster table twice (assignment + size) plus
+    * one doc_id-keyed join for the source column — steady-state cost
+    * is two reads and two aggregates, no re-clustering.
+    */
+  private val qDupRateBySource: Q = (s, d) => {
+    val sz = clusterAssign(s, d).groupBy("cluster_id")
+      .agg(count(lit(1)).as("sz"))
+    clusterAssign(s, d)
+      .join(sz, "cluster_id")
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("sz") > 1L).cast("long")).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("1000000 * n_dup DIV n_docs").as("dup_ppm"))
+      .orderBy("source")
+  }
+
+  /** Cross-source shingle overlap: for every source pair, the count of
+    * shared distinct 3-shingles and the Jaccard of their shingle
+    * vocabularies — the "are two feeds scraping the same sites"
+    * contamination matrix. Shape is the inverted index: distinct
+    * (source, shingle) postings self-joined on the shingle, so a
+    * shingle in k sources fans to k(k−1)/2 pairs — bounded by
+    * |sources|², NEVER document-pairs. At petabyte scale swap the
+    * shingle strings for [[graft.ops.Dedup.shingleHashes]] 64-bit
+    * postings (8 bytes/posting through the shuffle); strings here keep
+    * the oracle exact. Per-source vocabulary sizes re-join as
+    * broadcasts (one row per source).
+    */
+  private val qCrossSourceOverlap: Q = (s, d) => {
+    val sh = Dedup.explodeShingles(
+        Tables.documents(s, d).select(col("source"), col("text")),
+        "source", "text", 3)
+      .distinct()
+    val per = sh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("src_a", "shingle")
+    val b = sh.toDF("src_b", "shingle_b")
+    a.join(b, col("shingle") === col("shingle_b") &&
+        col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+      .join(broadcast(per.toDF("src_a", "n_a")), "src_a")
+      .join(broadcast(per.toDF("src_b", "n_b")), "src_b")
+      .select(col("src_a"), col("src_b"), col("shared"),
+        col("n_a"), col("n_b"),
+        expr("1000000 * shared DIV (n_a + n_b - shared)").as("jaccard_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Tokenizer fertility by language: whitespace tokens per UTF-8 byte
+    * (ppm) and mean bytes per token — the compression-rate table that
+    * decides how a token budget translates to storage per language
+    * (CJK and agglutinative languages sit far from English). Map-side
+    * arithmetic + one partial-agg shuffle into |languages| groups.
+    * Headroom: 10⁶·Σtokens stays under 2⁶³ through ~9·10¹² corpus
+    * tokens; past that promote to DECIMAL(38,0).
+    */
+  private val qTokenizerFertility: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+        sum("bytes").as("bytes"))
+      .select(col("lang"), col("n_docs"), col("tokens"), col("bytes"),
+        expr("1000000 * tokens DIV bytes").as("fert_ppm"),
+        expr("1000 * bytes DIV tokens").as("bytes_per_tok_e3"))
+      .orderBy("lang")
+
   private val qDedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
       .orderBy(col("doc_a"), col("doc_b"))
@@ -823,6 +898,9 @@ object LlmOps {
     "q_dedup_clusters" -> qDedupClusters,
     "q_dedup_representatives" -> qDedupRepresentatives,
     "q_cluster_sizes" -> qClusterSizes,
+    "q_dup_rate_by_source" -> qDupRateBySource,
+    "q_cross_source_overlap" -> qCrossSourceOverlap,
+    "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
@@ -1142,6 +1220,46 @@ object LlmOps {
     // the clusters query wrapped as a derived table (DuckDB allows a
     // nested WITH RECURSIVE there), then one rank per cluster by
     // (length DESC, doc_id) — the same (len, -doc_id) max_by order
+    "q_dup_rate_by_source" ->
+      s"""WITH cl AS (SELECT * FROM (${clustersSql(0.5)})),
+         |sz AS (SELECT cluster_id, count(*) AS sz FROM cl GROUP BY 1),
+         |j AS (SELECT d.source, sz.sz
+         |      FROM cl JOIN sz USING (cluster_id)
+         |      JOIN documents d ON cl.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(1000000 * CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) // count(*) AS BIGINT) AS dup_ppm
+         |FROM j GROUP BY 1 ORDER BY source""".stripMargin,
+    "q_cross_source_overlap" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS t
+        |  FROM documents),
+        |e AS (SELECT DISTINCT source,
+        |    unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |            for i in range(1, len(t) - 1)]) AS sh
+        |  FROM t WHERE len(t) >= 3),
+        |per AS (SELECT source, count(*) AS n_sh FROM e GROUP BY 1),
+        |ov AS (SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*) AS shared
+        |  FROM e a JOIN e b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared,
+        |  CAST(pa.n_sh AS BIGINT) AS n_a, CAST(pb.n_sh AS BIGINT) AS n_b,
+        |  CAST(1000000 * shared // (pa.n_sh + pb.n_sh - shared) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM ov JOIN per pa ON ov.src_a = pa.source
+        |  JOIN per pb ON ov.src_b = pb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q_tokenizer_fertility" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS bytes,
+        |  CAST(1000000 * CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    // CAST(sum(strlen(text)) AS BIGINT) AS BIGINT) AS fert_ppm,
+        |  CAST(1000 * CAST(sum(strlen(text)) AS BIGINT)
+        |    // CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS BIGINT)
+        |    AS bytes_per_tok_e3
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q_cluster_sizes" ->
       s"""WITH cl AS (SELECT * FROM (${clustersSql(0.5)}))
          |SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM (

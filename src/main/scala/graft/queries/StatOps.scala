@@ -457,7 +457,159 @@ object StatOps {
       .orderBy(col("event_type"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov: does the BUILDING segment's order
+    * value distribution differ from everyone else's? D = max over the
+    * pooled support of |F₁(x) − F₂(x)|, computed ENTIRELY in integers by
+    * cross-multiplying the running counts (|c₁·n₂ − c₂·n₁| avoids the
+    * F floats altogether); ks_e6 = 10⁶·D_num DIV (n₁·n₂). The pooled
+    * sample first COLLAPSES to its distinct values (one partial-agg
+    * shuffle — the running-sum table is bounded by price cardinality,
+    * not row count), then both running counts ride ONE
+    * [[graft.ops.Ranks.globalRunningSums]] range-sort. The CDF step
+    * convention (evaluate after the whole equal-value block) falls out
+    * of the per-value collapse. `at_cents` is the smallest value
+    * attaining the max — a deterministic argmax. Headroom: cum·n ≤
+    * n₁·n₂ and 10⁶·n₁·n₂ < 2⁶³ bounds BIGINT safety at ~3·10⁶ rows per
+    * group; past that promote the cross-products to DECIMAL(38,0)
+    * (the q_pareto_share promotion point), same plan shape.
+    */
+  private val qKsTest: Q = (s, d) => {
+    val b = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").cast("long").as("g1"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+        col("g1"))
+    val per = b.groupBy("cents")
+      .agg(sum("g1").as("c1"), count(lit(1)).as("ct"))
+    val r = graft.ops.Ranks.globalRunningSums(per, Seq(col("cents").asc),
+      Seq(col("c1") -> "cum1", col("ct") -> "cumt"))
+    // totals read off the checkpointed running-sum tail — no second
+    // scan of the fact join (max cumt = n, max cum1 = n1)
+    val tot = r.agg(max("cum1").as("n1"),
+      (max("cumt") - max("cum1")).as("n2"))
+    val dif = r.crossJoin(broadcast(tot))
+      .select(col("cents"), col("n1"), col("n2"),
+        abs(col("cum1") * col("n2") -
+          (col("cumt") - col("cum1")) * col("n1")).as("dnum"))
+    val mx = dif.groupBy("n1", "n2").agg(max("dnum").as("d_num"))
+    dif.join(broadcast(mx), Seq("n1", "n2"))
+      .filter(col("dnum") === col("d_num"))
+      .groupBy("n1", "n2", "d_num")
+      .agg(min("cents").as("at_cents"))
+      .select(col("n1"), col("n2"), col("d_num"),
+        expr("1000000 * d_num DIV (n1 * n2)").as("ks_e6"),
+        col("at_cents"))
+      .orderBy("n1")
+  }
+
+  /** Cramér's V effect size for the market-segment × order-priority
+    * contingency table — the "is the χ² big enough to matter" companion
+    * to `q_chisq_contingency`. Per-cell contributions reuse that key's
+    * common-denominator integer form ((o·N − r·c)² over r·c·N at e6
+    * scale — exact BIGINTs, so their SUM is order-independent); the
+    * only float math is the final √(χ²/(n·min(r−1,c−1))), ONE mirrored
+    * sequence. Same plan shape as the χ² key: one broadcast dim join,
+    * one keyed count, category-sized re-joins.
+    */
+  private val qCramersV: Q = (s, d) => {
+    val cells = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("seg").agg(sum("o").as("r"))
+    val colT = cells.groupBy("prio").agg(sum("o").as("c"))
+    val contrib = cells.join(broadcast(rowT), "seg")
+      .join(broadcast(colT), "prio")
+      .crossJoin(broadcast(cells.agg(sum("o").as("n"))))
+      .select(col("seg"), col("prio"), col("n"),
+        expr("(o * n - r * c) * (o * n - r * c) DIV ((r * c * n) DIV 1000000)")
+          .as("chi2_e6"))
+    contrib
+      .agg(max("n").as("n"), sum("chi2_e6").as("chi2_e6"),
+        countDistinct("seg").as("r_levels"),
+        countDistinct("prio").as("c_levels"))
+      .select(col("n"), col("r_levels"), col("c_levels"), col("chi2_e6"),
+        floor(sqrt(col("chi2_e6").cast("double") / lit(1000000.0) /
+          (col("n") * least(col("r_levels") - 1L, col("c_levels") - 1L))
+            .cast("double")) * lit(1000000.0)).cast("long").as("v_e6"))
+      .orderBy("n")
+  }
+
+  /** ABC inventory classification: parts ranked by revenue, class A =
+    * items within the leading 80% of cumulative revenue, B to 95%, C
+    * the tail — the 80/15/5 slicing behind every stock-policy and
+    * catalog-curation decision. The cumulative rides the distributed
+    * running sum (range-sort on (cents DESC, partkey) — a total order,
+    * so the class boundary is deterministic under revenue ties); class
+    * membership compares cum·100 ≤ tot·{80,95} in exact BIGINTs.
+    * Headroom: total corpus cents ≤ ~10¹⁶ leaves cum·100 two decades
+    * under 2⁶³. The grand total reads off the running-sum tail
+    * (max cum) — no second lineitem scan.
+    */
+  private val qAbcClasses: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100.0).cast("long"))
+        .as("cents"))
+    val r = graft.ops.Ranks.globalRunningSum(rev,
+      Seq(col("cents").desc, col("l_partkey").asc), col("cents"), "cum")
+    val tot = r.agg(max("cum").as("tot"))
+    r.crossJoin(broadcast(tot))
+      .select(when(col("cum") * 100L <= col("tot") * 80L, "A")
+        .when(col("cum") * 100L <= col("tot") * 95L, "B")
+        .otherwise("C").as("abc"), col("cents"), col("tot"))
+      .groupBy("abc", "tot")
+      .agg(count(lit(1)).as("n_parts"), sum("cents").as("class_cents"))
+      .select(col("abc"), col("n_parts"), col("class_cents"),
+        expr("1000000 * class_cents DIV tot").as("share_ppm"))
+      .orderBy("abc")
+  }
+
+  /** Autocorrelation function at lags 1..7 of the daily order-count
+    * series — the week-scale seasonality fingerprint (`q_autocorr` is
+    * its lag-1 slice; the lag-7 spike is the weekly cycle). Pairs come
+    * from ONE broadcast self-join of the collapsed day table against
+    * its 7-way lag explode (calendar-bounded — never data-sized, the
+    * `q_period_over_period` posture); per-lag moments are exact
+    * BIGINTs and r_e6 derives via the same single mirrored float
+    * sequence as `q_autocorr`, so lag 1 here must equal that key
+    * bit-for-bit (spec-pinned). Calendar gaps pair with nothing and
+    * drop out rather than faking adjacency.
+    */
+  private val qAcfLags: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val lagged = daily.select(col("day"), col("y"),
+        explode(array((1 to 7).map(l => lit(l.toLong)): _*)).as("lag"))
+      .withColumn("dn", col("day") + col("lag"))
+    val pairs = lagged.join(
+      broadcast(daily.select(col("day").as("d2"), col("y").as("yn"))),
+      col("dn") === col("d2"))
+    pairs.groupBy("lag")
+      .agg(count(lit(1)).as("m"), sum("y").as("sa"), sum("yn").as("sb"),
+        sum(col("y") * col("yn")).as("sab"),
+        sum(col("y") * col("y")).as("saa"),
+        sum(col("yn") * col("yn")).as("sbb"))
+      .filter(col("m") * col("saa") - col("sa") * col("sa") > 0L &&
+        col("m") * col("sbb") - col("sb") * col("sb") > 0L)
+      .select(col("lag"), col("m"), col("sa"), col("sb"),
+        floor((col("m") * col("sab") - col("sa") * col("sb")).cast("double") /
+          sqrt((col("m") * col("saa") - col("sa") * col("sa")).cast("double")) /
+          sqrt((col("m") * col("sbb") - col("sb") * col("sb")).cast("double")) *
+          lit(1000000.0)).cast("long").as("r_e6"))
+      .orderBy("lag")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_ks_test" -> qKsTest,
+    "q_cramers_v" -> qCramersV,
+    "q_abc_classes" -> qAbcClasses,
+    "q_acf_lags" -> qAcfLags,
     "q_burstiness" -> qBurstiness,
     "q_diff_in_diff" -> qDiffInDiff,
     "q_seasonal_naive_eval" -> qSeasonalNaiveEval,
@@ -476,6 +628,98 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ks_test" ->
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT)
+        |      AS cents,
+        |    CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |per AS (SELECT cents, CAST(sum(g1) AS BIGINT) AS c1,
+        |    count(*) AS ct FROM b GROUP BY 1),
+        |r AS (SELECT cents,
+        |    CAST(sum(c1) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum1,
+        |    CAST(sum(ct) OVER (ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cumt
+        |  FROM per),
+        |tot AS (SELECT CAST(max(cum1) AS BIGINT) AS n1,
+        |    CAST(max(cumt) - max(cum1) AS BIGINT) AS n2 FROM r),
+        |dif AS (SELECT cents, n1, n2,
+        |    abs(cum1 * n2 - (cumt - cum1) * n1) AS dnum
+        |  FROM r CROSS JOIN tot),
+        |mx AS (SELECT n1, n2, max(dnum) AS d_num FROM dif GROUP BY 1, 2)
+        |SELECT dif.n1, dif.n2, d_num,
+        |  CAST(1000000 * d_num // (dif.n1 * dif.n2) AS BIGINT) AS ks_e6,
+        |  CAST(min(cents) AS BIGINT) AS at_cents
+        |FROM dif JOIN mx ON dif.n1 = mx.n1 AND dif.n2 = mx.n2
+        |  AND dif.dnum = mx.d_num
+        |GROUP BY dif.n1, dif.n2, d_num ORDER BY dif.n1""".stripMargin,
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+        |    count(*) AS o
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT seg, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT prio, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |contrib AS (SELECT seg, prio, n,
+        |    (o * n - r * c) * (o * n - r * c) // ((r * c * n) // 1000000)
+        |      AS chi2_e6
+        |  FROM cells JOIN rt USING (seg) JOIN ct USING (prio) CROSS JOIN nt),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n,
+        |    CAST(sum(chi2_e6) AS BIGINT) AS chi2_e6,
+        |    CAST(count(DISTINCT seg) AS BIGINT) AS r_levels,
+        |    CAST(count(DISTINCT prio) AS BIGINT) AS c_levels
+        |  FROM contrib)
+        |SELECT n, r_levels, c_levels, chi2_e6,
+        |  CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1000000.0 /
+        |    CAST(n * least(r_levels - 1, c_levels - 1) AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS v_e6
+        |FROM a ORDER BY n""".stripMargin,
+    "q_abc_classes" ->
+      """WITH rev AS (SELECT l_partkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY 1),
+        |r AS (SELECT cents, l_partkey,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum
+        |  FROM rev),
+        |tot AS (SELECT CAST(max(cum) AS BIGINT) AS tot FROM r),
+        |cls AS (SELECT CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |      WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |    cents, tot
+        |  FROM r CROSS JOIN tot)
+        |SELECT abc, count(*) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS class_cents,
+        |  CAST(1000000 * CAST(sum(cents) AS BIGINT) // tot AS BIGINT)
+        |    AS share_ppm
+        |FROM cls GROUP BY abc, tot ORDER BY abc""".stripMargin,
+    "q_acf_lags" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT day, y,
+        |    CAST(unnest(generate_series(1, 7)) AS BIGINT) AS lag
+        |  FROM daily),
+        |p AS (SELECT lag, l.y AS y, d2.y AS yn
+        |  FROM l JOIN daily d2 ON l.day + l.lag = d2.day),
+        |a AS (SELECT lag, count(*) AS m, sum(y) AS sa, sum(yn) AS sb,
+        |    sum(y * yn) AS sab, sum(y * y) AS saa, sum(yn * yn) AS sbb
+        |  FROM p GROUP BY 1)
+        |SELECT lag, CAST(m AS BIGINT) AS m, CAST(sa AS BIGINT) AS sa,
+        |  CAST(sb AS BIGINT) AS sb,
+        |  CAST(floor(CAST(m * sab - sa * sb AS DOUBLE)
+        |    / sqrt(CAST(m * saa - sa * sa AS DOUBLE))
+        |    / sqrt(CAST(m * sbb - sb * sb AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS r_e6
+        |FROM a
+        |WHERE m * saa - sa * sa > 0 AND m * sbb - sb * sb > 0
+        |ORDER BY lag""".stripMargin,
     "q_burstiness" ->
       """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
         |    count(*) AS x

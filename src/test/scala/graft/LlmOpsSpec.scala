@@ -319,6 +319,42 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dup_rate_by_source: per-source counts conserve corpus and cluster members") {
+    val rows = SparkEntry.queries("q_dup_rate_by_source")(spark, sf).collect()
+    val corpus = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "sources must partition the corpus")
+    // total duplicates across sources = members of all size>1 clusters
+    val dupMembers = SparkEntry.queries("q_cluster_sizes")(spark, sf).collect()
+      .filter(_.getLong(0) > 1L).map(r => r.getLong(0) * r.getLong(1)).sum
+    assert(rows.map(_.getLong(2)).sum == dupMembers,
+      "per-source dup counts must re-sum the size>1 cluster membership")
+    rows.foreach(r => assert(r.getLong(3) <= 1000000L))
+  }
+
+  test("q_cross_source_overlap: shared vocab bounded by each side; Jaccard sane") {
+    val rows = SparkEntry.queries("q_cross_source_overlap")(spark, sf).collect()
+    assert(rows.nonEmpty, "no source pair shares any shingle")
+    rows.foreach { r =>
+      val (shared, na, nb, jac) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(r.getString(0) < r.getString(1), "pairs must be ordered, no mirrors")
+      assert(shared <= math.min(na, nb), "intersection exceeds a side")
+      assert(jac == 1000000L * shared / (na + nb - shared))
+    }
+  }
+
+  test("q_tokenizer_fertility: languages partition the corpus; ratios invert") {
+    val rows = SparkEntry.queries("q_tokenizer_fertility")(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.model.Tables.documents(spark, sf).count())
+    rows.foreach { r =>
+      val (toks, bytes) = (r.getLong(2), r.getLong(3))
+      assert(toks > 0L && bytes > 0L)
+      assert(r.getLong(4) == 1000000L * toks / bytes)
+      assert(r.getLong(5) == 1000L * bytes / toks)
+    }
+  }
+
   test("deterministic samplers: fixed size bottom-k, weight-monotone Bernoulli") {
     val k = SparkEntry.queries("q_sample_bottomk")(spark, sf).collect()
     assert(k.length == 100)

@@ -432,6 +432,62 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_ks_test: groups partition the orders; D matches a brute-force recompute") {
+    val r = q("q_ks_test").collect()(0)
+    val (n1, n2, dnum, ks) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 + n2 == graft.model.Tables.orders(spark, sf).count())
+    assert(ks >= 0L && ks <= 1000000L)
+    // brute force over the collected sample
+    val xs = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select((col("c_mktsegment") === "BUILDING").as("g"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val values = xs.map(_._2).distinct.sorted
+    val best = values.map { v =>
+      val c1 = xs.count { case (g, c) => g && c <= v }.toLong
+      val c2 = xs.count { case (g, c) => !g && c <= v }.toLong
+      math.abs(c1 * n2 - c2 * n1)
+    }.max
+    assert(dnum == best, s"d_num $dnum vs brute-force $best")
+  }
+
+  test("q_cramers_v: chi2 equals the contingency key's cell sum; V in [0, 1]") {
+    val r = q("q_cramers_v").collect()(0)
+    val cellSum = q("q_chisq_contingency").collect().map(_.getLong(4)).sum
+    assert(r.getLong(3) == cellSum, "chi2_e6 != sum of per-cell contributions")
+    assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+  }
+
+  test("q_abc_classes: classes partition parts and conserve revenue; cut points hold") {
+    val rows = q("q_abc_classes").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet.subsetOf(Set("A", "B", "C")))
+    val nParts = graft.model.Tables.lineitem(spark, sf)
+      .select("l_partkey").distinct().count()
+    assert(rows.map(_._2).sum == nParts)
+    val total = rows.map(_._3).sum
+    val shareA = rows.filter(_._1 == "A").map(_._3).sum * 100
+    val shareAB = rows.filter(_._1 != "C").map(_._3).sum * 100
+    assert(shareA <= total * 80, "class A exceeds the 80% cut")
+    assert(shareAB <= total * 95, "classes A+B exceed the 95% cut")
+    val ppm = rows.map(_._4).sum
+    assert(ppm > 1000000L - rows.length && ppm <= 1000000L)
+  }
+
+  test("q_acf_lags: lag-1 row reproduces q_autocorr bit-for-bit") {
+    val acf = q("q_acf_lags").collect()
+    assert(acf.map(_.getLong(0)).toSeq == (1L to 7L))
+    val lag1 = acf.find(_.getLong(0) == 1L).get
+    val auto = q("q_autocorr").collect()(0)
+    // (m, sa, sb, r_e6) must coincide with the dedicated lag-1 key
+    assert(lag1.getLong(1) == auto.getLong(0))
+    assert(lag1.getLong(2) == auto.getLong(1))
+    assert(lag1.getLong(3) == auto.getLong(2))
+    assert(lag1.getLong(4) == auto.getLong(4))
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
