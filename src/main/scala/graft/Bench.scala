@@ -67,7 +67,10 @@ object Bench {
     "q_cluster_sizes", "q_sql_window", "q_grouped_regression",
     "q_cohort_revenue", "q_peak_concurrency", "q_boilerplate_ngrams",
     "q_freshness", "q_emb_norm_profile", "q_cycle_time",
-    "q_basket_size_dist", "q_emb_quantize")
+    "q_basket_size_dist", "q_emb_quantize",
+    "q_ks_test", "q_cramers_v", "q_abc_classes", "q_acf_lags",
+    "q_dup_rate_by_source", "q_cross_source_overlap",
+    "q_tokenizer_fertility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
