@@ -393,6 +393,42 @@ object CurateOps {
     * scan-parallel aggregate, so the contract check costs one pass at
     * any scale.
     */
+  /** Full referential-integrity audit of the star schema: every
+    * foreign-key edge reports its child row count and orphan count
+    * (children whose key resolves to no parent) — the warehouse-wide
+    * generalization of `q_data_contract`'s single FK rule, and the
+    * first table a migration signs off against (all-zero orphans IS
+    * the deliverable). Each edge is one LEFT ANTI join + count: dims
+    * broadcast, the two fact-fact edges shuffle on their key — seven
+    * independent scan-parallel passes, no floats anywhere.
+    */
+  private val qRefIntegrity: Q = (s, d) => {
+    def edge(name: String, child: DataFrame, key: String,
+             parent: DataFrame, pkey: String): DataFrame = {
+      val total = child.agg(count(lit(1)).as("n_rows"))
+      val orph = child
+        .join(parent.select(col(pkey).as(key)), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      total.crossJoin(orph)
+        .select(lit(name).as("edge"), col("n_rows"), col("n_orphans"))
+    }
+    edge("customer.nationkey", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey")
+      .unionByName(edge("lineitem.orderkey", Tables.lineitem(s, d),
+        "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+      .unionByName(edge("lineitem.partkey", Tables.lineitem(s, d),
+        "l_partkey", Tables.part(s, d), "p_partkey"))
+      .unionByName(edge("lineitem.suppkey", Tables.lineitem(s, d),
+        "l_suppkey", Tables.supplier(s, d), "s_suppkey"))
+      .unionByName(edge("nation.regionkey", Tables.nation(s, d),
+        "n_regionkey", Tables.region(s, d), "r_regionkey"))
+      .unionByName(edge("orders.custkey", Tables.orders(s, d),
+        "o_custkey", Tables.customer(s, d), "c_custkey"))
+      .unionByName(edge("supplier.nationkey", Tables.supplier(s, d),
+        "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+      .orderBy(col("edge"))
+  }
+
   private val qDataContract: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     def rangeRule(name: String, violated: org.apache.spark.sql.Column) =
@@ -831,6 +867,7 @@ object CurateOps {
     "q_zorder" -> qZorder,
     "q_cdc_apply" -> qCdcApply,
     "q_data_contract" -> qDataContract,
+    "q_ref_integrity" -> qRefIntegrity,
     "q_temperature_mix" -> qTemperatureMix,
     "q_token_budget_mix" -> qTokenBudgetMix,
     "q_versioned_read" -> qVersionedRead,
@@ -1107,6 +1144,37 @@ object CurateOps {
     "q_versioned_read" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderstatus = 'O' ORDER BY o_orderkey""".stripMargin,
+    "q_ref_integrity" ->
+      """SELECT 'customer.nationkey' AS edge,
+        |  (SELECT count(*) FROM customer) AS n_rows,
+        |  (SELECT count(*) FROM customer WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey))
+        |  AS n_orphans
+        |UNION ALL SELECT 'lineitem.orderkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey))
+        |UNION ALL SELECT 'lineitem.partkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM part WHERE p_partkey = l_partkey))
+        |UNION ALL SELECT 'lineitem.suppkey',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem WHERE NOT EXISTS
+        |    (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey))
+        |UNION ALL SELECT 'nation.regionkey',
+        |  (SELECT count(*) FROM nation),
+        |  (SELECT count(*) FROM nation WHERE NOT EXISTS
+        |    (SELECT 1 FROM region WHERE r_regionkey = n_regionkey))
+        |UNION ALL SELECT 'orders.custkey',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer WHERE c_custkey = o_custkey))
+        |UNION ALL SELECT 'supplier.nationkey',
+        |  (SELECT count(*) FROM supplier),
+        |  (SELECT count(*) FROM supplier WHERE NOT EXISTS
+        |    (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey))
+        |ORDER BY edge""".stripMargin,
     "q_data_contract" ->
       """SELECT 'discount_in_0_0p1' AS rule,
         |  CAST(sum(CASE WHEN l_discount NOT BETWEEN 0.0 AND 0.1

@@ -723,6 +723,51 @@ object LlmOps {
     * Gram-matrix lower bound — then collapses to a dims²-sized output;
     * per-dimension means broadcast back.
     */
+  /** Pearson correlation per embedding dimension PAIR — the normalized
+    * form of `q_covariance_matrix`'s redundancy detector (corr ≈ ±1
+    * says a dimension is a linear copy; the pruning readout before
+    * quantization). Same exact-moment shape: scaled-integer Σxₐ, Σxₐ²,
+    * Σxₐx_b accumulate as BIGINT/DECIMAL(38,0) (order-independent),
+    * then ONE mirrored float sequence per cell — num/√denₐ/√den_b, the
+    * `q_autocorr` discipline. Zero-variance dimensions drop on BOTH
+    * engines (the Welch guard). Cost n·dims² through the positional
+    * self-join, output dims²-bounded; per-dimension moments broadcast.
+    */
+  private val qDimCorr: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val xe = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe",
+        round(col("x").cast("double") * Similarity.MeanScale).cast("long"))
+    val p = xe.select(col("vec_id"), col("pos").as("pos_a"), col("xe").as("xa"))
+      .join(xe.select(col("vec_id"), col("pos").as("pos_b"), col("xe").as("xb")),
+        "vec_id")
+      .filter(col("pos_a") < col("pos_b"))
+      .groupBy("pos_a", "pos_b")
+      .agg(sum(dec(col("xa")) * dec(col("xb"))).as("pab"))
+    val m = xe.groupBy("pos")
+      .agg(sum("xe").as("sx"), sum(dec(col("xe")) * dec(col("xe"))).as("sxx"),
+        count(lit(1)).as("n"))
+    p.join(broadcast(m.select(col("pos").as("pos_a"), col("sx").as("sa"),
+        col("sxx").as("saa"), col("n"))), "pos_a")
+      .join(broadcast(m.select(col("pos").as("pos_b"), col("sx").as("sb"),
+        col("sxx").as("sbb"))), "pos_b")
+      .filter(col("n").cast("double") * col("saa").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double") > lit(0.0) &&
+        col("n").cast("double") * col("sbb").cast("double") -
+        col("sb").cast("double") * col("sb").cast("double") > lit(0.0))
+      .select(col("pos_a"), col("pos_b"),
+        floor(lit(1000000.0) *
+          (col("n").cast("double") * col("pab").cast("double") -
+            col("sa").cast("double") * col("sb").cast("double")) /
+          sqrt(col("n").cast("double") * col("saa").cast("double") -
+            col("sa").cast("double") * col("sa").cast("double")) /
+          sqrt(col("n").cast("double") * col("sbb").cast("double") -
+            col("sb").cast("double") * col("sb").cast("double")))
+          .cast("long").as("corr_e6"))
+      .orderBy("pos_a", "pos_b")
+  }
+
   private val qCovarianceMatrix: Q = (s, d) => {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val xe = Tables.embeddings(s, d)
@@ -884,6 +929,7 @@ object LlmOps {
     "q_perplexity_lm" -> qPerplexityLm,
     "q_silhouette" -> qSilhouette,
     "q_covariance_matrix" -> qCovarianceMatrix,
+    "q_dim_corr" -> qDimCorr,
     "q_class_weights" -> qClassWeights,
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
@@ -1347,6 +1393,38 @@ object LlmOps {
         |  CAST(1000000 * n_total // (n_classes * n_docs) AS BIGINT)
         |    AS weight_e6
         |FROM per CROSS JOIN tot ORDER BY lang""".stripMargin,
+    "q_dim_corr" ->
+      """WITH u AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+        |      AS BIGINT) AS xe
+        |  FROM embeddings),
+        |p AS (SELECT a.pos AS pos_a, b.pos AS pos_b,
+        |    sum(CAST(a.xe AS HUGEINT) * b.xe) AS pab
+        |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos < b.pos
+        |  GROUP BY 1, 2),
+        |m AS (SELECT pos, CAST(sum(xe) AS BIGINT) AS sx,
+        |    sum(CAST(xe AS HUGEINT) * xe) AS sxx, count(*) AS n
+        |  FROM u GROUP BY 1),
+        |j AS (SELECT pos_a, pos_b, pab,
+        |    ma.sx AS sa, ma.sxx AS saa, ma.n AS n,
+        |    mb.sx AS sb, mb.sxx AS sbb
+        |  FROM p JOIN m ma ON pos_a = ma.pos JOIN m mb ON pos_b = mb.pos)
+        |SELECT pos_a, pos_b,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(n AS DOUBLE) * CAST(pab AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+        |      CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) /
+        |    sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+        |      CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))) AS BIGINT)
+        |  AS corr_e6
+        |FROM j
+        |WHERE CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+        |    CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) > 0.0
+        |  AND CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+        |    CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) > 0.0
+        |ORDER BY pos_a, pos_b""".stripMargin,
     "q_covariance_matrix" ->
       """WITH u AS (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

@@ -605,7 +605,39 @@ object StatOps {
       .orderBy("lag")
   }
 
+  /** Theil–Sen robust trend of the daily order-count series: the
+    * median of all pairwise slopes — the outlier-proof alternative to
+    * `q_linreg_trend`'s OLS (one wild day shifts OLS, not the median
+    * slope). Each pair's slope is floored to exact integer millionths
+    * FIRST (10⁶·Δy DIV Δx — truncation toward zero on both engines,
+    * the `q_period_over_period` measured contract), so the median is
+    * an integer order statistic: lower median at rank (m+1) DIV 2 by
+    * (slope, d1, d2) — a total order, deterministic under slope ties.
+    * The all-pairs self-join is CALENDAR-bounded (days², never
+    * data-sized — the `q_period_over_period` posture): 10 years of
+    * days is ~7M pairs regardless of fact volume, and the rank rides
+    * the distributed global row number, no single-partition window.
+    */
+  private val qTheilSen: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.toDF("d1", "y1")
+      .join(broadcast(daily.toDF("d2", "y2")), col("d1") < col("d2"))
+    val sl = pairs.select(
+      expr("(1000000 * (y2 - y1)) DIV (d2 - d1)").as("slope_e6"),
+      col("d1"), col("d2"))
+    val r = graft.ops.Ranks.globalRowNumber(sl,
+      Seq(col("slope_e6").asc, col("d1").asc, col("d2").asc), "rn")
+    val tot = sl.agg(count(lit(1)).as("m"))
+    r.crossJoin(broadcast(tot))
+      .filter(col("rn").cast("long") === expr("(m + 1) DIV 2"))
+      .select(col("m"), col("slope_e6").as("ts_slope_e6"))
+      .orderBy("m")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_theil_sen" -> qTheilSen,
     "q_ks_test" -> qKsTest,
     "q_cramers_v" -> qCramersV,
     "q_abc_classes" -> qAbcClasses,
@@ -628,6 +660,22 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.day AS d1, a.y AS y1, b.day AS d2, b.y AS y2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |s AS (SELECT (1000000 * (y2 - y1)) // (d2 - d1) AS slope_e6, d1, d2
+        |  FROM p),
+        |r AS (SELECT slope_e6,
+        |    row_number() OVER (ORDER BY slope_e6, d1, d2) AS rn FROM s),
+        |t AS (SELECT count(*) AS m FROM s)
+        |SELECT CAST(m AS BIGINT) AS m, CAST(slope_e6 AS BIGINT)
+        |  AS ts_slope_e6
+        |FROM r CROSS JOIN t WHERE rn = (m + 1) // 2 ORDER BY m""".stripMargin,
     "q_ks_test" ->
       """WITH b AS (SELECT CAST(round(o_totalprice * 100.0) AS BIGINT)
         |      AS cents,

@@ -439,4 +439,19 @@ class CurateOpsSpec extends AnyFunSuite {
     assert(keys(0) == keys(1),
       s"encoding variants fragment into '${keys(0)}' vs '${keys(1)}'")
   }
+
+  test("q_ref_integrity: all seven FK edges report true row counts and zero orphans") {
+    val rows = SparkEntry.queries("q_ref_integrity")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).sorted == Seq("customer.nationkey",
+      "lineitem.orderkey", "lineitem.partkey", "lineitem.suppkey",
+      "nation.regionkey", "orders.custkey", "supplier.nationkey"))
+    val li = graft.model.Tables.lineitem(spark, sf).count()
+    assert(rows.filter(_._1.startsWith("lineitem")).forall(_._2 == li))
+    assert(rows.find(_._1 == "orders.custkey").get._2 ==
+      graft.model.Tables.orders(spark, sf).count())
+    // the generated corpus is referentially clean — zero IS the contract
+    assert(rows.forall(_._3 == 0L),
+      s"orphans found: ${rows.filter(_._3 != 0L).mkString(",")}")
+  }
 }

@@ -355,6 +355,24 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_dim_corr: one row per dimension pair, correlations bounded, sign matches covariance") {
+    val rows = SparkEntry.queries("q_dim_corr")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val dims = graft.model.Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).first().getInt(0)
+    assert(rows.size == dims * (dims - 1) / 2, "missing dimension pairs")
+    assert(rows.values.forall(c => c >= -1000001L && c <= 1000000L))
+    // floor(corr·1e6) and floor(cov·1e9) may straddle zero by one ulp's
+    // floor; require sign agreement only where both are decisively off 0
+    val cov = SparkEntry.queries("q_covariance_matrix")(spark, sf).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    rows.foreach { case (k, c) =>
+      val v = cov(k)
+      if (math.abs(c) > 10 && math.abs(v) > 10)
+        assert(c.sign == v.sign, s"pair $k: corr $c vs cov $v sign mismatch")
+    }
+  }
+
   test("deterministic samplers: fixed size bottom-k, weight-monotone Bernoulli") {
     val k = SparkEntry.queries("q_sample_bottomk")(spark, sf).collect()
     assert(k.length == 100)

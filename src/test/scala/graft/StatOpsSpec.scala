@@ -488,6 +488,22 @@ class StatOpsSpec extends AnyFunSuite {
     assert(lag1.getLong(4) == auto.getLong(4))
   }
 
+  test("q_theil_sen: median slope lies within the pairwise-slope range; m = C(n,2)") {
+    val r = q("q_theil_sen").collect()(0)
+    val (m, slope) = (r.getLong(0), r.getLong(1))
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("d")).count()
+      .collect().map(x => (x.getDate(0).toLocalDate.toEpochDay, x.getLong(1)))
+    val n = daily.length.toLong
+    assert(m == n * (n - 1) / 2, s"pair count $m != C($n,2)")
+    val slopes = for {
+      (d1, y1) <- daily; (d2, y2) <- daily if d1 < d2
+    } yield 1000000L * (y2 - y1) / (d2 - d1)
+    val sorted = slopes.sorted
+    assert(slope == sorted(((m + 1) / 2 - 1).toInt),
+      "median slope != brute-force lower median")
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
