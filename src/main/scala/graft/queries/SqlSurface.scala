@@ -547,7 +547,54 @@ object SqlSurface {
       |  o AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** GROUP BY ALL — the dialect-convergent shorthand (group by every
+    * non-aggregate select item) that Spark 4 and DuckDB both parse:
+    * ONE SQL text runs verbatim on both engines, so the key pins the
+    * parsers' agreement on which items are grouping keys.
+    */
+  private val sqlGroupByAllSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM orders GROUP BY ALL
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
+  /** Inline VALUES table joined against a fact — the literal seed-table
+    * idiom (tier mappings, feature flags, category rollups shipped in
+    * the query text). Same text both engines: the parser must agree on
+    * `VALUES ... AS v(cols)` derived-table aliasing.
+    */
+  private val sqlValuesSql: String =
+    """SELECT v.tier, count(*) AS n_cust,
+      |  CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer
+      |JOIN (VALUES ('AUTOMOBILE', 'retail'), ('MACHINERY', 'industrial'),
+      |             ('BUILDING', 'industrial'), ('FURNITURE', 'retail'),
+      |             ('HOUSEHOLD', 'retail')) AS v(seg, tier)
+      |  ON c_mktsegment = v.seg
+      |GROUP BY v.tier ORDER BY v.tier""".stripMargin
+
+  /** SQL PIVOT through Spark's parser (the relational-pivot syntax path
+    * the DataFrame `q_pivot` key can't reach); DuckDB's PIVOT grammar
+    * differs, so the oracle states the same contract as conditional
+    * aggregation — empty cells are NULL on both engines.
+    */
+  private val qSqlPivot: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderpriority AS prio, o_orderstatus AS st,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders)
+        |PIVOT (sum(cents) FOR st IN ('O' AS o, 'F' AS f, 'P' AS p))
+        |ORDER BY prio""".stripMargin)
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
+    "q_sql_values" -> sqlKey(sqlValuesSql),
+    "q_sql_pivot" -> qSqlPivot,
     "q_sql_window" -> sqlKey(sqlWindowSql),
     "q_sql_tpch_q1" -> qSqlTpchQ1,
     "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
@@ -582,6 +629,20 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_groupby_all" -> sqlGroupByAllSql,
+    "q_sql_values" -> sqlValuesSql,
+    "q_sql_pivot" ->
+      """SELECT o_orderpriority AS prio,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |    AS BIGINT) AS o,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |    AS BIGINT) AS f,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |    AS BIGINT) AS p
+        |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     "q_sql_window" -> sqlWindowSql,
     "q_sql_tpch_q4" -> tpchQ4Sql,
     "q_sql_tpch_q7" -> tpchQ7Sql,

@@ -44,7 +44,12 @@ object StreamShapes {
       .orderBy(col("window_start"), col("rnk"))
   }
 
+  private val qStreamDedup: Q = (s, d) =>
+    Events.firstTouch(Tables.events(s, d))
+      .orderBy(col("user_id"), col("event_type"))
+
   val registry: Map[String, Q] = Map(
+    "q_stream_dedup" -> qStreamDedup,
     "q_stream_topk" -> qStreamTopk,
     "q_stream_tumbling" -> qStreamTumbling,
     "q_stream_sliding" -> qStreamSliding,
@@ -53,6 +58,14 @@ object StreamShapes {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_stream_dedup" ->
+      """WITH r AS (SELECT user_id, event_type, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS first_ts,
+        |  event_id AS first_event_id
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "q_stream_topk" ->
       """WITH a AS (SELECT date_trunc('hour', ts) AS window_start, user_id,
         |    count(*) AS n,

@@ -105,6 +105,21 @@ object Events {
       .select(col("w.start").as("window_start"), col("user_id"),
         col("n"), col("cents"))
 
+  /** First event per (user, event_type) — the batch-deterministic form
+    * of streaming first-touch dedup. A live stream runs
+    * `dropDuplicatesWithinWatermark("user_id", "event_type")`, which
+    * keeps the first ARRIVAL; a batch recompute has no arrival order,
+    * so "first" is pinned to the (ts, event_id) total order via one
+    * `min(struct(...))` aggregate — max_by/min_by shape, one shuffle,
+    * no window, and the streaming result coincides with it whenever
+    * arrival order respects event time (in-order sources).
+    */
+  def firstTouch(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"))
+
   /** Stream into the versioned snapshot sink, exactly once: each
     * micro-batch commits snapshot `v=batchId` via the idempotent
     * [[graft.ops.Sinks.writeVersionAt]] — a replayed batch (restart,

@@ -209,6 +209,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("firstTouch batch shape agrees with streaming keyed dedup on in-order input") {
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF().withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .writeStream.format("memory").queryName("ft_out")
+      .outputMode("append").start()
+    val rows = Seq(
+      ev(10, "2024-01-01 10:00:00", user = 1, typ = "view"),
+      ev(11, "2024-01-01 10:00:30", user = 1, typ = "view"),   // later dup
+      ev(12, "2024-01-01 10:01:00", user = 1, typ = "click"),
+      ev(13, "2024-01-01 10:02:00", user = 2, typ = "view"))
+    try {
+      rows.grouped(2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val streamed = spark.table("ft_out")
+        .select($"user_id", $"event_type", $"event_id")
+        .as[(Long, String, Long)].collect().toSet
+      val batch = Events.firstTouch(rows.toDF())
+        .select($"user_id", $"event_type", $"first_event_id")
+        .as[(Long, String, Long)].collect().toSet
+      // arrivals respect event time here, so streaming first-arrival
+      // keep == batch (ts, event_id)-min keep — the documented contract
+      assert(streamed == batch)
+      assert(batch == Set((1L, "view", 10L), (1L, "click", 12L), (2L, "view", 13L)))
+    } finally q.stop()
+  }
+
   test("session windows close after gap and split distant events") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
