@@ -377,6 +377,46 @@ class PlanSpec extends AnyFunSuite {
     assert("parseJson|parse_json".r.findAllIn(p).size == 1, p.take(3000))
   }
 
+  test("q_ks_test and q_abc_classes rank/accumulate without a single-partition window") {
+    assert(globalWindows("q_ks_test").isEmpty, "KS running counts must shard")
+    assert(globalWindows("q_abc_classes").isEmpty, "ABC running sum must shard")
+  }
+
+  test("q_theil_sen pairs via bounded nested-loop, never CartesianProduct; rank shards") {
+    val p = planOf("q_theil_sen")
+    // the all-pairs day join is deliberately a broadcast NLJ over the
+    // calendar-bounded day table — a CartesianProduct would mean the
+    // broadcast hint was lost and both sides shuffle-expand
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(globalWindows("q_theil_sen").isEmpty)
+  }
+
+  test("q_cross_source_overlap joins postings on the shingle key, no nested loops") {
+    val p = planOf("q_cross_source_overlap")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("q_dim_corr and q_ref_integrity stay keyed joins, no cartesian fallback") {
+    val pd = planOf("q_dim_corr")
+    assert(!pd.contains("CartesianProduct") &&
+      !pd.contains("BroadcastNestedLoopJoin"), pd.take(1500))
+    // ref_integrity's per-edge (total × orphans) combine is a scalar
+    // 1-row × 1-row cross — BNLJ there is the right plan; what must
+    // not appear is an unkeyed ANTI join or a CartesianProduct
+    val pr = planOf("q_ref_integrity")
+    assert(!pr.contains("CartesianProduct"), pr.take(1500))
+    assert(!pr.contains("BroadcastNestedLoopJoin BuildRight, LeftAnti") &&
+      !pr.contains("BroadcastNestedLoopJoin BuildLeft, LeftAnti"),
+      "FK anti joins must stay keyed: " + pr.take(1500))
+  }
+
+  test("q_acf_lags broadcasts the day table onto its lag explode") {
+    val p = planOf("q_acf_lags")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("CartesianGuard rejects accidental cross joins at analysis time, opt-in") {
     val shared = spark
     org.apache.spark.sql.SparkSession.clearActiveSession()
