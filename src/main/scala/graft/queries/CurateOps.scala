@@ -28,6 +28,47 @@ object CurateOps {
     Retrieval.bm25(Tables.documents(s, d), "doc_id", "text", Terms)
       .orderBy(col("doc_id"))
 
+  /** nDCG@10 of the BM25 ranking against a graded relevance proxy
+    * (number of distinct query terms present, 0..|Terms|) — the
+    * ranking-quality score a retrieval stack reports before swapping
+    * scorers. Both rankings are exact integer orders (bm25_e6 with
+    * doc_id tie-break; rel with doc_id tie-break for the ideal), the
+    * candidate pool is identical on both engines (score > 0 ⟺ rel > 0
+    * under the non-negative idf), and each position's gain
+    * (2^rel − 1)/log2(pos+1) is floored to e6 BEFORE the sum — the
+    * `q_mutual_info` order-independence discipline, so the two 10-term
+    * totals never depend on aggregation order. Top-10 via
+    * TakeOrderedAndProject; the only windows rank the ten selected
+    * rows.
+    */
+  private val qNdcg: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val scored = Retrieval.bm25(docs, "doc_id", "text", Terms)
+    val rel = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        Terms.map(t => (size(filter(col("toks"), x => x === lit(t))) > 0)
+          .cast("long")).reduce(_ + _).as("rel"))
+      .filter(col("rel") > 0L)
+    val cand = scored.join(rel, "doc_id")
+    def gain(pos: org.apache.spark.sql.Column) =
+      floor(lit(1000000.0) * (pow(lit(2.0), col("rel")) - lit(1.0)) /
+        log2(pos.cast("double") + lit(1.0))).cast("long")
+    val dcg = cand.orderBy(col("bm25_e6").desc, col("doc_id").asc).limit(10)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("bm25_e6").desc, col("doc_id").asc)))
+      .agg(sum(gain(col("pos"))).as("dcg_e6"))
+    val idcg = cand.orderBy(col("rel").desc, col("doc_id").asc).limit(10)
+      .withColumn("pos",
+        row_number().over(Window.orderBy(col("rel").desc, col("doc_id").asc)))
+      .agg(sum(gain(col("pos"))).as("idcg_e6"))
+    cand.agg(count(lit(1)).as("n_candidates"))
+      .crossJoin(broadcast(dcg)).crossJoin(broadcast(idcg))
+      .select(col("n_candidates"), col("dcg_e6"), col("idcg_e6"),
+        expr("1000000 * dcg_e6 DIV idcg_e6").as("ndcg_ppm"))
+      .orderBy("n_candidates")
+  }
+
   /** RRF over two independent rankings: lexical (tf of 'spark', then
     * doc_id) and a length prior (n_chars desc). Both rankings use the
     * distributed range-partitioned rank ([[graft.ops.Ranks]]) — no
@@ -882,6 +923,7 @@ object CurateOps {
     "q_string_index" -> qStringIndex,
     "q_target_encode" -> qTargetEncode,
     "q_bm25" -> qBm25,
+    "q_ndcg" -> qNdcg,
     "q_rrf_fusion" -> qRrfFusion,
     "q_sessionize" -> qSessionize,
     "q_entropy" -> qEntropy,
@@ -1316,6 +1358,34 @@ object CurateOps {
         |  CAST(sum(alloc) AS BIGINT) AS alloc_cents
         |FROM x GROUP BY 1 ORDER BY month""".stripMargin,
     "q_bm25" -> bm25Sql,
+    "q_ndcg" ->
+      s"""WITH sc AS (SELECT * FROM (${bm25Sql})),
+         |r AS (SELECT doc_id,
+         |    (CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'spark')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'join')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'window')) > 0 THEN 1 ELSE 0 END) AS rel
+         |  FROM documents),
+         |cand AS (SELECT sc.doc_id, bm25_e6, rel
+         |  FROM sc JOIN r ON sc.doc_id = r.doc_id WHERE rel > 0),
+         |dp AS (SELECT rel, row_number() OVER
+         |    (ORDER BY bm25_e6 DESC, doc_id ASC) AS pos FROM cand),
+         |d AS (SELECT CAST(sum(CAST(floor(1000000.0 * (pow(2.0, rel) - 1.0)
+         |    / log2(CAST(pos AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
+         |    AS dcg_e6
+         |  FROM dp WHERE pos <= 10),
+         |ip AS (SELECT rel, row_number() OVER
+         |    (ORDER BY rel DESC, doc_id ASC) AS pos FROM cand),
+         |i AS (SELECT CAST(sum(CAST(floor(1000000.0 * (pow(2.0, rel) - 1.0)
+         |    / log2(CAST(pos AS DOUBLE) + 1.0)) AS BIGINT)) AS BIGINT)
+         |    AS idcg_e6
+         |  FROM ip WHERE pos <= 10),
+         |n AS (SELECT count(*) AS n_candidates FROM cand)
+         |SELECT n_candidates, dcg_e6, idcg_e6,
+         |  CAST(1000000 * dcg_e6 // idcg_e6 AS BIGINT) AS ndcg_ppm
+         |FROM n CROSS JOIN d CROSS JOIN i ORDER BY n_candidates""".stripMargin,
     "q_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf

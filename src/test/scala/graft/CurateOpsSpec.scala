@@ -440,6 +440,33 @@ class CurateOpsSpec extends AnyFunSuite {
       s"encoding variants fragment into '${keys(0)}' vs '${keys(1)}'")
   }
 
+  test("q_ndcg: DCG never exceeds IDCG and matches a brute-force recompute") {
+    val r = SparkEntry.queries("q_ndcg")(spark, sf).collect()(0)
+    val (nCand, dcg, idcg, ndcg) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(dcg <= idcg && ndcg <= 1000000L && ndcg >= 0L)
+    // brute force: same pools, same tie-breaks, same per-position floor
+    val terms = Seq("spark", "join", "window")
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(x => (x.getLong(0), x.getString(1).split(" ", -1)))
+    val rel = docs.map { case (id, toks) =>
+      (id, terms.count(t => toks.contains(t)).toLong)
+    }.filter(_._2 > 0)
+    assert(rel.length.toLong == nCand)
+    val scores = SparkEntry.queries("q_bm25")(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    def gains(order: Seq[(Long, Long)]) = order.take(10).zipWithIndex.map {
+      case ((_, rl), i) =>
+        math.floor(1e6 * (math.pow(2.0, rl.toDouble) - 1.0) /
+          (math.log(i + 2.0) / math.log(2.0))).toLong
+    }.sum
+    val byScore = rel.sortBy { case (id, _) => (-scores(id), id) }.toSeq
+    val byRel = rel.sortBy { case (id, rl) => (-rl, id) }.toSeq
+    assert(gains(byScore) == dcg, "DCG mismatch vs brute force")
+    assert(gains(byRel) == idcg, "IDCG mismatch vs brute force")
+  }
+
   test("q_ref_integrity: all seven FK edges report true row counts and zero orphans") {
     val rows = SparkEntry.queries("q_ref_integrity")(spark, sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
