@@ -150,7 +150,60 @@ object EngageOps {
       .orderBy("t")
   }
 
+  /** Top-10 opening event paths: each user's first three event types in
+    * (ts, event_id) order joined into a `a>b>c` path string, counted
+    * across users — the onboarding-flow mining readout. The rank window
+    * is user-partitioned; the path string assembles INSIDE the per-user
+    * aggregate via sort-then-join over the ≤3 collected (rn, type)
+    * structs (bounded payload, no cross-row string concat); the final
+    * top-10 is a TakeOrderedAndProject over the path-distinct table
+    * with the (count DESC, path) total order.
+    */
+  private val qTopPaths: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val first3 = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+    first3.groupBy("user_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(10)
+  }
+
+  /** Per-customer feature-store assembly: the recency / frequency /
+    * monetary / urgency block a churn or LTV model trains on, all from
+    * ONE keyed aggregate over orders plus the broadcast corpus
+    * high-water mark (deterministic recency — no now(), the
+    * `q_freshness` posture). Every feature is exact integer arithmetic;
+    * the table is the reusable JOIN LEFT input for any downstream
+    * label.
+    */
+  private val qFeatureAssembly: Q = (s, d) => {
+    val o = Tables.orders(s, d).select(col("o_custkey"),
+      unix_date(to_date(col("o_orderdate"))).cast("long").as("day"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+      (col("o_orderpriority") === "1-URGENT").cast("long").as("urgent"))
+    val per = o.groupBy("o_custkey").agg(
+      count(lit(1)).as("n_orders"), min("day").as("first_day"),
+      max("day").as("last_day"), sum("cents").as("total_cents"),
+      sum("urgent").as("n_urgent"))
+    per.crossJoin(broadcast(o.agg(max("day").as("hwm"))))
+      .select(col("o_custkey"), col("n_orders"),
+        (col("hwm") - col("last_day")).as("recency_days"),
+        (col("last_day") - col("first_day")).as("tenure_days"),
+        col("total_cents"),
+        expr("total_cents DIV n_orders").as("avg_cents"),
+        expr("1000000 * n_urgent DIV n_orders").as("urgent_ppm"))
+      .orderBy("o_custkey")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_top_paths" -> qTopPaths,
+    "q_feature_assembly" -> qFeatureAssembly,
     "q_survival" -> qSurvival,
     "q_new_vs_returning" -> qNewVsReturning,
     "q_stickiness" -> qStickiness,
@@ -159,6 +212,35 @@ object EngageOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_top_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn)
+        |    AS path
+        |  FROM r WHERE rn <= 3 GROUP BY 1)
+        |SELECT path, count(*) AS n_users FROM p GROUP BY 1
+        |ORDER BY n_users DESC, path ASC LIMIT 10""".stripMargin,
+    "q_feature_assembly" ->
+      """WITH o AS (SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+        |      AS urgent
+        |  FROM orders),
+        |per AS (SELECT o_custkey, count(*) AS n_orders,
+        |    min(day) AS first_day, max(day) AS last_day,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    CAST(sum(urgent) AS BIGINT) AS n_urgent
+        |  FROM o GROUP BY 1),
+        |hw AS (SELECT max(day) AS hwm FROM o)
+        |SELECT o_custkey, n_orders, hwm - last_day AS recency_days,
+        |  last_day - first_day AS tenure_days, total_cents,
+        |  CAST(total_cents // n_orders AS BIGINT) AS avg_cents,
+        |  CAST(1000000 * n_urgent // n_orders AS BIGINT) AS urgent_ppm
+        |FROM per CROSS JOIN hw ORDER BY o_custkey""".stripMargin,
     "q_survival" ->
       """WITH u AS (SELECT o_custkey,
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(min(o_orderdate)

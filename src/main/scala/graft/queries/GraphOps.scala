@@ -215,6 +215,30 @@ object GraphOps {
       .groupBy("dg").agg(count(lit(1)).as("n_nodes"))
       .orderBy("dg")
 
+  /** 2-core of the co-purchase graph via 3 peeling rounds: iteratively
+    * drop nodes of degree < 2 and the edges touching them, then report
+    * the surviving nodes with their core degrees — the graph-pruning
+    * pass run before any expensive cohesion mining (triangles, dense
+    * subgraphs) to shed the tree-like fringe. Each round is one degree
+    * aggregate + two semi-join filters, `localCheckpoint`-bounded like
+    * the pagerank iterations; the round count is FIXED so the oracle
+    * unrolls the same three rounds — GraphOpsSpec proves a 4th round is
+    * a fixpoint no-op at test scale, so the bounded peel IS the 2-core
+    * there (deeper corpora raise the constant, same plan per round).
+    */
+  private val qKcore: Q = (s, d) => {
+    val k = 2
+    var e = coPurchaseEdges(s, d)
+    for (_ <- 1 to 3) {
+      val keep = degrees(e).filter(col("dg") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    degrees(e).select(col("n").as("node"), col("dg")).orderBy("node")
+  }
+
   /** Degree assortativity — the one-number homophily readout (do
     * high-degree parts co-purchase with high-degree parts?). Pearson
     * correlation of endpoint degrees over the 2E ordered pairs, from
@@ -451,6 +475,7 @@ object GraphOps {
   val registry: Map[String, Q] = Map(
     "q_triangles" -> qTriangles,
     "q_degree_dist" -> qDegreeDist,
+    "q_kcore" -> qKcore,
     "q_assortativity" -> qAssortativity,
     "q_clustering_coeff" -> qClusteringCoeff,
     "q_common_neighbors" -> qCommonNeighbors,
@@ -551,6 +576,31 @@ object GraphOps {
         |      CAST(CAST(s1 AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx
         |        AS DOUBLE)) AS BIGINT) END AS r_e6
         |FROM m ORDER BY s1""".stripMargin,
+    "q_kcore" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |d0 AS (SELECT src, count(*) AS dg FROM
+        |    (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0)
+        |  GROUP BY 1),
+        |k0 AS (SELECT src FROM d0 WHERE dg >= 2),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT src FROM k0) AND v IN (SELECT src FROM k0)),
+        |d1 AS (SELECT src, count(*) AS dg FROM
+        |    (SELECT u AS src FROM e1 UNION ALL SELECT v FROM e1)
+        |  GROUP BY 1),
+        |k1 AS (SELECT src FROM d1 WHERE dg >= 2),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT src FROM k1) AND v IN (SELECT src FROM k1)),
+        |d2 AS (SELECT src, count(*) AS dg FROM
+        |    (SELECT u AS src FROM e2 UNION ALL SELECT v FROM e2)
+        |  GROUP BY 1),
+        |k2 AS (SELECT src FROM d2 WHERE dg >= 2),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT src FROM k2) AND v IN (SELECT src FROM k2))
+        |SELECT src AS node, CAST(count(*) AS BIGINT) AS dg FROM
+        |  (SELECT u AS src FROM e3 UNION ALL SELECT v FROM e3)
+        |GROUP BY 1 ORDER BY node""".stripMargin,
     "q_degree_dist" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -425,6 +425,34 @@ object LlmOps {
       .orderBy(col("part_a"), col("part_b"))
   }
 
+  /** Entity resolution end-to-end: the blocked fuzzy-match pairs
+    * (`q_fuzzy_match`'s brand-blocked levenshtein ≤ 10) closed into
+    * connected components, every part mapped to its canonical entity
+    * id (minimum reachable key; unmatched parts canonicalize to
+    * themselves) — the master-data "golden record" assignment built
+    * from the same star-contraction CC the dedup pipeline uses. The
+    * blocking key bounds the verify join; CC is O(log n) rounds over
+    * the match edges only.
+    */
+  private val qEntityClusters: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
+      col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
+      col("p_name").as("name_b"))
+    val pairs = a.join(b, Seq("p_brand"))
+      .filter(col("part_a") < col("part_b"))
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 10)
+      .select(col("part_a"), col("part_b"))
+    val comp = Dedup.connectedComponentsStar(pairs, "part_a", "part_b")
+      .withColumnRenamed("node", "p_partkey")
+    p.select(col("p_partkey"))
+      .join(comp, Seq("p_partkey"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("component"), col("p_partkey")).as("entity_id"))
+      .orderBy("p_partkey")
+  }
+
   private val qTextStats: Q = (s, d) =>
     TextStats.textStats(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -961,6 +989,7 @@ object LlmOps {
     "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
     "q_fuzzy_match" -> qFuzzyMatch,
+    "q_entity_clusters" -> qEntityClusters,
     "q_text_stats" -> qTextStats,
     "q_lang_agg" -> qLangAgg,
     "q_lang_id" -> qLangId,
@@ -1254,6 +1283,24 @@ object LlmOps {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_entity_clusters" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 10),
+        |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM p
+        |  UNION SELECT pb, pa FROM p),
+        |r(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN r ON r.a = e.b),
+        |comp AS (SELECT a AS p_partkey, min(b) AS entity_id
+        |  FROM r GROUP BY a)
+        |SELECT pt.p_partkey, coalesce(c.entity_id, pt.p_partkey)
+        |  AS entity_id
+        |FROM part pt LEFT JOIN comp c ON pt.p_partkey = c.p_partkey
+        |ORDER BY pt.p_partkey""".stripMargin,
     "q_fuzzy_match" ->
       """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
         |  levenshtein(a.p_name, b.p_name) AS dist

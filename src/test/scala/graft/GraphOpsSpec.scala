@@ -113,4 +113,18 @@ class GraphOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q_kcore: 3 peeling rounds reach the 2-core fixpoint at test scale") {
+    val rows = SparkEntry.queries("q_kcore")(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty, "2-core empty — fixture graph degenerated")
+    // every surviving degree >= 2 proves a 4th round would drop nothing,
+    // i.e. the bounded peel IS the 2-core here
+    assert(rows.forall(_._2 >= 2L),
+      s"degree<2 survivors: ${rows.filter(_._2 < 2L).take(5).mkString(",")}")
+    // 2-core is a subgraph: core degree never exceeds the full-graph degree
+    val full = SparkEntry.queries("q_degree_dist")(TestSpark.spark, TestSpark.sf)
+    assert(full.collect().map(r => r.getLong(0) * r.getLong(1)).sum >=
+      rows.map(_._2).sum, "core degree mass exceeds the full graph's")
+  }
 }

@@ -373,6 +373,19 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_entity_clusters: canonical ids are minimal and matched pairs co-resolve") {
+    val ent = SparkEntry.queries("q_entity_clusters")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nParts = graft.model.Tables.part(spark, sf).count()
+    assert(ent.size.toLong == nParts, "every part needs an entity id")
+    assert(ent.forall { case (p, e) => e <= p }, "canonical id must be minimal")
+    // every fuzzy-match edge must resolve both endpoints to one entity
+    val pairs = SparkEntry.queries("q_fuzzy_match")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => ent(a) == ent(b) },
+      "matched pair split across entities")
+  }
+
   test("deterministic samplers: fixed size bottom-k, weight-monotone Bernoulli") {
     val k = SparkEntry.queries("q_sample_bottomk")(spark, sf).collect()
     assert(k.length == 100)

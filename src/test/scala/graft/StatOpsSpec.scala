@@ -504,6 +504,35 @@ class StatOpsSpec extends AnyFunSuite {
       "median slope != brute-force lower median")
   }
 
+  test("q_top_paths: paths cover only users with events; counts conserve under top-10") {
+    val rows = q("q_top_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length <= 10)
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted.reverse,
+      "rows must arrive in count-descending order")
+    val users = graft.model.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum <= users)
+    rows.foreach { case (p, _) =>
+      val steps = p.split(">")
+      assert(steps.nonEmpty && steps.length <= 3, s"path '$p' has bad arity")
+    }
+  }
+
+  test("q_feature_assembly: one row per customer, features self-consistent") {
+    val rows = q("q_feature_assembly").collect()
+    val custs = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.length.toLong == custs)
+    rows.foreach { r =>
+      val (n, rec, ten, tot, avg, urg) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n >= 1L && rec >= 0L && ten >= 0L)
+      assert(avg == tot / n)
+      assert(urg >= 0L && urg <= 1000000L)
+    }
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
