@@ -73,7 +73,9 @@ object Bench {
     "q_tokenizer_fertility", "q_theil_sen", "q_ref_integrity",
     "q_dim_corr", "q_stream_dedup", "q_sql_groupby_all", "q_sql_values",
     "q_sql_pivot", "q_ndcg", "q_top_paths", "q_feature_assembly",
-    "q_entity_clusters", "q_kcore")
+    "q_entity_clusters", "q_kcore",
+    "q_mann_kendall", "q_kendall_tau", "q_cuped", "q_hits",
+    "q_label_prop", "q_heaps_law", "q_zipf_slope")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

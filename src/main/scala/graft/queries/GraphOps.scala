@@ -472,7 +472,94 @@ object GraphOps {
       .orderBy(col("p_a"), col("p_b"))
   }
 
+  /** HITS authority scores (2 iterations) on the bipartite
+    * customer→part purchase graph — hubs are customers, authorities
+    * parts; a part is authoritative when bought by customers who buy
+    * authoritative parts. Kleinberg's normalization is L2 (needs a
+    * sqrt), so this uses max-normalization instead: after every
+    * half-step each side rescales to 10⁶·score DIV max(score) — a
+    * monotone transform of the same fixpoint, and exact BIGINT, so the
+    * distributed sums stay order-independent (the [[qPagerank]]
+    * discipline). Headroom: a node's raw score is ≤ 10⁶·degree, so the
+    * 10⁶·score rescale numerator stays under 2⁶³ through ~9·10⁶
+    * neighbors per node; past that the rescale moves to DECIMAL(38,0),
+    * same plan. Per iteration: one arcs⋈scores shuffle + a scalar
+    * max broadcast per side — no all-pairs anything.
+    */
+  private val qHits: Q = (s, d) => {
+    val arcs = Tables.orders(s, d)
+      .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var hub = arcs.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h")).localCheckpoint(true)
+    var auth: DataFrame = null
+    for (_ <- 1 to 2) {
+      val araw = arcs.join(hub, "c")
+        .groupBy("p").agg(sum("h").as("raw"))
+      val amax = araw.agg(max("raw").as("mx"))
+      auth = araw.crossJoin(broadcast(amax))
+        .select(col("p"), expr("1000000 * raw DIV mx").as("a"))
+        .localCheckpoint(true)
+      val hraw = arcs.join(auth, "p")
+        .groupBy("c").agg(sum("a").as("raw"))
+      val hmax = hraw.agg(max("raw").as("mx"))
+      hub = hraw.crossJoin(broadcast(hmax))
+        .select(col("c"), expr("1000000 * raw DIV mx").as("h"))
+        .localCheckpoint(true)
+    }
+    arcs.unpersist()
+    auth.select(col("p").as("part"), col("a").as("auth_e6"))
+      .orderBy("part")
+  }
+
+  /** Min-label propagation (3 synchronous iterations) over the
+    * co-purchase graph — the cheap community/component sketch: every
+    * node starts labeled with its own id and each round adopts the
+    * minimum label in its closed neighborhood. Synchronous min-updates
+    * are confluent (min is idempotent/commutative/associative), so the
+    * state after a FIXED number of rounds is bit-deterministic
+    * regardless of partitioning — what makes a 3-round prefix of the
+    * components fixpoint a legal oracled key, and exactly the
+    * hash-to-min exchange step inside the dedup star-contraction CC
+    * ([[graft.ops.Dedup]]), exposed as its own operator. Per round:
+    * one arcs⋈labels shuffle + a min-agg; the label table is
+    * localCheckpointed so lineage stays flat. Output is the
+    * CONVERGENCE TRAJECTORY — per round, the surviving label count and
+    * the largest community — because the co-purchase graph's hub
+    * structure collapses to one component by round 2 (measured: 95
+    * labels after round 1 at sf0.01, 1 after round 2): the trajectory
+    * pins every round's full label state in the hash where the final
+    * histogram alone would freeze a single degenerate row.
+    */
+  private val qLabelProp: Q = (s, d) => {
+    val und = coPurchaseEdges(s, d)
+    val arcs = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = arcs.select(col("src").as("n")).distinct()
+      .select(col("n"), col("n").as("l")).localCheckpoint(true)
+    var out: DataFrame = null
+    for (r <- 1 to 3) {
+      val nbrMin = arcs
+        .join(lab.select(col("n").as("src"), col("l")), "src")
+        .groupBy(col("dst").as("n")).agg(min("l").as("nl"))
+      lab = lab.join(nbrMin, Seq("n"), "left")
+        .select(col("n"), least(col("l"), coalesce(col("nl"), col("l"))).as("l"))
+        .localCheckpoint(true)
+      val stats = lab.groupBy("l").agg(count(lit(1)).as("m"))
+        .agg(count(lit(1)).as("n_labels"), max("m").as("max_members"))
+        .select(lit(r.toLong).as("round"), col("n_labels"),
+          col("max_members"))
+      out = if (out == null) stats else out.unionAll(stats)
+    }
+    arcs.unpersist()
+    out.orderBy("round")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_hits" -> qHits,
+    "q_label_prop" -> qLabelProp,
     "q_triangles" -> qTriangles,
     "q_degree_dist" -> qDegreeDist,
     "q_kcore" -> qKcore,
@@ -485,6 +572,59 @@ object GraphOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hits" ->
+      """WITH arcs AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM arcs),
+        |a1r AS (SELECT p, CAST(sum(h) AS BIGINT) AS raw
+        |  FROM arcs JOIN h0 USING (c) GROUP BY p),
+        |a1m AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM a1r),
+        |a1 AS (SELECT p, CAST(1000000 * raw // mx AS BIGINT) AS a
+        |  FROM a1r CROSS JOIN a1m),
+        |h1r AS (SELECT c, CAST(sum(a) AS BIGINT) AS raw
+        |  FROM arcs JOIN a1 USING (p) GROUP BY c),
+        |h1m AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM h1r),
+        |h1 AS (SELECT c, CAST(1000000 * raw // mx AS BIGINT) AS h
+        |  FROM h1r CROSS JOIN h1m),
+        |a2r AS (SELECT p, CAST(sum(h) AS BIGINT) AS raw
+        |  FROM arcs JOIN h1 USING (c) GROUP BY p),
+        |a2m AS (SELECT CAST(max(raw) AS BIGINT) AS mx FROM a2r),
+        |a2 AS (SELECT p, CAST(1000000 * raw // mx AS BIGINT) AS a
+        |  FROM a2r CROSS JOIN a2m)
+        |SELECT p AS part, a AS auth_e6 FROM a2 ORDER BY part""".stripMargin,
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |nd AS (SELECT DISTINCT src AS n FROM arcs),
+        |l0 AS (SELECT n, n AS l FROM nd),
+        |m1 AS (SELECT a.dst AS n, min(l0.l) AS nl
+        |  FROM arcs a JOIN l0 ON a.src = l0.n GROUP BY 1),
+        |l1 AS (SELECT l0.n, least(l0.l, coalesce(m1.nl, l0.l)) AS l
+        |  FROM l0 LEFT JOIN m1 ON m1.n = l0.n),
+        |m2 AS (SELECT a.dst AS n, min(l1.l) AS nl
+        |  FROM arcs a JOIN l1 ON a.src = l1.n GROUP BY 1),
+        |l2 AS (SELECT l1.n, least(l1.l, coalesce(m2.nl, l1.l)) AS l
+        |  FROM l1 LEFT JOIN m2 ON m2.n = l1.n),
+        |m3 AS (SELECT a.dst AS n, min(l2.l) AS nl
+        |  FROM arcs a JOIN l2 ON a.src = l2.n GROUP BY 1),
+        |l3 AS (SELECT l2.n, least(l2.l, coalesce(m3.nl, l2.l)) AS l
+        |  FROM l2 LEFT JOIN m3 ON m3.n = l2.n),
+        |h1 AS (SELECT l, count(*) AS m FROM l1 GROUP BY 1),
+        |h2 AS (SELECT l, count(*) AS m FROM l2 GROUP BY 1),
+        |h3 AS (SELECT l, count(*) AS m FROM l3 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |  CAST(count(*) AS BIGINT) AS n_labels,
+        |  CAST(max(m) AS BIGINT) AS max_members FROM h1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(max(m) AS BIGINT) FROM h2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), CAST(count(*) AS BIGINT),
+        |  CAST(max(m) AS BIGINT) FROM h3
+        |ORDER BY round""".stripMargin,
     "q_graph_bfs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |und AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -409,7 +409,13 @@ object LlmOps {
   /** Blocked fuzzy match — the entity-resolution shape: a cheap blocking
     * key (brand) bounds the candidate space, an edit-distance verify
     * runs only within blocks. Never run levenshtein across the full
-    * cross product; the blocking key IS the scale strategy.
+    * cross product; the blocking key IS the scale strategy. Threshold
+    * is calibrated to the corpus: names are two-word phrases of 7–12
+    * chars, so dist ≤ 2 is typo-level variance (a ≤ 10 cut measured
+    * near-vacuous — 7.93M of 8.0M block pairs "matched", turning the
+    * downstream match graph nearly complete). The |Δlen| ≤ 2 guard is
+    * a provably-safe prefilter (length difference lower-bounds edit
+    * distance) that skips the O(m·n) DP on pairs that cannot match.
     */
   private val qFuzzyMatch: Q = (s, d) => {
     val p = Tables.part(s, d)
@@ -419,20 +425,25 @@ object LlmOps {
       col("p_name").as("name_b"))
     a.join(b, Seq("p_brand"))
       .filter(col("part_a") < col("part_b"))
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 10)
+      .filter(col("dist") <= 2)
       .select(col("part_a"), col("part_b"), col("dist"))
       .orderBy(col("part_a"), col("part_b"))
   }
 
   /** Entity resolution end-to-end: the blocked fuzzy-match pairs
-    * (`q_fuzzy_match`'s brand-blocked levenshtein ≤ 10) closed into
-    * connected components, every part mapped to its canonical entity
-    * id (minimum reachable key; unmatched parts canonicalize to
-    * themselves) — the master-data "golden record" assignment built
-    * from the same star-contraction CC the dedup pipeline uses. The
-    * blocking key bounds the verify join; CC is O(log n) rounds over
-    * the match edges only.
+    * (`q_fuzzy_match`'s brand-blocked levenshtein ≤ 2 with the
+    * length-band prefilter) closed into connected components, every
+    * part mapped to its canonical entity id (minimum reachable key;
+    * unmatched parts canonicalize to themselves) — the master-data
+    * "golden record" assignment built from the same star-contraction
+    * CC the dedup pipeline uses. The blocking key bounds the verify
+    * join; CC is O(log n) rounds over the match edges only — and the
+    * calibrated threshold is what KEEPS that edge set sparse (the old
+    * ≤ 10 cut matched 99% of block pairs, so CC ran over a
+    * near-complete 8M-edge graph: 24 s at sf0.1; ≤ 2 leaves ~220k
+    * true near-duplicate edges).
     */
   private val qEntityClusters: Q = (s, d) => {
     val p = Tables.part(s, d)
@@ -442,7 +453,8 @@ object LlmOps {
       col("p_name").as("name_b"))
     val pairs = a.join(b, Seq("p_brand"))
       .filter(col("part_a") < col("part_b"))
-      .filter(levenshtein(col("name_a"), col("name_b")) <= 10)
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
       .select(col("part_a"), col("part_b"))
     val comp = Dedup.connectedComponentsStar(pairs, "part_a", "part_b")
       .withColumnRenamed("node", "p_partkey")
@@ -944,7 +956,92 @@ object LlmOps {
     TextStats.stratifiedSample(Tables.documents(s, d), "doc_id", "lang", 40)
       .orderBy(col("lang"), col("rn"))
 
+  /** Heaps'-law vocabulary growth curve: cumulative distinct-term count
+    * vs cumulative token count at corpus deciles (docs in doc_id
+    * order) — the "is the corpus still yielding new vocabulary?"
+    * readout a data-curation loop watches to decide whether more
+    * crawling pays. Each term is charged to the decile of its FIRST
+    * document (min doc_id per term — one groupBy over the exploded
+    * terms, one join back to the doc spine), so no per-checkpoint
+    * rescan: the whole curve costs two shuffles regardless of how many
+    * checkpoints it reports. The only windows scan the 10-row decile
+    * table. Tokens/terms drop empties, matching `q_vocab_spectrum`'s
+    * convention.
+    */
+  private val qHeapsLaw: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val ranked = graft.ops.Ranks.globalRowNumber(
+      docs.select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => w =!= ""))
+          .cast("long").as("toks")),
+      Seq(col("doc_id").asc), "rn")
+    val tot = ranked.agg(count(lit(1)).as("nd"))
+    val withDec = ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("toks"),
+        expr("(CAST(rn AS BIGINT) - 1) * 10 DIV nd").as("decile"))
+    val perDecTok = withDec.groupBy("decile")
+      .agg(count(lit(1)).as("docs"), sum("toks").as("dtoks"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(min("doc_id").as("fd"))
+    val vocabPerDec = firstSeen
+      .join(withDec.select(col("doc_id").as("fd"), col("decile")), "fd")
+      .groupBy("decile").agg(count(lit(1)).as("dvocab"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDecTok.join(vocabPerDec, Seq("decile"), "left")
+      .withColumn("dvocab", coalesce(col("dvocab"), lit(0L)))
+      .select(col("decile"), col("docs"),
+        sum("dtoks").over(w).as("cum_tokens"),
+        sum("dvocab").over(w).as("cum_vocab"))
+      .orderBy("decile")
+  }
+
+  /** Zipf rank–frequency slope: OLS fit of ln(freq) on ln(rank) over
+    * the top-1000 terms — the one-number power-law conformance check
+    * (natural text sits near −1; boilerplate-heavy or synthetic
+    * corpora drift). The top-k is TakeOrderedAndProject (never a
+    * global sort materialized); the only global window ranks the
+    * 1,000 collected survivors. Determinism rides the per-row integer
+    * floor: lx = ⌊10⁶·ln(rank)⌋ / ly = ⌊10⁶·ln(freq)⌋ are exact
+    * BIGINTs (the `q_perplexity_lm` log discipline), their moments sum
+    * order-independently (|Σlx·ly| ≤ 1000·1.5·10¹⁴, Long-safe), and
+    * the final slope is ONE mirrored float sequence over those exact
+    * moments. Ranks are all-distinct so the Var(lx) denominator is
+    * positive whenever n ≥ 2 — the n ≥ 2 filter is the only degenerate
+    * guard needed, mirrored oracle-side.
+    */
+  private val qZipfSlope: Q = (s, d) => {
+    val tf = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+    val top = tf.orderBy(col("f").desc, col("w").asc).limit(1000)
+    val rw = Window.orderBy(col("f").desc, col("w").asc)
+    val pts = top.withColumn("rnk", row_number().over(rw).cast("long"))
+      .select(
+        floor(lit(1000000.0) * log(col("rnk").cast("double")))
+          .cast("long").as("lx"),
+        floor(lit(1000000.0) * log(col("f").cast("double")))
+          .cast("long").as("ly"))
+    pts.agg(count(lit(1)).as("n"), sum("lx").as("sx"), sum("ly").as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .filter(col("n") >= 2L)
+      .select(col("n"),
+        floor(lit(1000000.0) *
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+          (col("n").cast("double") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")))
+          .cast("long").as("slope_e6"))
+      .orderBy("n")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_heaps_law" -> qHeapsLaw,
+    "q_zipf_slope" -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
     "q_repetition_filter" -> qRepetitionFilter,
     "q_domain_mix" -> qDomainMix,
@@ -1167,6 +1264,56 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_heaps_law" ->
+      """WITH dr AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS BIGINT) AS toks,
+        |    row_number() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM dr),
+        |wd AS (SELECT doc_id, toks,
+        |    (CAST(rn AS BIGINT) - 1) * 10 // nd AS decile
+        |  FROM dr CROSS JOIN tot),
+        |pt AS (SELECT decile, CAST(count(*) AS BIGINT) AS docs,
+        |    CAST(sum(toks) AS BIGINT) AS dtoks FROM wd GROUP BY 1),
+        |fs AS (SELECT w, min(doc_id) AS fd
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |vd AS (SELECT wd.decile, CAST(count(*) AS BIGINT) AS dvocab
+        |  FROM fs JOIN wd ON fs.fd = wd.doc_id GROUP BY 1)
+        |SELECT CAST(pt.decile AS BIGINT) AS decile, docs,
+        |  CAST(sum(dtoks) OVER (ORDER BY pt.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(sum(coalesce(dvocab, 0)) OVER (ORDER BY pt.decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_vocab
+        |FROM pt LEFT JOIN vd ON vd.decile = pt.decile
+        |ORDER BY decile""".stripMargin,
+    "q_zipf_slope" ->
+      """WITH tf AS (SELECT w, count(*) AS f
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |top AS (SELECT * FROM tf ORDER BY f DESC, w ASC LIMIT 1000),
+        |pts AS (SELECT
+        |    CAST(floor(1000000.0 * ln(CAST(row_number()
+        |      OVER (ORDER BY f DESC, w ASC) AS DOUBLE))) AS BIGINT) AS lx,
+        |    CAST(floor(1000000.0 * ln(CAST(f AS DOUBLE))) AS BIGINT) AS ly
+        |  FROM top),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+        |    CAST(sum(lx * ly) AS BIGINT) AS sxy,
+        |    CAST(sum(lx * lx) AS BIGINT) AS sxx
+        |  FROM pts)
+        |SELECT n,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+        |    (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) AS BIGINT)
+        |    AS slope_e6
+        |FROM m WHERE n >= 2 ORDER BY n""".stripMargin,
     "q_decontaminate" ->
       s"""$shingleCte,
          |ev AS (SELECT doc_id AS eval_id, unnest(sh) AS g FROM s WHERE doc_id % 10 = 7),
@@ -1288,7 +1435,8 @@ object LlmOps {
         |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
         |  FROM part a JOIN part b
         |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |  WHERE levenshtein(a.p_name, b.p_name) <= 10),
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |    AND levenshtein(a.p_name, b.p_name) <= 2),
         |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM p
         |  UNION SELECT pb, pa FROM p),
         |r(a, b) AS (
@@ -1306,7 +1454,8 @@ object LlmOps {
         |  levenshtein(a.p_name, b.p_name) AS dist
         |FROM part a JOIN part b
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-        |WHERE levenshtein(a.p_name, b.p_name) <= 10
+        |WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY part_a, part_b""".stripMargin,
     "q_dedup_minhash" -> jaccardPairsSql(0.5),
     "q_dedup_clusters" -> clustersSql(0.5),

@@ -636,8 +636,132 @@ object StatOps {
       .orderBy("m")
   }
 
+  /** Mann–Kendall trend test over the daily order-count series — the
+    * nonparametric "is there a monotone trend?" companion to the
+    * [[qTheilSen]] slope (same daily spine, same pairwise form).
+    * S = Σ_{i<j} sign(y_j − y_i) is exact BIGINT; the null variance is
+    * reported pre-divided as 18·Var(S) = n(n−1)(2n−5) − Σ_t t(t−1)(2t+5)
+    * over tie groups t, keeping the whole statistic integer — the one
+    * sqrt for z happens wherever the result is consumed. Scale shape:
+    * the pairwise join runs over the DAILY aggregate, bounded by the
+    * calendar (≤2,557 rows for the corpus's 7-year span) regardless of
+    * fact-table size, so the broadcast self-join never grows with the
+    * data — only the upstream one-shuffle day aggregate does.
+    */
+  private val qMannKendall: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val pairs = daily.toDF("d1", "y1")
+      .join(broadcast(daily.toDF("d2", "y2")), col("d1") < col("d2"))
+    // integer sign via CASE (signum returns DOUBLE; CASE keeps BIGINT)
+    val sAgg = pairs.agg(
+      sum(when(col("y2") > col("y1"), lit(1L))
+        .when(col("y2") < col("y1"), lit(-1L)).otherwise(lit(0L)))
+        .as("s_stat"))
+    val ties = daily.groupBy("y").agg(count(lit(1)).as("t"))
+      .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+        .as("tie18"))
+    val n = daily.agg(count(lit(1)).as("n"))
+    n.crossJoin(broadcast(sAgg)).crossJoin(broadcast(ties))
+      .select(col("n"), col("s_stat"),
+        expr("n * (n - 1) * (2 * n - 5) - tie18").as("var_s_x18"))
+      .orderBy("n")
+  }
+
+  /** Kendall tau-a rank correlation between the daily order count and
+    * daily revenue — the pairwise-concordance alternative to
+    * `q_spearman` (which ranks rows; this classifies pairs). Each day
+    * pair (i<j) is concordant when both series move the same way,
+    * discordant when they move oppositely; ties in either series fall
+    * in neither bucket (tau-a charges them to the denominator — the
+    * deterministic-by-construction choice, since tau-b's tie
+    * correction needs a sqrt). Classification compares the two deltas
+    * DIRECTLY rather than sign(Δy·Δr), so no product can overflow at
+    * any revenue scale. tau_a_e6 = 10⁶(C−D) DIV (n(n−1)/2): |C−D| ≤
+    * npairs ≤ 3.3·10⁶ even for a 7-year daily calendar, so the e6
+    * numerator is always BIGINT-safe. Same bounded-by-calendar pair
+    * join as [[qMannKendall]].
+    */
+  private val qKendallTau: Q = (s, d) => {
+    val daily = Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(count(lit(1)).as("y"),
+        sum(round(col("o_totalprice") * 100.0).cast("long")).as("r"))
+    val pairs = daily
+      .select(col("day").as("d1"), col("y").as("y1"), col("r").as("r1"))
+      .join(broadcast(daily.select(col("day").as("d2"), col("y").as("y2"),
+        col("r").as("r2"))), col("d1") < col("d2"))
+    pairs.agg(count(lit(1)).as("npairs"),
+        sum(when((col("y2") > col("y1") && col("r2") > col("r1")) ||
+            (col("y2") < col("y1") && col("r2") < col("r1")), lit(1L))
+          .otherwise(lit(0L))).as("conc"),
+        sum(when((col("y2") > col("y1") && col("r2") < col("r1")) ||
+            (col("y2") < col("y1") && col("r2") > col("r1")), lit(1L))
+          .otherwise(lit(0L))).as("disc"))
+      .select(col("npairs"), col("conc"), col("disc"),
+        expr("1000000 * (conc - disc) DIV npairs").as("tau_a_e6"))
+      .orderBy("npairs")
+  }
+
+  /** CUPED-adjusted experiment readout — variance-reduced group means
+    * using pre-period spend as the covariate (Deng et al. 2013, the
+    * standard trick every experimentation platform applies before the
+    * t-test). Customers are assigned by the `q_ab_srm` md5-bucket
+    * discipline; x = pre-1996 spend cents, y = post-1996 spend cents,
+    * θ = Cov(x,y)/Var(x) pooled over ALL customers, and each group
+    * reports mean(y) − θ·(mean(x) − mean(x)_all). Moments are exact:
+    * counts and Σx/Σy are BIGINT; the cross products Σxy/Σx² are
+    * DECIMAL(38,0) (HUGEINT oracle-side — cents² per customer can
+    * reach ~2.5·10¹⁵, past BIGINT at ~10⁴ such rows; the
+    * q_assortativity promotion). θ and the adjustment are the only
+    * float math, ONE mirrored sequence of casts/ops each, so results
+    * are bit-identical cross-engine. An all-equal-x corpus (Var = 0,
+    * θ undefined) is filtered identically on both engines. Plan: one
+    * orders aggregate (the per-customer shuffle), one 2-row group agg,
+    * two scalar broadcasts — no second fact scan.
+    */
+  private val qCuped: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cents = round(col("o_totalprice") * 100.0).cast("long")
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(to_date(col("o_orderdate")) < lit("1996-01-01").cast("date"),
+          cents).otherwise(0L)).as("x"),
+        sum(when(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date"),
+          cents).otherwise(0L)).as("y"))
+      .withColumn("grp",
+        pmod(conv(substring(md5(col("o_custkey").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(2L)))
+    val mom = spend.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+      sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+    val g = spend.groupBy("grp").agg(count(lit(1)).as("ng"),
+      sum("x").as("sxg"), sum("y").as("syg"))
+    g.crossJoin(broadcast(mom))
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .withColumn("vnum",
+        col("n").cast("double") * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double"))
+      .filter(col("vnum") > lit(0.0))
+      .withColumn("theta",
+        (col("n").cast("double") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) / col("vnum"))
+      .select(col("grp"), col("ng").as("n"),
+        floor(col("syg").cast("double") / col("ng").cast("double") -
+          col("theta") * (col("sxg").cast("double") / col("ng").cast("double") -
+            col("sx").cast("double") / col("n").cast("double")))
+          .cast("long").as("adj_mean_cents"),
+        floor(lit(1000000.0) * col("theta")).cast("long").as("theta_e6"))
+      .orderBy("grp")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_theil_sen" -> qTheilSen,
+    "q_mann_kendall" -> qMannKendall,
+    "q_kendall_tau" -> qKendallTau,
+    "q_cuped" -> qCuped,
     "q_ks_test" -> qKsTest,
     "q_cramers_v" -> qCramersV,
     "q_abc_classes" -> qAbcClasses,
@@ -660,6 +784,78 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS y
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.y AS y1, b.y AS y2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |sa AS (SELECT CAST(sum(CASE WHEN y2 > y1 THEN 1
+        |    WHEN y2 < y1 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat FROM p),
+        |ti AS (SELECT CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+        |    AS BIGINT) AS tie18
+        |  FROM (SELECT count(*) AS t FROM daily GROUP BY y)),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily)
+        |SELECT n, s_stat,
+        |  CAST(n * (n - 1) * (2 * n - 5) - tie18 AS BIGINT) AS var_s_x18
+        |FROM nn CROSS JOIN sa CROSS JOIN ti ORDER BY n""".stripMargin,
+    "q_kendall_tau" ->
+      """WITH daily AS (SELECT
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS BIGINT) AS day,
+        |    count(*) AS y,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS r
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT a.y AS y1, a.r AS r1, b.y AS y2, b.r AS r2
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS npairs,
+        |    CAST(sum(CASE WHEN (y2 > y1 AND r2 > r1)
+        |      OR (y2 < y1 AND r2 < r1) THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+        |    CAST(sum(CASE WHEN (y2 > y1 AND r2 < r1)
+        |      OR (y2 < y1 AND r2 > r1) THEN 1 ELSE 0 END) AS BIGINT) AS disc
+        |  FROM p)
+        |SELECT npairs, conc, disc,
+        |  CAST(1000000 * (conc - disc) // npairs AS BIGINT) AS tau_a_e6
+        |FROM a ORDER BY npairs""".stripMargin,
+    "q_cuped" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |sp AS (SELECT *,
+        |    ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+        |      % 2 AS grp
+        |  FROM spend),
+        |mom AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx
+        |  FROM sp),
+        |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+        |    CAST(sum(x) AS BIGINT) AS sxg, CAST(sum(y) AS BIGINT) AS syg
+        |  FROM sp GROUP BY 1),
+        |j AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vnum
+        |  FROM g CROSS JOIN mom),
+        |t AS (SELECT *,
+        |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / vnum AS theta
+        |  FROM j WHERE vnum > 0.0)
+        |SELECT CAST(grp AS BIGINT) AS grp, ng AS n,
+        |  CAST(floor(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |    - theta * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+        |    AS adj_mean_cents,
+        |  CAST(floor(1000000.0 * theta) AS BIGINT) AS theta_e6
+        |FROM t ORDER BY grp""".stripMargin,
     "q_theil_sen" ->
       """WITH daily AS (SELECT
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

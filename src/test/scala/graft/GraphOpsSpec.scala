@@ -127,4 +127,50 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(full.collect().map(r => r.getLong(0) * r.getLong(1)).sum >=
       rows.map(_._2).sum, "core degree mass exceeds the full graph's")
   }
+
+  test("q_hits: scores max-normalized to 1e6; iteration 1 matches a brute recompute") {
+    val rows = SparkEntry.queries("q_hits")(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.nonEmpty)
+    assert(rows.values.forall(a => a >= 0L && a <= 1000000L))
+    assert(rows.values.max == 1000000L, "no part attains the max-normalized score")
+    // brute-force the same 2-iteration max-normalized HITS on collected arcs
+    val arcs = graft.model.Tables.orders(TestSpark.spark, TestSpark.sf)
+      .join(graft.model.Tables.lineitem(TestSpark.spark, TestSpark.sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var hub = arcs.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val araw = arcs.groupBy(_._2).map { case (p, as) =>
+        p -> as.map(a => hub(a._1)).sum }
+      val amx = araw.values.max
+      auth = araw.map { case (p, v) => p -> 1000000L * v / amx }
+      val hraw = arcs.groupBy(_._1).map { case (c, as) =>
+        c -> as.map(a => auth(a._2)).sum }
+      val hmx = hraw.values.max
+      hub = hraw.map { case (c, v) => c -> 1000000L * v / hmx }
+    }
+    assert(rows == auth, "distributed HITS disagrees with brute recompute")
+  }
+
+  test("q_label_prop: trajectory is monotone and ends at the true component count lower bound") {
+    val rows = SparkEntry.queries("q_label_prop")(TestSpark.spark, TestSpark.sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // label count never increases; biggest community never shrinks
+    assert(rows.sliding(2).forall(p => p(1)._2 <= p(0)._2))
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3))
+    // min-propagation can only MERGE toward components: the final label
+    // count is >= the true connected-component count
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (u, v) => val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv }
+    val ccs = nodes.map(find).distinct.length.toLong
+    assert(rows.last._2 >= ccs)
+    assert(rows.last._3 <= nodes.length.toLong)
+  }
 }

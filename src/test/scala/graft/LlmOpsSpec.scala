@@ -401,4 +401,41 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(wp == math.min(1000000L, nChars * 2000L))
     }
   }
+
+  test("q_heaps_law: deciles partition the corpus; curve totals close on direct counts") {
+    val rows = SparkEntry.queries("q_heaps_law")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .map(_.getString(0))
+    assert(rows.map(_._2).sum == docs.length.toLong)
+    val allToks = docs.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+    assert(rows.last._3 == allToks.length.toLong,
+      s"final cum_tokens ${rows.last._3} vs ${allToks.length}")
+    assert(rows.last._4 == allToks.distinct.length.toLong,
+      s"final cum_vocab ${rows.last._4} vs ${allToks.distinct.length}")
+    // both curves are running sums — non-decreasing
+    assert(rows.sliding(2).forall(p => p(1)._3 >= p(0)._3 && p(1)._4 >= p(0)._4))
+  }
+
+  test("q_zipf_slope: negative power-law exponent matching a plain-Scala OLS recompute") {
+    val r0 = SparkEntry.queries("q_zipf_slope")(spark, sf).collect().head
+    val n = r0.getLong(0)
+    val slope = r0.getLong(1) / 1e6
+    assert(slope < 0.0, s"rank-frequency slope $slope not negative")
+    val tf = graft.model.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+      .toArray.sortBy { case (w, f) => (-f, w) }.take(1000)
+    assert(n == tf.length.toLong)
+    val pts = tf.zipWithIndex.map { case ((_, f), i) =>
+      (math.floor(1e6 * math.log(i + 1.0)), math.floor(1e6 * math.log(f.toDouble))) }
+    val nn = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum
+    val ols = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+    assert(math.abs(slope - ols) < 1e-3, s"slope $slope vs recompute $ols")
+  }
 }

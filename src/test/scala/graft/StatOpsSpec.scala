@@ -533,6 +533,75 @@ class StatOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_mann_kendall: S and tie-corrected variance match a plain-Scala pairwise recompute") {
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    var s = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length)
+      s += java.lang.Long.signum(daily(j)._2 - daily(i)._2).toLong
+    val tie18 = daily.groupBy(_._2).values.map(_.length.toLong)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val r0 = q("q_mann_kendall").collect().head
+    assert(r0.getLong(0) == n)
+    assert(r0.getLong(1) == s, s"S=${r0.getLong(1)} vs recompute $s")
+    assert(r0.getLong(2) == n * (n - 1) * (2 * n - 5) - tie18)
+    assert(math.abs(s) <= n * (n - 1) / 2)
+  }
+
+  test("q_kendall_tau: pair classification matches a plain-Scala recompute; buckets partition") {
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("y"),
+        sum(round(col("o_totalprice") * 100.0).cast("long")).as("r"))
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay,
+        r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var conc = 0L; var disc = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val dy = java.lang.Long.signum(daily(j)._2 - daily(i)._2)
+      val dr = java.lang.Long.signum(daily(j)._3 - daily(i)._3)
+      if (dy * dr > 0) conc += 1 else if (dy * dr < 0) disc += 1
+    }
+    val n = daily.length.toLong
+    val r0 = q("q_kendall_tau").collect().head
+    assert(r0.getLong(0) == n * (n - 1) / 2)
+    assert(r0.getLong(1) == conc && r0.getLong(2) == disc)
+    // ties fall in neither bucket, so conc+disc can undershoot npairs
+    assert(conc + disc <= r0.getLong(0))
+    assert(r0.getLong(3) == 1000000L * (conc - disc) / (n * (n - 1) / 2))
+  }
+
+  test("q_cuped: adjustment conserves the total metric; theta matches a double recompute") {
+    val rows = q("q_cuped").collect()
+    assert(rows.length == 2 && rows.map(_.getLong(0)).toSet == Set(0L, 1L))
+    // pooled theta identical across groups
+    assert(rows.map(_.getLong(3)).distinct.length == 1)
+    val xy = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(when(to_date(col("o_orderdate")) < lit("1996-01-01").cast("date"),
+          round(col("o_totalprice") * 100.0).cast("long")).otherwise(0L)).as("x"),
+        sum(when(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date"),
+          round(col("o_totalprice") * 100.0).cast("long")).otherwise(0L)).as("y"))
+      .collect().map(r => (r.getLong(1).toDouble, r.getLong(2).toDouble))
+    assert(rows.map(_.getLong(1)).sum == xy.length.toLong)
+    val n = xy.length.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(rows.head.getLong(3) / 1e6 - theta) < 1e-3,
+      s"theta_e6=${rows.head.getLong(3)} vs recompute $theta")
+    // Σ n_g·adj_g telescopes to Σy exactly (the CUPED conservation law);
+    // each floor loses < 1 cent per group
+    val adjTotal = rows.map(r => r.getLong(1) * r.getLong(2)).sum.toDouble
+    assert(math.abs(adjTotal - sy) <= rows.map(_.getLong(1)).sum.toDouble,
+      s"adjusted total $adjTotal vs sy $sy")
+  }
+
   test("q_interval_prorate: allocation mass within floor-loss of the exact total") {
     val total = graft.model.Tables.lineitem(spark, sf)
       .join(graft.model.Tables.orders(spark, sf),
