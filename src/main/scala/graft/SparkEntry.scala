@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.CurateOps.registry ++
       graft.queries.InsightOps.registry ++
       graft.queries.StatOps.registry ++
+      graft.queries.SeriesOps.registry ++
       graft.queries.EngageOps.registry ++
       graft.queries.GraphOps.registry ++
       graft.queries.SqlSurface.registry
@@ -53,6 +54,7 @@ object SparkEntry {
       graft.queries.CurateOps.oracle ++
       graft.queries.InsightOps.oracle ++
       graft.queries.StatOps.oracle ++
+      graft.queries.SeriesOps.oracle ++
       graft.queries.EngageOps.oracle ++
       graft.queries.GraphOps.oracle ++
       graft.queries.SqlSurface.oracle

@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+
+/** Rolling-window series analytics over the daily revenue/volume series —
+  * the monitoring dashboards a revenue platform runs: drawdown from peak,
+  * volatility bands, momentum (RSI), rolling volume/revenue correlation,
+  * and on-balance volume.
+  *
+  * Scale posture: every key first collapses the fact table to the DAILY
+  * series with one partial-agg shuffle (exact cents BIGINTs). The daily
+  * table is CALENDAR-bounded — ~2,400 rows for the corpus's 1992–1998
+  * order-date span regardless of scale factor — so the global
+  * `Window.orderBy(day)` that follows scans a provably tiny table (the
+  * `q_period_over_period` cardinality argument): at 100 TB the series is
+  * still ≤ tens of thousands of rows (one per day), never fact-sized.
+  *
+  * Determinism posture: window moments (n/Σ/Σ²/Σxy) are exact BIGINT;
+  * derived statistics that need floats compute them in ONE fixed
+  * operation sequence mirrored token-for-token by the DuckDB oracle
+  * (the `q_welch_ttest` discipline).
+  */
+object SeriesOps {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Daily order-revenue series in exact cents plus the order count —
+    * the shared input of every key in this family.
+    */
+  private def daily(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+
+  /** Drawdown from running peak over the daily revenue series: how far
+    * each day sits below the best day seen so far — the demand-drawdown
+    * monitor (max dd = the season's worst slump). Pure BIGINT: running
+    * max + subtraction; one day-collapse shuffle + the calendar-sized
+    * window.
+    */
+  private val qMaxDrawdown: Q = (s, d) => {
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily(s, d)
+      .select(col("day"), col("cents"), max("cents").over(w).as("peak_cents"))
+      .withColumn("drawdown_cents", col("peak_cents") - col("cents"))
+      .orderBy("day")
+  }
+
+  /** Bollinger bands: 7-day rolling mean ± 2σ over daily revenue, with
+    * breach flags — the volatility envelope. Window moments are exact:
+    * Σ stays BIGINT (7-day revenue ≪ 2⁶³ cents at any plausible scale)
+    * but the squared moment rides DECIMAL(38,0) from the first multiply
+    * — a single day's cents² is already ~5×10¹⁸ at sf0.1, AT the BIGINT
+    * limit (HUGEINT oracle-side, the `q_grouped_regression` promotion).
+    * The population σ is the integer discriminant disc = n·Σ² − Σ·Σ in
+    * decimal plus ONE mirrored float sequence sd = floor(sqrt(disc)/n·
+    * 100). Bands and flags are then integer arithmetic in e2
+    * (hundredths of a cent).
+    */
+  private val qBollinger: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily(s, d)
+      .select(col("day"), col("cents"),
+        count(lit(1)).over(w).as("n"),
+        sum("cents").over(w).as("s"),
+        sum(dec(col("cents")) * dec(col("cents"))).over(w).as("ss"))
+      .filter(col("n") === 7L)
+      .withColumn("mean_cents", expr("s DIV n"))
+      .withColumn("disc",
+        dec(col("n")) * col("ss") - dec(col("s")) * dec(col("s")))
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .withColumn("sd_e2",
+        floor(sqrt(col("disc").cast("double")) / col("n").cast("double")
+          * lit(100.0)).cast("long"))
+      .select(col("day"), col("cents"), col("mean_cents"), col("sd_e2"),
+        (col("mean_cents") * 100L + col("sd_e2") * 2L).as("upper_e2"),
+        (col("mean_cents") * 100L - col("sd_e2") * 2L).as("lower_e2"))
+      .withColumn("breach",
+        when(col("cents") * 100L > col("upper_e2"), 1)
+          .when(col("cents") * 100L < col("lower_e2"), -1).otherwise(0))
+      .orderBy("day")
+  }
+
+  /** 14-day RSI (simple-average form) over daily revenue: momentum as
+    * the share of up-moves in total movement, rsi_ppm = 10⁶·Σgain DIV
+    * (Σgain+Σloss) — PURE integer end-to-end (no float at all; the
+    * Wilder-smoothed variant is the recursive form, this is the SMA one
+    * every charting library also ships). Day-over-day diffs via lag;
+    * the first 14 days have no full window and are dropped; flat
+    * 14-day stretches (Σgain+Σloss = 0) are guarded out.
+    */
+  private val qRsi: Q = (s, d) => {
+    val wl = Window.orderBy("day")
+    val diffed = daily(s, d)
+      .select(col("day"), col("cents"),
+        (col("cents") - lag("cents", 1).over(wl)).as("diff"),
+        row_number().over(wl).as("rn"))
+      .filter(col("rn") >= 2)
+      .select(col("day"), col("cents"),
+        greatest(col("diff"), lit(0L)).as("gain"),
+        greatest(-col("diff"), lit(0L)).as("loss"))
+    val w14 = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+    diffed
+      .select(col("day"), col("cents"),
+        count(lit(1)).over(w14).as("n"),
+        sum("gain").over(w14).as("sum_gain"),
+        sum("loss").over(w14).as("sum_loss"))
+      .filter(col("n") === 14L && col("sum_gain") + col("sum_loss") > 0L)
+      .select(col("day"), col("cents"), col("sum_gain"), col("sum_loss"),
+        expr("1000000 * sum_gain DIV (sum_gain + sum_loss)").as("rsi_ppm"))
+      .orderBy("day")
+  }
+
+  /** 30-day rolling Pearson correlation between daily order COUNT and
+    * daily revenue — does volume explain revenue this month, or is the
+    * mix shifting? The count-side and cross moments are exact BIGINT
+    * (x ~ orders/day keeps n·Σxy and ΣxΣy around 10¹⁴); the y-side
+    * squared moment rides DECIMAL(38,0) from the first multiply (a
+    * single day's cents² is ~5×10¹⁸ at sf0.1 — HUGEINT oracle-side).
+    * cov/varx/vary are integer discriminants; corr is ONE mirrored
+    * float sequence. Windows with zero variance on either side are
+    * guarded out on both engines.
+    */
+  private val qRollingCorr: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val w = Window.orderBy("day").rowsBetween(-29, Window.currentRow)
+    daily(s, d)
+      .select(col("day"),
+        count(lit(1)).over(w).as("n"),
+        sum("n_orders").over(w).as("sx"),
+        sum("cents").over(w).as("sy"),
+        sum(col("n_orders") * col("n_orders")).over(w).as("sxx"),
+        sum(dec(col("cents")) * dec(col("cents"))).over(w).as("syy"),
+        sum(col("n_orders") * col("cents")).over(w).as("sxy"))
+      .filter(col("n") === 30L)
+      .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary",
+        dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+      .filter(col("varx") > 0L &&
+        col("vary") > lit(0).cast("decimal(38,0)"))
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .select(col("day"), col("n"), col("cov"),
+        floor(lit(1000000.0) * col("cov").cast("double") /
+          sqrt(col("varx").cast("double") * col("vary").cast("double")))
+          .cast("long").as("corr_e6"))
+      .orderBy("day")
+  }
+
+  /** On-balance volume: running sum of order count signed by the
+    * day-over-day revenue direction — the classic volume-confirms-price
+    * accumulation line, here "volume confirms revenue". Pure BIGINT:
+    * sign via lag comparison, one calendar-sized running sum.
+    */
+  private val qObv: Q = (s, d) => {
+    val wl = Window.orderBy("day")
+    val signed = daily(s, d)
+      .select(col("day"), col("cents"), col("n_orders"),
+        (col("cents") - lag("cents", 1).over(wl)).as("diff"),
+        row_number().over(wl).as("rn"))
+      .filter(col("rn") >= 2)
+      .select(col("day"), col("cents"),
+        (signum(col("diff")).cast("long") * col("n_orders")).as("signed_vol"))
+    signed
+      .select(col("day"), col("cents"), col("signed_vol"),
+        sum("signed_vol").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("obv"))
+      .orderBy("day")
+  }
+
+  val registry: Map[String, Q] = Map(
+    "q_max_drawdown" -> qMaxDrawdown,
+    "q_bollinger" -> qBollinger,
+    "q_rsi" -> qRsi,
+    "q_rolling_corr" -> qRollingCorr,
+    "q_obv" -> qObv,
+  )
+
+  private val dailySql =
+    """daily AS (SELECT
+      |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+      |      AS BIGINT) AS day,
+      |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+      |      AS cents,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_max_drawdown" ->
+      s"""WITH $dailySql
+         |SELECT day, cents,
+         |  CAST(max(cents) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS peak_cents,
+         |  CAST(max(cents) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cents
+         |    AS BIGINT) AS drawdown_cents
+         |FROM daily ORDER BY day""".stripMargin,
+    "q_bollinger" ->
+      s"""WITH $dailySql,
+         |w AS (SELECT day, cents,
+         |    CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(cents) OVER win AS BIGINT) AS s,
+         |    sum(CAST(cents AS HUGEINT) * cents) OVER win AS ss
+         |  FROM daily
+         |  WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+         |b AS (SELECT day, cents, n, s // n AS mean_cents,
+         |    CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS disc
+         |  FROM w WHERE n = 7),
+         |c AS (SELECT day, cents, mean_cents,
+         |    CAST(floor(sqrt(CAST(disc AS DOUBLE)) / CAST(n AS DOUBLE) * 100.0)
+         |      AS BIGINT) AS sd_e2
+         |  FROM b)
+         |SELECT day, cents, CAST(mean_cents AS BIGINT) AS mean_cents, sd_e2,
+         |  CAST(mean_cents * 100 + 2 * sd_e2 AS BIGINT) AS upper_e2,
+         |  CAST(mean_cents * 100 - 2 * sd_e2 AS BIGINT) AS lower_e2,
+         |  CAST(CASE WHEN cents * 100 > mean_cents * 100 + 2 * sd_e2 THEN 1
+         |    WHEN cents * 100 < mean_cents * 100 - 2 * sd_e2 THEN -1
+         |    ELSE 0 END AS INT) AS breach
+         |FROM c ORDER BY day""".stripMargin,
+    "q_rsi" ->
+      s"""WITH $dailySql,
+         |diffed AS (SELECT day, cents,
+         |    cents - lag(cents, 1) OVER (ORDER BY day) AS diff,
+         |    row_number() OVER (ORDER BY day) AS rn
+         |  FROM daily),
+         |g AS (SELECT day, cents,
+         |    greatest(diff, 0) AS gain, greatest(-diff, 0) AS loss
+         |  FROM diffed WHERE rn >= 2),
+         |w AS (SELECT day, cents,
+         |    CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(gain) OVER win AS BIGINT) AS sum_gain,
+         |    CAST(sum(loss) OVER win AS BIGINT) AS sum_loss
+         |  FROM g
+         |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         |SELECT day, cents, sum_gain, sum_loss,
+         |  CAST(1000000 * sum_gain // (sum_gain + sum_loss) AS BIGINT)
+         |    AS rsi_ppm
+         |FROM w WHERE n = 14 AND sum_gain + sum_loss > 0
+         |ORDER BY day""".stripMargin,
+    "q_rolling_corr" ->
+      s"""WITH $dailySql,
+         |w AS (SELECT day,
+         |    CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(n_orders) OVER win AS BIGINT) AS sx,
+         |    CAST(sum(cents) OVER win AS BIGINT) AS sy,
+         |    CAST(sum(n_orders * n_orders) OVER win AS BIGINT) AS sxx,
+         |    sum(CAST(cents AS HUGEINT) * cents) OVER win AS syy,
+         |    CAST(sum(n_orders * cents) OVER win AS BIGINT) AS sxy
+         |  FROM daily
+         |  WINDOW win AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+         |m AS (SELECT day, n,
+         |    n * sxy - sx * sy AS cov,
+         |    n * sxx - sx * sx AS varx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
+         |  FROM w WHERE n = 30)
+         |SELECT day, n, CAST(cov AS BIGINT) AS cov,
+         |  CAST(floor(1000000.0 * CAST(cov AS DOUBLE) /
+         |    sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))) AS BIGINT)
+         |    AS corr_e6
+         |FROM m WHERE varx > 0 AND vary > 0 ORDER BY day""".stripMargin,
+    "q_obv" ->
+      s"""WITH $dailySql,
+         |diffed AS (SELECT day, cents, n_orders,
+         |    cents - lag(cents, 1) OVER (ORDER BY day) AS diff,
+         |    row_number() OVER (ORDER BY day) AS rn
+         |  FROM daily),
+         |g AS (SELECT day, cents,
+         |    CAST(sign(diff) AS BIGINT) * n_orders AS signed_vol
+         |  FROM diffed WHERE rn >= 2)
+         |SELECT day, cents, signed_vol,
+         |  CAST(sum(signed_vol) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS obv
+         |FROM g ORDER BY day""".stripMargin,
+  )
+}
