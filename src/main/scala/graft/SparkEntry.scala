@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.InsightOps.registry ++
       graft.queries.StatOps.registry ++
       graft.queries.SeriesOps.registry ++
+      graft.queries.FeatureOps.registry ++
       graft.queries.EngageOps.registry ++
       graft.queries.GraphOps.registry ++
       graft.queries.SqlSurface.registry
@@ -55,6 +56,7 @@ object SparkEntry {
       graft.queries.InsightOps.oracle ++
       graft.queries.StatOps.oracle ++
       graft.queries.SeriesOps.oracle ++
+      graft.queries.FeatureOps.oracle ++
       graft.queries.EngageOps.oracle ++
       graft.queries.GraphOps.oracle ++
       graft.queries.SqlSurface.oracle
