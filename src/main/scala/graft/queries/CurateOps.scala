@@ -41,6 +41,64 @@ object CurateOps {
     * TakeOrderedAndProject; the only windows rank the ten selected
     * rows.
     */
+  /** Mean reciprocal rank of the BM25 ranking: the rank of the FIRST
+    * relevant document (any query term present), as 10⁶/rank — the
+    * metric behind "how far does a user scroll before the first hit".
+    * Window-free by construction: the best-ranked relevant doc is a
+    * max(struct) aggregate (bm25 desc, doc_id asc tie), and its rank is
+    * 1 + the count of scored docs strictly ahead of it — two scalar
+    * aggregates and a broadcast, no global sort of the corpus at all
+    * (the shape that survives a 10⁹-doc corpus where a row_number over
+    * all scored docs would not).
+    */
+  private val qMrr: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = Retrieval.bm25(docs, "doc_id", "text", Terms)
+    val rel = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        Terms.map(t => (size(filter(col("toks"), x => x === lit(t))) > 0)
+          .cast("long")).reduce(_ + _).as("rel"))
+      .filter(col("rel") > 0L)
+    val best = scored.join(rel, "doc_id")
+      .agg(max(struct(col("bm25_e6"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("b.bm25_e6").as("best_e6"), (-col("b.neg_id")).as("best_doc"))
+    scored.crossJoin(broadcast(best))
+      .groupBy("best_doc", "best_e6")
+      .agg(sum(when(col("bm25_e6") > col("best_e6") ||
+          (col("bm25_e6") === col("best_e6") &&
+            col("doc_id") < col("best_doc")), 1L).otherwise(0L))
+        .as("n_ahead"))
+      .select(col("best_doc"), col("best_e6"),
+        (col("n_ahead") + 1L).as("first_rel_rank"),
+        expr("1000000 DIV (n_ahead + 1)").as("mrr_ppm"))
+      .orderBy("best_doc")
+  }
+
+  /** Precision and recall at 10 of the BM25 ranking against the
+    * any-term relevance set — the cutoff-quality pair next to
+    * `q_ndcg`'s graded score. Top-10 via TakeOrderedAndProject
+    * (distributed top-k, never a global sort); relevance arrives as a
+    * left join onto ten rows; the relevant-total is a scalar broadcast.
+    */
+  private val qPrecisionAtK: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = Retrieval.bm25(docs, "doc_id", "text", Terms)
+    val rel = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        Terms.map(t => (size(filter(col("toks"), x => x === lit(t))) > 0)
+          .cast("long")).reduce(_ + _).as("rel"))
+      .filter(col("rel") > 0L)
+    val top = scored.orderBy(col("bm25_e6").desc, col("doc_id").asc).limit(10)
+    top.join(rel, Seq("doc_id"), "left")
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("rel").isNotNull, 1L).otherwise(0L)).as("rel_at_k"))
+      .crossJoin(broadcast(rel.agg(count(lit(1)).as("n_rel"))))
+      .select(col("k"), col("rel_at_k"), col("n_rel"),
+        expr("1000000 * rel_at_k DIV k").as("p_at_k_ppm"),
+        expr("1000000 * rel_at_k DIV n_rel").as("recall_at_k_ppm"))
+      .orderBy("k")
+  }
+
   private val qNdcg: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
@@ -924,6 +982,8 @@ object CurateOps {
     "q_target_encode" -> qTargetEncode,
     "q_bm25" -> qBm25,
     "q_ndcg" -> qNdcg,
+    "q_mrr" -> qMrr,
+    "q_precision_at_k" -> qPrecisionAtK,
     "q_rrf_fusion" -> qRrfFusion,
     "q_sessionize" -> qSessionize,
     "q_entropy" -> qEntropy,
@@ -1386,6 +1446,51 @@ object CurateOps {
          |SELECT n_candidates, dcg_e6, idcg_e6,
          |  CAST(1000000 * dcg_e6 // idcg_e6 AS BIGINT) AS ndcg_ppm
          |FROM n CROSS JOIN d CROSS JOIN i ORDER BY n_candidates""".stripMargin,
+    "q_mrr" ->
+      s"""WITH sc AS (SELECT * FROM (${bm25Sql})),
+         |r AS (SELECT doc_id,
+         |    (CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'spark')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'join')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'window')) > 0 THEN 1 ELSE 0 END) AS rel
+         |  FROM documents),
+         |cand AS (SELECT sc.doc_id, bm25_e6
+         |  FROM sc JOIN r ON sc.doc_id = r.doc_id WHERE rel > 0),
+         |best AS (SELECT doc_id AS best_doc, bm25_e6 AS best_e6
+         |  FROM cand ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 1),
+         |a AS (SELECT best_doc, best_e6,
+         |    CAST(sum(CASE WHEN sc.bm25_e6 > best_e6
+         |      OR (sc.bm25_e6 = best_e6 AND sc.doc_id < best_doc)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_ahead
+         |  FROM sc CROSS JOIN best GROUP BY 1, 2)
+         |SELECT best_doc, best_e6,
+         |  CAST(n_ahead + 1 AS BIGINT) AS first_rel_rank,
+         |  CAST(1000000 // (n_ahead + 1) AS BIGINT) AS mrr_ppm
+         |FROM a ORDER BY best_doc""".stripMargin,
+    "q_precision_at_k" ->
+      s"""WITH sc AS (SELECT * FROM (${bm25Sql})),
+         |r AS (SELECT doc_id,
+         |    (CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'spark')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'join')) > 0 THEN 1 ELSE 0 END
+         |     + CASE WHEN len(list_filter(string_split(text, ' '),
+         |        x -> x = 'window')) > 0 THEN 1 ELSE 0 END) AS rel
+         |  FROM documents),
+         |relv AS (SELECT doc_id FROM r WHERE rel > 0),
+         |top AS (SELECT doc_id FROM sc
+         |  ORDER BY bm25_e6 DESC, doc_id ASC LIMIT 10),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(CASE WHEN relv.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS rel_at_k
+         |  FROM top LEFT JOIN relv ON top.doc_id = relv.doc_id),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_rel FROM relv)
+         |SELECT k, rel_at_k, n_rel,
+         |  CAST(1000000 * rel_at_k // k AS BIGINT) AS p_at_k_ppm,
+         |  CAST(1000000 * rel_at_k // n_rel AS BIGINT) AS recall_at_k_ppm
+         |FROM a CROSS JOIN t ORDER BY k""".stripMargin,
     "q_rrf_fusion" ->
       """WITH t AS (SELECT doc_id, n_chars,
         |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf
