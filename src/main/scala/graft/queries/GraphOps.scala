@@ -346,6 +346,45 @@ object GraphOps {
       .orderBy(col("f"), col("rnk"))
   }
 
+  /** Jaccard-similarity link prediction over the co-purchase graph:
+    * for the same focus set as `q_common_neighbors`, score each
+    * non-adjacent candidate by |N(f)∩N(c)| / |N(f)∪N(c)| in exact ppm
+    * (union via deg(f)+deg(c)−common — no second neighborhood
+    * expansion) — the normalized variant that stops high-degree
+    * candidates from dominating raw common-neighbor counts. Same
+    * hub-capped wedge expansion and scale argument as
+    * `q_common_neighbors`; two extra broadcast-sized degree joins; the
+    * top-5 window ranks by the normalized score.
+    */
+  private val qJaccardNeighbors: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val dg = degrees(e)
+    val wedge = arcs.filter(col("src") < 100L)
+      .select(col("src").as("f"), col("dst").as("z"))
+      .join(dg.select(col("n").as("z"), col("dg")), "z")
+      .filter(col("dg") <= HubCap)
+      .join(arcs.select(col("src").as("z"), col("dst").as("cand")), "z")
+      .filter(col("cand") =!= col("f"))
+    val cn = wedge.groupBy("f", "cand").agg(count(lit(1)).as("n_common"))
+    val nonadj = cn.join(e,
+        least(cn("f"), cn("cand")) === e("u") &&
+          greatest(cn("f"), cn("cand")) === e("v"), "left_anti")
+    val scoredJ = nonadj
+      .join(dg.select(col("n").as("f"), col("dg").as("deg_f")), "f")
+      .join(dg.select(col("n").as("cand"), col("dg").as("deg_cand")), "cand")
+      .withColumn("jaccard_ppm",
+        expr("1000000 * n_common DIV (deg_f + deg_cand - n_common)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("f")).orderBy(col("jaccard_ppm").desc, col("cand").asc)
+    scoredJ.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("f"), col("cand"), col("n_common"), col("deg_f"),
+        col("deg_cand"), col("jaccard_ppm"), col("rnk"))
+      .orderBy(col("f"), col("rnk"))
+  }
+
   /** Damped PageRank (d=0.85, 3 iterations) in exact integer arithmetic.
     *
     * rank' = floor(0.15·Scale) + floor(85 · Σ floor(rank_u / deg_u) / 100)
@@ -566,6 +605,7 @@ object GraphOps {
     "q_assortativity" -> qAssortativity,
     "q_clustering_coeff" -> qClusteringCoeff,
     "q_common_neighbors" -> qCommonNeighbors,
+    "q_jaccard_neighbors" -> qJaccardNeighbors,
     "q_pagerank" -> qPagerank,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
@@ -695,6 +735,32 @@ object GraphOps {
         |  FROM nonadj)
         |SELECT f, cand, n_common, rnk FROM r WHERE rnk <= 5
         |ORDER BY f, rnk""".stripMargin,
+    "q_jaccard_neighbors" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM e
+        |         UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+        |mid AS (SELECT a1.src AS f, a2.dst AS cand
+        |        FROM arcs a1 JOIN deg ON deg.src = a1.dst
+        |        JOIN arcs a2 ON a2.src = a1.dst
+        |        WHERE a1.src < 100 AND dg <= 10000 AND a2.dst <> a1.src),
+        |cn AS (SELECT f, cand, count(*) AS n_common FROM mid GROUP BY 1, 2),
+        |nonadj AS (SELECT f, cand, n_common FROM cn
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE u = least(f, cand) AND v = greatest(f, cand))),
+        |j AS (SELECT f, cand, CAST(n_common AS BIGINT) AS n_common,
+        |    CAST(df.dg AS BIGINT) AS deg_f, CAST(dc.dg AS BIGINT) AS deg_cand,
+        |    CAST(1000000 * n_common // (df.dg + dc.dg - n_common) AS BIGINT)
+        |      AS jaccard_ppm
+        |  FROM nonadj JOIN deg df ON df.src = f
+        |    JOIN deg dc ON dc.src = cand),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY f
+        |      ORDER BY jaccard_ppm DESC, cand ASC) AS INTEGER) AS rnk
+        |  FROM j)
+        |SELECT f, cand, n_common, deg_f, deg_cand, jaccard_ppm, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY f, rnk""".stripMargin,
     "q_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |e AS (SELECT DISTINCT a.p AS u, b.p AS v

@@ -713,7 +713,30 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Partition-skew report over the natural time-partitioning key (ship
+    * month): per-partition row count, corpus share, and load relative
+    * to the uniform expectation in e3 (1000 = perfectly balanced) — the
+    * table a warehouse operator reads before picking partition columns
+    * or sizing AQE skew thresholds (a month at load_e3 ≫ 1000 is the
+    * straggler task at 100 TB). Month index is pure integer year·12+
+    * month arithmetic (immune to date-diff convention splits). One
+    * partial-agg shuffle into ~84 month groups + a scalar broadcast.
+    */
+  private val qPartitionSkew: Q = (s, d) => {
+    val m = Tables.lineitem(s, d)
+      .select((year(col("l_shipdate")) * 12 + month(col("l_shipdate")) - 1)
+        .cast("long").as("month_idx"))
+      .groupBy("month_idx").agg(count(lit(1)).as("n_rows"))
+    val tot = m.agg(count(lit(1)).as("n_parts"), sum("n_rows").as("total_rows"))
+    m.crossJoin(broadcast(tot))
+      .select(col("month_idx"), col("n_rows"),
+        expr("1000000 * n_rows DIV total_rows").as("share_ppm"),
+        expr("1000 * n_rows * n_parts DIV total_rows").as("load_e3"))
+      .orderBy("month_idx")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_partition_skew" -> qPartitionSkew,
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
     "q_join_semi" -> qJoinSemi,
@@ -766,6 +789,18 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_partition_skew" ->
+      """WITH m AS (SELECT
+        |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT)
+        |      AS month_idx,
+        |    CAST(count(*) AS BIGINT) AS n_rows
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+        |    CAST(sum(n_rows) AS BIGINT) AS total_rows FROM m)
+        |SELECT month_idx, n_rows,
+        |  CAST(1000000 * n_rows // total_rows AS BIGINT) AS share_ppm,
+        |  CAST(1000 * n_rows * n_parts // total_rows AS BIGINT) AS load_e3
+        |FROM m CROSS JOIN t ORDER BY month_idx""".stripMargin,
     // Exact-regime KLL: the INCLUSIVE quantile of n ≤ k items is the
     // order statistic at 1-based position ceil(q·n) — computed here
     // explicitly so both engines evaluate the identical definition
