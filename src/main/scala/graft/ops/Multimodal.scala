@@ -77,7 +77,10 @@ object Multimodal {
     * Fail-loud on non-P6 magic, 2-byte maxval (> 255), or a truncated
     * plane: a silent partial decode would poison downstream stats.
     */
-  private[graft] def decodePpm(id: Long, bytes: Array[Byte]): PpmStats = {
+  /** Shared P6 header parse: returns (width, height, maxval, offset of
+    * the raw pixel plane), validating magic, bounds, and plane length.
+    */
+  private def parsePpmHeader(id: Long, bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       s"media $id: not a binary PPM (P6) payload")
     var pos = 2
@@ -112,9 +115,14 @@ object Multimodal {
     require(w > 0 && h > 0, s"media $id: degenerate PPM dimensions ${w}x$h")
     require(maxval > 0 && maxval < 256,
       s"media $id: unsupported PPM maxval $maxval (2-byte samples)")
+    require(bytes.length - pos >= w.toLong * h * 3,
+      s"media $id: truncated pixel plane (${bytes.length - pos} of ${w.toLong * h * 3} bytes)")
+    (w, h, maxval, pos)
+  }
+
+  private[graft] def decodePpm(id: Long, bytes: Array[Byte]): PpmStats = {
+    val (w, h, maxval, pos) = parsePpmHeader(id, bytes)
     val npx = w.toLong * h
-    require(bytes.length - pos >= npx * 3,
-      s"media $id: truncated pixel plane (${bytes.length - pos} of ${npx * 3} bytes)")
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < npx) {
@@ -125,6 +133,49 @@ object Multimodal {
       i += 1
     }
     PpmStats(id, w, h, maxval, npx, sr, sg, sb)
+  }
+
+  case class PpmSignature(media_id: Long, width: Int, height: Int,
+                          n_pixels: Long, bits: String, n_ones: Long)
+
+  /** REAL perceptual signature (average-hash family): per-pixel
+    * luminance proxy gray = r+g+b thresholded STRICTLY against the
+    * image mean — bit_j = 1 iff gray_j·n > Σgray, evaluated in exact
+    * integer arithmetic (no float mean, so no rounding-boundary
+    * ambiguity) — emitted as a w·h bitstring. Identical images give
+    * identical signatures; Hamming distance over the strings is the
+    * near-dup metric. Two passes over the plane (sum, then threshold),
+    * both in-place over the byte array.
+    */
+  private[graft] def ppmSignature(id: Long, bytes: Array[Byte]): PpmSignature = {
+    val (w, h, _, pos) = parsePpmHeader(id, bytes)
+    val npx = w.toLong * h
+    var sum = 0L
+    var i = 0
+    while (i < npx) {
+      val o = pos + 3 * i
+      sum += (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(npx.toInt)
+    var ones = 0L
+    i = 0
+    while (i < npx) {
+      val o = pos + 3 * i
+      val g = (bytes(o) & 0xff) + (bytes(o + 1) & 0xff) + (bytes(o + 2) & 0xff)
+      if (g * npx > sum) { sb.append('1'); ones += 1 } else sb.append('0')
+      i += 1
+    }
+    PpmSignature(id, w, h, npx, sb.toString, ones)
+  }
+
+  /** Partition-batched signature extraction — same iterator shape as
+    * [[decodePpmFeatures]].
+    */
+  def ppmSignatures(media: Dataset[(Long, Array[Byte])]): Dataset[PpmSignature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => ppmSignature(id, bytes) })
   }
 
   /** Partition-batched real decode: (media_id, ppm_payload) rows stream

@@ -105,6 +105,39 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** Perceptual-hash image dedup over the decoded PPM plane: each
+    * image's average-hash bitstring (strict integer threshold against
+    * the mean luminance — [[graft.ops.Multimodal.ppmSignature]]) plus
+    * the size of its exact-signature duplicate group — the image-side
+    * analogue of `q_dedup_exact` (identical signatures ⟹ identical
+    * perceptual content; Hamming distance over the strings is the
+    * near-dup extension). The decode is the REAL P6 parser; the group
+    * size is one hash-shuffle on the signature string, exactly the
+    * digest-groupBy shape text dedup uses.
+    */
+  private val qMultimodalPhash: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"),
+        (lit(4) + col("doc_id") % 5).cast("int").as("w"),
+        (lit(3) + col("doc_id") % 7).cast("int").as("h"))
+      .select(col("doc_id"),
+        concat(
+          format_string("P6\n%d %d\n255\n", col("w"), col("h")).cast("binary"),
+          expr("CAST(substring(repeat(text, CAST(ceil(CAST(w * h * 3 AS DOUBLE) " +
+            "/ length(text)) AS INT)), 1, w * h * 3) AS BINARY)")).as("payload"))
+      .as[(Long, Array[Byte])]
+    val sig = Multimodal.ppmSignatures(media)
+      .select(col("media_id"), col("width"), col("height"), col("bits"),
+        col("n_ones"))
+    val groups = sig.groupBy("bits").agg(count(lit(1)).as("dup_group_size"))
+    sig.join(groups, "bits")
+      .select(col("media_id"), col("width"), col("height"), col("bits"),
+        col("n_ones"), col("dup_group_size"))
+      .orderBy(col("media_id"))
+  }
+
   /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
     * page-partitioned batch read through the connector API.
     */
@@ -120,6 +153,7 @@ object ExtOps {
     "q_multimodal_meta" -> qMultimodalMeta,
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
+    "q_multimodal_phash" -> qMultimodalPhash,
     "q_dsv2_source" -> qDsv2Source,
   )
 
@@ -179,6 +213,31 @@ object ExtOps {
         |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4, 5
         |ORDER BY media_id""".stripMargin,
+    "q_multimodal_phash" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)),
+        |px AS (SELECT doc_id, w, h, i AS j,
+        |    ord(substr(text, CAST((3 * i) % len AS INT) + 1, 1))
+        |    + ord(substr(text, CAST((3 * i + 1) % len AS INT) + 1, 1))
+        |    + ord(substr(text, CAST((3 * i + 2) % len AS INT) + 1, 1))
+        |      AS gray
+        |  FROM d, LATERAL (SELECT unnest(range(w * h)) AS i) t),
+        |s AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |    CAST(count(*) AS BIGINT) AS npx
+        |  FROM px GROUP BY 1),
+        |b AS (SELECT px.doc_id, max(w) AS w, max(h) AS h,
+        |    string_agg(CASE WHEN gray * npx > sum_gray THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS bits,
+        |    CAST(sum(CASE WHEN gray * npx > sum_gray THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_ones
+        |  FROM px JOIN s ON px.doc_id = s.doc_id GROUP BY 1),
+        |g AS (SELECT bits, CAST(count(*) AS BIGINT) AS dup_group_size
+        |  FROM b GROUP BY 1)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, bits, n_ones, dup_group_size
+        |FROM b JOIN g USING (bits) ORDER BY media_id""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
