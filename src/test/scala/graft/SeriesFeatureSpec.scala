@@ -1,0 +1,221 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-7 rolling-series, feature-engineering,
+  * retrieval-metric, graph-similarity, and multimodal-signature
+  * operators — laws beyond the DuckDB differential check: running-max
+  * monotonicity, band symmetry, ppm range/conservation totals,
+  * one-hot exclusivity, rank-transform monotonicity, split coverage,
+  * and signature/bit identities.
+  */
+class SeriesFeatureSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  private lazy val nDays = graft.model.Tables.orders(spark, sf)
+    .select(to_date(col("o_orderdate"))).distinct().count()
+  private lazy val nCustomers = graft.model.Tables.customer(spark, sf).count()
+
+  test("q_max_drawdown: peak is a monotone running max; drawdown = peak - cents >= 0") {
+    val rows = q("q_max_drawdown").collect()
+    assert(rows.length == nDays)
+    var peak = Long.MinValue
+    rows.foreach { r =>
+      val (cents, p, dd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      peak = math.max(peak, cents)
+      assert(p == peak, s"day ${r.getLong(0)}: peak $p != running max $peak")
+      assert(dd == p - cents && dd >= 0)
+    }
+  }
+
+  test("q_bollinger: bands symmetric around the mean; breach matches its definition") {
+    val rows = q("q_bollinger").collect()
+    assert(rows.length == nDays - 6)
+    rows.foreach { r =>
+      val (cents, mean, sd, up, lo, breach) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getInt(6))
+      assert(up - mean * 100 == mean * 100 - lo, "bands not symmetric")
+      assert(up - lo == 4 * sd)
+      val expect = if (cents * 100 > up) 1 else if (cents * 100 < lo) -1 else 0
+      assert(breach == expect, s"day ${r.getLong(0)}")
+    }
+  }
+
+  test("q_rsi: ppm in [0,1e6] and equal to its own gain/(gain+loss) identity") {
+    val rows = q("q_rsi").collect()
+    assert(rows.nonEmpty && rows.length <= nDays - 14)
+    rows.foreach { r =>
+      val (g, l, rsi) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(rsi >= 0 && rsi <= 1000000)
+      assert(rsi == 1000000 * g / (g + l))
+    }
+  }
+
+  test("q_rolling_corr: correlation stays in [-1e6, 1e6]") {
+    val rows = q("q_rolling_corr").collect()
+    assert(rows.nonEmpty && rows.length <= nDays - 29)
+    rows.foreach { r =>
+      val c = r.getLong(3)
+      assert(c >= -1000000 && c <= 1000000, s"day ${r.getLong(0)}: corr_e6 $c")
+    }
+  }
+
+  test("q_obv: the running sum replays from the per-day signed volumes") {
+    val rows = q("q_obv").collect()
+    assert(rows.length == nDays - 1)
+    var acc = 0L
+    rows.foreach { r =>
+      acc += r.getLong(2)
+      assert(r.getLong(3) == acc, s"day ${r.getLong(0)}")
+    }
+  }
+
+  test("q_stratified_split: splits partition every segment; shares sum to ~1e6") {
+    val rows = q("q_stratified_split").collect()
+    assert(rows.map(_.getLong(2)).sum == nCustomers)
+    val bySeg = rows.groupBy(_.getString(0))
+    bySeg.foreach { case (seg, rs) =>
+      assert(rs.map(_.getString(1)).toSet == Set("train", "test"), seg)
+      val ppm = rs.map(_.getLong(4)).sum
+      assert(ppm > 1000000L - 2 && ppm <= 1000000L, s"$seg share total $ppm")
+      rs.foreach(r => assert(r.getLong(3) == rs.map(_.getLong(2)).sum))
+    }
+  }
+
+  test("q_kfold_assign: 5 folds cover every customer exactly once") {
+    val rows = q("q_kfold_assign").collect()
+    assert(rows.map(_.getLong(0)).toSet.subsetOf((0L to 4L).toSet))
+    assert(rows.map(_.getLong(2)).sum == nCustomers)
+  }
+
+  test("q_onehot: exactly one indicator set per customer") {
+    val df = q("q_onehot")
+    assert(df.count() == nCustomers)
+    val bad = df.withColumn("s",
+      col("is_automobile") + col("is_building") + col("is_furniture")
+        + col("is_household") + col("is_machinery"))
+      .filter(col("s") =!= 1).count()
+    assert(bad == 0, s"$bad rows without exactly one hot bit")
+  }
+
+  test("q_minmax_scale: scaled_e6 in [0,1e6]; per-segment min hits 0 and max hits 1e6") {
+    val rows = q("q_minmax_scale").collect()
+    assert(rows.length == nCustomers)
+    rows.foreach(r => assert(r.getLong(3) >= 0 && r.getLong(3) <= 1000000))
+    rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
+      assert(rs.map(_.getLong(3)).min == 0, s"$seg min not 0")
+      assert(rs.map(_.getLong(3)).max == 1000000, s"$seg max not 1e6")
+    }
+  }
+
+  test("q_quantile_normalize: rank transform is monotone in cents with full [0,1e6] span") {
+    val rows = q("q_quantile_normalize").collect()
+    assert(rows.length == nCustomers)
+    val byCents = rows.sortBy(r => (r.getLong(1), r.getLong(0)))
+    byCents.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(2) <= b.getLong(2))
+      case _ =>
+    }
+    assert(byCents.head.getLong(2) == 0 && byCents.last.getLong(2) == 1000000)
+  }
+
+  test("q_feature_hash: buckets within [0,64); token mass conserves; terms <= tokens") {
+    val rows = q("q_feature_hash").collect()
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    val totalToks = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    assert(rows.map(_.getLong(1)).sum == totalToks)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q_mrr: single row; the identity 1e6 DIV rank holds; rank >= 1") {
+    val rows = q("q_mrr").collect()
+    assert(rows.length == 1)
+    val (rank, mrr) = (rows.head.getLong(2), rows.head.getLong(3))
+    assert(rank >= 1 && mrr == 1000000 / rank)
+  }
+
+  test("q_precision_at_k: counts bounded by k and the relevant total; identities hold") {
+    val r = q("q_precision_at_k").collect().head
+    val (k, relK, nRel, p, rec) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(k >= 1 && k <= 10 && relK <= k && relK <= nRel)
+    assert(p == 1000000 * relK / k && rec == 1000000 * relK / nRel)
+  }
+
+  test("q_jaccard_neighbors: ppm in (0,1e6]; common <= min degree; <=5 per focus; rank order matches score") {
+    val rows = q("q_jaccard_neighbors").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (f, rs) =>
+      assert(rs.length <= 5, s"focus $f has ${rs.length} rows")
+      val ordered = rs.sortBy(_.getInt(6))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(5) >= b.getLong(5),
+          s"focus $f: rank order violates jaccard order")
+        case _ =>
+      }
+    }
+    rows.foreach { r =>
+      val (nc, df, dc, j) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nc <= math.min(df, dc))
+      assert(j > 0 && j <= 1000000)
+      assert(j == 1000000 * nc / (df + dc - nc))
+    }
+  }
+
+  test("q_partition_skew: row mass conserves; mean relative load is ~1000") {
+    val rows = q("q_partition_skew").collect()
+    assert(rows.map(_.getLong(1)).sum ==
+      graft.model.Tables.lineitem(spark, sf).count())
+    val loads = rows.map(_.getLong(3))
+    val mean = loads.sum.toDouble / loads.length
+    assert(math.abs(mean - 1000.0) < 50, s"mean load_e3 $mean")
+  }
+
+  test("q_multimodal_phash: bits length = w*h; n_ones counts the 1s and is never all of them") {
+    val rows = q("q_multimodal_phash").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, h, bits, ones, grp) =
+        (r.getInt(1), r.getInt(2), r.getString(3), r.getLong(4), r.getLong(5))
+      assert(bits.length == w * h)
+      assert(bits.count(_ == '1') == ones)
+      // strict > threshold: a constant image has zero ones, and no image
+      // can have every pixel strictly above its own mean
+      assert(ones < w.toLong * h)
+      assert(grp >= 1)
+    }
+    val dupTotals = rows.groupBy(_.getString(3))
+      .map { case (_, rs) => (rs.length.toLong, rs.head.getLong(5)) }
+    dupTotals.foreach { case (actual, claimed) => assert(actual == claimed) }
+  }
+
+  // ---- plan guards for the scale-critical shapes -------------------------
+
+  private def planOf(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_minmax_scale broadcasts the per-segment extrema") {
+    assert(planOf("q_minmax_scale").contains("BroadcastHashJoin"))
+  }
+
+  test("q_precision_at_k plans the top-10 as TakeOrderedAndProject") {
+    assert(planOf("q_precision_at_k").contains("TakeOrderedAndProject"))
+  }
+
+  test("q_mrr stays window-free (no global sort of the scored corpus)") {
+    val p = planOf("q_mrr")
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("q_partition_skew broadcasts the scalar totals") {
+    assert(planOf("q_partition_skew").contains("BroadcastNestedLoopJoin")
+      || planOf("q_partition_skew").contains("BroadcastHashJoin"))
+  }
+}
