@@ -75,7 +75,11 @@ object Bench {
     "q_sql_pivot", "q_ndcg", "q_top_paths", "q_feature_assembly",
     "q_entity_clusters", "q_kcore",
     "q_mann_kendall", "q_kendall_tau", "q_cuped", "q_hits",
-    "q_label_prop", "q_heaps_law", "q_zipf_slope")
+    "q_label_prop", "q_heaps_law", "q_zipf_slope",
+    "q_max_drawdown", "q_bollinger", "q_rsi", "q_rolling_corr", "q_obv",
+    "q_stratified_split", "q_kfold_assign", "q_onehot", "q_minmax_scale",
+    "q_quantile_normalize", "q_feature_hash", "q_mrr", "q_precision_at_k",
+    "q_jaccard_neighbors", "q_partition_skew", "q_multimodal_phash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
