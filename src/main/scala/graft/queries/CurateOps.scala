@@ -948,7 +948,30 @@ object CurateOps {
       .orderBy(col("event_type"))
   }
 
+  /** Small-file compaction planner: documents bin-packed in stable
+    * doc_id order into ~64 KiB output files by exclusive-prefix-sum DIV
+    * target — the plan a table-maintenance job executes to fix the
+    * many-small-files problem (bin = which output file each doc lands
+    * in; every bin except possibly the last holds ≥ target bytes once
+    * its first doc starts past the boundary). The prefix sum rides
+    * [[graft.ops.Ranks.globalRunningSum]] (range-partitioned, per-
+    * partition offsets only — the discipline that keeps a 10⁹-file
+    * compaction plan off a single partition). Output is bin-sized.
+    */
+  private val qCompactionBins: Q = (s, d) => {
+    val target = 65536L
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val r = graft.ops.Ranks.globalRunningSum(docs,
+      Seq(col("doc_id").asc), col("n_chars"), "cum")
+    r.withColumn("bin", expr(s"(cum - n_chars) DIV $target"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bin_chars"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("bin")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_compaction_bins" -> qCompactionBins,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_freshness" -> qFreshness,
     "q_doc_filter" -> qDocFilter,
@@ -1021,6 +1044,19 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_compaction_bins" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, (cum - n_chars) // 65536 AS bin
+        |  FROM r)
+        |SELECT CAST(bin AS BIGINT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS bin_chars,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+        |  CAST(max(doc_id) AS BIGINT) AS last_doc
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_boilerplate_ngrams" ->
       """WITH t AS (SELECT source, doc_id,
         |    unnest(string_split(text, ' ')) AS tok,

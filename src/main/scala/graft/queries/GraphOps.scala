@@ -385,6 +385,43 @@ object GraphOps {
       .orderBy(col("f"), col("rnk"))
   }
 
+  /** Adamic–Adar link prediction over the same focus-set wedges: each
+    * common neighbor z contributes 1/ln(deg z) — rare shared neighbors
+    * count more than hubs. Every z's weight is floored to e6 BEFORE the
+    * per-pair sum (floor(10⁶/ln(deg z)) — the `q_mutual_info` per-term-
+    * floor discipline, so the cross-row integer sum is order-
+    * independent; ln is the one float op, mirrored token-for-token; a
+    * common neighbor has deg ≥ 2 by construction so ln never hits 0).
+    * Same hub-capped expansion, non-adjacency anti join, and top-5
+    * ranking as `q_common_neighbors`.
+    */
+  private val qAdamicAdar: Q = (s, d) => {
+    val e = coPurchaseEdges(s, d)
+    val arcs = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+    val dg = degrees(e)
+    val wedge = arcs.filter(col("src") < 100L)
+      .select(col("src").as("f"), col("dst").as("z"))
+      .join(dg.select(col("n").as("z"), col("dg")), "z")
+      .filter(col("dg") <= HubCap)
+      .join(arcs.select(col("src").as("z"), col("dst").as("cand")), "z")
+      .filter(col("cand") =!= col("f"))
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .withColumn("w_e6",
+        floor(lit(1000000.0) / log(col("dg").cast("double"))).cast("long"))
+    val aa = wedge.groupBy("f", "cand")
+      .agg(count(lit(1)).as("n_common"), sum("w_e6").as("aa_e6"))
+    val nonadj = aa.join(e,
+        least(aa("f"), aa("cand")) === e("u") &&
+          greatest(aa("f"), aa("cand")) === e("v"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("f")).orderBy(col("aa_e6").desc, col("cand").asc)
+    nonadj.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("f"), col("cand"), col("n_common"), col("aa_e6"), col("rnk"))
+      .orderBy(col("f"), col("rnk"))
+  }
+
   /** Damped PageRank (d=0.85, 3 iterations) in exact integer arithmetic.
     *
     * rank' = floor(0.15·Scale) + floor(85 · Σ floor(rank_u / deg_u) / 100)
@@ -606,6 +643,7 @@ object GraphOps {
     "q_clustering_coeff" -> qClusteringCoeff,
     "q_common_neighbors" -> qCommonNeighbors,
     "q_jaccard_neighbors" -> qJaccardNeighbors,
+    "q_adamic_adar" -> qAdamicAdar,
     "q_pagerank" -> qPagerank,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
@@ -760,6 +798,30 @@ object GraphOps {
         |      ORDER BY jaccard_ppm DESC, cand ASC) AS INTEGER) AS rnk
         |  FROM j)
         |SELECT f, cand, n_common, deg_f, deg_cand, jaccard_ppm, rnk
+        |FROM r WHERE rnk <= 5 ORDER BY f, rnk""".stripMargin,
+    "q_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM e
+        |         UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY 1),
+        |mid AS (SELECT a1.src AS f, a2.dst AS cand,
+        |        CAST(floor(1000000.0 / ln(CAST(dg AS DOUBLE))) AS BIGINT)
+        |          AS w_e6
+        |        FROM arcs a1 JOIN deg ON deg.src = a1.dst
+        |        JOIN arcs a2 ON a2.src = a1.dst
+        |        WHERE a1.src < 100 AND dg <= 10000 AND a2.dst <> a1.src),
+        |aa AS (SELECT f, cand, CAST(count(*) AS BIGINT) AS n_common,
+        |    CAST(sum(w_e6) AS BIGINT) AS aa_e6
+        |  FROM mid GROUP BY 1, 2),
+        |nonadj AS (SELECT f, cand, n_common, aa_e6 FROM aa
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |    WHERE u = least(f, cand) AND v = greatest(f, cand))),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY f
+        |      ORDER BY aa_e6 DESC, cand ASC) AS INTEGER) AS rnk
+        |  FROM nonadj)
+        |SELECT f, cand, n_common, aa_e6, rnk
         |FROM r WHERE rnk <= 5 ORDER BY f, rnk""".stripMargin,
     "q_assortativity" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

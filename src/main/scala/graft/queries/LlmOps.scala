@@ -484,6 +484,28 @@ object LlmOps {
     TextStats.langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Language-ID confusion matrix: the marker-heuristic's predictions
+    * crossed with the labeled language, each cell with its within-label
+    * share in exact ppm — the evaluation table that decides whether the
+    * classifier is good enough to route a crawl by (per-label recall is
+    * the diagonal's share_ppm). Rides the same `TextStats.langId`
+    * column expressions as `q_lang_id`; one partial-agg shuffle into a
+    * |langs|²-bounded cell table + a 5-row broadcast back.
+    */
+  private val qLangidEval: Q = (s, d) => {
+    val pred = TextStats.langId(Tables.documents(s, d), "doc_id", "text")
+    val cm = pred.groupBy(col("actual_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cm.groupBy("actual_lang").agg(sum("n").as("n_actual"))
+    cm.join(broadcast(tot), "actual_lang")
+      .select(col("actual_lang"), col("predicted_lang"), col("n"),
+        col("n_actual"),
+        expr("1000000 * n DIV n_actual").as("share_ppm"),
+        (col("actual_lang") === col("predicted_lang")).cast("int")
+          .as("correct"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
   private val qQualityScore: Q = (s, d) =>
     TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -1090,6 +1112,7 @@ object LlmOps {
     "q_text_stats" -> qTextStats,
     "q_lang_agg" -> qLangAgg,
     "q_lang_id" -> qLangId,
+    "q_langid_eval" -> qLangidEval,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -1795,6 +1818,18 @@ object LlmOps {
         |       AS BIGINT) AS avg_tokens_e6
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q_lang_id" -> langIdSql,
+    "q_langid_eval" ->
+      s"""WITH p AS (SELECT * FROM (${langIdSql})),
+         |cm AS (SELECT actual_lang, predicted_lang,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY 1, 2),
+         |t AS (SELECT actual_lang, CAST(sum(n) AS BIGINT) AS n_actual
+         |  FROM cm GROUP BY 1)
+         |SELECT cm.actual_lang, predicted_lang, n, n_actual,
+         |  CAST(1000000 * n // n_actual AS BIGINT) AS share_ppm,
+         |  CAST(cm.actual_lang = predicted_lang AS INT) AS correct
+         |FROM cm JOIN t ON cm.actual_lang = t.actual_lang
+         |ORDER BY cm.actual_lang, predicted_lang""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

@@ -713,6 +713,25 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** By-name union across drifted schemas: two extracts with different
+    * column orders, one missing a column — `unionByName(allowMissing
+    * Columns = true)` aligns on NAMES and nulls the absent column (the
+    * position-based `q_union` would silently cross-wire them), exactly
+    * the multi-vintage landing-zone merge `q_schema_evolution` does at
+    * the file level, here as the DataFrame set op. Map-side only.
+    */
+  private val qUnionByName: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    val open = o.filter(col("o_orderstatus") === "O")
+      .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+        cents(col("o_totalprice")).as("price_cents"), lit("open").as("src"))
+    val done = o.filter(col("o_orderstatus") === "F")
+      .select(cents(col("o_totalprice")).as("price_cents"),
+        col("o_orderkey"), lit("finished").as("src"))
+    open.unionByName(done, allowMissingColumns = true)
+      .orderBy("o_orderkey", "src")
+  }
+
   /** Partition-skew report over the natural time-partitioning key (ship
     * month): per-partition row count, corpus share, and load relative
     * to the uniform expectation in e3 (1000 = perfectly balanced) — the
@@ -737,6 +756,7 @@ object Relational {
 
   val registry: Map[String, Q] = Map(
     "q_partition_skew" -> qPartitionSkew,
+    "q_union_by_name" -> qUnionByName,
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
     "q_join_semi" -> qJoinSemi,
@@ -801,6 +821,16 @@ object Relational {
         |  CAST(1000000 * n_rows // total_rows AS BIGINT) AS share_ppm,
         |  CAST(1000 * n_rows * n_parts // total_rows AS BIGINT) AS load_e3
         |FROM m CROSS JOIN t ORDER BY month_idx""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT o_orderkey, o_orderpriority AS priority,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+        |  'open' AS src
+        |FROM orders WHERE o_orderstatus = 'O'
+        |UNION ALL BY NAME
+        |SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents,
+        |  o_orderkey, 'finished' AS src
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_orderkey, src""".stripMargin,
     // Exact-regime KLL: the INCLUSIVE quantile of n ≤ k items is the
     // order statistic at 1-based position ceil(q·n) — computed here
     // explicitly so both engines evaluate the identical definition

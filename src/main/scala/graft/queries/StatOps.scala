@@ -323,6 +323,52 @@ object StatOps {
       .orderBy("n")
   }
 
+  /** Deterministic Poisson bootstrap 95% CI for the mean order value:
+    * B=100 resamples drawn WITHOUT any RNG state — each (order, b)
+    * pair's multiplicity k is the inverse-CDF Poisson(1) draw of its
+    * md5 ppm bucket (fixed integer thresholds 367879/735759/919699/
+    * 981012/996340/999406/999917 = the cumulative e⁻¹·Σ1/k! table, so
+    * both engines draw identical k) — the resampling scheme that
+    * parallelizes: B partial aggregates in ONE pass over the exploded
+    * fact, no permutation, no sequential sampling (Poisson bootstrap,
+    * the standard trick for bootstrap-at-scale). Each resample mean is
+    * exact Σk·x DIV Σk; the CI endpoints are order statistics at ceil
+    * ranks 2.5%/97.5% over the B-row mean table (the only window, B
+    * rows). Work: one B× explode + one shuffle into B groups.
+    */
+  private val qBootstrapCi: Q = (s, d) => {
+    val B = 100
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+    val rep = o.select(col("o_orderkey"), col("cents"),
+      explode(sequence(lit(0), lit(B - 1))).as("b"))
+    val u = pmod(conv(substring(md5(concat(col("o_orderkey").cast("string"),
+      lit("_"), col("b").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(1000000L))
+    val k = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L).when(u < 996340L, 4L)
+      .when(u < 999406L, 5L).when(u < 999917L, 6L).otherwise(7L)
+    val means = rep.withColumn("k", k)
+      .groupBy("b")
+      .agg(sum(col("k") * col("cents")).as("s"), sum("k").as("n"))
+      .filter(col("n") > 0L)
+      .select(col("b"), expr("s DIV n").as("mean_cents"))
+    val ranked = means.withColumn("rnk", row_number().over(
+      Window.orderBy(col("mean_cents").asc, col("b").asc)))
+    val nb = means.agg(count(lit(1)).as("n_resamples"))
+    val est = o.agg(expr("sum(cents) DIV count(1)").as("mean_cents_full"))
+    ranked.crossJoin(broadcast(nb))
+      .agg(max("n_resamples").as("n_resamples"),
+        max(when(col("rnk") === expr("(25 * n_resamples + 999) DIV 1000"),
+          col("mean_cents"))).as("ci_lo_cents"),
+        max(when(col("rnk") === expr("(975 * n_resamples + 999) DIV 1000"),
+          col("mean_cents"))).as("ci_hi_cents"))
+      .crossJoin(broadcast(est))
+      .select(col("n_resamples"), col("mean_cents_full"),
+        col("ci_lo_cents"), col("ci_hi_cents"))
+      .orderBy("n_resamples")
+  }
+
   /** Cumulative gains by spend decile: customers ranked by total spend
     * (the "model score"), bucketed into 10 equal-population deciles,
     * each reporting its urgent-order conversion rate and the running
@@ -771,6 +817,7 @@ object StatOps {
     "q_seasonal_naive_eval" -> qSeasonalNaiveEval,
     "q_mutual_info" -> qMutualInfo,
     "q_ab_srm" -> qAbSrm,
+    "q_bootstrap_ci" -> qBootstrapCi,
     "q_gains_deciles" -> qGainsDeciles,
     "q_rank_auc" -> qRankAuc,
     "q_trimmed_mean" -> qTrimmedMean,
@@ -1141,6 +1188,39 @@ object StatOps {
         |  CAST(1000000 * (o0 - o1) * (o0 - o1) // n AS BIGINT)
         |    AS srm_chi2_e6
         |FROM a ORDER BY n""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |  FROM orders),
+        |rep AS (SELECT o_orderkey, cents, b
+        |  FROM o, LATERAL (SELECT unnest(range(100)) AS b) t),
+        |uu AS (SELECT cents, b,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
+        |      || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |  FROM rep),
+        |kk AS (SELECT cents, b,
+        |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |      WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |      WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+        |      WHEN u < 999917 THEN 6 ELSE 7 END AS k
+        |  FROM uu),
+        |means AS (SELECT b,
+        |    CAST(sum(k * cents) AS BIGINT) // CAST(sum(k) AS BIGINT)
+        |      AS mean_cents
+        |  FROM kk GROUP BY b HAVING sum(k) > 0),
+        |ranked AS (SELECT mean_cents, b,
+        |    row_number() OVER (ORDER BY mean_cents ASC, b ASC) AS rnk
+        |  FROM means),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_resamples FROM means),
+        |est AS (SELECT CAST(sum(cents) AS BIGINT) // count(*)
+        |    AS mean_cents_full FROM o)
+        |SELECT n_resamples, mean_cents_full,
+        |  CAST(max(CASE WHEN rnk = (25 * n_resamples + 999) // 1000
+        |    THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+        |  CAST(max(CASE WHEN rnk = (975 * n_resamples + 999) // 1000
+        |    THEN mean_cents END) AS BIGINT) AS ci_hi_cents
+        |FROM ranked CROSS JOIN nb CROSS JOIN est
+        |GROUP BY 1, 2 ORDER BY n_resamples""".stripMargin,
     "q_gains_deciles" ->
       """WITH spend AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
