@@ -830,7 +830,10 @@ object LlmOps {
       .orderBy("pos_a", "pos_b")
   }
 
-  private val qCovarianceMatrix: Q = (s, d) => {
+  /** Upper-triangle covariance cells (pos_a ≤ pos_b, cov_e9) — shared
+    * by `q_covariance_matrix` and the power-iteration eigenvector.
+    */
+  private def covCells(s: SparkSession, d: String): DataFrame = {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
     val xe = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -855,7 +858,117 @@ object LlmOps {
             (col("sa").cast("double") / col("n")) *
               (col("sb").cast("double") / col("n"))) / lit(sc2)))
           .cast("long").as("cov_e9"))
-      .orderBy("pos_a", "pos_b")
+  }
+
+  private val qCovarianceMatrix: Q = (s, d) =>
+    covCells(s, d).orderBy("pos_a", "pos_b")
+
+  /** Oracle for `q_top_eigenvector`: the EigenIters power rounds
+    * unrolled as generated CTEs from the SAME constant, so the two
+    * engines walk the identical trajectory (the HITS-oracle pattern).
+    */
+  private def topEigenvectorSql: String = {
+    // MATERIALIZED: without it DuckDB may inline each round's CTE into
+    // the next, re-expanding the whole iteration chain exponentially —
+    // the oracle-side analogue of the localCheckpoint above.
+    val iters = (1 to EigenIters).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""w$i AS MATERIALIZED (SELECT a, CAST(sum(c * v) AS BIGINT) AS w
+         |       FROM f JOIN $prev ON b = dim GROUP BY a),
+         |mx$i AS MATERIALIZED (SELECT CAST(max(abs(w)) AS BIGINT) AS wmax
+         |        FROM w$i HAVING max(abs(w)) > 0),
+         |v$i AS MATERIALIZED (SELECT a AS dim, CAST(sign(w) AS BIGINT) *
+         |    CAST(floor(1000000.0 * CAST(abs(w) AS DOUBLE) /
+         |      CAST(wmax AS DOUBLE)) AS BIGINT) AS v
+         |  FROM w$i CROSS JOIN mx$i)""".stripMargin
+    }.mkString(",\n")
+    val last = s"v$EigenIters"
+    s"""WITH u AS (SELECT vec_id,
+       |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+       |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+       |      AS BIGINT) AS xe
+       |  FROM embeddings),
+       |p AS (SELECT a.pos AS pos_a, b.pos AS pos_b,
+       |    sum(CAST(a.xe AS HUGEINT) * b.xe) AS pab
+       |  FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+       |  GROUP BY 1, 2),
+       |m AS (SELECT pos, CAST(sum(xe) AS BIGINT) AS sx, count(*) AS n
+       |      FROM u GROUP BY 1),
+       |tri AS (SELECT pos_a, pos_b,
+       |  CAST(floor(1000000000.0 *
+       |    ((CAST(pab AS DOUBLE) / ma.n -
+       |      (CAST(ma.sx AS DOUBLE) / ma.n) *
+       |        (CAST(mb.sx AS DOUBLE) / ma.n)) /
+       |     (16777216.0 * 16777216.0))) AS BIGINT) AS c
+       |  FROM p JOIN m ma ON pos_a = ma.pos JOIN m mb ON pos_b = mb.pos),
+       |f AS MATERIALIZED (SELECT pos_a AS a, pos_b AS b, c FROM tri
+       |      UNION ALL
+       |      SELECT pos_b, pos_a, c FROM tri WHERE pos_a <> pos_b),
+       |v0 AS MATERIALIZED (SELECT DISTINCT a AS dim,
+       |      CAST(1000000 AS BIGINT) AS v FROM f),
+       |$iters,
+       |sg AS (SELECT CAST(sign(v) AS BIGINT) AS sgn FROM $last
+       |       ORDER BY abs(v) DESC, dim ASC LIMIT 1)
+       |SELECT CAST(dim AS INT) AS dim, CAST(v * sgn AS BIGINT) AS v_e6
+       |FROM $last CROSS JOIN sg ORDER BY dim""".stripMargin
+  }
+
+  /** Power-iteration rounds for the leading-eigenvector key — fixed so
+    * both engines unroll the identical trajectory.
+    */
+  private val EigenIters = 8
+
+  /** Leading eigenvector of the embedding covariance by EigenIters
+    * fixed power iterations — the first PCA axis, the direction a
+    * whitening or anisotropy diagnosis needs. The matrix is the
+    * D²-cell integer cov_e9 table (64×64 here — broadcast-sized at any
+    * corpus scale, since D is the embedding dim, not the row count);
+    * each iteration is one matrix·vector join-aggregate in exact
+    * BIGINT (|w| ≤ D·|cov|·10⁶ ≈ 10¹⁷ headroom) followed by max-|w|
+    * normalization — sign split from magnitude so the integer division
+    * never sees a negative operand (Spark div truncates toward zero,
+    * DuckDB // floors: they disagree BELOW zero, agree above — the
+    * same reason `q_pagerank` keeps its arithmetic non-negative). The
+    * magnitude ratio is one mirrored float sequence per round. Output
+    * canonicalized so the max-|v| component (tie lowest dim) is
+    * positive; the spec pins cosine ≥ 0.98 against a double-precision
+    * recompute of the same trajectory.
+    */
+  private val qTopEigenvector: Q = (s, d) => {
+    val tri = covCells(s, d)
+    // localCheckpoint: the D²-cell matrix is re-read by every iteration's
+    // join — without it each of the EigenIters rounds would recompute the
+    // corpus-sized covariance aggregation (the q_pagerank discipline).
+    val full = tri
+      .select(col("pos_a").as("a"), col("pos_b").as("b"), col("cov_e9").as("c"))
+      .unionAll(tri.filter(col("pos_a") =!= col("pos_b"))
+        .select(col("pos_b").as("a"), col("pos_a").as("b"), col("cov_e9").as("c")))
+      .localCheckpoint()
+    def step(v: DataFrame): DataFrame = {
+      // localCheckpoint per round: w feeds BOTH the normalizer aggregate
+      // and the next vector — without it the lineage (and the physical
+      // plan) doubles every iteration, 2^EigenIters by the end.
+      val w = full.join(v, full("b") === v("dim"))
+        .groupBy(col("a")).agg(sum(col("c") * col("v")).as("w"))
+        .localCheckpoint()
+      val mx = w.agg(max(abs(col("w"))).as("wmax")).filter(col("wmax") > 0L)
+      w.crossJoin(broadcast(mx))
+        // Fixed float sequence, mirrored token-for-token by the oracle.
+        .select(col("a").as("dim"),
+          (signum(col("w")).cast("long") *
+            floor(lit(1000000.0) * abs(col("w")).cast("double") /
+              col("wmax").cast("double")).cast("long")).as("v"))
+    }
+    val v0 = full.select(col("a")).distinct()
+      .select(col("a").as("dim"), lit(1000000L).as("v"))
+    val v2 = (1 to EigenIters).foldLeft(v0)((v, _) => step(v))
+    val sgn = v2
+      .select(max(struct(abs(col("v")).as("av"), (-col("dim")).as("nd"),
+        col("v").as("vv"))).as("m"))
+      .select(signum(col("m.vv")).cast("long").as("sgn"))
+    v2.crossJoin(broadcast(sgn))
+      .select(col("dim"), (col("v") * col("sgn")).as("v_e6"))
+      .orderBy("dim")
   }
 
   /** Inverse-frequency class weights for the language column — the
@@ -1076,6 +1189,7 @@ object LlmOps {
     "q_perplexity_lm" -> qPerplexityLm,
     "q_silhouette" -> qSilhouette,
     "q_covariance_matrix" -> qCovarianceMatrix,
+    "q_top_eigenvector" -> qTopEigenvector,
     "q_dim_corr" -> qDimCorr,
     "q_class_weights" -> qClassWeights,
     "q_profile" -> qProfile,
@@ -1664,6 +1778,7 @@ object LlmOps {
         |     (16777216.0 * 16777216.0))) AS BIGINT) AS cov_e9
         |FROM p JOIN m ma ON pos_a = ma.pos JOIN m mb ON pos_b = mb.pos
         |ORDER BY pos_a, pos_b""".stripMargin,
+    "q_top_eigenvector" -> topEigenvectorSql,
     "q_silhouette" ->
       """WITH u AS (SELECT vec_id, label AS own_label,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

@@ -196,6 +196,92 @@ class SeriesFeatureSpec extends AnyFunSuite {
     dupTotals.foreach { case (actual, claimed) => assert(actual == claimed) }
   }
 
+  test("q_langid_eval: cells cover the corpus; within-label shares sum to ~1e6") {
+    val rows = q("q_langid_eval").collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.model.Tables.documents(spark, sf).count())
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      val ppm = rs.map(_.getLong(4)).sum
+      assert(ppm > 1000000L - rs.length && ppm <= 1000000L, s"$lang: $ppm")
+      rs.foreach(r => assert((r.getInt(5) == 1) ==
+        (r.getString(0) == r.getString(1))))
+    }
+  }
+
+  test("q_adamic_adar: positive scores, <=5 per focus, rank order matches score order") {
+    val rows = q("q_adamic_adar").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) > 0))
+    rows.groupBy(_.getLong(0)).foreach { case (f, rs) =>
+      assert(rs.length <= 5)
+      val ordered = rs.sortBy(_.getInt(4))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(3) >= b.getLong(3), s"focus $f")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_union_by_name: null-fills the missing column exactly for the right-side rows") {
+    val rows = q("q_union_by_name").collect()
+    val o = graft.model.Tables.orders(spark, sf)
+    val open = o.filter(col("o_orderstatus") === "O").count()
+    val fin = o.filter(col("o_orderstatus") === "F").count()
+    assert(rows.length == open + fin)
+    rows.foreach { r =>
+      val (src, prioNull) = (r.getString(3), r.isNullAt(1))
+      assert(prioNull == (src == "finished"), s"order ${r.getLong(0)}")
+    }
+  }
+
+  test("q_compaction_bins: byte mass conserves; bins are contiguous and doc ranges ordered") {
+    val rows = q("q_compaction_bins").collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(rows.map(_.getLong(2)).sum ==
+      docs.agg(sum("n_chars")).collect().head.getLong(0))
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    assert(rows.map(_.getLong(0)).toSeq == (0L until rows.length))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3),
+        s"bin ${a.getLong(0)} overlaps ${b.getLong(0)}")
+      case _ =>
+    }
+  }
+
+  test("q_bootstrap_ci: B resamples, ordered interval, point estimate inside it") {
+    val r = q("q_bootstrap_ci").collect().head
+    val (n, est, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n == 100)
+    assert(lo <= hi)
+    assert(est >= lo && est <= hi,
+      s"full-sample mean $est outside bootstrap CI [$lo, $hi]")
+  }
+
+  test("q_top_eigenvector: unit-normalized, canonical sign, aligned with a double-precision recompute") {
+    val v = q("q_top_eigenvector").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2.toDouble)
+    assert(v.map(math.abs).max == 1000000.0)
+    // double-precision power iteration over the same covariance cells
+    val cells = q("q_covariance_matrix").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2).toDouble))
+    val dim = v.length
+    val c = Array.ofDim[Double](dim, dim)
+    cells.foreach { case (a, b, x) => c(a)(b) = x; c(b)(a) = x }
+    // same 8-round trajectory as the operator, in plain doubles
+    var vec = Array.fill(dim)(1.0)
+    (1 to 8).foreach { _ =>
+      val w = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => c(i)(j) * vec(j)).sum)
+      val m = w.map(math.abs).max
+      vec = w.map(_ / m)
+    }
+    val dot = v.indices.map(i => v(i) * vec(i)).sum
+    val cos = math.abs(dot) / math.sqrt(v.map(x => x * x).sum *
+      vec.map(x => x * x).sum)
+    assert(cos > 0.98, s"integer power iteration diverges from double: cos=$cos")
+  }
+
   // ---- plan guards for the scale-critical shapes -------------------------
 
   private def planOf(key: String): String =
