@@ -79,7 +79,9 @@ object Bench {
     "q_max_drawdown", "q_bollinger", "q_rsi", "q_rolling_corr", "q_obv",
     "q_stratified_split", "q_kfold_assign", "q_onehot", "q_minmax_scale",
     "q_quantile_normalize", "q_feature_hash", "q_mrr", "q_precision_at_k",
-    "q_jaccard_neighbors", "q_partition_skew", "q_multimodal_phash")
+    "q_jaccard_neighbors", "q_partition_skew", "q_multimodal_phash",
+    "q_langid_eval", "q_adamic_adar", "q_union_by_name",
+    "q_compaction_bins", "q_bootstrap_ci", "q_top_eigenvector")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
