@@ -970,7 +970,46 @@ object CurateOps {
       .orderBy("bin")
   }
 
+  /** k-anonymity audit over the (segment, nation) quasi-identifier:
+    * every QI equivalence class with its size and a k<5 re-identify
+    * flag — the table a privacy review reads before a dataset release
+    * (any flagged class means those members are distinguishable by the
+    * QI pair alone; `q_pii_mask` is the remediation, this is the
+    * detector). One partial-agg shuffle into a QI-cardinality-bounded
+    * class table.
+    */
+  private val qKAnonymity: Q = (s, d) => {
+    Tables.customer(s, d)
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nation"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < 5L).cast("int"))
+      .orderBy("seg", "nation")
+  }
+
+  /** l-diversity audit over the same quasi-identifier: distinct
+    * sensitive values (account-balance band) per QI class, flagging
+    * classes with fewer than 3 — k-anonymity's complement (a large but
+    * single-band class still leaks the sensitive attribute). Band cuts
+    * are exact integer cents thresholds; two-phase distinct aggregate.
+    */
+  private val qLDiversity: Q = (s, d) => {
+    val banded = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").cast("long").as("nation"),
+        when(round(col("c_acctbal") * 100.0).cast("long") < 0L, "negative")
+          .when(round(col("c_acctbal") * 100.0).cast("long") < 300000L, "low")
+          .when(round(col("c_acctbal") * 100.0).cast("long") < 700000L, "mid")
+          .otherwise("high").as("band"))
+    banded.groupBy("seg", "nation")
+      .agg(count(lit(1)).as("n"), countDistinct("band").as("l_distinct"))
+      .withColumn("low_diversity", (col("l_distinct") < 3L).cast("int"))
+      .orderBy("seg", "nation")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_k_anonymity" -> qKAnonymity,
+    "q_l_diversity" -> qLDiversity,
     "q_compaction_bins" -> qCompactionBins,
     "q_boilerplate_ngrams" -> qBoilerplateNgrams,
     "q_freshness" -> qFreshness,
@@ -1044,6 +1083,25 @@ object CurateOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_k_anonymity" ->
+      """SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nation,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) < 5 AS INT) AS at_risk
+        |FROM customer GROUP BY 1, 2 ORDER BY seg, nation""".stripMargin,
+    "q_l_diversity" ->
+      """WITH b AS (SELECT c_mktsegment AS seg,
+        |    CAST(c_nationkey AS BIGINT) AS nation,
+        |    CASE WHEN CAST(round(c_acctbal * 100.0) AS BIGINT) < 0
+        |      THEN 'negative'
+        |      WHEN CAST(round(c_acctbal * 100.0) AS BIGINT) < 300000
+        |      THEN 'low'
+        |      WHEN CAST(round(c_acctbal * 100.0) AS BIGINT) < 700000
+        |      THEN 'mid' ELSE 'high' END AS band
+        |  FROM customer)
+        |SELECT seg, nation, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT band) AS BIGINT) AS l_distinct,
+        |  CAST(count(DISTINCT band) < 3 AS INT) AS low_diversity
+        |FROM b GROUP BY 1, 2 ORDER BY seg, nation""".stripMargin,
     "q_compaction_bins" ->
       """WITH r AS (SELECT doc_id, n_chars,
         |    sum(n_chars) OVER (ORDER BY doc_id

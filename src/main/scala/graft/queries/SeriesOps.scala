@@ -174,8 +174,43 @@ object SeriesOps {
       .orderBy("day")
   }
 
+  /** Lead–lag cross-correlation: corr(order count_t, revenue_{t+lag})
+    * for lags −3..+3 — does volume LEAD revenue (positive-lag peak) or
+    * just track it (peak at 0)? One 7-way lag explode of the calendar-
+    * bounded daily table self-joined on shifted day; per-lag exact
+    * moments (y² rides DECIMAL(38,0)/HUGEINT as in `q_rolling_corr`)
+    * and ONE mirrored float sequence each. 7 output rows.
+    */
+  private val qLeadLagCorr: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val base = daily(s, d)
+    val lags = s.range(-3, 4).select(col("id").as("lag"))
+    val xl = base.select(col("day"), col("n_orders").as("x"))
+      .crossJoin(broadcast(lags))
+    val y = base.select(col("day").as("yday"), col("cents").as("y"))
+    val m = xl.join(y, xl("day") + xl("lag") === y("yday"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .withColumn("cov", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary",
+        dec(col("n")) * col("syy") - dec(col("sy")) * dec(col("sy")))
+      .filter(col("varx") > 0L &&
+        col("vary") > lit(0).cast("decimal(38,0)"))
+    // Fixed float sequence, mirrored token-for-token by the oracle.
+    m.select(col("lag"), col("n"),
+        floor(lit(1000000.0) * col("cov").cast("double") /
+          sqrt(col("varx").cast("double") * col("vary").cast("double")))
+          .cast("long").as("corr_e6"))
+      .orderBy("lag")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_max_drawdown" -> qMaxDrawdown,
+    "q_lead_lag_corr" -> qLeadLagCorr,
     "q_bollinger" -> qBollinger,
     "q_rsi" -> qRsi,
     "q_rolling_corr" -> qRollingCorr,
@@ -192,6 +227,27 @@ object SeriesOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_lead_lag_corr" ->
+      s"""WITH $dailySql,
+         |lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         |j AS (SELECT lag, a.n_orders AS x, b.cents AS y
+         |  FROM daily a CROSS JOIN lags JOIN daily b ON a.day + lag = b.day),
+         |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x * x) AS BIGINT) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) AS syy,
+         |    CAST(sum(x * y) AS BIGINT) AS sxy
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT lag, n,
+         |    n * sxy - sx * sy AS cov,
+         |    n * sxx - sx * sx AS varx,
+         |    CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS vary
+         |  FROM m)
+         |SELECT CAST(lag AS BIGINT) AS lag, n,
+         |  CAST(floor(1000000.0 * CAST(cov AS DOUBLE) /
+         |    sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE))) AS BIGINT)
+         |    AS corr_e6
+         |FROM c WHERE varx > 0 AND vary > 0 ORDER BY lag""".stripMargin,
     "q_max_drawdown" ->
       s"""WITH $dailySql
          |SELECT day, cents,

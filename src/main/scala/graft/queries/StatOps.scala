@@ -398,6 +398,72 @@ object StatOps {
       .orderBy("decile")
   }
 
+  /** Threshold-classifier confusion matrix: predict urgent-order
+    * conversion by spend > lower-median spend, report TP/FP/FN/TN and
+    * accuracy/precision/recall/F1 — the fixed-threshold readout next
+    * to `q_rank_auc`'s threshold-free one. The cut is the exact order
+    * statistic at rank (n+1) DIV 2 from the distributed rank (scalar
+    * broadcast), every tally an exact BIGINT, F1 = 2·tp DIV (2·tp+fp+
+    * fn) pure integer — no float anywhere.
+    */
+  private val qConfusionMatrix: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").asc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"))
+    val med = ranked.crossJoin(broadcast(tot))
+      .filter(col("rnk") === expr("(n_cust + 1) DIV 2"))
+      .select(col("cents").as("med_cents"))
+    spend.crossJoin(broadcast(med))
+      .select((col("cents") > col("med_cents")).cast("long").as("pred"),
+        col("conv"))
+      .agg(sum(col("pred") * col("conv")).as("tp"),
+        sum(col("pred") * (lit(1L) - col("conv"))).as("fp"),
+        sum((lit(1L) - col("pred")) * col("conv")).as("fn"),
+        sum((lit(1L) - col("pred")) * (lit(1L) - col("conv"))).as("tn"))
+      .filter(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L)
+      .select(col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("1000000 * (tp + tn) DIV (tp + fp + fn + tn)").as("accuracy_ppm"),
+        expr("1000000 * tp DIV (tp + fp)").as("precision_ppm"),
+        expr("1000000 * tp DIV (tp + fn)").as("recall_ppm"),
+        expr("2000000 * tp DIV (2 * tp + fp + fn)").as("f1_ppm"))
+      .orderBy("tp")
+  }
+
+  /** Calibration curve: the rank-transformed spend score (10⁶-scaled
+    * empirical quantile — a probability-shaped score) in 10 equal-width
+    * score bins, each with its mean score and observed urgent-order
+    * rate in exact ppm — is the score's magnitude meaningful, not just
+    * its order (`q_rank_auc` answers order, this answers level)? Ranks
+    * ride the distributed total-order rank; everything after is
+    * integer arithmetic on a 10-row table.
+    */
+  private val qCalibration: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").asc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"))
+    ranked.crossJoin(broadcast(tot))
+      .filter(col("n_cust") > 1L)
+      .select(
+        expr("1000000 * (CAST(rnk AS BIGINT) - 1) DIV (n_cust - 1)")
+          .as("score_ppm"), col("conv"))
+      .withColumn("bin", least(expr("score_ppm DIV 100000"), lit(9L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("score_ppm").as("sscore"),
+        sum("conv").as("k"))
+      .select(col("bin"), col("n"),
+        expr("sscore DIV n").as("mean_score_ppm"),
+        expr("1000000 * k DIV n").as("observed_ppm"))
+      .orderBy("bin")
+  }
+
   /** Rank AUC (Mann–Whitney): does customer spend rank urgent-order
     * converters above non-converters? AUC = (Σranks₊ − n₊(n₊+1)/2) /
     * (n₊·n₀) — the threshold-free binary-ranking metric, computed
@@ -818,6 +884,8 @@ object StatOps {
     "q_mutual_info" -> qMutualInfo,
     "q_ab_srm" -> qAbSrm,
     "q_bootstrap_ci" -> qBootstrapCi,
+    "q_confusion_matrix" -> qConfusionMatrix,
+    "q_calibration" -> qCalibration,
     "q_gains_deciles" -> qGainsDeciles,
     "q_rank_auc" -> qRankAuc,
     "q_trimmed_mean" -> qTrimmedMean,
@@ -1221,6 +1289,56 @@ object StatOps {
         |    THEN mean_cents END) AS BIGINT) AS ci_hi_cents
         |FROM ranked CROSS JOIN nb CROSS JOIN est
         |GROUP BY 1, 2 ORDER BY n_resamples""".stripMargin,
+    "q_confusion_matrix" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM spend),
+        |med AS (SELECT cents AS med_cents FROM ranked CROSS JOIN tot
+        |        WHERE rnk = (n_cust + 1) // 2),
+        |p AS (SELECT CASE WHEN cents > med_cents THEN 1 ELSE 0 END AS pred,
+        |    conv
+        |  FROM spend CROSS JOIN med),
+        |a AS (SELECT CAST(sum(pred * conv) AS BIGINT) AS tp,
+        |    CAST(sum(pred * (1 - conv)) AS BIGINT) AS fp,
+        |    CAST(sum((1 - pred) * conv) AS BIGINT) AS fn,
+        |    CAST(sum((1 - pred) * (1 - conv)) AS BIGINT) AS tn
+        |  FROM p)
+        |SELECT tp, fp, fn, tn,
+        |  CAST(1000000 * (tp + tn) // (tp + fp + fn + tn) AS BIGINT)
+        |    AS accuracy_ppm,
+        |  CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+        |  CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm,
+        |  CAST(2000000 * tp // (2 * tp + fp + fn) AS BIGINT) AS f1_ppm
+        |FROM a WHERE tp + fp > 0 AND tp + fn > 0 ORDER BY tp""".stripMargin,
+    "q_calibration" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM spend),
+        |sc AS (SELECT 1000000 * (rnk - 1) // (n_cust - 1) AS score_ppm,
+        |    conv
+        |  FROM ranked CROSS JOIN tot WHERE n_cust > 1),
+        |b AS (SELECT least(score_ppm // 100000, 9) AS bin,
+        |    score_ppm, conv FROM sc)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(score_ppm) // count(*) AS BIGINT) AS mean_score_ppm,
+        |  CAST(1000000 * sum(conv) // count(*) AS BIGINT) AS observed_ppm
+        |FROM b GROUP BY 1 ORDER BY bin""".stripMargin,
     "q_gains_deciles" ->
       """WITH spend AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
