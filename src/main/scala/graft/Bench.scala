@@ -81,7 +81,9 @@ object Bench {
     "q_quantile_normalize", "q_feature_hash", "q_mrr", "q_precision_at_k",
     "q_jaccard_neighbors", "q_partition_skew", "q_multimodal_phash",
     "q_langid_eval", "q_adamic_adar", "q_union_by_name",
-    "q_compaction_bins", "q_bootstrap_ci", "q_top_eigenvector")
+    "q_compaction_bins", "q_bootstrap_ci", "q_top_eigenvector",
+    "q_k_anonymity", "q_l_diversity", "q_confusion_matrix",
+    "q_calibration", "q_lead_lag_corr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

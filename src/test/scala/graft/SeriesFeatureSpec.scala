@@ -282,6 +282,56 @@ class SeriesFeatureSpec extends AnyFunSuite {
     assert(cos > 0.98, s"integer power iteration diverges from double: cos=$cos")
   }
 
+  test("q_k_anonymity: classes cover the table; flag matches its own n<5 definition") {
+    val rows = q("q_k_anonymity").collect()
+    assert(rows.map(_.getLong(2)).sum == nCustomers)
+    rows.foreach(r => assert((r.getInt(3) == 1) == (r.getLong(2) < 5)))
+  }
+
+  test("q_l_diversity: 1<=l<=4 band values; flag matches l<3; mass conserves") {
+    val rows = q("q_l_diversity").collect()
+    assert(rows.map(_.getLong(2)).sum == nCustomers)
+    rows.foreach { r =>
+      val l = r.getLong(3)
+      assert(l >= 1 && l <= 4)
+      assert((r.getInt(4) == 1) == (l < 3))
+      assert(l <= r.getLong(2))
+    }
+  }
+
+  test("q_confusion_matrix: cells partition the customers; ratio identities hold") {
+    val r = q("q_confusion_matrix").collect().head
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(tp + fp + fn + tn == nCust)
+    assert(r.getLong(4) == 1000000 * (tp + tn) / (tp + fp + fn + tn))
+    assert(r.getLong(5) == 1000000 * tp / (tp + fp))
+    assert(r.getLong(6) == 1000000 * tp / (tp + fn))
+    assert(r.getLong(7) == 2000000 * tp / (2 * tp + fp + fn))
+  }
+
+  test("q_calibration: bins cover all scored customers; mean score sits inside its bin") {
+    val rows = q("q_calibration").collect()
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    rows.foreach { r =>
+      val (bin, ms) = (r.getLong(0), r.getLong(2))
+      assert(bin >= 0 && bin <= 9)
+      assert(ms >= bin * 100000 && ms <= math.min((bin + 1) * 100000, 1000000),
+        s"bin $bin mean score $ms")
+    }
+  }
+
+  test("q_lead_lag_corr: all 7 lags present, correlations within [-1e6,1e6]") {
+    val rows = q("q_lead_lag_corr").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (-3L to 3L))
+    rows.foreach(r =>
+      assert(r.getLong(2) >= -1000000 && r.getLong(2) <= 1000000))
+  }
+
   // ---- plan guards for the scale-critical shapes -------------------------
 
   private def planOf(key: String): String =
