@@ -484,6 +484,62 @@ object LlmOps {
     TextStats.langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Multinomial Naive Bayes language classifier, trained AND applied
+    * in one plan: per-(lang, token) Laplace-smoothed log-likelihoods
+    * ln((c+1)/(tot+V)) and log-priors, each floored to e6 PER TERM
+    * before any cross-row sum (the `q_mutual_info` order-independence
+    * discipline — the only floats are one mirrored ln sequence per
+    * vocabulary cell), then every doc scored against all 5 classes by
+    * an integer sum over its token stream and argmaxed (per-doc
+    * 5-row window). Output is the train-set confusion matrix — the
+    * richer learned-model sibling of `q_langid_eval`'s marker
+    * heuristic. Scale shape: the model is |V|·L rows (a broadcastable
+    * side at small V, a plain hash join past that — no all-pairs
+    * anything); scoring is one join over the exploded token stream.
+    */
+  private val qNaiveBayes: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+    val labeled = toks.join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val counts = labeled.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+    val totals = counts.groupBy("lang").agg(sum("cnt").as("tot"))
+    val vocab = toks.select("tok").distinct().agg(count(lit(1)).as("v"))
+    // Fixed float sequences, mirrored token-for-token by the oracle.
+    val scores = counts.join(broadcast(totals), "lang")
+      .crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand_lang"), col("tok"),
+        floor(lit(1000000.0) * log((col("cnt") + lit(1L)).cast("double") /
+          (col("tot") + col("v")).cast("double"))).cast("long")
+          .as("score_e6"))
+    val defaults = totals.crossJoin(broadcast(vocab))
+      .select(col("lang").as("cand_lang"),
+        floor(lit(1000000.0) * log(lit(1.0) /
+          (col("tot") + col("v")).cast("double"))).cast("long").as("def_e6"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val priors = docs.groupBy(col("lang").as("cand_lang"))
+      .agg(count(lit(1)).as("ndl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("cand_lang"),
+        floor(lit(1000000.0) * log(col("ndl").cast("double") /
+          col("nd").cast("double"))).cast("long").as("prior_e6"))
+    val perDoc = toks.crossJoin(broadcast(defaults))
+      .join(scores, Seq("cand_lang", "tok"), "left")
+      .select(col("doc_id"), col("cand_lang"),
+        coalesce(col("score_e6"), col("def_e6")).as("term_score"))
+      .groupBy("doc_id", "cand_lang").agg(sum("term_score").as("ll_e6"))
+      .join(broadcast(priors), "cand_lang")
+      .withColumn("post_e6", col("ll_e6") + col("prior_e6"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("post_e6").desc, col("cand_lang").asc)
+    perDoc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(docs.select(col("doc_id"), col("lang").as("actual")), "doc_id")
+      .groupBy(col("actual"), col("cand_lang").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Language-ID confusion matrix: the marker-heuristic's predictions
     * crossed with the labeled language, each cell with its within-label
     * share in exact ppm — the evaluation table that decides whether the
@@ -1227,6 +1283,7 @@ object LlmOps {
     "q_lang_agg" -> qLangAgg,
     "q_lang_id" -> qLangId,
     "q_langid_eval" -> qLangidEval,
+    "q_naive_bayes" -> qNaiveBayes,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -1945,6 +2002,44 @@ object LlmOps {
          |  CAST(cm.actual_lang = predicted_lang AS INT) AS correct
          |FROM cm JOIN t ON cm.actual_lang = t.actual_lang
          |ORDER BY cm.actual_lang, predicted_lang""".stripMargin,
+    "q_naive_bayes" ->
+      """WITH toks AS (SELECT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) WHERE tok <> ''),
+        |lab AS (SELECT t.doc_id, tok, lang
+        |  FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+        |counts AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lab GROUP BY 1, 2),
+        |totals AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS tot
+        |  FROM counts GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM toks),
+        |scores AS (SELECT lang AS cand_lang, tok,
+        |    CAST(floor(1000000.0 * ln(CAST(cnt + 1 AS DOUBLE) /
+        |      CAST(tot + v AS DOUBLE))) AS BIGINT) AS score_e6
+        |  FROM counts JOIN totals USING (lang) CROSS JOIN vocab),
+        |defaults AS (SELECT lang AS cand_lang,
+        |    CAST(floor(1000000.0 * ln(1.0 / CAST(tot + v AS DOUBLE)))
+        |      AS BIGINT) AS def_e6
+        |  FROM totals CROSS JOIN vocab),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |priors AS (SELECT lang AS cand_lang,
+        |    CAST(floor(1000000.0 * ln(CAST(count(*) AS DOUBLE) /
+        |      CAST(nd AS DOUBLE))) AS BIGINT) AS prior_e6
+        |  FROM documents CROSS JOIN nd GROUP BY lang, nd),
+        |per AS (SELECT t.doc_id, d.cand_lang,
+        |    CAST(sum(coalesce(score_e6, def_e6)) AS BIGINT) AS ll_e6
+        |  FROM toks t CROSS JOIN defaults d
+        |  LEFT JOIN scores s ON s.cand_lang = d.cand_lang AND s.tok = t.tok
+        |  GROUP BY 1, 2),
+        |post AS (SELECT doc_id, cand_lang, ll_e6 + prior_e6 AS post_e6
+        |  FROM per JOIN priors USING (cand_lang)),
+        |pred AS (SELECT doc_id, cand_lang AS predicted FROM
+        |    (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |       ORDER BY post_e6 DESC, cand_lang ASC) AS rn FROM post)
+        |  WHERE rn = 1)
+        |SELECT d.lang AS actual, predicted, CAST(count(*) AS BIGINT) AS n
+        |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
+        |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

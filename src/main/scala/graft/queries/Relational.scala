@@ -713,6 +713,33 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Full star-schema join: the fact table against FIVE dimensions in
+    * one plan — the one fact-fact shuffle (lineitem⋈orders) plus
+    * customer/nation/region/part/supplier all as broadcast hash joins,
+    * so the star costs exactly one exchange regardless of how many
+    * dimensions pile on (the plan guard pins ≥4 BroadcastHashJoins and
+    * no extra shuffle joins — the property that decides whether a
+    * 100 TB star scan finishes). Revenue rolled up to (region, brand).
+    */
+  private val qStarJoin: Q = (s, d) => {
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(Tables.part(s, d)),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("r_name"), col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(cents(col("l_extendedprice"))).as("revenue_cents"))
+      .orderBy("r_name", "p_brand")
+  }
+
   /** By-name union across drifted schemas: two extracts with different
     * column orders, one missing a column — `unionByName(allowMissing
     * Columns = true)` aligns on NAMES and nulls the absent column (the
@@ -757,6 +784,7 @@ object Relational {
   val registry: Map[String, Q] = Map(
     "q_partition_skew" -> qPartitionSkew,
     "q_union_by_name" -> qUnionByName,
+    "q_star_join" -> qStarJoin,
     "q_join_inner" -> qJoinInner,
     "q_join_left" -> qJoinLeft,
     "q_join_semi" -> qJoinSemi,
@@ -831,6 +859,18 @@ object Relational {
         |  o_orderkey, 'finished' AS src
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey, src""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, p_brand, CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT))
+        |    AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY r_name, p_brand""".stripMargin,
     // Exact-regime KLL: the INCLUSIVE quantile of n ≤ k items is the
     // order statistic at 1-based position ceil(q·n) — computed here
     // explicitly so both engines evaluate the identical definition

@@ -332,6 +332,25 @@ class SeriesFeatureSpec extends AnyFunSuite {
       assert(r.getLong(2) >= -1000000 && r.getLong(2) <= 1000000))
   }
 
+  test("q_naive_bayes: confusion matrix covers the corpus and the classifier beats the prior") {
+    val rows = q("q_naive_bayes").collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    val correct = rows.filter(r => r.getString(0) == r.getString(1))
+      .map(_.getLong(2)).sum
+    val majority = graft.model.Tables.documents(spark, sf)
+      .groupBy("lang").count().collect().map(_.getLong(1)).max
+    assert(correct >= majority,
+      s"NB accuracy $correct/$nDocs below majority-class baseline $majority")
+  }
+
+  test("q_star_join: five dimensions broadcast, only the fact-fact join shuffles") {
+    val p = planOf("q_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert("SortMergeJoin".r.findAllIn(p).size <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   // ---- plan guards for the scale-critical shapes -------------------------
 
   private def planOf(key: String): String =
