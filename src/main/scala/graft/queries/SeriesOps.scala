@@ -208,9 +208,49 @@ object SeriesOps {
       .orderBy("lag")
   }
 
+  /** Linear interpolation over the gap-filled daily spine: every
+    * calendar day between the series endpoints gets a revenue value —
+    * observed days pass through, gap days take the straight line
+    * between their bracketing observations, pv + (nv−pv)·(day−pd) DIV
+    * (nd−pd), PURE integer (leading/trailing gaps clamp to the nearest
+    * observation). Bracketing neighbors ride IGNORE-NULLS running
+    * first/last over the calendar-bounded spine — the standard
+    * gap-repair before any fixed-step window op (`q_time_spine` is the
+    * zero-fill sibling; this is the shape-preserving one).
+    */
+  private val qInterpolate: Q = (s, d) => {
+    val base = daily(s, d).select(col("day"), col("cents").as("c0"))
+    val span = base.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .join(base, Seq("day"), "left")
+    val wb = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine
+      .withColumn("pv", last("c0", ignoreNulls = true).over(wb))
+      .withColumn("pd", last(when(col("c0").isNotNull, col("day")),
+        ignoreNulls = true).over(wb))
+      .withColumn("nv", first("c0", ignoreNulls = true).over(wf))
+      .withColumn("nd", first(when(col("c0").isNotNull, col("day")),
+        ignoreNulls = true).over(wf))
+      .select(col("day"),
+        // weighted-average form keeps every operand non-negative, so
+        // integer division agrees across engines (Spark DIV truncates,
+        // DuckDB // floors — identical only above zero)
+        when(col("c0").isNotNull, col("c0"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            expr("(pv * (nd - day) + nv * (day - pd)) DIV (nd - pd)"))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")).cast("long").as("cents_filled"),
+        col("c0").isNull.cast("int").as("was_gap"))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_max_drawdown" -> qMaxDrawdown,
     "q_lead_lag_corr" -> qLeadLagCorr,
+    "q_interpolate" -> qInterpolate,
     "q_bollinger" -> qBollinger,
     "q_rsi" -> qRsi,
     "q_rolling_corr" -> qRollingCorr,
@@ -227,6 +267,32 @@ object SeriesOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_interpolate" ->
+      s"""WITH $dailySql,
+         |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+         |spine AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM span),
+         |j AS (SELECT spine.day, daily.cents AS c0
+         |  FROM spine LEFT JOIN daily ON spine.day = daily.day),
+         |n AS (SELECT day, c0,
+         |    last_value(c0 IGNORE NULLS) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |    last_value(CASE WHEN c0 IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+         |    first_value(c0 IGNORE NULLS) OVER (ORDER BY day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         |    first_value(CASE WHEN c0 IS NOT NULL THEN day END IGNORE NULLS)
+         |      OVER (ORDER BY day
+         |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+         |  FROM j)
+         |SELECT day,
+         |  CAST(CASE WHEN c0 IS NOT NULL THEN c0
+         |    WHEN pv IS NOT NULL AND nv IS NOT NULL
+         |    THEN (pv * (nd - day) + nv * (day - pd)) // (nd - pd)
+         |    WHEN pv IS NOT NULL THEN pv ELSE nv END AS BIGINT)
+         |    AS cents_filled,
+         |  CAST(c0 IS NULL AS INT) AS was_gap
+         |FROM n ORDER BY day""".stripMargin,
     "q_lead_lag_corr" ->
       s"""WITH $dailySql,
          |lags AS (SELECT unnest(range(-3, 4)) AS lag),

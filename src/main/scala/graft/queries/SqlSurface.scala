@@ -559,6 +559,17 @@ object SqlSurface {
       |FROM orders GROUP BY ALL
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** ORDER BY ALL — the dialect-portable total-order shorthand (Spark 4
+    * and DuckDB agree on left-to-right column order semantics); the
+    * projection is chosen so ALL yields a unique total order.
+    */
+  private val sqlOrderByAllSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+      |    AS sum_cents
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY ALL""".stripMargin
+
   /** Inline VALUES table joined against a fact — the literal seed-table
     * idiom (tier mappings, feature flags, category rollups shipped in
     * the query text). Same text both engines: the parser must agree on
@@ -593,6 +604,7 @@ object SqlSurface {
 
   val registry: Map[String, Q] = Map(
     "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
+    "q_sql_order_by_all" -> sqlKey(sqlOrderByAllSql),
     "q_sql_values" -> sqlKey(sqlValuesSql),
     "q_sql_pivot" -> qSqlPivot,
     "q_sql_window" -> sqlKey(sqlWindowSql),
@@ -630,6 +642,7 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "q_sql_groupby_all" -> sqlGroupByAllSql,
+    "q_sql_order_by_all" -> sqlOrderByAllSql,
     "q_sql_values" -> sqlValuesSql,
     "q_sql_pivot" ->
       """SELECT o_orderpriority AS prio,

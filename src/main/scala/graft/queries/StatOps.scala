@@ -331,19 +331,26 @@ object StatOps {
     * both engines draw identical k) — the resampling scheme that
     * parallelizes: B partial aggregates in ONE pass over the exploded
     * fact, no permutation, no sequential sampling (Poisson bootstrap,
-    * the standard trick for bootstrap-at-scale). Each resample mean is
-    * exact Σk·x DIV Σk; the CI endpoints are order statistics at ceil
-    * ranks 2.5%/97.5% over the B-row mean table (the only window, B
-    * rows). Work: one B× explode + one shuffle into B groups.
+    * the standard trick for bootstrap-at-scale). ONE md5 per order
+    * yields two 32-bit words h1/h2; resample b's uniform is
+    * (h1 + (b+1)·h2) mod 10⁶ — the Kirsch–Mitzenmacher double-hash
+    * stream (the Bloom-filter construction), so the B× explode costs
+    * integer arithmetic, not B hashes per row (measured 12.4 s → the
+    * md5 was 90% of the key at sf0.1). Each resample mean is exact
+    * Σk·x DIV Σk; the CI endpoints are order statistics at ceil ranks
+    * 2.5%/97.5% over the B-row mean table (the only window, B rows).
     */
   private val qBootstrapCi: Q = (s, d) => {
     val B = 100
     val o = Tables.orders(s, d).select(col("o_orderkey"),
-      round(col("o_totalprice") * 100.0).cast("long").as("cents"))
-    val rep = o.select(col("o_orderkey"), col("cents"),
+      round(col("o_totalprice") * 100.0).cast("long").as("cents"),
+      conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h1"),
+      conv(substring(md5(col("o_orderkey").cast("string")), 9, 8), 16, 10)
+        .cast("long").as("h2"))
+    val rep = o.select(col("o_orderkey"), col("cents"), col("h1"), col("h2"),
       explode(sequence(lit(0), lit(B - 1))).as("b"))
-    val u = pmod(conv(substring(md5(concat(col("o_orderkey").cast("string"),
-      lit("_"), col("b").cast("string"))), 1, 8), 16, 10).cast("long"),
+    val u = pmod(col("h1") + (col("b").cast("long") + lit(1L)) * col("h2"),
       lit(1000000L))
     val k = when(u < 367879L, 0L).when(u < 735759L, 1L)
       .when(u < 919699L, 2L).when(u < 981012L, 3L).when(u < 996340L, 4L)
@@ -1260,11 +1267,16 @@ object StatOps {
       """WITH o AS (SELECT o_orderkey,
         |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
         |  FROM orders),
-        |rep AS (SELECT o_orderkey, cents, b
-        |  FROM o, LATERAL (SELECT unnest(range(100)) AS b) t),
+        |h AS (SELECT o_orderkey, cents,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h1,
+        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8))::BIGINT
+        |      AS h2
+        |  FROM o),
+        |rep AS (SELECT o_orderkey, cents, h1, h2, b
+        |  FROM h, LATERAL (SELECT unnest(range(100)) AS b) t),
         |uu AS (SELECT cents, b,
-        |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '_'
-        |      || CAST(b AS VARCHAR)), 1, 8))::BIGINT % 1000000 AS u
+        |    (h1 + (b + 1) * h2) % 1000000 AS u
         |  FROM rep),
         |kk AS (SELECT cents, b,
         |    CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1

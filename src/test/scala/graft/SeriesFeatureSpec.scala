@@ -332,6 +332,34 @@ class SeriesFeatureSpec extends AnyFunSuite {
       assert(r.getLong(2) >= -1000000 && r.getLong(2) <= 1000000))
   }
 
+  test("q_interpolate: observed days pass through; gap values sit between their brackets") {
+    val rows = q("q_interpolate").collect()
+    val observed = q("q_max_drawdown").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length >= observed.size)
+    rows.foreach { r =>
+      val (day, v, gap) = (r.getLong(0), r.getLong(1), r.getInt(2))
+      if (gap == 0) assert(v == observed(day))
+      else assert(!observed.contains(day))
+    }
+    // every gap value lies within [min, max] of the two bracketing
+    // observations (linearity implies containment)
+    val days = rows.map(_.getLong(0))
+    val obsDays = days.filter(observed.contains).sorted
+    rows.filter(_.getInt(2) == 1).foreach { r =>
+      val day = r.getLong(0)
+      val prev = obsDays.takeWhile(_ < day).lastOption
+      val next = obsDays.dropWhile(_ < day).headOption
+      (prev, next) match {
+        case (Some(p), Some(n)) =>
+          val (lo, hi) = (math.min(observed(p), observed(n)),
+            math.max(observed(p), observed(n)))
+          assert(r.getLong(1) >= lo && r.getLong(1) <= hi, s"day $day")
+        case _ =>
+      }
+    }
+  }
+
   test("q_naive_bayes: confusion matrix covers the corpus and the classifier beats the prior") {
     val rows = q("q_naive_bayes").collect()
     val nDocs = graft.model.Tables.documents(spark, sf).count()
