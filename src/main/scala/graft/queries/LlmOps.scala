@@ -484,6 +484,86 @@ object LlmOps {
     TextStats.langId(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Count–Min sketch over the token stream (d=4 rows × w=256
+    * counters, md5 row-hashes) queried for the top-10 exact tokens:
+    * exact count vs CMS estimate and the overestimate — the mergeable
+    * frequency sketch whose counters re-aggregate across corpus shards
+    * without rescanning raw text (the approx_top_k sibling, built from
+    * first principles so the counter table itself is inspectable).
+    * Everything is integer: the sketch build is one 4× explode +
+    * 1024-cell aggregate; the probe joins 40 (token, row) pairs
+    * against the cells and takes the row-wise min. CMS law estimate ≥
+    * exact is spec-pinned.
+    */
+  private val qCountmin: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val rows = s.range(0, 4).select(col("id").as("r"))
+    def bucket(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(tok, lit("#"), r.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(256L))
+    val cells = toks.crossJoin(broadcast(rows))
+      .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok").asc).limit(10)
+    exact.crossJoin(broadcast(rows))
+      .select(col("tok"), col("exact"), col("r"),
+        bucket(col("tok"), col("r")).as("bucket"))
+      .join(cells, Seq("r", "bucket"))
+      .groupBy("tok", "exact").agg(min("c").as("cms_estimate"))
+      .select(col("tok"), col("exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
+  /** TF-IDF cosine similarity, focus-set top-3: sparse dot products
+    * via the inverted index (postings join on shared terms — never a
+    * dense all-pairs), with the classic idf prune (terms in >10% of
+    * docs dropped) bounding the per-term fan-out exactly the way the
+    * minhash band join bounds candidate pairs. Weights are integer
+    * tf·idf_e6 (idf floored per term — one mirrored ln each); norms
+    * and dots ride DECIMAL(38,0)/HUGEINT (w² can pass 2⁶³ for heavy
+    * terms); the cosine is one mirrored float sequence per pair. The
+    * score-based sibling of `q_dedup_minhash`'s hash-based near-dup.
+    */
+  private val qTfidfCosine: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weights = tf.join(dft, "tok").crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10L <= col("nd"))
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * floor(lit(1000000.0) * log(col("nd").cast("double") /
+          col("df").cast("double"))).cast("long")).as("w"))
+    val norms = weights.groupBy("doc_id")
+      .agg(sum(dec(col("w")) * dec(col("w"))).as("n2"))
+    val pairs = weights.filter(col("doc_id") < 50L)
+      .select(col("doc_id").as("a"), col("tok"), col("w").as("wa"))
+      .join(weights.select(col("doc_id").as("b"), col("tok"),
+        col("w").as("wb")), "tok")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(sum(dec(col("wa")) * dec(col("wb"))).as("dot"))
+    val scored = pairs
+      .join(norms.select(col("doc_id").as("a"), col("n2").as("na2")), "a")
+      .join(norms.select(col("doc_id").as("b"), col("n2").as("nb2")), "b")
+      // Fixed float sequence, mirrored token-for-token by the oracle.
+      .select(col("a"), col("b"),
+        floor(lit(1000000.0) * col("dot").cast("double") /
+          (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))))
+          .cast("long").as("cos_e6"))
+    val w = Window.partitionBy("a").orderBy(col("cos_e6").desc, col("b").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("a"), col("b"), col("cos_e6"), col("rnk"))
+      .orderBy("a", "rnk")
+  }
+
   /** Multinomial Naive Bayes language classifier, trained AND applied
     * in one plan: per-(lang, token) Laplace-smoothed log-likelihoods
     * ln((c+1)/(tot+V)) and log-priors, each floored to e6 PER TERM
@@ -1284,6 +1364,8 @@ object LlmOps {
     "q_lang_id" -> qLangId,
     "q_langid_eval" -> qLangidEval,
     "q_naive_bayes" -> qNaiveBayes,
+    "q_countmin" -> qCountmin,
+    "q_tfidf_cosine" -> qTfidfCosine,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -2040,6 +2122,57 @@ object LlmOps {
         |SELECT d.lang AS actual, predicted, CAST(count(*) AS BIGINT) AS n
         |FROM pred JOIN documents d ON pred.doc_id = d.doc_id
         |GROUP BY 1, 2 ORDER BY actual, predicted""".stripMargin,
+    "q_countmin" ->
+      """WITH toks AS (SELECT tok FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+        |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+        |  FROM toks GROUP BY 1 ORDER BY exact DESC, tok ASC LIMIT 10),
+        |probe AS (SELECT tok, exact, r,
+        |    ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 8))
+        |      ::BIGINT % 256 AS bucket
+        |  FROM exact CROSS JOIN rows_)
+        |SELECT tok, exact, CAST(min(c) AS BIGINT) AS cms_estimate,
+        |  CAST(min(c) - exact AS BIGINT) AS overestimate
+        |FROM probe JOIN cells USING (r, bucket)
+        |GROUP BY tok, exact ORDER BY exact DESC, tok ASC""".stripMargin,
+    "q_tfidf_cosine" ->
+      """WITH toks AS (SELECT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |w AS (SELECT doc_id, tok,
+        |    tf * CAST(floor(1000000.0 * ln(CAST(nd AS DOUBLE) /
+        |      CAST(df AS DOUBLE))) AS BIGINT) AS w
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN nd
+        |  WHERE df * 10 <= nd),
+        |norms AS (SELECT doc_id, sum(CAST(w AS HUGEINT) * w) AS n2
+        |  FROM w GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |    sum(CAST(a.w AS HUGEINT) * b.w) AS dot
+        |  FROM w a JOIN w b ON a.tok = b.tok
+        |  WHERE a.doc_id < 50 AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT a, b,
+        |    CAST(floor(1000000.0 * CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))))
+        |      AS BIGINT) AS cos_e6
+        |  FROM pairs JOIN norms na ON na.doc_id = a
+        |  JOIN norms nb ON nb.doc_id = b),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY a
+        |      ORDER BY cos_e6 DESC, b ASC) AS INTEGER) AS rnk FROM sc)
+        |SELECT a, b, cos_e6, rnk FROM r WHERE rnk <= 3
+        |ORDER BY a, rnk""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

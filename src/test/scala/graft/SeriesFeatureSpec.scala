@@ -372,6 +372,38 @@ class SeriesFeatureSpec extends AnyFunSuite {
       s"NB accuracy $correct/$nDocs below majority-class baseline $majority")
   }
 
+  test("q_countmin: the sketch never underestimates and the probe set is the true top-10") {
+    val rows = q("q_countmin").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"CMS underestimated ${r.getString(0)}")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1))
+    }
+    val trueTop = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok").asc).limit(10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(trueTop(r.getString(0)) == r.getLong(1)))
+  }
+
+  test("q_tfidf_cosine: scores in (0,1e6], <=3 per focus doc, rank order matches score") {
+    val rows = q("q_tfidf_cosine").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < 50 && r.getLong(0) != r.getLong(1))
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000)
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (a, rs) =>
+      assert(rs.length <= 3)
+      val ordered = rs.sortBy(_.getInt(3))
+      ordered.sliding(2).foreach {
+        case Array(x, y) => assert(x.getLong(2) >= y.getLong(2), s"focus $a")
+        case _ =>
+      }
+    }
+  }
+
   test("q_star_join: five dimensions broadcast, only the fact-fact join shuffles") {
     val p = planOf("q_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
