@@ -518,6 +518,56 @@ object LlmOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** k-means (k=8, 2 fixed Lloyd rounds) over the embedding corpus in
+    * EXACT integer arithmetic: centroids are integer mean vectors
+    * (Σxe DIV n — the Similarity centroid discipline), assignment
+    * minimizes ‖c‖²−2·x·c (the ‖x‖² term is constant per vector, so
+    * argmin needs no subtraction of it), ties break to the lowest
+    * cluster id — every round is bit-deterministic under any
+    * partitioning, so a FIXED round count is cross-engine exact (the
+    * `q_pagerank` fixpoint discipline applied to clustering).
+    * Deterministic init: the 8 lowest vec_ids. Each round is one
+    * broadcast join against the 512-cell centroid table + one
+    * partial-agg shuffle; per-round localCheckpoint bounds lineage.
+    * Output: the final 512-cell centroid table with cluster sizes.
+    */
+  private val qKmeans: Q = (s, d) => {
+    val xe = Tables.embeddings(s, d)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe",
+        round(col("x").cast("double") * Similarity.MeanScale).cast("long"))
+      .select(col("vec_id"), col("pos"), col("xe"))
+      .localCheckpoint()
+    val init = xe.filter(col("vec_id") < 8L)
+      .select(col("vec_id").cast("long").as("k"), col("pos"),
+        col("xe").as("ce"))
+    def assignStep(cent: DataFrame): DataFrame = {
+      val cn = cent.groupBy("k").agg(sum(col("ce") * col("ce")).as("cn2"))
+      val dots = xe.join(broadcast(cent), "pos")
+        .groupBy("vec_id", "k").agg(sum(col("xe") * col("ce")).as("dot"))
+      val scoredK = dots.join(broadcast(cn), "k")
+        .select(col("vec_id"), col("k"),
+          (col("cn2") - col("dot") * 2L).as("d2"))
+      scoredK.groupBy("vec_id")
+        .agg(min(struct(col("d2"), col("k"))).as("m"))
+        .select(col("vec_id"), col("m.k").as("k"))
+    }
+    def update(assign: DataFrame): DataFrame =
+      xe.join(assign, "vec_id")
+        .groupBy("k", "pos")
+        // sign-split: component sums go negative, where Spark DIV
+        // (truncate) and DuckDB // (floor) disagree — divide magnitudes
+        .agg(expr("CAST(sign(sum(xe)) AS BIGINT) * " +
+          "(abs(sum(xe)) DIV count(1))").as("ce"))
+        .localCheckpoint()
+    val c1 = update(assignStep(init))
+    val c2 = update(assignStep(c1))
+    val sizes = assignStep(c2).groupBy("k").agg(count(lit(1)).as("cluster_size"))
+    c2.join(broadcast(sizes), "k")
+      .select(col("k"), col("pos"), col("ce"), col("cluster_size"))
+      .orderBy("k", "pos")
+  }
+
   /** TF-IDF cosine similarity, focus-set top-3: sparse dot products
     * via the inverted index (postings join on shared terms — never a
     * dense all-pairs), with the classic idf prune (terms in >10% of
@@ -1366,6 +1416,7 @@ object LlmOps {
     "q_naive_bayes" -> qNaiveBayes,
     "q_countmin" -> qCountmin,
     "q_tfidf_cosine" -> qTfidfCosine,
+    "q_kmeans" -> qKmeans,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -2173,6 +2224,60 @@ object LlmOps {
         |      ORDER BY cos_e6 DESC, b ASC) AS INTEGER) AS rnk FROM sc)
         |SELECT a, b, cos_e6, rnk FROM r WHERE rnk <= 3
         |ORDER BY a, rnk""".stripMargin,
+    "q_kmeans" ->
+      """WITH u AS MATERIALIZED (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+        |      AS BIGINT) AS xe
+        |  FROM embeddings),
+        |c0 AS MATERIALIZED (SELECT vec_id AS k, pos, xe AS ce FROM u
+        |  WHERE vec_id < 8),
+        |cn0 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+        |  FROM c0 GROUP BY 1),
+        |d1 AS MATERIALIZED (SELECT u.vec_id, c0.k,
+        |    CAST(sum(u.xe * c0.ce) AS BIGINT) AS dot
+        |  FROM u JOIN c0 ON u.pos = c0.pos GROUP BY 1, 2),
+        |a1 AS MATERIALIZED (SELECT vec_id, k FROM
+        |    (SELECT d1.vec_id, d1.k,
+        |       row_number() OVER (PARTITION BY d1.vec_id
+        |         ORDER BY cn2 - 2 * dot ASC, d1.k ASC) AS rn
+        |     FROM d1 JOIN cn0 ON d1.k = cn0.k)
+        |  WHERE rn = 1),
+        |c1 AS MATERIALIZED (SELECT k, pos,
+        |    CAST(sign(sum(xe)) AS BIGINT) *
+        |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+        |  FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+        |cn1 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+        |  FROM c1 GROUP BY 1),
+        |d2 AS MATERIALIZED (SELECT u.vec_id, c1.k,
+        |    CAST(sum(u.xe * c1.ce) AS BIGINT) AS dot
+        |  FROM u JOIN c1 ON u.pos = c1.pos GROUP BY 1, 2),
+        |a2 AS MATERIALIZED (SELECT vec_id, k FROM
+        |    (SELECT d2.vec_id, d2.k,
+        |       row_number() OVER (PARTITION BY d2.vec_id
+        |         ORDER BY cn2 - 2 * dot ASC, d2.k ASC) AS rn
+        |     FROM d2 JOIN cn1 ON d2.k = cn1.k)
+        |  WHERE rn = 1),
+        |c2 AS MATERIALIZED (SELECT k, pos,
+        |    CAST(sign(sum(xe)) AS BIGINT) *
+        |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+        |  FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+        |cn2_ AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+        |  FROM c2 GROUP BY 1),
+        |d3 AS MATERIALIZED (SELECT u.vec_id, c2.k,
+        |    CAST(sum(u.xe * c2.ce) AS BIGINT) AS dot
+        |  FROM u JOIN c2 ON u.pos = c2.pos GROUP BY 1, 2),
+        |a3 AS MATERIALIZED (SELECT vec_id, k FROM
+        |    (SELECT d3.vec_id, d3.k,
+        |       row_number() OVER (PARTITION BY d3.vec_id
+        |         ORDER BY cn2 - 2 * dot ASC, d3.k ASC) AS rn
+        |     FROM d3 JOIN cn2_ ON d3.k = cn2_.k)
+        |  WHERE rn = 1),
+        |sz AS (SELECT k, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM a3 GROUP BY 1)
+        |SELECT CAST(c2.k AS BIGINT) AS k, CAST(pos AS INT) AS pos, ce,
+        |  cluster_size
+        |FROM c2 JOIN sz ON c2.k = sz.k ORDER BY k, pos""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

@@ -404,6 +404,23 @@ class SeriesFeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("q_kmeans: sizes cover the corpus; full centroid table; every centroid inside the data hull") {
+    val rows = q("q_kmeans").collect()
+    val nVecs = graft.model.Tables.embeddings(spark, sf).count()
+    val byK = rows.groupBy(_.getLong(0))
+    assert(byK.values.map(_.head.getLong(3)).sum == nVecs)
+    byK.foreach { case (k, rs) =>
+      assert(rs.length == 64, s"cluster $k has ${rs.length} dims")
+      assert(rs.head.getLong(3) > 0)
+    }
+    val xe = graft.model.Tables.embeddings(spark, sf)
+      .select(explode(col("embedding")).as("x"))
+      .agg(min("x"), max("x")).collect().head
+    val (lo, hi) = (math.round(xe.getFloat(0).toDouble * (1L << 24)),
+      math.round(xe.getFloat(1).toDouble * (1L << 24)))
+    rows.foreach(r => assert(r.getLong(2) >= lo && r.getLong(2) <= hi))
+  }
+
   test("q_star_join: five dimensions broadcast, only the fact-fact join shuffles") {
     val p = planOf("q_star_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
