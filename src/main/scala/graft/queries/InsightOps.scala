@@ -905,7 +905,33 @@ object InsightOps {
       .groupBy("basket_size").agg(count(lit(1)).as("n_orders"))
       .orderBy(col("basket_size"))
 
+  /** 2-D histogram: order-value decile × basket-size band heat counts
+    * — the joint-distribution readout behind a pricing/mix heatmap (do
+    * big orders have big baskets?). Deciles ride the distributed
+    * total-order rank; bands are fixed integer cuts; output is a
+    * ≤30-cell table from one join + one partial-agg shuffle.
+    */
+  private val qHist2d: Q = (s, d) => {
+    val b = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("basket"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100.0).cast("long").as("cents"))
+      .join(b, col("o_orderkey") === col("l_orderkey"))
+    val ranked = graft.ops.Ranks.globalRowNumber(o,
+      Seq(col("cents").asc, col("o_orderkey").asc), "rnk")
+    val tot = o.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(expr("(CAST(rnk AS BIGINT) - 1) * 10 DIV n").as("price_decile"),
+        when(col("basket") <= 2L, "1-2").when(col("basket") <= 4L, "3-4")
+          .otherwise("5+").as("basket_band"))
+      .groupBy("price_decile", "basket_band")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("price_decile", "basket_band")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_hist2d" -> qHist2d,
     "q_basket_size_dist" -> qBasketSizeDist,
     "q_cycle_time" -> qCycleTime,
     "q_grouped_regression" -> qGroupedRegression,
@@ -942,6 +968,23 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_hist2d" ->
+      """WITH b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket
+        |  FROM lineitem GROUP BY 1),
+        |o AS (SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents, basket
+        |  FROM orders JOIN b ON o_orderkey = l_orderkey),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (ORDER BY cents ASC, o_orderkey ASC) AS BIGINT) AS rnk
+        |  FROM o),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |c AS (SELECT (rnk - 1) * 10 // n AS price_decile,
+        |    CASE WHEN basket <= 2 THEN '1-2' WHEN basket <= 4 THEN '3-4'
+        |      ELSE '5+' END AS basket_band
+        |  FROM r CROSS JOIN t)
+        |SELECT CAST(price_decile AS BIGINT) AS price_decile, basket_band,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM c GROUP BY 1, 2 ORDER BY price_decile, basket_band""".stripMargin,
     "q_basket_size_dist" ->
       """WITH b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT)
         |    AS basket_size

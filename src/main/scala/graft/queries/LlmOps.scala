@@ -518,6 +518,32 @@ object LlmOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** Keyphrase extraction: each focus doc's top-3 terms by tf·idf with
+    * the same >10%-df prune as `q_tfidf_cosine` — the summary-tag
+    * generator a corpus browser shows per document. Integer weights,
+    * WindowGroupLimit top-3 per doc.
+    */
+  private val qKeyphrases: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val weights = tf.join(dft, "tok").crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10L <= col("nd") && col("doc_id") < 50L)
+      .select(col("doc_id"), col("tok"),
+        (col("tf") * floor(lit(1000000.0) * log(col("nd").cast("double") /
+          col("df").cast("double"))).cast("long")).as("w"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy(col("w").desc, col("tok").asc)
+    weights.withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("tok"), col("w").as("tfidf_e6"), col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** k-means (k=8, 2 fixed Lloyd rounds) over the embedding corpus in
     * EXACT integer arithmetic: centroids are integer mean vectors
     * (Σxe DIV n — the Similarity centroid discipline), assignment
@@ -1417,6 +1443,7 @@ object LlmOps {
     "q_countmin" -> qCountmin,
     "q_tfidf_cosine" -> qTfidfCosine,
     "q_kmeans" -> qKmeans,
+    "q_keyphrases" -> qKeyphrases,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -2224,6 +2251,26 @@ object LlmOps {
         |      ORDER BY cos_e6 DESC, b ASC) AS INTEGER) AS rnk FROM sc)
         |SELECT a, b, cos_e6, rnk FROM r WHERE rnk <= 3
         |ORDER BY a, rnk""".stripMargin,
+    "q_keyphrases" ->
+      """WITH toks AS (SELECT doc_id, tok FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |     FROM documents) WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |dft AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |w AS (SELECT doc_id, tok,
+        |    tf * CAST(floor(1000000.0 * ln(CAST(nd AS DOUBLE) /
+        |      CAST(df AS DOUBLE))) AS BIGINT) AS w
+        |  FROM tf JOIN dft USING (tok) CROSS JOIN nd
+        |  WHERE df * 10 <= nd AND doc_id < 50),
+        |r AS (SELECT doc_id, tok, w,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY w DESC, tok ASC) AS INTEGER) AS rnk
+        |  FROM w)
+        |SELECT doc_id, tok, w AS tfidf_e6, rnk FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "q_kmeans" ->
       """WITH u AS MATERIALIZED (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
