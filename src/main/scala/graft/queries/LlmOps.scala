@@ -423,9 +423,15 @@ object LlmOps {
       col("p_name").as("name_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
       col("p_name").as("name_b"))
-    a.join(b, Seq("p_brand"))
+    // length-blocking as an EQUI key: side A explodes to its 5 candidate
+    // lengths len±2, so the join itself enforces |Δlen| ≤ 2 — each block
+    // is (brand, length)-sized instead of brand-sized, and levenshtein
+    // runs on ~25× fewer pairs (edit distance ≥ |Δlen| makes this exact)
+    val a2 = a.withColumn("lb",
+      explode(sequence(length(col("name_a")) - 2, length(col("name_a")) + 2)))
+    val b2 = b.withColumn("lb", length(col("name_b")))
+    a2.join(b2, Seq("p_brand", "lb"))
       .filter(col("part_a") < col("part_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= 2)
       .select(col("part_a"), col("part_b"), col("dist"))
@@ -451,9 +457,12 @@ object LlmOps {
       col("p_name").as("name_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
       col("p_name").as("name_b"))
-    val pairs = a.join(b, Seq("p_brand"))
+    // same exact length-blocked equi join as q_fuzzy_match (see there)
+    val a2 = a.withColumn("lb",
+      explode(sequence(length(col("name_a")) - 2, length(col("name_a")) + 2)))
+    val b2 = b.withColumn("lb", length(col("name_b")))
+    val pairs = a2.join(b2, Seq("p_brand", "lb"))
       .filter(col("part_a") < col("part_b"))
-      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= 2)
       .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
       .select(col("part_a"), col("part_b"))
     val comp = Dedup.connectedComponentsStar(pairs, "part_a", "part_b")
