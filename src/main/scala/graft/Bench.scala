@@ -85,7 +85,8 @@ object Bench {
     "q_k_anonymity", "q_l_diversity", "q_confusion_matrix",
     "q_calibration", "q_lead_lag_corr", "q_star_join", "q_naive_bayes",
     "q_sql_order_by_all", "q_interpolate", "q_countmin", "q_tfidf_cosine",
-    "q_kmeans", "q_keyphrases", "q_hist2d")
+    "q_kmeans", "q_keyphrases", "q_hist2d", "q_token_dropout",
+    "q_curriculum_order")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

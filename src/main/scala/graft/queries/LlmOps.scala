@@ -527,6 +527,51 @@ object LlmOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** Deterministic token-dropout augmentation: each document re-emitted
+    * with ~10% of tokens dropped by an md5 draw on (doc, position) —
+    * the data-augmentation transform a training pipeline applies for
+    * robustness, WITHOUT RNG state (the `q_sample_split` discipline:
+    * same corpus in, same augmented corpus out, on any cluster). The
+    * rebuild is order-exact: sort_array over (pos, tok) structs then
+    * join — the distributed equivalent of an ORDER BY string_agg.
+    * Map-side explode + one per-doc aggregate.
+    */
+  private val qTokenDropout: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("pos", col("p").cast("long") + 1L)
+    val kept = toks.withColumn("keep",
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("pos").cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(10L)) < 9L)
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_orig"),
+        sum(col("keep").cast("long")).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("keep"), struct(col("pos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("aug_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Curriculum ordering: the full corpus ranked highest-quality-first
+    * (the `q_quality_score` heuristic) with a 3-phase bucket — the
+    * schedule a curriculum-learning trainer consumes (clean text
+    * first, tail later). The rank rides the distributed total-order
+    * rank; the phase is integer arithmetic on it.
+    */
+  private val qCurriculumOrder: Q = (s, d) => {
+    val qs = TextStats.qualityScore(Tables.documents(s, d), "doc_id", "text")
+    val ranked = graft.ops.Ranks.globalRowNumber(qs,
+      Seq(col("quality_e6").desc, col("doc_id").asc), "curriculum_rank")
+    val tot = qs.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("quality_e6"),
+        col("curriculum_rank").cast("long").as("curriculum_rank"),
+        expr("(CAST(curriculum_rank AS BIGINT) - 1) * 3 DIV n").as("phase"))
+      .orderBy("doc_id")
+  }
+
   /** Keyphrase extraction: each focus doc's top-3 terms by tf·idf with
     * the same >10%-df prune as `q_tfidf_cosine` — the summary-tag
     * generator a corpus browser shows per document. Integer weights,
@@ -1453,6 +1498,8 @@ object LlmOps {
     "q_tfidf_cosine" -> qTfidfCosine,
     "q_kmeans" -> qKmeans,
     "q_keyphrases" -> qKeyphrases,
+    "q_token_dropout" -> qTokenDropout,
+    "q_curriculum_order" -> qCurriculumOrder,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
     "q_fingerprint" -> qFingerprint,
@@ -2260,6 +2307,42 @@ object LlmOps {
         |      ORDER BY cos_e6 DESC, b ASC) AS INTEGER) AS rnk FROM sc)
         |SELECT a, b, cos_e6, rnk FROM r WHERE rnk <= 3
         |ORDER BY a, rnk""".stripMargin,
+    "q_token_dropout" ->
+      """WITH toks AS (SELECT doc_id, tok, pos FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |       CAST(generate_subscripts(string_split(text, ' '), 1)
+        |         AS BIGINT) AS pos
+        |     FROM documents) WHERE tok <> ''),
+        |k AS (SELECT doc_id, tok, pos,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+        |      || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 10 < 9 AS keep
+        |  FROM toks)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_orig,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
+        |    ORDER BY pos), '') AS aug_text
+        |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_curriculum_order" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |q AS (SELECT doc_id,
+        |  least(1.0, len(toks) / 100.0) AS len_score,
+        |  len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+        |  len([x for x in toks if length(x) >= 5]) * 1.0 / len(toks)
+        |    AS long_share
+        |FROM t),
+        |s AS (SELECT doc_id,
+        |  CAST(floor((len_score * 0.5 + ttr * 0.3 + long_share * 0.2)
+        |    * 1000000) AS BIGINT) AS quality_e6
+        |FROM q),
+        |r AS (SELECT doc_id, quality_e6,
+        |    CAST(row_number() OVER (ORDER BY quality_e6 DESC, doc_id ASC)
+        |      AS BIGINT) AS curriculum_rank
+        |  FROM s),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s)
+        |SELECT doc_id, quality_e6, curriculum_rank,
+        |  CAST((curriculum_rank - 1) * 3 // n AS BIGINT) AS phase
+        |FROM r CROSS JOIN n ORDER BY doc_id""".stripMargin,
     "q_keyphrases" ->
       """WITH toks AS (SELECT doc_id, tok FROM
         |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
