@@ -428,6 +428,57 @@ class SeriesFeatureSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_token_dropout: kept counts match the rebuilt text; drop rate near 10%") {
+    val rows = q("q_token_dropout").collect()
+    var orig = 0L; var kept = 0L
+    rows.foreach { r =>
+      val (n, k, text) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(k <= n)
+      val rebuilt = if (text.isEmpty) 0 else text.split(" ").length
+      assert(rebuilt == k, s"doc ${r.getLong(0)}: $rebuilt tokens vs n_kept $k")
+      orig += n; kept += k
+    }
+    val rate = 1.0 - kept.toDouble / orig
+    assert(rate > 0.05 && rate < 0.15, s"drop rate $rate")
+  }
+
+  test("q_curriculum_order: a permutation of the corpus, rank follows quality, 3 phases") {
+    val rows = q("q_curriculum_order").collect()
+    val nDocs = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs)
+    assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to nDocs))
+    val byRank = rows.sortBy(_.getLong(2))
+    byRank.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) >= b.getLong(1))
+      case _ =>
+    }
+    assert(rows.map(_.getLong(3)).toSet.subsetOf(Set(0L, 1L, 2L)))
+  }
+
+  test("q_keyphrases: <=3 tags per doc, rank follows weight") {
+    val rows = q("q_keyphrases").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.length <= 3)
+      val ordered = rs.sortBy(_.getInt(3))
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(2) >= b.getLong(2), s"doc $doc")
+        case _ =>
+      }
+    }
+  }
+
+  test("q_hist2d: cell mass covers every order with a basket") {
+    val rows = q("q_hist2d").collect()
+    val nOrders = graft.model.Tables.lineitem(spark, sf)
+      .select("l_orderkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nOrders)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 9)
+      assert(Set("1-2", "3-4", "5+").contains(r.getString(1)))
+    }
+  }
+
   // ---- plan guards for the scale-critical shapes -------------------------
 
   private def planOf(key: String): String =
