@@ -86,7 +86,7 @@ object Bench {
     "q_calibration", "q_lead_lag_corr", "q_star_join", "q_naive_bayes",
     "q_sql_order_by_all", "q_interpolate", "q_countmin", "q_tfidf_cosine",
     "q_kmeans", "q_keyphrases", "q_hist2d", "q_token_dropout",
-    "q_curriculum_order")
+    "q_curriculum_order", "q_rare_collapse")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -148,7 +148,28 @@ object FeatureOps {
       .orderBy("bucket")
   }
 
+  /** Rare-category collapse: part brands below a 2% corpus share fold
+    * into OTHER — the cardinality-control transform applied before
+    * one-hot/target encoding (a long category tail becomes one bucket
+    * instead of thousands of near-empty columns). Emits the encoding
+    * table: original brand → encoded label with counts and exact ppm
+    * share; the share threshold is integer arithmetic (n·50 < total ⟺
+    * share < 2%). One partial-agg shuffle + a scalar broadcast.
+    */
+  private val qRareCollapse: Q = (s, d) => {
+    val g = Tables.part(s, d).groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n"))
+    val tot = g.agg(sum("n").as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("brand"),
+        when(col("n") * 50L < col("total"), "OTHER").otherwise(col("brand"))
+          .as("encoded"),
+        col("n"), expr("1000000 * n DIV total").as("share_ppm"))
+      .orderBy("brand")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_rare_collapse" -> qRareCollapse,
     "q_stratified_split" -> qStratifiedSplit,
     "q_kfold_assign" -> qKfoldAssign,
     "q_onehot" -> qOnehot,
@@ -158,6 +179,14 @@ object FeatureOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_rare_collapse" ->
+      """WITH g AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n
+        |  FROM part GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT brand,
+        |  CASE WHEN n * 50 < total THEN 'OTHER' ELSE brand END AS encoded,
+        |  n, CAST(1000000 * n // total AS BIGINT) AS share_ppm
+        |FROM g CROSS JOIN t ORDER BY brand""".stripMargin,
     "q_stratified_split" ->
       """WITH a AS (SELECT c_mktsegment AS seg,
         |    CASE WHEN ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))
