@@ -34,6 +34,15 @@ class PropertySpec extends AnyFunSuite {
     assert(small.size < large.size, "budget increase had no effect")
   }
 
+  test("every Bench headline/extended key exists in the registry") {
+    // Bench silently filters unknown keys (queries.contains), so a
+    // typo'd entry would vanish from the artifact instead of failing —
+    // pin the lists to the registry here.
+    val missing = (Bench.headline ++ Bench.extended)
+      .filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"bench keys not in registry: $missing")
+  }
+
   test("COVERAGE.md header key count matches the actual registry") {
     // Round-6 advice flagged silent drift between the documented count
     // and SparkEntry.queries.size — pin them together so the doc can't
