@@ -86,7 +86,9 @@ object Bench {
     "q_calibration", "q_lead_lag_corr", "q_star_join", "q_naive_bayes",
     "q_sql_order_by_all", "q_interpolate", "q_countmin", "q_tfidf_cosine",
     "q_kmeans", "q_keyphrases", "q_hist2d", "q_token_dropout",
-    "q_curriculum_order", "q_rare_collapse")
+    "q_curriculum_order", "q_rare_collapse",
+    "q_hhi", "q_odds_ratio", "q_mcnemar", "q_cohens_kappa", "q_ewma",
+    "q_ams_f2", "q_ppr", "q_ppl_filter")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -469,6 +469,54 @@ object GraphOps {
     rank.select(col("n").as("part"), col("r").as("rank_e9")).orderBy("part")
   }
 
+  /** Personalized PageRank from the deterministic seed set (parts ≡ 0
+    * mod 97 — the BFS seed convention): teleport mass returns to the
+    * SEEDS, not the whole graph, so rank measures proximity-weighted
+    * relevance to the focus — the "related items for THIS catalog
+    * slice" serving query, versus `q_pagerank`'s global importance.
+    * Same exact-integer damping (85·sc quotient/remainder split, no
+    * overflow near hub mass) and per-iteration localCheckpoint; the
+    * one structural difference is pro-scale: rank is SPARSE (nonzero
+    * only within 3 hops of a seed), and each iteration joins arcs
+    * against the nonzero frontier only — work tracks the personalized
+    * neighborhood, not the node count. Top-25 by (rank, part) rides
+    * TakeOrderedAndProject; the oracle unrolls the same 3 iterations.
+    */
+  private val qPpr: Q = (s, d) => {
+    val und = coPurchaseEdges(s, d)
+    val arcs = und.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+    val dg = degrees(und).select(col("n").as("src"), col("dg"))
+    val outArcs = arcs.join(dg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = dg.select(col("src").as("n"), col("dg"))
+      .withColumn("base",
+        when(col("n") % 97L === 0L, lit(15L * Scale / 100L)).otherwise(0L))
+      .localCheckpoint(true)
+    var rank = nodes
+      .select(col("n"),
+        when(col("n") % 97L === 0L, lit(Scale)).otherwise(0L).as("r"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val contrib = outArcs
+        .join(rank.filter(col("r") > 0L)
+          .select(col("n").as("src"), col("r")), "src")
+        .select(col("dst").as("n"), expr("r DIV dg").as("c"))
+        .groupBy("n").agg(sum(col("c")).as("sc"))
+      rank = nodes
+        .join(contrib, Seq("n"), "left")
+        .select(col("n"),
+          (col("base") +
+            expr("85 * (coalesce(sc, 0L) DIV 100) " +
+              "+ 85 * (coalesce(sc, 0L) % 100) DIV 100")).as("r"))
+        .localCheckpoint(true)
+    }
+    outArcs.unpersist()
+    rank.filter(col("r") > 0L)
+      .orderBy(col("r").desc, col("n").asc)
+      .limit(25)
+      .select(col("n").as("part"), col("r").as("rank_e9"))
+  }
+
   /** Level-synchronous BFS: exact shortest-hop distances (≤ 4 hops)
     * from a deterministic seed set (parts ≡ 0 mod 97) over the
     * co-purchase graph. Each level is one keyed join (frontier ⋈ arcs)
@@ -645,6 +693,7 @@ object GraphOps {
     "q_jaccard_neighbors" -> qJaccardNeighbors,
     "q_adamic_adar" -> qAdamicAdar,
     "q_pagerank" -> qPagerank,
+    "q_ppr" -> qPpr,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
   )
@@ -938,5 +987,41 @@ object GraphOps {
         |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
         |       FROM deg LEFT JOIN c3 ON c3.n = deg.src)
         |SELECT n AS part, r AS rank_e9 FROM r3 ORDER BY part""".stripMargin,
+    "q_ppr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY src),
+        |r0 AS (SELECT src AS n,
+        |         CAST(CASE WHEN src % 97 = 0 THEN 1000000000 ELSE 0 END
+        |           AS BIGINT) AS r FROM deg),
+        |c1 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r0 ON r0.n = arcs.src
+        |       GROUP BY dst),
+        |r1 AS (SELECT deg.src AS n,
+        |         CAST(CASE WHEN deg.src % 97 = 0 THEN 150000000 ELSE 0 END
+        |           + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c1 ON c1.n = deg.src),
+        |c2 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r1 ON r1.n = arcs.src
+        |       GROUP BY dst),
+        |r2 AS (SELECT deg.src AS n,
+        |         CAST(CASE WHEN deg.src % 97 = 0 THEN 150000000 ELSE 0 END
+        |           + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c2 ON c2.n = deg.src),
+        |c3 AS (SELECT dst AS n, sum(r // dg) AS sc
+        |       FROM arcs JOIN deg USING (src) JOIN r2 ON r2.n = arcs.src
+        |       GROUP BY dst),
+        |r3 AS (SELECT deg.src AS n,
+        |         CAST(CASE WHEN deg.src % 97 = 0 THEN 150000000 ELSE 0 END
+        |           + 85 * (coalesce(sc, 0) // 100)
+        |           + 85 * (coalesce(sc, 0) % 100) // 100 AS BIGINT) AS r
+        |       FROM deg LEFT JOIN c3 ON c3.n = deg.src)
+        |SELECT n AS part, r AS rank_e9 FROM r3 WHERE r > 0
+        |ORDER BY r DESC, n ASC LIMIT 25""".stripMargin,
   )
 }

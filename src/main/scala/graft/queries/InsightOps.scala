@@ -930,7 +930,39 @@ object InsightOps {
       .orderBy("price_decile", "basket_band")
   }
 
+  /** Second frequency moment F₂ of user activity per event type — the
+    * self-join-size / skew statistic (F₂ ≫ n·mean ⟹ a hot-key shuffle
+    * hazard at scale), exact from the per-user frequency table, PLUS
+    * the AMS sign-sketch estimate of the same quantity: four
+    * Rademacher streams from bits 0–3 of the user md5, est = mean of
+    * (Σ±f_u)² — the sketch that estimates F₂ in O(1) memory when the
+    * user grain itself won't fit. Both exact and estimate are pure
+    * BIGINT (z ≤ n_events, z² headroom to ~3·10⁹ events/type) and
+    * bit-identical cross-engine, so the key doubles as an accuracy
+    * readout of the sketch against truth. One user-grain partial agg,
+    * then a per-type reduce.
+    */
+  private val qAmsF2: Q = (s, d) => {
+    val f = Tables.events(s, d)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("fu"))
+      .withColumn("h",
+        conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+    val aggs = Seq(count(lit(1)).as("n_users"), sum("fu").as("n_events"),
+      sum(col("fu") * col("fu")).as("f2")) ++
+      (0 until 4).map { j =>
+        sum(expr(s"(1 - 2 * ((h DIV ${1 << j}) % 2)) * fu")).as(s"z$j")
+      }
+    f.groupBy("event_type")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("event_type"), col("n_users"), col("n_events"), col("f2"),
+        expr("(z0*z0 + z1*z1 + z2*z2 + z3*z3) DIV 4").as("ams_f2_est"))
+      .orderBy("event_type")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_ams_f2" -> qAmsF2,
     "q_hist2d" -> qHist2d,
     "q_basket_size_dist" -> qBasketSizeDist,
     "q_cycle_time" -> qCycleTime,
@@ -968,6 +1000,23 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_ams_f2" ->
+      """WITH f AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS fu
+        |  FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, fu,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM f),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(fu) AS BIGINT) AS n_events,
+        |    CAST(sum(fu * fu) AS BIGINT) AS f2,
+        |    CAST(sum((1 - 2 * ((h // 1) % 2)) * fu) AS BIGINT) AS z0,
+        |    CAST(sum((1 - 2 * ((h // 2) % 2)) * fu) AS BIGINT) AS z1,
+        |    CAST(sum((1 - 2 * ((h // 4) % 2)) * fu) AS BIGINT) AS z2,
+        |    CAST(sum((1 - 2 * ((h // 8) % 2)) * fu) AS BIGINT) AS z3
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_users, n_events, f2,
+        |  CAST((z0*z0 + z1*z1 + z2*z2 + z3*z3) // 4 AS BIGINT) AS ams_f2_est
+        |FROM g ORDER BY event_type""".stripMargin,
     "q_hist2d" ->
       """WITH b AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS basket
         |  FROM lineitem GROUP BY 1),

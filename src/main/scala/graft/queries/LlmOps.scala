@@ -966,7 +966,11 @@ object LlmOps {
     * per-document sum, so the aggregate is order-independent; the mean
     * is sum DIV n.
     */
-  private val qPerplexityLm: Q = (s, d) => {
+  /** Per-doc mean bigram negative log-likelihood under the corpus's own
+    * bigram LM — shared by `q_perplexity_lm` (the raw score table) and
+    * `q_ppl_filter` (the threshold-retention curation report).
+    */
+  private def docNll(s: SparkSession, d: String): DataFrame = {
     val pairs = Tables.documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
@@ -987,7 +991,43 @@ object LlmOps {
       .agg(count(lit(1)).as("n_bigrams"), sum("lp_e6").as("sum_lp"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("(-sum_lp) DIV n_bigrams").as("nll_e6"))
-      .orderBy("doc_id")
+  }
+
+  private val qPerplexityLm: Q = (s, d) =>
+    docNll(s, d).orderBy("doc_id")
+
+  /** Perplexity-threshold curation report: per language, how much of
+    * the corpus survives dropping the worst-perplexity quartile — the
+    * standard LM-based quality gate (docs the corpus LM finds
+    * surprising are boilerplate, noise, or wrong-language). The cut is
+    * the exact per-language NLL order statistic at inclusive rank
+    * ceil(3n/4) (ties keep docs — deterministic both engines), ranks
+    * ride a per-language window (partitioned — never a global sort),
+    * and the report is language-sized. The score table is the
+    * `q_perplexity_lm` pipeline reused verbatim.
+    */
+  private val qPplFilter: Q = (s, d) => {
+    val nll = docNll(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        col("n_chars")), "doc_id")
+    val w = Window.partitionBy("lang").orderBy(col("nll_e6").asc,
+      col("doc_id").asc)
+    val ranked = nll.withColumn("rnk", row_number().over(w))
+    // cut = value at rank ceil(3n/4): compute per-lang n first, then
+    // pick the row — two passes over the lang-partitioned rank table.
+    val n = ranked.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val cut = ranked.join(n, "lang")
+      .filter(col("rnk") === expr("(3 * n_docs + 3) DIV 4"))
+      .select(col("lang"), col("nll_e6").as("cut_nll_e6"))
+    ranked.join(n, "lang").join(cut, "lang")
+      .groupBy(col("lang"), col("n_docs"), col("cut_nll_e6"))
+      .agg(sum((col("nll_e6") <= col("cut_nll_e6")).cast("long")).as("n_kept"),
+        sum(when(col("nll_e6") <= col("cut_nll_e6"), col("n_chars"))
+          .otherwise(0L)).as("kept_chars"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("kept_chars"),
+        col("cut_nll_e6"),
+        expr("1000000 * n_kept DIV n_docs").as("retention_ppm"))
+      .orderBy("lang")
   }
 
   /** Per-vector centroid-margin score (silhouette-style cluster
@@ -1453,6 +1493,7 @@ object LlmOps {
     "q_weighted_sample" -> qWeightedSample,
     "q_bigram_lm" -> qBigramLm,
     "q_perplexity_lm" -> qPerplexityLm,
+    "q_ppl_filter" -> qPplFilter,
     "q_silhouette" -> qSilhouette,
     "q_covariance_matrix" -> qCovarianceMatrix,
     "q_top_eigenvector" -> qTopEigenvector,
@@ -1990,6 +2031,43 @@ object LlmOps {
         |  CAST((-CAST(sum(lp_e6) AS BIGINT)) // count(*) AS BIGINT)
         |    AS nll_e6
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_ppl_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |b AS (SELECT doc_id, unnest(list_slice(w, 1, len(w) - 1)) AS w1,
+        |             unnest(list_slice(w, 2, len(w))) AS w2
+        |      FROM w WHERE len(w) >= 2),
+        |n AS (SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2),
+        |t AS (SELECT w1, CAST(sum(n) AS BIGINT) AS out_n FROM n GROUP BY 1),
+        |m AS (SELECT n.w1, w2, greatest(1000000 * n // out_n, 1) AS p_e6
+        |      FROM n JOIN t ON n.w1 = t.w1),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(1000000.0 * ln(CAST(p_e6 AS DOUBLE) / 1000000.0))
+        |      AS BIGINT) AS lp_e6
+        |  FROM b JOIN m ON b.w1 = m.w1 AND b.w2 = m.w2),
+        |nll AS (SELECT doc_id,
+        |    CAST((-CAST(sum(lp_e6) AS BIGINT)) // count(*) AS BIGINT)
+        |      AS nll_e6
+        |  FROM sc GROUP BY doc_id),
+        |j AS (SELECT nll.doc_id, nll_e6, lang, n_chars
+        |  FROM nll JOIN documents USING (doc_id)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY nll_e6 ASC, doc_id ASC) AS BIGINT) AS rnk FROM j),
+        |nn AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM r GROUP BY 1),
+        |cut AS (SELECT r.lang, nll_e6 AS cut_nll_e6
+        |  FROM r JOIN nn ON r.lang = nn.lang
+        |  WHERE rnk = (3 * n_docs + 3) // 4)
+        |SELECT r.lang AS lang, n_docs,
+        |  CAST(sum(CASE WHEN nll_e6 <= cut_nll_e6 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN nll_e6 <= cut_nll_e6 THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS kept_chars,
+        |  cut_nll_e6,
+        |  CAST(1000000 * sum(CASE WHEN nll_e6 <= cut_nll_e6 THEN 1 ELSE 0
+        |    END) // n_docs AS BIGINT) AS retention_ppm
+        |FROM r JOIN nn ON r.lang = nn.lang JOIN cut ON r.lang = cut.lang
+        |GROUP BY 1, 2, 5 ORDER BY 1""".stripMargin,
     "q_class_weights" ->
       """WITH per AS (SELECT lang, count(*) AS n_docs
         |             FROM documents GROUP BY 1),

@@ -247,7 +247,37 @@ object SeriesOps {
       .orderBy("day")
   }
 
+  /** Truncated-kernel EWMA (α=0.3) of daily revenue: the exponential
+    * smoother every monitoring dashboard runs, in the DISTRIBUTABLE
+    * form — the textbook recurrence s_t = αx_t + (1−α)s_{t−1} is
+    * inherently sequential, but the kernel decays geometrically, so a
+    * 14-tap truncation (last tap carries 0.29% weight) turns it into a
+    * fixed weighted sum over a bounded window. The 14 weights are
+    * integer-ppm literals from the exact recurrence w_k = w_{k−1}·7
+    * DIV 10 (identical literals in the oracle), the numerator is an
+    * exact BIGINT dot product, and ONE divide by the kernel mass
+    * (993208 ppm) normalizes — no float anywhere. Window scans the
+    * calendar-bounded daily table only; the first 13 days (incomplete
+    * kernel) drop on both engines via the null-propagating sum.
+    */
+  private val qEwma: Q = (s, d) => {
+    val w = Seq(300000L, 210000L, 147000L, 102900L, 72030L, 50421L,
+      35294L, 24705L, 17293L, 12105L, 8473L, 5931L, 4151L, 2905L)
+    val win = Window.orderBy("day")
+    val num = w.zipWithIndex.map { case (wt, k) =>
+      if (k == 0) col("cents") * lit(wt)
+      else lag(col("cents"), k).over(win) * lit(wt)
+    }.reduce(_ + _)
+    daily(s, d).select(col("day"), col("cents"))
+      .withColumn("num", num)
+      .filter(col("num").isNotNull)
+      .select(col("day"), col("cents"),
+        expr("num DIV 993208").as("ewma_cents"))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_ewma" -> qEwma,
     "q_max_drawdown" -> qMaxDrawdown,
     "q_lead_lag_corr" -> qLeadLagCorr,
     "q_interpolate" -> qInterpolate,
@@ -267,6 +297,26 @@ object SeriesOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_ewma" ->
+      s"""WITH $dailySql,
+         |l AS (SELECT day, cents,
+         |    cents * 300000
+         |      + lag(cents, 1) OVER w * 210000
+         |      + lag(cents, 2) OVER w * 147000
+         |      + lag(cents, 3) OVER w * 102900
+         |      + lag(cents, 4) OVER w * 72030
+         |      + lag(cents, 5) OVER w * 50421
+         |      + lag(cents, 6) OVER w * 35294
+         |      + lag(cents, 7) OVER w * 24705
+         |      + lag(cents, 8) OVER w * 17293
+         |      + lag(cents, 9) OVER w * 12105
+         |      + lag(cents, 10) OVER w * 8473
+         |      + lag(cents, 11) OVER w * 5931
+         |      + lag(cents, 12) OVER w * 4151
+         |      + lag(cents, 13) OVER w * 2905 AS num
+         |  FROM daily WINDOW w AS (ORDER BY day))
+         |SELECT day, cents, CAST(num // 993208 AS BIGINT) AS ewma_cents
+         |FROM l WHERE num IS NOT NULL ORDER BY day""".stripMargin,
     "q_interpolate" ->
       s"""WITH $dailySql,
          |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),

@@ -876,6 +876,131 @@ object StatOps {
       .orderBy("grp")
   }
 
+  /** Herfindahl–Hirschman concentration of customer spend within each
+    * market segment — the "is revenue dominated by a few whales?"
+    * monitor (and, at pipeline scale, the skew early-warning for any
+    * keyed shuffle on customer). Each customer's share is floored to
+    * exact ppm BEFORE squaring, so the HHI sum is order-independent
+    * integer arithmetic (max 10¹² = single-customer monopoly; BIGINT
+    * headroom to ~9·10⁶ customers per segment even if every share
+    * floored to the max). One fact⋈dimension join, one customer-grain
+    * partial agg, a 5-row segment total broadcast back.
+    */
+  private val qHhi: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+    val tot = spend.groupBy("seg").agg(sum("cents").as("segtot"))
+    spend.join(broadcast(tot), Seq("seg"))
+      .select(col("seg"),
+        expr("1000000 * cents DIV segtot").as("share_ppm"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("share_ppm") * col("share_ppm")).as("hhi_e12"),
+        max("share_ppm").as("top_share_ppm"))
+      .orderBy("seg")
+  }
+
+  /** Odds ratio and relative risk of the BUILDING-segment exposure on
+    * urgent-order conversion — the 2×2 epidemiological readout next to
+    * `q_diff_in_diff`'s continuous one. Cells are customer-grain BIGINT
+    * counts from one pass; OR = ad/bc and RR = [a/(a+b)]/[c/(c+d)] are
+    * exact integer e6 ratios (cross products ≤ n² < 2⁶³ to ~3·10⁹
+    * customers). Degenerate corpora (an empty cell) drop the row on
+    * both engines via the same guard.
+    */
+  private val qOddsRatio: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(max((col("seg") === "BUILDING").cast("long")).as("exp"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("out"))
+    base.agg(sum(col("exp") * col("out")).as("a"),
+        sum(col("exp") * (lit(1L) - col("out"))).as("b"),
+        sum((lit(1L) - col("exp")) * col("out")).as("c"),
+        sum((lit(1L) - col("exp")) * (lit(1L) - col("out"))).as("dd"))
+      .filter(col("b") * col("c") > 0L && col("c") + col("dd") > 0L &&
+        col("a") + col("b") > 0L && col("c") > 0L)
+      .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+        expr("1000000 * a * dd DIV (b * c)").as("odds_ratio_e6"),
+        expr("1000000 * a * (c + dd) DIV (c * (a + b))").as("rel_risk_e6"))
+      .orderBy("a")
+  }
+
+  /** McNemar's paired test: did each customer's urgent-order behavior
+    * CHANGE across the 1996 cutoff? Only the discordant pairs carry
+    * signal — b (urgent before, not after) vs c (the reverse) — and the
+    * continuity-free statistic (b−c)²/(b+c) is exact integer ppm. The
+    * pairing (same customer both periods) is what the independent-sample
+    * `q_welch_ttest`/`q_odds_ratio` forms cannot express. One
+    * customer-grain conditional aggregate, then a 1-row reduce.
+    */
+  private val qMcnemar: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(to_date(col("o_orderdate")) < lit("1996-01-01").cast("date") &&
+          col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("pre"),
+        max(when(to_date(col("o_orderdate")) >= lit("1996-01-01").cast("date") &&
+          col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)).as("post"))
+    per.agg(sum(col("pre") * (lit(1L) - col("post"))).as("b"),
+        sum((lit(1L) - col("pre")) * col("post")).as("c"),
+        count(lit(1)).as("n_cust"))
+      .filter(col("b") + col("c") > 0L)
+      .select(col("n_cust"), col("b"), col("c"),
+        expr("1000000 * (b - c) * (b - c) DIV (b + c)").as("mcnemar_chi2_e6"))
+      .orderBy("n_cust")
+  }
+
+  /** Cohen's kappa agreement between two deterministic customer
+    * classifiers — spend above its lower median vs order COUNT above
+    * its lower median (chance-corrected: raw accuracy overstates
+    * agreement when both rules fire rarely). Both cuts are exact order
+    * statistics at rank (n+1) DIV 2 off the distributed total-order
+    * rank; the 2×2 cells and the kappa numerator/denominator
+    * N(a+d)−E over N²−E (E = row·column expected agreement) are pure
+    * BIGINT (E ≤ n² < 2⁶³ to ~3·10⁹ customers), one DIV at e6.
+    */
+  private val qCohensKappa: Q = (s, d) => {
+    val per = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        count(lit(1)).as("cnt"))
+    val tot = per.agg(count(lit(1)).as("n_cust"))
+    val rs = graft.ops.Ranks.globalRowNumber(per,
+      Seq(col("cents").asc, col("o_custkey").asc), "rnk")
+    val medS = rs.crossJoin(broadcast(tot))
+      .filter(col("rnk") === expr("(n_cust + 1) DIV 2"))
+      .select(col("cents").as("med_cents"))
+    val rc = graft.ops.Ranks.globalRowNumber(per,
+      Seq(col("cnt").asc, col("o_custkey").asc), "rnk")
+    val medC = rc.crossJoin(broadcast(tot))
+      .filter(col("rnk") === expr("(n_cust + 1) DIV 2"))
+      .select(col("cnt").as("med_cnt"))
+    per.crossJoin(broadcast(medS)).crossJoin(broadcast(medC))
+      .select((col("cents") > col("med_cents")).cast("long").as("r1"),
+        (col("cnt") > col("med_cnt")).cast("long").as("r2"))
+      .agg(sum(col("r1") * col("r2")).as("a"),
+        sum(col("r1") * (lit(1L) - col("r2"))).as("b"),
+        sum((lit(1L) - col("r1")) * col("r2")).as("c"),
+        sum((lit(1L) - col("r1")) * (lit(1L) - col("r2"))).as("dd"))
+      .select(col("a"), col("b"), col("c"), col("dd").as("d"),
+        expr("(a + b + c + dd) * (a + dd) - ((a + b) * (a + c) + (c + dd) * (b + dd))").as("knum"),
+        expr("(a + b + c + dd) * (a + b + c + dd) - ((a + b) * (a + c) + (c + dd) * (b + dd))").as("kden"))
+      .filter(col("kden") > 0L)
+      // Sign-split the divide: kappa may be negative and Spark's DIV
+      // truncates toward zero while DuckDB's // floors — they disagree
+      // below zero (the q_kmeans documented discipline).
+      .select(col("a"), col("b"), col("c"), col("d"),
+        expr("CASE WHEN knum >= 0 THEN 1000000 * knum DIV kden " +
+          "ELSE -(1000000 * (-knum) DIV kden) END").as("kappa_e6"))
+      .orderBy("a")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_theil_sen" -> qTheilSen,
     "q_mann_kendall" -> qMannKendall,
@@ -903,6 +1028,10 @@ object StatOps {
     "q_benford" -> qBenford,
     "q_dow_profile" -> qDowProfile,
     "q_anomaly_days" -> qAnomalyDays,
+    "q_hhi" -> qHhi,
+    "q_odds_ratio" -> qOddsRatio,
+    "q_mcnemar" -> qMcnemar,
+    "q_cohens_kappa" -> qCohensKappa,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1437,5 +1566,89 @@ object StatOps {
         |  CAST(dev > mad * 3.0 AS INTEGER) AS anom
         |FROM dev JOIN mad ON dev.dow = mad.dow
         |ORDER BY day""".stripMargin,
+    "q_hhi" ->
+      """WITH spend AS (SELECT c_mktsegment AS seg, o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT seg, CAST(sum(cents) AS BIGINT) AS segtot
+        |  FROM spend GROUP BY 1),
+        |sh AS (SELECT spend.seg, 1000000 * cents // segtot AS share_ppm
+        |  FROM spend JOIN tot ON spend.seg = tot.seg)
+        |SELECT seg, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_e12,
+        |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm
+        |FROM sh GROUP BY 1 ORDER BY seg""".stripMargin,
+    "q_odds_ratio" ->
+      """WITH base AS (SELECT o_custkey,
+        |    CAST(max(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS exp,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS outc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1),
+        |cells AS (SELECT CAST(sum(exp * outc) AS BIGINT) AS a,
+        |    CAST(sum(exp * (1 - outc)) AS BIGINT) AS b,
+        |    CAST(sum((1 - exp) * outc) AS BIGINT) AS c,
+        |    CAST(sum((1 - exp) * (1 - outc)) AS BIGINT) AS dd
+        |  FROM base)
+        |SELECT a, b, c, dd AS d,
+        |  CAST(1000000 * a * dd // (b * c) AS BIGINT) AS odds_ratio_e6,
+        |  CAST(1000000 * a * (c + dd) // (c * (a + b)) AS BIGINT)
+        |    AS rel_risk_e6
+        |FROM cells
+        |WHERE b * c > 0 AND c + dd > 0 AND a + b > 0 AND c > 0
+        |ORDER BY a""".stripMargin,
+    "q_mcnemar" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(max(CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |      AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS pre,
+        |    CAST(max(CASE WHEN CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        |      AND o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS post
+        |  FROM orders GROUP BY 1),
+        |agg AS (SELECT CAST(sum(pre * (1 - post)) AS BIGINT) AS b,
+        |    CAST(sum((1 - pre) * post) AS BIGINT) AS c,
+        |    CAST(count(*) AS BIGINT) AS n_cust
+        |  FROM per)
+        |SELECT n_cust, b, c,
+        |  CAST(1000000 * (b - c) * (b - c) // (b + c) AS BIGINT)
+        |    AS mcnemar_chi2_e6
+        |FROM agg WHERE b + c > 0 ORDER BY n_cust""".stripMargin,
+    "q_cohens_kappa" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust FROM per),
+        |rs AS (SELECT *, CAST(row_number() OVER (ORDER BY cents ASC,
+        |    o_custkey ASC) AS BIGINT) AS rnk FROM per),
+        |meds AS (SELECT cents AS med_cents FROM rs CROSS JOIN tot
+        |  WHERE rnk = (n_cust + 1) // 2),
+        |rc AS (SELECT *, CAST(row_number() OVER (ORDER BY cnt ASC,
+        |    o_custkey ASC) AS BIGINT) AS rnk FROM per),
+        |medc AS (SELECT cnt AS med_cnt FROM rc CROSS JOIN tot
+        |  WHERE rnk = (n_cust + 1) // 2),
+        |r12 AS (SELECT CASE WHEN cents > med_cents THEN 1 ELSE 0 END AS r1,
+        |    CASE WHEN cnt > med_cnt THEN 1 ELSE 0 END AS r2
+        |  FROM per CROSS JOIN meds CROSS JOIN medc),
+        |cells AS (SELECT CAST(sum(r1 * r2) AS BIGINT) AS a,
+        |    CAST(sum(r1 * (1 - r2)) AS BIGINT) AS b,
+        |    CAST(sum((1 - r1) * r2) AS BIGINT) AS c,
+        |    CAST(sum((1 - r1) * (1 - r2)) AS BIGINT) AS dd
+        |  FROM r12),
+        |kk AS (SELECT a, b, c, dd,
+        |    (a + b + c + dd) * (a + dd)
+        |      - ((a + b) * (a + c) + (c + dd) * (b + dd)) AS knum,
+        |    (a + b + c + dd) * (a + b + c + dd)
+        |      - ((a + b) * (a + c) + (c + dd) * (b + dd)) AS kden
+        |  FROM cells)
+        |SELECT a, b, c, dd AS d,
+        |  CAST(CASE WHEN knum >= 0 THEN 1000000 * knum // kden
+        |    ELSE -(1000000 * (-knum) // kden) END AS BIGINT) AS kappa_e6
+        |FROM kk WHERE kden > 0 ORDER BY a""".stripMargin,
   )
 }

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-7 operators — laws beyond the DuckDB
+  * differential check: concentration bounds, 2×2 cell conservation,
+  * kappa range, EWMA convexity, AMS/Cauchy–Schwarz inequalities,
+  * personalized-vs-global rank mass, and curation retention bounds.
+  */
+class R7OpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_hhi: HHI bounded by [equal-share floor, monopoly]; top share consistent") {
+    val rows = q("q_hhi").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi, top) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hhi <= 1000000L * 1000000L, s"seg ${r.getString(0)}: hhi > monopoly")
+      // Σ share² ≥ (Σ share)²/n with Σ floor(share_ppm) ≥ 10⁶ − n
+      val floorSum = 1000000L - n
+      assert(hhi >= floorSum * floorSum / n,
+        s"seg ${r.getString(0)}: hhi $hhi below equal-share floor for n=$n")
+      assert(top * top <= hhi && top <= 1000000L,
+        s"seg ${r.getString(0)}: top share $top inconsistent with hhi $hhi")
+    }
+  }
+
+  test("q_odds_ratio: cells partition the ordering customers") {
+    val rows = q("q_odds_ratio").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val cells = r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
+    val nCust = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(cells == nCust, s"cells $cells != ordering customers $nCust")
+    assert(r.getLong(4) > 0 && r.getLong(5) > 0)
+  }
+
+  test("q_mcnemar: statistic matches the discordant-cell recompute") {
+    val rows = q("q_mcnemar").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (b, c, chi2) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(chi2 == 1000000L * (b - c) * (b - c) / (b + c))
+    assert(r.getLong(0) == graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+  }
+
+  test("q_cohens_kappa: kappa in [-1, 1] e6; cells partition customers") {
+    val rows = q("q_cohens_kappa").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val cells = r.getLong(0) + r.getLong(1) + r.getLong(2) + r.getLong(3)
+    assert(cells == graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count())
+    assert(math.abs(r.getLong(4)) <= 1000000L, s"kappa ${r.getLong(4)} out of range")
+  }
+
+  test("q_ewma: convex combination stays inside the 14-day window envelope") {
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      .orderBy("day").collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDay = daily.toMap
+    val rows = q("q_ewma").collect()
+    assert(rows.length == daily.length - 13, "first 13 days must drop")
+    rows.foreach { r =>
+      val day = r.getLong(0); val ewma = r.getLong(2)
+      val window = (0 to 13).flatMap(k => byDay.get(day - k))
+      // only full 14-day windows emit (gap days break the kernel too)
+      if (window.length == 14) {
+        assert(ewma >= window.min - 1 && ewma <= window.max,
+          s"day $day: ewma $ewma outside [${window.min}, ${window.max}]")
+      }
+    }
+  }
+
+  test("q_ams_f2: F2 obeys Σf ≤ F2 ≤ (Σf)² and Cauchy-Schwarz; estimate nonneg") {
+    q("q_ams_f2").collect().foreach { r =>
+      val (users, events, f2, est) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(f2 >= events, "Σf² < Σf impossible for positive counts")
+      assert(f2 <= events * events)
+      assert(f2 * users >= events * events,
+        s"${r.getString(0)}: Cauchy-Schwarz violated")
+      assert(est >= 0)
+    }
+  }
+
+  test("q_ppr: top-25 strictly ordered, positive, and seed-reachable") {
+    val rows = q("q_ppr").collect()
+    assert(rows.length == 25)
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.forall(_ > 0))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not rank-descending")
+    assert(rows.map(_.getLong(0)).distinct.length == 25)
+    // seeds hold teleport mass: at least one seed node makes the top 25
+    assert(rows.exists(_.getLong(0) % 97 == 0), "no seed in the PPR top-25")
+  }
+
+  test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
+    val rows = q("q_ppl_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, ret) = (r.getLong(1), r.getLong(2), r.getLong(5))
+      assert(kept >= (3 * n) / 4, s"${r.getString(0)}: kept $kept of $n")
+      assert(kept <= n)
+      assert(ret == 1000000L * kept / n)
+    }
+  }
+}
