@@ -88,7 +88,8 @@ object Bench {
     "q_kmeans", "q_keyphrases", "q_hist2d", "q_token_dropout",
     "q_curriculum_order", "q_rare_collapse",
     "q_hhi", "q_odds_ratio", "q_mcnemar", "q_cohens_kappa", "q_ewma",
-    "q_ams_f2", "q_ppr", "q_ppl_filter")
+    "q_ams_f2", "q_ppr", "q_ppl_filter", "q_dedup_eval", "q_dedup_prefix",
+    "q_rolling_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -197,6 +197,53 @@ object LlmOps {
         shingleSize = 3, threshold = 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
 
+  /** Detector-quality evaluation: the hamming≤3 SimHash pair set scored
+    * against exact Jaccard≥0.5 ground truth — TP/FP/FN with precision/
+    * recall in exact ppm. This is the readout a curation team checks
+    * before swapping a cheap detector in for an expensive one (SimHash
+    * is one map-side pass + a 64-bit key join; the exact PPJoin truth
+    * costs an inverted index). Both operands are the registry's own
+    * `q_dedup_simhash`/`q_dedup_ngram` pipelines, already mirrored
+    * bit-for-bit in DuckDB, so even the confusion counts hash-match.
+    * The pair-level full join is bounded by the two pair sets, never
+    * the corpus².
+    */
+  private val qDedupEval: Q = (s, d) => {
+    val truth = Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id",
+        "text", shingleSize = 3, threshold = 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("t"))
+    val pred = Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("doc_a", "doc_b"), "full")
+      .agg(
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("tp"),
+        sum((lit(1L) - coalesce(col("t"), lit(0L))) *
+          coalesce(col("p"), lit(0L))).as("fp"),
+        sum(coalesce(col("t"), lit(0L)) *
+          (lit(1L) - coalesce(col("p"), lit(0L)))).as("fn"))
+      .filter(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("1000000 * tp DIV (tp + fp)").as("precision_ppm"),
+        expr("1000000 * tp DIV (tp + fn)").as("recall_ppm"))
+      .orderBy("tp")
+  }
+
+  /** Boilerplate-prefix clusters: documents sharing an identical leading
+    * 64 characters — the cheap screen for templated/mirrored content
+    * (headers, licence blocks, scraper chrome) that full-document
+    * near-dup misses when bodies diverge. One digest groupBy; emits
+    * only groups with >1 member, smallest doc as the exemplar.
+    */
+  private val qDedupPrefix: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(substring(col("text"), 1, 64)).as("pfx"))
+      .groupBy("pfx")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("exemplar_doc"))
+      .filter(col("n_docs") > 1L)
+      .select(col("pfx"), col("n_docs"), col("exemplar_doc"))
+      .orderBy("pfx")
+
   /** Embedding near-dup via LSH blocking + exact cosine verify — the
     * corpus×corpus scale shape (banded equi join, never a theta join).
     * The oracle mirrors the banding bit-for-bit (same splitmix
@@ -1516,6 +1563,8 @@ object LlmOps {
     "q_cross_source_overlap" -> qCrossSourceOverlap,
     "q_tokenizer_fertility" -> qTokenizerFertility,
     "q_dedup_simhash" -> qDedupSimhash,
+    "q_dedup_eval" -> qDedupEval,
+    "q_dedup_prefix" -> qDedupPrefix,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
@@ -1614,6 +1663,52 @@ object LlmOps {
        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
        |SELECT doc_a, doc_b, hamming FROM p
        |WHERE hamming <= $maxHamming ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Merged truth⋈prediction oracle for `q_dedup_eval`: the exact-Jaccard
+    * pair CTE and the SimHash pair CTE (same generator loops as
+    * [[simhashOracleSql]]) scored with INTERSECT/EXCEPT counts — both
+    * operand pipelines are the ones the standalone dedup oracles already
+    * pin, so the confusion counts are exact on both engines.
+    */
+  private def dedupEvalSql(maxHamming: Int, threshold: Double): String = {
+    val chunkDefs = (0 until Dedup.SimhashChunks)
+      .map(c => s"('0x' || substr(md5(tok), ${1 + 4 * c}, 4))::INT AS c$c")
+      .mkString(", ")
+    val bitSums = (0 until 64).map { b =>
+      val c = b / 16; val k = b % 16
+      s"sum(CASE WHEN ((c$c >> $k) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val chunkAsm = (0 until Dedup.SimhashChunks).map { c =>
+      (0 until 16).map(k => s"(CASE WHEN s${c * 16 + k} > 0 THEN ${1 << k} ELSE 0 END)")
+        .mkString(" + ") + s" AS sh$c"
+    }.mkString(", ")
+    val ham = (0 until Dedup.SimhashChunks)
+      .map(c => s"bit_count(xor(a.sh$c, b.sh$c))").mkString(" + ")
+    s"""$shingleCte,
+       |truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+       |            len(list_distinct(list_concat(a.sh, b.sh))) >= $threshold),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |hh AS (SELECT doc_id, $chunkDefs FROM tok),
+       |bs AS (SELECT doc_id, $bitSums FROM hh GROUP BY doc_id),
+       |sh2 AS (SELECT doc_id, $chunkAsm FROM bs),
+       |pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |      FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id
+       |      WHERE $ham <= $maxHamming),
+       |cnt AS (SELECT
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     INTERSECT SELECT * FROM pred)) AS tp,
+       |  (SELECT count(*) FROM (SELECT * FROM pred
+       |     EXCEPT SELECT * FROM truth)) AS fp,
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     EXCEPT SELECT * FROM pred)) AS fn)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       |  CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm
+       |FROM cnt WHERE tp + fp > 0 AND tp + fn > 0 ORDER BY tp""".stripMargin
   }
 
   /** Oracle for the Karp-Rabin winnowing fingerprint: per-window
@@ -2162,6 +2257,12 @@ object LlmOps {
         |FROM own JOIN oth USING (vec_id)
         |ORDER BY own.vec_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
+    "q_dedup_eval" -> dedupEvalSql(3, 0.5),
+    "q_dedup_prefix" ->
+      """SELECT md5(substr(text, 1, 64)) AS pfx,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS exemplar_doc
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY pfx""".stripMargin,
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,

@@ -276,8 +276,28 @@ object SeriesOps {
       .orderBy("day")
   }
 
+  /** 7-day rolling MEDIAN of daily revenue — the robust moving level
+    * (`q_bollinger`'s mean band chases one outlier day; the median
+    * doesn't). Exact by construction: the trailing 7-row frame's values
+    * are collected, sorted, and the 4th smallest read out — an integer
+    * order statistic, no percentile interpolation — and only full
+    * frames emit. The collect is bounded by the FRAME (7 values), and
+    * the window scans the calendar-bounded daily table; at a 100 TB
+    * fact scale the frame buffer is still 7 BIGINTs per row.
+    */
+  private val qRollingMedian: Q = (s, d) => {
+    val w = Window.orderBy("day").rowsBetween(-6, 0)
+    daily(s, d).select(col("day"), col("cents"))
+      .withColumn("win", sort_array(collect_list(col("cents")).over(w)))
+      .filter(size(col("win")) === 7)
+      .select(col("day"), col("cents"),
+        element_at(col("win"), 4).as("med7_cents"))
+      .orderBy("day")
+  }
+
   val registry: Map[String, Q] = Map(
     "q_ewma" -> qEwma,
+    "q_rolling_median" -> qRollingMedian,
     "q_max_drawdown" -> qMaxDrawdown,
     "q_lead_lag_corr" -> qLeadLagCorr,
     "q_interpolate" -> qInterpolate,
@@ -297,6 +317,14 @@ object SeriesOps {
       |  FROM orders GROUP BY 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_rolling_median" ->
+      s"""WITH $dailySql,
+         |l AS (SELECT day, cents,
+         |    list_sort(list(cents) OVER (ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+         |  FROM daily)
+         |SELECT day, cents, CAST(win[4] AS BIGINT) AS med7_cents
+         |FROM l WHERE len(win) = 7 ORDER BY day""".stripMargin,
     "q_ewma" ->
       s"""WITH $dailySql,
          |l AS (SELECT day, cents,

@@ -481,4 +481,25 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
     }
   }
+
+  test("registry-wide: every key plans without a CartesianProduct") {
+    // The per-key guards above pin the join SHAPE of the keys where it
+    // was designed; this sweep pins the one property that must hold for
+    // EVERY key at 100 TB — no unkeyed all-pairs product anywhere in any
+    // plan. BroadcastNestedLoopJoin is deliberately NOT banned here:
+    // scalar/tiny-aggregate crossJoin(broadcast(...)) fan-ins plan as
+    // BNLJ and are correct (the per-key guards ban BNLJ where a keyed
+    // join was intended). Planning all keys also smoke-checks that every
+    // registry entry analyzes — a broken column reference fails here,
+    // not in the driver run.
+    val bad = SparkEntry.queries.keys.toSeq.sorted.flatMap { k =>
+      val plan =
+        try SparkEntry.queries(k)(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"ANALYSIS-ERROR: ${e.getMessage}" }
+      if (plan.contains("CartesianProduct") || plan.startsWith("ANALYSIS-ERROR"))
+        Some(k -> plan.linesIterator.take(3).mkString(" | "))
+      else None
+    }
+    assert(bad.isEmpty, s"keys with cartesian/broken plans: ${bad.take(5)}")
+  }
 }

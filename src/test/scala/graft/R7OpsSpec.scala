@@ -101,6 +101,44 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(0) % 97 == 0), "no seed in the PPR top-25")
   }
 
+  test("q_dedup_eval: confusion counts tie out against the standalone pair keys") {
+    val rows = q("q_dedup_eval").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val truth = q("q_dedup_ngram").count()
+    val pred = q("q_dedup_simhash").count()
+    assert(tp + fn == truth, s"tp+fn ${tp + fn} != truth pairs $truth")
+    assert(tp + fp == pred, s"tp+fp ${tp + fp} != simhash pairs $pred")
+    assert(r.getLong(3) == 1000000L * tp / (tp + fp))
+    assert(r.getLong(4) == 1000000L * tp / (tp + fn))
+  }
+
+  test("q_dedup_prefix: every emitted cluster has >1 member and a member exemplar") {
+    val rows = q("q_dedup_prefix").collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) > 1, s"${r.getString(0)}: singleton emitted")
+    }
+    // groups partition a subset of docs: Σ cluster sizes ≤ corpus
+    val total = graft.model.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum <= total)
+  }
+
+  test("q_rolling_median: median inside window envelope; first 6 days drop") {
+    val rows = q("q_rolling_median").collect()
+    val daily = graft.model.Tables.orders(spark, sf)
+      .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      .orderBy("day").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.length == daily.length - 6)
+    val series = daily.map(_._2)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val window = series.slice(i, i + 7).sorted
+      assert(r.getLong(2) == window(3),
+        s"day ${r.getLong(0)}: med ${r.getLong(2)} != recompute ${window(3)}")
+    }
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
