@@ -89,7 +89,7 @@ object Bench {
     "q_curriculum_order", "q_rare_collapse",
     "q_hhi", "q_odds_ratio", "q_mcnemar", "q_cohens_kappa", "q_ewma",
     "q_ams_f2", "q_ppr", "q_ppl_filter", "q_dedup_eval", "q_dedup_prefix",
-    "q_rolling_median")
+    "q_rolling_median", "q_conductance", "q_multimodal_wav")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,6 +119,16 @@ object Bench {
     // artifact total in round 4 re-ran clean), and the median of three
     // rejects any single outlier run. All three raw timings are emitted
     // under `runs` so per-key variance is visible in the artifact.
+    // Drop persisted/checkpointed blocks between keys: a single-JVM
+    // sweep over 170+ keys otherwise accumulates every key's
+    // localCheckpoint/persist blocks until the 8 GiB heap's storage
+    // region fills, and keys late in the list pay eviction + GC churn
+    // instead of their own cost (measured: q_rfm 10.4 s late in a full
+    // sweep vs 1.7 s warm in a fresh session — same code, same data).
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
     val reps = 3
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
@@ -126,6 +136,7 @@ object Bench {
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
           catch { case _: Throwable => false }
+        dropBlocks()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       val median =
@@ -159,12 +170,14 @@ object Bench {
     ).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(); true } catch { case _: Throwable => false }
+      dropBlocks()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def timeOnce(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
+      dropBlocks()
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val extFirst = extended.filter(SparkEntry.queries.contains)

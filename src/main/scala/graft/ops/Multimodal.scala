@@ -178,6 +178,95 @@ object Multimodal {
     media.mapPartitions(_.map { case (id, bytes) => ppmSignature(id, bytes) })
   }
 
+  case class WavStats(media_id: Long, sample_rate: Int, n_channels: Int,
+                      bits: Int, n_frames: Long, sum_l: Long, sum_r: Long)
+
+  /** REAL audio encoder for the fixture path: a canonical 44-byte RIFF/
+    * WAVE PCM container around the given 8-bit interleaved sample plane.
+    * Written with proper little-endian chunk sizes so [[decodeWav]]
+    * exercises genuine binary parsing, not a string round-trip.
+    */
+  private[graft] def buildWavPcm8Stereo(sampleRate: Int,
+                                        samples: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(2.toShort)            // stereo
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate = sr · channels · 1 byte
+      .putShort(2.toShort)            // block align
+      .putShort(8.toShort)            // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(samples.length)
+    bb.put(samples)
+    bb.array()
+  }
+
+  /** REAL decoder: RIFF/WAVE PCM. Walks the chunk list generically
+    * (skipping unknown chunks — real encoders emit LIST/INFO blocks),
+    * validates the PCM fmt block (format tag 1, 8-bit, stereo at this
+    * fixture's profile), and reduces the interleaved sample plane to
+    * exact per-channel amplitude sums (8-bit PCM is unsigned; 128 =
+    * silence). Fail-loud on a bad magic, a missing fmt/data chunk, or
+    * a truncated plane — a silent partial decode would poison the
+    * downstream stats exactly like a truncated PPM plane would.
+    */
+  private[graft] def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+    require(bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+      bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+      s"media $id: not a RIFF/WAVE payload")
+    def le32(o: Int): Int =
+      (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    var pos = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val tag = new String(bytes, pos, 4, "US-ASCII")
+      val len = le32(pos + 4)
+      require(len >= 0 && pos + 8 + len <= bytes.length,
+        s"media $id: chunk '$tag' overruns the payload")
+      tag match {
+        case "fmt " =>
+          require(len >= 16, s"media $id: short fmt chunk")
+          require(le16(pos + 8) == 1, s"media $id: not PCM (fmt tag ${le16(pos + 8)})")
+          channels = le16(pos + 10)
+          sampleRate = le32(pos + 12)
+          bits = le16(pos + 22)
+        case "data" => dataOff = pos + 8; dataLen = len
+        case _ => () // skip LIST/INFO/etc.
+      }
+      pos += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0,
+      s"media $id: missing fmt or data chunk")
+    require(bits == 8 && channels == 2,
+      s"media $id: fixture profile is 8-bit stereo, got $bits-bit $channels-ch")
+    require(dataLen % 2 == 0, s"media $id: odd stereo sample count")
+    val frames = dataLen / 2
+    var sl = 0L; var srr = 0L
+    var i = 0
+    while (i < frames) {
+      sl += bytes(dataOff + 2 * i) & 0xff
+      srr += bytes(dataOff + 2 * i + 1) & 0xff
+      i += 1
+    }
+    WavStats(id, sampleRate, channels, bits, frames, sl, srr)
+  }
+
+  /** Partition-batched WAV decode — same iterator shape as
+    * [[decodePpmFeatures]].
+    */
+  def decodeWavFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[WavStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
   /** Partition-batched real decode: (media_id, ppm_payload) rows stream
     * through [[decodePpm]] — same iterator shape as the stubbed path.
     */

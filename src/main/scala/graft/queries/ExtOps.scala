@@ -138,6 +138,38 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** REAL multimodal audio decode: each document is packaged as an
+    * actual RIFF/WAVE PCM container — proper little-endian chunk sizes,
+    * 8-bit stereo interleaved plane cycling through the text bytes —
+    * and decoded by the pure-JVM chunk-walking parser in
+    * [[Multimodal.decodeWav]] (magic, fmt validation, unknown-chunk
+    * skip, per-channel amplitude sums). The oracle recomputes the
+    * expected stats from the construction rule alone, so an endianness
+    * slip, a chunk-offset bug, or swapped channels hash-mismatches —
+    * the audio-side sibling of `q_multimodal_decode`'s PPM contract.
+    */
+  private val qMultimodalWav: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sr = (8000 + id % 8000).toInt
+        val frames = (50 + id % 100).toInt
+        val samples = new Array[Byte](frames * 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) = text.charAt(j % text.length).toByte; j += 1
+        }
+        (id, Multimodal.buildWavPcm8Stereo(sr, samples))
+      }
+    Multimodal.decodeWavFeatures(media)
+      .select(col("media_id"), col("sample_rate"), col("n_channels"),
+        col("bits"), col("n_frames"), col("sum_l"), col("sum_r"))
+      .orderBy(col("media_id"))
+  }
+
   /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
     * page-partitioned batch read through the connector API.
     */
@@ -154,6 +186,7 @@ object ExtOps {
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_phash" -> qMultimodalPhash,
+    "q_multimodal_wav" -> qMultimodalWav,
     "q_dsv2_source" -> qDsv2Source,
   )
 
@@ -213,6 +246,21 @@ object ExtOps {
         |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4, 5
         |ORDER BY media_id""".stripMargin,
+    "q_multimodal_wav" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    8000 + doc_id % 8000 AS sr, 50 + doc_id % 100 AS nf
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |s AS (SELECT doc_id, sr, nf, i,
+        |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(nf * 2)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(sr AS INT) AS sample_rate,
+        |  CAST(2 AS INT) AS n_channels, CAST(8 AS INT) AS bits,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN i % 2 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_l,
+        |  CAST(sum(CASE WHEN i % 2 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_r
+        |FROM s GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin,
     "q_multimodal_phash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h

@@ -517,6 +517,32 @@ object GraphOps {
       .select(col("n").as("part"), col("r").as("rank_e9"))
   }
 
+  /** Conductance of the mod-97 seed set on the co-purchase graph: cut
+    * edges over the smaller side's volume — the cut-quality score that
+    * says whether the `q_ppr`/`q_graph_bfs` seed slice is a real
+    * community (low conductance) or an arbitrary slice of a hub mesh
+    * (high). Pure integer: one conditional aggregate over the edge
+    * list for the cut, one over the degree table for the volumes, a
+    * scalar broadcast — no per-pair work at any scale.
+    */
+  private val qConductance: Q = (s, d) => {
+    val und = coPurchaseEdges(s, d)
+    val vol = degrees(und).agg(
+      sum(when(col("n") % 97L === 0L, col("dg")).otherwise(0L)).as("vol_s"),
+      sum(col("dg")).as("vol_all"))
+    val cut = und.agg(
+      sum(((col("u") % 97L === 0L) =!= (col("v") % 97L === 0L)).cast("long"))
+        .as("cut_edges"),
+      count(lit(1)).as("n_edges"))
+    cut.crossJoin(broadcast(vol))
+      .filter(col("vol_s") > 0L && col("vol_all") - col("vol_s") > 0L)
+      .select(col("n_edges"), col("cut_edges"), col("vol_s"),
+        (col("vol_all") - col("vol_s")).as("vol_rest"),
+        expr("1000000 * cut_edges DIV least(vol_s, vol_all - vol_s)")
+          .as("conductance_ppm"))
+      .orderBy("n_edges")
+  }
+
   /** Level-synchronous BFS: exact shortest-hop distances (≤ 4 hops)
     * from a deterministic seed set (parts ≡ 0 mod 97) over the
     * co-purchase graph. Each level is one keyed join (frontier ⋈ arcs)
@@ -694,6 +720,7 @@ object GraphOps {
     "q_adamic_adar" -> qAdamicAdar,
     "q_pagerank" -> qPagerank,
     "q_ppr" -> qPpr,
+    "q_conductance" -> qConductance,
     "q_assoc_rules" -> qAssocRules,
     "q_graph_bfs" -> qGraphBfs,
   )
@@ -1023,5 +1050,25 @@ object GraphOps {
         |       FROM deg LEFT JOIN c3 ON c3.n = deg.src)
         |SELECT n AS part, r AS rank_e9 FROM r3 WHERE r > 0
         |ORDER BY r DESC, n ASC LIMIT 25""".stripMargin,
+    "q_conductance" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+        |        FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+        |arcs AS (SELECT u AS src, v AS dst FROM und
+        |         UNION ALL SELECT v, u FROM und),
+        |deg AS (SELECT src, count(*) AS dg FROM arcs GROUP BY src),
+        |vol AS (SELECT CAST(sum(CASE WHEN src % 97 = 0 THEN dg ELSE 0 END)
+        |          AS BIGINT) AS vol_s,
+        |        CAST(sum(dg) AS BIGINT) AS vol_all FROM deg),
+        |cut AS (SELECT CAST(sum(CASE WHEN (u % 97 = 0) <> (v % 97 = 0)
+        |          THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+        |        CAST(count(*) AS BIGINT) AS n_edges FROM und),
+        |j AS (SELECT * FROM cut CROSS JOIN vol
+        |      WHERE vol_s > 0 AND vol_all - vol_s > 0)
+        |SELECT n_edges, cut_edges, vol_s,
+        |  CAST(vol_all - vol_s AS BIGINT) AS vol_rest,
+        |  CAST(1000000 * cut_edges // least(vol_s, vol_all - vol_s)
+        |    AS BIGINT) AS conductance_ppm
+        |FROM j ORDER BY n_edges""".stripMargin,
   )
 }

@@ -139,6 +139,56 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_conductance: volumes close on 2E; cut bounded by the smaller volume") {
+    val rows = q("q_conductance").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (e, cut, volS, volR) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(volS + volR == 2 * e, "vol_s + vol_rest != 2E")
+    assert(cut <= math.min(volS, volR), "cut exceeds the smaller volume")
+    assert(r.getLong(4) <= 1000000L && r.getLong(4) >= 0L)
+  }
+
+  test("decodeWav: parses a well-formed container, skips unknown chunks, fails loud") {
+    import graft.ops.Multimodal
+    val samples = Array[Byte](10, 20, 30, 40, 50, 60) // L=10,30,50 R=20,40,60
+    val wav = Multimodal.buildWavPcm8Stereo(44100, samples)
+    val st = Multimodal.decodeWav(7L, wav)
+    assert(st.sample_rate == 44100 && st.n_channels == 2 && st.bits == 8)
+    assert(st.n_frames == 3 && st.sum_l == 90 && st.sum_r == 120)
+    // unknown chunk before fmt/data must be skipped, not fatal
+    val list = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val withExtra = wav.take(12) ++ list ++ wav.drop(12)
+    // RIFF size field is now stale, but chunk walking ignores it
+    val st2 = Multimodal.decodeWav(8L, withExtra)
+    assert(st2.sum_l == 90 && st2.sum_r == 120)
+    // corrupted magic fails loudly
+    val bad = wav.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.decodeWav(9L, bad))
+    // truncated data chunk fails loudly
+    intercept[IllegalArgumentException](
+      Multimodal.decodeWav(10L, wav.dropRight(2)))
+  }
+
+  test("q_multimodal_wav: stats match a direct recompute from the corpus rule") {
+    val rows = q("q_multimodal_wav").collect()
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0); val text = docs(id)
+      val frames = (50 + id % 100).toInt
+      val bytes = (0 until frames * 2).map(j => text.charAt(j % text.length).toInt)
+      assert(r.getInt(1) == 8000 + id % 8000)
+      assert(r.getLong(4) == frames)
+      assert(r.getLong(5) == bytes.zipWithIndex.collect { case (b, j) if j % 2 == 0 => b.toLong }.sum)
+      assert(r.getLong(6) == bytes.zipWithIndex.collect { case (b, j) if j % 2 == 1 => b.toLong }.sum)
+    }
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
