@@ -89,7 +89,8 @@ object Bench {
     "q_curriculum_order", "q_rare_collapse",
     "q_hhi", "q_odds_ratio", "q_mcnemar", "q_cohens_kappa", "q_ewma",
     "q_ams_f2", "q_ppr", "q_ppl_filter", "q_dedup_eval", "q_dedup_prefix",
-    "q_rolling_median", "q_conductance", "q_multimodal_wav")
+    "q_rolling_median", "q_conductance", "q_multimodal_wav",
+    "q_attribution_position", "q_hour_dow_heatmap", "q_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -403,12 +403,22 @@ object Dedup {
 
     var cur = edges.select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var curCount = cur.count()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
-      converged = next.exceptAll(cur).isEmpty && cur.exceptAll(next).isEmpty
+      // Set equality in ONE job instead of two exceptAll passes: both
+      // sides are distinct() outputs, so |next| = |cur| = |next ∪ cur|
+      // ⟺ the sets are equal (the union-distinct count reuses the two
+      // checkpointed inputs; exceptAll planned a hash-join-shaped
+      // anti-diff twice per round — measured as the dominant fixed cost
+      // per CC round on converged-size graphs).
+      val nextCount = next.count()
+      converged = nextCount == curCount &&
+        next.union(cur).distinct().count() == curCount
       cur = next
+      curCount = nextCount
       i += 1
     }
     // Unconverged labels are silently WRONG (nodes still point at

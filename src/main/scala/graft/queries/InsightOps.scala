@@ -961,8 +961,68 @@ object InsightOps {
       .orderBy("event_type")
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: each purchase's
+    * journey — the view/click touches since the user's previous
+    * purchase — splits one conversion's credit 40% first / 40% last /
+    * 20% across middles, the model between `q_attribution`'s
+    * last-touch-takes-all and linear splits. Credit is integer ppm with
+    * deterministic remainders (middles floor 200000 DIV (k−2); the mod
+    * lands on the LAST touch), so Σchannel credit = 10⁶ · attributed
+    * conversions EXACTLY — the conservation law the spec pins. Every
+    * window is user- or journey-partitioned; the journey id is an
+    * exclusive running purchase count, one pass.
+    */
+  private val qAttributionPosition: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"))
+    val prior = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jny = ev.withColumn("journey",
+      coalesce(sum((col("event_type") === "purchase").cast("long"))
+        .over(prior), lit(0L)))
+    val touches = jny.filter(col("event_type").isin("view", "click"))
+    val convs = jny.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("event_id").as("conv_id"))
+    val tw = Window.partitionBy("user_id", "journey")
+      .orderBy(col("us").asc, col("event_id").asc)
+    val ranked = touches.join(convs, Seq("user_id", "journey"))
+      .withColumn("rn", row_number().over(tw))
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy("user_id", "journey")))
+    ranked
+      .withColumn("w_ppm",
+        when(col("k") === 1L, 1000000L)
+          .when(col("k") === 2L, 500000L)
+          .when(col("rn") === 1, 400000L)
+          .when(col("rn") === col("k"), expr("400000 + 200000 % (k - 2)"))
+          .otherwise(expr("200000 DIV (k - 2)")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct(col("conv_id")).as("n_conversions"),
+        sum("w_ppm").as("credit_ppm"))
+      .orderBy("event_type")
+  }
+
+  /** Hour-of-day × day-of-week activity heatmap over the event stream —
+    * the load-profile readout behind capacity planning and send-time
+    * optimization. Both axes are pure integer arithmetic on epoch
+    * micros (immune to the engines' hour/weekday function numbering),
+    * one partial-agg shuffle into ≤168 cells.
+    */
+  private val qHourDowHeatmap: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(expr("((unix_micros(ts) DIV 86400000000) + 3) % 7").as("dow"),
+        expr("(unix_micros(ts) DIV 3600000000) % 24").as("hr"),
+        round(col("value") * 100.0).cast("long").as("cents"))
+      .groupBy("dow", "hr")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("sum_cents"))
+      .orderBy("dow", "hr")
+
   val registry: Map[String, Q] = Map(
     "q_ams_f2" -> qAmsF2,
+    "q_attribution_position" -> qAttributionPosition,
+    "q_hour_dow_heatmap" -> qHourDowHeatmap,
     "q_hist2d" -> qHist2d,
     "q_basket_size_dist" -> qBasketSizeDist,
     "q_cycle_time" -> qCycleTime,
@@ -1000,6 +1060,42 @@ object InsightOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_attribution_position" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |jny AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS journey
+        |  FROM ev),
+        |touches AS (SELECT * FROM jny WHERE event_type IN ('view', 'click')),
+        |convs AS (SELECT user_id, journey, event_id AS conv_id
+        |  FROM jny WHERE event_type = 'purchase'),
+        |ranked AS (SELECT t.user_id, t.event_type, t.us, t.event_id, conv_id,
+        |    row_number() OVER (PARTITION BY t.user_id, t.journey
+        |      ORDER BY t.us ASC, t.event_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY t.user_id, t.journey) AS k
+        |  FROM touches t JOIN convs c
+        |    ON t.user_id = c.user_id AND t.journey = c.journey),
+        |credit AS (SELECT event_type, conv_id,
+        |    CASE WHEN k = 1 THEN 1000000
+        |         WHEN k = 2 THEN 500000
+        |         WHEN rn = 1 THEN 400000
+        |         WHEN rn = k THEN 400000 + 200000 % (k - 2)
+        |         ELSE 200000 // (k - 2) END AS w_ppm
+        |  FROM ranked)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+        |  CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
+        |FROM credit GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_hour_dow_heatmap" ->
+      """SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hr,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hr""".stripMargin,
     "q_ams_f2" ->
       """WITH f AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS fu
         |  FROM events GROUP BY 1, 2),

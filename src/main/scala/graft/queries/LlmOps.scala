@@ -229,6 +229,41 @@ object LlmOps {
       .orderBy("tp")
   }
 
+  /** Dataset card: the one-row corpus datasheet every data release
+    * ships — size, language/source breadth, token mass, the exact
+    * median document length, and the exact-duplicate rate. Composes the
+    * registry's own primitives (digest groupBy for dups, distributed
+    * rank for the median) into the summary a consumer reads FIRST;
+    * every figure is exact integer so the card is reproducible
+    * bit-for-bit. Three partial-agg shuffles + one rank pass,
+    * broadcast-joined into a single row.
+    */
+  private val qDatasetCard: Q = (s, d) => {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        md5(col("text")).as("dg"))
+    val base = t.agg(count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum("n_chars").as("total_chars"),
+      sum("toks").as("total_tokens"))
+    val ranked = graft.ops.Ranks.globalRowNumber(
+      t.select(col("doc_id"), col("toks")),
+      Seq(col("toks").asc, col("doc_id").asc), "rnk")
+    val med = ranked.crossJoin(broadcast(base.select(col("n_docs"))))
+      .filter(col("rnk") === expr("(n_docs + 1) DIV 2"))
+      .select(col("toks").as("med_tokens"))
+    val dups = t.groupBy("dg").agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("cnt") - 1L).as("dup_docs"))
+    base.crossJoin(broadcast(med)).crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"), col("total_tokens"), col("med_tokens"),
+        col("dup_docs"),
+        expr("1000000 * dup_docs DIV n_docs").as("dup_ppm"))
+      .orderBy("n_docs")
+  }
+
   /** Boilerplate-prefix clusters: documents sharing an identical leading
     * 64 characters — the cheap screen for templated/mirrored content
     * (headers, licence blocks, scraper chrome) that full-document
@@ -1570,6 +1605,7 @@ object LlmOps {
     "q_dedup_simhash" -> qDedupSimhash,
     "q_dedup_eval" -> qDedupEval,
     "q_dedup_prefix" -> qDedupPrefix,
+    "q_dataset_card" -> qDatasetCard,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
     "q_cosine_topk" -> qCosineTopk,
@@ -2263,6 +2299,28 @@ object LlmOps {
         |ORDER BY own.vec_id""".stripMargin,
     "q_dedup_simhash" -> simhashOracleSql(3),
     "q_dedup_eval" -> dedupEvalSql(3, 0.5),
+    "q_dataset_card" ->
+      """WITH t AS (SELECT doc_id, lang, source, n_chars,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    md5(text) AS dg
+        |  FROM documents),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(toks) AS BIGINT) AS total_tokens
+        |  FROM t),
+        |ranked AS (SELECT toks, CAST(row_number() OVER (ORDER BY toks ASC,
+        |    doc_id ASC) AS BIGINT) AS rnk FROM t),
+        |med AS (SELECT toks AS med_tokens FROM ranked CROSS JOIN base
+        |  WHERE rnk = (n_docs + 1) // 2),
+        |dups AS (SELECT CAST(sum(cnt - 1) AS BIGINT) AS dup_docs
+        |  FROM (SELECT count(*) AS cnt FROM t GROUP BY dg))
+        |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+        |  CAST(med_tokens AS BIGINT) AS med_tokens, dup_docs,
+        |  CAST(1000000 * dup_docs // n_docs AS BIGINT) AS dup_ppm
+        |FROM base CROSS JOIN med CROSS JOIN dups
+        |ORDER BY n_docs""".stripMargin,
     "q_dedup_prefix" ->
       """SELECT md5(substr(text, 1, 64)) AS pfx,
         |  CAST(count(*) AS BIGINT) AS n_docs,

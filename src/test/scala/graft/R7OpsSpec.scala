@@ -189,6 +189,58 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_attribution_position: channel credit conserves 1e6 per attributed conversion") {
+    val rows = q("q_attribution_position").collect()
+    assert(rows.nonEmpty)
+    val totalCredit = rows.map(_.getLong(3)).sum
+    // distinct conversions with ≥1 touch, recomputed independently
+    val ev = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val attributed = ev.groupBy(_._1).values.map { events =>
+      val sorted = events.sortBy(e => (e._4, e._2))
+      var journey = 0
+      var touchesInJourney = 0
+      var convs = 0
+      sorted.foreach { e =>
+        if (e._3 == "purchase") {
+          if (touchesInJourney > 0) convs += 1
+          journey += 1; touchesInJourney = 0
+        } else if (e._3 == "view" || e._3 == "click") touchesInJourney += 1
+      }
+      convs
+    }.sum
+    assert(totalCredit == 1000000L * attributed,
+      s"credit $totalCredit != 1e6 * $attributed")
+  }
+
+  test("q_hour_dow_heatmap: cells partition the event stream") {
+    val rows = q("q_hour_dow_heatmap").collect()
+    assert(rows.map(_.getLong(2)).sum ==
+      graft.model.Tables.events(spark, sf).count())
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 7)
+      assert(r.getLong(1) >= 0 && r.getLong(1) < 24)
+    }
+  }
+
+  test("q_dataset_card: figures tie out against direct recomputes") {
+    val rows = q("q_dataset_card").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val docs = graft.model.Tables.documents(spark, sf)
+    assert(r.getLong(0) == docs.count())
+    assert(r.getLong(1) == docs.select("lang").distinct().count())
+    assert(r.getLong(2) == docs.select("source").distinct().count())
+    val toks = docs.select(size(split(col("text"), " ")).cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    assert(r.getLong(4) == toks.sum)
+    assert(r.getLong(5) == toks((toks.length + 1) / 2 - 1), "median mismatch")
+    assert(r.getLong(7) == 1000000L * r.getLong(6) / r.getLong(0))
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
