@@ -180,6 +180,25 @@ object Similarity {
       .dropDuplicates(Seq("vec_a", "vec_b"))
   }
 
+  /** Raw SRP candidate pairs — the banded self-join BEFORE the exact
+    * cosine verify, exposed so detector-quality evaluations can score
+    * the blocking stage itself against exact ground truth (the
+    * [[cosinePairsBlocked]] output is verify-filtered and so trivially
+    * precision-1). Same bands, same bit-mirrored hyperplanes.
+    */
+  def srpCandidatePairs(corpus: DataFrame, key: String, vec: String,
+                        bands: Int = 96, bitsPerBand: Int = 8): DataFrame = {
+    ensureRegistered(corpus)
+    val wide = side(Par.fanOut(corpus.select(col(key), col(vec))),
+      key, vec, "vec_a", "va", "na")
+    val a = banded(wide, bands, bitsPerBand, "va", col("vec_a"))
+    val b = a.select(col("bucket"), col("vec_a").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
   /** Coarse centroids refined by Lloyd iterations (distributed k-means):
     * seeds are the first `k` corpus vectors in key order (deterministic
     * init); each iteration assigns every vector to its nearest centroid

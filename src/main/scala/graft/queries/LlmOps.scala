@@ -298,6 +298,38 @@ object LlmOps {
         threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits)
       .orderBy(col("vec_a"), col("vec_b"))
 
+  /** Embedding-blocking quality evaluation: the SRP band candidate set
+    * scored against exact all-pairs cosine ≥ 0.4 ground truth —
+    * TP/FP/FN with precision/recall in exact ppm, the embedding-side
+    * sibling of `q_dedup_eval`. Evaluates the BLOCKING stage itself
+    * (the verified `q_dedup_embedding` output is trivially
+    * precision-1), i.e. the number every ANN/blocking parameter sweep
+    * actually optimizes. Candidates ride the bit-mirrored SRP bands;
+    * truth is the all-pairs join the oracle also runs — quadratic by
+    * definition, which is exactly why this is an EVAL key over the
+    * corpus sample, not a production path.
+    */
+  private val qEmbDedupEval: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val truth = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("t"))
+    val pred = Similarity.srpCandidatePairs(emb, "vec_id", "embedding",
+        EmbBands, EmbBits)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("vec_a", "vec_b"), "full")
+      .agg(
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("tp"),
+        sum((lit(1L) - coalesce(col("t"), lit(0L))) *
+          coalesce(col("p"), lit(0L))).as("fp"),
+        sum(coalesce(col("t"), lit(0L)) *
+          (lit(1L) - coalesce(col("p"), lit(0L)))).as("fn"))
+      .filter(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("1000000 * tp DIV (tp + fp)").as("precision_ppm"),
+        expr("1000000 * tp DIV (tp + fn)").as("recall_ppm"))
+      .orderBy("tp")
+  }
+
   /** LSH parameters for `q_dedup_embedding`, shared with its oracle. */
   private val EmbBands = 96
   private val EmbBits = 8
@@ -1608,6 +1640,7 @@ object LlmOps {
     "q_dataset_card" -> qDatasetCard,
     "q_dedup_ngram" -> qDedupNgram,
     "q_dedup_embedding" -> qDedupEmbedding,
+    "q_emb_dedup_eval" -> qEmbDedupEval,
     "q_cosine_topk" -> qCosineTopk,
     "q_knn_label" -> qKnnLabel,
     "q_hard_negatives" -> qHardNegatives,
@@ -1817,6 +1850,45 @@ object LlmOps {
        |      FROM c a JOIN c b ON a.vec_id < b.vec_id AND list_has_any(a.ct, b.ct))
        |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Merged truth⋈candidate oracle for `q_emb_dedup_eval`: the exact
+    * all-pairs cosine truth and the bit-mirrored SRP band candidates
+    * (same planeLit loops as [[embeddingBlockedSql]]) scored with
+    * INTERSECT/EXCEPT counts.
+    */
+  private def embDedupEvalSql(threshold: Double, bands: Int, bits: Int,
+                              dims: Int): String = {
+    def planeLit(p: Int): String =
+      (0 until dims).map(j =>
+        if (graft.functions.SrpBands.positive(p, j)) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+    val ct = (0 until bands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"${b * (1L << bits)} + $terms"
+    }.mkString("[", ",\n", "]")
+    s"""$cosineCte,
+       |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE ${cosExpr("a", "b")} >= $threshold),
+       |c AS (SELECT vec_id, $ct AS ct FROM e),
+       |pred AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |      FROM c a JOIN c b ON a.vec_id < b.vec_id
+       |        AND list_has_any(a.ct, b.ct)),
+       |cnt AS (SELECT
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     INTERSECT SELECT * FROM pred)) AS tp,
+       |  (SELECT count(*) FROM (SELECT * FROM pred
+       |     EXCEPT SELECT * FROM truth)) AS fp,
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     EXCEPT SELECT * FROM pred)) AS fn)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       |  CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm
+       |FROM cnt WHERE tp + fp > 0 AND tp + fn > 0 ORDER BY tp""".stripMargin
   }
 
   /** Exact top-5 cosine neighbors of the query subset — the oracle for
@@ -2327,6 +2399,7 @@ object LlmOps {
         |  CAST(min(doc_id) AS BIGINT) AS exemplar_doc
         |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY pfx""".stripMargin,
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
+    "q_emb_dedup_eval" -> embDedupEvalSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
     "q_emb_quantize" ->

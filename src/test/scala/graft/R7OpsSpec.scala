@@ -241,6 +241,23 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r.getLong(7) == 1000000L * r.getLong(6) / r.getLong(0))
   }
 
+  test("q_emb_dedup_eval: counts tie out against the verified pair key") {
+    val rows = q("q_emb_dedup_eval").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (tp, fp, fn) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    // truth = tp + fn must equal the exact all-pairs threshold count
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val truth = graft.ops.Similarity
+      .cosinePairs(emb, "vec_id", "embedding", 0.4).count()
+    assert(tp + fn == truth, s"tp+fn ${tp + fn} != truth $truth")
+    // verified blocked pairs = candidates passing the cosine filter
+    // = candidates ∩ truth = tp exactly
+    val verified = q("q_dedup_embedding").count()
+    assert(verified == tp, s"verified $verified != tp $tp")
+    assert(r.getLong(4) == 1000000L * tp / (tp + fn))
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
