@@ -229,6 +229,74 @@ object Events {
       .toDF()
   }
 
+  case class SessionClose(user_id: Long, n_events: Long, last_ts_ms: Long)
+
+  /** Inactivity-timeout session closer on EVENT-TIME TIMERS — the
+    * stateful-v2 surface [[RunningTotalProcessor]] doesn't touch: each
+    * batch re-arms a timer at lastSeen + gap, and when the WATERMARK
+    * passes it, [[org.apache.spark.sql.streaming.StatefulProcessor
+    * #handleExpiredTimer]] emits the closed session and clears state —
+    * the push-based idle detection that `mapGroupsWithState` timeouts
+    * approximate, here with named typed state and exact watermark
+    * semantics. Stale timers (superseded by later activity) are
+    * ignored by comparing against the CURRENT re-arm point, the
+    * standard re-arm idiom since deleteTimer needs the old expiry
+    * bookkept anyway.
+    */
+  class SessionTimeoutProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, SessionClose] {
+    import org.apache.spark.sql.streaming.{OutputMode, TTLConfig, TimeMode, TimerValues, ValueState, ExpiredTimerInfo}
+    @transient private var count: ValueState[Long] = _
+    @transient private var lastTs: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      count = getHandle.getValueState[Long]("count",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      lastTs = getHandle.getValueState[Long]("lastTs",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long, rows: Iterator[EventRow],
+                                 timers: TimerValues): Iterator[SessionClose] = {
+      var c = if (count.exists()) count.get() else 0L
+      var last = if (lastTs.exists()) lastTs.get() else Long.MinValue
+      rows.foreach { e =>
+        c += 1
+        if (e.ts.getTime > last) last = e.ts.getTime
+      }
+      count.update(c)
+      lastTs.update(last)
+      getHandle.registerTimer(last + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[SessionClose] = {
+      // a timer re-armed by later activity leaves the old one behind;
+      // only the CURRENT expiry closes the session
+      if (count.exists() &&
+          expired.getExpiryTimeInMs() == lastTs.get() + gapMs) {
+        val out = SessionClose(user, count.get(), lastTs.get())
+        count.clear(); lastTs.clear()
+        Iterator.single(out)
+      } else Iterator.empty
+    }
+  }
+
+  /** Idle-session close stream: watermarked events → event-time-timer
+    * sessionization via [[SessionTimeoutProcessor]].
+    */
+  def idleSessionCloses(events: org.apache.spark.sql.Dataset[EventRow],
+                        gapMs: Long = 10 * 60 * 1000L,
+                        watermark: String = "0 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF()
+  }
+
   /** Stateful exactly-once dedup by event_id, with state bounded by the
     * watermark (duplicates arriving within the watermark are dropped;
     * state for older keys is reclaimed).

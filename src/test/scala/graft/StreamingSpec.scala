@@ -419,6 +419,49 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time timers close idle sessions; later activity re-arms the timer") {
+    implicit val sc = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    // 60s inactivity gap, zero-delay watermark
+    val q = Events.idleSessionCloses(typed, gapMs = 60000L)
+      .writeStream.format("memory").queryName("idle_close_out")
+      .outputMode("append").start()
+    try {
+      // user 7: two events 30s apart (timer re-armed); user 8: one event
+      in.addData(Ev(1, t("2024-01-01 10:00:00"), 7L, "view", 0.0, "{}"),
+        Ev(2, t("2024-01-01 10:00:30"), 7L, "click", 0.0, "{}"),
+        Ev(3, t("2024-01-01 10:00:10"), 8L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      // nothing closed yet: watermark is at most 10:00:30
+      assert(spark.table("idle_close_out").isEmpty)
+      // a late-stream event pushes the watermark past both timers
+      in.addData(Ev(4, t("2024-01-01 10:30:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      // one more batch so the new watermark is applied to timer eviction
+      in.addData(Ev(5, t("2024-01-01 10:31:00"), 9L, "view", 0.0, "{}"))
+      q.processAllAvailable()
+      val out = spark.table("idle_close_out")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(out.contains((7L, 2L, t("2024-01-01 10:00:30").getTime)),
+        s"user 7 session (2 events, re-armed timer) must close once: $out")
+      assert(out.contains((8L, 1L, t("2024-01-01 10:00:10").getTime)),
+        s"user 8 single-event session must close: $out")
+      assert(!out.exists(_._1 == 9L), "active user must stay open")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("versioned streaming sink commits one snapshot per batch, replay-safe") {
     implicit val sc = spark.sqlContext
     val path = "target/tmp/stream_versioned"
