@@ -373,6 +373,61 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Higher central moments: per-group skewness and excess kurtosis from
+    * exact BIGINT power sums Σx..Σx⁴ — the distribution-shape readout
+    * `q_stats_moments` stops short of. Quantity ∈ [1,50] keeps Σx⁴
+    * BIGINT-safe to ~1.5·10¹⁵ rows/group; the central-moment expansion
+    * and the two ratios are ONE fixed float sequence mirrored
+    * token-for-token (the q_welch_ttest discipline), zero-variance
+    * groups guarded out on both engines.
+    */
+  private val qSkewKurt: Q = (s, d) => {
+    val agg = Tables.lineitem(s, d)
+      .select(col("l_returnflag"),
+        floor(col("l_quantity")).cast("long").as("x"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("x") * col("x")).as("sxxx"),
+        sum(col("x") * col("x") * col("x") * col("x")).as("sxxxx"))
+    def dbl(c: String) = col(c).cast("double")
+    val nd = dbl("n")
+    val m = dbl("sx") / nd
+    val m2 = dbl("sxx") / nd - m * m
+    val m3 = dbl("sxxx") / nd - lit(3.0) * m * (dbl("sxx") / nd) +
+      lit(2.0) * m * m * m
+    val m4 = dbl("sxxxx") / nd - lit(4.0) * m * (dbl("sxxx") / nd) +
+      lit(6.0) * m * m * (dbl("sxx") / nd) - lit(3.0) * m * m * m * m
+    agg.filter(nd * dbl("sxx") - dbl("sx") * dbl("sx") > lit(0.0))
+      .select(col("l_returnflag"), col("n"), col("sx"), col("sxx"),
+        floor(lit(1000000.0) * (m3 / (m2 * sqrt(m2)))).cast("long")
+          .as("skew_e6"),
+        floor(lit(1000000.0) * (m4 / (m2 * m2) - lit(3.0))).cast("long")
+          .as("kurt_e6"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Per-brand geometric mean of extended price — the multiplicative
+    * average that tolerates right-skewed prices where the arithmetic
+    * mean chases outliers. Each row's ln is floored to integer e6
+    * BEFORE the sum, so the cross-row total is order-independent (the
+    * q_mutual_info per-term discipline); one exp at the end.
+    */
+  private val qGeomean: Q = (s, d) => {
+    val base = Tables.part(s, d)
+      .select(col("p_brand"),
+        round(col("p_retailprice") * 100.0).cast("long").as("cents"))
+      .withColumn("lp_e6",
+        floor(lit(1000000.0) *
+          log(col("cents").cast("double") / lit(100.0))).cast("long"))
+    base.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"), sum("lp_e6").as("slp"))
+      .select(col("p_brand"), col("n"),
+        floor(lit(100.0) * exp(col("slp").cast("double") / lit(1000000.0) /
+          col("n").cast("double"))).cast("long").as("geomean_cents"))
+      .orderBy("p_brand")
+  }
+
   /** Conditional / boolean / argmax aggregates: count_if, bool_and/bool_or,
     * max_by keyed on a UNIQUE ordering column (ties in the max_by ordering
     * value are nondeterministic — never argmax over a non-unique column
@@ -800,6 +855,8 @@ object Relational {
     "q_try_arith" -> qTryArith,
     "q_groupby_agg" -> qGroupbyAgg,
     "q_stats_moments" -> qStatsMoments,
+    "q_skew_kurt" -> qSkewKurt,
+    "q_geomean" -> qGeomean,
     "q_cond_agg" -> qCondAgg,
     "q_typed_agg" -> qTypedAgg,
     "q_bitwise_agg" -> qBitwiseAgg,
@@ -1031,6 +1088,46 @@ object Relational {
         |     * sqrt(CAST(n AS DOUBLE)*CAST(sum_yy AS DOUBLE)
         |            - CAST(sum_y AS DOUBLE)*CAST(sum_y AS DOUBLE))) AS corr_xy
         |FROM m ORDER BY l_returnflag""".stripMargin,
+    "q_skew_kurt" ->
+      """WITH a AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x*x) AS BIGINT) AS sxx,
+        |    CAST(sum(x*x*x) AS BIGINT) AS sxxx,
+        |    CAST(sum(x*x*x*x) AS BIGINT) AS sxxxx
+        |  FROM (SELECT l_returnflag, CAST(floor(l_quantity) AS BIGINT) AS x
+        |        FROM lineitem)
+        |  GROUP BY l_returnflag),
+        |b AS (SELECT *, CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m FROM a),
+        |c AS (SELECT *,
+        |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - m * m AS m2,
+        |    CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 3.0 * m * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 2.0 * m * m * m AS m3,
+        |    CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - 4.0 * m * (CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      + 6.0 * m * m * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE))
+        |      - 3.0 * m * m * m * m AS m4
+        |  FROM b)
+        |SELECT l_returnflag, n, sx, sxx,
+        |  CAST(floor(1000000.0 * (m3 / (m2 * sqrt(m2)))) AS BIGINT)
+        |    AS skew_e6,
+        |  CAST(floor(1000000.0 * (m4 / (m2 * m2) - 3.0)) AS BIGINT)
+        |    AS kurt_e6
+        |FROM c
+        |WHERE CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_geomean" ->
+      """WITH b AS (SELECT p_brand,
+        |    CAST(floor(1000000.0 * ln(CAST(CAST(round(p_retailprice * 100.0)
+        |      AS BIGINT) AS DOUBLE) / 100.0)) AS BIGINT) AS lp
+        |  FROM part),
+        |g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(lp) AS BIGINT) AS slp FROM b GROUP BY 1)
+        |SELECT p_brand, n,
+        |  CAST(floor(100.0 * exp(CAST(slp AS DOUBLE) / 1000000.0
+        |    / CAST(n AS DOUBLE))) AS BIGINT) AS geomean_cents
+        |FROM g ORDER BY p_brand""".stripMargin,
     "q_cond_agg" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  count(*) FILTER (WHERE o_totalprice > 100000.0) AS n_big,

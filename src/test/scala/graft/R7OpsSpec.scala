@@ -258,6 +258,40 @@ class R7OpsSpec extends AnyFunSuite {
     assert(r.getLong(4) == 1000000L * tp / (tp + fn))
   }
 
+  test("q_skew_kurt: ratios match a plain-double recompute from raw values") {
+    val rows = q("q_skew_kurt").collect()
+    assert(rows.nonEmpty)
+    val raw = graft.model.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), floor(col("l_quantity")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    rows.foreach { r =>
+      val xs = raw.filter(_._1 == r.getString(0)).map(_._2.toDouble)
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      val m2 = xs.map(x => (x - m) * (x - m)).sum / n
+      val m3 = xs.map(x => math.pow(x - m, 3)).sum / n
+      val m4 = xs.map(x => math.pow(x - m, 4)).sum / n
+      assert(math.abs(r.getLong(4) / 1e6 - m3 / (m2 * math.sqrt(m2))) < 1e-3,
+        s"${r.getString(0)}: skew mismatch")
+      assert(math.abs(r.getLong(5) / 1e6 - (m4 / (m2 * m2) - 3.0)) < 1e-3,
+        s"${r.getString(0)}: kurtosis mismatch")
+    }
+  }
+
+  test("q_geomean: geometric mean sits between min and arithmetic mean") {
+    val rows = q("q_geomean").collect()
+    val prices = graft.model.Tables.part(spark, sf)
+      .select(col("p_brand"),
+        round(col("p_retailprice") * 100.0).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    rows.foreach { r =>
+      val ps = prices.filter(_._1 == r.getString(0)).map(_._2)
+      val gm = r.getLong(2)
+      assert(gm >= ps.min - 1 && gm <= ps.sum / ps.length + 1,
+        s"${r.getString(0)}: geomean $gm outside [min, arith-mean]")
+    }
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
