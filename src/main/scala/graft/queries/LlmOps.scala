@@ -673,6 +673,47 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** T5-style span corruption: ~10% of token positions open a 3-token
+    * mask span (overlaps merge), each merged span replaced by a
+    * numbered `<extra_id_k>` sentinel — the denoising-objective
+    * augmentation next to `q_token_dropout`'s i.i.d. deletion. Spans
+    * are md5 position draws (RNG-free, identical both engines);
+    * membership is a DIRECT recompute of the ≤2 predecessor draws (no
+    * self-join); sentinel numbering is one doc-partitioned running
+    * count; the rebuild is the dropout key's order-exact sort_array +
+    * ordered join. Everything shards by document.
+    */
+  private val qSpanMask: Q = (s, d) => {
+    def hppm(p: org.apache.spark.sql.Column) =
+      pmod(conv(substring(md5(concat(col("doc_id").cast("string"), lit("#"),
+        p.cast("string"))), 1, 8), 16, 10).cast("long"), lit(100L))
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .filter(col("tok") =!= "")
+      .withColumn("pos", col("p").cast("long") + 1L)
+    val flagged = toks
+      .withColumn("st", hppm(col("pos")) < 10L)
+      .withColumn("st1", col("pos") >= 2L && hppm(col("pos") - 1L) < 10L)
+      .withColumn("st2", col("pos") >= 3L && hppm(col("pos") - 2L) < 10L)
+      .withColumn("masked", col("st") || col("st1") || col("st2"))
+      .withColumn("sentinel", col("st") && !col("st1") && !col("st2"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("sent_idx", sum(col("sentinel").cast("long")).over(w))
+      .withColumn("out",
+        when(col("sentinel"), concat(lit("<extra_id_"),
+          (col("sent_idx") - 1L).cast("string"), lit(">")))
+          .when(!col("masked"), col("tok")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("masked").cast("long")).as("n_masked"),
+        sum(col("sentinel").cast("long")).as("n_spans"),
+        array_join(transform(array_sort(collect_list(
+          when(col("out").isNotNull, struct(col("pos"), col("out"))))),
+          x => x.getField("out")), " ").as("masked_text"))
+      .orderBy("doc_id")
+  }
+
   /** Curriculum ordering: the full corpus ranked highest-quality-first
     * (the `q_quality_score` heuristic) with a 3-phase bucket — the
     * schedule a curriculum-learning trainer consumes (clean text
@@ -1663,6 +1704,7 @@ object LlmOps {
     "q_kmeans" -> qKmeans,
     "q_keyphrases" -> qKeyphrases,
     "q_token_dropout" -> qTokenDropout,
+    "q_span_mask" -> qSpanMask,
     "q_curriculum_order" -> qCurriculumOrder,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
@@ -2637,6 +2679,34 @@ object LlmOps {
         |  coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
         |    ORDER BY pos), '') AS aug_text
         |FROM k GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "q_span_mask" ->
+      """WITH toks AS (SELECT doc_id, tok, pos FROM
+        |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+        |       CAST(generate_subscripts(string_split(text, ' '), 1)
+        |         AS BIGINT) AS pos
+        |     FROM documents) WHERE tok <> ''),
+        |f AS (SELECT doc_id, tok, pos,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(pos AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 AS st,
+        |    pos >= 2 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(pos - 1 AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 AS st1,
+        |    pos >= 3 AND ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+        |      || CAST(pos - 2 AS VARCHAR)), 1, 8))::BIGINT % 100 < 10 AS st2
+        |  FROM toks),
+        |g AS (SELECT *, st OR st1 OR st2 AS masked,
+        |    st AND NOT st1 AND NOT st2 AS sentinel FROM f),
+        |h AS (SELECT *, sum(CASE WHEN sentinel THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY doc_id ORDER BY pos) AS sent_idx FROM g),
+        |o AS (SELECT doc_id, pos, masked, sentinel,
+        |    CASE WHEN sentinel THEN '<extra_id_'
+        |        || CAST(sent_idx - 1 AS VARCHAR) || '>'
+        |      WHEN NOT masked THEN tok END AS out
+        |  FROM h)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(CASE WHEN sentinel THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+        |  coalesce(string_agg(out, ' ' ORDER BY pos), '') AS masked_text
+        |FROM o GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "q_curriculum_order" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
         |  FROM documents),

@@ -570,6 +570,22 @@ object SqlSurface {
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY ALL""".stripMargin
 
+  /** DuckDB/Postgres `DISTINCT ON` — first row per key under an explicit
+    * order — which Spark SQL lacks as syntax: the translation is a
+    * row_number window over (key, fully tie-broken order) with rn = 1,
+    * which Spark plans as WindowGroupLimit (rank pushed below the
+    * exchange, never a full per-group sort+discard). The oracle runs the
+    * NATIVE `DISTINCT ON` syntax, pinning the dialect mapping exactly.
+    */
+  private val sqlDistinctOnSparkSql: String =
+    """SELECT o_custkey, last_date, last_orderkey FROM (
+      |  SELECT o_custkey, o_orderdate AS last_date,
+      |    o_orderkey AS last_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
   /** Inline VALUES table joined against a fact — the literal seed-table
     * idiom (tier mappings, feature flags, category rollups shipped in
     * the query text). Same text both engines: the parser must agree on
@@ -605,6 +621,7 @@ object SqlSurface {
   val registry: Map[String, Q] = Map(
     "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
     "q_sql_order_by_all" -> sqlKey(sqlOrderByAllSql),
+    "q_sql_distinct_on" -> sqlKey(sqlDistinctOnSparkSql),
     "q_sql_values" -> sqlKey(sqlValuesSql),
     "q_sql_pivot" -> qSqlPivot,
     "q_sql_window" -> sqlKey(sqlWindowSql),
@@ -643,6 +660,11 @@ object SqlSurface {
   val oracle: Map[String, String] = Map(
     "q_sql_groupby_all" -> sqlGroupByAllSql,
     "q_sql_order_by_all" -> sqlOrderByAllSql,
+    "q_sql_distinct_on" ->
+      """SELECT DISTINCT ON (o_custkey) o_custkey,
+        |  o_orderdate AS last_date, o_orderkey AS last_orderkey
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC""".stripMargin,
     "q_sql_values" -> sqlValuesSql,
     "q_sql_pivot" ->
       """SELECT o_orderpriority AS prio,

@@ -292,6 +292,34 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_span_mask: sentinels number contiguously; mask covers sentinel spans") {
+    val rows = q("q_span_mask").collect()
+    assert(rows.nonEmpty)
+    var sawSpan = false
+    rows.foreach { r =>
+      val (n, masked, spans, text) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))
+      // chained overlapping starts merge into one sentinel but extend
+      // the mask, so the only universal width law is spans ≤ masked ≤ n
+      assert(spans <= masked && masked <= n,
+        s"doc ${r.getLong(0)}: spans $spans / masked $masked / n $n inconsistent")
+      val sentinels = "<extra_id_(\\d+)>".r.findAllMatchIn(text)
+        .map(_.group(1).toInt).toSeq
+      assert(sentinels == (0 until spans.toInt),
+        s"doc ${r.getLong(0)}: sentinel numbering $sentinels != 0..${spans - 1}")
+      if (spans > 0) sawSpan = true
+    }
+    assert(sawSpan, "fixture produced no spans — mask rate degenerate")
+  }
+
+  test("q_sql_distinct_on: one row per customer, the max-order row") {
+    val rows = q("q_sql_distinct_on").collect()
+    val custs = graft.model.Tables.orders(spark, sf)
+      .select("o_custkey").distinct().count()
+    assert(rows.length == custs)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
