@@ -482,6 +482,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("join strategy hints steer the physical join as documented") {
+    import org.apache.spark.sql.functions.col
+    // the escape hatch when stats mislead the planner at 100 TB: a
+    // SHUFFLE_HASH hint avoids sorting a huge-but-hashable side; MERGE
+    // forces the sort-merge path; the hint column API must keep working
+    val o = graft.model.Tables.orders(spark, sf)
+    val c = graft.model.Tables.customer(spark, sf)
+    val hashed = o.join(c.hint("shuffle_hash"),
+      col("o_custkey") === col("c_custkey"))
+    assert(hashed.queryExecution.executedPlan.toString
+      .contains("ShuffledHashJoin"), "shuffle_hash hint ignored")
+    val merged = o.join(c.hint("merge"), col("o_custkey") === col("c_custkey"))
+    assert(merged.queryExecution.executedPlan.toString
+      .contains("SortMergeJoin"), "merge hint ignored")
+    val n = hashed.count()
+    assert(n == merged.count() && n > 0)
+  }
+
+  test("Observation metrics ride the job without a second scan") {
+    import org.apache.spark.sql.functions.col
+    // df.observe collects aggregates as a side effect of the SAME pass —
+    // the monitoring hook a pipeline uses instead of re-scanning to
+    // count rows it just wrote
+    val obs = new org.apache.spark.sql.Observation("ingest")
+    val df = graft.model.Tables.orders(spark, sf)
+      .observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.sum(col("o_totalprice")).as("gross"))
+    val written = df.count()
+    val got = obs.get
+    assert(got("n_rows") == written)
+    assert(got("gross").asInstanceOf[Double] > 0.0)
+  }
+
   test("registry-wide: every key plans without a CartesianProduct") {
     // The per-key guards above pin the join SHAPE of the keys where it
     // was designed; this sweep pins the one property that must hold for
