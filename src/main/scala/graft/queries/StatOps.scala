@@ -1001,7 +1001,48 @@ object StatOps {
       .orderBy("a")
   }
 
+  /** Cochran–Armitage trend test: does urgent-order conversion rise
+    * MONOTONICALLY across spend deciles? `q_rank_auc` asks whether
+    * ranks separate at all; this scores the ordered dose-response with
+    * integer decile weights w∈0..9. The n-scaled statistic
+    * A = n·Σw·conv − K·Σw and the variance core B = n·Σw² − (Σw)² are
+    * exact BIGINT (headroom: every product ≤ 9²·n², under 2⁶³ to
+    * n ≈ 3·10⁸ customers; past that promote to DECIMAL(38,0) — the
+    * q_grouped_regression point); z² = A²·n / (K·(n−K)·B) is ONE
+    * mirrored float sequence.
+    */
+  private val qCochranArmitage: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"), sum("conv").as("k_tot"))
+    val g = ranked.crossJoin(broadcast(tot))
+      .select(expr("(CAST(rnk AS BIGINT) - 1) * 10 DIV n_cust").as("w"),
+        col("conv"), col("n_cust"), col("k_tot"))
+      .groupBy("n_cust", "k_tot")
+      .agg(sum(col("w") * col("conv")).as("swk"), sum("w").as("swn"),
+        sum(col("w") * col("w")).as("sw2n"))
+      .select(col("n_cust"), col("k_tot"),
+        (col("n_cust") * col("swk") - col("k_tot") * col("swn"))
+          .as("trend_a"),
+        (col("n_cust") * col("sw2n") - col("swn") * col("swn")).as("b"))
+    g.filter(col("k_tot") > 0L && col("k_tot") < col("n_cust") &&
+        col("b") > 0L)
+      .select(col("n_cust"), col("k_tot"), col("trend_a"),
+        floor(lit(1000000.0) *
+          (col("trend_a").cast("double") * col("trend_a").cast("double") *
+            col("n_cust").cast("double")) /
+          (col("k_tot").cast("double") *
+            (col("n_cust").cast("double") - col("k_tot").cast("double")) *
+            col("b").cast("double"))).cast("long").as("z2_e6"))
+      .orderBy("n_cust")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_cochran_armitage" -> qCochranArmitage,
     "q_theil_sen" -> qTheilSen,
     "q_mann_kendall" -> qMannKendall,
     "q_kendall_tau" -> qKendallTau,
@@ -1566,6 +1607,39 @@ object StatOps {
         |  CAST(dev > mad * 3.0 AS INTEGER) AS anom
         |FROM dev JOIN mad ON dev.dow = mad.dow
         |ORDER BY day""".stripMargin,
+    "q_cochran_armitage" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(conv) AS BIGINT) AS k_tot FROM spend),
+        |dec AS (SELECT (rnk - 1) * 10 // n_cust AS w, conv, n_cust, k_tot
+        |  FROM ranked CROSS JOIN tot),
+        |g AS (SELECT n_cust, k_tot,
+        |    CAST(sum(w * conv) AS BIGINT) AS swk,
+        |    CAST(sum(w) AS BIGINT) AS swn,
+        |    CAST(sum(w * w) AS BIGINT) AS sw2n
+        |  FROM dec GROUP BY 1, 2),
+        |a AS (SELECT n_cust, k_tot,
+        |    CAST(n_cust * swk - k_tot * swn AS BIGINT) AS trend_a,
+        |    CAST(n_cust * sw2n - swn * swn AS BIGINT) AS b
+        |  FROM g)
+        |SELECT n_cust, k_tot, trend_a,
+        |  CAST(floor(1000000.0 *
+        |    (CAST(trend_a AS DOUBLE) * CAST(trend_a AS DOUBLE)
+        |      * CAST(n_cust AS DOUBLE)) /
+        |    (CAST(k_tot AS DOUBLE)
+        |      * (CAST(n_cust AS DOUBLE) - CAST(k_tot AS DOUBLE))
+        |      * CAST(b AS DOUBLE))) AS BIGINT) AS z2_e6
+        |FROM a WHERE k_tot > 0 AND k_tot < n_cust AND b > 0
+        |ORDER BY n_cust""".stripMargin,
     "q_hhi" ->
       """WITH spend AS (SELECT c_mktsegment AS seg, o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)

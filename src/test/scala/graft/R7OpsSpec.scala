@@ -320,6 +320,34 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("q_cochran_armitage: statistic matches a plain-double recompute") {
+    val rows = q("q_cochran_armitage").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (n, k, a, z2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // independent replay: deciles from the same rank rule
+    val spend = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+      .collect().map(x => (x.getLong(1), x.getLong(2), x.getLong(0)))
+    val ranked = spend.sortBy(x => (-x._1, x._3)).zipWithIndex
+    val ws = ranked.map { case ((_, conv, _), i) =>
+      ((i.toLong * 10) / spend.length, conv)
+    }
+    val swk = ws.map { case (w, c) => w * c }.sum
+    val swn = ws.map(_._1).sum
+    val sw2 = ws.map(w => w._1 * w._1).sum
+    val nn = spend.length.toLong
+    val kk = ws.map(_._2).sum
+    assert(nn == n && kk == k)
+    assert(a == nn * swk - kk * swn, "trend numerator mismatch")
+    val b = nn * sw2 - swn * swn
+    val z2d = 1e6 * (a.toDouble * a.toDouble * nn.toDouble) /
+      (kk.toDouble * (nn - kk).toDouble * b.toDouble)
+    assert(math.abs(z2 - math.floor(z2d)) <= 1, s"z2 $z2 vs $z2d")
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
