@@ -168,7 +168,43 @@ object FeatureOps {
       .orderBy("brand")
   }
 
+  /** Neyman optimal sampling allocation: split a 10,000-row labeling/
+    * eval budget across customer segments ∝ N_h·σ_h — the design that
+    * minimizes the stratified estimator's variance (big AND noisy
+    * strata get the samples; `q_stratified_split` allocates
+    * proportionally, ignoring σ). With full-population strata,
+    * N_h·σ_h = √(N_h·Σx² − (Σx)²) from exact moments (DECIMAL(38,0)
+    * cross products — n·Σx² overflows BIGINT at this price range); the
+    * weight is floored to an INTEGER per stratum BEFORE the cross-
+    * stratum sum, so the allocation denominator is order-independent
+    * (the per-term-floor discipline), and the allocation itself is
+    * pure integer DIV. Σalloc ≤ budget by construction.
+    */
+  private val qNeymanAlloc: Q = (s, d) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("seg"), round(col("o_totalprice")).cast("long").as("x"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n_h"), sum("x").as("sx"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+      .select(col("seg"), col("n_h"),
+        (dec(col("n_h")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
+          .as("v"))
+      .filter(col("v") > 0)
+      .select(col("seg"), col("n_h"),
+        floor(sqrt(col("v").cast("double"))).cast("long").as("neyman_w"))
+    val tot = m.agg(sum("neyman_w").as("wtot"))
+    m.crossJoin(broadcast(tot))
+      .select(col("seg"), col("n_h"), col("neyman_w"),
+        expr("10000 * neyman_w DIV wtot").as("alloc"))
+      .orderBy("seg")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_neyman_alloc" -> qNeymanAlloc,
     "q_rare_collapse" -> qRareCollapse,
     "q_stratified_split" -> qStratifiedSplit,
     "q_kfold_assign" -> qKfoldAssign,
@@ -179,6 +215,24 @@ object FeatureOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_neyman_alloc" ->
+      """WITH m AS (SELECT c_mktsegment AS seg, count(*) AS n_h,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+        |  FROM (SELECT c_mktsegment,
+        |      CAST(round(o_totalprice) AS BIGINT) AS x
+        |    FROM orders JOIN customer ON o_custkey = c_custkey)
+        |  GROUP BY 1),
+        |v AS (SELECT seg, n_h,
+        |    CAST(n_h AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS v
+        |  FROM m),
+        |w AS (SELECT seg, CAST(n_h AS BIGINT) AS n_h,
+        |    CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS neyman_w
+        |  FROM v WHERE v > 0),
+        |t AS (SELECT CAST(sum(neyman_w) AS BIGINT) AS wtot FROM w)
+        |SELECT seg, n_h, neyman_w,
+        |  CAST(10000 * neyman_w // wtot AS BIGINT) AS alloc
+        |FROM w CROSS JOIN t ORDER BY seg""".stripMargin,
     "q_rare_collapse" ->
       """WITH g AS (SELECT p_brand AS brand, CAST(count(*) AS BIGINT) AS n
         |  FROM part GROUP BY 1),

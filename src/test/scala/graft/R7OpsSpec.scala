@@ -348,6 +348,27 @@ class R7OpsSpec extends AnyFunSuite {
     assert(math.abs(z2 - math.floor(z2d)) <= 1, s"z2 $z2 vs $z2d")
   }
 
+  test("q_neyman_alloc: budget conserved within flooring; weights match recompute") {
+    val rows = q("q_neyman_alloc").collect()
+    assert(rows.nonEmpty)
+    val alloc = rows.map(_.getLong(3)).sum
+    assert(alloc <= 10000 && alloc > 10000 - 5 * rows.length,
+      s"allocation total $alloc implausible for ${rows.length} strata")
+    val raw = graft.model.Tables.orders(spark, sf)
+      .join(graft.model.Tables.customer(spark, sf),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), round(col("o_totalprice")).cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    rows.foreach { r =>
+      val xs = raw.filter(_._1 == r.getString(0)).map(_._2)
+      val n = BigInt(xs.length)
+      val v = n * xs.map(x => BigInt(x) * BigInt(x)).sum -
+        BigInt(xs.sum) * BigInt(xs.sum)
+      assert(r.getLong(2) == math.floor(math.sqrt(v.toDouble)).toLong,
+        s"${r.getString(0)}: weight mismatch")
+    }
+  }
+
   test("q_ppl_filter: retention keeps at least the below-cut three quarters") {
     val rows = q("q_ppl_filter").collect()
     assert(rows.nonEmpty)
