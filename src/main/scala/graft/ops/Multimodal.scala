@@ -213,7 +213,12 @@ object Multimodal {
     * a truncated plane — a silent partial decode would poison the
     * downstream stats exactly like a truncated PPM plane would.
     */
-  private[graft] def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+  /** Shared RIFF/WAVE chunk walk: validates magic and the PCM fmt block
+    * against this fixture's 8-bit-stereo profile and returns
+    * (sampleRate, dataOff, frames). Fail-loud throughout — a silent
+    * partial parse would poison every downstream stat.
+    */
+  private def parseWav(id: Long, bytes: Array[Byte]): (Int, Int, Int) = {
     require(bytes.length >= 12 &&
       bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
       bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
@@ -247,7 +252,11 @@ object Multimodal {
     require(bits == 8 && channels == 2,
       s"media $id: fixture profile is 8-bit stereo, got $bits-bit $channels-ch")
     require(dataLen % 2 == 0, s"media $id: odd stereo sample count")
-    val frames = dataLen / 2
+    (sampleRate, dataOff, dataLen / 2)
+  }
+
+  private[graft] def decodeWav(id: Long, bytes: Array[Byte]): WavStats = {
+    val (sampleRate, dataOff, frames) = parseWav(id, bytes)
     var sl = 0L; var srr = 0L
     var i = 0
     while (i < frames) {
@@ -255,7 +264,51 @@ object Multimodal {
       srr += bytes(dataOff + 2 * i + 1) & 0xff
       i += 1
     }
-    WavStats(id, sampleRate, channels, bits, frames, sl, srr)
+    WavStats(id, sampleRate, 2, 8, frames, sl, srr)
+  }
+
+  case class WavDsp(media_id: Long, n_frames: Long,
+                    energy_l: Long, energy_r: Long,
+                    zc_l: Long, zc_r: Long, peak_l: Int, peak_r: Int)
+
+  /** REAL audio feature extraction over the decoded PCM plane: per-channel
+    * signal energy Σ(s−128)² (8-bit PCM is unsigned, 128 = silence),
+    * zero-crossing count (adjacent frames on OPPOSITE sides of the
+    * midline under the deterministic `< 128` partition — no ambiguous
+    * "equals zero" case), and peak amplitude max|s−128| — the
+    * RMS-energy / ZCR / peak trio every audio-curation pipeline
+    * computes before filtering silence or clipped clips. All three are
+    * exact integers off one pass per channel.
+    */
+  private[graft] def decodeWavDsp(id: Long, bytes: Array[Byte]): WavDsp = {
+    val (_, dataOff, frames) = parseWav(id, bytes)
+    var el = 0L; var er = 0L; var zl = 0L; var zr = 0L
+    var pl = 0; var pr = 0
+    var i = 0
+    while (i < frames) {
+      val l = (bytes(dataOff + 2 * i) & 0xff) - 128
+      val r = (bytes(dataOff + 2 * i + 1) & 0xff) - 128
+      el += l.toLong * l; er += r.toLong * r
+      if (math.abs(l) > pl) pl = math.abs(l)
+      if (math.abs(r) > pr) pr = math.abs(r)
+      if (i + 1 < frames) {
+        val ln = (bytes(dataOff + 2 * (i + 1)) & 0xff) - 128
+        val rn = (bytes(dataOff + 2 * (i + 1) + 1) & 0xff) - 128
+        if ((l < 0) != (ln < 0)) zl += 1
+        if ((r < 0) != (rn < 0)) zr += 1
+      }
+      i += 1
+    }
+    WavDsp(id, frames, el, er, zl, zr, pl, pr)
+  }
+
+  /** Partition-batched audio features — same iterator shape as
+    * [[decodeWavFeatures]].
+    */
+  def wavDspFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[WavDsp] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => decodeWavDsp(id, bytes) })
   }
 
   /** Partition-batched WAV decode — same iterator shape as

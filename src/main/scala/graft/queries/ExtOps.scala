@@ -170,6 +170,45 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** REAL audio feature extraction: the same WAV fixture as
+    * `q_multimodal_wav` pushed through [[Multimodal.decodeWavDsp]] —
+    * per-channel signal energy Σ(s−128)², zero-crossing count under the
+    * deterministic `< 128` midline partition, and peak |s−128| — the
+    * RMS/ZCR/peak trio an audio-curation pipeline thresholds on before
+    * keeping a clip (silence ⇒ energy ≈ 0, clipping ⇒ peak = 128/127,
+    * noise ⇒ high ZCR). Unlike the `q_multimodal_wav` fixture (pure
+    * ASCII bytes — all below the midline, so crossings would be
+    * trivially zero and the ZCR logic unpinned), this fixture adds a
+    * cycling (j%3)·64 offset mod 256 so samples genuinely cross 128.
+    * The oracle recomputes all six stats from the construction rule
+    * alone, so an off-by-one in the frame pairing or a channel swap
+    * hash-mismatches. Everything is exact integer.
+    */
+  private val qAudioFeatures: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sr = (8000 + id % 8000).toInt
+        val frames = (50 + id % 100).toInt
+        val samples = new Array[Byte](frames * 2)
+        var j = 0
+        while (j < samples.length) {
+          samples(j) =
+            ((text.charAt(j % text.length) + (j % 3) * 64) % 256).toByte
+          j += 1
+        }
+        (id, Multimodal.buildWavPcm8Stereo(sr, samples))
+      }
+    Multimodal.wavDspFeatures(media)
+      .select(col("media_id"), col("n_frames"),
+        col("energy_l"), col("energy_r"), col("zc_l"), col("zc_r"),
+        col("peak_l"), col("peak_r"))
+      .orderBy(col("media_id"))
+  }
+
   /** Custom DataSourceV2 scan (the REST-source shape, SURVEY.md §2.A S1):
     * page-partitioned batch read through the connector API.
     */
@@ -187,6 +226,7 @@ object ExtOps {
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_phash" -> qMultimodalPhash,
     "q_multimodal_wav" -> qMultimodalWav,
+    "q_audio_features" -> qAudioFeatures,
     "q_dsv2_source" -> qDsv2Source,
   )
 
@@ -261,6 +301,32 @@ object ExtOps {
         |  CAST(sum(CASE WHEN i % 2 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_l,
         |  CAST(sum(CASE WHEN i % 2 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_r
         |FROM s GROUP BY 1, 2, 3, 4, 5 ORDER BY media_id""".stripMargin,
+    "q_audio_features" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    50 + doc_id % 100 AS nf
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |s AS (SELECT doc_id, nf, i,
+        |    (ord(substr(text, CAST(i % len AS INT) + 1, 1))
+        |      + (i % 3) * 64) % 256 - 128 AS v,
+        |    CASE WHEN i + 2 < nf * 2 THEN
+        |      (ord(substr(text, CAST((i + 2) % len AS INT) + 1, 1))
+        |        + ((i + 2) % 3) * 64) % 256 - 128
+        |    END AS v2
+        |  FROM d, LATERAL (SELECT unnest(range(nf * 2)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST(sum(CASE WHEN i % 2 = 0 THEN v * v ELSE 0 END) AS BIGINT)
+        |    AS energy_l,
+        |  CAST(sum(CASE WHEN i % 2 = 1 THEN v * v ELSE 0 END) AS BIGINT)
+        |    AS energy_r,
+        |  CAST(sum(CASE WHEN i % 2 = 0 AND v2 IS NOT NULL
+        |    AND ((v < 0) != (v2 < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc_l,
+        |  CAST(sum(CASE WHEN i % 2 = 1 AND v2 IS NOT NULL
+        |    AND ((v < 0) != (v2 < 0)) THEN 1 ELSE 0 END) AS BIGINT) AS zc_r,
+        |  CAST(max(CASE WHEN i % 2 = 0 THEN abs(v) END) AS INT) AS peak_l,
+        |  CAST(max(CASE WHEN i % 2 = 1 THEN abs(v) END) AS INT) AS peak_r
+        |FROM s GROUP BY 1, 2 ORDER BY media_id""".stripMargin,
     "q_multimodal_phash" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h

@@ -1640,7 +1640,49 @@ object LlmOps {
       .orderBy("n")
   }
 
+  /** Jensen–Shannon divergence of each source's unigram distribution
+    * from the corpus-wide one — the bounded, symmetric corpus-mix
+    * monitor (JSD ∈ [0, ln 2]; `q_psi_drift` screens one scalar
+    * feature, this compares whole token distributions, the quantity a
+    * pretraining-mix dashboard tracks per source). Per-(source, token)
+    * contributions ½·p·ln(p/m) + ½·q·ln(q/m) with m = (p+q)/2 floor to
+    * e9 BEFORE the per-source sum (the q_mutual_info per-term
+    * discipline — the integer sum is order-independent; each term is
+    * ONE mirrored float sequence). The q-side term exists even where
+    * the source never emits the token, so the term grid is sources ×
+    * vocab — built from a broadcast of the vocab-sized totals table,
+    * bounded by |vocab|·|sources|, never corpus-sized; the only
+    * corpus-sized work is the one (source, token) count shuffle.
+    */
+  private val qJsDivergence: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"),
+        explode(graft.ops.TextStats.tokens(col("text"))).as("tok"))
+    val cts = toks.groupBy("source", "tok").agg(count(lit(1)).as("cts"))
+    val ct = cts.groupBy("tok").agg(sum("cts").as("ct"))
+    val ns = cts.groupBy("source").agg(sum("cts").as("ns"))
+    val nn = ct.agg(sum("ct").as("nn"))
+    val grid = ns.crossJoin(broadcast(ct))
+      .join(cts, Seq("source", "tok"), "left")
+      .na.fill(0L, Seq("cts"))
+      .crossJoin(broadcast(nn))
+    val p = col("cts").cast("double") / col("ns").cast("double")
+    val q = col("ct").cast("double") / col("nn").cast("double")
+    val m = (p + q) / lit(2.0)
+    val terms = grid.select(col("source"), col("ns"),
+      floor(lit(500000000.0) * (
+        when(col("cts") > 0L, p * log(p / m)).otherwise(lit(0.0)) +
+          q * log(q / m)
+      )).cast("long").as("term_e9"))
+    terms.groupBy("source", "ns")
+      .agg(count(lit(1)).as("vocab"), sum("term_e9").as("jsd_e9"))
+      .select(col("source"), col("ns").as("n_tokens"), col("vocab"),
+        col("jsd_e9"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_js_divergence" -> qJsDivergence,
     "q_heaps_law" -> qHeapsLaw,
     "q_zipf_slope" -> qZipfSlope,
     "q_decontaminate" -> qDecontaminate,
@@ -1965,6 +2007,37 @@ object LlmOps {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_js_divergence" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cts
+        |  FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT tok, CAST(sum(cts) AS BIGINT) AS ct
+        |  FROM cts GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(cts) AS BIGINT) AS ns
+        |  FROM cts GROUP BY 1),
+        |nn AS (SELECT CAST(sum(ct) AS BIGINT) AS nn FROM ct),
+        |grid AS (SELECT ns.source, ns.ns, ct.tok, ct.ct,
+        |    coalesce(cts.cts, 0) AS cts
+        |  FROM ns CROSS JOIN ct
+        |  LEFT JOIN cts ON cts.source = ns.source AND cts.tok = ct.tok),
+        |t AS (SELECT source, ns,
+        |    CAST(floor(500000000.0 * (
+        |      CASE WHEN cts > 0 THEN
+        |        (CAST(cts AS DOUBLE) / CAST(ns AS DOUBLE)) *
+        |          ln((CAST(cts AS DOUBLE) / CAST(ns AS DOUBLE)) /
+        |            (((CAST(cts AS DOUBLE) / CAST(ns AS DOUBLE)) +
+        |              (CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))) / 2.0))
+        |      ELSE 0.0 END +
+        |      (CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)) *
+        |        ln((CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE)) /
+        |          (((CAST(cts AS DOUBLE) / CAST(ns AS DOUBLE)) +
+        |            (CAST(ct AS DOUBLE) / CAST(nn AS DOUBLE))) / 2.0))
+        |    )) AS BIGINT) AS term_e9
+        |  FROM grid CROSS JOIN nn)
+        |SELECT source, ns AS n_tokens, CAST(count(*) AS BIGINT) AS vocab,
+        |  CAST(sum(term_e9) AS BIGINT) AS jsd_e9
+        |FROM t GROUP BY 1, 2 ORDER BY source""".stripMargin,
     "q_heaps_law" ->
       """WITH dr AS (SELECT doc_id,
         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -1041,7 +1041,104 @@ object StatOps {
       .orderBy("n_cust")
   }
 
+  /** Decision-stump split search: among the 9 decile-boundary candidate
+    * cuts over customer spend, which threshold best separates urgent-
+    * order converters (minimum population-weighted Gini impurity)? The
+    * one-node tree every feature-screening pass fits first — and the
+    * integer sibling of `q_gains_deciles`' chart (that key reports per-
+    * decile capture; this one picks the operating point). Cells come
+    * from the cumulative of the 10-row decile table (the only window
+    * scans 10 rows); each side's impurity 2·10⁶·k(n−k) DIV n² floors
+    * independently, then weights by population and floors once more —
+    * all BIGINT (headroom: 2·10⁶·n²/4 < 2⁶³ to n ≈ 4.3·10⁶ per side;
+    * past that promote to DECIMAL(38,0), the q_rank_auc point). Best
+    * cut = lexicographic min over (impurity, cut) — deterministic under
+    * impurity ties.
+    */
+  private val qBestSplit: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"),
+        max((col("o_orderpriority") === "1-URGENT").cast("long")).as("conv"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"), sum("conv").as("k_tot"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .select(expr("(CAST(rnk AS BIGINT) - 1) * 10 DIV n_cust").as("decile"),
+        col("conv"), col("n_cust"), col("k_tot"))
+      .groupBy("decile", "n_cust", "k_tot")
+      .agg(count(lit(1)).as("n"), sum("conv").as("k"))
+    // cumulative + argmin over the 10-row decile table — tiny by
+    // construction, so the global window is safe (the q_gains_deciles
+    // cardinality argument)
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = dec
+      .withColumn("nl", sum("n").over(w))
+      .withColumn("kl", sum("k").over(w))
+      .filter(col("decile") < 9L)
+      .select(col("decile").as("cut_after_decile"), col("n_cust"),
+        col("k_tot"), col("nl"), col("kl"),
+        (col("n_cust") - col("nl")).as("nr"),
+        (col("k_tot") - col("kl")).as("kr"))
+      .withColumn("gl_e6", expr("2000000 * kl * (nl - kl) DIV (nl * nl)"))
+      .withColumn("gr_e6", expr(
+        "CASE WHEN nr > 0 THEN 2000000 * kr * (nr - kr) DIV (nr * nr) " +
+          "ELSE 0 END"))
+      .withColumn("wgini_e6", expr("(nl * gl_e6 + nr * gr_e6) DIV n_cust"))
+    val best = cand
+      .agg(min(struct(col("wgini_e6"), col("cut_after_decile"))).as("b"))
+      .select(col("b.cut_after_decile").as("best_cut"))
+    cand.crossJoin(broadcast(best))
+      .select(col("cut_after_decile"), col("nl"), col("kl"), col("nr"),
+        col("kr"), col("wgini_e6"),
+        expr("2000000 * k_tot * (n_cust - k_tot) DIV (n_cust * n_cust)")
+          .as("parent_gini_e6"),
+        (col("cut_after_decile") === col("best_cut")).cast("int")
+          .as("is_best"))
+      .orderBy("cut_after_decile")
+  }
+
+  /** Hill tail-index estimator over customer spend: how heavy is the
+    * whale tail? α⁻¹ = (1/k)·Σ_{i≤k} ln(x_(i)/x_(k+1)) over the k = 50
+    * largest spends against the (k+1)-th order statistic — the
+    * power-law exponent behind `q_pareto_share`'s one-decile snapshot
+    * (α ≈ 1 means the top handful carries everything; α large means
+    * thin tails). Each log ratio floors to e6 BEFORE the sum (the
+    * q_mutual_info per-term discipline — integer sum is order-
+    * independent); the mean and the α inversion are integer DIV. Ranks
+    * ride the distributed total-order rank; only k+1 head rows survive
+    * the filter, so everything after the rank pass is broadcast-sized.
+    */
+  private val qHillTail: Q = (s, d) => {
+    val k = 50
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      .filter(col("cents") > 0L)
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").desc, col("o_custkey").asc), "rnk")
+    val xref = ranked.filter(col("rnk") === lit(k + 1))
+      .select(col("cents").as("xref_cents"))
+    ranked.filter(col("rnk") <= lit(k))
+      .crossJoin(broadcast(xref))
+      .select(col("xref_cents"),
+        floor(lit(1000000.0) * log(col("cents").cast("double") /
+          col("xref_cents").cast("double"))).cast("long").as("term_e6"))
+      .groupBy("xref_cents")
+      .agg(count(lit(1)).as("k"), sum("term_e6").as("sum_term_e6"))
+      // an all-equal head (sum = 0) has no defined tail index — drop it
+      // identically on both engines rather than divide by zero
+      .filter(col("sum_term_e6") > 0L)
+      .select(col("k"), col("xref_cents"), col("sum_term_e6"),
+        expr("sum_term_e6 DIV k").as("hill_inv_e6"),
+        expr("1000000000000 DIV (sum_term_e6 DIV k)").as("alpha_e6"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_best_split" -> qBestSplit,
+    "q_hill_tail" -> qHillTail,
     "q_cochran_armitage" -> qCochranArmitage,
     "q_theil_sen" -> qTheilSen,
     "q_mann_kendall" -> qMannKendall,
@@ -1076,6 +1173,74 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_best_split" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents,
+        |    CAST(max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0
+        |      END) AS BIGINT) AS conv
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(conv) AS BIGINT) AS k_tot FROM spend),
+        |dec AS (SELECT (rnk - 1) * 10 // n_cust AS decile, conv, n_cust,
+        |    k_tot
+        |  FROM ranked CROSS JOIN tot),
+        |agg AS (SELECT decile, n_cust, k_tot,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS k
+        |  FROM dec GROUP BY 1, 2, 3),
+        |cum AS (SELECT decile, n_cust, k_tot,
+        |    CAST(sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS nl,
+        |    CAST(sum(k) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS kl
+        |  FROM agg),
+        |cand AS (SELECT decile AS cut_after_decile, n_cust, k_tot, nl, kl,
+        |    n_cust - nl AS nr, k_tot - kl AS kr
+        |  FROM cum WHERE decile < 9),
+        |g AS (SELECT *,
+        |    2000000 * kl * (nl - kl) // (nl * nl) AS gl_e6,
+        |    CASE WHEN nr > 0 THEN 2000000 * kr * (nr - kr) // (nr * nr)
+        |      ELSE 0 END AS gr_e6
+        |  FROM cand),
+        |gg AS (SELECT *, (nl * gl_e6 + nr * gr_e6) // n_cust AS wgini_e6
+        |  FROM g),
+        |best AS (SELECT cut_after_decile AS best_cut FROM gg
+        |  ORDER BY wgini_e6, cut_after_decile LIMIT 1)
+        |SELECT CAST(cut_after_decile AS BIGINT) AS cut_after_decile,
+        |  nl, kl, CAST(nr AS BIGINT) AS nr, CAST(kr AS BIGINT) AS kr,
+        |  CAST(wgini_e6 AS BIGINT) AS wgini_e6,
+        |  CAST(2000000 * k_tot * (n_cust - k_tot) // (n_cust * n_cust)
+        |    AS BIGINT) AS parent_gini_e6,
+        |  CAST(CASE WHEN cut_after_decile = best_cut THEN 1 ELSE 0 END
+        |    AS INT) AS is_best
+        |FROM gg CROSS JOIN best ORDER BY cut_after_decile""".stripMargin,
+    "q_hill_tail" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend WHERE cents > 0),
+        |xref AS (SELECT cents AS xref_cents FROM ranked WHERE rnk = 51),
+        |terms AS (SELECT xref_cents,
+        |    CAST(floor(1000000.0 * ln(CAST(cents AS DOUBLE) /
+        |      CAST(xref_cents AS DOUBLE))) AS BIGINT) AS term_e6
+        |  FROM ranked CROSS JOIN xref WHERE rnk <= 50),
+        |a AS (SELECT xref_cents, CAST(count(*) AS BIGINT) AS k,
+        |    CAST(sum(term_e6) AS BIGINT) AS sum_term_e6
+        |  FROM terms GROUP BY 1)
+        |SELECT k, xref_cents, sum_term_e6,
+        |  CAST(sum_term_e6 // k AS BIGINT) AS hill_inv_e6,
+        |  CAST(1000000000000 // (sum_term_e6 // k) AS BIGINT) AS alpha_e6
+        |FROM a WHERE sum_term_e6 > 0 ORDER BY k""".stripMargin,
     "q_mann_kendall" ->
       """WITH daily AS (SELECT
         |    CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))

@@ -379,4 +379,80 @@ class R7OpsSpec extends AnyFunSuite {
       assert(ret == 1000000L * kept / n)
     }
   }
+
+  test("decodeWavDsp: energy/ZCR/peak match a hand computation; corpus crossings nonzero") {
+    import graft.ops.Multimodal
+    // L frames 100,150 → v=-28,22 (one crossing); R frames 200,50 →
+    // v=72,-78 (one crossing)
+    val samples = Array[Byte](100.toByte, 200.toByte, 150.toByte, 50.toByte)
+    val dsp = Multimodal.decodeWavDsp(1L,
+      Multimodal.buildWavPcm8Stereo(8000, samples))
+    assert(dsp.n_frames == 2)
+    assert(dsp.energy_l == 28L * 28 + 22L * 22)
+    assert(dsp.energy_r == 72L * 72 + 78L * 78)
+    assert(dsp.zc_l == 1 && dsp.zc_r == 1)
+    assert(dsp.peak_l == 28 && dsp.peak_r == 78)
+    // registry-level invariants: bounds + the fixture's whole POINT is
+    // that samples cross the midline, so crossings must appear somewhere
+    val rows = q("q_audio_features").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nf = r.getLong(1)
+      assert(r.getLong(2) <= nf * 128 * 128 && r.getLong(3) <= nf * 128 * 128)
+      assert(r.getLong(4) <= nf - 1 && r.getLong(5) <= nf - 1)
+      assert(r.getInt(6) <= 128 && r.getInt(7) <= 128)
+    }
+    assert(rows.map(_.getLong(4)).sum > 0, "no left-channel crossings anywhere")
+  }
+
+  test("q_best_split: exactly one best cut, cells conserve, best is the min") {
+    val rows = q("q_best_split").collect()
+    assert(rows.length == 9)
+    val totals = rows.map(r => (r.getLong(1) + r.getLong(3), r.getLong(2) + r.getLong(4))).distinct
+    assert(totals.length == 1, s"nl+nr / kl+kr not constant: ${totals.toSeq}")
+    val best = rows.filter(_.getInt(7) == 1)
+    assert(best.length == 1, "is_best must flag exactly one cut")
+    val minW = rows.map(_.getLong(5)).min
+    assert(best.head.getLong(5) == minW)
+    // Gini is concave: the best weighted child impurity cannot exceed the
+    // parent's by more than flooring slack (each side floors once, the
+    // weighting floors once → ≤ 2 ppm-units of slack)
+    assert(best.head.getLong(5) <= rows.head.getLong(6) + 2,
+      s"best wgini ${best.head.getLong(5)} above parent ${rows.head.getLong(6)}")
+  }
+
+  test("q_hill_tail: alpha inverts the mean log ratio; reference rank is the 51st") {
+    val rows = q("q_hill_tail").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 50, "k must be 50")
+    val (xref, sumTerm, inv, alpha) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(xref > 0 && sumTerm > 0)
+    assert(inv == sumTerm / 50)
+    assert(alpha == 1000000000000L / inv)
+    // top-50 spends all ≥ xref ⇒ every term ≥ 0 ⇒ mean ≤ max term
+    val top = graft.model.Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+      .orderBy(col("cents").desc, col("o_custkey").asc)
+      .limit(51).collect().map(_.getLong(1))
+    assert(top.last == xref, "xref must be the 51st spend")
+    val maxTerm = math.floor(1e6 * math.log(top.head.toDouble / xref)).toLong
+    assert(inv <= maxTerm, s"mean $inv above max term $maxTerm")
+  }
+
+  test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
+    val rows = q("q_js_divergence").collect()
+    assert(rows.nonEmpty)
+    val vocabs = rows.map(_.getLong(2)).distinct
+    assert(vocabs.length == 1, "every source must score the full corpus vocab")
+    val ln2e9 = (math.log(2.0) * 1e9).toLong
+    rows.foreach { r =>
+      val (vocab, jsd) = (r.getLong(2), r.getLong(3))
+      // true JSD ≥ 0 and each floored term undershoots by < 1 ⇒ sum ≥ −vocab
+      assert(jsd >= -vocab, s"${r.getString(0)}: jsd $jsd below flooring slack")
+      assert(jsd <= ln2e9, s"${r.getString(0)}: jsd $jsd above ln 2")
+    }
+  }
 }
