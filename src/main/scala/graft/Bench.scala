@@ -93,7 +93,8 @@ object Bench {
     "q_attribution_position", "q_hour_dow_heatmap", "q_dataset_card",
     "q_emb_dedup_eval", "q_skew_kurt", "q_geomean", "q_span_mask",
     "q_sql_distinct_on", "q_cochran_armitage", "q_neyman_alloc",
-    "q_audio_features", "q_best_split", "q_hill_tail", "q_js_divergence")
+    "q_audio_features", "q_best_split", "q_hill_tail", "q_js_divergence",
+    "q_lorenz_curve", "q_bhattacharyya", "q_markov_stationary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

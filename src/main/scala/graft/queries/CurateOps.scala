@@ -766,6 +766,48 @@ object CurateOps {
       .orderBy("bucket")
   }
 
+  /** Bhattacharyya coefficient (and Hellinger distance) between the
+    * BUILDING segment's order-value distribution and everyone else's —
+    * the bounded distribution-overlap monitor beside `q_psi_drift`'s
+    * unbounded divergence and `q_ks_test`'s max-gap statistic (BC ∈
+    * [0,1]: 1 = identical histograms, 0 = disjoint support; H =
+    * √(1−BC)). Same fixed-width $50k buckets as the PSI key (a monitor
+    * never estimates quantiles); proportions are exact integer ppm;
+    * each bucket's √(p_ppm·q_ppm) is ONE float sqrt over an exact ≤10¹²
+    * integer product (exactly representable in a double) floored to e6
+    * BEFORE the sum, so the BC total is order-independent — and ≤ 10⁶
+    * by Cauchy–Schwarz. Shape: two keyed counts + a bucket-sized
+    * full-outer join + one broadcast totals row.
+    */
+  private val qBhattacharyya: Q = (s, d) => {
+    val c = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"),
+          (col("c_mktsegment") === "BUILDING").as("is_a"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("is_a"),
+        expr("CAST(round(o_totalprice * 100.0) AS BIGINT) DIV 5000000")
+          .as("bucket"))
+    val a = c.filter(col("is_a")).groupBy("bucket").agg(count(lit(1)).as("ca"))
+    val b = c.filter(!col("is_a")).groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val full = a.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    val tot = full.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val terms = full.crossJoin(broadcast(tot))
+      .filter(col("ta") > 0L && col("tb") > 0L)
+      .select(col("bucket"),
+        expr("1000000 * ca DIV ta").as("p_ppm"),
+        expr("1000000 * cb DIV tb").as("q_ppm"))
+      .withColumn("bc_term_e6",
+        floor(sqrt((col("p_ppm") * col("q_ppm")).cast("double"))).cast("long"))
+    terms.agg(count(lit(1)).as("n_buckets"), sum("bc_term_e6").as("bc_e6"))
+      .select(col("n_buckets"), col("bc_e6"),
+        floor(sqrt(((lit(1000000L) - least(col("bc_e6"), lit(1000000L))) *
+          lit(1000000L)).cast("double"))).cast("long").as("hellinger_e6"))
+      .orderBy("n_buckets")
+  }
+
   /** Gopher/RefinedWeb-style rule filter: per-document boolean gates —
     * word-count bounds, mean-word-length bounds, type-token ratio,
     * single-token dominance, stopword presence — each an EXACT integer
@@ -1019,6 +1061,7 @@ object CurateOps {
     "q_ngram_novelty" -> qNgramNovelty,
     "q_phrase_search" -> qPhraseSearch,
     "q_psi_drift" -> qPsiDrift,
+    "q_bhattacharyya" -> qBhattacharyya,
     "q_text_normalize" -> qTextNormalize,
     "q_binaryfile_source" -> qBinaryfileSource,
     "q_schema_evolution" -> qSchemaEvolution,
@@ -1256,6 +1299,28 @@ object CurateOps {
         |    * ln(CAST(p_ppm AS DOUBLE) / CAST(q_ppm AS DOUBLE))
         |    * 1000000000.0) AS BIGINT) AS psi_e9
         |FROM p ORDER BY bucket""".stripMargin,
+    "q_bhattacharyya" ->
+      """WITH c AS (SELECT (c_mktsegment = 'BUILDING') AS is_a,
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) // 5000000 AS bucket
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |a AS (SELECT bucket, count(*) AS ca FROM c WHERE is_a GROUP BY 1),
+        |b AS (SELECT bucket, count(*) AS cb FROM c WHERE NOT is_a
+        |      GROUP BY 1),
+        |f AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+        |t AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+        |    CAST(sum(cb) AS BIGINT) AS tb FROM f),
+        |terms AS (SELECT bucket,
+        |    CAST(floor(sqrt(CAST((1000000 * ca // ta) * (1000000 * cb // tb)
+        |      AS DOUBLE))) AS BIGINT) AS bc_term_e6
+        |  FROM f CROSS JOIN t WHERE ta > 0 AND tb > 0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+        |    CAST(sum(bc_term_e6) AS BIGINT) AS bc_e6 FROM terms)
+        |SELECT n_buckets, bc_e6,
+        |  CAST(floor(sqrt(CAST((1000000 - least(bc_e6, 1000000)) * 1000000
+        |    AS DOUBLE))) AS BIGINT) AS hellinger_e6
+        |FROM agg ORDER BY n_buckets""".stripMargin,
     "q_text_normalize" ->
       """SELECT c_custkey,
         |  trim(regexp_replace(

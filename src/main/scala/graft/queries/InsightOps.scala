@@ -300,6 +300,52 @@ object InsightOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** Stationary distribution of the event-type Markov chain by THREE
+    * fixed power-iteration steps over the `q_markov_transitions`
+    * matrix — "where does user behavior settle" (the long-run state
+    * mass behind that key's one-step probabilities). Everything is
+    * exact integer: the transition matrix is the e6-floored DIV,
+    * each step's state mass is Σᵢ vᵢ·p_e6(i→j) DIV 10⁶ (the products
+    * are exact BIGINTs — v stays ≈10⁶ per state, so Σ is bounded by
+    * |states|·10¹², far under 2⁶³ — and ONE floor per state per
+    * step), and the final share renormalizes the drift the per-step
+    * floors and any substochastic sink rows leak. The iteration runs
+    * as a driver-side fold of |states|-sized (category-bounded, never
+    * data-sized) joins; only the lag window touches event volume.
+    */
+  private val qMarkovStationary: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val seq0 = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val trans = seq0.groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("prev_type").agg(sum("n").as("out_n"))
+    val p = trans.join(totals, "prev_type")
+      .select(col("prev_type"), col("next_type"),
+        expr("1000000 * n DIV out_n").as("p_e6"))
+    val states = p.select(col("prev_type").as("state"))
+      .union(p.select(col("next_type"))).distinct()
+    var v = states.withColumn("v", lit(1000000L))
+    for (_ <- 1 to 3) {
+      val stepped = p
+        .join(v.withColumnRenamed("state", "prev_type")
+          .withColumnRenamed("v", "vin"), Seq("prev_type"))
+        .groupBy(col("next_type").as("state"))
+        .agg(expr("sum(vin * p_e6) DIV 1000000").as("vnext"))
+      v = states.join(stepped, Seq("state"), "left")
+        .select(col("state"), coalesce(col("vnext"), lit(0L)).as("v"))
+    }
+    val tv = v.agg(sum("v").as("tv"))
+    v.crossJoin(broadcast(tv))
+      .filter(col("tv") > 0L)
+      .select(col("state"), col("v").as("mass_e6"),
+        expr("1000000 * v DIV tv").as("pi_ppm"))
+      .orderBy("state")
+  }
+
   /** Time-weighted average value per user (TWAP): each event's value
     * holds until the next event, so the mean weights by holding
     * duration, not event count — the metrics/finance complement of the
@@ -1047,6 +1093,7 @@ object InsightOps {
     "q_seq_pattern" -> qSeqPattern,
     "q_twap" -> qTwap,
     "q_markov_transitions" -> qMarkovTransitions,
+    "q_markov_stationary" -> qMarkovStationary,
     "q_exact_median" -> qExactMedian,
     "q_cohort_retention" -> qCohortRetention,
     "q_decay_wavg" -> qDecayWavg,
@@ -1464,6 +1511,41 @@ object InsightOps {
         |  CAST(1000000 * n // out_n AS BIGINT) AS p_e6
         |FROM tr JOIN tot ON tr.prev_type = tot.prev_type
         |ORDER BY tr.prev_type, next_type""".stripMargin,
+    "q_markov_stationary" ->
+      """WITH s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |      AS prev_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |       FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS out_n
+        |        FROM tr GROUP BY 1),
+        |p AS (SELECT tr.prev_type, next_type,
+        |    CAST(1000000 * n // out_n AS BIGINT) AS p_e6
+        |  FROM tr JOIN tot ON tr.prev_type = tot.prev_type),
+        |st AS (SELECT DISTINCT state FROM (
+        |    SELECT prev_type AS state FROM p
+        |    UNION ALL SELECT next_type FROM p)),
+        |v0 AS (SELECT state, CAST(1000000 AS BIGINT) AS v FROM st),
+        |s1 AS (SELECT next_type AS state,
+        |    CAST(CAST(sum(v * p_e6) AS BIGINT) // 1000000 AS BIGINT) AS v
+        |  FROM p JOIN v0 ON p.prev_type = v0.state GROUP BY 1),
+        |v1 AS (SELECT st.state, coalesce(s1.v, 0) AS v
+        |  FROM st LEFT JOIN s1 USING (state)),
+        |s2 AS (SELECT next_type AS state,
+        |    CAST(CAST(sum(v * p_e6) AS BIGINT) // 1000000 AS BIGINT) AS v
+        |  FROM p JOIN v1 ON p.prev_type = v1.state GROUP BY 1),
+        |v2 AS (SELECT st.state, coalesce(s2.v, 0) AS v
+        |  FROM st LEFT JOIN s2 USING (state)),
+        |s3 AS (SELECT next_type AS state,
+        |    CAST(CAST(sum(v * p_e6) AS BIGINT) // 1000000 AS BIGINT) AS v
+        |  FROM p JOIN v2 ON p.prev_type = v2.state GROUP BY 1),
+        |v3 AS (SELECT st.state, coalesce(s3.v, 0) AS v
+        |  FROM st LEFT JOIN s3 USING (state)),
+        |tv AS (SELECT CAST(sum(v) AS BIGINT) AS tv FROM v3)
+        |SELECT state, CAST(v AS BIGINT) AS mass_e6,
+        |  CAST(1000000 * v // tv AS BIGINT) AS pi_ppm
+        |FROM v3 CROSS JOIN tv WHERE tv > 0 ORDER BY state""".stripMargin,
     "q_exact_median" ->
       """WITH c AS (SELECT event_type,
         |        CAST(round(value * 100.0) AS BIGINT) AS cents FROM events),

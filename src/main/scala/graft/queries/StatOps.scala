@@ -1136,7 +1136,37 @@ object StatOps {
       .orderBy("k")
   }
 
+  /** Lorenz curve at population deciles: customers ranked by spend
+    * ASCENDING, the cumulative share of total revenue after each tenth
+    * of the population — the full inequality curve that `q_gini`
+    * integrates to one number and `q_pareto_share` samples at one
+    * point. Ranks ride the distributed total-order rank; the
+    * cumulative runs over the 10-row decile table (the q_gains_deciles
+    * cardinality argument) and every share is exact integer ppm.
+    */
+  private val qLorenzCurve: Q = (s, d) => {
+    val spend = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
+    val ranked = graft.ops.Ranks.globalRowNumber(spend,
+      Seq(col("cents").asc, col("o_custkey").asc), "rnk")
+    val tot = spend.agg(count(lit(1)).as("n_cust"),
+      sum("cents").as("total_cents"))
+    val dec = ranked.crossJoin(broadcast(tot))
+      .select(expr("(CAST(rnk AS BIGINT) - 1) * 10 DIV n_cust").as("decile"),
+        col("cents"), col("total_cents"))
+      .groupBy("decile", "total_cents")
+      .agg(count(lit(1)).as("n"), sum("cents").as("decile_cents"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dec.withColumn("cum_cents", sum("decile_cents").over(w))
+      .select(col("decile"), col("n"), col("decile_cents"), col("cum_cents"),
+        expr("1000000 * cum_cents DIV total_cents").as("cum_share_ppm"))
+      .orderBy("decile")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_lorenz_curve" -> qLorenzCurve,
     "q_best_split" -> qBestSplit,
     "q_hill_tail" -> qHillTail,
     "q_cochran_armitage" -> qCochranArmitage,
@@ -1173,6 +1203,31 @@ object StatOps {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_lorenz_curve" ->
+      """WITH spend AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |ranked AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY cents ASC, o_custkey ASC)
+        |      AS BIGINT) AS rnk
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_cust,
+        |    CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+        |dec AS (SELECT (rnk - 1) * 10 // n_cust AS decile, cents,
+        |    total_cents
+        |  FROM ranked CROSS JOIN tot),
+        |agg AS (SELECT decile, total_cents, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS decile_cents
+        |  FROM dec GROUP BY 1, 2)
+        |SELECT CAST(decile AS BIGINT) AS decile, n, decile_cents,
+        |  CAST(sum(decile_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_cents,
+        |  CAST(1000000 * CAST(sum(decile_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    // total_cents AS BIGINT) AS cum_share_ppm
+        |FROM agg ORDER BY decile""".stripMargin,
     "q_best_split" ->
       """WITH spend AS (SELECT o_custkey,
         |    CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)

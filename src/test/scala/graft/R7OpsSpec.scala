@@ -442,6 +442,45 @@ class R7OpsSpec extends AnyFunSuite {
     assert(inv <= maxTerm, s"mean $inv above max term $maxTerm")
   }
 
+  test("q_lorenz_curve: monotone, closes at 10^6, sits under the diagonal") {
+    val rows = q("q_lorenz_curve").collect()
+    assert(rows.length == 10)
+    val shares = rows.sortBy(_.getLong(0)).map(_.getLong(4))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b },
+      "cumulative share must be nondecreasing")
+    assert(shares.last == 1000000L, s"curve must close at 1e6, got ${shares.last}")
+    // ascending-spend order ⇒ the poorest (d+1)/10 of customers hold at
+    // most (d+1)/10 of revenue (+1 ppm flooring slack on the decile cut)
+    rows.foreach { r =>
+      assert(r.getLong(4) <= (r.getLong(0) + 1) * 100000L + 1,
+        s"decile ${r.getLong(0)} share ${r.getLong(4)} above the diagonal")
+    }
+  }
+
+  test("q_bhattacharyya: BC in (0, 1e6]; Hellinger consistent with BC") {
+    val rows = q("q_bhattacharyya").collect()
+    assert(rows.length == 1)
+    val (bc, h) = (rows.head.getLong(1), rows.head.getLong(2))
+    assert(bc > 0 && bc <= 1000000L, s"BC $bc out of range")
+    val expected = math.floor(math.sqrt(
+      ((1000000L - math.min(bc, 1000000L)) * 1000000L).toDouble)).toLong
+    assert(h == expected, s"hellinger $h != recompute $expected")
+  }
+
+  test("q_markov_stationary: shares conserve within flooring drift; all states kept") {
+    val rows = q("q_markov_stationary").collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    val piSum = rows.map(_.getLong(2)).sum
+    assert(piSum <= 1000000L && piSum >= 1000000L - n,
+      s"pi total $piSum outside [1e6-$n, 1e6]")
+    val nTypes = graft.model.Tables.events(spark, sf)
+      .select("event_type").distinct().count()
+    assert(n == nTypes, s"states $n != event types $nTypes")
+    rows.foreach(r => assert(r.getLong(1) > 0,
+      s"state ${r.getString(0)} lost all mass"))
+  }
+
   test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
     val rows = q("q_js_divergence").collect()
     assert(rows.nonEmpty)
