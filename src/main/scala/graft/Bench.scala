@@ -171,7 +171,9 @@ object Bench {
       "_derive_copurchase" ->
         (() => graft.queries.GraphOps.materializeEdges(spark, sfDir)),
       "_derive_dedup_clusters" ->
-        (() => graft.queries.LlmOps.materializeClusters(spark, sfDir))
+        (() => graft.queries.LlmOps.materializeClusters(spark, sfDir)),
+      "_derive_match_pairs" ->
+        (() => graft.queries.LlmOps.materializeMatchPairs(spark, sfDir))
     ).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = try { fn(); true } catch { case _: Throwable => false }

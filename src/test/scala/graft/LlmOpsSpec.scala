@@ -265,6 +265,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(after - before <= 1, s"cluster derivations ran ${after - before}×")
   }
 
+  test("match-pair derivation runs at most once across fuzzy/entity keys") {
+    // Both match consumers read the durable match-pair table; only the
+    // FIRST over a (dir) may pay the blocked levenshtein verify join.
+    val before = graft.queries.LlmOps.matchPairDerivations.get()
+    SparkEntry.queries("q_fuzzy_match")(spark, sf).count()
+    SparkEntry.queries("q_entity_clusters")(spark, sf).count()
+    val after = graft.queries.LlmOps.matchPairDerivations.get()
+    assert(after - before <= 1, s"match-pair derivations ran ${after - before}×")
+  }
+
   test("contaminationReport flags only train docs sharing shingles with eval") {
     // eval = doc 0; train doc 3 is an exact dup (all shingles shared),
     // doc 1 shares 6 of its 7 shingles, doc 2 shares none, doc 4 has no
