@@ -28,6 +28,61 @@ object CurateOps {
     Retrieval.bm25(Tables.documents(s, d), "doc_id", "text", Terms)
       .orderBy(col("doc_id"))
 
+  /** Rank-biased overlap (p = 0.9, truncated at depth 10, no residual)
+    * between the BM25 ranking and the plain term-frequency ranking of
+    * the same query — the top-weighted ranking-agreement score a
+    * retrieval stack reports when swapping scorers (`q_ndcg` grades one
+    * ranking against relevance; RBO compares two rankings against each
+    * other). ENTIRELY integer: (1−p)·p^(d−1) with p = 9/10 is the
+    * rational 9^(d−1)/10^d, so each depth's weight is the exact BIGINT
+    * 9^(d−1)·10^(10−d) on the e10 grid, the per-depth term is
+    * overlap·weight DIV d, and the cumulative sum is order-independent —
+    * no float anywhere (Webber et al.'s formulation with the p-powers
+    * cleared of floats by scaling). Both top-10s are
+    * TakeOrderedAndProject; every window scans ≤ 10 rows; candidate
+    * pools coincide (BM25's non-negative idf keeps score > 0 ⟺ any
+    * query term present ⟺ tfsum > 0).
+    */
+  private val qRbo: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val topA = Retrieval.bm25(docs, "doc_id", "text", Terms)
+      .orderBy(col("bm25_e6").desc, col("doc_id").asc).limit(10)
+      .withColumn("ra", row_number().over(
+        Window.orderBy(col("bm25_e6").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("ra"))
+    val tfsum = Terms.map(t =>
+      size(filter(col("toks"), x => x === lit(t)))).reduce(_ + _)
+    val topB = docs.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), tfsum.cast("long").as("tfsum"))
+      .filter(col("tfsum") > 0L)
+      .orderBy(col("tfsum").desc, col("doc_id").asc).limit(10)
+      .withColumn("rb", row_number().over(
+        Window.orderBy(col("tfsum").desc, col("doc_id").asc)).cast("long"))
+      .select(col("doc_id"), col("rb"))
+    val j = topA.join(topB, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("ra"), lit(99L)).as("ra"),
+        coalesce(col("rb"), lit(99L)).as("rb"))
+    val depths = s.range(1, 11).select(col("id").as("depth"))
+    val x = depths.join(broadcast(j),
+        col("ra") <= col("depth") && col("rb") <= col("depth"), "left")
+      .groupBy("depth")
+      .agg(sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("overlap"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    x.withColumn("weight_e10", expr(
+        """CASE depth WHEN 1 THEN 1000000000 WHEN 2 THEN 900000000
+          |WHEN 3 THEN 810000000 WHEN 4 THEN 729000000
+          |WHEN 5 THEN 656100000 WHEN 6 THEN 590490000
+          |WHEN 7 THEN 531441000 WHEN 8 THEN 478296900
+          |WHEN 9 THEN 430467210 ELSE 387420489 END""".stripMargin))
+      .withColumn("term_e10", expr("overlap * weight_e10 DIV depth"))
+      .withColumn("rbo_cum_e10", sum("term_e10").over(w))
+      .select(col("depth"), col("overlap"), col("term_e10"),
+        col("rbo_cum_e10"))
+      .orderBy("depth")
+  }
+
   /** nDCG@10 of the BM25 ranking against a graded relevance proxy
     * (number of distinct query terms present, 0..|Terms|) — the
     * ranking-quality score a retrieval stack reports before swapping
@@ -1086,6 +1141,7 @@ object CurateOps {
     "q_string_index" -> qStringIndex,
     "q_target_encode" -> qTargetEncode,
     "q_bm25" -> qBm25,
+    "q_rbo" -> qRbo,
     "q_ndcg" -> qNdcg,
     "q_mrr" -> qMrr,
     "q_precision_at_k" -> qPrecisionAtK,
@@ -1125,7 +1181,46 @@ object CurateOps {
        |FROM sc WHERE score > 0.0 ORDER BY doc_id""".stripMargin
   }
 
+  /** RBO oracle: rides bm25Sql for ranking A; ranking B and the exact
+    * integer depth weights 9^(d−1)·10^(10−d) mirror the plan.
+    */
+  private val rboSql: String = {
+    val tfSum = Terms.map(t => s"len(list_filter(toks, x -> x = '$t'))")
+      .mkString(" + ")
+    s"""WITH bm AS (SELECT * FROM ($bm25Sql)),
+       |ta AS (SELECT doc_id, ra FROM (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY bm25_e6 DESC, doc_id ASC)
+       |      AS BIGINT) AS ra FROM bm) WHERE ra <= 10),
+       |tf AS (SELECT doc_id, CAST($tfSum AS BIGINT) AS tfsum
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+       |        FROM documents)),
+       |tb AS (SELECT doc_id, rb FROM (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY tfsum DESC, doc_id ASC)
+       |      AS BIGINT) AS rb FROM tf WHERE tfsum > 0) WHERE rb <= 10),
+       |j AS (SELECT coalesce(ta.ra, 99) AS ra, coalesce(tb.rb, 99) AS rb
+       |  FROM ta FULL OUTER JOIN tb ON ta.doc_id = tb.doc_id),
+       |dd AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS depth),
+       |x AS (SELECT depth,
+       |    CAST(sum(CASE WHEN j.ra IS NOT NULL THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS overlap
+       |  FROM dd LEFT JOIN j ON ra <= depth AND rb <= depth GROUP BY 1),
+       |t2 AS (SELECT depth, overlap,
+       |    CASE depth WHEN 1 THEN 1000000000 WHEN 2 THEN 900000000
+       |      WHEN 3 THEN 810000000 WHEN 4 THEN 729000000
+       |      WHEN 5 THEN 656100000 WHEN 6 THEN 590490000
+       |      WHEN 7 THEN 531441000 WHEN 8 THEN 478296900
+       |      WHEN 9 THEN 430467210 ELSE 387420489 END AS weight_e10
+       |  FROM x)
+       |SELECT depth, overlap,
+       |  CAST(overlap * weight_e10 // depth AS BIGINT) AS term_e10,
+       |  CAST(sum(overlap * weight_e10 // depth) OVER (ORDER BY depth
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS rbo_cum_e10
+       |FROM t2 ORDER BY depth""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_rbo" -> rboSql,
     "q_k_anonymity" ->
       """SELECT c_mktsegment AS seg, CAST(c_nationkey AS BIGINT) AS nation,
         |  CAST(count(*) AS BIGINT) AS n,

@@ -1050,6 +1050,40 @@ object InsightOps {
       .orderBy("event_type")
   }
 
+  /** Shapley-value channel attribution under the standard "any
+    * nonempty touched set converts" coalition game: each DISTINCT
+    * channel in a converting journey gets exactly 1/k of the credit
+    * (the Shapley value of the symmetric game — by symmetry and
+    * efficiency, no enumeration needed), which is what separates it
+    * from `q_attribution`'s per-touch linear split (a channel touched
+    * five times earns 5× there, 1× here) and the position-based
+    * U-shape. Credit 10⁶ DIV k is exact integer; the journey
+    * segmentation is the shared prior-purchase running count.
+    */
+  private val qAttributionShapley: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), expr("unix_micros(ts)").as("us"))
+    val prior = Window.partitionBy("user_id")
+      .orderBy(col("us").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val jny = ev.withColumn("journey",
+      coalesce(sum((col("event_type") === "purchase").cast("long"))
+        .over(prior), lit(0L)))
+    val touches = jny.filter(col("event_type").isin("view", "click"))
+    val convs = jny.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("journey"), col("event_id").as("conv_id"))
+    val dist = touches.join(convs, Seq("user_id", "journey"))
+      .select(col("user_id"), col("journey"), col("conv_id"),
+        col("event_type")).distinct()
+    dist
+      .withColumn("k",
+        count(lit(1)).over(Window.partitionBy("user_id", "journey")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_journeys"),
+        sum(expr("1000000 DIV k")).as("credit_ppm"))
+      .orderBy("event_type")
+  }
+
   /** Hour-of-day × day-of-week activity heatmap over the event stream —
     * the load-profile readout behind capacity planning and send-time
     * optimization. Both axes are pure integer arithmetic on epoch
@@ -1068,6 +1102,7 @@ object InsightOps {
   val registry: Map[String, Q] = Map(
     "q_ams_f2" -> qAmsF2,
     "q_attribution_position" -> qAttributionPosition,
+    "q_attribution_shapley" -> qAttributionShapley,
     "q_hour_dow_heatmap" -> qHourDowHeatmap,
     "q_hist2d" -> qHist2d,
     "q_basket_size_dist" -> qBasketSizeDist,
@@ -1136,6 +1171,27 @@ object InsightOps {
         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
         |  CAST(sum(w_ppm) AS BIGINT) AS credit_ppm
         |FROM credit GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q_attribution_shapley" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us FROM events),
+        |jny AS (SELECT *, coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id
+        |      ORDER BY us ASC, event_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS journey
+        |  FROM ev),
+        |touches AS (SELECT * FROM jny WHERE event_type IN ('view', 'click')),
+        |convs AS (SELECT user_id, journey, event_id AS conv_id
+        |  FROM jny WHERE event_type = 'purchase'),
+        |dist AS (SELECT DISTINCT t.user_id, t.journey, conv_id,
+        |    t.event_type
+        |  FROM touches t JOIN convs c
+        |    ON t.user_id = c.user_id AND t.journey = c.journey),
+        |k AS (SELECT *, count(*) OVER (PARTITION BY user_id, journey)
+        |    AS k FROM dist)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_journeys,
+        |  CAST(sum(1000000 // k) AS BIGINT) AS credit_ppm
+        |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q_hour_dow_heatmap" ->
       """SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
         |  (epoch_us(ts) // 3600000000) % 24 AS hr,

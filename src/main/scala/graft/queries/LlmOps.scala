@@ -1000,6 +1000,47 @@ object LlmOps {
       .orderBy(col("n").desc, col("pair"))
   }
 
+  /** One full BPE training step applied: pick the argmax merge pair
+    * from the `q_bpe_pairs` table (ties to the lexicographically
+    * smallest pair — a total order) and apply the greedy left-to-right
+    * merge to the entire weighted vocabulary, reporting the corpus
+    * token-count compression that merge buys — the quantity a
+    * tokenizer-training loop maximizes each round. Non-overlapping
+    * occurrence counting rides `length(w) − length(replace(w, pair,
+    * '#'))` — both engines' replace scans left-to-right and continues
+    * AFTER the match, which IS the BPE greedy application order (the
+    * 'aaa' with pair 'aa' case yields one merge on both). All counts
+    * exact integers; the argmax is TakeOrderedAndProject; the apply is
+    * map-side over the vocabulary (never the token stream).
+    */
+  private val qBpeMerge: Q = (s, d) => {
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val pairs = wc.select(col("w"), col("cnt"),
+        explode(expr("sequence(1, length(w) - 1)")).as("i"))
+      .select(expr("substr(w, i, 2)").as("pair"), col("cnt"))
+      .groupBy("pair").agg(sum("cnt").as("n"))
+    val top = pairs.orderBy(col("n").desc, col("pair").asc).limit(1)
+      .select(col("pair"), col("n").as("pair_n"))
+    wc.crossJoin(broadcast(top))
+      .select(col("cnt"), col("pair"), col("pair_n"),
+        (length(col("w")).cast("long") -
+          length(expr("replace(w, pair, '#')")).cast("long")).as("occ"),
+        length(col("w")).cast("long").as("len"))
+      .groupBy("pair", "pair_n")
+      .agg(sum(when(col("occ") > 0L, col("cnt")).otherwise(0L)).as("n_words"),
+        sum(col("cnt") * col("occ")).as("occ_total"),
+        sum(col("cnt") * col("len")).as("tokens_before"),
+        sum(col("cnt") * (col("len") - col("occ"))).as("tokens_after"))
+      .select(col("pair"), col("pair_n"), col("n_words"), col("occ_total"),
+        col("tokens_before"), col("tokens_after"),
+        expr("1000000 * (tokens_before - tokens_after) DIV tokens_before")
+          .as("savings_ppm"))
+      .orderBy("pair")
+  }
+
   /** Document-level co-occurrence lift of word pairs: how much more
     * often two words share a document than independence predicts —
     * lift = N·c_xy / (c_x·c_y) as exact integer ppm (the PMI
@@ -1716,6 +1757,7 @@ object LlmOps {
     "q_profile" -> qProfile,
     "q_top_ngrams" -> qTopNgrams,
     "q_bpe_pairs" -> qBpePairs,
+    "q_bpe_merge" -> qBpeMerge,
     "q_pmi_cooccur" -> qPmiCooccur,
     "q_vocab_spectrum" -> qVocabSpectrum,
     "q_dedup_containment" -> qDedupContainment,
@@ -2327,6 +2369,36 @@ object LlmOps {
         |            FROM wc))
         |SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
         |FROM p GROUP BY 1 ORDER BY n DESC, pair""".stripMargin,
+    "q_bpe_merge" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w
+        |            FROM documents),
+        |wc AS (SELECT w, count(*) AS cnt FROM w0
+        |       WHERE length(w) >= 2 GROUP BY 1),
+        |p AS (SELECT substr(w, i, 2) AS pair, cnt
+        |      FROM (SELECT w, cnt,
+        |              unnest(generate_series(1, length(w) - 1)) AS i
+        |            FROM wc)),
+        |pc AS (SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+        |       FROM p GROUP BY 1),
+        |top AS (SELECT pair, n AS pair_n FROM pc
+        |        ORDER BY n DESC, pair ASC LIMIT 1),
+        |ap AS (SELECT cnt, pair, pair_n,
+        |    CAST(length(w) AS BIGINT)
+        |      - CAST(length(replace(w, pair, '#')) AS BIGINT) AS occ,
+        |    CAST(length(w) AS BIGINT) AS len
+        |  FROM wc CROSS JOIN top),
+        |agg AS (SELECT pair, pair_n,
+        |    CAST(sum(CASE WHEN occ > 0 THEN cnt ELSE 0 END) AS BIGINT)
+        |      AS n_words,
+        |    CAST(sum(cnt * occ) AS BIGINT) AS occ_total,
+        |    CAST(sum(cnt * len) AS BIGINT) AS tokens_before,
+        |    CAST(sum(cnt * (len - occ)) AS BIGINT) AS tokens_after
+        |  FROM ap GROUP BY 1, 2)
+        |SELECT pair, pair_n, n_words, occ_total, tokens_before,
+        |  tokens_after,
+        |  CAST(1000000 * (tokens_before - tokens_after) // tokens_before
+        |    AS BIGINT) AS savings_ppm
+        |FROM agg ORDER BY pair""".stripMargin,
     "q_pmi_cooccur" ->
       """WITH dw AS (SELECT DISTINCT doc_id, w
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

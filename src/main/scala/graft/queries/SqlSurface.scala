@@ -618,7 +618,34 @@ object SqlSurface {
         |ORDER BY prio""".stripMargin)
   }
 
+  /** SQL UNPIVOT through Spark's parser — the wide→long melt syntax
+    * (the inverse of q_sql_pivot over the same status columns; the
+    * DataFrame `q_unpivot` key reaches the same plan via the melt
+    * API). DuckDB's UNPIVOT grammar differs, so the oracle states the
+    * identical contract as a UNION ALL melt; both engines drop NULL
+    * cells (Spark's default EXCLUDE NULLS ≡ the oracle's IS NOT NULL).
+    */
+  private val qSqlUnpivot: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(
+      """SELECT prio, st, cents FROM (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS p
+        |  FROM orders GROUP BY 1)
+        |UNPIVOT (cents FOR st IN (o, f, p))
+        |ORDER BY prio, st""".stripMargin)
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_sql_unpivot" -> qSqlUnpivot,
     "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
     "q_sql_order_by_all" -> sqlKey(sqlOrderByAllSql),
     "q_sql_distinct_on" -> sqlKey(sqlDistinctOnSparkSql),
@@ -658,6 +685,23 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority AS prio,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS o,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS f,
+        |    CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |      THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END)
+        |      AS BIGINT) AS p
+        |  FROM orders GROUP BY 1),
+        |m AS (SELECT prio, 'o' AS st, o AS cents FROM w
+        |  UNION ALL SELECT prio, 'f', f FROM w
+        |  UNION ALL SELECT prio, 'p', p FROM w)
+        |SELECT prio, st, cents FROM m WHERE cents IS NOT NULL
+        |ORDER BY prio, st""".stripMargin,
     "q_sql_groupby_all" -> sqlGroupByAllSql,
     "q_sql_order_by_all" -> sqlOrderByAllSql,
     "q_sql_distinct_on" ->

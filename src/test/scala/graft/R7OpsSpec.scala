@@ -481,6 +481,51 @@ class R7OpsSpec extends AnyFunSuite {
       s"state ${r.getString(0)} lost all mass"))
   }
 
+  test("q_sql_unpivot: melts exactly the pivot grid, no null cells") {
+    val rows = q("q_sql_unpivot").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(!_.isNullAt(2)), "UNPIVOT must drop NULL cells")
+    val byPrio = rows.groupBy(_.getString(0))
+    assert(byPrio.values.forall(_.length <= 3))
+    assert(rows.map(_.getString(1)).distinct.sorted.sameElements(
+      Array("f", "o", "p")))
+  }
+
+  test("q_attribution_shapley: efficiency — credit sums to 1e6 per converting journey") {
+    val rows = q("q_attribution_shapley").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    // with only view/click channels k ∈ {1,2}, both divide 1e6 ⇒ the
+    // Shapley efficiency axiom holds EXACTLY on the ppm grid
+    assert(total % 1000000L == 0, s"credit total $total not whole journeys")
+    val j = total / 1000000L
+    val sumK = rows.map(_.getLong(1)).sum // Σ_journeys k
+    assert(j <= sumK && sumK <= 2 * j, s"journeys $j vs channel slots $sumK")
+  }
+
+  test("q_rbo: overlaps monotone and depth-bounded; cumulative closes the term sum") {
+    val rows = q("q_rbo").collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val ov = rows.map(_.getLong(1))
+    ov.zip(ov.tail).foreach { case (a, b) => assert(a <= b, "overlap shrank") }
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(0), "overlap > depth"))
+    assert(rows.last.getLong(3) == rows.map(_.getLong(2)).sum)
+    assert(rows.last.getLong(3) <= 6513215599L, "RBO above the weight total")
+  }
+
+  test("q_bpe_merge: greedy merge accounting is internally consistent") {
+    val rows = q("q_bpe_merge").collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (pairN, nWords, occ, before, after, sav) = (r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(r.getString(0).length == 2)
+    assert(occ > 0 && nWords > 0)
+    assert(occ <= pairN, "non-overlapping occurrences exceed raw pair count")
+    assert(after == before - occ, "token accounting must close")
+    assert(sav == 1000000L * (before - after) / before)
+  }
+
   test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
     val rows = q("q_js_divergence").collect()
     assert(rows.nonEmpty)
