@@ -863,6 +863,39 @@ object CurateOps {
       .orderBy("n_buckets")
   }
 
+  /** ε=1 Laplace-mechanism histogram of order values — the
+    * differential-privacy release shape that completes the privacy
+    * family (`q_pii_mask` hides identifiers, `q_k_anonymity`/
+    * `q_l_diversity` audit cohorts; this perturbs the published
+    * counts). The Laplace draw is DETERMINISTIC without any RNG state
+    * (the `q_bootstrap_ci` md5 inverse-CDF discipline): u = 1 + (md5
+    * of the bucket id mod 999998) keeps 1 − 2|u/10⁶ − ½| ≥ 2·10⁻⁶, so
+    * the inverse CDF −sign(v)·ln(1 − 2|v|/10⁶) can never reach ln(0)
+    * at ANY bucket; the ln is one mirrored float sequence, floored to
+    * e6 per bucket. The true count ships beside the noisy one here for
+    * verifiability — a production release drops it (and the noise is
+    * then pseudorandom in the md5 seed, the standard seeded-DP
+    * deployment trade-off). One partial-agg shuffle, bucket-sized
+    * output.
+    */
+  private val qDpHistogram: Q = (s, d) => {
+    val h = Tables.orders(s, d)
+      .select(expr("CAST(round(o_totalprice * 100.0) AS BIGINT) DIV 5000000")
+        .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    h.withColumn("u_ppm",
+        pmod(conv(substring(md5(col("bucket").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(999998L)) + lit(1L))
+      .withColumn("v", col("u_ppm") - lit(500000L))
+      .withColumn("noise_e6",
+        floor(lit(-1000000.0) * signum(col("v").cast("double")) *
+          log(lit(1.0) - lit(2.0) * abs(col("v").cast("double")) /
+            lit(1000000.0))).cast("long"))
+      .select(col("bucket"), col("n"), col("u_ppm"), col("noise_e6"),
+        (col("n") * lit(1000000L) + col("noise_e6")).as("noisy_e6"))
+      .orderBy("bucket")
+  }
+
   /** Gopher/RefinedWeb-style rule filter: per-document boolean gates —
     * word-count bounds, mean-word-length bounds, type-token ratio,
     * single-token dominance, stopword presence — each an EXACT integer
@@ -1117,6 +1150,7 @@ object CurateOps {
     "q_phrase_search" -> qPhraseSearch,
     "q_psi_drift" -> qPsiDrift,
     "q_bhattacharyya" -> qBhattacharyya,
+    "q_dp_histogram" -> qDpHistogram,
     "q_text_normalize" -> qTextNormalize,
     "q_binaryfile_source" -> qBinaryfileSource,
     "q_schema_evolution" -> qSchemaEvolution,
@@ -1416,6 +1450,25 @@ object CurateOps {
         |  CAST(floor(sqrt(CAST((1000000 - least(bc_e6, 1000000)) * 1000000
         |    AS DOUBLE))) AS BIGINT) AS hellinger_e6
         |FROM agg ORDER BY n_buckets""".stripMargin,
+    "q_dp_histogram" ->
+      """WITH h AS (SELECT
+        |    CAST(round(o_totalprice * 100.0) AS BIGINT) // 5000000
+        |      AS bucket,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |u AS (SELECT bucket, CAST(n AS BIGINT) AS n,
+        |    ('0x' || substr(md5(CAST(bucket AS VARCHAR)), 1, 8))::BIGINT
+        |      % 999998 + 1 AS u_ppm
+        |  FROM h),
+        |v AS (SELECT bucket, n, u_ppm, u_ppm - 500000 AS v FROM u)
+        |SELECT bucket, n, u_ppm,
+        |  CAST(floor(-1000000.0 * sign(CAST(v AS DOUBLE)) *
+        |    ln(1.0 - 2.0 * abs(CAST(v AS DOUBLE)) / 1000000.0))
+        |    AS BIGINT) AS noise_e6,
+        |  n * 1000000 + CAST(floor(-1000000.0 * sign(CAST(v AS DOUBLE)) *
+        |    ln(1.0 - 2.0 * abs(CAST(v AS DOUBLE)) / 1000000.0))
+        |    AS BIGINT) AS noisy_e6
+        |FROM v ORDER BY bucket""".stripMargin,
     "q_text_normalize" ->
       """SELECT c_custkey,
         |  trim(regexp_replace(

@@ -783,7 +783,10 @@ object LlmOps {
     * partial-agg shuffle; per-round localCheckpoint bounds lineage.
     * Output: the final 512-cell centroid table with cluster sizes.
     */
-  private val qKmeans: Q = (s, d) => {
+  /** The 2-round Lloyd fit shared by q_kmeans and q_cluster_topics:
+    * returns (final centroid table, final assignment).
+    */
+  private def kmeansFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val xe = Tables.embeddings(s, d)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
       .withColumn("xe",
@@ -814,10 +817,50 @@ object LlmOps {
         .localCheckpoint()
     val c1 = update(assignStep(init))
     val c2 = update(assignStep(c1))
-    val sizes = assignStep(c2).groupBy("k").agg(count(lit(1)).as("cluster_size"))
+    (c2, assignStep(c2))
+  }
+
+  private val qKmeans: Q = (s, d) => {
+    val (c2, assign) = kmeansFit(s, d)
+    val sizes = assign.groupBy("k").agg(count(lit(1)).as("cluster_size"))
     c2.join(broadcast(sizes), "k")
       .select(col("k"), col("pos"), col("ce"), col("cluster_size"))
       .orderBy("k", "pos")
+  }
+
+  /** Topic terms per embedding cluster (the BERTopic shape): k-means
+    * clusters over the embedding corpus, then each cluster's top-5
+    * DISTINCTIVE terms by class-based lift — 10⁶·c_tk·N DIV (N_k·c_t),
+    * the same integer PMI-without-the-log score as `q_pmi_cooccur`
+    * (monotone in c-TF-IDF's log at fixed support) — with a c_tk ≥ 5
+    * support floor. This is the "name the clusters" step every
+    * embedding-space corpus browser ships: the doc↔vector identity
+    * (doc_id = vec_id, the corpus convention) joins text onto the
+    * geometry. Lift headroom: 10⁶·c_tk·N < 2⁶³ to ~10⁸ corpus tokens
+    * per count pair; past that promote to DECIMAL(38,0) (the
+    * q_pmi_cooccur point). The only window ranks within 8 clusters.
+    */
+  private val qClusterTopics: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val (_, assign) = kmeansFit(s, d)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val ck = toks.join(assign.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+      .groupBy(col("k"), col("tok")).agg(count(lit(1)).as("ctk"))
+    val nk = ck.groupBy("k").agg(sum("ctk").as("nk"))
+    val tt = ck.groupBy("tok").agg(sum("ctk").as("c_t"))
+    val nn = tt.agg(sum("c_t").as("nn"))
+    val lift = ck.join(broadcast(nk), "k").join(tt, "tok")
+      .crossJoin(broadcast(nn))
+      .filter(col("ctk") >= 5L)
+      .select(col("k"), col("tok"), col("ctk"),
+        expr("1000000 * ctk * nn DIV (nk * c_t)").as("lift_ppm"))
+    val w = Window.partitionBy("k")
+      .orderBy(col("lift_ppm").desc, col("ctk").desc, col("tok").asc)
+    lift.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("k"), col("rnk"), col("tok"), col("ctk"), col("lift_ppm"))
+      .orderBy("k", "rnk")
   }
 
   /** TF-IDF cosine similarity, focus-set top-3: sparse dot products
@@ -1798,6 +1841,7 @@ object LlmOps {
     "q_countmin" -> qCountmin,
     "q_tfidf_cosine" -> qTfidfCosine,
     "q_kmeans" -> qKmeans,
+    "q_cluster_topics" -> qClusterTopics,
     "q_keyphrases" -> qKeyphrases,
     "q_token_dropout" -> qTokenDropout,
     "q_span_mask" -> qSpanMask,
@@ -2059,6 +2103,61 @@ object LlmOps {
        |       best AS best_score
        |FROM b ORDER BY doc_id""".stripMargin
   }
+
+  /** Shared oracle CTE chain for the 2-round Lloyd fit (u → … → c2,
+    * a3): q_kmeans reads the centroids, q_cluster_topics the
+    * assignment. Must be defined before the oracle map (object-init
+    * order).
+    */
+  private val kmeansFitCtes: String =
+    """u AS MATERIALIZED (SELECT vec_id,
+      |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+      |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+      |      AS BIGINT) AS xe
+      |  FROM embeddings),
+      |c0 AS MATERIALIZED (SELECT vec_id AS k, pos, xe AS ce FROM u
+      |  WHERE vec_id < 8),
+      |cn0 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+      |  FROM c0 GROUP BY 1),
+      |d1 AS MATERIALIZED (SELECT u.vec_id, c0.k,
+      |    CAST(sum(u.xe * c0.ce) AS BIGINT) AS dot
+      |  FROM u JOIN c0 ON u.pos = c0.pos GROUP BY 1, 2),
+      |a1 AS MATERIALIZED (SELECT vec_id, k FROM
+      |    (SELECT d1.vec_id, d1.k,
+      |       row_number() OVER (PARTITION BY d1.vec_id
+      |         ORDER BY cn2 - 2 * dot ASC, d1.k ASC) AS rn
+      |     FROM d1 JOIN cn0 ON d1.k = cn0.k)
+      |  WHERE rn = 1),
+      |c1 AS MATERIALIZED (SELECT k, pos,
+      |    CAST(sign(sum(xe)) AS BIGINT) *
+      |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+      |  FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
+      |cn1 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+      |  FROM c1 GROUP BY 1),
+      |d2 AS MATERIALIZED (SELECT u.vec_id, c1.k,
+      |    CAST(sum(u.xe * c1.ce) AS BIGINT) AS dot
+      |  FROM u JOIN c1 ON u.pos = c1.pos GROUP BY 1, 2),
+      |a2 AS MATERIALIZED (SELECT vec_id, k FROM
+      |    (SELECT d2.vec_id, d2.k,
+      |       row_number() OVER (PARTITION BY d2.vec_id
+      |         ORDER BY cn2 - 2 * dot ASC, d2.k ASC) AS rn
+      |     FROM d2 JOIN cn1 ON d2.k = cn1.k)
+      |  WHERE rn = 1),
+      |c2 AS MATERIALIZED (SELECT k, pos,
+      |    CAST(sign(sum(xe)) AS BIGINT) *
+      |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+      |  FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
+      |cn2_ AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
+      |  FROM c2 GROUP BY 1),
+      |d3 AS MATERIALIZED (SELECT u.vec_id, c2.k,
+      |    CAST(sum(u.xe * c2.ce) AS BIGINT) AS dot
+      |  FROM u JOIN c2 ON u.pos = c2.pos GROUP BY 1, 2),
+      |a3 AS MATERIALIZED (SELECT vec_id, k FROM
+      |    (SELECT d3.vec_id, d3.k,
+      |       row_number() OVER (PARTITION BY d3.vec_id
+      |         ORDER BY cn2 - 2 * dot ASC, d3.k ASC) AS rn
+      |     FROM d3 JOIN cn2_ ON d3.k = cn2_.k)
+      |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q_js_divergence" ->
@@ -2906,59 +3005,32 @@ object LlmOps {
         |SELECT doc_id, tok, w AS tfidf_e6, rnk FROM r WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
     "q_kmeans" ->
-      """WITH u AS MATERIALIZED (SELECT vec_id,
-        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
-        |    CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
-        |      AS BIGINT) AS xe
-        |  FROM embeddings),
-        |c0 AS MATERIALIZED (SELECT vec_id AS k, pos, xe AS ce FROM u
-        |  WHERE vec_id < 8),
-        |cn0 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
-        |  FROM c0 GROUP BY 1),
-        |d1 AS MATERIALIZED (SELECT u.vec_id, c0.k,
-        |    CAST(sum(u.xe * c0.ce) AS BIGINT) AS dot
-        |  FROM u JOIN c0 ON u.pos = c0.pos GROUP BY 1, 2),
-        |a1 AS MATERIALIZED (SELECT vec_id, k FROM
-        |    (SELECT d1.vec_id, d1.k,
-        |       row_number() OVER (PARTITION BY d1.vec_id
-        |         ORDER BY cn2 - 2 * dot ASC, d1.k ASC) AS rn
-        |     FROM d1 JOIN cn0 ON d1.k = cn0.k)
-        |  WHERE rn = 1),
-        |c1 AS MATERIALIZED (SELECT k, pos,
-        |    CAST(sign(sum(xe)) AS BIGINT) *
-        |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
-        |  FROM u JOIN a1 USING (vec_id) GROUP BY 1, 2),
-        |cn1 AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
-        |  FROM c1 GROUP BY 1),
-        |d2 AS MATERIALIZED (SELECT u.vec_id, c1.k,
-        |    CAST(sum(u.xe * c1.ce) AS BIGINT) AS dot
-        |  FROM u JOIN c1 ON u.pos = c1.pos GROUP BY 1, 2),
-        |a2 AS MATERIALIZED (SELECT vec_id, k FROM
-        |    (SELECT d2.vec_id, d2.k,
-        |       row_number() OVER (PARTITION BY d2.vec_id
-        |         ORDER BY cn2 - 2 * dot ASC, d2.k ASC) AS rn
-        |     FROM d2 JOIN cn1 ON d2.k = cn1.k)
-        |  WHERE rn = 1),
-        |c2 AS MATERIALIZED (SELECT k, pos,
-        |    CAST(sign(sum(xe)) AS BIGINT) *
-        |      (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
-        |  FROM u JOIN a2 USING (vec_id) GROUP BY 1, 2),
-        |cn2_ AS MATERIALIZED (SELECT k, CAST(sum(ce * ce) AS BIGINT) AS cn2
-        |  FROM c2 GROUP BY 1),
-        |d3 AS MATERIALIZED (SELECT u.vec_id, c2.k,
-        |    CAST(sum(u.xe * c2.ce) AS BIGINT) AS dot
-        |  FROM u JOIN c2 ON u.pos = c2.pos GROUP BY 1, 2),
-        |a3 AS MATERIALIZED (SELECT vec_id, k FROM
-        |    (SELECT d3.vec_id, d3.k,
-        |       row_number() OVER (PARTITION BY d3.vec_id
-        |         ORDER BY cn2 - 2 * dot ASC, d3.k ASC) AS rn
-        |     FROM d3 JOIN cn2_ ON d3.k = cn2_.k)
-        |  WHERE rn = 1),
+      s"""WITH $kmeansFitCtes,
         |sz AS (SELECT k, CAST(count(*) AS BIGINT) AS cluster_size
         |  FROM a3 GROUP BY 1)
         |SELECT CAST(c2.k AS BIGINT) AS k, CAST(pos AS INT) AS pos, ce,
         |  cluster_size
         |FROM c2 JOIN sz ON c2.k = sz.k ORDER BY k, pos""".stripMargin,
+    "q_cluster_topics" ->
+      s"""WITH $kmeansFitCtes,
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |ck AS (SELECT a3.k, tok, CAST(count(*) AS BIGINT) AS ctk
+        |  FROM toks JOIN a3 ON toks.doc_id = a3.vec_id
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |nk AS (SELECT k, CAST(sum(ctk) AS BIGINT) AS nk FROM ck GROUP BY 1),
+        |tt AS (SELECT tok, CAST(sum(ctk) AS BIGINT) AS c_t
+        |  FROM ck GROUP BY 1),
+        |nn AS (SELECT CAST(sum(c_t) AS BIGINT) AS nn FROM tt),
+        |lift AS (SELECT ck.k, ck.tok, ctk,
+        |    CAST(1000000 * ctk * nn // (nk * c_t) AS BIGINT) AS lift_ppm
+        |  FROM ck JOIN nk USING (k) JOIN tt USING (tok) CROSS JOIN nn
+        |  WHERE ctk >= 5),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k
+        |    ORDER BY lift_ppm DESC, ctk DESC, tok ASC) AS rnk FROM lift)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(rnk AS INT) AS rnk, tok, ctk,
+        |  lift_ppm
+        |FROM r WHERE rnk <= 5 ORDER BY k, rnk""".stripMargin,
     "q_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |q AS (SELECT doc_id,

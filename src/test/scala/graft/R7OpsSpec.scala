@@ -526,6 +526,38 @@ class R7OpsSpec extends AnyFunSuite {
     assert(sav == 1000000L * (before - after) / before)
   }
 
+  test("q_cluster_topics: top-5 per cluster, positive lift, ordered within cluster") {
+    val rows = q("q_cluster_topics").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) < 8, "cluster id out of range")
+      assert(r.getInt(1) >= 1 && r.getInt(1) <= 5)
+      assert(r.getLong(3) >= 5, "support floor violated")
+      assert(r.getLong(4) > 0, "lift must be positive")
+    }
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(1)).map(_.getLong(4))
+      byRank.zip(byRank.tail).foreach { case (a, b) =>
+        assert(a >= b, "lift must be nonincreasing down the rank") }
+    }
+  }
+
+  test("q_dp_histogram: noise bounded by the clamped inverse CDF; accounting closes") {
+    val rows = q("q_dp_histogram").collect()
+    assert(rows.nonEmpty)
+    // |noise| ≤ ln(10⁶/2) at the clamp (u pinned ≥ 2e-6 from ½) ≈ 13.12
+    val maxNoise = (1e6 * math.log(500000.0)).toLong + 1
+    rows.foreach { r =>
+      val (n, u, noise, noisy) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(u >= 1 && u <= 999998, s"u_ppm $u escapes the clamp")
+      assert(math.abs(noise) <= maxNoise, s"noise $noise exceeds the CDF bound")
+      assert(noisy == n * 1000000L + noise, "noisy count must close")
+    }
+    assert(rows.map(_.getLong(3)).distinct.length > 1,
+      "all buckets drew identical noise — the md5 draw is broken")
+  }
+
   test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
     val rows = q("q_js_divergence").collect()
     assert(rows.nonEmpty)
