@@ -19,6 +19,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // analysis-phase guardrail (opt-in via spark.graft.guard.noCartesian)
     e.injectCheckRule(graft.plans.CartesianGuard.rule)
+    // native as-of join (logical AsOfJoin → merge-scan AsOfJoinExec)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     e.injectFunction((
       FunctionIdentifier("lap_time_millis"),
       info("lap_time_millis", "lap_time_millis(ms BIGINT) - millis to MM:SS.mmm"),

@@ -127,6 +127,29 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of join through the NATIVE Catalyst operator
+    * ([[graft.plans.AsOfJoin]] → AsOfJoinStrategy → AsOfJoinExec): the
+    * two-TABLE form of `q_join_asof`'s single-stream union+window —
+    * purchases enriched with the latest view at-or-before each, via a
+    * co-partitioned two-pointer merge (one exchange per side, O(1)
+    * merge state, no padded union, no window buffers). Semantics
+    * differ from `q_join_asof` only in the equal-timestamp tie (this
+    * operator takes ANY right row with ts ≤ left ts — the standard
+    * two-table as-of contract, with no right event_id in scope); the
+    * oracle states exactly that contract.
+    */
+  private val qJoinAsofNative: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("last_view_ts"))
+    graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("last_view_ts"))
+      .select(col("event_id"), col("user_id"), col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Nearest-event join: for each purchase, the temporally NEAREST view
     * of the same user — before OR after (sensor-alignment semantics,
     * where plain as-of only looks one way). Composed from the backward
@@ -848,6 +871,7 @@ object Relational {
     "q_join_range" -> qJoinRange,
     "q_join_interval" -> qJoinInterval,
     "q_join_asof" -> qJoinAsof,
+    "q_join_asof_native" -> qJoinAsofNative,
     "q_join_nearest" -> qJoinNearest,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
@@ -1038,6 +1062,13 @@ object Relational {
         |FROM events p LEFT JOIN events v
         |  ON v.user_id = p.user_id AND v.event_type = 'view'
         |  AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_native" ->
+      """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_join_full" ->

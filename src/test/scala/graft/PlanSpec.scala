@@ -33,6 +33,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("q_join_asof_native plans the custom AsOfJoinExec with one exchange per side") {
+    val p = planOf("q_join_asof_native")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    // the operator's movement cost is exactly a sort-merge join's: one
+    // hash exchange per input, nothing else
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(2500))
+  }
+
+  test("native as-of join agrees with the inequality-join definition row for row") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("last_view_ts"))
+    val native = graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("last_view_ts"))
+      .select(col("event_id"), col("last_view_ts"))
+    val expected = purchases.alias("p")
+      .join(views.alias("v"),
+        col("p.user_id") === col("v.user_id") && col("v.ts") <= col("p.ts"),
+        "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max(col("v.last_view_ts")).as("last_view_ts"))
+    assert(native.exceptAll(expected).isEmpty && expected.exceptAll(native).isEmpty,
+      "native as-of and the inequality-join definition must be identical")
+  }
+
   test("q_topk plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
