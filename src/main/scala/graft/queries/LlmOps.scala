@@ -1777,7 +1777,35 @@ object LlmOps {
       .orderBy("source")
   }
 
+  /** Simpson diversity of each source's token distribution: the
+    * probability two tokens drawn without replacement coincide,
+    * Σc(c−1) / (N(N−1)) in exact ppm, plus the inverse-Simpson
+    * "effective vocabulary" — the pure-INTEGER diversity measure beside
+    * `q_entropy`'s float bits (Simpson weights common types
+    * quadratically, so template/boilerplate dominance moves it harder
+    * than entropy). One (source, token) count shuffle, source-sized
+    * output. Headroom: 10⁶·Σc(c−1) and N(N−1) stay in BIGINT to ~3·10⁹
+    * tokens per source; past that promote to DECIMAL(38,0) (the
+    * q_pmi_cooccur point).
+    */
+  private val qSimpsonDiversity: Q = (s, d) => {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("vocab"), sum("c").as("n"),
+        sum(col("c") * (col("c") - 1L)).as("coll"))
+      .filter(col("n") >= 2L)
+      .select(col("source"), col("vocab"), col("n"),
+        expr("1000000 * coll DIV (n * (n - 1))").as("simpson_ppm"),
+        expr("CASE WHEN coll > 0 THEN 1000 * n * (n - 1) DIV coll " +
+          "ELSE 0 END").as("inv_simpson_e3"))
+      .orderBy("source")
+  }
+
   val registry: Map[String, Q] = Map(
+    "q_simpson_diversity" -> qSimpsonDiversity,
     "q_js_divergence" -> qJsDivergence,
     "q_heaps_law" -> qHeapsLaw,
     "q_zipf_slope" -> qZipfSlope,
@@ -2160,6 +2188,20 @@ object LlmOps {
       |  WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_simpson_diversity" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE tok <> '' GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(c) AS BIGINT) AS n,
+        |    CAST(sum(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM c GROUP BY 1)
+        |SELECT source, vocab, n,
+        |  CAST(1000000 * coll // (n * (n - 1)) AS BIGINT) AS simpson_ppm,
+        |  CAST(CASE WHEN coll > 0 THEN 1000 * n * (n - 1) // coll
+        |    ELSE 0 END AS BIGINT) AS inv_simpson_e3
+        |FROM a WHERE n >= 2 ORDER BY source""".stripMargin,
     "q_js_divergence" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
         |  FROM documents),

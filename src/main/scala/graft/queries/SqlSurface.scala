@@ -618,6 +618,19 @@ object SqlSurface {
         |ORDER BY prio""".stripMargin)
   }
 
+  /** Aggregate FILTER clause — the ANSI per-aggregate predicate both
+    * engines parse identically (one grouped scan replaces N filtered
+    * subqueries; the conditional-aggregation rewrite `q_cond_agg`
+    * states as CASE is here first-class syntax). Same text both
+    * engines; an empty filtered group yields NULL on both.
+    */
+  private val sqlFilterClauseSql: String =
+    """SELECT o_orderpriority AS prio, count(*) AS n,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+      |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+      |    FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS cents_f
+      |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin
+
   /** SQL UNPIVOT through Spark's parser — the wide→long melt syntax
     * (the inverse of q_sql_pivot over the same status columns; the
     * DataFrame `q_unpivot` key reaches the same plan via the melt
@@ -646,6 +659,7 @@ object SqlSurface {
 
   val registry: Map[String, Q] = Map(
     "q_sql_unpivot" -> qSqlUnpivot,
+    "q_sql_filter_clause" -> sqlKey(sqlFilterClauseSql),
     "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
     "q_sql_order_by_all" -> sqlKey(sqlOrderByAllSql),
     "q_sql_distinct_on" -> sqlKey(sqlDistinctOnSparkSql),
@@ -685,6 +699,7 @@ object SqlSurface {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_sql_filter_clause" -> sqlFilterClauseSql,
     "q_sql_unpivot" ->
       """WITH w AS (SELECT o_orderpriority AS prio,
         |    CAST(sum(CASE WHEN o_orderstatus = 'O'

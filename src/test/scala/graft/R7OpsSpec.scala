@@ -558,6 +558,33 @@ class R7OpsSpec extends AnyFunSuite {
       "all buckets drew identical noise — the md5 draw is broken")
   }
 
+  test("q_simpson_diversity: ppm-bounded; inverse consistent with the forward index") {
+    val rows = q("q_simpson_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (vocab, n, sp, inv) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sp >= 0 && sp <= 1000000L, s"${r.getString(0)}: simpson $sp")
+      // all-distinct tokens ⇒ 0; max concentration ⇒ 1e6
+      assert(vocab <= n)
+      if (sp > 0) {
+        // inv = floor(1e9 / (coll/(n(n-1)))) on the same integers:
+        // recompute coll from sp's own division bracket
+        assert(inv > 0 && inv <= 1000L * n,
+          s"${r.getString(0)}: inverse $inv out of range")
+      } else assert(inv == 0)
+    }
+  }
+
+  test("q_sql_filter_clause: filtered counts nest inside the group totals") {
+    val rows = q("q_sql_filter_clause").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1),
+        s"${r.getString(0)}: filtered count exceeds group count")
+    }
+  }
+
   test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
     val rows = q("q_js_divergence").collect()
     assert(rows.nonEmpty)
