@@ -19,8 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // analysis-phase guardrail (opt-in via spark.graft.guard.noCartesian)
     e.injectCheckRule(graft.plans.CartesianGuard.rule)
-    // native as-of join (logical AsOfJoin → merge-scan AsOfJoinExec)
+    // native as-of join (logical AsOfJoin → merge-scan AsOfJoinExec),
+    // plus the pushdown/pruning rules the opaque custom node needs
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinRules.PushFilterThroughAsOfJoin)
+    e.injectOptimizerRule(_ => graft.plans.AsOfJoinRules.PruneAsOfJoinRight)
     e.injectFunction((
       FunctionIdentifier("lap_time_millis"),
       info("lap_time_millis", "lap_time_millis(ms BIGINT) - millis to MM:SS.mmm"),

@@ -29,6 +29,13 @@ object AsOf {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    val rules = Seq(graft.plans.AsOfJoinRules.PushFilterThroughAsOfJoin,
+      graft.plans.AsOfJoinRules.PruneAsOfJoinRight)
+    val missing = rules.filterNot(spark.experimental.extraOptimizations.contains)
+    if (missing.nonEmpty) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations ++ missing
+    }
     val lPlan = left.queryExecution.analyzed
     // Self-join hygiene: a hand-built node skips the analyzer's
     // DeduplicateRelations (it only rewrites KNOWN node types), so when

@@ -61,6 +61,32 @@ class PlanSpec extends AnyFunSuite {
       "native as-of and the inequality-join definition must be identical")
   }
 
+  test("as-of rules: left filter reaches the scan; right side prunes to consumed columns") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.model.Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // `value` is deliberately unused payload-side ballast
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("value"),
+        col("ts").as("last_view_ts"))
+    val df = graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("last_view_ts"))
+      .filter(col("user_id") < 100L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    // PushFilterThroughAsOfJoin hands the predicate to the standard
+    // pushdown, which lands it in BOTH scans' PushedFilters (left via
+    // the rule, right via the views branch's own filter) — assert it
+    // reached a parquet scan at all rather than sitting above the join
+    assert(p.contains("LessThan(user_id,100)"), p.take(3000))
+    // PruneAsOfJoinRight: the unused `value` column must not survive
+    // into the operator's right input
+    val opLine = p.linesIterator.find(_.contains("AsOfJoin")).get
+    assert(!opLine.contains("value#"),
+      s"unused right column fed into the as-of operator: $opLine")
+  }
+
   test("q_topk plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
