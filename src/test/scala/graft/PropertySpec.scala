@@ -294,6 +294,12 @@ class PropertySpec extends AnyFunSuite {
         .collect().head
       assert(got.getString(0) == "01:23.456")
       assert(got.getDouble(1) == 11.0)
+      // the planner strategy and both optimizer rules ride the same
+      // extension — a deployment-configured session needs no runtime
+      // registration through ops/AsOf
+      assert(s2.sessionState.planner.extraPlanningStrategies
+        .contains(graft.plans.AsOfJoinStrategy),
+        "AsOfJoinStrategy not injected")
     } finally {
       org.apache.spark.sql.SparkSession.setActiveSession(shared)
       org.apache.spark.sql.SparkSession.setDefaultSession(shared)
