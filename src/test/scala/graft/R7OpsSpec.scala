@@ -558,21 +558,25 @@ class R7OpsSpec extends AnyFunSuite {
       "all buckets drew identical noise — the md5 draw is broken")
   }
 
-  test("q_simpson_diversity: ppm-bounded; inverse consistent with the forward index") {
+  test("q_simpson_diversity: ppm-bounded; inverse matches a collision-count replay") {
     val rows = q("q_simpson_diversity").collect()
     assert(rows.nonEmpty)
+    // independent replay of the collision counts per source
+    val coll = graft.model.Tables.documents(spark, sf)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("source").agg(sum(expr("c * (c - 1)")).as("coll"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      val (vocab, n, sp, inv) =
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
-      assert(sp >= 0 && sp <= 1000000L, s"${r.getString(0)}: simpson $sp")
-      // all-distinct tokens ⇒ 0; max concentration ⇒ 1e6
+      val (src, vocab, n, sp, inv) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(sp >= 0 && sp <= 1000000L, s"$src: simpson $sp")
       assert(vocab <= n)
-      if (sp > 0) {
-        // inv = floor(1e9 / (coll/(n(n-1)))) on the same integers:
-        // recompute coll from sp's own division bracket
-        assert(inv > 0 && inv <= 1000L * n,
-          s"${r.getString(0)}: inverse $inv out of range")
-      } else assert(inv == 0)
+      val c = coll(src)
+      assert(sp == 1000000L * c / (n * (n - 1)), s"$src: simpson mismatch")
+      if (c > 0) assert(inv == 1000L * n * (n - 1) / c, s"$src: inverse mismatch")
+      else assert(inv == 0)
     }
   }
 
