@@ -120,7 +120,11 @@ case class AsOfJoinExec(
       val rTimeProj = UnsafeProjection.create(Seq(rTime), rOut)
       val payProj = UnsafeProjection.create(pay, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(outAttrs, lOut ++ pay)
+      // bind the payload side of the projection as NULLABLE: the
+      // unmatched-left path feeds a null row, and a non-nullable
+      // BoundReference would skip the null check and read garbage zeros
+      val resultProj = UnsafeProjection.create(outAttrs,
+        lOut ++ pay.map(_.withNullability(true)))
       val joined = new JoinedRow
       val nullPayload = new GenericInternalRow(pay.size)
       val rBuf = rIter.buffered

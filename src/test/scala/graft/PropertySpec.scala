@@ -306,6 +306,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("AsOf.joinAsOf equals the inequality-join argmax on random tables") {
+    // adversarial shapes on purpose: few keys (forced collisions),
+    // duplicate timestamps, keys present on only one side, and the
+    // empty-side degenerate cases
+    val rowsGen = Gen.listOf(
+      Gen.zip(Gen.choose(0L, 4L), Gen.choose(0L, 20L)))
+    samples(Gen.zip(rowsGen, rowsGen), 8).zipWithIndex.foreach {
+      case ((ls, rs), i) =>
+        val lhs = ls.zipWithIndex
+          .map { case ((k, t), id) => (id.toLong, k, t) }
+          .toDF("l_id", "k", "t")
+        val rhs = rs.zipWithIndex
+          .map { case ((k, t), id) => (id.toLong, k, t) }
+          .toDF("r_id", "k", "t")
+          .select(col("k"), col("t"), col("t").as("pay"))
+        val native = graft.ops.AsOf
+          .joinAsOf(lhs, rhs, Seq("k"), "t", "t", Seq("pay"))
+          .select(col("l_id"), col("pay"))
+        val expected = lhs.alias("l")
+          .join(rhs.alias("r"),
+            col("l.k") === col("r.k") && col("r.t") <= col("l.t"), "left")
+          .groupBy(col("l.l_id").as("l_id"))
+          .agg(max(col("r.pay")).as("pay"))
+        assert(native.exceptAll(expected).isEmpty &&
+          expected.exceptAll(native).isEmpty,
+          s"case $i: native as-of diverged from the argmax definition")
+    }
+  }
+
   test("IntervalJoin.overlapJoin equals the theta join on random interval sets") {
     // len 0 produces EMPTY intervals — they must match nothing
     val iv = Gen.listOfN(12,
