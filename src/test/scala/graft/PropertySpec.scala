@@ -335,6 +335,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("decodeWavDsp matches a naive per-sample recompute on random planes") {
+    import graft.ops.Multimodal
+    val planeGen = Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte))
+    samples(planeGen, 24).zipWithIndex.foreach { case (raw, i) =>
+      val samplesArr = raw.take(raw.length - raw.length % 2).toArray
+      val wav = Multimodal.buildWavPcm8Stereo(8000, samplesArr)
+      val dsp = Multimodal.decodeWavDsp(i.toLong, wav)
+      val frames = samplesArr.length / 2
+      val l = (0 until frames).map(j => (samplesArr(2 * j) & 0xff) - 128)
+      val r = (0 until frames).map(j => (samplesArr(2 * j + 1) & 0xff) - 128)
+      def e(c: Seq[Int]) = c.map(v => v.toLong * v).sum
+      def z(c: Seq[Int]) =
+        c.zip(c.drop(1)).count { case (a, b) => (a < 0) != (b < 0) }.toLong
+      def pk(c: Seq[Int]) = if (c.isEmpty) 0 else c.map(math.abs).max
+      assert(dsp.n_frames == frames && dsp.energy_l == e(l) &&
+        dsp.energy_r == e(r) && dsp.zc_l == z(l) && dsp.zc_r == z(r) &&
+        dsp.peak_l == pk(l) && dsp.peak_r == pk(r),
+        s"case $i diverged: $dsp")
+    }
+  }
+
   test("IntervalJoin.overlapJoin equals the theta join on random interval sets") {
     // len 0 produces EMPTY intervals — they must match nothing
     val iv = Gen.listOfN(12,

@@ -513,6 +513,47 @@ class R7OpsSpec extends AnyFunSuite {
     assert(rows.last.getLong(3) <= 6513215599L, "RBO above the weight total")
   }
 
+  test("q_bpe_merge: occ equals a manual left-to-right scan over the vocabulary") {
+    val rows = q("q_bpe_merge").collect()
+    val pair = rows.head.getString(0)
+    // manual non-overlapping scan — independent of replace() semantics
+    def occIn(w: String): Long = {
+      var i = 0; var n = 0L
+      while (i <= w.length - 2) {
+        if (w.substring(i, i + 2) == pair) { n += 1; i += 2 } else i += 1
+      }
+      n
+    }
+    val vocab = graft.model.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val occTotal = vocab.map { case (w, c) => c * occIn(w) }.sum
+    assert(rows.head.getLong(3) == occTotal,
+      s"replace-delta occurrences ${rows.head.getLong(3)} != scan $occTotal")
+  }
+
+  test("q_markov_stationary: exact replay of the three integer power steps") {
+    val rows = q("q_markov_stationary").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val trans = q("q_markov_transitions").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(4)))
+    val states = trans.flatMap { case ((a, b), _) => Seq(a, b) }.distinct
+    var v: Map[String, Long] = states.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val stepped = trans.groupBy(_._1._2).map { case (to, rs) =>
+        to -> rs.map { case ((from, _), p) => v.getOrElse(from, 0L) * p }.sum / 1000000L
+      }
+      v = states.map(st => st -> stepped.getOrElse(st, 0L)).toMap
+    }
+    val tot = v.values.sum
+    rows.foreach { case (st, mass, pi) =>
+      assert(mass == v(st), s"$st: mass $mass != replay ${v(st)}")
+      assert(pi == 1000000L * v(st) / tot, s"$st: share mismatch")
+    }
+  }
+
   test("q_bpe_merge: greedy merge accounting is internally consistent") {
     val rows = q("q_bpe_merge").collect()
     assert(rows.length == 1)
