@@ -97,7 +97,7 @@ object Bench {
     "q_lorenz_curve", "q_bhattacharyya", "q_markov_stationary",
     "q_sql_unpivot", "q_attribution_shapley", "q_rbo", "q_bpe_merge",
     "q_cluster_topics", "q_dp_histogram", "q_join_asof_native",
-    "q_simpson_diversity", "q_sql_filter_clause")
+    "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,6 +150,26 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of through the same native operator: the EARLIEST view
+    * at-or-after each purchase ("next touchpoint"), obtained by running
+    * the backward merge over NEGATED epoch micros — latest(−t ≤ −t₀) ≡
+    * earliest(t ≥ t₀), so one physical operator serves both directions
+    * (the reuse a direction flag would otherwise buy, for free).
+    */
+  private val qJoinAsofFwd: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        (-unix_micros(col("ts"))).as("nt"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), (-unix_micros(col("ts"))).as("nt"),
+        col("ts").as("next_view_ts"))
+    graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+        "nt", "nt", Seq("next_view_ts"))
+      .select(col("event_id"), col("user_id"), col("next_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** Nearest-event join: for each purchase, the temporally NEAREST view
     * of the same user — before OR after (sensor-alignment semantics,
     * where plain as-of only looks one way). Composed from the backward
@@ -872,6 +892,7 @@ object Relational {
     "q_join_interval" -> qJoinInterval,
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_native" -> qJoinAsofNative,
+    "q_join_asof_fwd" -> qJoinAsofFwd,
     "q_join_nearest" -> qJoinNearest,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
@@ -1062,6 +1083,13 @@ object Relational {
         |FROM events p LEFT JOIN events v
         |  ON v.user_id = p.user_id AND v.event_type = 'view'
         |  AND (v.ts < p.ts OR (v.ts = p.ts AND v.event_id <= p.event_id))
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_fwd" ->
+      """SELECT p.event_id, p.user_id, min(v.ts) AS next_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts >= p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_join_asof_native" ->
