@@ -19,7 +19,7 @@ object Bench {
     "q_cosine_topk", "q_text_stats", "q_tfidf", "q_udaf_topk",
     "q_expr_laptime")
 
-  /** Post-r4 operators reported under `extended` — informational
+  /** Every non-headline registry key, reported under `extended` — informational
     * visibility for the newer surface without touching the frozen
     * headline set or its cross-round comparable total. The shared
     * durable tables (graph co-purchase edges, dedup cluster map) are
@@ -97,7 +97,131 @@ object Bench {
     "q_lorenz_curve", "q_bhattacharyya", "q_markov_stationary",
     "q_sql_unpivot", "q_attribution_shapley", "q_rbo", "q_bpe_merge",
     "q_cluster_topics", "q_dp_histogram", "q_join_asof_native",
-    "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd")
+    "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd",
+    // registry-wide since r7: every remaining key timed once so NO
+    // operator ships unbenchmarked (the mid-generation r2-r4 keys)
+    "q_ab_srm",
+    "q_ann_ivf",
+    "q_ann_ivf_exhaustive",
+    "q_ann_lsh",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_array_funcs",
+    "q_bitwise_agg",
+    "q_bm25",
+    "q_cast",
+    "q_cdc_apply",
+    "q_chunk_tokens",
+    "q_coalesce",
+    "q_concat_key",
+    "q_cond_agg",
+    "q_csv_source",
+    "q_cube",
+    "q_current_ts",
+    "q_data_contract",
+    "q_date_format",
+    "q_datetime_funcs",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_dedup_ngram",
+    "q_dedup_simhash",
+    "q_derived_column",
+    "q_distinct",
+    "q_domain_mix",
+    "q_dropna",
+    "q_dsv2_source",
+    "q_element_at",
+    "q_entropy",
+    "q_except",
+    "q_except_all",
+    "q_explode",
+    "q_filter_bool",
+    "q_fingerprint",
+    "q_fingerprint_rolling",
+    "q_fuzzy_match",
+    "q_gains_deciles",
+    "q_groupby_max",
+    "q_grouping_sets",
+    "q_histogram",
+    "q_incr_agg",
+    "q_intersect",
+    "q_intersect_all",
+    "q_join_anti",
+    "q_join_bloom",
+    "q_join_full",
+    "q_join_left",
+    "q_join_nullsafe",
+    "q_join_range",
+    "q_join_right",
+    "q_join_semi",
+    "q_join_theta",
+    "q_json_explode",
+    "q_json_source",
+    "q_keep_latest",
+    "q_lang_agg",
+    "q_lang_id",
+    "q_limit",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_orc_source",
+    "q_orderby",
+    "q_overwrite_refresh",
+    "q_pack_sequences",
+    "q_percentile",
+    "q_pii_mask",
+    "q_pivot",
+    "q_profile",
+    "q_quality_score",
+    "q_rank_auc",
+    "q_regex_funcs",
+    "q_repetition_filter",
+    "q_rrf_fusion",
+    "q_sample_split",
+    "q_scd2",
+    "q_sessionize",
+    "q_sql_correlated",
+    "q_sql_cte",
+    "q_sql_lateral",
+    "q_sql_recursive",
+    "q_sql_scalar_subquery",
+    "q_sql_tpch_q12",
+    "q_sql_tpch_q13",
+    "q_sql_tpch_q14",
+    "q_sql_tpch_q15",
+    "q_sql_tpch_q17",
+    "q_sql_tpch_q18",
+    "q_sql_tpch_q19",
+    "q_sql_tpch_q21",
+    "q_sql_tpch_q22",
+    "q_sql_tpch_q4",
+    "q_sql_tpch_q5",
+    "q_sql_tpch_q7",
+    "q_stats_moments",
+    "q_stopword_filter",
+    "q_stream_sliding",
+    "q_stream_users",
+    "q_string_agg",
+    "q_string_funcs",
+    "q_temperature_mix",
+    "q_text_source",
+    "q_time_format",
+    "q_token_count",
+    "q_top_ngrams",
+    "q_try_arith",
+    "q_typed_agg",
+    "q_udf_laptime",
+    "q_unpivot",
+    "q_variant",
+    "q_versioned_read",
+    "q_when_otherwise",
+    "q_window_fill",
+    "q_window_lag",
+    "q_window_misc",
+    "q_window_range",
+    "q_zscore_outliers")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

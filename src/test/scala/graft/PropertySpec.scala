@@ -41,6 +41,15 @@ class PropertySpec extends AnyFunSuite {
     val missing = (Bench.headline ++ Bench.extended)
       .filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"bench keys not in registry: $missing")
+    // ...and the converse, registry-wide since r7: every key is timed
+    // (headline or extended), so no operator ships unbenchmarked and a
+    // new key must be enrolled here to land
+    val benched = (Bench.headline ++ Bench.extended).toSet
+    val unbenched = SparkEntry.queries.keySet -- benched
+    assert(unbenched.isEmpty, s"registry keys missing from bench: $unbenched")
+    val dups = (Bench.headline ++ Bench.extended)
+      .groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"keys benched twice: $dups")
   }
 
   test("COVERAGE.md header key count matches the actual registry") {
