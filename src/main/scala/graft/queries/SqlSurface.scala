@@ -432,16 +432,21 @@ object SqlSurface {
     * max order month, left-joined to per-month order counts — the gap-
     * free time-series shape reporting queries need. The recursion depth
     * is the number of months (driver-side iterations over a tiny spine),
-    * not data-sized.
+    * not data-sized — and the stop bound is computed ONCE and CARRIED
+    * through the recursion as a column: a scalar subquery in the step's
+    * WHERE re-scans the fact table once per iteration (measured 9.3 s
+    * at sf0.1 — ~80 full-orders scans — vs one bounds scan).
     */
   private val qSqlRecursive: Q = (s, d) => {
     registerViews(s, d)
     s.sql(
-      """WITH RECURSIVE spine(m) AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |spine(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM spine
-        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
         |)
         |SELECT m AS month_start, count(o_orderkey) AS n_orders
         |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
@@ -830,11 +835,13 @@ object SqlSurface {
         |FROM customer c JOIN per_customer p ON c.c_custkey = p.o_custkey
         |ORDER BY c.c_custkey""".stripMargin,
     "q_sql_recursive" ->
-      """WITH RECURSIVE spine(m) AS (
-        |  SELECT date_trunc('month', min(o_orderdate)) FROM orders
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |spine(m, hi) AS (
+        |  SELECT lo, hi FROM bounds
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM spine
-        |  WHERE m < (SELECT date_trunc('month', max(o_orderdate)) FROM orders)
+        |  SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
         |)
         |SELECT m AS month_start, count(o_orderkey) AS n_orders
         |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
