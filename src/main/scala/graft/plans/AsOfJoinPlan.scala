@@ -78,6 +78,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * because the left side is ALSO time-sorted within each key), so the
   * per-partition cost is one pass over each side and the only buffered
   * state is the single held (key, payload) pair.
+  *
+  * AQE interplay, stated honestly: shuffle coalescing applies (both
+  * inputs are ordinary exchanges and AQE keeps the pair consistent —
+  * exercised by the randomized equivalence property), but AQE's
+  * skew-JOIN splitting recognizes only the built-in join execs, so a
+  * pathologically hot key lands in one task here. The mitigation is
+  * the same one a skewed sort-merge join needs: pre-aggregate or salt
+  * the hot key upstream (ops/Skew).
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute],
