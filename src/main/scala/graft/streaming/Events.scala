@@ -391,6 +391,44 @@ object Events {
       .toDF()
   }
 
+  case class AsofEnriched(event_id: Long, user_id: Long,
+                          last_view_us: Option[Long])
+
+  /** Streaming as-of enrichment via flatMapGroupsWithState — the
+    * stateful-stream counterpart of the batch [[graft.plans.AsOfJoin]]
+    * operator: state is ONE long per user (the latest view event-time),
+    * and every purchase emits enriched with the view at-or-before it
+    * (None when the user has never viewed). Within a micro-batch rows
+    * process in (event-time, id) order; across batches correctness
+    * relies on per-user event-time monotonicity — a production
+    * deployment fronts this with a watermark-ordered buffer, the
+    * standard trade-off for low-latency enrichment (the spec pins
+    * equality with the batch operator on ordered input).
+    */
+  def asofEnrich(events: org.apache.spark.sql.Dataset[EventRow]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
+          var lastView = state.getOption.getOrElse(Long.MinValue)
+          val out = scala.collection.mutable.ArrayBuffer[AsofEnriched]()
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (e.event_type == "view")
+              lastView = math.max(lastView, e.ts.getTime * 1000L)
+            else out += AsofEnriched(e.event_id, userId,
+              if (lastView == Long.MinValue) None else Some(lastView))
+          }
+          if (lastView != Long.MinValue) state.update(lastView)
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming K1: merge each micro-batch into a Parquet table by key —
     * the reference's `update_one(upsert=True)` discipline applied to a
     * stream. Idempotent per batch, so at-least-once delivery is safe.

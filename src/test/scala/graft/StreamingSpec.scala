@@ -368,6 +368,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment equals the batch AsOfJoin on ordered input") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      // user 1: view → purchase → view → purchase (state must advance)
+      Ev(1, t("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+      Ev(2, t("2024-01-01 10:05:00"), 1L, "purchase", 5.0, "{}"),
+      Ev(3, t("2024-01-01 10:10:00"), 1L, "view", 0.0, "{}"),
+      Ev(4, t("2024-01-01 10:20:00"), 1L, "purchase", 7.0, "{}"),
+      // user 2: purchase BEFORE any view (null payload), then view+purchase
+      Ev(5, t("2024-01-01 09:00:00"), 2L, "purchase", 3.0, "{}"),
+      Ev(6, t("2024-01-01 09:30:00"), 2L, "view", 0.0, "{}"),
+      Ev(7, t("2024-01-01 09:45:00"), 2L, "purchase", 2.0, "{}"))
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    val q = Events.asofEnrich(typed)
+      .writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode("append").start()
+    try {
+      // split mid-journey so state must survive the batch boundary
+      in.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_stream_out")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      // batch truth through the NATIVE as-of operator on the same rows
+      val static = rows.toDS()
+      val purchases = static.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      val views = static.filter($"event_type" === "view")
+        .select($"user_id", unix_micros($"ts").as("us"),
+          unix_micros($"ts").as("last_view_us"))
+      val expected = graft.ops.AsOf
+        .joinAsOf(purchases, views, Seq("user_id"), "us", "us",
+          Seq("last_view_us"))
+        .select($"event_id", $"user_id", $"last_view_us")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(streamed == expected,
+        s"stream $streamed != batch operator $expected")
+      assert(streamed.exists(_._3.isEmpty), "the null-payload case must occur")
+    } finally q.stop()
+  }
+
   test("windowUsers streams: dedup state + windowed count compose in append mode") {
     implicit val sc = spark.sqlContext
     val in = MemoryStream[Ev]
