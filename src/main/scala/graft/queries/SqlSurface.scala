@@ -623,6 +623,23 @@ object SqlSurface {
         |ORDER BY prio""".stripMargin)
   }
 
+  /** DuckDB/Snowflake `QUALIFY` — post-window filtering — which Spark
+    * SQL lacks as syntax: the translation is the windowed subquery with
+    * the predicate on the outer block (Spark plans it as
+    * WindowGroupLimit for rank-style predicates — the filter is pushed
+    * below the exchange, never a full sort+discard). The oracle runs
+    * DuckDB's NATIVE QUALIFY, pinning the dialect mapping exactly (the
+    * q_sql_distinct_on discipline).
+    */
+  private val sqlQualifySparkSql: String =
+    """SELECT o_custkey, o_orderkey, cents FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+      |    rank() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 2
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   /** Aggregate FILTER clause — the ANSI per-aggregate predicate both
     * engines parse identically (one grouped scan replaces N filtered
     * subqueries; the conditional-aggregation rewrite `q_cond_agg`
@@ -665,6 +682,7 @@ object SqlSurface {
   val registry: Map[String, Q] = Map(
     "q_sql_unpivot" -> qSqlUnpivot,
     "q_sql_filter_clause" -> sqlKey(sqlFilterClauseSql),
+    "q_sql_qualify" -> sqlKey(sqlQualifySparkSql),
     "q_sql_groupby_all" -> sqlKey(sqlGroupByAllSql),
     "q_sql_order_by_all" -> sqlKey(sqlOrderByAllSql),
     "q_sql_distinct_on" -> sqlKey(sqlDistinctOnSparkSql),
@@ -705,6 +723,13 @@ object SqlSurface {
 
   val oracle: Map[String, String] = Map(
     "q_sql_filter_clause" -> sqlFilterClauseSql,
+    "q_sql_qualify" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+        |FROM orders
+        |QUALIFY rank() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey) <= 2
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q_sql_unpivot" ->
       """WITH w AS (SELECT o_orderpriority AS prio,
         |    CAST(sum(CASE WHEN o_orderstatus = 'O'
