@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericI
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.SQLMetrics
 import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Native as-of join — the whole-operator Catalyst extension tier
@@ -99,6 +100,12 @@ case class AsOfJoinExec(
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
 
+  override lazy val metrics = Map(
+    "numOutputRows" ->
+      SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" ->
+      SQLMetrics.createMetric(sparkContext, "left rows with an as-of match"))
+
   override def outputPartitioning: Partitioning = left.outputPartitioning
 
   override def requiredChildDistribution: Seq[Distribution] =
@@ -112,6 +119,8 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 
   protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
@@ -158,10 +167,10 @@ case class AsOfJoinExec(
             rBuf.next()
           } else scanning = false
         }
-        val p =
-          if (heldKey != null && keyOrd.compare(heldKey, lk) == 0) heldPayload
-          else nullPayload
-        resultProj(joined(l, p))
+        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        numOutputRows += 1
+        if (matched) numMatched += 1
+        resultProj(joined(l, if (matched) heldPayload else nullPayload))
       }
     }
   }
