@@ -778,6 +778,26 @@ object Relational {
         size(array_distinct(col("toks"))).as("n_distinct_tokens"))
       .orderBy(col("doc_id"))
 
+  /** Higher-order (lambda) functions over array columns — transform,
+    * filter, aggregate, exists, forall — the codegen'd per-row
+    * functional surface the text/similarity ops lean on, here as its
+    * own coverage key with every output reduced to a SCALAR (the
+    * oracle harness cannot sort array cells). The aggregate-fold
+    * (0-seeded integer add) matches DuckDB's transform+list_sum
+    * because integer addition is order-independent.
+    */
+  private val qLambdaFuncs: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .select(
+        col("doc_id"),
+        expr("aggregate(toks, 0L, (a, x) -> a + length(x))").as("sum_len"),
+        expr("size(filter(toks, x -> length(x) >= 5))").as("n_long"),
+        expr("exists(toks, x -> x = 'spark')").as("any_spark"),
+        expr("forall(toks, x -> x <> 'zzz_never')").as("none_sentinel"),
+        expr("size(transform(toks, x -> upper(x)))").as("n_upper"))
+      .orderBy(col("doc_id"))
+
   /** Map construction + lookup: per-user event_type→count map, then keyed
     * extraction — exercises map_from_entries/element_at over an aggregate.
     */
@@ -933,6 +953,7 @@ object Relational {
     "q_math_funcs" -> qMathFuncs,
     "q_datetime_funcs" -> qDatetimeFuncs,
     "q_array_funcs" -> qArrayFuncs,
+    "q_lambda_funcs" -> qLambdaFuncs,
     "q_map_funcs" -> qMapFuncs,
     "q_json_funcs" -> qJsonFuncs,
     "q_regex_funcs" -> qRegexFuncs,
@@ -1078,6 +1099,18 @@ object Relational {
         |SELECT event_id, user_id, nearest_view_ts,
         |  abs(epoch_us(nearest_view_ts) - epoch_us(ts)) AS gap_us
         |FROM n ORDER BY event_id""".stripMargin,
+    "q_lambda_funcs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+        |    AS sum_len,
+        |  CAST(len(list_filter(toks, x -> length(x) >= 5)) AS INT)
+        |    AS n_long,
+        |  len(list_filter(toks, x -> x = 'spark')) > 0 AS any_spark,
+        |  len(list_filter(toks, x -> x = 'zzz_never')) = 0 AS none_sentinel,
+        |  CAST(len(list_transform(toks, x -> upper(x))) AS INT) AS n_upper
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q_join_asof" ->
       """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
         |FROM events p LEFT JOIN events v
