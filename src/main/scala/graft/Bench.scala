@@ -98,7 +98,7 @@ object Bench {
     "q_sql_unpivot", "q_attribution_shapley", "q_rbo", "q_bpe_merge",
     "q_cluster_topics", "q_dp_histogram", "q_join_asof_native",
     "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd",
-    "q_sql_qualify", "q_lambda_funcs",
+    "q_sql_qualify", "q_lambda_funcs", "q_multimodal_phash_near",
     // registry-wide since r7: every remaining key timed once so NO
     // operator ships unbenchmarked (the mid-generation r2-r4 keys)
     "q_ab_srm",

@@ -138,6 +138,61 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** NEAR-duplicate image pairs over the perceptual signatures — the
+    * Hamming-distance extension of `q_multimodal_phash`'s exact-group
+    * dedup, banded the way every signature dedup here is banded:
+    * hamming ≤ 3 pigeonholes into 4 covering chunks (at least one
+    * chunk equal), so candidates come from an EQUI join on
+    * (dims, chunk index, chunk bits) — never an all-pairs scan — and
+    * only candidates pay the exact per-position verify (Spark: a
+    * zip_with fold; oracle: DuckDB's native hamming). Dims for THIS
+    * key derive from n_chars (not doc_id) so duplicate texts share
+    * dimensions and the pair set is non-degenerate. The candidate set
+    * is near-dup-sized, so the dedup `distinct` exchange is tiny by
+    * construction.
+    */
+  private val qMultimodalPhashNear: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")))
+      .select(col("doc_id"), col("text"),
+        (lit(4) + col("n_chars") % 5).cast("int").as("w"),
+        (lit(3) + col("n_chars") % 7).cast("int").as("h"))
+      .select(col("doc_id"),
+        concat(
+          format_string("P6\n%d %d\n255\n", col("w"), col("h")).cast("binary"),
+          expr("CAST(substring(repeat(text, CAST(ceil(CAST(w * h * 3 AS DOUBLE) " +
+            "/ length(text)) AS INT)), 1, w * h * 3) AS BINARY)")).as("payload"))
+      .as[(Long, Array[Byte])]
+    val sig = Multimodal.ppmSignatures(media)
+      .select(col("media_id"), col("width"), col("height"), col("bits"))
+      .withColumn("clen", expr("length(bits) DIV 4"))
+    val chunks = sig
+      .select(col("media_id"), col("width"), col("height"), col("bits"),
+        col("clen"), explode(expr("sequence(0, 3)")).as("i"))
+      .withColumn("chunk", expr(
+        "CASE WHEN i < 3 THEN substring(bits, i * clen + 1, clen) " +
+          "ELSE substring(bits, 3 * clen + 1, length(bits) - 3 * clen) END"))
+    val cand = chunks
+      .select(col("width"), col("height"), col("i"), col("chunk"),
+        col("media_id").as("a"), col("bits").as("bits_a"))
+      .join(chunks.select(col("width"), col("height"), col("i"),
+        col("chunk"), col("media_id").as("b"), col("bits").as("bits_b")),
+        Seq("width", "height", "i", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("width"), col("height"),
+        col("bits_a"), col("bits_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", expr(
+        "size(filter(zip_with(split(bits_a, ''), split(bits_b, ''), " +
+          "(x, y) -> x != y), v -> v))"))
+      .filter(col("hamming") <= 3)
+      .select(col("a").as("media_a"), col("b").as("media_b"),
+        col("width"), col("height"), col("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** REAL multimodal audio decode: each document is packaged as an
     * actual RIFF/WAVE PCM container — proper little-endian chunk sizes,
     * 8-bit stereo interleaved plane cycling through the text bytes —
@@ -225,6 +280,7 @@ object ExtOps {
     "q_multimodal_frames" -> qMultimodalFrames,
     "q_multimodal_decode" -> qMultimodalDecode,
     "q_multimodal_phash" -> qMultimodalPhash,
+    "q_multimodal_phash_near" -> qMultimodalPhashNear,
     "q_multimodal_wav" -> qMultimodalWav,
     "q_audio_features" -> qAudioFeatures,
     "q_dsv2_source" -> qDsv2Source,
@@ -352,6 +408,40 @@ object ExtOps {
         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
         |  CAST(h AS INT) AS height, bits, n_ones, dup_group_size
         |FROM b JOIN g USING (bits) ORDER BY media_id""".stripMargin,
+    "q_multimodal_phash_near" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + n_chars % 5 AS w, 3 + n_chars % 7 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)),
+        |px AS (SELECT doc_id, w, h, i AS j,
+        |    ord(substr(text, CAST((3 * i) % len AS INT) + 1, 1))
+        |    + ord(substr(text, CAST((3 * i + 1) % len AS INT) + 1, 1))
+        |    + ord(substr(text, CAST((3 * i + 2) % len AS INT) + 1, 1))
+        |      AS gray
+        |  FROM d, LATERAL (SELECT unnest(range(w * h)) AS i) t),
+        |sums AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) AS sum_gray,
+        |    CAST(count(*) AS BIGINT) AS npx
+        |  FROM px GROUP BY 1),
+        |b AS (SELECT px.doc_id, max(w) AS w, max(h) AS h,
+        |    string_agg(CASE WHEN gray * npx > sum_gray THEN '1' ELSE '0' END,
+        |      '' ORDER BY j) AS bits
+        |  FROM px JOIN sums ON px.doc_id = sums.doc_id GROUP BY 1),
+        |sg AS (SELECT doc_id, w, h, bits, length(bits) // 4 AS clen
+        |  FROM b),
+        |ch AS (SELECT doc_id, w, h, bits, i,
+        |    CASE WHEN i < 3 THEN substr(bits, i * clen + 1, clen)
+        |      ELSE substr(bits, 3 * clen + 1, length(bits) - 3 * clen)
+        |    END AS chunk
+        |  FROM sg, LATERAL (SELECT unnest(range(0, 4)) AS i) t),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+        |    x.w AS width, x.h AS height, x.bits AS bits_a, y.bits AS bits_b
+        |  FROM ch x JOIN ch y ON x.w = y.w AND x.h = y.h AND x.i = y.i
+        |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |SELECT a AS media_a, b AS media_b, CAST(width AS INT) AS width,
+        |  CAST(height AS INT) AS height,
+        |  CAST(hamming(bits_a, bits_b) AS INT) AS hamming
+        |FROM cand WHERE hamming(bits_a, bits_b) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

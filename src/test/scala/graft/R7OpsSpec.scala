@@ -630,6 +630,19 @@ class R7OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_multimodal_phash_near: banded pairs verify, ordered, exact dups present") {
+    val rows = q("q_multimodal_phash_near").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered a < b")
+      assert(r.getInt(4) >= 0 && r.getInt(4) <= 3, "verify gate leaked")
+      assert(r.getInt(2) >= 4 && r.getInt(2) <= 8 &&
+        r.getInt(3) >= 3 && r.getInt(3) <= 9, "dims outside the grammar")
+    }
+    assert(rows.exists(_.getInt(4) == 0),
+      "duplicate texts share dims, so hamming-0 pairs must exist")
+  }
+
   test("q_js_divergence: bounded by [flooring slack, ln 2]; vocab global per source") {
     val rows = q("q_js_divergence").collect()
     assert(rows.nonEmpty)
