@@ -15,13 +15,23 @@ import graft.plans.{AsOfJoin, AsOfJoinStrategy}
 object AsOf {
 
   /** Left as-of join on equal `keyCols`, time-ordered by the named time
-    * columns (LongType or TimestampType, non-null), attaching
-    * `payloadCols` from the right side. Payload column names must not
-    * collide with left output names.
+    * columns (LongType or TimestampType), attaching `payloadCols` from
+    * the right side. Payload column names must not collide with left
+    * output names (rejected fast with a `require`, instead of surfacing
+    * as an ambiguous-reference error at some later select).
+    *
+    * Null contract (null-UNSAFE, like an ordinary equi-join): right
+    * rows with a null key or null time never match; left rows with a
+    * null key or null time pass through unmatched with null payload.
+    *
+    * Determinism: among right rows sharing the same (key, time), the
+    * winner is unspecified unless `tiebreakCols` is given, in which
+    * case the max row under the tiebreak columns' ascending order wins.
     */
   def joinAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                leftTimeCol: String, rightTimeCol: String,
-               payloadCols: Seq[String]): DataFrame = {
+               payloadCols: Seq[String],
+               tiebreakCols: Seq[String] = Nil): DataFrame = {
     val spark = left.sparkSession
     // idempotent runtime registration; GraftExtensions also injects the
     // strategy for extension-configured sessions
@@ -37,6 +47,11 @@ object AsOf {
         spark.experimental.extraOptimizations ++ missing
     }
     val lPlan = left.queryExecution.analyzed
+    payloadCols.foreach { p =>
+      require(!lPlan.output.exists(a => spark.sessionState.conf.resolver(a.name, p)),
+        s"as-of payload column '$p' collides with a left-side column; " +
+          "rename it on the right before joining")
+    }
     // Self-join hygiene: a hand-built node skips the analyzer's
     // DeduplicateRelations (it only rewrites KNOWN node types), so when
     // both inputs derive from the same scan their attributes share
@@ -53,7 +68,36 @@ object AsOf {
     val node = AsOfJoin(lPlan, rPlan,
       keyCols.map(attr(lPlan, _)), keyCols.map(attr(rPlan, _)),
       attr(lPlan, leftTimeCol), attr(rPlan, rightTimeCol),
-      payloadCols.map(attr(rPlan, _)))
+      payloadCols.map(attr(rPlan, _)),
+      tiebreakCols.map(attr(rPlan, _)))
     GraftRelationalBridge.ofRows(spark, node)
+  }
+
+  /** Hot-key mitigation for the as-of join — the salting composition
+    * the exec's scaladoc names (AQE's skew-JOIN splitting recognizes
+    * only the built-in join execs, so a pathologically hot key in
+    * [[graft.plans.AsOfJoinExec]] lands in one task). The left (fact)
+    * side salts deterministically from `saltSource` into `salts`
+    * sub-keys; the right side replicates once per salt, so EVERY salted
+    * left partition still sees the key's full right history and the
+    * result equals the unsalted join row-for-row. Cost: the right side
+    * shuffles `salts`× — apply when the left side is the big one (the
+    * usual as-of shape: events ⋈ reference states), keeping `salts`
+    * near the hot key's task-count excess, not in the hundreds.
+    * `saltSource` must be deterministic per left row (e.g. a row id),
+    * never `rand()` — retried tasks must re-salt identically.
+    */
+  def joinAsOfSalted(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTimeCol: String, rightTimeCol: String,
+                     payloadCols: Seq[String], saltSource: org.apache.spark.sql.Column,
+                     salts: Int, tiebreakCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+    require(salts > 0, s"salts must be positive, got $salts")
+    val saltCol = "_asof_salt"
+    val sl = left.withColumn(saltCol, pmod(saltSource, lit(salts)).cast("int"))
+    val sr = right.withColumn(saltCol,
+      explode(sequence(lit(0), lit(salts - 1))))
+    joinAsOf(sl, sr, keyCols :+ saltCol, leftTimeCol, rightTimeCol,
+      payloadCols, tiebreakCols).drop(saltCol)
   }
 }

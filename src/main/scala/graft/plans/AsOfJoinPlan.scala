@@ -28,15 +28,21 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * equi-join pays.
   *
   * Semantics: right rows with `rightTime <= leftTime` match; among
-  * matches the LAST in the right side's (key, time) sort order wins —
-  * i.e. the max-time row (callers needing a deterministic winner among
-  * equal-time right rows include a tiebreak in `rightTime`'s ordering
-  * by pre-sorting payload choice, or aggregate upstream). Unmatched
-  * left rows emit null payload (left-outer shape). Time attributes
-  * must be LongType or TimestampType (both are 8-byte values in
-  * InternalRow) and non-null; null keys group like SMJ's null buckets
-  * and match only by ordering, which mirrors the null-unsafe equi-join
-  * convention.
+  * matches the LAST in the right side's (key, time, tiebreak…) sort
+  * order wins — i.e. the max-time row, with ties broken by the
+  * OPTIONAL `rightTiebreak` columns (max under ascending order). With
+  * no tiebreak, the winner among equal-(key, time) right rows is
+  * whichever the shuffle delivered last — callers needing determinism
+  * pass a tiebreak or aggregate upstream. Unmatched left rows emit
+  * null payload (left-outer shape). Time attributes must be LongType
+  * or TimestampType (both are 8-byte values in InternalRow).
+  *
+  * Null contract (enforced in the exec, null-UNSAFE like an ordinary
+  * equi-join): a right row with any null key or a null time can never
+  * be the held match; a left row with any null key or a null time is
+  * emitted unmatched (null payload). Null rows still merge in their
+  * sorted (nulls-first) positions, so the two-pointer movement is
+  * unaffected.
   */
 case class AsOfJoin(
     left: LogicalPlan,
@@ -45,7 +51,8 @@ case class AsOfJoin(
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
     rightTime: Attribute,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    rightTiebreak: Seq[Attribute] = Nil) extends BinaryNode {
   require(leftKeys.length == rightKeys.length && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
   require(Seq(leftTime, rightTime).forall(a =>
@@ -65,8 +72,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, p) =>
-      AsOfJoinExec(lk, rk, lt, rt, p, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, p, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, p, tb, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -94,6 +101,7 @@ case class AsOfJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     payload: Seq[Attribute],
+    rightTiebreak: Seq[Attribute],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -111,9 +119,13 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
+  // the right side additionally sorts by the caller's tiebreak columns,
+  // so "last consumed wins" is deterministic among equal-(key, time)
+  // right rows whenever a tiebreak is supplied
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+    (rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending)) ++
+      rightTiebreak.map(SortOrder(_, Ascending)))
 
   // the merge preserves the left side's arrival order
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
@@ -153,21 +165,33 @@ case class AsOfJoinExec(
       var heldPayload: UnsafeRow = null
       lIter.map { l =>
         val lk = lKeyProj(l)
-        val lt = lTimeProj(l).getLong(0)
+        val ltRow = lTimeProj(l)
+        val ltNull = ltRow.isNullAt(0)
+        val lt = if (ltNull) 0L else ltRow.getLong(0)
         var scanning = true
         while (scanning && rBuf.hasNext) {
           val r = rBuf.head
           val rk = rKeyProj(r)
           val c = keyOrd.compare(rk, lk)
-          if (c < 0 || (c == 0 && rTimeProj(r).getLong(0) <= lt)) {
-            if (c == 0) {
+          // null times sort first (ascending nulls-first), so null-time
+          // right rows of the current key are consumable at any left
+          // row; a null-time LEFT row (also sorted first within its
+          // key) consumes nothing non-null of its own key
+          val rtRow = if (c == 0) rTimeProj(r) else null
+          val rtNull = rtRow != null && rtRow.isNullAt(0)
+          if (c < 0 ||
+              (c == 0 && (rtNull || (!ltNull && rtRow.getLong(0) <= lt)))) {
+            // null-unsafe hold: rows with a null key or null time are
+            // consumed in merge order but can never become the match
+            if (c == 0 && !rtNull && !rk.anyNull) {
               heldKey = rk.copy()
               heldPayload = payProj(r).copy()
             }
             rBuf.next()
           } else scanning = false
         }
-        val matched = heldKey != null && keyOrd.compare(heldKey, lk) == 0
+        val matched = !ltNull && !lk.anyNull &&
+          heldKey != null && keyOrd.compare(heldKey, lk) == 0
         numOutputRows += 1
         if (matched) numMatched += 1
         resultProj(joined(l, if (matched) heldPayload else nullPayload))

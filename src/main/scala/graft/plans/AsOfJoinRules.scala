@@ -42,7 +42,8 @@ object AsOfJoinRules {
   object PruneAsOfJoinRight extends Rule[LogicalPlan] {
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
       case aj: AsOfJoin =>
-        val needed = AttributeSet(aj.rightKeys ++ Seq(aj.rightTime) ++ aj.payload)
+        val needed = AttributeSet(
+          aj.rightKeys ++ Seq(aj.rightTime) ++ aj.payload ++ aj.rightTiebreak)
         if (aj.right.output.forall(needed.contains)) aj
         else aj.copy(right =
           Project(aj.right.output.filter(needed.contains), aj.right))

@@ -394,16 +394,28 @@ object Events {
   case class AsofEnriched(event_id: Long, user_id: Long,
                           last_view_us: Option[Long])
 
+  /** Full microsecond event-time of a Timestamp — `getTime` alone
+    * truncates to milliseconds, which both corrupts an emitted
+    * microsecond column and can flip an at-or-before comparison for
+    * sub-millisecond event times.
+    */
+  private def tsMicros(ts: java.sql.Timestamp): Long = {
+    val i = ts.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** Streaming as-of enrichment via flatMapGroupsWithState — the
     * stateful-stream counterpart of the batch [[graft.plans.AsOfJoin]]
-    * operator: state is ONE long per user (the latest view event-time),
-    * and every purchase emits enriched with the view at-or-before it
-    * (None when the user has never viewed). Within a micro-batch rows
-    * process in (event-time, id) order; across batches correctness
-    * relies on per-user event-time monotonicity — a production
-    * deployment fronts this with a watermark-ordered buffer, the
-    * standard trade-off for low-latency enrichment (the spec pins
-    * equality with the batch operator on ordered input).
+    * operator: state is ONE long per user (the latest view event-time,
+    * microseconds), and every purchase emits enriched with the view
+    * at-or-before it (None when the user has never viewed). Within a
+    * micro-batch rows process in event-time order with views BEFORE
+    * purchases at equal timestamps — matching the batch operator's
+    * inclusive `rightTime <= leftTime` bound — then by id for
+    * determinism. Across batches correctness relies on per-user
+    * event-time monotonicity; [[asofEnrichWatermarked]] is the
+    * out-of-order-tolerant variant that buffers within the watermark
+    * instead (the specs pin both against the batch operator).
     */
   def asofEnrich(events: org.apache.spark.sql.Dataset[EventRow]): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -417,13 +429,90 @@ object Events {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[Long]) =>
           var lastView = state.getOption.getOrElse(Long.MinValue)
           val out = scala.collection.mutable.ArrayBuffer[AsofEnriched]()
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            if (e.event_type == "view")
-              lastView = math.max(lastView, e.ts.getTime * 1000L)
-            else out += AsofEnriched(e.event_id, userId,
-              if (lastView == Long.MinValue) None else Some(lastView))
-          }
+          rows.toSeq
+            .sortBy(e => (tsMicros(e.ts), e.event_type != "view", e.event_id))
+            .foreach { e =>
+              if (e.event_type == "view")
+                lastView = math.max(lastView, tsMicros(e.ts))
+              else out += AsofEnriched(e.event_id, userId,
+                if (lastView == Long.MinValue) None else Some(lastView))
+            }
           if (lastView != Long.MinValue) state.update(lastView)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** State of [[asofEnrichWatermarked]]: the max view time (micros) at
+    * or below the watermark (compacted — only the max can ever match a
+    * future purchase, since un-emitted purchases are all later than the
+    * watermark), plus the still-reorderable tail: views and pending
+    * purchases with event time above the watermark.
+    */
+  case class AsofWmState(maxSettledView: Long,
+                         pendingViews: List[Long],
+                         pendingPurchases: List[(Long, Long)])
+
+  /** Out-of-order-tolerant streaming as-of enrichment: the watermarked
+    * counterpart of [[asofEnrich]] for streams where per-user event
+    * time is NOT monotone across micro-batches. Purchases buffer in
+    * state until the watermark passes their event time — at that point
+    * every view at-or-before them has arrived (the watermark contract),
+    * so the emitted match equals the batch [[graft.plans.AsOfJoin]]
+    * verdict exactly, for ANY arrival order within the watermark bound.
+    * The semantics delta vs [[asofEnrich]] is latency for correctness:
+    * output trails the watermark instead of the batch, and arrivals
+    * later than the watermark are dropped by the stream (batch would
+    * still join them). State per user is O(events inside the watermark
+    * window): settled views compact to one long; an event-time timer
+    * flushes buffered purchases when the user goes quiet.
+    */
+  def asofEnrichWatermarked(events: org.apache.spark.sql.Dataset[EventRow],
+                            delay: String = "10 seconds"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", delay)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofWmState, AsofEnriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[AsofWmState]) =>
+          val st = state.getOption.getOrElse(AsofWmState(Long.MinValue, Nil, Nil))
+          var views = st.pendingViews
+          var purchases = st.pendingPurchases
+          rows.foreach { e =>
+            if (e.event_type == "view") views ::= tsMicros(e.ts)
+            else purchases ::= (tsMicros(e.ts), e.event_id)
+          }
+          val wmMicros = state.getCurrentWatermarkMs() * 1000L
+          // purchases at/below the watermark emit — every view that can
+          // match them has arrived (watermark contract). The match is
+          // computed over the UN-compacted view list: a same-batch view
+          // in (t, wm] must not leak into a purchase at t. The scalar
+          // maxSettledView is always a valid floor: it was compacted at
+          // some earlier watermark wm' < t of every still-pending
+          // purchase (the purchase survived wm''s late filter).
+          val (emit, stillPending) = purchases.partition(_._1 <= wmMicros)
+          val out = emit
+            .sortBy { case (t, id) => (t, id) }
+            .map { case (t, id) =>
+              val m = (st.maxSettledView :: views.filter(_ <= t)).max
+              AsofEnriched(id, userId, if (m == Long.MinValue) None else Some(m))
+            }
+          // settle: views at/below the watermark compact to their max —
+          // only the max can match a future purchase (all have t > wm)
+          val (settledV, laterV) = views.partition(_ <= wmMicros)
+          val maxSettled = (st.maxSettledView :: settledV).max
+          val next = AsofWmState(maxSettled, laterV, stillPending)
+          state.update(next)
+          // wake this user when the watermark passes the earliest
+          // pending event, even if no new rows arrive for them
+          val pendingTimes = laterV ++ stillPending.map(_._1)
+          if (pendingTimes.nonEmpty)
+            state.setTimeoutTimestamp(pendingTimes.min / 1000L + 1L)
           out.iterator
       }
       .toDF()

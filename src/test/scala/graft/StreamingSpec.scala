@@ -368,6 +368,61 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermarked as-of enrichment equals the batch AsOfJoin on OUT-OF-ORDER input") {
+    implicit val sc = spark.sqlContext
+    // user 1's journey, deliberately delivered out of order across
+    // micro-batches (every arrival within the 10 s watermark bound):
+    // the crux is the view at 10:00:06 arriving AFTER the purchase at
+    // 10:00:07 — the monotone asofEnrich would have already emitted
+    // that purchase with the 10:00:05 view; the watermarked variant
+    // must hold the purchase and emit the corrected 10:00:06 match.
+    val b1 = Seq(
+      Ev(1, t("2024-01-01 10:00:05"), 1L, "view", 0.0, "{}"),
+      Ev(2, t("2024-01-01 10:00:07"), 1L, "purchase", 5.0, "{}"))
+    val b2 = Seq(
+      Ev(3, t("2024-01-01 10:00:06"), 1L, "view", 0.0, "{}"), // late view
+      Ev(4, t("2024-01-01 10:00:03"), 1L, "purchase", 2.0, "{}")) // late purchase
+    // watermark advancers on another user (views only — contribute no
+    // output rows), far enough ahead to settle everything above
+    val b3 = Seq(Ev(90, t("2024-01-01 10:05:00"), 99L, "view", 0.0, "{}"))
+    val b4 = Seq(Ev(91, t("2024-01-01 10:10:00"), 99L, "view", 0.0, "{}"))
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    val q = Events.asofEnrichWatermarked(typed, delay = "10 seconds")
+      .writeStream.format("memory").queryName("asof_wm_out")
+      .outputMode("append").start()
+    try {
+      Seq(b1, b2, b3, b4).foreach { b =>
+        in.addData(b: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("asof_wm_out")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val static = (b1 ++ b2 ++ b3 ++ b4).toDS()
+      val purchases = static.filter($"event_type" === "purchase")
+        .select($"event_id", $"user_id", unix_micros($"ts").as("us"))
+      val views = static.filter($"event_type" === "view")
+        .select($"user_id", unix_micros($"ts").as("us"),
+          unix_micros($"ts").as("last_view_us"))
+      val expected = graft.ops.AsOf
+        .joinAsOf(purchases, views, Seq("user_id"), "us", "us",
+          Seq("last_view_us"))
+        .select($"event_id", $"user_id", $"last_view_us")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(streamed == expected,
+        s"out-of-order stream $streamed != batch operator $expected")
+      // pin the crux explicitly: purchase 2 carries the LATE view's time
+      // (10:00:06, one second after the view that had already arrived)
+      val late = streamed.find(_._1 == 2L).flatMap(_._3)
+      val earlyView = static.filter($"event_id" === 1L)
+        .select(unix_micros($"ts")).as[Long].head()
+      assert(late.contains(earlyView + 1000000L),
+        s"purchase 2 must match the out-of-order 10:00:06 view, got $late")
+      // and the too-early purchase has no view at-or-before it
+      assert(streamed.find(_._1 == 4L).exists(_._3.isEmpty))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment equals the batch AsOfJoin on ordered input") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
