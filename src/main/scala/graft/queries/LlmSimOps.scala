@@ -1,0 +1,594 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Tables
+import graft.ops.{Dedup, Similarity, TextStats}
+
+/** Embedding similarity tier: SRP-banded embedding near-dup, cosine
+  * top-k, hard negatives, quantization, kNN labeling, ANN (IVF + LSH),
+  * and the durable fuzzy-match pair table + entity clusters.
+  *
+  * Section registry of [[LlmOps]] (split in round 8 purely for file
+  * modularity — no behavior change; LlmOps concatenates the fragments
+  * and remains the single public surface).
+  */
+private[queries] object LlmSimOps {
+  private[queries] type Q = (SparkSession, String) => DataFrame
+
+  /** Embedding near-dup via LSH blocking + exact cosine verify — the
+    * corpus×corpus scale shape (banded equi join, never a theta join).
+    * The oracle mirrors the banding bit-for-bit (same splitmix
+    * hyperplanes, same left-fold dot order — the `q_dedup_simhash`
+    * discipline), so the contract is "exact cosine over LSH candidates".
+    * Measured against the exact all-pairs ideal on this corpus: recall
+    * 0.94–0.97 at sf0.001–0.1 with ~34% candidate pairs. That is the
+    * hardest possible regime — the synthetic generator plants pairs at
+    * cos ∈ [0.4, 0.6] with background up to 0.3999, i.e. zero margin at
+    * the 0.4 threshold, where NO complete sub-quadratic filter exists
+    * (a blocking scheme admitting every pair at 0.4001 must admit
+    * essentially every pair at 0.3999 too). See
+    * [[Similarity.cosinePairsBlocked]].
+    */
+  private[queries] val qDedupEmbedding: Q = (s, d) =>
+    Similarity.cosinePairsBlocked(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits)
+      .orderBy(col("vec_a"), col("vec_b"))
+
+  /** Embedding-blocking quality evaluation: the SRP band candidate set
+    * scored against exact all-pairs cosine ≥ 0.4 ground truth —
+    * TP/FP/FN with precision/recall in exact ppm, the embedding-side
+    * sibling of `q_dedup_eval`. Evaluates the BLOCKING stage itself
+    * (the verified `q_dedup_embedding` output is trivially
+    * precision-1), i.e. the number every ANN/blocking parameter sweep
+    * actually optimizes. Candidates ride the bit-mirrored SRP bands;
+    * truth is the all-pairs join the oracle also runs — quadratic by
+    * definition, which is exactly why this is an EVAL key over the
+    * corpus sample, not a production path.
+    */
+  private[queries] val qEmbDedupEval: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val truth = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("t"))
+    val pred = Similarity.srpCandidatePairs(emb, "vec_id", "embedding",
+        EmbBands, EmbBits)
+      .select(col("vec_a"), col("vec_b"), lit(1L).as("p"))
+    truth.join(pred, Seq("vec_a", "vec_b"), "full")
+      .agg(
+        sum(coalesce(col("t"), lit(0L)) * coalesce(col("p"), lit(0L))).as("tp"),
+        sum((lit(1L) - coalesce(col("t"), lit(0L))) *
+          coalesce(col("p"), lit(0L))).as("fp"),
+        sum(coalesce(col("t"), lit(0L)) *
+          (lit(1L) - coalesce(col("p"), lit(0L)))).as("fn"))
+      .filter(col("tp") + col("fp") > 0L && col("tp") + col("fn") > 0L)
+      .select(col("tp"), col("fp"), col("fn"),
+        expr("1000000 * tp DIV (tp + fp)").as("precision_ppm"),
+        expr("1000000 * tp DIV (tp + fn)").as("recall_ppm"))
+      .orderBy("tp")
+  }
+
+  /** LSH parameters for `q_dedup_embedding`, shared with its oracle. */
+  private[queries] val EmbBands = 96
+
+  private[queries] val EmbBits = 8
+
+  private[queries] val qCosineTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** kNN majority-vote classification: each held-out query vector
+    * (vec_id < 20) takes the majority label of its 5 exact-cosine
+    * nearest neighbors in the labeled remainder — the
+    * label-propagation / eval-probe query of an embedding pipeline.
+    * Neighbor selection rides [[Similarity.bruteForceTopK]] (broadcast
+    * queries, map-side dot products); the vote is a keyed aggregate
+    * with the `q_mode` composite-key tie-break (most votes, then
+    * smallest label — labels < 1000 by the composite's construction).
+    */
+  /** Contrastive hard negatives: top-3 nearest different-label corpus
+    * vectors per held-out query — see [[Similarity.hardNegatives]] for
+    * why the label filter precedes the rank.
+    */
+  private[queries] val qHardNegatives: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.hardNegatives(emb.filter(col("vec_id") >= 20),
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding", "label", k = 3)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Per-label L2-norm² profile of the embedding table — the
+    * broken-embedding detector (zero vectors, un-normalized batches,
+    * and magnitude drift all surface as norm outliers before they
+    * poison cosine math downstream). Each vector's norm² is ONE
+    * map-side left fold floored to e6 (the same sequential-fold parity
+    * `dot_arr`/`list_dot_product` rely on); everything after is exact
+    * integer per-label aggregation.
+    */
+  private[queries] val qEmbNormProfile: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"),
+        floor(expr("aggregate(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x)") * 1e6)
+          .cast("long").as("n2"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), min("n2").as("min_n2_e6"),
+        max("n2").as("max_n2_e6"),
+        expr("sum(n2) DIV count(1)").as("mean_n2_e6"))
+      .orderBy(col("label"))
+
+  /** Per-dimension min-max int8 quantization audit: the storage-
+    * compression dry run (PQ-lite) — each dimension's range and the
+    * worst-case reconstruction error of snapping values to a 256-level
+    * grid. Quantization uses floor(u + 0.5), NOT round(): Spark rounds
+    * doubles HALF_UP while DuckDB rounds HALF_EVEN, and the .5 edges
+    * land exactly on grid midpoints here, so round() is the one
+    * function that would silently diverge cross-engine. Per-element
+    * errors floor to e6 BEFORE the max, keeping the aggregate
+    * order-independent; constant dimensions (mx = mn) define error 0.
+    */
+  private[queries] val qEmbQuantize: Q = (s, d) => {
+    val el = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val rng = el.groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+    el.join(broadcast(rng), "pos")
+      .withColumn("err_e6", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor(lit(1e6) * abs(col("x") -
+          (col("mn") + floor((col("x") - col("mn")) /
+            ((col("mx") - col("mn")) / 255.0) + 0.5) *
+            ((col("mx") - col("mn")) / 255.0)))).cast("long")))
+      .groupBy("pos")
+      .agg(floor(min("x") * 1e6).cast("long").as("mn_e6"),
+        floor(max("x") * 1e6).cast("long").as("mx_e6"),
+        max("err_e6").as("max_abs_err_e6"))
+      .orderBy(col("pos"))
+  }
+
+  private[queries] val qKnnLabel: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val top = Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 20),
+      emb.filter(col("vec_id") < 20), "vec_id", "embedding", k = 5)
+    top.join(broadcast(labels.withColumnRenamed("vec_id", "n_id")
+        .withColumnRenamed("label", "n_label")), "n_id")
+      .groupBy("q_id", "n_label").agg(count(lit(1)).as("votes"))
+      .groupBy("q_id")
+      .agg(max_by(col("n_label"), col("votes") * 1000L - col("n_label"))
+        .as("pred_label"), max("votes").as("top_votes"))
+      .join(broadcast(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "true_label")), "q_id")
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        col("top_votes"))
+      .orderBy("q_id")
+  }
+
+  /** Pairwise cosine between per-label centroid embeddings — the
+    * class-separation / cluster-quality matrix (label-count² rows).
+    * Exactness: cosine is invariant to each vector's positive scaling,
+    * so the centroid sums-of-scaled-integers stand in for the means —
+    * no division before the final ratio. Dot products and squared
+    * norms of those BIGINT sums accumulate as DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB): exact integers regardless of aggregation order,
+    * with the single fixed float sequence at the very end. Everything
+    * after the per-(label,dim) collapse is dimension×label sized.
+    */
+  private[queries] val qCentroidDist: Q = (s, d) => {
+    val a = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(round(col("x").cast("double") * Similarity.MeanScale)
+        .cast("long")).as("sx"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val n2 = a.groupBy("label").agg(sum(dec(col("sx")) * dec(col("sx"))).as("nn"))
+    val dp = a.select(col("label").as("label_a"), col("pos"), col("sx").as("sxa"))
+      .join(a.select(col("label").as("label_b"), col("pos"), col("sx").as("sxb")),
+        "pos")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(dec(col("sxa")) * dec(col("sxb"))).as("dot"))
+    dp.join(broadcast(n2.select(col("label").as("label_a"), col("nn").as("nna"))),
+        "label_a")
+      .join(broadcast(n2.select(col("label").as("label_b"), col("nn").as("nnb"))),
+        "label_b")
+      .select(col("label_a"), col("label_b"),
+        floor(lit(1000000.0) * (col("dot").cast("double") /
+          (sqrt(col("nna").cast("double")) * sqrt(col("nnb").cast("double")))))
+          .cast("long").as("cos_e6"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Per-(label, dimension) embedding variance — the dimension-collapse
+    * detector (a dimension whose variance pins near zero inside a class
+    * carries no signal; one that explodes flags a normalization bug).
+    * Moments are exact scaled-integer BIGINTs (Σx̂², at the 2²⁴ scale,
+    * holds ~3·10⁴ vectors per (label,dim) before needing the
+    * DECIMAL(38,0) upgrade); the variance itself is one mirrored float
+    * sequence. Output is label×dimension sized.
+    */
+  private[queries] val qEmbVariance: Q = (s, d) => {
+    val sc2 = Similarity.MeanScale * Similarity.MeanScale
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .withColumn("xe", round(col("x").cast("double") * Similarity.MeanScale)
+        .cast("long"))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n"), sum("xe").as("sx"),
+        sum(col("xe") * col("xe")).as("sxx"))
+      .select(col("label"), col("pos"), col("n"),
+        floor(lit(1000000000.0) *
+          ((col("sxx").cast("double") / col("n") -
+            (col("sx").cast("double") / col("n")) *
+              (col("sx").cast("double") / col("n"))) / lit(sc2)))
+          .cast("long").as("var_e9"))
+      .orderBy("label", "pos")
+  }
+
+  /** Approximate ANN (IVF) — no SQL oracle (approximate by design). */
+  private[queries] val qAnnIvf: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** IVF exhaustive gate: `nprobe = cells` probes every cell, so the
+    * index degenerates to exact brute force — this key is oracled
+    * (rows+schema+hash against the same SQL as `q_cosine_topk`), turning
+    * the approximate ANN path's correctness from spec-only into a
+    * hash-checked row: the cell assignment must partition the corpus and
+    * the probe/rank plumbing must lose nothing.
+    */
+  private[queries] val qAnnIvfExhaustive: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 16)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
+    * design); recall vs brute force is spec-asserted (LlmOpsSpec).
+    */
+  private[queries] val qAnnLsh: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, bands = 16, bitsPerBand = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Blocked fuzzy match — the entity-resolution shape: a cheap blocking
+    * key (brand) bounds the candidate space, an edit-distance verify
+    * runs only within blocks. Never run levenshtein across the full
+    * cross product; the blocking key IS the scale strategy. Threshold
+    * is calibrated to the corpus: names are two-word phrases of 7–12
+    * chars, so dist ≤ 2 is typo-level variance (a ≤ 10 cut measured
+    * near-vacuous — 7.93M of 8.0M block pairs "matched", turning the
+    * downstream match graph nearly complete). The |Δlen| ≤ 2 guard is
+    * a provably-safe prefilter (length difference lower-bounds edit
+    * distance) that skips the O(m·n) DP on pairs that cannot match.
+    */
+  /** Blocked-match pair table shared by q_fuzzy_match and
+    * q_entity_clusters: (part_a, part_b, dist) with dist ≤ 2, derived
+    * ONCE per (data dir) as a [[graft.ops.DurableTable]] — the verify
+    * join (the banded levenshtein over the length-blocked candidates)
+    * dominates both keys' cost, and at 100 TB a match-pair table is a
+    * materialized asset the golden-record and review-queue jobs scan,
+    * not a per-consumer recompute (the dedup cluster-map discipline).
+    */
+  private[queries] val matchPairTable = new graft.ops.DurableTable("match_pairs")
+
+  /** Match-pair derivation counter, pinned run-once by LlmOpsSpec. */
+  private[graft] val matchPairDerivations = matchPairTable.derivations
+
+  /** Force the durable match-pair build (and return its row count).
+    * Bench times this as its own `_derive_match_pairs` entry so both
+    * consumers report steady-state read-through cost.
+    */
+  private[graft] def materializeMatchPairs(s: SparkSession, d: String): Long =
+    matchPairs(s, d).count()
+
+  private[queries] def matchPairs(s: SparkSession, d: String): DataFrame =
+    matchPairTable(s, d) {
+      val p = Tables.part(s, d)
+      val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
+        col("p_name").as("name_a"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
+        col("p_name").as("name_b"))
+      // length-blocking as an EQUI key: side A explodes to its 5 candidate
+      // lengths len±2, so the join itself enforces |Δlen| ≤ 2 — each block
+      // is (brand, length)-sized instead of brand-sized, and levenshtein
+      // runs on ~25× fewer pairs (edit distance ≥ |Δlen| makes this exact)
+      val a2 = a.withColumn("lb",
+        explode(sequence(length(col("name_a")) - 2, length(col("name_a")) + 2)))
+      val b2 = b.withColumn("lb", length(col("name_b")))
+      // threshold-bounded levenshtein: the 3-arg form runs the banded
+      // O(n·k) DP and bails out at distance > 2 (returns -1) instead of
+      // filling the full O(n·m) matrix — the verify stage dominates this
+      // pipeline (measured 8.0 s → 4.1 s at sf0.1 on the 6.9M block pairs)
+      a2.join(b2, Seq("p_brand", "lb"))
+        .filter(col("part_a") < col("part_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
+        .filter(col("dist") >= 0)
+        .select(col("part_a"), col("part_b"), col("dist"))
+    }
+
+  private[queries] val qFuzzyMatch: Q = (s, d) =>
+    matchPairs(s, d).orderBy(col("part_a"), col("part_b"))
+
+  /** Entity resolution end-to-end: the blocked fuzzy-match pairs
+    * (`q_fuzzy_match`'s brand-blocked levenshtein ≤ 2 with the
+    * length-band prefilter) closed into connected components, every
+    * part mapped to its canonical entity id (minimum reachable key;
+    * unmatched parts canonicalize to themselves) — the master-data
+    * "golden record" assignment built from the same star-contraction
+    * CC the dedup pipeline uses. The blocking key bounds the verify
+    * join; CC is O(log n) rounds over the match edges only — and the
+    * calibrated threshold is what KEEPS that edge set sparse (the old
+    * ≤ 10 cut matched 99% of block pairs, so CC ran over a
+    * near-complete 8M-edge graph: 24 s at sf0.1; ≤ 2 leaves ~220k
+    * true near-duplicate edges).
+    */
+  private[queries] val qEntityClusters: Q = (s, d) => {
+    // rides the durable match-pair table — see matchPairs; CC runs over
+    // the ~220k true near-duplicate edges only
+    val pairs = matchPairs(s, d).select(col("part_a"), col("part_b"))
+    val comp = Dedup.connectedComponentsStar(pairs, "part_a", "part_b")
+      .withColumnRenamed("node", "p_partkey")
+    Tables.part(s, d).select(col("p_partkey"))
+      .join(comp, Seq("p_partkey"), "left")
+      .select(col("p_partkey"),
+        coalesce(col("component"), col("p_partkey")).as("entity_id"))
+      .orderBy("p_partkey")
+  }
+
+  private[queries] val cosineCte =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""".stripMargin
+
+  private[queries] def cosExpr(a: String, b: String): String =
+    s"""list_dot_product($a.v, $b.v) /
+       |(sqrt(list_dot_product($a.v, $a.v)) * sqrt(list_dot_product($b.v, $b.v)))""".stripMargin
+
+  /** Oracle for the LSH-blocked embedding near-dup: mirrors
+    * [[graft.functions.SrpBands]] bit-for-bit. Each hyperplane appears as
+    * a literal ±1 vector fed to native `list_dot_product` (sequential
+    * fold, same accumulation order as `dot_arr`; ±1 multiplies are
+    * exact), so the sign decisions — hence the candidate sets — agree
+    * with Spark exactly. Band codes are band-tagged like SrpBands'
+    * output and a pair is a candidate iff the tagged code lists
+    * intersect (`list_has_any` ≡ the banded equi join). Literal vectors
+    * rather than a lambda over sign masks: DuckDB executes the native
+    * dot ~100× faster than interpreted nested lambdas (3.5 s vs >6 min
+    * at sf0.01). `dims` is the corpus's embedding width (the oracle is
+    * data-calibrated, like the LSH thresholds above).
+    */
+  private[queries] def embeddingBlockedSql(threshold: Double, bands: Int, bits: Int,
+                                  dims: Int): String = {
+    def planeLit(p: Int): String =
+      (0 until dims).map(j =>
+        if (graft.functions.SrpBands.positive(p, j)) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+    val ct = (0 until bands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"${b * (1L << bits)} + $terms"
+    }.mkString("[", ",\n", "]")
+    s"""$cosineCte,
+       |c AS (SELECT vec_id, v, $ct AS ct FROM e),
+       |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |        ${cosExpr("a", "b")} AS cos
+       |      FROM c a JOIN c b ON a.vec_id < b.vec_id AND list_has_any(a.ct, b.ct))
+       |SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM p WHERE cos >= $threshold ORDER BY vec_a, vec_b""".stripMargin
+  }
+
+  /** Merged truth⋈candidate oracle for `q_emb_dedup_eval`: the exact
+    * all-pairs cosine truth and the bit-mirrored SRP band candidates
+    * (same planeLit loops as [[embeddingBlockedSql]]) scored with
+    * INTERSECT/EXCEPT counts.
+    */
+  private[queries] def embDedupEvalSql(threshold: Double, bands: Int, bits: Int,
+                              dims: Int): String = {
+    def planeLit(p: Int): String =
+      (0 until dims).map(j =>
+        if (graft.functions.SrpBands.positive(p, j)) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+    val ct = (0 until bands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"${b * (1L << bits)} + $terms"
+    }.mkString("[", ",\n", "]")
+    s"""$cosineCte,
+       |truth AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |      FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |      WHERE ${cosExpr("a", "b")} >= $threshold),
+       |c AS (SELECT vec_id, $ct AS ct FROM e),
+       |pred AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |      FROM c a JOIN c b ON a.vec_id < b.vec_id
+       |        AND list_has_any(a.ct, b.ct)),
+       |cnt AS (SELECT
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     INTERSECT SELECT * FROM pred)) AS tp,
+       |  (SELECT count(*) FROM (SELECT * FROM pred
+       |     EXCEPT SELECT * FROM truth)) AS fp,
+       |  (SELECT count(*) FROM (SELECT * FROM truth
+       |     EXCEPT SELECT * FROM pred)) AS fn)
+       |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
+       |  CAST(1000000 * tp // (tp + fp) AS BIGINT) AS precision_ppm,
+       |  CAST(1000000 * tp // (tp + fn) AS BIGINT) AS recall_ppm
+       |FROM cnt WHERE tp + fp > 0 AND tp + fn > 0 ORDER BY tp""".stripMargin
+  }
+
+  /** Exact top-5 cosine neighbors of the query subset — the oracle for
+    * both the brute-force baseline and the exhaustive IVF gate.
+    */
+  private[queries] val cosineTopkSql: String =
+    s"""$cosineCte,
+       |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |        ${cosExpr("q", "c")} AS cos
+       |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id <> q.vec_id),
+       |r AS (SELECT q_id, n_id, cos,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+       |      FROM p)
+       |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+
+  private[queries] val registry: Map[String, Q] = Map(
+    "q_dedup_embedding" -> qDedupEmbedding,
+    "q_emb_dedup_eval" -> qEmbDedupEval,
+    "q_cosine_topk" -> qCosineTopk,
+    "q_knn_label" -> qKnnLabel,
+    "q_hard_negatives" -> qHardNegatives,
+    "q_emb_norm_profile" -> qEmbNormProfile,
+    "q_emb_quantize" -> qEmbQuantize,
+    "q_centroid_dist" -> qCentroidDist,
+    "q_emb_variance" -> qEmbVariance,
+    "q_ann_ivf" -> qAnnIvf,
+    "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
+    "q_ann_lsh" -> qAnnLsh,
+    "q_fuzzy_match" -> qFuzzyMatch,
+    "q_entity_clusters" -> qEntityClusters,
+  )
+
+  private[queries] val oracle: Map[String, String] = Map(
+    "q_entity_clusters" ->
+      """WITH RECURSIVE p AS MATERIALIZED (
+        |  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |    AND levenshtein(a.p_name, b.p_name) <= 2),
+        |e AS MATERIALIZED (SELECT pa AS a, pb AS b FROM p
+        |  UNION SELECT pb, pa FROM p),
+        |r(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM e)
+        |  UNION
+        |  SELECT e.a, r.b FROM e JOIN r ON r.a = e.b),
+        |comp AS (SELECT a AS p_partkey, min(b) AS entity_id
+        |  FROM r GROUP BY a)
+        |SELECT pt.p_partkey, coalesce(c.entity_id, pt.p_partkey)
+        |  AS entity_id
+        |FROM part pt LEFT JOIN comp c ON pt.p_partkey = c.p_partkey
+        |ORDER BY pt.p_partkey""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+        |  AND levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY part_a, part_b""".stripMargin,
+    "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
+    "q_emb_dedup_eval" -> embDedupEvalSql(0.4, EmbBands, EmbBits, dims = 64),
+    "q_cosine_topk" -> cosineTopkSql,
+    "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_emb_quantize" ->
+      """WITH el AS (SELECT vec_id,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |rng AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM el GROUP BY 1),
+        |e AS (SELECT el.pos, x, mn, mx,
+        |    CASE WHEN mx = mn THEN 0
+        |    ELSE CAST(floor(1000000 * abs(x - (mn +
+        |      floor((x - mn) / ((mx - mn) / 255.0) + 0.5) *
+        |      ((mx - mn) / 255.0)))) AS BIGINT) END AS err_e6
+        |  FROM el JOIN rng ON el.pos = rng.pos)
+        |SELECT CAST(pos AS INT) AS pos,
+        |  CAST(floor(min(x) * 1000000) AS BIGINT) AS mn_e6,
+        |  CAST(floor(max(x) * 1000000) AS BIGINT) AS mx_e6,
+        |  CAST(max(err_e6) AS BIGINT) AS max_abs_err_e6
+        |FROM e GROUP BY 1 ORDER BY pos""".stripMargin,
+    "q_emb_norm_profile" ->
+      """WITH v AS (SELECT label,
+        |    CAST(floor(1000000 * list_dot_product(
+        |      CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+        |      AS BIGINT) AS n2
+        |  FROM embeddings)
+        |SELECT CAST(label AS INTEGER) AS label,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(n2) AS min_n2_e6, max(n2) AS max_n2_e6,
+        |  CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2_e6
+        |FROM v GROUP BY 1 ORDER BY label""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label,
+        |        c.vec_id AS n_id, c.label AS n_label,
+        |        list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20
+        |        AND q.label <> c.label),
+        |r AS (SELECT q_id, q_label, n_id, n_label, cos,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, n_id ASC) AS rnk
+        |      FROM p)
+        |SELECT q_id, CAST(q_label AS INTEGER) AS q_label, n_id,
+        |  CAST(n_label AS INTEGER) AS n_label, CAST(rnk AS INTEGER) AS rnk,
+        |  CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+        |FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+    "q_knn_label" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS true_label,
+        |        c.vec_id AS n_id, c.label AS n_label,
+        |        list_dot_product(q.v, c.v) /
+        |        (sqrt(list_dot_product(q.v, q.v)) *
+        |         sqrt(list_dot_product(c.v, c.v))) AS cos
+        |      FROM e q JOIN e c ON q.vec_id < 20 AND c.vec_id >= 20),
+        |r AS (SELECT q_id, true_label, n_label,
+        |        row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos DESC, n_id ASC) AS rnk
+        |      FROM p),
+        |v AS (SELECT q_id, true_label, n_label, count(*) AS votes
+        |      FROM r WHERE rnk <= 5 GROUP BY 1, 2, 3)
+        |SELECT q_id, true_label,
+        |  CAST(max_by(n_label, votes * 1000 - n_label) AS INTEGER)
+        |    AS pred_label,
+        |  CAST(max(votes) AS BIGINT) AS top_votes
+        |FROM v GROUP BY q_id, true_label ORDER BY q_id""".stripMargin,
+    "q_centroid_dist" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |a AS (SELECT label, pos,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sx
+        |  FROM u GROUP BY 1, 2),
+        |n2 AS (SELECT label, sum(CAST(sx AS HUGEINT) * sx) AS nn
+        |  FROM a GROUP BY 1),
+        |dp AS (SELECT a1.label AS label_a, a2.label AS label_b,
+        |    sum(CAST(a1.sx AS HUGEINT) * a2.sx) AS dot
+        |  FROM a a1 JOIN a a2 ON a1.pos = a2.pos AND a1.label < a2.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  CAST(floor(1000000.0 * (CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(x.nn AS DOUBLE)) * sqrt(CAST(y.nn AS DOUBLE)))))
+        |    AS BIGINT) AS cos_e6
+        |FROM dp JOIN n2 x ON label_a = x.label
+        |  JOIN n2 y ON label_b = y.label
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q_emb_variance" ->
+      """WITH u AS (SELECT label,
+        |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings),
+        |a AS (SELECT label, pos, count(*) AS n,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(sum(CAST(round(x * 16777216.0) AS BIGINT) *
+        |             CAST(round(x * 16777216.0) AS BIGINT)) AS BIGINT) AS sxx
+        |  FROM u GROUP BY 1, 2)
+        |SELECT label, pos, CAST(n AS BIGINT) AS n,
+        |  CAST(floor(1000000000.0 *
+        |    ((CAST(sxx AS DOUBLE) / n -
+        |      (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) /
+        |     (16777216.0 * 16777216.0))) AS BIGINT) AS var_e9
+        |FROM a ORDER BY label, pos""".stripMargin,
+  )
+}
