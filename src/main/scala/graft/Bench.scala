@@ -100,6 +100,7 @@ object Bench {
     "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd",
     "q_sql_qualify", "q_lambda_funcs", "q_multimodal_phash_near",
     "q_multimodal_bmp", "q_multimodal_dispatch",
+    "q_join_asof_tiebreak", "q_join_asof_salted",
     // registry-wide since r7: every remaining key timed once so NO
     // operator ships unbenchmarked (the mid-generation r2-r4 keys)
     "q_ab_srm",

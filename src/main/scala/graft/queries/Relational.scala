@@ -150,6 +150,50 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** As-of with the round-8 DETERMINISTIC TIEBREAK: purchases enriched
+    * with the latest view's event_id — among views sharing the same
+    * (user, ts) the max event_id wins, via the operator's tiebreak
+    * ordering (the right child sorts by (key, time, tiebreak) and the
+    * last-consumed row is the match). The oracle states the identical
+    * contract with a (ts DESC, event_id DESC) row_number, so a
+    * nondeterministic winner hash-mismatches whenever the corpus holds
+    * equal-timestamp views.
+    */
+  private val qJoinAsofTiebreak: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("tb"),
+        col("event_id").as("last_view_id"))
+    graft.ops.AsOf.joinAsOf(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("last_view_id"), tiebreakCols = Seq("tb"))
+      .select(col("event_id"), col("user_id"), col("last_view_id"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The SALTED as-of (hot-key mitigation, round 8): identical
+    * semantics to `q_join_asof_native` — the oracle IS that key's SQL —
+    * but executed through [[graft.ops.AsOf.joinAsOfSalted]]: the left
+    * side salts deterministically on event_id into 8 sub-keys, the
+    * right side replicates per salt, and the driver's hash compare
+    * proves the salted plan exact, not just spec-equal. The contract
+    * mitigation for the one AQE gap the exec documents (skew-join
+    * splitting only recognizes built-in join execs).
+    */
+  private val qJoinAsofSalted: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("ts").as("last_view_ts"))
+    graft.ops.AsOf.joinAsOfSalted(purchases, views, Seq("user_id"),
+        "ts", "ts", Seq("last_view_ts"),
+        saltSource = col("event_id"), salts = 8)
+      .select(col("event_id"), col("user_id"), col("last_view_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** FORWARD as-of through the same native operator: the EARLIEST view
     * at-or-after each purchase ("next touchpoint"), obtained by running
     * the backward merge over NEGATED epoch micros — latest(−t ≤ −t₀) ≡
@@ -913,6 +957,8 @@ object Relational {
     "q_join_asof" -> qJoinAsof,
     "q_join_asof_native" -> qJoinAsofNative,
     "q_join_asof_fwd" -> qJoinAsofFwd,
+    "q_join_asof_tiebreak" -> qJoinAsofTiebreak,
+    "q_join_asof_salted" -> qJoinAsofSalted,
     "q_join_nearest" -> qJoinNearest,
     "q_join_full" -> qJoinFull,
     "q_join_right" -> qJoinRight,
@@ -1126,6 +1172,26 @@ object Relational {
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_join_asof_native" ->
+      """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    "q_join_asof_tiebreak" ->
+      """WITH pv AS (SELECT p.event_id, v.event_id AS vid,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM events p JOIN events v
+        |    ON v.user_id = p.user_id AND v.event_type = 'view'
+        |    AND v.ts <= p.ts
+        |  WHERE p.event_type = 'purchase')
+        |SELECT e.event_id, e.user_id, pv.vid AS last_view_id
+        |FROM events e LEFT JOIN pv ON pv.event_id = e.event_id AND pv.rn = 1
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
+    // salted variant is EXACT: the oracle is q_join_asof_native's SQL
+    "q_join_asof_salted" ->
       """SELECT p.event_id, p.user_id, max(v.ts) AS last_view_ts
         |FROM events p LEFT JOIN events v
         |  ON v.user_id = p.user_id AND v.event_type = 'view'
