@@ -91,10 +91,14 @@ object AsOf {
                      leftTimeCol: String, rightTimeCol: String,
                      payloadCols: Seq[String], saltSource: org.apache.spark.sql.Column,
                      salts: Int, tiebreakCols: Seq[String] = Nil): DataFrame = {
-    import org.apache.spark.sql.functions.{explode, lit, pmod, sequence}
+    import org.apache.spark.sql.functions.{coalesce, explode, lit, pmod, sequence}
     require(salts > 0, s"salts must be positive, got $salts")
     val saltCol = "_asof_salt"
-    val sl = left.withColumn(saltCol, pmod(saltSource, lit(salts)).cast("int"))
+    // A null saltSource would make pmod null, null-unmatching the row's
+    // REAL keys (a silent semantics divergence from the unsalted join) —
+    // default nulls to salt 0 so they join like any other left row.
+    val sl = left.withColumn(saltCol,
+      coalesce(pmod(saltSource, lit(salts)), lit(0)).cast("int"))
     val sr = right.withColumn(saltCol,
       explode(sequence(lit(0), lit(salts - 1))))
     joinAsOf(sl, sr, keyCols :+ saltCol, leftTimeCol, rightTimeCol,

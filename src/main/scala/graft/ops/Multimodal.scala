@@ -348,6 +348,11 @@ object Multimodal {
       .select(col("a"), col("b"), col("width"), col("height"),
         col("bits_a"), col("bits_b"))
       .distinct()
+      // zip_with pads the shorter side with nulls and `x != y` on a null
+      // yields null, which `filter` drops — unequal-length signatures
+      // would silently undercount hamming at the tail. Same-(w,h) images
+      // always hash to equal-length bits by construction, so enforce it.
+      .filter(expr("length(bits_a) = length(bits_b)"))
       .withColumn("hamming", expr(
         "size(filter(zip_with(split(bits_a, ''), split(bits_b, ''), " +
           "(x, y) -> x != y), v -> v))"))

@@ -170,37 +170,27 @@ object GraphOps {
       .groupBy("part").agg(count(lit(1)).as("n_tri"))
   }
 
-  /** Persisted oriented-edge handles, one per (session, dir): the
-    * returned triangle plan is lazy, so qTriangles cannot eagerly
-    * unpersist its own cache (it would evict before the query runs) —
-    * instead each invocation REUSES the same persisted handle, and a
-    * dir switch unpersists the outgoing dir's blocks. Without this,
-    * repeated invocations each persisted a fresh copy whose DISK
-    * blocks (unlike memory blocks, which LRU-evict) accumulated for
-    * the session lifetime.
+  /** Durable oriented-edge snapshot alongside the raw edge table: the
+    * orientation (degree compute + two joins over the full edge list)
+    * used to live in a session-scoped MEMORY_AND_DISK persist, which
+    * any cache eviction — Bench's between-key block drop, an executor
+    * loss at scale — silently downgraded to a full recompute per query
+    * (measured: q_triangles 40.9 s first run vs 8.6 s "warm" at sf0.1,
+    * both re-deriving orientation). As a versioned Parquet table the
+    * orientation is derived ONCE per dir and every triangle/cohesion
+    * query starts from a plain scan — the same survivability argument
+    * as the co-purchase edges themselves ([[edgeTable]]).
     */
-  private val orientedCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private val orientedTable = new graft.ops.DurableTable("graph_oriented")
 
-  private def orientedEdges(s: SparkSession, d: String): DataFrame = {
-    orientedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    val cached = orientedCache.get((s, d))
-    if (cached != null) cached
-    else {
-      val built = orient(coPurchaseEdges(s, d))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // evict the session's other-dir entries, releasing their blocks
-      val it = orientedCache.entrySet.iterator
-      while (it.hasNext) {
-        val en = it.next()
-        if (en.getKey._1 == s && en.getKey._2 != d) {
-          en.getValue.unpersist(false); it.remove()
-        }
-      }
-      val prior = orientedCache.putIfAbsent((s, d), built)
-      if (prior != null) { built.unpersist(false); prior } else built
-    }
-  }
+  /** Force the durable oriented-edge build (Bench's
+    * `_derive_oriented_edges` entry — see [[materializeEdges]]).
+    */
+  private[graft] def materializeOriented(s: SparkSession, d: String): Long =
+    orientedEdges(s, d).count()
+
+  private def orientedEdges(s: SparkSession, d: String): DataFrame =
+    orientedTable(s, d) { orient(coPurchaseEdges(s, d)) }
 
   private val qTriangles: Q = (s, d) =>
     triangleParticipation(orientedEdges(s, d)).orderBy("part")

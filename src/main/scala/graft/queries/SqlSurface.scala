@@ -313,6 +313,185 @@ object SqlSurface {
     s.sql(text)
   }
 
+  /** Deterministic derived `partsupp` — the corpus ships no partsupp
+    * parquet, but the five remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20)
+    * are partsupp-centric, so both engines derive the SAME table from
+    * the same rule: one row per distinct (l_partkey, l_suppkey) pair in
+    * lineitem (restoring the real TPC-H FK property that every lineitem
+    * matches exactly one partsupp row — the property Q9's composite-key
+    * fact⋈fact join and Q20's availability-vs-shipped comparison
+    * exercise), with availqty and supplycost as pure integer functions
+    * of the keys (exact on both engines, no float parity risk). This
+    * ONE text is both the Spark derivation and the oracle's CTE
+    * (`oracleWithPartsupp`), so the rule cannot drift.
+    */
+  private val partsuppGenSql: String =
+    """SELECT ps_partkey, ps_suppkey,
+      |  CAST((ps_partkey * 7 + ps_suppkey * 13) % 9999 + 1 AS BIGINT)
+      |    AS ps_availqty,
+      |  CAST((ps_partkey * 31 + ps_suppkey * 17 + 7) % 100000 + 100 AS BIGINT)
+      |    AS ps_supplycost_cents
+      |FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |      FROM lineitem) pairs""".stripMargin
+
+  /** Durable snapshot of the derived partsupp (the [[graft.ops
+    * .DurableTable]] discipline shared with the graph edge list): the
+    * distinct-pair scan over lineitem runs ONCE per dir and lands as a
+    * versioned Parquet table — at 100 TB this is a one-time derived
+    * asset downstream queries scan like any dimension, not a per-query
+    * recomputation. Bench times the build as `_derive_partsupp`.
+    */
+  private val partsuppTable = new graft.ops.DurableTable("tpch_partsupp")
+
+  private[graft] def materializePartsupp(s: SparkSession, d: String): Long =
+    partsupp(s, d).count()
+
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    partsuppTable(s, d) { registerViews(s, d); s.sql(partsuppGenSql) }
+
+  /** sqlKey + the derived partsupp registered as a view. */
+  private def psKey(text: String): Q = (s, d) => {
+    registerViews(s, d)
+    partsupp(s, d).createOrReplaceTempView("partsupp")
+    s.sql(text)
+  }
+
+  /** The oracle counterpart of [[psKey]]: the SAME query text with the
+    * partsupp generation rule prepended as a CTE, so DuckDB computes
+    * the identical derived table inline.
+    */
+  private def oracleWithPartsupp(text: String): String =
+    if (text.startsWith("WITH "))
+      "WITH partsupp AS (\n" + partsuppGenSql + "),\n" +
+        text.substring("WITH ".length)
+    else "WITH partsupp AS (\n" + partsuppGenSql + ")\n" + text
+
+  /** TPC-H Q2 (minimum-cost supplier), adapted to this corpus's columns
+    * (no mfgr/address/phone/comment; acctbal reported as exact cents;
+    * the size/type probe is `p_type = 'ECONOMY' AND p_size <= 15`). The
+    * shape: dimension-chain join (part⋈partsupp⋈supplier⋈nation⋈region)
+    * with a correlated min-subquery over the SAME region-restricted
+    * partsupp — Catalyst decorrelates it to an aggregate + equi-join on
+    * p_partkey, so at 100 TB the probe is two passes over the
+    * region-filtered partsupp slice, never a per-row re-scan. The ORDER
+    * BY carries a full tiebreak so the LIMIT cutoff is deterministic.
+    */
+  private val tpchQ2Sql: String =
+    """WITH rs AS (
+      |  SELECT s_suppkey, s_name,
+      |    CAST(round(s_acctbal * 100.0) AS BIGINT) AS s_acctbal_cents, n_name
+      |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal_cents, s_name, n_name, p_partkey, p_brand,
+      |  ps_supplycost_cents
+      |FROM part
+      |JOIN partsupp ON p_partkey = ps_partkey
+      |JOIN rs ON ps_suppkey = s_suppkey
+      |WHERE p_type = 'ECONOMY' AND p_size <= 15
+      |  AND ps_supplycost_cents = (
+      |    SELECT min(ps2.ps_supplycost_cents)
+      |    FROM partsupp ps2 JOIN rs rs2 ON ps2.ps_suppkey = rs2.s_suppkey
+      |    WHERE ps2.ps_partkey = p_partkey)
+      |ORDER BY s_acctbal_cents DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q9 (product-type profit by nation and year): the widest
+    * partsupp shape — lineitem joined to partsupp on the COMPOSITE
+    * (partkey, suppkey) key plus part/supplier/orders/nation. Profit is
+    * exact e4 integers: per-row-rounded revenue minus
+    * supplycost_cents·100·qty. At 100 TB the backbone is lineitem ⋈
+    * orders ⋈ partsupp (partsupp is lineitem's distinct pairs — fact-
+    * sized, so that join shuffles on the composite key) with part/
+    * supplier/nation broadcast and the `p_name LIKE 'red%'` filter
+    * pushed below everything via the part join.
+    */
+  private val tpchQ9Sql: String =
+    """SELECT nation, yr, CAST(sum(amount_e4) AS BIGINT) AS profit_e4
+      |FROM (
+      |  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |    CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)
+      |      - ps_supplycost_cents * 100 * CAST(l_quantity AS BIGINT) AS amount_e4
+      |  FROM lineitem
+      |  JOIN part     ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      |  JOIN orders   ON o_orderkey = l_orderkey
+      |  JOIN nation   ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE 'red%'
+      |) profit
+      |GROUP BY nation, yr
+      |ORDER BY nation, yr DESC""".stripMargin
+
+  /** TPC-H Q11 (important stock): value-share HAVING against a scalar
+    * subquery over the same nation-filtered slice. The share threshold
+    * is integerized (`sum·2000 > total` ≡ share > 1/2000 — chosen so
+    * BIGINT·2000 stays far from overflow at bench scale) so both
+    * engines evaluate the identical exact predicate. Two passes over
+    * the filtered partsupp⋈supplier slice — the grouped sum and the
+    * broadcast scalar total — never a per-group re-aggregation.
+    */
+  private val tpchQ11Sql: String =
+    """SELECT ps_partkey,
+      |  CAST(sum(ps_supplycost_cents * ps_availqty) AS BIGINT) AS value_cents
+      |FROM partsupp
+      |JOIN supplier ON ps_suppkey = s_suppkey
+      |JOIN nation   ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_3', 'NATION_8')
+      |GROUP BY ps_partkey
+      |HAVING sum(ps_supplycost_cents * ps_availqty) * 2000 > (
+      |  SELECT sum(ps_supplycost_cents * ps_availqty)
+      |  FROM partsupp JOIN supplier ON ps_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_3', 'NATION_8'))
+      |ORDER BY value_cents DESC, ps_partkey""".stripMargin
+
+  /** TPC-H Q16 (parts/supplier relationship): count-distinct suppliers
+    * per (brand, type, size) with a NOT IN exclusion subquery (the
+    * spec's complaint-comment suppliers, proxied here by negative
+    * account balance — this corpus has no comments). The NOT IN list is
+    * supplier-dimension-sized → broadcast anti-join; the distinct count
+    * is a two-phase aggregate on (brand, type, size, suppkey). Full
+    * ORDER BY tiebreak makes the LIMIT cutoff deterministic.
+    */
+  private val tpchQ16Sql: String =
+    """SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM partsupp JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                         WHERE s_acctbal < 0.0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q20 (potential part promotion): the nested-subquery probe —
+    * suppliers in a region holding stock of a 'red%' part exceeding
+    * half of what they shipped of it in 1997 (`availqty·2 > sum(qty)`,
+    * integerized; coalesce makes never-shipped stock qualify, as in the
+    * spec). Catalyst decorrelates the per-(part, supplier) shipped-qty
+    * scalar into ONE grouped aggregate over the date-filtered lineitem
+    * left-joined to the partsupp candidates — at 100 TB that is a
+    * single filtered fact pass, not a probe per candidate.
+    */
+  private val tpchQ20Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT ps_suppkey FROM partsupp
+      |  WHERE ps_partkey IN (SELECT p_partkey FROM part
+      |                       WHERE p_name LIKE 'red%')
+      |    AND ps_availqty * 2 > (
+      |      SELECT coalesce(sum(CAST(l_quantity AS BIGINT)), 0)
+      |      FROM lineitem
+      |      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      |        AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+      |  AND s_nationkey IN (
+      |    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+      |    WHERE r_name = 'EUROPE')
+      |ORDER BY s_suppkey""".stripMargin
+
   /** TPC-H Q3 shape through the SQL surface (same engine, SQL text in). */
   private val qSqlTpchQ3: Q = (s, d) => {
     registerViews(s, d)
@@ -690,6 +869,11 @@ object SqlSurface {
     "q_sql_pivot" -> qSqlPivot,
     "q_sql_window" -> sqlKey(sqlWindowSql),
     "q_sql_tpch_q1" -> qSqlTpchQ1,
+    "q_sql_tpch_q2" -> psKey(tpchQ2Sql),
+    "q_sql_tpch_q9" -> psKey(tpchQ9Sql),
+    "q_sql_tpch_q11" -> psKey(tpchQ11Sql),
+    "q_sql_tpch_q16" -> psKey(tpchQ16Sql),
+    "q_sql_tpch_q20" -> psKey(tpchQ20Sql),
     "q_sql_tpch_q4" -> sqlKey(tpchQ4Sql),
     "q_sql_tpch_q6" -> sqlKey(tpchQ6Sql),
     "q_sql_tpch_q7" -> sqlKey(tpchQ7Sql),
@@ -768,6 +952,11 @@ object SqlSurface {
         |    AS BIGINT) AS p
         |FROM orders GROUP BY 1 ORDER BY prio""".stripMargin,
     "q_sql_window" -> sqlWindowSql,
+    "q_sql_tpch_q2" -> oracleWithPartsupp(tpchQ2Sql),
+    "q_sql_tpch_q9" -> oracleWithPartsupp(tpchQ9Sql),
+    "q_sql_tpch_q11" -> oracleWithPartsupp(tpchQ11Sql),
+    "q_sql_tpch_q16" -> oracleWithPartsupp(tpchQ16Sql),
+    "q_sql_tpch_q20" -> oracleWithPartsupp(tpchQ20Sql),
     "q_sql_tpch_q4" -> tpchQ4Sql,
     "q_sql_tpch_q7" -> tpchQ7Sql,
     "q_sql_tpch_q8" -> tpchQ8Sql,

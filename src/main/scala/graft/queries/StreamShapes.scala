@@ -48,7 +48,21 @@ object StreamShapes {
     Events.firstTouch(Tables.events(s, d))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** True end-to-end STREAMING run (not a batch-shape equivalent): the
+    * events table replayed out-of-order through the watermarked as-of —
+    * file source, one slice per micro-batch, adjacent slices swapped —
+    * must reproduce the batch AsOfJoin verdict exactly (every arrival
+    * stays inside the watermark delay, so the stream's contract says
+    * the results coincide). The oracle is the batch as-of contract in
+    * SQL, so this key hash-proves source → watermark → stateful buffer
+    * → flush, where StreamingSpec's MemoryStream fixtures only
+    * spot-check it. See [[graft.streaming.Events.replayAsOfWatermarked]].
+    */
+  private val qStreamAsofWm: Q = (s, d) =>
+    Events.replayAsOfWatermarked(s, d)
+
   val registry: Map[String, Q] = Map(
+    "q_stream_asof_wm" -> qStreamAsofWm,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_topk" -> qStreamTopk,
     "q_stream_tumbling" -> qStreamTumbling,
@@ -58,6 +72,15 @@ object StreamShapes {
   )
 
   val oracle: Map[String, String] = Map(
+    // the batch as-of contract (q_join_asof_native's semantics with the
+    // view time emitted as epoch micros — the stream's state unit)
+    "q_stream_asof_wm" ->
+      """SELECT p.event_id, p.user_id, epoch_us(max(v.ts)) AS last_view_us
+        |FROM events p LEFT JOIN events v
+        |  ON v.user_id = p.user_id AND v.event_type = 'view'
+        |  AND v.ts <= p.ts
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
     "q_stream_dedup" ->
       """WITH r AS (SELECT user_id, event_type, ts, event_id,
         |    row_number() OVER (PARTITION BY user_id, event_type

@@ -488,14 +488,17 @@ object Events {
             else purchases ::= (tsMicros(e.ts), e.event_id)
           }
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
-          // purchases at/below the watermark emit — every view that can
-          // match them has arrived (watermark contract). The match is
-          // computed over the UN-compacted view list: a same-batch view
-          // in (t, wm] must not leak into a purchase at t. The scalar
-          // maxSettledView is always a valid floor: it was compacted at
-          // some earlier watermark wm' < t of every still-pending
-          // purchase (the purchase survived wm''s late filter).
-          val (emit, stillPending) = purchases.partition(_._1 <= wmMicros)
+          // purchases STRICTLY below the watermark emit — every view that
+          // can match them has arrived (watermark contract). Strictly:
+          // Spark's late filter still admits rows with event time EQUAL
+          // to the watermark, so a purchase at t == wm must stay pending
+          // or a view arriving later at exactly t == wm would miss it.
+          // The match is computed over the UN-compacted view list: a
+          // same-batch view in (t, wm) must not leak into a purchase at
+          // t. The scalar maxSettledView is always a valid floor: it was
+          // compacted at some earlier watermark wm' <= t of every
+          // still-pending purchase.
+          val (emit, stillPending) = purchases.partition(_._1 < wmMicros)
           val out = emit
             .sortBy { case (t, id) => (t, id) }
             .map { case (t, id) =>
@@ -516,6 +519,82 @@ object Events {
           out.iterator
       }
       .toDF()
+  }
+
+  /** ORACLED end-to-end replay of [[asofEnrichWatermarked]]: the events
+    * table is re-landed as time-sliced parquet files whose arrival
+    * order deliberately SWAPS adjacent slices (disorder ≤ 2 slice
+    * widths, always inside the 3-width watermark delay, so the
+    * watermark contract holds and nothing is late-dropped), then
+    * streamed through the watermarked as-of with `AvailableNow` one
+    * file per micro-batch. Because every arrival stays within the
+    * delay, the emitted result must equal the batch
+    * [[graft.plans.AsOfJoin]] verdict exactly — the DuckDB oracle
+    * states that batch contract, so the driver's hash compare proves
+    * the streaming operator end-to-end (source → watermark → stateful
+    * buffer → flush), not just per-fixture.
+    *
+    * Two far-future sentinel views (a user outside the corpus's id
+    * space) land as the final two micro-batches: the second-to-last
+    * advances the watermark past every real event and the last one is
+    * the data batch in which the now-flushable purchases emit — so
+    * the flush never depends on no-data-batch/timer scheduling
+    * semantics. Memory sink is the harness choice (results are
+    * purchase-count-sized); a production replay lands in a real sink
+    * via [[foreachBatchUpsert]].
+    */
+  def replayAsOfWatermarked(s: SparkSession, d: String): DataFrame = {
+    val ev = graft.model.Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+    require(ev.columns.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
+      s"unexpected events schema: ${ev.columns.mkString(",")}")
+    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+      max(unix_micros(col("ts"))).as("hi")).first()
+    val lo = b.getLong(0)
+    val hi = b.getLong(1)
+    val slices = 8
+    val width = (hi - lo) / slices + 1L
+    val delaySec = (3L * width) / 1000000L + 1L
+    val replayDir = new java.io.File(graft.model.Scratch.dir("stream_replay", d))
+    replayDir.mkdirs()
+    // arrival order swaps adjacent slices: 1,0,3,2,5,4,7,6
+    val order = (0 until slices).map(i => if (i % 2 == 0) i + 1 else i - 1)
+    def sentinel(us: Long, id: Long) = ev.limit(0).unionByName(
+      s.range(1).select(lit(id).as("event_id"),
+        expr(s"timestamp_micros(${us}L)").as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props")))
+    val batches: Seq[DataFrame] =
+      order.map(i => ev.filter(
+        ((unix_micros(col("ts")) - lo) / width).cast("int") === i)) ++
+        Seq(sentinel(hi + delaySec * 1000000L + 1000000L, -1L),
+          sentinel(hi + 2L * delaySec * 1000000L + 2000000L, -2L))
+    val tmp = new java.io.File(replayDir, "_stage")
+    batches.zipWithIndex.foreach { case (df, pos) =>
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(replayDir, f"evt_$pos%02d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // FileStreamSource consumes in modification-time order — pin it
+      dst.setLastModified((pos + 1) * 60000L): Unit
+    }
+    import s.implicits._
+    val stream = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(replayDir.getPath + "/evt_*.parquet")
+      .as[EventRow]
+    val qname = "asof_wm_replay_" + java.util.UUID.randomUUID().toString.take(8)
+    val ckpt = graft.model.Scratch.dir("stream_replay_ckpt", d) + "/" + qname
+    val query = asofEnrichWatermarked(stream, delay = s"$delaySec seconds")
+      .writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.table(qname).orderBy(col("event_id"))
   }
 
   /** Streaming K1: merge each micro-batch into a Parquet table by key —

@@ -127,4 +127,22 @@ class AsOfContractSpec extends AnyFunSuite {
       assert(spread > 1L, s"hot key still confined to $spread partition(s)")
     }
   }
+
+  test("joinAsOfSalted: a null saltSource row still matches like the unsalted join") {
+    // pmod(null, salts) is null — unguarded, the row's REAL key would
+    // silently unmatch; the coalesce-to-salt-0 guard must keep it exact
+    val left = Seq(
+      (1L, 1L, 10L, Option(3L)),          // normal salt source
+      (2L, 1L, 10L, Option.empty[Long]))  // NULL salt source
+      .toDF("id", "k", "t", "src")
+    val right = Seq((1L, 5L, "hit")).toDF("k", "t", "pay")
+    val got = graft.ops.AsOf
+      .joinAsOfSalted(left, right, Seq("k"), "t", "t", Seq("pay"),
+        saltSource = col("src"), salts = 8)
+      .select($"id", $"pay").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got(1L).contains("hit"))
+    assert(got(2L).contains("hit"),
+      "null saltSource row must still match its real key")
+  }
 }

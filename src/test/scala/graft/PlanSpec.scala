@@ -41,6 +41,19 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(2500))
   }
 
+  test("q_join_asof_salted adds exactly one explode and no extra exchange") {
+    val p = planOf("q_join_asof_salted")
+    assert(p.contains("AsOfJoin"), p.take(2000))
+    // salting must cost exactly what its contract says: the left side
+    // gains a salt PROJECTION (free), the right side ONE explode
+    // (Generate) for the per-salt replication — and the operator still
+    // moves data like a sort-merge join, one hash exchange per side.
+    // A third exchange or a second Generate would mean the composition
+    // re-shuffles what it just salted.
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p.take(2500))
+    assert("Generate explode".r.findAllIn(p).size == 1, p.take(2500))
+  }
+
   test("native as-of join agrees with the inequality-join definition row for row") {
     import org.apache.spark.sql.functions._
     val ev = graft.model.Tables.events(spark, sf)
