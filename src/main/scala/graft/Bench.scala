@@ -101,7 +101,7 @@ object Bench {
     "q_cluster_topics", "q_dp_histogram", "q_join_asof_native",
     "q_simpson_diversity", "q_sql_filter_clause", "q_join_asof_fwd",
     "q_sql_qualify", "q_lambda_funcs", "q_multimodal_phash_near",
-    "q_multimodal_bmp", "q_multimodal_dispatch",
+    "q_multimodal_bmp", "q_multimodal_dispatch", "q_multimodal_png",
     "q_join_asof_tiebreak", "q_join_asof_salted",
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
     "q_sql_tpch_q16", "q_sql_tpch_q20", "q_stream_asof_wm",

@@ -9,18 +9,21 @@ import org.apache.spark.sql.functions._
   * partition, so decoder setup cost amortizes across the batch and the
   * planner sees real schemas on both sides).
   *
-  * Decoding comes in two tiers. Formats that need a codec library
-  * (PNG/JPEG/WAV — none ships in this container) remain STUBBED:
-  * `decodeFeatures`' "decoder" is a deterministic fake over the raw
-  * bytes, clearly marked below. Formats decodable in pure JVM are REAL:
+  * Decoding comes in two tiers. Formats that need a codec library the
+  * JVM lacks (JPEG — entropy coding) remain STUBBED: `decodeFeatures`'
+  * "decoder" is a deterministic fake over the raw bytes, clearly marked
+  * below. Formats decodable in pure JVM are REAL:
   * [[decodePpm]] is a complete binary PPM (P6) parser — header
   * grammar with comments, maxval validation, raw RGB pixel plane —
   * [[decodeBmp]] is a complete 24bpp BMP parser (little-endian
-  * headers, padded bottom-up raster, BGR channel order),
-  * [[decodeImage]] dispatches between them on the container magic, and
-  * the `*Features` wrappers run them through the same partition-batched
-  * iterator shape, so swapping a codec-backed decoder in for the
-  * stubbed formats touches only the per-item function.
+  * headers, padded bottom-up raster, BGR channel order), [[decodePng]]
+  * is a complete truecolor PNG decoder (chunk walk with CRC checks,
+  * `java.util.zip.Inflater` for the zlib stream, all five scanline
+  * filters), [[decodeWav]] walks RIFF/WAVE PCM, [[decodeImage]]
+  * dispatches on the container magic, and the `*Features` wrappers run
+  * them through the same partition-batched iterator shape, so swapping
+  * a codec-backed decoder in for the stubbed format touches only the
+  * per-item function.
   */
 object Multimodal {
 
@@ -272,16 +275,191 @@ object Multimodal {
     ImageStats(id, "bmp", width, height, width.toLong * height, sr, sg, sb)
   }
 
+  /** PNG Paeth predictor (filter type 4): the closest of a (left),
+    * b (up), c (up-left) to p = a + b − c, ties resolved a, b, c.
+    */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private val PngSig: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** REAL image encoder for the fixture path: a spec-conformant
+    * truecolor PNG — 8-byte signature, IHDR (big-endian dims, bit depth
+    * 8, color type 2, no interlace), zlib-deflated scanlines each led
+    * by a filter-type byte, CRC32 per chunk, IEND. Every row is
+    * filtered with type `y % 5`, so ALL FIVE filter reconstructions
+    * (None/Sub/Up/Average/Paeth) are live in every fixture image of
+    * ≥5 rows, and the IDAT stream is split into two chunks so the
+    * decoder's multi-IDAT concatenation is exercised too.
+    */
+  private[graft] def buildPng(width: Int, height: Int,
+                              rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == width * height * 3, "plane size mismatch")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val t = y % 5
+      raw(y * (stride + 1)) = t.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val a = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+        val b = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val c = if (x >= 3 && y > 0) rgb((y - 1) * stride + x - 3) & 0xff else 0
+        val f = t match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - ((a + b) >> 1)
+          case _ => cur - paeth(a, b, c)
+        }
+        raw(y * (stride + 1) + 1 + x) = (f & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    val dos = new java.util.zip.DeflaterOutputStream(z)
+    dos.write(raw); dos.close()
+    val idat = z.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] = Array(((v >>> 24) & 0xff).toByte,
+      ((v >>> 16) & 0xff).toByte, ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(tb); out.write(data); out.write(be32(crc.getValue.toInt))
+    }
+    out.write(PngSig)
+    val ihdr = be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // depth 8, truecolor, deflate, adaptive, no interlace
+    chunk("IHDR", ihdr)
+    chunk("IDAT", idat.take(idat.length / 2))
+    chunk("IDAT", idat.drop(idat.length / 2))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** REAL PNG decode, pure JVM (zlib inflate is `java.util.zip
+    * .Inflater`, a JDK builtin): signature check, chunk walk with
+    * PER-CHUNK CRC32 validation (silent bit-rot must fail loud, not
+    * skew the sums), IHDR constraints (8-bit truecolor, no interlace —
+    * the common truecolor profile; palette/alpha/16-bit fail loud),
+    * multi-IDAT concatenation, full inflate of the scanline stream, and
+    * per-row UNFILTERING of all five filter types (None/Sub/Up/Average/
+    * Paeth, bpp = 3) into exact channel sums. The third image container
+    * beside [[decodePpm]] and [[decodeBmp]]; JPEG (entropy coding, no
+    * JDK codec) remains the one stubbed format.
+    */
+  private[graft] def decodePng(id: Long, bytes: Array[Byte]): ImageStats = {
+    require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig),
+      s"media $id: not a PNG payload")
+    def be32(o: Int): Int = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    var pos = 8
+    var width = 0; var height = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (pos + 12 <= bytes.length && !seenIend) {
+      val len = be32(pos)
+      require(len >= 0 && pos + 12L + len <= bytes.length,
+        s"media $id: truncated PNG chunk at offset $pos")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      require(crc.getValue.toInt == be32(pos + 8 + len),
+        s"media $id: PNG chunk $typ fails CRC")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, s"media $id: malformed IHDR length $len")
+          width = be32(pos + 8); height = be32(pos + 12)
+          require(bytes(pos + 16) == 8,
+            s"media $id: only 8-bit PNG supported, got depth ${bytes(pos + 16)}")
+          require(bytes(pos + 17) == 2,
+            s"media $id: only truecolor PNG (type 2) supported, got ${bytes(pos + 17)}")
+          require(bytes(pos + 18) == 0 && bytes(pos + 19) == 0,
+            s"media $id: nonstandard PNG compression/filter method")
+          require(bytes(pos + 20) == 0,
+            s"media $id: interlaced PNG not supported")
+          seenIhdr = true
+        case "IDAT" => idat.write(bytes, pos + 8, len)
+        case "IEND" => seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, ...) skip cleanly
+      }
+      pos += 12 + len
+    }
+    require(seenIhdr && seenIend && idat.size > 0,
+      s"media $id: PNG missing IHDR/IDAT/IEND")
+    require(width > 0 && height > 0 &&
+      (width.toLong * 3 + 1) * height < Int.MaxValue,
+      s"media $id: PNG dimensions ${width}x$height out of supported range")
+    val stride = width * 3
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var off = 0
+    var n = 1
+    while (off < raw.length && n != 0)
+      try { n = inf.inflate(raw, off, raw.length - off); off += n }
+      catch { case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException(
+          s"media $id: corrupt PNG deflate stream", e) }
+    inf.end()
+    require(off == raw.length,
+      s"media $id: PNG scanline data short ($off of ${raw.length} bytes)")
+    val prev = new Array[Int](stride)
+    val curr = new Array[Int](stride)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < height) {
+      val t = raw(y * (stride + 1)) & 0xff
+      require(t <= 4, s"media $id: unknown PNG filter type $t in row $y")
+      var x = 0
+      while (x < stride) {
+        val f = raw(y * (stride + 1) + 1 + x) & 0xff
+        val a = if (x >= 3) curr(x - 3) else 0
+        val b = if (y > 0) prev(x) else 0
+        val c = if (x >= 3 && y > 0) prev(x - 3) else 0
+        val v = (t match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b
+          case 3 => f + ((a + b) >> 1)
+          case _ => f + paeth(a, b, c)
+        }) & 0xff
+        curr(x) = v
+        (x % 3: @annotation.switch) match {
+          case 0 => sr += v
+          case 1 => sg += v
+          case _ => sb += v
+        }
+        x += 1
+      }
+      System.arraycopy(curr, 0, prev, 0, stride)
+      y += 1
+    }
+    ImageStats(id, "png", width, height, width.toLong * height, sr, sg, sb)
+  }
+
   /** Format-DISPATCHING image decode — the proof the decoder tier is a
     * dispatcher over real parsers, not one hardcoded format: sniffs the
     * container magic ("BM" → BMP raster walk, "P6" → PPM header
-    * grammar) and fails loud on anything else. Both branches produce
-    * the same [[ImageStats]] schema, so a mixed-format corpus decodes
-    * through one column pipeline.
+    * grammar, 0x89 "PN" → PNG chunk walk + inflate + unfilter) and
+    * fails loud on anything else. All branches produce the same
+    * [[ImageStats]] schema, so a mixed-format corpus decodes through
+    * one column pipeline.
     */
   private[graft] def decodeImage(id: Long, bytes: Array[Byte]): ImageStats = {
     require(bytes.length >= 2, s"media $id: empty image payload")
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(id, bytes)
+    else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePng(id, bytes)
     else if (bytes(0) == 'P' && bytes(1) == '6') {
       val p = decodePpm(id, bytes)
       ImageStats(id, "ppm", p.width, p.height, p.n_pixels,

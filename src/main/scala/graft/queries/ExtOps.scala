@@ -211,13 +211,46 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
-  /** Format-DISPATCH proof over a MIXED image corpus: even docs package
-    * as P6 PPM, odd docs as 24bpp BMP — one decode pipeline
-    * ([[Multimodal.decodeImageFeatures]]) sniffs each payload's magic
-    * and routes to the right real parser, emitting one unified schema
-    * with the detected `format`. The oracle recomputes stats + format
-    * from the parity rule, so a mis-dispatch (or either parser
-    * corrupting its half) hash-mismatches.
+  /** REAL multimodal PNG decode — the third image container: each
+    * document's pixel plane is packaged as a spec-conformant truecolor
+    * PNG (CRC'd chunks, zlib-deflated scanlines, filter type cycling
+    * y % 5 so None/Sub/Up/Average/Paeth are ALL live, IDAT split in
+    * two — [[graft.ops.Multimodal.buildPng]]) and decoded by the
+    * pure-JVM inflate + unfilter walk in [[Multimodal.decodePng]]. The
+    * oracle recomputes the channel sums from the construction rule
+    * alone, so a filter-reconstruction slip, a CRC skip, or a short
+    * inflate hash-mismatches. Height 3+id%7 spans 3–9 rows, so most
+    * fixtures carry every filter type.
+    */
+  private val qMultimodalPng: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 7).toInt
+        val rgb = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < rgb.length) {
+          rgb(i) = text.charAt(i % text.length).toByte; i += 1
+        }
+        (id, Multimodal.buildPng(w, h, rgb))
+      }
+    Multimodal.decodeImageFeatures(media)
+      .select(col("media_id"), col("width"), col("height"), col("n_pixels"),
+        col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+  }
+
+  /** Format-DISPATCH proof over a MIXED image corpus: docs package by
+    * id mod 3 as P6 PPM / 24bpp BMP / truecolor PNG — one decode
+    * pipeline ([[Multimodal.decodeImageFeatures]]) sniffs each
+    * payload's magic and routes to the right real parser, emitting one
+    * unified schema with the detected `format`. The oracle recomputes
+    * stats + format from the mod-3 rule, so a mis-dispatch (or any
+    * parser corrupting its third) hash-mismatches.
     */
   private val qMultimodalDispatch: Q = (s, d) => {
     import s.implicits._
@@ -233,10 +266,11 @@ object ExtOps {
         while (i < rgb.length) {
           rgb(i) = text.charAt(i % text.length).toByte; i += 1
         }
-        val payload =
-          if (id % 2 == 0)
-            (s"P6\n$w $h\n255\n").getBytes("US-ASCII") ++ rgb
-          else Multimodal.buildBmp24(w, h, rgb)
+        val payload = (id % 3) match {
+          case 0 => (s"P6\n$w $h\n255\n").getBytes("US-ASCII") ++ rgb
+          case 1 => Multimodal.buildBmp24(w, h, rgb)
+          case _ => Multimodal.buildPng(w, h, rgb)
+        }
         (id, payload)
       }
     Multimodal.decodeImageFeatures(media)
@@ -335,6 +369,7 @@ object ExtOps {
     "q_multimodal_phash_near" -> qMultimodalPhashNear,
     "q_multimodal_wav" -> qMultimodalWav,
     "q_multimodal_bmp" -> qMultimodalBmp,
+    "q_multimodal_png" -> qMultimodalPng,
     "q_multimodal_dispatch" -> qMultimodalDispatch,
     "q_audio_features" -> qAudioFeatures,
     "q_dsv2_source" -> qDsv2Source,
@@ -413,6 +448,23 @@ object ExtOps {
         |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4
         |ORDER BY media_id""".stripMargin,
+    "q_multimodal_png" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, w, h, i,
+        |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
+        |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
+        |SELECT doc_id AS media_id, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+        |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+        |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
+        |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id""".stripMargin,
     "q_multimodal_dispatch" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,
         |    4 + doc_id % 5 AS w, 3 + doc_id % 7 AS h
@@ -423,7 +475,8 @@ object ExtOps {
         |    ord(substr(text, CAST(i % len AS INT) + 1, 1)) AS b
         |  FROM d, LATERAL (SELECT unnest(range(w * h * 3)) AS i) t)
         |SELECT doc_id AS media_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'ppm'
+        |       WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'png' END AS format,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels,
         |  CAST(sum(CASE WHEN i % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
