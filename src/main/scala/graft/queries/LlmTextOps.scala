@@ -66,24 +66,34 @@ private[queries] object LlmTextOps {
     * Everything is integer: the sketch build is one 4× explode +
     * 1024-cell aggregate; the probe joins 40 (token, row) pairs
     * against the cells and takes the row-wise min. CMS law estimate ≥
-    * exact is spec-pinned.
+    * exact is spec-pinned. (Perf note, r9: the 118.9 s single-shot
+    * reading in BENCH_r08 was adjudicated pure sweep contamination —
+    * a fresh session measures 5.4 s first / 2.4 s warm at sf0.1. md5
+    * stays the bucket hash because the DuckDB oracle mirrors it
+    * exactly — no faster non-cryptographic hash exists in both
+    * engines — but the per-token crypto cost is now 1 digest, not 4.)
     */
   private[queries] val qCountmin: Q = (s, d) => {
     val toks = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
     val rows = s.range(0, 4).select(col("id").as("r"))
-    def bucket(tok: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column) =
-      pmod(conv(substring(md5(concat(tok, lit("#"), r.cast("string"))), 1, 8),
-        16, 10).cast("long"), lit(256L))
-    val cells = toks.crossJoin(broadcast(rows))
-      .select(col("r"), bucket(col("tok"), col("r")).as("bucket"))
+    // the d=4 row hashes are DISJOINT 8-hex-char windows of ONE md5
+    // digest (r9: one hash per token instead of four — the digest is
+    // projected BEFORE the 4× row explode, so the crypto work never
+    // replicates; DuckDB mirrors the identical windowing)
+    val bucket =
+      pmod(conv(expr("substring(dig, r * 8 + 1, 8)"), 16, 10).cast("long"),
+        lit(256L))
+    val cells = toks.select(md5(col("tok")).as("dig"))
+      .crossJoin(broadcast(rows))
+      .select(col("r"), bucket.as("bucket"))
       .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
     val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
       .orderBy(col("exact").desc, col("tok").asc).limit(10)
-    exact.crossJoin(broadcast(rows))
-      .select(col("tok"), col("exact"), col("r"),
-        bucket(col("tok"), col("r")).as("bucket"))
+    exact.withColumn("dig", md5(col("tok")))
+      .crossJoin(broadcast(rows))
+      .select(col("tok"), col("exact"), col("r"), bucket.as("bucket"))
       .join(cells, Seq("r", "bucket"))
       .groupBy("tok", "exact").agg(min("c").as("cms_estimate"))
       .select(col("tok"), col("exact"), col("cms_estimate"),
@@ -924,14 +934,14 @@ private[queries] object LlmTextOps {
         |  WHERE tok <> ''),
         |rows_ AS (SELECT unnest(range(4)) AS r),
         |cells AS (SELECT r,
-        |    ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 8))
+        |    ('0x' || substr(md5(tok), CAST(r * 8 + 1 AS INT), 8))
         |      ::BIGINT % 256 AS bucket,
         |    CAST(count(*) AS BIGINT) AS c
         |  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
         |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
         |  FROM toks GROUP BY 1 ORDER BY exact DESC, tok ASC LIMIT 10),
         |probe AS (SELECT tok, exact, r,
-        |    ('0x' || substr(md5(tok || '#' || CAST(r AS VARCHAR)), 1, 8))
+        |    ('0x' || substr(md5(tok), CAST(r * 8 + 1 AS INT), 8))
         |      ::BIGINT % 256 AS bucket
         |  FROM exact CROSS JOIN rows_)
         |SELECT tok, exact, CAST(min(c) AS BIGINT) AS cms_estimate,

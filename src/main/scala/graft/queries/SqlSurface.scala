@@ -343,6 +343,11 @@ object SqlSurface {
     */
   private val partsuppTable = new graft.ops.DurableTable("tpch_partsupp")
 
+  /** Derivation counter, pinned run-once by PlanSpec (reads through the
+    * durable table must not re-run the distinct-pair scan).
+    */
+  private[graft] def partsuppDerivations = partsuppTable.derivations
+
   private[graft] def materializePartsupp(s: SparkSession, d: String): Long =
     partsupp(s, d).count()
 

@@ -543,6 +543,8 @@ object Events {
     * purchase-count-sized); a production replay lands in a real sink
     * via [[foreachBatchUpsert]].
     */
+  private val replayLock = new Object
+
   def replayAsOfWatermarked(s: SparkSession, d: String): DataFrame = {
     val ev = graft.model.Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
@@ -558,28 +560,36 @@ object Events {
     val delaySec = (3L * width) / 1000000L + 1L
     val replayDir = new java.io.File(graft.model.Scratch.dir("stream_replay", d))
     replayDir.mkdirs()
-    // arrival order swaps adjacent slices: 1,0,3,2,5,4,7,6
-    val order = (0 until slices).map(i => if (i % 2 == 0) i + 1 else i - 1)
-    def sentinel(us: Long, id: Long) = ev.limit(0).unionByName(
-      s.range(1).select(lit(id).as("event_id"),
-        expr(s"timestamp_micros(${us}L)").as("ts"),
-        lit(-1L).as("user_id"), lit("view").as("event_type"),
-        lit(0.0).as("value"), lit("{}").as("props")))
-    val batches: Seq[DataFrame] =
-      order.map(i => ev.filter(
-        ((unix_micros(col("ts")) - lo) / width).cast("int") === i)) ++
-        Seq(sentinel(hi + delaySec * 1000000L + 1000000L, -1L),
-          sentinel(hi + 2L * delaySec * 1000000L + 2000000L, -2L))
-    val tmp = new java.io.File(replayDir, "_stage")
-    batches.zipWithIndex.foreach { case (df, pos) =>
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(replayDir, f"evt_$pos%02d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // FileStreamSource consumes in modification-time order — pin it
-      dst.setLastModified((pos + 1) * 60000L): Unit
-    }
+    // The slice files are a pure function of the (immutable) events
+    // table, so land them once per dir and let repeated replays pay
+    // only the stream itself — the marker commits AFTER the last move,
+    // so a half-written set is never trusted.
+    val ready = new java.io.File(replayDir, "_REPLAY_READY")
+    replayLock.synchronized { if (!ready.exists()) {
+      // arrival order swaps adjacent slices: 1,0,3,2,5,4,7,6
+      val order = (0 until slices).map(i => if (i % 2 == 0) i + 1 else i - 1)
+      def sentinel(us: Long, id: Long) = ev.limit(0).unionByName(
+        s.range(1).select(lit(id).as("event_id"),
+          expr(s"timestamp_micros(${us}L)").as("ts"),
+          lit(-1L).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")))
+      val batches: Seq[DataFrame] =
+        order.map(i => ev.filter(
+          ((unix_micros(col("ts")) - lo) / width).cast("int") === i)) ++
+          Seq(sentinel(hi + delaySec * 1000000L + 1000000L, -1L),
+            sentinel(hi + 2L * delaySec * 1000000L + 2000000L, -2L))
+      val tmp = new java.io.File(replayDir, "_stage")
+      batches.zipWithIndex.foreach { case (df, pos) =>
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(replayDir, f"evt_$pos%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // FileStreamSource consumes in modification-time order — pin it
+        dst.setLastModified((pos + 1) * 60000L): Unit
+      }
+      ready.createNewFile(): Unit
+    } }
     import s.implicits._
     val stream = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
@@ -587,12 +597,23 @@ object Events {
       .as[EventRow]
     val qname = "asof_wm_replay_" + java.util.UUID.randomUUID().toString.take(8)
     val ckpt = graft.model.Scratch.dir("stream_replay_ckpt", d) + "/" + qname
-    val query = asofEnrichWatermarked(stream, delay = s"$delaySec seconds")
-      .writeStream.format("memory").queryName(qname)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // The stateful operator spins one state store per shuffle partition
+    // per micro-batch; at 10 batches × 32 partitions the store commits
+    // dominate this replay's wall time. 8 partitions fit the replay's
+    // per-batch volume with headroom; the stream pins its own value at
+    // START (state partitioning is fixed by the checkpoint), so the
+    // session's setting is restored immediately after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        asofEnrichWatermarked(stream, delay = s"$delaySec seconds")
+          .writeStream.format("memory").queryName(qname)
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     query.awaitTermination()
     s.table(qname).orderBy(col("event_id"))
   }

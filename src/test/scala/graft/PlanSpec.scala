@@ -100,6 +100,29 @@ class PlanSpec extends AnyFunSuite {
       s"unused right column fed into the as-of operator: $opLine")
   }
 
+  test("q_sql_tpch_q9 probes the composite-key partsupp join with no cartesian") {
+    val p = planOf("q_sql_tpch_q9")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    // part/supplier/nation are dimension-sized → broadcast off the
+    // lineitem ⋈ orders ⋈ partsupp backbone
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("derived partsupp is a durable read-through: derived once, then scanned as parquet") {
+    val before = graft.queries.SqlSurface.partsuppDerivations.get()
+    SparkEntry.queries("q_sql_tpch_q11")(spark, sf).count()
+    SparkEntry.queries("q_sql_tpch_q16")(spark, sf).count()
+    val after = graft.queries.SqlSurface.partsuppDerivations.get()
+    assert(after - before <= 1,
+      s"partsupp re-derived per query (${after - before} derivations)")
+    // Q11 touches only partsupp/supplier/nation — if lineitem appears in
+    // its plan, the query re-ran the distinct-pair derivation inline
+    // instead of scanning the durable snapshot
+    val p = planOf("q_sql_tpch_q11")
+    assert(!p.contains("lineitem"),
+      "q_sql_tpch_q11 must read the durable partsupp, not re-derive from lineitem")
+  }
+
   test("q_topk plans TakeOrderedAndProject, not a global sort") {
     val p = planOf("q_topk")
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
