@@ -875,6 +875,33 @@ object Relational {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Scalar semi-structured PARSING surface beside `q_json_funcs`'s
+    * JSON path: `from_csv` and `from_xml` (Spark 4 scalar XML) each
+    * parse a string column rendered deterministically from the fact
+    * columns, and the query consumes ONLY parsed fields — grouped by
+    * the XML-parsed type, filtered on CSV/XML cross-agreement, summing
+    * both parsers' uid. The oracle recomputes from the RAW columns
+    * (the construction-rule discipline), so any quoting/typing/field-
+    * order slip in either parser breaks the group, the filter, or the
+    * sum and hash-mismatches. At scale these parsers run codegen'd per
+    * row with no shuffle — the landing-zone shape for CSV/XML-encoded
+    * payload columns inside an otherwise-columnar table.
+    */
+  private val qParseFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("csv_line", concat_ws(",",
+        col("event_id"), col("user_id"), col("event_type")))
+      .withColumn("xml_doc", concat(lit("<e><u>"), col("user_id"),
+        lit("</u><t>"), col("event_type"), lit("</t></e>")))
+      .withColumn("c",
+        expr("from_csv(csv_line, 'id BIGINT, uid BIGINT, typ STRING')"))
+      .withColumn("x", expr("from_xml(xml_doc, 'u BIGINT, t STRING')"))
+      .filter(col("c.typ") === col("x.t") && col("c.uid") === col("x.u"))
+      .groupBy(col("x.t").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c.uid") + col("x.u")).as("sum_uid2"))
+      .orderBy(col("event_type"))
+
   /** Full star-schema join: the fact table against FIVE dimensions in
     * one plan — the one fact-fact shuffle (lineitem⋈orders) plus
     * customer/nation/region/part/supplier all as broadcast hash joins,
@@ -1002,6 +1029,7 @@ object Relational {
     "q_lambda_funcs" -> qLambdaFuncs,
     "q_map_funcs" -> qMapFuncs,
     "q_json_funcs" -> qJsonFuncs,
+    "q_parse_funcs" -> qParseFuncs,
     "q_regex_funcs" -> qRegexFuncs,
   )
 
@@ -1486,6 +1514,12 @@ object Relational {
       """SELECT event_type,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // raw-column recompute: the CSV/XML render→parse round-trip is the
+    // identity, so any parser slip on the Spark side hash-mismatches
+    "q_parse_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(user_id * 2) AS BIGINT) AS sum_uid2
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
