@@ -489,15 +489,18 @@ object Events {
           }
           val wmMicros = state.getCurrentWatermarkMs() * 1000L
           // purchases STRICTLY below the watermark emit — every view that
-          // can match them has arrived (watermark contract). Strictly:
-          // Spark's late filter still admits rows with event time EQUAL
-          // to the watermark, so a purchase at t == wm must stay pending
-          // or a view arriving later at exactly t == wm would miss it.
-          // The match is computed over the UN-compacted view list: a
-          // same-batch view in (t, wm) must not leak into a purchase at
-          // t. The scalar maxSettledView is always a valid floor: it was
-          // compacted at some earlier watermark wm' <= t of every
-          // still-pending purchase.
+          // can match them has arrived (watermark contract). Strict, not
+          // <=: Spark's measured late-filter boundary DROPS rows at
+          // exactly t == wm (StreamingSpec pins it), which would make <=
+          // safe today — but that boundary is not part of the documented
+          // contract, and under an admit-at-equality semantics a <= emit
+          // would race a later equal-time view. Strict emission is
+          // correct under EITHER boundary for one watermark-tick of
+          // latency. The match is computed over the UN-compacted view
+          // list: a same-batch view in (t, wm) must not leak into a
+          // purchase at t. The scalar maxSettledView is always a valid
+          // floor: it was compacted at some earlier watermark wm' <= t
+          // of every still-pending purchase.
           val (emit, stillPending) = purchases.partition(_._1 < wmMicros)
           val out = emit
             .sortBy { case (t, id) => (t, id) }

@@ -423,6 +423,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("watermark boundary: t == wm is dropped as late; a just-inside purchase waits for its equal-time view") {
+    // Measured boundary semantics (this test pins them): Spark's
+    // flatMapGroupsWithState late filter DROPS rows with event time
+    // equal to the current watermark — so nothing at exactly t == wm
+    // can ever race state. One microsecond inside the bound, the race
+    // is real: a purchase at wm + 1µs (b2) whose matching view at the
+    // SAME timestamp arrives a batch later (b3, still admitted) must
+    // stay buffered until the watermark strictly passes them — the
+    // strict-< emission — and then emit matched to that late view, not
+    // to the earlier 10:00:00 one.
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val typed = in.toDS().map(e =>
+      Events.EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value, e.props))
+    val q = Events.asofEnrichWatermarked(typed, delay = "10 seconds")
+      .writeStream.format("memory").queryName("asof_wm_edge_out")
+      .outputMode("append").start()
+    try {
+      Seq(
+        // b1: early view + advancer → wm for b2 is exactly 10:00:10
+        Seq(Ev(1, t("2024-01-01 10:00:00"), 1L, "view", 0.0, "{}"),
+          Ev(90, t("2024-01-01 10:00:20"), 99L, "view", 0.0, "{}")),
+        // b2: purchase AT the watermark (dropped as late — must never
+        // emit) and a purchase 1µs inside it (admitted, must buffer)
+        Seq(Ev(2, t("2024-01-01 10:00:10"), 1L, "purchase", 5.0, "{}"),
+          Ev(3, t("2024-01-01 10:00:10.000001"), 1L, "purchase", 5.0, "{}")),
+        // b3: the equal-time view for purchase 3, arriving a batch later
+        Seq(Ev(4, t("2024-01-01 10:00:10.000001"), 1L, "view", 0.0, "{}")),
+        // b4/b5: advance the watermark past everything
+        Seq(Ev(91, t("2024-01-01 10:05:00"), 99L, "view", 0.0, "{}")),
+        Seq(Ev(92, t("2024-01-01 10:10:00"), 99L, "view", 0.0, "{}"))
+      ).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val got = spark.table("asof_wm_edge_out")
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val insideUs = t("2024-01-01 10:00:10").toInstant.toEpochMilli * 1000L + 1L
+      assert(got == Set((3L, 1L, Some(insideUs))),
+        s"only the inside-the-bound purchase may emit, matched to its " +
+          s"equal-time late view: $got")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrichment equals the batch AsOfJoin on ordered input") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
