@@ -397,7 +397,12 @@ object Multimodal {
     }
     require(seenIhdr && seenIend && idat.size > 0,
       s"media $id: PNG missing IHDR/IDAT/IEND")
+    // per-dimension caps FIRST: they bound the product below 2^49, so
+    // the Long arithmetic in the second check cannot itself overflow
+    // (an unbounded width·height at 2^31-ish wraps Long negative and
+    // would sail past a naive product-only guard)
     require(width > 0 && height > 0 &&
+      width <= (1 << 24) && height <= (1 << 24) &&
       (width.toLong * 3 + 1) * height < Int.MaxValue,
       s"media $id: PNG dimensions ${width}x$height out of supported range")
     val stride = width * 3

@@ -365,11 +365,19 @@ object SqlSurface {
     * partsupp generation rule prepended as a CTE, so DuckDB computes
     * the identical derived table inline.
     */
-  private def oracleWithPartsupp(text: String): String =
+  private def oracleWithPartsupp(text: String): String = {
+    // fail LOUD at registry-build time on any text this splice can't
+    // compose (lowercase `with`, leading comment, WITH RECURSIVE — the
+    // last would silently yield `WITH partsupp AS (...), RECURSIVE ...`)
+    // instead of shipping a syntactically-broken oracle to the driver
+    require(text.startsWith("SELECT") ||
+      (text.startsWith("WITH ") && !text.startsWith("WITH RECURSIVE")),
+      s"oracleWithPartsupp cannot splice a CTE into: ${text.take(40)}...")
     if (text.startsWith("WITH "))
       "WITH partsupp AS (\n" + partsuppGenSql + "),\n" +
         text.substring("WITH ".length)
     else "WITH partsupp AS (\n" + partsuppGenSql + ")\n" + text
+  }
 
   /** TPC-H Q2 (minimum-cost supplier), adapted to this corpus's columns
     * (no mfgr/address/phone/comment; acctbal reported as exact cents;

@@ -554,20 +554,28 @@ object Events {
     require(ev.columns.toSeq ==
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
       s"unexpected events schema: ${ev.columns.mkString(",")}")
-    val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
-      max(unix_micros(col("ts"))).as("hi")).first()
-    val lo = b.getLong(0)
-    val hi = b.getLong(1)
     val slices = 8
-    val width = (hi - lo) / slices + 1L
-    val delaySec = (3L * width) / 1000000L + 1L
     val replayDir = new java.io.File(graft.model.Scratch.dir("stream_replay", d))
     replayDir.mkdirs()
     // The slice files are a pure function of the (immutable) events
     // table, so land them once per dir and let repeated replays pay
-    // only the stream itself — the marker commits AFTER the last move,
-    // so a half-written set is never trusted.
+    // only the stream itself — the marker commits AFTER the last move
+    // (so a half-written set is never trusted) and carries the time
+    // bounds, so re-runs skip the full-table min/max scan too.
     val ready = new java.io.File(replayDir, "_REPLAY_READY")
+    val (lo, hi) = replayLock.synchronized {
+      if (ready.exists()) {
+        val Array(l, h) = java.nio.file.Files
+          .readString(ready.toPath).trim.split(" ")
+        (l.toLong, h.toLong)
+      } else {
+        val b = ev.agg(min(unix_micros(col("ts"))).as("lo"),
+          max(unix_micros(col("ts"))).as("hi")).first()
+        (b.getLong(0), b.getLong(1))
+      }
+    }
+    val width = (hi - lo) / slices + 1L
+    val delaySec = (3L * width) / 1000000L + 1L
     replayLock.synchronized { if (!ready.exists()) {
       // arrival order swaps adjacent slices: 1,0,3,2,5,4,7,6
       val order = (0 until slices).map(i => if (i % 2 == 0) i + 1 else i - 1)
@@ -591,7 +599,7 @@ object Events {
         // FileStreamSource consumes in modification-time order — pin it
         dst.setLastModified((pos + 1) * 60000L): Unit
       }
-      ready.createNewFile(): Unit
+      java.nio.file.Files.writeString(ready.toPath, s"$lo $hi"): Unit
     } }
     import s.implicits._
     val stream = s.readStream.schema(ev.schema)

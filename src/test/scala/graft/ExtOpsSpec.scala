@@ -290,8 +290,9 @@ class ExtOpsSpec extends AnyFunSuite {
     val (w, h) = (5, 5)
     val rgb = Array.tabulate(w * h * 3)(i => (i % 256).toByte)
     val good = Multimodal.buildPng(w, h, rgb)
-    // flip one bit inside the IHDR data (offset 16 = bit-depth byte
-    // region) — the chunk CRC must catch it before any field is trusted
+    // flip one bit inside the IHDR data (offset 18 sits in the width
+    // field, bytes 16-19) — the chunk CRC must catch it before any
+    // field is trusted
     val corrupt = good.clone()
     corrupt(18) = (corrupt(18) ^ 0x40).toByte
     val err = intercept[IllegalArgumentException] {

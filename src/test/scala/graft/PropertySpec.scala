@@ -392,13 +392,17 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
-  test("PNG codec property: random planes round-trip exactly, and ImageIO agrees") {
-    // fuzz the pure-JVM PNG path over random dimensions AND pixel
-    // content: (a) decodePng(buildPng(plane)) recovers the exact
-    // channel sums, (b) the JDK's independent ImageIO reader decodes
-    // the same bytes to the same sums — so the encoder emits real PNG
-    // and the decoder's five filter reconstructions are right for
-    // arbitrary content, not just the fixture corpus
+  /** Shared codec fuzz harness: random (dims, content) planes through
+    * an encode/decode pair must (a) round-trip to exact channel sums
+    * and (b) agree with the JDK's independent ImageIO reader on the
+    * SAME bytes — so the encoder emits the real format (not a private
+    * dialect) and the decoder is right for arbitrary content, not just
+    * the fixture corpus.
+    */
+  private def fuzzImageCodec(
+      name: String,
+      build: (Int, Int, Array[Byte]) => Array[Byte],
+      decode: Array[Byte] => graft.ops.Multimodal.ImageStats): Unit = {
     val gen = for {
       w <- Gen.choose(1, 24)
       h <- Gen.choose(1, 24)
@@ -407,48 +411,33 @@ class PropertySpec extends AnyFunSuite {
     samples(gen, 40).foreach { case (w, h, seed) =>
       val rnd = new scala.util.Random(seed)
       val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
-      val png = graft.ops.Multimodal.buildPng(w, h, rgb)
-      val ours = graft.ops.Multimodal.decodePng(7L, png)
+      val bytes = build(w, h, rgb)
+      val ours = decode(bytes)
       def sum(off: Int) =
         rgb.indices.filter(_ % 3 == off).map(rgb(_) & 0xff).map(_.toLong).sum
-      assert((ours.width, ours.height) == (w, h), s"dims diverged at ${w}x$h")
+      assert((ours.width, ours.height) == (w, h),
+        s"$name dims diverged at ${w}x$h seed=$seed")
       assert((ours.sum_r, ours.sum_g, ours.sum_b) == (sum(0), sum(1), sum(2)),
-        s"round-trip sums diverged at ${w}x$h seed=$seed")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+        s"$name round-trip sums diverged at ${w}x$h seed=$seed")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       var sr = 0L; var sg = 0L; var sb = 0L
       for (y <- 0 until h; x <- 0 until w) {
         val px = img.getRGB(x, y)
         sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
       }
       assert((sr, sg, sb) == (ours.sum_r, ours.sum_g, ours.sum_b),
-        s"ImageIO disagreed at ${w}x$h seed=$seed")
+        s"$name: ImageIO disagreed at ${w}x$h seed=$seed")
     }
   }
 
+  test("PNG codec property: random planes round-trip exactly, and ImageIO agrees") {
+    fuzzImageCodec("png", graft.ops.Multimodal.buildPng,
+      graft.ops.Multimodal.decodePng(7L, _))
+  }
+
   test("BMP codec property: random planes round-trip exactly, and ImageIO agrees") {
-    val gen = for {
-      w <- Gen.choose(1, 24)
-      h <- Gen.choose(1, 24)
-      seed <- Gen.choose(0, Int.MaxValue)
-    } yield (w, h, seed)
-    samples(gen, 40).foreach { case (w, h, seed) =>
-      val rnd = new scala.util.Random(seed)
-      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
-      val bmp = graft.ops.Multimodal.buildBmp24(w, h, rgb)
-      val ours = graft.ops.Multimodal.decodeBmp(7L, bmp)
-      def sum(off: Int) =
-        rgb.indices.filter(_ % 3 == off).map(rgb(_) & 0xff).map(_.toLong).sum
-      assert((ours.sum_r, ours.sum_g, ours.sum_b) == (sum(0), sum(1), sum(2)),
-        s"round-trip sums diverged at ${w}x$h seed=$seed")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
-      var sr = 0L; var sg = 0L; var sb = 0L
-      for (y <- 0 until h; x <- 0 until w) {
-        val px = img.getRGB(x, y)
-        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
-      }
-      assert((sr, sg, sb) == (ours.sum_r, ours.sum_g, ours.sum_b),
-        s"ImageIO disagreed at ${w}x$h seed=$seed")
-    }
+    fuzzImageCodec("bmp", graft.ops.Multimodal.buildBmp24,
+      graft.ops.Multimodal.decodeBmp(7L, _))
   }
 
   test("mergeInto algebra: empty source is identity; self-merge-update is identity") {
