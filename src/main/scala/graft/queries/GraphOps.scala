@@ -624,7 +624,12 @@ object GraphOps {
     * 10⁶·score rescale numerator stays under 2⁶³ through ~9·10⁶
     * neighbors per node; past that the rescale moves to DECIMAL(38,0),
     * same plan. Per iteration: one arcs⋈scores shuffle + a scalar
-    * max broadcast per side — no all-pairs anything.
+    * max broadcast per side — no all-pairs anything. Unlike the
+    * many-round pagerank/ppr loops, the 2 fixed iterations keep
+    * lineage shallow, so the half-steps are NOT eagerly
+    * localCheckpointed — the 4 extra materialization jobs cost more
+    * than the recomputation they avoid (measured ~20% of the key's
+    * warm time at sf0.1).
     */
   private val qHits: Q = (s, d) => {
     val arcs = Tables.orders(s, d)
@@ -632,7 +637,7 @@ object GraphOps {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var hub = arcs.select(col("c")).distinct()
-      .select(col("c"), lit(1000000L).as("h")).localCheckpoint(true)
+      .select(col("c"), lit(1000000L).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to 2) {
       val araw = arcs.join(hub, "c")
@@ -640,13 +645,13 @@ object GraphOps {
       val amax = araw.agg(max("raw").as("mx"))
       auth = araw.crossJoin(broadcast(amax))
         .select(col("p"), expr("1000000 * raw DIV mx").as("a"))
-        .localCheckpoint(true)
+        
       val hraw = arcs.join(auth, "p")
         .groupBy("c").agg(sum("a").as("raw"))
       val hmax = hraw.agg(max("raw").as("mx"))
       hub = hraw.crossJoin(broadcast(hmax))
         .select(col("c"), expr("1000000 * raw DIV mx").as("h"))
-        .localCheckpoint(true)
+        
     }
     arcs.unpersist()
     auth.select(col("p").as("part"), col("a").as("auth_e6"))
