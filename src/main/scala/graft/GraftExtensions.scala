@@ -80,5 +80,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kll_sketch_quantile"),
       info("kll_sketch_quantile", "kll_sketch_quantile(sk BINARY, q DOUBLE) - inclusive quantile"),
       (exprs: Seq[Expression]) => graft.functions.KllSketchQuantile(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("countmin_agg"),
+      info("countmin_agg", "countmin_agg(tok STRING) - 4x256 Count-Min counter plane (md5-window hashes)"),
+      (exprs: Seq[Expression]) => graft.functions.CountMinAgg(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("countmin_merge_agg"),
+      info("countmin_merge_agg", "countmin_merge_agg(cells ARRAY<BIGINT>) - union stored Count-Min planes"),
+      (exprs: Seq[Expression]) => graft.functions.CountMinMergeAgg(exprs.head)))
   }
 }

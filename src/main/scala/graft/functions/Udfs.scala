@@ -56,6 +56,10 @@ object Udfs {
     reg.createOrReplaceTempFunction(
       "kll_sketch_quantile",
       exprs => KllSketchQuantile(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "countmin_agg", exprs => CountMinAgg(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "countmin_merge_agg", exprs => CountMinMergeAgg(exprs(0)), "built-in")
     spark.udf.register("lap_time_udf", formatLapTimeUdf)
     spark.udf.register("top_k_events",
       org.apache.spark.sql.functions.udaf(new TopKAggregator(3)))

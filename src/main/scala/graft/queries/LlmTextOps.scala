@@ -101,6 +101,38 @@ private[queries] object LlmTextOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** The NATIVE-aggregate Count–Min path: the SAME sketch as
+    * `q_countmin`, built by [[graft.functions.CountMinAgg]] in one
+    * pass — tokens fold into a heap-resident 4×256 counter plane that
+    * crosses the shuffle once as 8 KB, instead of the declarative 4×
+    * explode + 1024-cell groupBy. Identical md5-window hashing means
+    * identical counters, so this key's oracle IS q_countmin's SQL: the
+    * driver hash proves the imperative aggregate ≡ the declarative
+    * plan ≡ the DuckDB recompute, bit-for-bit. The probe indexes the
+    * broadcast counter array directly (`sk[r·256 + bucket]`), no cells
+    * join. At 100 TB this is the form that wins: per-shard sketches
+    * are 8 KB columns that [[graft.functions.CountMinMergeAgg]] unions
+    * exactly with zero raw-token rescan.
+    */
+  private[queries] val qCountminNative: Q = (s, d) => {
+    graft.functions.Udfs.registerAll(s)
+    val toks = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val sk = toks.agg(expr("countmin_agg(tok)").as("sk"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("tok").asc).limit(10)
+    val est = (0 until 4).map(r =>
+        s"sk[$r * 256 + CAST(pmod(CAST(conv(substring(dig, $r * 8 + 1, 8), " +
+          s"16, 10) AS BIGINT), 256) AS INT)]")
+      .mkString("least(", ", ", ")")
+    exact.withColumn("dig", md5(col("tok")))
+      .crossJoin(broadcast(sk))
+      .select(col("tok"), col("exact"), expr(est).as("cms_estimate"),
+        (expr(est) - col("exact")).as("overestimate"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
   /** Keyphrase extraction: each focus doc's top-3 terms by tf·idf with
     * the same >10%-df prune as `q_tfidf_cosine` — the summary-tag
     * generator a corpus browser shows per document. Integer weights,
@@ -616,6 +648,7 @@ private[queries] object LlmTextOps {
     "q_lang_id" -> qLangId,
     "q_langid_eval" -> qLangidEval,
     "q_countmin" -> qCountmin,
+    "q_countmin_native" -> qCountminNative,
     "q_keyphrases" -> qKeyphrases,
     "q_quality_score" -> qQualityScore,
     "q_token_count" -> qTokenCount,
@@ -928,7 +961,30 @@ private[queries] object LlmTextOps {
          |  CAST(cm.actual_lang = predicted_lang AS INT) AS correct
          |FROM cm JOIN t ON cm.actual_lang = t.actual_lang
          |ORDER BY cm.actual_lang, predicted_lang""".stripMargin,
+    // q_countmin_native shares this text verbatim: identical md5-window
+    // hashing makes the native aggregate's counters bit-equal to the
+    // declarative build's, so ONE oracle proves both forms
     "q_countmin" ->
+      """WITH toks AS (SELECT tok FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |rows_ AS (SELECT unnest(range(4)) AS r),
+        |cells AS (SELECT r,
+        |    ('0x' || substr(md5(tok), CAST(r * 8 + 1 AS INT), 8))
+        |      ::BIGINT % 256 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+        |exact AS (SELECT tok, CAST(count(*) AS BIGINT) AS exact
+        |  FROM toks GROUP BY 1 ORDER BY exact DESC, tok ASC LIMIT 10),
+        |probe AS (SELECT tok, exact, r,
+        |    ('0x' || substr(md5(tok), CAST(r * 8 + 1 AS INT), 8))
+        |      ::BIGINT % 256 AS bucket
+        |  FROM exact CROSS JOIN rows_)
+        |SELECT tok, exact, CAST(min(c) AS BIGINT) AS cms_estimate,
+        |  CAST(min(c) - exact AS BIGINT) AS overestimate
+        |FROM probe JOIN cells USING (r, bucket)
+        |GROUP BY tok, exact ORDER BY exact DESC, tok ASC""".stripMargin,
+    "q_countmin_native" ->
       """WITH toks AS (SELECT tok FROM
         |    (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
         |  WHERE tok <> ''),

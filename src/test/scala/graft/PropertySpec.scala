@@ -440,6 +440,36 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.Multimodal.decodeBmp(7L, _))
   }
 
+  test("countmin_agg: whole-corpus plane equals the merge of per-source planes, exactly") {
+    // counters are plain sums, so sketch mergeability is EXACT — the
+    // property that lets per-shard sketches land as 8 KB columns and
+    // answer the corpus question later with zero raw-token rescan
+    graft.functions.Udfs.registerAll(spark)
+    val toks = graft.model.Tables.documents(spark, sf)
+      .select($"source", explode(split($"text", " ")).as("tok"))
+      .filter($"tok" =!= "")
+    val whole = toks.agg(expr("countmin_agg(tok)").as("sk"))
+      .as[Seq[Long]].head()
+    val merged = toks.groupBy("source")
+      .agg(expr("countmin_agg(tok)").as("sk"))
+      .agg(expr("countmin_merge_agg(sk)").as("sk"))
+      .as[Seq[Long]].head()
+    assert(whole == merged, "per-shard merge diverged from the one-pass plane")
+    // mass conservation: every token lands in exactly one bucket per row
+    val n = toks.count()
+    assert(whole.sum == 4L * n, s"plane mass ${whole.sum} != 4*$n")
+    // hash parity with the SQL expression the oracle mirrors
+    val tok = org.apache.spark.unsafe.types.UTF8String.fromString("widget")
+    val hex = graft.functions.CountMin.md5Hex(tok)
+    val sqlBuckets = spark.sql(
+      s"SELECT " + (0 until 4).map(r =>
+        s"CAST(pmod(CAST(conv(substring(md5('widget'), $r * 8 + 1, 8), " +
+          s"16, 10) AS BIGINT), 256) AS INT)").mkString(", "))
+      .head().toSeq.map(_.asInstanceOf[Int])
+    val ours = (0 until 4).map(graft.functions.CountMin.bucket(hex, _))
+    assert(ours == sqlBuckets, s"bucket parity broke: $ours vs $sqlBuckets")
+  }
+
   test("mergeInto algebra: empty source is identity; self-merge-update is identity") {
     samples(kvList, 6).foreach { rows =>
       val t = rows.toMap.toSeq.toDF("k", "v")
