@@ -128,8 +128,9 @@ private[queries] object LlmTextOps {
       .mkString("least(", ", ", ")")
     exact.withColumn("dig", md5(col("tok")))
       .crossJoin(broadcast(sk))
-      .select(col("tok"), col("exact"), expr(est).as("cms_estimate"),
-        (expr(est) - col("exact")).as("overestimate"))
+      .withColumn("cms_estimate", expr(est))
+      .select(col("tok"), col("exact"), col("cms_estimate"),
+        (col("cms_estimate") - col("exact")).as("overestimate"))
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
