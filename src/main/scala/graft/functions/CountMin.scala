@@ -147,7 +147,14 @@ case class CountMinMergeAgg(child: Expression,
         s"countmin_merge_agg: sketch has ${arr.numElements()} cells, " +
           s"expected ${buf.length}")
       var i = 0
-      while (i < buf.length) { buf(i) += arr.getLong(i); i += 1 }
+      while (i < buf.length) {
+        // getLong on a null cell silently reads garbage (typically 0) —
+        // a null inside a sketch means the column was built wrong, so
+        // corrupt counters must fail loud, not skew the merge
+        require(!arr.isNullAt(i),
+          s"countmin_merge_agg: null counter at cell $i — not a valid sketch")
+        buf(i) += arr.getLong(i); i += 1
+      }
     }
     buf
   }

@@ -416,9 +416,19 @@ object Multimodal {
       catch { case e: java.util.zip.DataFormatException =>
         throw new IllegalArgumentException(
           s"media $id: corrupt PNG deflate stream", e) }
-    inf.end()
     require(off == raw.length,
       s"media $id: PNG scanline data short ($off of ${raw.length} bytes)")
+    // fail-loud symmetry: a stream that inflates to MORE than the
+    // expected scanline bytes is as malformed as a short one — probe
+    // one extra byte (a clean zlib stream is finished here; a surplus
+    // one yields data)
+    val probe = new Array[Byte](1)
+    val surplus = !inf.finished() &&
+      (try inf.inflate(probe) catch {
+        case _: java.util.zip.DataFormatException => 0 }) > 0
+    inf.end()
+    require(!surplus,
+      s"media $id: PNG deflate stream longer than ${raw.length} scanline bytes")
     val prev = new Array[Int](stride)
     val curr = new Array[Int](stride)
     var sr = 0L; var sg = 0L; var sb = 0L

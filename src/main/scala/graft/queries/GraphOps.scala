@@ -629,13 +629,18 @@ object GraphOps {
     * lineage shallow, so the half-steps are NOT eagerly
     * localCheckpointed — the 4 extra materialization jobs cost more
     * than the recomputation they avoid (measured ~20% of the key's
-    * warm time at sf0.1).
+    * warm time at sf0.1). The arcs subtree is deliberately NOT
+    * persisted either: with no eager action inside the loop a persist
+    * here never materializes before the single final action, and the
+    * four identical `distinct` subtrees end in identical Exchanges
+    * that Spark's ReuseExchange rule dedupes inside the one plan — the
+    * shuffle is paid once without any storage-block bookkeeping.
     */
   private val qHits: Q = (s, d) => {
     val arcs = Tables.orders(s, d)
       .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct()
     var hub = arcs.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var auth: DataFrame = null
@@ -653,7 +658,6 @@ object GraphOps {
         .select(col("c"), expr("1000000 * raw DIV mx").as("h"))
         
     }
-    arcs.unpersist()
     auth.select(col("p").as("part"), col("a").as("auth_e6"))
       .orderBy("part")
   }

@@ -889,6 +889,13 @@ object Relational {
     */
   private val qParseFuncs: Q = (s, d) =>
     Tables.events(s, d)
+      // render-safety guard, mirrored in the oracle: the CSV/XML
+      // renders below do no escaping, so a type containing a comma or
+      // an XML special would make the parsers disagree and SILENTLY
+      // drop the row via the cross-agreement filter. Restricting to
+      // identifier-shaped types keeps render→parse the exact identity
+      // the oracle assumes, independent of future corpus changes.
+      .filter(col("event_type").rlike("^[A-Za-z_]+$"))
       .withColumn("csv_line", concat_ws(",",
         col("event_id"), col("user_id"), col("event_type")))
       .withColumn("xml_doc", concat(lit("<e><u>"), col("user_id"),
@@ -1520,6 +1527,7 @@ object Relational {
     "q_parse_funcs" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(user_id * 2) AS BIGINT) AS sum_uid2
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events WHERE regexp_matches(event_type, '^[A-Za-z_]+$')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
