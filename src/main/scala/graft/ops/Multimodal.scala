@@ -9,21 +9,22 @@ import org.apache.spark.sql.functions._
   * partition, so decoder setup cost amortizes across the batch and the
   * planner sees real schemas on both sides).
   *
-  * Decoding comes in two tiers. Formats that need a codec library the
-  * JVM lacks (JPEG — entropy coding) remain STUBBED: `decodeFeatures`'
-  * "decoder" is a deterministic fake over the raw bytes, clearly marked
-  * below. Formats decodable in pure JVM are REAL:
+  * All four image containers plus WAV audio decode REAL, in pure JVM:
   * [[decodePpm]] is a complete binary PPM (P6) parser — header
   * grammar with comments, maxval validation, raw RGB pixel plane —
   * [[decodeBmp]] is a complete 24bpp BMP parser (little-endian
   * headers, padded bottom-up raster, BGR channel order), [[decodePng]]
   * is a complete truecolor PNG decoder (chunk walk with CRC checks,
   * `java.util.zip.Inflater` for the zlib stream, all five scanline
-  * filters), [[decodeWav]] walks RIFF/WAVE PCM, [[decodeImage]]
-  * dispatches on the container magic, and the `*Features` wrappers run
-  * them through the same partition-batched iterator shape, so swapping
-  * a codec-backed decoder in for the stubbed format touches only the
-  * per-item function.
+  * filters), [[decodeJpeg]] is a complete baseline JFIF decoder
+  * (marker walk, canonical Huffman, dequant + zigzag + IDCT, chroma
+  * upsampling, fixed-point color convert), [[decodeWav]] walks
+  * RIFF/WAVE PCM, [[decodeImage]] dispatches on the container magic,
+  * and the `*Features` wrappers run them through the same
+  * partition-batched iterator shape. The one remaining fake is the
+  * codec-agnostic [[decodeBytes]] below — kept deliberately as the
+  * landing-zone shape for formats outside the pure-JVM tier (video),
+  * clearly marked.
   */
 object Multimodal {
 
@@ -355,8 +356,8 @@ object Multimodal {
     * multi-IDAT concatenation, full inflate of the scanline stream, and
     * per-row UNFILTERING of all five filter types (None/Sub/Up/Average/
     * Paeth, bpp = 3) into exact channel sums. The third image container
-    * beside [[decodePpm]] and [[decodeBmp]]; JPEG (entropy coding, no
-    * JDK codec) remains the one stubbed format.
+    * beside [[decodePpm]] and [[decodeBmp]]; [[decodeJpeg]] is the
+    * fourth.
     */
   private[graft] def decodePng(id: Long, bytes: Array[Byte]): ImageStats = {
     require(bytes.length >= 8 && bytes.take(8).sameElements(PngSig),
@@ -463,18 +464,457 @@ object Multimodal {
     ImageStats(id, "png", width, height, width.toLong * height, sr, sg, sb)
   }
 
+  // ---- JPEG: baseline JFIF codec, pure JVM --------------------------------
+
+  /** JPEG zigzag scan order: zigzagOrder(k) = raster index of the k-th
+    * coefficient in scan order (ITU T.81 figure A.6 — public spec).
+    */
+  private val ZigZag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Standard Huffman tables (ITU T.81 Annex K — the tables every
+    * baseline encoder may ship): (bits per code length 1..16, symbol
+    * values). Used by [[buildJpeg]]; [[decodeJpeg]] always reads tables
+    * from the file's own DHT segments, never these.
+    */
+  private val StdDcLumaBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val StdDcVals = (0 to 11).map(_.toByte).toArray
+  private val StdDcChromaBits = Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+  private val StdAcLumaBits = Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val StdAcLumaVals: Array[Byte] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+  private val StdAcChromaBits = Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+  private val StdAcChromaVals: Array[Byte] = Array(
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15, 0x62, 0x72, 0xd1,
+    0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17, 0x18, 0x19, 0x1a, 0x26,
+    0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a,
+    0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4,
+    0xb5, 0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa).map(_.toByte)
+
+  /** Canonical Huffman codes from a DHT-shaped (bits, vals) pair:
+    * symbol → (code, length). Codes assign in value order within
+    * ascending length — ITU T.81 C.2.
+    */
+  private def huffCodes(bits: Array[Int], vals: Array[Byte]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      for (_ <- 0 until bits(len - 1)) {
+        out += (vals(k) & 0xff) -> (code, len)
+        code += 1; k += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  /** Fixed-point YCbCr→RGB used by BOTH [[decodeJpeg]] and the
+    * q_multimodal_jpeg oracle (the construction-rule discipline needs
+    * ONE stated formula): the classical CCIR 601 factors scaled by
+    * 2¹⁶, floor-divided with +2¹⁵ rounding, clamped to [0,255].
+    */
+  private[graft] def yccToRgb(y: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+    def fd(n: Long): Int = Math.floorDiv(n + 32768L, 65536L).toInt
+    def clamp(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    (clamp(y + fd(91881L * (cr - 128))),
+      clamp(y - fd(22554L * (cb - 128) + 46802L * (cr - 128))),
+      clamp(y + fd(116130L * (cb - 128))))
+  }
+
+  /** FIXTURE encoder: a spec-conformant baseline JFIF (SOI, APP0, DQT,
+    * SOF0 4:2:0, the four Annex-K DHTs, SOS, entropy-coded scan with
+    * byte stuffing, EOI) whose image is CONSTANT per 16×16 MCU in the
+    * YCbCr domain, with all-ones quantization tables. That construction
+    * makes the lossy format exactly round-trippable: a constant block's
+    * DCT is DC-only with S₀₀ = 8·(v−128) (an exact integer), quant 1
+    * keeps it exact, and the IDCT of a DC-only block reproduces v on
+    * every pixel — so the decoder's output is a pure function of the
+    * MCU color rule and the DuckDB oracle can restate it. The encoder
+    * still exercises every structural encode path (DC prediction
+    * across blocks, EOB coding, stuffing, header grammar), and the
+    * PropertySpec fuzz feeds its output to the JDK's independent
+    * ImageIO reader to prove the bytes are real JPEG, not a private
+    * dialect. `mcuYcc(m) = (y, cb, cr)` row-major; `w`/`h` may clip the
+    * right/bottom MCUs (the encoder pads with the same constant, so
+    * clipping stays exact).
+    */
+  private[graft] def buildJpeg(w: Int, h: Int, mcuYcc: Array[(Int, Int, Int)]): Array[Byte] = {
+    val wm = (w + 15) / 16; val hm = (h + 15) / 16
+    require(mcuYcc.length == wm * hm,
+      s"buildJpeg: ${mcuYcc.length} MCU colors for a ${wm}x$hm grid")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    def segment(m: Int, body: Array[Int]): Unit = {
+      marker(m); u8((body.length + 2) >> 8); u8(body.length + 2)
+      body.foreach(u8)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, // APP0 "JFIF\0" v1.2, no density units, no thumbnail
+      "JFIF".map(_.toInt).toArray ++ Array(0, 1, 2, 0, 0, 1, 0, 1, 0, 0))
+    for (tq <- 0 to 1) // DQT: all-ones (legal, and what makes DC exact)
+      segment(0xdb, tq +: Array.fill(64)(1))
+    segment(0xc0, Array( // SOF0 baseline: Y 2x2 tq0, Cb/Cr 1x1 tq1
+      8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1))
+    def dht(cls: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit =
+      segment(0xc4, ((cls << 4) | id) +: (bits ++ vals.map(_ & 0xff)))
+    dht(0, 0, StdDcLumaBits, StdDcVals)
+    dht(0, 1, StdDcChromaBits, StdDcVals)
+    dht(1, 0, StdAcLumaBits, StdAcLumaVals)
+    dht(1, 1, StdAcChromaBits, StdAcChromaVals)
+    segment(0xda, Array(3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)) // SOS
+    // entropy-coded scan: per MCU four DC-only luma blocks + Cb + Cr
+    val dcLuma = huffCodes(StdDcLumaBits, StdDcVals)
+    val dcChroma = huffCodes(StdDcChromaBits, StdDcVals)
+    val eobLuma = huffCodes(StdAcLumaBits, StdAcLumaVals)(0x00)
+    val eobChroma = huffCodes(StdAcChromaBits, StdAcChromaVals)(0x00)
+    var acc = 0L; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = if (len > 0) {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = ((acc >> (nbits - 8)) & 0xff).toInt
+        u8(b); if (b == 0xff) u8(0x00) // byte stuffing
+        nbits -= 8
+      }
+    }
+    def putDcDiff(diff: Int, table: Map[Int, (Int, Int)]): Unit = {
+      val mag = Math.abs(diff)
+      var t = 0
+      while ((mag >> t) != 0) t += 1
+      val (code, len) = table(t)
+      putBits(code, len)
+      if (t > 0) putBits(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+    }
+    var predY = 0; var predCb = 0; var predCr = 0
+    for ((yv, cbv, crv) <- mcuYcc) {
+      val dcY = 8 * (yv - 128); val dcCb = 8 * (cbv - 128); val dcCr = 8 * (crv - 128)
+      for (_ <- 0 until 4) { // 4 luma blocks per MCU (diff 0 after the 1st)
+        putDcDiff(dcY - predY, dcLuma); predY = dcY
+        putBits(eobLuma._1, eobLuma._2)
+      }
+      putDcDiff(dcCb - predCb, dcChroma); predCb = dcCb
+      putBits(eobChroma._1, eobChroma._2)
+      putDcDiff(dcCr - predCr, dcChroma); predCr = dcCr
+      putBits(eobChroma._1, eobChroma._2)
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** REAL baseline JPEG decoder, pure JVM — the fourth image container
+    * (closing the one stub the round-9 review named): marker walk
+    * (APPn/COM skip, DQT 8/16-bit, DHT, DRI; SOF2 progressive and the
+    * non-Huffman SOFs fail loud), canonical Huffman decode with byte
+    * un-stuffing and RST interval handling, per-block DC prediction +
+    * AC run/size decode (EOB, ZRL), dequantization in zigzag order,
+    * exact separable double-precision IDCT, per-component planes at
+    * native sampling with pixel-replication upsampling, and the ONE
+    * stated [[yccToRgb]] integer color convert (identity for
+    * single-component grayscale). Accepts any baseline sampling grid
+    * (factors 1-4) — the PropertySpec fuzz decodes files the JDK's
+    * independent ImageIO encoder wrote (4:2:0 color and 1-component
+    * gray), not just this module's own fixtures.
+    */
+  private[graft] def decodeJpeg(id: Long, bytes: Array[Byte]): ImageStats = {
+    require(bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+      (bytes(1) & 0xff) == 0xd8, s"media $id: not a JPEG payload")
+    var pos = 2
+    def u8(): Int = {
+      require(pos < bytes.length, s"media $id: truncated JPEG at $pos")
+      val v = bytes(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+    // quantization tables land in ZIGZAG order (as stored in DQT)
+    val quant = Array.ofDim[Int](4, 64)
+    // canonical Huffman decode arrays (ITU T.81 F.2.2.3)
+    case class HTab(minCode: Array[Int], maxCode: Array[Int],
+                    valPtr: Array[Int], vals: Array[Byte])
+    val htabs = Array.ofDim[HTab](2, 4)
+    def buildHtab(bits: Array[Int], vals: Array[Byte]): HTab = {
+      val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+      val valPtr = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valPtr(len) = k; minCode(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxCode(len) = if (bits(len - 1) == 0) -1 else code - 1
+        code <<= 1
+      }
+      HTab(minCode, maxCode, valPtr, vals)
+    }
+    case class Comp(cid: Int, hs: Int, vs: Int, tq: Int)
+    var w = 0; var h = 0
+    var comps: Array[Comp] = null
+    var dri = 0
+    var result: ImageStats = null
+    while (result == null) {
+      require(u8() == 0xff, s"media $id: JPEG marker desync at ${pos - 1}")
+      var m = u8()
+      while (m == 0xff) m = u8() // fill bytes before a marker are legal
+      m match {
+        case 0xdb =>
+          val segLen = u16() // NB: read len FIRST (u16 moves pos)
+          val end = pos + segLen - 2
+          while (pos < end) {
+            val pqTq = u8()
+            val pq = pqTq >> 4; val tq = pqTq & 15
+            require(pq <= 1 && tq < 4, s"media $id: DQT precision/id $pq/$tq")
+            for (k <- 0 until 64)
+              quant(tq)(k) = if (pq == 0) u8() else u16()
+          }
+        case 0xc4 =>
+          val segLen = u16() // NB: read len FIRST (u16 moves pos)
+          val end = pos + segLen - 2
+          while (pos < end) {
+            val tcTh = u8()
+            val tc = tcTh >> 4; val th = tcTh & 15
+            require(tc < 2 && th < 4, s"media $id: DHT class/id $tc/$th")
+            val bits = Array.fill(16)(u8())
+            val vals = Array.fill(bits.sum)(u8().toByte)
+            htabs(tc)(th) = buildHtab(bits, vals)
+          }
+        case 0xc0 | 0xc1 => // baseline (extended-sequential shares the grammar)
+          u16()
+          require(u8() == 8, s"media $id: only 8-bit JPEG precision supported")
+          h = u16(); w = u16()
+          require(w > 0 && h > 0 && w <= (1 << 16) && h <= (1 << 16) &&
+            w.toLong * h * 3 < Int.MaxValue,
+            s"media $id: JPEG dimensions ${w}x$h out of supported range")
+          val nc = u8()
+          require(nc == 1 || nc == 3,
+            s"media $id: $nc-component JPEG unsupported (want gray or YCbCr)")
+          comps = Array.fill(nc) {
+            val cid = u8(); val hv = u8(); val tq = u8()
+            val c = Comp(cid, hv >> 4, hv & 15, tq)
+            require(c.hs >= 1 && c.hs <= 4 && c.vs >= 1 && c.vs <= 4 && c.tq < 4,
+              s"media $id: sampling ${c.hs}x${c.vs} / table ${c.tq} out of range")
+            c
+          }
+        case 0xc2 => throw new IllegalArgumentException(
+          s"media $id: progressive JPEG (SOF2) not supported - baseline only")
+        case mk if mk >= 0xc3 && mk <= 0xcf && mk != 0xc4 && mk != 0xc8 =>
+          throw new IllegalArgumentException(
+            s"media $id: unsupported JPEG coding (SOF${mk - 0xc0})")
+        case 0xdd => u16(); dri = u16()
+        case 0xd9 => throw new IllegalArgumentException(
+          s"media $id: EOI before SOS - no image data")
+        case 0xda =>
+          require(comps != null, s"media $id: SOS before SOF")
+          u16()
+          val ns = u8()
+          require(ns == comps.length,
+            s"media $id: partial/multi-scan JPEG unsupported")
+          val scanTabs = Array.fill(ns) {
+            val cs = u8(); val tt = u8()
+            val ci = comps.indexWhere(_.cid == cs)
+            require(ci >= 0, s"media $id: SOS names unknown component $cs")
+            val (td, ta) = (tt >> 4, tt & 15)
+            require(htabs(0)(td) != null && htabs(1)(ta) != null,
+              s"media $id: SOS references undefined Huffman table")
+            (ci, htabs(0)(td), htabs(1)(ta))
+          }
+          u8(); u8(); u8() // Ss/Se/AhAl - fixed for baseline
+
+          // ---- entropy-coded scan ----
+          val hmax = comps.map(_.hs).max; val vmax = comps.map(_.vs).max
+          val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+          val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+          val planeW = comps.map(c => mcusX * c.hs * 8)
+          val planes = comps.zipWithIndex.map { case (c, i) =>
+            new Array[Byte](planeW(i) * mcusY * c.vs * 8) }
+          var bitBuf = 0; var bitCnt = 0
+          def fillBit(): Int = {
+            if (bitCnt == 0) {
+              var b = u8()
+              if (b == 0xff) {
+                val nxt = u8()
+                require(nxt == 0x00,
+                  f"media $id: marker 0xff$nxt%02x inside entropy data")
+                b = 0xff
+              }
+              bitBuf = b; bitCnt = 8
+            }
+            bitCnt -= 1
+            (bitBuf >> bitCnt) & 1
+          }
+          def decodeHuff(t: HTab): Int = {
+            var code = fillBit(); var len = 1
+            while (len < 16 && (t.maxCode(len) < 0 || code > t.maxCode(len))) {
+              code = (code << 1) | fillBit(); len += 1
+            }
+            require(t.maxCode(len) >= 0 && code <= t.maxCode(len),
+              s"media $id: corrupt JPEG Huffman stream")
+            t.vals(t.valPtr(len) + code - t.minCode(len)) & 0xff
+          }
+          def receive(s: Int): Int = {
+            var v = 0; var i = 0
+            while (i < s) { v = (v << 1) | fillBit(); i += 1 }
+            v
+          }
+          def extend(v: Int, s: Int): Int =
+            if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+          val cosT = Array.tabulate(8, 8)((u, x) =>
+            math.cos((2 * x + 1) * u * math.Pi / 16))
+          val cNorm = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2) else 1.0)
+          val coef = new Array[Int](64)
+          val tmpD = new Array[Double](64)
+          def decodeBlock(cmp: Comp, dcT: HTab, acT: HTab, pred: Int,
+                          plane: Array[Byte], pw: Int, x0: Int, y0: Int): Int = {
+            java.util.Arrays.fill(coef, 0)
+            val qt = quant(cmp.tq)
+            val t = decodeHuff(dcT)
+            require(t <= 11, s"media $id: DC category $t out of baseline range")
+            val dc = pred + extend(receive(t), t)
+            coef(0) = dc * qt(0)
+            var k = 1
+            var open = true
+            while (open && k < 64) {
+              val rs = decodeHuff(acT)
+              val r = rs >> 4; val s2 = rs & 15
+              if (s2 == 0) { if (r == 15) k += 16 else open = false }
+              else {
+                k += r
+                require(k < 64, s"media $id: AC run overflows the block")
+                coef(ZigZag(k)) = extend(receive(s2), s2) * qt(k)
+                k += 1
+              }
+            }
+            // separable IDCT: rows (frequency u -> x), then columns (v -> y)
+            var v = 0
+            while (v < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0; var u = 0
+                while (u < 8) { acc += cNorm(u) * coef(v * 8 + u) * cosT(u)(x); u += 1 }
+                tmpD(v * 8 + x) = 0.5 * acc
+                x += 1
+              }
+              v += 1
+            }
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                var acc = 0.0; var vv = 0
+                while (vv < 8) { acc += cNorm(vv) * tmpD(vv * 8 + x) * cosT(vv)(y); vv += 1 }
+                val px = Math.round(0.5 * acc).toInt + 128
+                plane((y0 + y) * pw + x0 + x) =
+                  (if (px < 0) 0 else if (px > 255) 255 else px).toByte
+                x += 1
+              }
+              y += 1
+            }
+            dc
+          }
+          val preds = new Array[Int](comps.length)
+          var restartLeft = if (dri > 0) dri else Int.MaxValue
+          var mcu = 0
+          while (mcu < mcusX * mcusY) {
+            val my = mcu / mcusX; val mx = mcu % mcusX
+            var si = 0
+            while (si < scanTabs.length) {
+              val (ci, dcT, acT) = scanTabs(si)
+              val cmp = comps(ci)
+              var by = 0
+              while (by < cmp.vs) {
+                var bx = 0
+                while (bx < cmp.hs) {
+                  preds(ci) = decodeBlock(cmp, dcT, acT, preds(ci), planes(ci),
+                    planeW(ci), (mx * cmp.hs + bx) * 8, (my * cmp.vs + by) * 8)
+                  bx += 1
+                }
+                by += 1
+              }
+              si += 1
+            }
+            mcu += 1; restartLeft -= 1
+            if (restartLeft == 0 && mcu < mcusX * mcusY) {
+              bitCnt = 0 // restart markers are byte-aligned
+              require(u8() == 0xff && (u8() & 0xf8) == 0xd0,
+                s"media $id: missing restart marker after $mcu MCUs")
+              java.util.Arrays.fill(preds, 0)
+              restartLeft = dri
+            }
+          }
+          // upsample (pixel replication) + color convert + channel sums
+          var sr = 0L; var sg = 0L; var sb = 0L
+          if (comps.length == 1) {
+            val p0 = planes(0); val pw0 = planeW(0)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sr += p0(y * pw0 + x) & 0xff; x += 1 }
+              y += 1
+            }
+            sg = sr; sb = sr
+          } else {
+            def at(ci: Int, x: Int, y: Int): Int =
+              planes(ci)((y * comps(ci).vs / vmax) * planeW(ci) +
+                (x * comps(ci).hs / hmax)) & 0xff
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val (r, g, b) = yccToRgb(at(0, x, y), at(1, x, y), at(2, x, y))
+                sr += r; sg += g; sb += b
+                x += 1
+              }
+              y += 1
+            }
+          }
+          result = ImageStats(id, "jpeg", w, h, w.toLong * h, sr, sg, sb)
+        case mk if (mk >= 0xe0 && mk <= 0xef) || mk == 0xfe =>
+          val segLen = u16() // NB: `pos += u16() - 2` reads pos BEFORE u16 moves it
+          pos += segLen - 2
+        case mk => throw new IllegalArgumentException(
+          f"media $id: unexpected JPEG marker 0xff$mk%02x")
+      }
+    }
+    result
+  }
+
   /** Format-DISPATCHING image decode — the proof the decoder tier is a
     * dispatcher over real parsers, not one hardcoded format: sniffs the
     * container magic ("BM" → BMP raster walk, "P6" → PPM header
-    * grammar, 0x89 "PN" → PNG chunk walk + inflate + unfilter) and
-    * fails loud on anything else. All branches produce the same
-    * [[ImageStats]] schema, so a mixed-format corpus decodes through
-    * one column pipeline.
+    * grammar, 0x89 "PN" → PNG chunk walk + inflate + unfilter,
+    * 0xFF 0xD8 → JPEG marker walk + Huffman + IDCT) and fails loud on
+    * anything else. All branches produce the same [[ImageStats]]
+    * schema, so a mixed-format corpus decodes through one column
+    * pipeline.
     */
   private[graft] def decodeImage(id: Long, bytes: Array[Byte]): ImageStats = {
     require(bytes.length >= 2, s"media $id: empty image payload")
     if (bytes(0) == 'B' && bytes(1) == 'M') decodeBmp(id, bytes)
     else if (bytes(0) == PngSig(0) && bytes(1) == PngSig(1)) decodePng(id, bytes)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) decodeJpeg(id, bytes)
     else if (bytes(0) == 'P' && bytes(1) == '6') {
       val p = decodePpm(id, bytes)
       ImageStats(id, "ppm", p.width, p.height, p.n_pixels,

@@ -244,6 +244,46 @@ object ExtOps {
       .orderBy(col("media_id"))
   }
 
+  /** REAL multimodal JPEG decode — the fourth image container, closing
+    * the format the earlier rounds left stubbed: each document is
+    * packaged as a spec-conformant baseline JFIF ([[graft.ops
+    * .Multimodal.buildJpeg]]: SOF0 4:2:0, Annex-K Huffman tables,
+    * byte-stuffed entropy scan) and decoded by the pure-JVM marker
+    * walk + canonical Huffman + dequant + IDCT + chroma upsample +
+    * fixed-point color convert in [[Multimodal.decodeJpeg]] (routed
+    * through the magic dispatcher, so the 0xFFD8 branch is live).
+    * JPEG is lossy, so the fixture is built where the format is exact:
+    * constant color per 16x16 MCU in YCbCr with all-ones quant tables
+    * makes every block DC-only and bit-exact through the codec, and
+    * the oracle restates pixel = yccToRgb(MCU color rule) in SQL —
+    * the same fixed-point convert, so a Huffman slip, a DC-prediction
+    * bug, an IDCT scale error, or a chroma-placement slip all
+    * hash-mismatch. Dims 16·(1+id%3)−id%5 × 16·(1+id%2)−id%3 keep
+    * right/bottom MCU clipping live; generality beyond DC-only
+    * fixtures (AC runs, EOB/ZRL, ImageIO-encoded files) is pinned by
+    * the PropertySpec fuzz, which this key complements.
+    */
+  private val qMultimodalJpeg: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) > 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val wm = (1 + id % 3).toInt; val hm = (1 + id % 2).toInt
+        val w = 16 * wm - (id % 5).toInt; val h = 16 * hm - (id % 3).toInt
+        val ycc = Array.tabulate(wm * hm) { m =>
+          def b(k: Int): Int = text.charAt((3 * m + k) % text.length).toInt
+          (b(0), b(1), b(2))
+        }
+        (id, Multimodal.buildJpeg(w, h, ycc))
+      }
+    Multimodal.decodeImageFeatures(media)
+      .select(col("media_id"), col("format"), col("width"), col("height"),
+        col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+      .orderBy(col("media_id"))
+  }
+
   /** Format-DISPATCH proof over a MIXED image corpus: docs package by
     * id mod 3 as P6 PPM / 24bpp BMP / truecolor PNG — one decode
     * pipeline ([[Multimodal.decodeImageFeatures]]) sniffs each
@@ -370,6 +410,7 @@ object ExtOps {
     "q_multimodal_wav" -> qMultimodalWav,
     "q_multimodal_bmp" -> qMultimodalBmp,
     "q_multimodal_png" -> qMultimodalPng,
+    "q_multimodal_jpeg" -> qMultimodalJpeg,
     "q_multimodal_dispatch" -> qMultimodalDispatch,
     "q_audio_features" -> qAudioFeatures,
     "q_dsv2_source" -> qDsv2Source,
@@ -464,6 +505,33 @@ object ExtOps {
         |  CAST(sum(CASE WHEN i % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
         |  CAST(sum(CASE WHEN i % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b
         |FROM px GROUP BY 1, 2, 3, 4
+        |ORDER BY media_id""".stripMargin,
+    // pixel = yccToRgb(MCU color rule): the SAME fixed-point convert the
+    // decoder applies, restated over the construction rule — floor() on
+    // float64 is exact here (|numerator| < 2^25)
+    "q_multimodal_jpeg" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len,
+        |    1 + doc_id % 3 AS wm,
+        |    16 * (1 + doc_id % 3) - doc_id % 5 AS w,
+        |    16 * (1 + doc_id % 2) - doc_id % 3 AS h
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) = length(text)
+        |    AND length(text) > 0),
+        |px AS (SELECT doc_id, w, h, i,
+        |    ord(substr(text, CAST((3 * (((i // w) // 16) * wm + ((i % w) // 16))) % len AS INT) + 1, 1)) AS yy,
+        |    ord(substr(text, CAST((3 * (((i // w) // 16) * wm + ((i % w) // 16)) + 1) % len AS INT) + 1, 1)) AS cb,
+        |    ord(substr(text, CAST((3 * (((i // w) // 16) * wm + ((i % w) // 16)) + 2) % len AS INT) + 1, 1)) AS cr
+        |  FROM d, LATERAL (SELECT unnest(range(w * h)) AS i) t),
+        |rgb AS (SELECT doc_id, w, h,
+        |    GREATEST(0, LEAST(255, yy + CAST(floor((91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+        |    GREATEST(0, LEAST(255, yy - CAST(floor((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS g,
+        |    GREATEST(0, LEAST(255, yy + CAST(floor((116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        |  FROM px)
+        |SELECT doc_id AS media_id, 'jpeg' AS format, CAST(w AS INT) AS width,
+        |  CAST(h AS INT) AS height, CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM rgb GROUP BY 1, 2, 3, 4, 5
         |ORDER BY media_id""".stripMargin,
     "q_multimodal_dispatch" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len,

@@ -440,6 +440,134 @@ class PropertySpec extends AnyFunSuite {
       graft.ops.Multimodal.decodeBmp(7L, _))
   }
 
+  /** JPEG is lossy, so its fuzz contract differs from PNG/BMP's
+    * byte-exact round trip: (a) MCU-constant fixtures with all-ones
+    * quant ARE exact by construction (DC-only blocks), through both
+    * this module's decoder and — with constant chroma, where
+    * upsampler choice cannot matter — the JDK's independent ImageIO
+    * reader; (b) on files the JDK's ImageIO ENCODER wrote (its own
+    * quant + Huffman tables, general AC content), the decoder must
+    * agree with ImageIO's read-back within IDCT rounding (±1/pixel
+    * for single-component gray, where no chroma upsampling choice
+    * exists).
+    */
+  test("JPEG fixture property: MCU-constant planes round-trip exactly through the full codec") {
+    val gen = for {
+      wm <- Gen.choose(1, 3); hm <- Gen.choose(1, 3)
+      clipX <- Gen.choose(0, 15); clipY <- Gen.choose(0, 15)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (wm, hm, clipX, clipY, seed)
+    samples(gen, 40).foreach { case (wm, hm, clipX, clipY, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val w = 16 * wm - clipX; val h = 16 * hm - clipY
+      val ycc = Array.fill(wm * hm)(
+        (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256)))
+      val bytes = graft.ops.Multimodal.buildJpeg(w, h, ycc)
+      val ours = graft.ops.Multimodal.decodeJpeg(7L, bytes)
+      var er = 0L; var eg = 0L; var eb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val (yv, cbv, crv) = ycc((y / 16) * wm + x / 16)
+        val (r, g, b) = graft.ops.Multimodal.yccToRgb(yv, cbv, crv)
+        er += r; eg += g; eb += b
+      }
+      assert((ours.width, ours.height, ours.format) == (w, h, "jpeg"),
+        s"jpeg dims diverged at ${w}x$h seed=$seed")
+      assert((ours.sum_r, ours.sum_g, ours.sum_b) == (er, eg, eb),
+        s"jpeg round-trip sums diverged at ${w}x$h seed=$seed")
+    }
+  }
+
+  test("JPEG encoder property: ImageIO reads our constant-chroma fixtures to the same pixels") {
+    val gen = for {
+      wm <- Gen.choose(1, 3); hm <- Gen.choose(1, 3)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (wm, hm, seed)
+    samples(gen, 25).foreach { case (wm, hm, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val w = 16 * wm; val h = 16 * hm
+      // luma varies per MCU; chroma constant per image so ImageIO's
+      // h2v2 interpolating upsampler and our replication agree exactly
+      val cb = rnd.nextInt(256); val cr = rnd.nextInt(256)
+      val ycc = Array.fill(wm * hm)((rnd.nextInt(256), cb, cr))
+      val bytes = graft.ops.Multimodal.buildJpeg(w, h, ycc)
+      val ours = graft.ops.Multimodal.decodeJpeg(7L, bytes)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == w && img.getHeight == h,
+        s"ImageIO rejected our JPEG at ${w}x$h seed=$seed")
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val px = img.getRGB(x, y)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      assert((sr, sg, sb) == (ours.sum_r, ours.sum_g, ours.sum_b),
+        s"jpeg: ImageIO disagreed at ${w}x$h seed=$seed")
+    }
+  }
+
+  test("JPEG decoder property: ImageIO-encoded grayscale decodes within IDCT rounding") {
+    val gen = for {
+      w <- Gen.choose(1, 40); h <- Gen.choose(1, 40)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (w, h, seed)
+    samples(gen, 25).foreach { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      // raster samples, NOT set/getRGB: TYPE_BYTE_GRAY is a LINEAR
+      // color space, so the RGB view gamma-converts — the decoder
+      // reports the raw JPEG samples, and so must the reference
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      val bytes = bos.toByteArray
+      val ours = graft.ops.Multimodal.decodeJpeg(7L, bytes)
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var s0 = 0L
+      for (y <- 0 until h; x <- 0 until w)
+        s0 += back.getRaster.getSample(x, y, 0)
+      assert((ours.width, ours.height) == (w, h),
+        s"jpeg-gray dims diverged at ${w}x$h seed=$seed")
+      // same coefficients, independent IDCTs: at most 1 level/pixel apart
+      assert(Math.abs(ours.sum_r - s0) <= w.toLong * h,
+        s"jpeg-gray: |${ours.sum_r} - $s0| > ${w * h} at ${w}x$h seed=$seed")
+      assert(ours.sum_r == ours.sum_g && ours.sum_g == ours.sum_b)
+    }
+  }
+
+  test("JPEG decoder property: ImageIO-encoded 4:2:0 color decodes to agreeing aggregates") {
+    val gen = for {
+      w <- Gen.choose(8, 40); h <- Gen.choose(8, 40)
+      seed <- Gen.choose(0, Int.MaxValue)
+    } yield (w, h, seed)
+    samples(gen, 15).foreach { case (w, h, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rnd.nextInt(1 << 24))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      val bytes = bos.toByteArray
+      val ours = graft.ops.Multimodal.decodeJpeg(7L, bytes)
+      val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        val px = back.getRGB(x, y)
+        sr += (px >> 16) & 0xff; sg += (px >> 8) & 0xff; sb += px & 0xff
+      }
+      assert((ours.width, ours.height) == (w, h),
+        s"jpeg-color dims diverged at ${w}x$h seed=$seed")
+      // ImageIO interpolates chroma (fancy h2v2), we replicate — both
+      // preserve local means, so aggregates must stay within a few
+      // levels/pixel even though individual edge pixels differ
+      val tol = 4L * w * h
+      assert(Math.abs(ours.sum_r - sr) <= tol && Math.abs(ours.sum_g - sg) <= tol &&
+        Math.abs(ours.sum_b - sb) <= tol,
+        s"jpeg-color sums diverged beyond $tol at ${w}x$h seed=$seed: " +
+          s"ours=(${ours.sum_r},${ours.sum_g},${ours.sum_b}) imageio=($sr,$sg,$sb)")
+    }
+  }
+
   test("countmin_agg: whole-corpus plane equals the merge of per-source planes, exactly") {
     // counters are plain sums, so sketch mergeability is EXACT — the
     // property that lets per-shard sketches land as 8 KB columns and
