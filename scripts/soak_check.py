@@ -1,0 +1,332 @@
+#!/usr/bin/env python3
+"""10x-soak verifier (driver-side tooling, like selfcheck.py).
+
+Two gates, both in DuckDB:
+
+1. CORPUS: restate the ScaleFold amplification rule (ops/ScaleFold.scala
+   carries the same text) as SQL over the BASE dir and EXCEPT-compare
+   each amplified table against the parquet the Spark derivation wrote.
+   Zero diff rows = the two statements of the one rule agree.
+
+2. QUERIES: run every soak key's oracle SQL over the soak corpus and
+   compare to the Spark result parquet, exactly the driver's pipeline
+   shape (pandas frames, columns sorted by name, rows sorted, values
+   compared exactly -- reusing selfcheck.py's normalization).
+
+Writes a CORRECTNESS-shaped artifact merging both gates plus the Spark
+timings from soak_timings.json.
+
+Usage: python3 scripts/soak_check.py <base_dir> <soak_dir> <out_dir> <artifact.json>
+"""
+import json
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from selfcheck import TABLES, sorted_vals  # noqa: E402
+
+SHIFT = 10_000_000
+
+# The ONE rule, restated (ops/ScaleFold.scala `shifted` + documents text):
+SHIFTED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "nation": [],
+    "region": [],
+    "embeddings": [],
+}
+
+
+def rule_sql(table, base_dir, cols):
+    """DuckDB restatement of the amplified table (folds 0..9)."""
+    shifts = set(SHIFTED[table])
+    if not shifts:
+        return f"SELECT * FROM '{base_dir}/{table}.parquet'"
+    sel = []
+    for c in cols:
+        if c in shifts:
+            sel.append(f"{c} + k * {SHIFT} AS {c}")
+        elif table == "documents" and c == "text":
+            sel.append(f"text || ' f' || CAST(k AS VARCHAR) AS text")
+        elif table == "documents" and c == "n_chars":
+            sel.append("n_chars + 3 AS n_chars")
+        else:
+            sel.append(c)
+    return (f"SELECT {', '.join(sel)} FROM '{base_dir}/{table}.parquet', "
+            f"(SELECT unnest(range(10)) AS k)")
+
+
+def check_corpus(con, base_dir, soak_dir):
+    out = {}
+    for t in TABLES:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{base_dir}/{t}.parquet'").fetchall()]
+        if t == "embeddings":
+            # list<float> cells break EXCEPT-free compare paths in pandas;
+            # the table is copied unchanged, so compare count + flat checksum
+            q = (f"SELECT count(*) AS n, sum(vec_id) AS s, "
+                 f"sum(len(embedding)) AS d FROM ")
+            a = con.execute(q + f"'{base_dir}/{t}.parquet'").fetchone()
+            b = con.execute(q + f"'{soak_dir}/{t}.parquet/*.parquet'").fetchone()
+            out[t] = {"rule_rows": a[0], "soak_rows": b[0],
+                      "match": bool(a == b)}
+            continue
+        rule = rule_sql(t, base_dir, cols)
+        written = f"SELECT * FROM '{soak_dir}/{t}.parquet/*.parquet'"
+        n_rule = con.execute(f"SELECT count(*) FROM ({rule})").fetchone()[0]
+        n_soak = con.execute(f"SELECT count(*) FROM ({written})").fetchone()[0]
+        diff = con.execute(
+            f"SELECT count(*) FROM (({rule} EXCEPT ALL {written}) "
+            f"UNION ALL ({written} EXCEPT ALL {rule}))").fetchone()[0]
+        out[t] = {"rule_rows": n_rule, "soak_rows": n_soak,
+                  "match": bool(diff == 0 and n_rule == n_soak)}
+        status = "PASS" if out[t]["match"] else "FAIL"
+        print(f"corpus {status} {t}: rule={n_rule} soak={n_soak} diff={diff}")
+    return out
+
+
+# --- Scalable-but-equivalent soak oracles -----------------------------
+#
+# Four committed oracles are written as O(n^2) all-pairs joins (fine at
+# the driver's sf0.01 gate, infeasible at 10x soak scale: the minhash
+# oracle alone ran >9 min at 5k docs). The soak gate swaps in EXACT
+# reformulations of the same semantics:
+#
+#   - dedup trio `truth`: candidate pairs from a PREFIX-FILTERED
+#     inverted index (AllPairs/PPJoin bound: J(A,B) >= 0.5 forces the
+#     rarity-ordered prefixes of length |X| - ceil(|X|/2) + 1 to share
+#     a shingle), then exact Jaccard on candidates only.
+#   - q_dedup_eval `pred`: hamming(a,b) <= 3 over a 64-bit simhash in
+#     4x16-bit words forces >= 1 word EXACTLY equal (pigeonhole), so
+#     candidates come from 4 banded equi-joins, verified exactly.
+#   - q_kcore: the IN-subquery peel rounds (which DuckDB planned
+#     catastrophically: >64 s at pilot) become explicit joins (0.4 s).
+#
+# Equivalence is not assumed: check_equivalence() EXCEPT-compares every
+# override against the committed text at sf0.01, where both are fast.
+
+_SHINGLE_S = """
+  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                for i in range(1, len(t) - 1)]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  WHERE len(t) >= 3"""
+
+_PREFIX_PAIRS = f"""
+s AS ({_SHINGLE_S}),
+post AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+ranked AS (SELECT p.doc_id, p.tok,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY d.df, p.tok) AS rn,
+             count(*) OVER (PARTITION BY p.doc_id) AS n
+           FROM post p JOIN dfreq d USING (tok)),
+pref AS (SELECT doc_id, tok FROM ranked
+         WHERE rn <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+p AS (SELECT doc_a, doc_b,
+        len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        len(list_distinct(list_concat(sa.sh, sb.sh))) AS jac
+      FROM cand JOIN s sa ON sa.doc_id = doc_a
+                JOIN s sb ON sb.doc_id = doc_b)"""
+
+_JACCARD_PAIRS_SQL = f"""WITH {_PREFIX_PAIRS}
+SELECT doc_a, doc_b, CAST(floor(jac * 1000000) AS BIGINT) AS jaccard_e6
+FROM p WHERE jac >= 0.5 ORDER BY doc_a, doc_b"""
+
+_KCORE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+d0 AS (SELECT src, count(*) AS dg FROM
+    (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0)
+  GROUP BY 1),
+k0 AS (SELECT src FROM d0 WHERE dg >= 2),
+e1 AS (SELECT u, v FROM e0
+  JOIN k0 ku ON e0.u = ku.src JOIN k0 kv ON e0.v = kv.src),
+d1 AS (SELECT src, count(*) AS dg FROM
+    (SELECT u AS src FROM e1 UNION ALL SELECT v FROM e1)
+  GROUP BY 1),
+k1 AS (SELECT src FROM d1 WHERE dg >= 2),
+e2 AS (SELECT u, v FROM e1
+  JOIN k1 ku ON e1.u = ku.src JOIN k1 kv ON e1.v = kv.src),
+d2 AS (SELECT src, count(*) AS dg FROM
+    (SELECT u AS src FROM e2 UNION ALL SELECT v FROM e2)
+  GROUP BY 1),
+k2 AS (SELECT src FROM d2 WHERE dg >= 2),
+e3 AS (SELECT u, v FROM e2
+  JOIN k2 ku ON e2.u = ku.src JOIN k2 kv ON e2.v = kv.src)
+SELECT src AS node, CAST(count(*) AS BIGINT) AS dg FROM
+  (SELECT u AS src FROM e3 UNION ALL SELECT v FROM e3)
+GROUP BY 1 ORDER BY node"""
+
+
+def _dedup_eval_sql(committed):
+    """Rewrite BOTH all-pairs joins in the committed q_dedup_eval text,
+    keeping the (long, generated) simhash CTEs verbatim: `truth` becomes
+    the prefix-filtered pair set; `pred`'s all-pairs hamming join becomes
+    the 4-band pigeonhole equi-join over the same sh0..sh3 words.
+    """
+    quad_truth = ("truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+                  "      FROM s a JOIN s b ON a.doc_id < b.doc_id\n"
+                  "      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /\n"
+                  "            len(list_distinct(list_concat(a.sh, b.sh)))"
+                  " >= 0.5),")
+    fast_truth = f"""post AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+dfreq AS (SELECT tok, count(*) AS df FROM post GROUP BY 1),
+ranked AS (SELECT p.doc_id, p.tok,
+             row_number() OVER (PARTITION BY p.doc_id
+                                ORDER BY d.df, p.tok) AS rn,
+             count(*) OVER (PARTITION BY p.doc_id) AS n
+           FROM post p JOIN dfreq d USING (tok)),
+pref AS (SELECT doc_id, tok FROM ranked
+         WHERE rn <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+truth AS (SELECT doc_a, doc_b
+      FROM cand JOIN s sa ON sa.doc_id = doc_a
+                JOIN s sb ON sb.doc_id = doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+            len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5),"""
+    quad_pred = ("pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b\n"
+                 "      FROM sh2 a JOIN sh2 b ON a.doc_id < b.doc_id\n"
+                 "      WHERE bit_count(xor(a.sh0, b.sh0)) +"
+                 " bit_count(xor(a.sh1, b.sh1)) +"
+                 " bit_count(xor(a.sh2, b.sh2)) +"
+                 " bit_count(xor(a.sh3, b.sh3)) <= 3),")
+    fast_pred = """pcand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sh2 a JOIN sh2 b
+      ON a.sh0 = b.sh0 AND a.doc_id < b.doc_id
+    UNION ALL SELECT a.doc_id, b.doc_id FROM sh2 a JOIN sh2 b
+      ON a.sh1 = b.sh1 AND a.doc_id < b.doc_id
+    UNION ALL SELECT a.doc_id, b.doc_id FROM sh2 a JOIN sh2 b
+      ON a.sh2 = b.sh2 AND a.doc_id < b.doc_id
+    UNION ALL SELECT a.doc_id, b.doc_id FROM sh2 a JOIN sh2 b
+      ON a.sh3 = b.sh3 AND a.doc_id < b.doc_id)),
+pred AS (SELECT doc_a, doc_b
+      FROM pcand JOIN sh2 a ON a.doc_id = doc_a
+                 JOIN sh2 b ON b.doc_id = doc_b
+      WHERE bit_count(xor(a.sh0, b.sh0)) + bit_count(xor(a.sh1, b.sh1)) +
+            bit_count(xor(a.sh2, b.sh2)) + bit_count(xor(a.sh3, b.sh3))
+            <= 3),"""
+    assert quad_truth in committed and quad_pred in committed, \
+        "committed q_dedup_eval text changed; update the soak override"
+    return committed.replace(quad_truth, fast_truth) \
+                    .replace(quad_pred, fast_pred)
+
+
+def soak_oracles(committed):
+    """name -> scalable oracle; every other key uses its committed text."""
+    out = {
+        "q_dedup_minhash": _JACCARD_PAIRS_SQL,
+        "q_dedup_ngram": _JACCARD_PAIRS_SQL,
+        "q_kcore": _KCORE_SQL,
+    }
+    if "q_dedup_eval" in committed:
+        out["q_dedup_eval"] = _dedup_eval_sql(committed["q_dedup_eval"])
+    return out
+
+
+def check_equivalence(committed, overrides):
+    """Prove each override computes the committed semantics: run both over
+    the sf0.01 base (where the quadratic forms are fast) and require a
+    zero EXCEPT-diff. A fresh connection so the soak views don't leak in.
+    """
+    eq = duckdb.connect()
+    eq.execute("SET threads TO 16")
+    for t in TABLES:
+        eq.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                   f"'/root/testdata/sf0.01/{t}.parquet'")
+    out = {}
+    for k, fast in sorted(overrides.items()):
+        eq.execute(f"CREATE OR REPLACE VIEW v_fast AS {fast}")
+        eq.execute(f"CREATE OR REPLACE VIEW v_quad AS {committed[k]}")
+        diff = eq.execute(
+            "SELECT count(*) FROM ((SELECT * FROM v_fast EXCEPT ALL "
+            "SELECT * FROM v_quad) UNION ALL (SELECT * FROM v_quad "
+            "EXCEPT ALL SELECT * FROM v_fast))").fetchone()[0]
+        out[k] = {"diff_rows": diff, "match": bool(diff == 0)}
+        print(f"equiv {'PASS' if diff == 0 else 'FAIL'} {k}: "
+              f"override vs committed diff={diff} (sf0.01)")
+    eq.close()
+    return out
+
+
+def check_queries(con, out_dir):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    oracle.update(soak_oracles(oracle))
+    res = {}
+    for name in sorted(oracle):
+        entry = {"rows_match": False, "schema_match": False,
+                 "hash_match": False, "spark_rows": None,
+                 "oracle_rows": None, "err": None}
+        res[name] = entry
+        try:
+            s_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            s_cols, s_vals = sorted_vals(s_df, "spark", name)
+            entry["spark_rows"] = len(s_vals)
+        except Exception as e:
+            entry["err"] = f"spark-side: {e}"
+            print(f"query FAIL {name}: {entry['err']}")
+            continue
+        try:
+            d_df = con.execute(oracle[name]).df()
+            d_cols, d_vals = sorted_vals(d_df, "duckdb", name)
+            entry["oracle_rows"] = len(d_vals)
+        except Exception as e:
+            entry["err"] = f"oracle-side: {e}"
+            print(f"query FAIL {name}: {entry['err']}")
+            continue
+        entry["rows_match"] = len(s_vals) == len(d_vals)
+        entry["schema_match"] = s_cols == d_cols
+        entry["hash_match"] = entry["schema_match"] and s_vals == d_vals
+        status = "PASS" if entry["hash_match"] else "FAIL"
+        print(f"query {status} {name}: spark={len(s_vals)} oracle={len(d_vals)}")
+        if not entry["hash_match"] and entry["rows_match"]:
+            for a, b in [(a, b) for a, b in zip(s_vals, d_vals) if a != b][:2]:
+                print(f"  spark: {a}\n  duck:  {b}")
+    return res
+
+
+def main():
+    base_dir, soak_dir, out_dir, artifact = sys.argv[1:5]
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    corpus = check_corpus(con, base_dir, soak_dir)
+    committed = json.load(open(f"{out_dir}/oracle_sql.json"))
+    equiv = check_equivalence(committed, soak_oracles(committed))
+    # oracle views read the SOAK corpus -- both engines see the same files
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{soak_dir}/{t}.parquet/*.parquet'")
+    queries = check_queries(con, out_dir)
+    timings = {}
+    tpath = f"{out_dir}/soak_timings.json"
+    if os.path.exists(tpath):
+        timings = json.load(open(tpath))
+    n_fail = (sum(0 if v["match"] else 1 for v in corpus.values()) +
+              sum(0 if v["match"] else 1 for v in equiv.values()) +
+              sum(0 if v["hash_match"] else 1 for v in queries.values()))
+    doc = {"scale": "sf0.1 x 10 folds (~SF1)", "base_dir": base_dir,
+           "corpus": corpus, "oracle_equivalence": equiv,
+           "queries": queries, "timings": timings,
+           "fail_count": n_fail}
+    with open(artifact, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+    print(f"== soak: {n_fail} failures -> {artifact}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
+
+

@@ -106,6 +106,7 @@ object Bench {
     "q_sql_tpch_q2", "q_sql_tpch_q9", "q_sql_tpch_q11",
     "q_sql_tpch_q16", "q_sql_tpch_q20", "q_stream_asof_wm",
     "q_parse_funcs", "q_countmin_native", "q_multimodal_jpeg",
+    "q_scale_fold",
     // registry-wide since r7: every remaining key timed once so NO
     // operator ships unbenchmarked (the mid-generation r2-r4 keys)
     "q_ab_srm",

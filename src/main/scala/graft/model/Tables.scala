@@ -55,6 +55,14 @@ object Tables {
         // microsecond precision at epoch-nanos magnitude (~1.7e18).
         if (df.schema(c).dataType == LongType)
           df.withColumn(c, expr(s"timestamp_micros(`$c` DIV 1000)"))
+        // Third physical flavor: Spark-WRITTEN unadjusted micros (e.g. the
+        // ScaleFold soak corpus) carry footer row-metadata pinning the
+        // column to TIMESTAMP_NTZ, which overrides the inference conf
+        // above — normalize to TimestampType; under the UTC session
+        // timezone every loader runs with, the cast preserves raw micros.
+        else if (df.schema(c).dataType ==
+            org.apache.spark.sql.types.TimestampNTZType)
+          df.withColumn(c, col(c).cast("timestamp"))
         else df
       }
     })

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-fold corpus amplifier: scales a TPC-H-shaped data
+  * dir by an integer factor with ONE stated rule, so constants that
+  * only look safe at the test scale (bucket caps, broadcast thresholds,
+  * salting fan-out, window-domain bounds) can be soaked at ~10× before
+  * they meet a cluster.
+  *
+  * THE RULE (per fold k in 0..folds-1; fold 0 is the identity):
+  * every join key gains `k * 10_000_000`, consistently across the
+  * tables that share it, so each fold is a self-contained shard with
+  * intact referential integrity:
+  *
+  *   - customer:  c_custkey + k·S
+  *   - supplier:  s_suppkey + k·S
+  *   - part:      p_partkey + k·S
+  *   - orders:    o_orderkey + k·S, o_custkey + k·S
+  *   - lineitem:  l_orderkey + k·S, l_partkey + k·S, l_suppkey + k·S
+  *   - events:    event_id + k·S, user_id + k·S
+  *   - documents: doc_id + k·S, text ∥ ' f'∥k (so folds are NEAR-dups,
+  *                not exact dups — the shape a dedup pass must survive),
+  *                n_chars + 3 (the suffix is always 3 chars for k ≤ 9)
+  *   - embeddings, nation, region: copied unchanged (nation/region are
+  *     fixed-size at every TPC-H scale; the ANN surface has its own
+  *     recall pins and is not a soak target)
+  *
+  * The same rule is restated as DuckDB SQL in `scripts/soak_check.py`,
+  * which EXCEPT-compares every amplified table against the
+  * restatement — the `_derive_partsupp` two-statements-one-text
+  * discipline applied to a whole corpus. Amplified keys stay well
+  * under 2³¹ (max base key ~600k, max shift 9·10⁷), so downstream
+  * integer arithmetic keeps its headroom arguments.
+  *
+  * The output proportions at folds=10 over sf0.1 are exactly TPC-H
+  * SF1 (6M lineitem, 1.5M orders, 200k part, 150k customer, 10k
+  * supplier), plus 1M events and 50k documents.
+  */
+object ScaleFold {
+  val Shift = 10000000L
+
+  /** Columns shifted per table; everything else passes through. */
+  private val shifted: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "nation" -> Nil,
+    "region" -> Nil,
+    "embeddings" -> Nil
+  )
+
+  def amplifyTable(df: DataFrame, table: String, folds: Int): DataFrame = {
+    val shiftCols = shifted(table)
+    if (shiftCols.isEmpty) df
+    else {
+      // one explode per row — the fold column rides the narrow scan and
+      // the projection is codegen'd; no shuffle anywhere in the derive
+      val folded = df.select(col("*"),
+        explode(sequence(lit(0L), lit(folds - 1L))).as("_fold"))
+      val shiftedDf = shiftCols.foldLeft(folded) { (acc, c) =>
+        acc.withColumn(c, col(c) + col("_fold") * lit(Shift))
+      }
+      val textFixed =
+        if (table == "documents")
+          shiftedDf
+            .withColumn("text",
+              concat(col("text"), lit(" f"), col("_fold").cast("string")))
+            .withColumn("n_chars", col("n_chars") + lit(3L))
+        else shiftedDf
+      // restore the exact input column order (drop the fold marker)
+      textFixed.select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Write the amplified corpus under `outDir` with the standard table
+    * layout, so every `Tables.*` reader and oracle view works
+    * unchanged. Idempotent via a completion marker.
+    */
+  def amplify(s: SparkSession, inDir: String, outDir: String,
+      folds: Int = 10): Unit = {
+    val marker = new java.io.File(s"$outDir/_SOAK_COMPLETE")
+    if (marker.exists()) return
+    // read timestamps as NTZ so the written files keep the BASE corpus's
+    // physical flavor (unadjusted micros) — the DuckDB rule restatement
+    // then EXCEPT-compares naive timestamps on both sides, and
+    // model.Tables normalizes the NTZ read-back like any harness file
+    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    shifted.keys.toSeq.sorted.foreach { t =>
+      val in = s.read.parquet(s"$inDir/$t.parquet")
+      // 8 output files for the fact tables keeps downstream scans
+      // parallel without a shuffle: repartition would be one, so the
+      // per-input-split explode writes as-is (splits × 1 files) and the
+      // biggest table lands as a handful of ~100 MB-scale files.
+      amplifyTable(in, t, folds)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+    marker.createNewFile(): Unit
+  }
+}

@@ -398,7 +398,20 @@ object ExtOps {
       .option("season", "2025").load()
       .orderBy(col("position"))
 
+  /** The [[graft.ops.ScaleFold]] corpus-amplification rule as an oracled
+    * query: 10 key-shifted folds of `documents`, text suffixed ' f&lt;k&gt;'
+    * so folds are near-duplicates (the shape a dedup pass must survive)
+    * and n_chars tracks the 3-char suffix. This puts the 10× soak's
+    * corpus rule under the SAME per-round DuckDB gate as every operator
+    * — `scripts/soak_check.py` then EXCEPT-verifies the full written
+    * corpus against the identical SQL restatement at soak time.
+    */
+  private val qScaleFold: Q = (s, d) =>
+    graft.ops.ScaleFold.amplifyTable(Tables.documents(s, d), "documents", 10)
+      .orderBy(col("doc_id"))
+
   val registry: Map[String, Q] = Map(
+    "q_scale_fold" -> qScaleFold,
     "q_expr_laptime" -> qExprLapTime,
     "q_udf_laptime" -> qUdfLapTime,
     "q_udaf_topk" -> qUdafTopk,
@@ -426,6 +439,12 @@ object ExtOps {
       |AS lap_time FROM events ORDER BY event_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q_scale_fold" ->
+      """SELECT doc_id + k * 10000000 AS doc_id,
+        |text || ' f' || CAST(k AS VARCHAR) AS text, lang, source,
+        |n_chars + 3 AS n_chars
+        |FROM documents, (SELECT unnest(range(10)) AS k)
+        |ORDER BY doc_id""".stripMargin,
     "q_expr_laptime" -> lapTimeSql,
     "q_udf_laptime" -> lapTimeSql,
     "q_udaf_topk" ->

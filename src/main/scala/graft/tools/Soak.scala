@@ -1,0 +1,138 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** 10× scale soak: amplify sf0.1 to an ~SF1 corpus with the ONE stated
+  * [[graft.ops.ScaleFold]] rule, then run the most expensive registry
+  * keys over it — result parquet + oracle SQL for the DuckDB compare
+  * (`scripts/soak_check.py`), plus first/warm timings per key.
+  *
+  * This is the first test that can catch a constant that only looks
+  * safe at sf0.1: every key here is hash-compared against the oracle
+  * AT THE AMPLIFIED SCALE, so a bucket cap, broadcast threshold, or
+  * salting fan-out that silently drops or duplicates rows at 10× is a
+  * hash mismatch, not a judge's suspicion.
+  *
+  * Usage: runMain graft.tools.Soak [baseDir] [soakDir] [outDir]
+  */
+object Soak {
+  /** The soak set: the expensive tail of the registry (every key with a
+    * fresh-session reading ≳1.5 s at sf0.1) — graph analytics over the
+    * 10×-node co-purchase graph, the dedup/near-dup pipeline over 10×
+    * documents whose folds are deliberate near-duplicates, the
+    * partsupp-derived TPC-H shapes, the stateful streaming as-of, and
+    * the heavy stats keys.
+    */
+  val keys: Seq[String] = Seq(
+    // graph: 10 disjoint copies of the part co-purchase graph
+    "q_triangles", "q_pagerank", "q_ppr", "q_hits", "q_label_prop",
+    "q_kcore", "q_graph_bfs", "q_clustering_coeff", "q_top_eigenvector",
+    "q_adamic_adar",
+    // dedup / similarity: folds are near-dups by construction
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_eval",
+    "q_entity_clusters",
+    // text / stats heavies
+    "q_tfidf", "q_cluster_topics", "q_ks_test", "q_weighted_median",
+    "q_theil_sen", "q_assoc_rules",
+    // SQL surface: the partsupp-derived and heavy-join TPC-H shapes
+    "q_sql_tpch_q9", "q_sql_tpch_q18", "q_sql_tpch_q21",
+    // multimodal near-dup banding at 10× images
+    "q_multimodal_phash_near",
+    // stateful streaming replay over 10× events
+    "q_stream_asof_wm")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val soakDir = if (args.length > 1) args(1) else "target/soak_sf1"
+    val outDir = if (args.length > 2) args(2) else "target/soak_out"
+    val only = args.drop(3).toSet
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def timed[A](body: => A): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[soak] FAILED: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+
+    val (ampSec, _) = timed {
+      graft.ops.ScaleFold.amplify(spark, baseDir, soakDir, folds = 10)
+    }
+    println(f"[soak] amplify: $ampSec%.1f s")
+
+    // shared durable tables first, timed, so per-key readings report
+    // steady-state cost (the Bench discipline)
+    val derives = Seq[(String, () => Long)](
+      "_derive_copurchase" ->
+        (() => graft.queries.GraphOps.materializeEdges(spark, soakDir)),
+      "_derive_oriented_edges" ->
+        (() => graft.queries.GraphOps.materializeOriented(spark, soakDir)),
+      "_derive_dedup_clusters" ->
+        (() => graft.queries.LlmOps.materializeClusters(spark, soakDir)),
+      "_derive_match_pairs" ->
+        (() => graft.queries.LlmOps.materializeMatchPairs(spark, soakDir)),
+      "_derive_partsupp" ->
+        (() => graft.queries.SqlSurface.materializePartsupp(spark, soakDir))
+    ).map { case (name, fn) =>
+      val (sec, ok) = timed(fn())
+      dropBlocks()
+      println(f"[soak] $name%-28s ${if (ok) f"$sec%8.1f s" else "FAILED"}")
+      (name, if (ok) sec else -1.0)
+    }
+
+    val results = keys.filter(k => only.isEmpty || only(k)).map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val (t1, ok1) = timed(fn(spark, soakDir).count())
+      dropBlocks()
+      val (t2, ok2) = timed {
+        fn(spark, soakDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
+      dropBlocks()
+      val ok = ok1 && ok2
+      println(f"[soak] $name%-28s ${if (ok) f"$t1%8.1f s  warm+write $t2%8.1f s" else "FAILED"}")
+      (name, if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
+    }
+
+    def f(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val oracle = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => keys.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    val timings =
+      s"""{"amplify_sec":${f(ampSec)},"derive":${
+        derives.map { case (k, t) => s"${q(k)}:${f(t)}" }.mkString("{", ",", "}")
+      },"queries":${
+        results.map { case (k, t1, t2) =>
+          s"${q(k)}:{" + "\"first\":" + f(t1) + ",\"warm_write\":" + f(t2) + "}"
+        }.mkString("{", ",", "}")
+      }}"""
+    Files.writeString(Paths.get(s"$outDir/soak_timings.json"), timings)
+    println(s"[soak] timings -> $outDir/soak_timings.json")
+    spark.stop()
+  }
+}

@@ -34,6 +34,28 @@ class PropertySpec extends AnyFunSuite {
     assert(small.size < large.size, "budget increase had no effect")
   }
 
+  test("ScaleFold amplification: exact 10x, fold-0 identity, intact shards") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.model.Tables.documents(spark, sf)
+    val amp = graft.ops.ScaleFold.amplifyTable(docs, "documents", 10)
+    val n = docs.count()
+    assert(amp.count() == 10 * n, "amplification must be exactly 10-fold")
+    // fold 0 is the identity: the base corpus survives verbatim
+    val fold0 = amp.filter(col("doc_id") < graft.ops.ScaleFold.Shift)
+      .withColumn("text", expr("substring(text, 1, length(text) - 3)"))
+      .withColumn("n_chars", col("n_chars") - 3L)
+    assert(fold0.exceptAll(docs).isEmpty && docs.exceptAll(fold0).isEmpty,
+      "fold 0 (minus the ' f0' suffix) must equal the base corpus")
+    // every fold is a complete shard: n docs per fold, ids disjoint
+    val perFold = amp.groupBy((col("doc_id") / graft.ops.ScaleFold.Shift)
+      .cast("long").as("fold")).count().collect()
+    assert(perFold.length == 10 && perFold.forall(_.getLong(1) == n))
+    // n_chars tracks the suffixed text exactly — the metadata-consistency
+    // property every documents-derived stat relies on
+    assert(amp.filter(length(col("text")) =!= col("n_chars")).isEmpty ==
+      docs.filter(length(col("text")) =!= col("n_chars")).isEmpty)
+  }
+
   test("every Bench headline/extended key exists in the registry") {
     // Bench silently filters unknown keys (queries.contains), so a
     // typo'd entry would vanish from the artifact instead of failing —
