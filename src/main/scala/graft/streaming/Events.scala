@@ -538,13 +538,13 @@ object Events {
     * buffer → flush), not just per-fixture.
     *
     * Two far-future sentinel views (a user outside the corpus's id
-    * space) land as the final two micro-batches: the second-to-last
-    * advances the watermark past every real event and the last one is
-    * the data batch in which the now-flushable purchases emit — so
-    * the flush never depends on no-data-batch/timer scheduling
-    * semantics. Memory sink is the harness choice (results are
-    * purchase-count-sized); a production replay lands in a real sink
-    * via [[foreachBatchUpsert]].
+    * space) close the replay: the first rides with the last data file
+    * (its batch's COMMIT advances the watermark past every real
+    * event) and the second is the final data batch in which the
+    * now-flushable purchases emit — so the flush never depends on
+    * no-data-batch/timer scheduling semantics. Memory sink is the
+    * harness choice (results are purchase-count-sized); a production
+    * replay lands in a real sink via [[foreachBatchUpsert]].
     */
   private val replayLock = new Object
 
@@ -554,13 +554,22 @@ object Events {
     require(ev.columns.toSeq ==
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
       s"unexpected events schema: ${ev.columns.mkString(",")}")
-    // 6 data slices (+2 sentinels) = 8 micro-batches: the replay's wall
-    // time is micro-batch scheduling + state-store commits, both linear
-    // in batch count, and 6 swapped slices exercise the out-of-order
-    // contract exactly as well as 8 did (disorder is still ≤ 2 slice
-    // widths against a 3-width delay, and slicing does not appear in
-    // the oracle — the emitted rows must equal the batch as-of verdict
-    // for ANY slicing inside the delay).
+    // 6 data slices in logical arrival order 1,0,3,2,5,4 (adjacent
+    // pairs swapped), packed into FIVE physical files so each swapped
+    // pair still straddles a micro-batch boundary:
+    //   F0={1}  F1={0,3}  F2={2,5}  F3={4,A}  F4={B}
+    // The replay's wall time is micro-batch engine overhead (~350 ms a
+    // batch: offset/wal logs + incremental planning + state commit),
+    // linear in BATCH count and nearly independent of rows-per-batch at
+    // this volume — so packing 8 batches into 5 buys ~1.4 s while the
+    // out-of-order exercise is unchanged: slice 0 still lands a batch
+    // after slice 1, slice 2 after slice 3, slice 4 after slice 5 (the
+    // same three cross-batch late arrivals, each ≤ 2 slice widths
+    // against the 3-width delay), and the watermark still climbs in
+    // steps (lo-w, lo+w, lo+3w, >hi), producing three distinct
+    // incremental emit waves before the sentinel flush. Slicing does
+    // not appear in the oracle — the emitted rows must equal the batch
+    // as-of verdict for ANY arrival plan inside the delay.
     val slices = 6
     val replayDir = new java.io.File(graft.model.Scratch.dir("stream_replay", d))
     replayDir.mkdirs()
@@ -584,18 +593,28 @@ object Events {
     val width = (hi - lo) / slices + 1L
     val delaySec = (3L * width) / 1000000L + 1L
     replayLock.synchronized { if (!ready.exists()) {
-      // arrival order swaps adjacent slices: 1,0,3,2,5,4
-      val order = (0 until slices).map(i => if (i % 2 == 0) i + 1 else i - 1)
+      def slice(i: Int): DataFrame = ev.filter(
+        ((unix_micros(col("ts")) - lo) / width).cast("int") === i)
       def sentinel(us: Long, id: Long) = ev.limit(0).unionByName(
         s.range(1).select(lit(id).as("event_id"),
           expr(s"timestamp_micros(${us}L)").as("ts"),
           lit(-1L).as("user_id"), lit("view").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props")))
-      val batches: Seq[DataFrame] =
-        order.map(i => ev.filter(
-          ((unix_micros(col("ts")) - lo) / width).cast("int") === i)) ++
-          Seq(sentinel(hi + delaySec * 1000000L + 1000000L, -1L),
-            sentinel(hi + 2L * delaySec * 1000000L + 2000000L, -2L))
+      val sentinelA = sentinel(hi + delaySec * 1000000L + 1000000L, -1L)
+      val sentinelB = sentinel(hi + 2L * delaySec * 1000000L + 2000000L, -2L)
+      // One file per micro-batch; the logical arrival order 1,0,3,2,5,4
+      // packed so every swapped pair crosses a batch boundary. Sentinel
+      // A rides with the last data file (it advances the watermark past
+      // every real event when that batch COMMITS); sentinel B is the
+      // following data batch in which the now-flushable purchases emit
+      // — so the flush still never depends on no-data-batch/timer
+      // scheduling semantics.
+      val batches: Seq[DataFrame] = Seq(
+        slice(1),
+        slice(0).unionByName(slice(3)),
+        slice(2).unionByName(slice(5)),
+        slice(4).unionByName(sentinelA),
+        sentinelB)
       val tmp = new java.io.File(replayDir, "_stage")
       batches.zipWithIndex.foreach { case (df, pos) =>
         df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
@@ -614,7 +633,22 @@ object Events {
       .parquet(replayDir.getPath + "/evt_*.parquet")
       .as[EventRow]
     val qname = "asof_wm_replay_" + java.util.UUID.randomUUID().toString.take(8)
-    val ckpt = graft.model.Scratch.dir("stream_replay_ckpt", d) + "/" + qname
+    // The checkpoint is per-invocation scratch (rm'd below, never read
+    // across runs): offset/commit logs and state-store delta files are
+    // synced once per micro-batch, ~130 ms/batch of pure log I/O. A
+    // RAM-backed tmpfs keeps that off disk without touching the
+    // operator, the slicing, or the watermark contract — durability is
+    // not weakened because a replay that dies is simply re-run from the
+    // (disk-resident) parquet slices; the checkpoint never outlives the
+    // call. Falls back to the on-disk scratch dir when no tmpfs exists.
+    val shm = new java.io.File("/dev/shm")
+    val ckptBase =
+      if (shm.isDirectory && shm.canWrite) {
+        val f = new java.io.File(shm, "graft_replay_ckpt")
+        f.mkdirs()
+        f.getPath
+      } else graft.model.Scratch.dir("stream_replay_ckpt", d)
+    val ckpt = ckptBase + "/" + qname
     // The stateful operator spins one state store per shuffle partition
     // per micro-batch; at 10 batches × 32 partitions the store commits
     // dominate this replay's wall time. 4 partitions fit the replay's
