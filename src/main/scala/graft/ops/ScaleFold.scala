@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   * salting fan-out, window-domain bounds) can be soaked at ~10× before
   * they meet a cluster.
   *
-  * THE RULE (per fold k in 0..folds-1; fold 0 is the identity):
+  * THE RULE (per fold k in 0..folds-1; fold 0 is the key-identity
+  * fold — documents still gain the ' f0' text suffix):
   * every join key gains `k * 10_000_000`, consistently across the
   * tables that share it, so each fold is a self-contained shard with
   * intact referential integrity:
@@ -56,6 +57,9 @@ object ScaleFold {
   )
 
   def amplifyTable(df: DataFrame, table: String, folds: Int): DataFrame = {
+    // the documents rule hardcodes a 3-char ' f<k>' suffix (n_chars + 3),
+    // valid only while every fold index is a single digit
+    require(folds >= 1 && folds <= 10, s"folds must be in 1..10, got $folds")
     val shiftCols = shifted(table)
     if (shiftCols.isEmpty) df
     else {
@@ -90,15 +94,22 @@ object ScaleFold {
     // physical flavor (unadjusted micros) — the DuckDB rule restatement
     // then EXCEPT-compares naive timestamps on both sides, and
     // model.Tables normalizes the NTZ read-back like any harness file
-    s.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    shifted.keys.toSeq.sorted.foreach { t =>
-      val in = s.read.parquet(s"$inDir/$t.parquet")
-      // 8 output files for the fact tables keeps downstream scans
-      // parallel without a shuffle: repartition would be one, so the
-      // per-input-split explode writes as-is (splits × 1 files) and the
-      // biggest table lands as a handful of ~100 MB-scale files.
-      amplifyTable(in, t, folds)
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prevNtz = s.conf.getOption(ntzKey)
+    try {
+      s.conf.set(ntzKey, "true")
+      shifted.keys.toSeq.sorted.foreach { t =>
+        val in = s.read.parquet(s"$inDir/$t.parquet")
+        // 8 output files for the fact tables keeps downstream scans
+        // parallel without a shuffle: repartition would be one, so the
+        // per-input-split explode writes as-is (splits × 1 files) and the
+        // biggest table lands as a handful of ~100 MB-scale files.
+        amplifyTable(in, t, folds)
+          .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      }
+    } finally prevNtz match {
+      case Some(v) => s.conf.set(ntzKey, v)
+      case None => s.conf.unset(ntzKey)
     }
     marker.createNewFile(): Unit
   }

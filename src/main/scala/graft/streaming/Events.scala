@@ -667,20 +667,26 @@ object Events {
           .trigger(Trigger.AvailableNow())
           .start()
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    query.awaitTermination()
-    // Localize the (purchase-count-sized) result, then tear the
-    // harness down: the memory-sink view and the UUID-named checkpoint
-    // are per-invocation scratch, and a session that replays repeatedly
-    // (bench re-runs, specs) must not accrete catalog entries or disk.
-    val out = s.table(qname).orderBy(col("event_id"))
-    val rows = out.collect()
-    val schema = out.schema
-    s.catalog.dropTempView(qname): Unit
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(ckpt))
+    // Localize the (purchase-count-sized) result, then tear the
+    // harness down: the memory-sink view and the UUID-named checkpoint
+    // are per-invocation scratch, and a session that replays repeatedly
+    // (bench re-runs, specs) must not accrete catalog entries or disk —
+    // the checkpoint removal sits in a finally so a FAILED replay does
+    // not leak its UUID-named directory into /dev/shm (RAM-backed,
+    // reclaimed only at reboot) across bench/spec re-runs.
+    val (rows, schema) =
+      try {
+        query.awaitTermination()
+        val out = s.table(qname).orderBy(col("event_id"))
+        val r = out.collect()
+        val sch = out.schema
+        s.catalog.dropTempView(qname): Unit
+        (r, sch)
+      } finally rm(new java.io.File(ckpt))
     import scala.jdk.CollectionConverters._
     s.createDataFrame(rows.toSeq.asJava, schema)
   }
