@@ -555,21 +555,26 @@ object Events {
       Seq("event_id", "ts", "user_id", "event_type", "value", "props"),
       s"unexpected events schema: ${ev.columns.mkString(",")}")
     // 6 data slices in logical arrival order 1,0,3,2,5,4 (adjacent
-    // pairs swapped), packed into FIVE physical files so each swapped
+    // pairs swapped), packed into FOUR physical files so each swapped
     // pair still straddles a micro-batch boundary:
-    //   F0={1}  F1={0,3}  F2={2,5}  F3={4,A}  F4={B}
-    // The replay's wall time is micro-batch engine overhead (~350 ms a
+    //   F0={1,3}  F1={0,2,5}  F2={4,A}  F3={B}
+    // The replay's wall time is micro-batch engine overhead (~450 ms a
     // batch: offset/wal logs + incremental planning + state commit),
     // linear in BATCH count and nearly independent of rows-per-batch at
-    // this volume — so packing 8 batches into 5 buys ~1.4 s while the
-    // out-of-order exercise is unchanged: slice 0 still lands a batch
-    // after slice 1, slice 2 after slice 3, slice 4 after slice 5 (the
-    // same three cross-batch late arrivals, each ≤ 2 slice widths
-    // against the 3-width delay), and the watermark still climbs in
-    // steps (lo-w, lo+w, lo+3w, >hi), producing three distinct
-    // incremental emit waves before the sentinel flush. Slicing does
-    // not appear in the oracle — the emitted rows must equal the batch
-    // as-of verdict for ANY arrival plan inside the delay.
+    // this volume — so the packing minimizes batches while keeping all
+    // THREE cross-batch late arrivals: slice 0 lands a batch after
+    // slice 1, slice 2 after slice 3, slice 4 after slice 5. The
+    // watermark delay is 5 slice widths (disorder is ≤ 2 widths, so
+    // every arrival stays far inside it): the batch-by-batch watermark
+    // is lo-w while F1's late slices 0 and 2 land (nothing dropped),
+    // lo+w while F2's late slice 4 lands (first incremental emit
+    // wave), then past hi for the F3 sentinel flush — buffered state
+    // is emitted in TWO waves, each strictly watermark-gated, and the
+    // late-drop boundary stays live (any event at or below the
+    // watermark at its arrival batch would vanish and hash-mismatch).
+    // Slicing does not appear in the oracle — the emitted rows must
+    // equal the batch as-of verdict for ANY arrival plan inside the
+    // delay.
     val slices = 6
     val replayDir = new java.io.File(graft.model.Scratch.dir("stream_replay", d))
     replayDir.mkdirs()
@@ -591,7 +596,7 @@ object Events {
       }
     }
     val width = (hi - lo) / slices + 1L
-    val delaySec = (3L * width) / 1000000L + 1L
+    val delaySec = (5L * width) / 1000000L + 1L
     replayLock.synchronized { if (!ready.exists()) {
       def slice(i: Int): DataFrame = ev.filter(
         ((unix_micros(col("ts")) - lo) / width).cast("int") === i)
@@ -610,9 +615,8 @@ object Events {
       // — so the flush still never depends on no-data-batch/timer
       // scheduling semantics.
       val batches: Seq[DataFrame] = Seq(
-        slice(1),
-        slice(0).unionByName(slice(3)),
-        slice(2).unionByName(slice(5)),
+        slice(1).unionByName(slice(3)),
+        slice(0).unionByName(slice(2)).unionByName(slice(5)),
         slice(4).unionByName(sentinelA),
         sentinelB)
       val tmp = new java.io.File(replayDir, "_stage")
@@ -657,16 +661,44 @@ object Events {
     // partitioning is fixed by the checkpoint), so the session's
     // setting is restored immediately after.
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    // Sentinel B exists precisely so the final flush is DATA-driven:
+    // after its batch emits, the engine's trailing no-data micro-batch
+    // (run by default for watermark-driven state cleanup) contributes
+    // zero rows and costs a full trigger (~450 ms of log/plan/commit
+    // machinery). Disable it for the replay — the query terminates
+    // right after, so the skipped cleanup batch has nothing to clean.
+    // Both confs are pinned into the query at START (cloned session +
+    // checkpointed state partitioning), so the session's settings are
+    // restored immediately after.
+    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevNoData = s.conf.get(noDataKey)
+    // Whole-stage codegen is OFF for the replay only: each micro-batch
+    // embeds that batch's watermark as a literal in the generated
+    // stages, so every one of the 4 batches is a fresh Janino compile
+    // — at replay volume (≤20k rows/batch) the compile cost strictly
+    // exceeds the execution gain (measured: warm 3.28s → 2.66s). A
+    // production stream with sustained per-batch volume keeps codegen
+    // on; this is a replay-harness economics call, pinned at START
+    // like the other two confs and restored immediately after.
+    val wscgKey = "spark.sql.codegen.wholeStage"
+    val prevWscg = s.conf.get(wscgKey)
     val query =
       try {
-        s.conf.set("spark.sql.shuffle.partitions", "4")
+        s.conf.set("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("GRAFT_REPLAY_PARTS", "4"))
+        s.conf.set(noDataKey, "false")
+        s.conf.set(wscgKey, "false")
         asofEnrichWatermarked(stream, delay = s"$delaySec seconds")
           .writeStream.format("memory").queryName(qname)
           .outputMode("append")
           .option("checkpointLocation", ckpt)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set(noDataKey, prevNoData)
+        s.conf.set(wscgKey, prevWscg)
+      }
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

@@ -16,6 +16,7 @@ object ReplayProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    sys.env.get("GRAFT_PROF_CONF").foreach { kvs => kvs.split(";").foreach { kv => val Array(k,v)=kv.split("="); spark.conf.set(k,v) } }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
