@@ -293,26 +293,51 @@ private[queries] object LlmSimOps {
   private[queries] def matchPairs(s: SparkSession, d: String): DataFrame =
     matchPairTable(s, d) {
       val p = Tables.part(s, d)
-      val a = p.select(col("p_brand"), col("p_partkey").as("part_a"),
-        col("p_name").as("name_a"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("part_b"),
-        col("p_name").as("name_b"))
+      // VERIFY ON THE DISTINCT NAME DOMAIN, then expand to key pairs.
+      // dist is a pure function of the two names, so running the DP per
+      // (part_a, part_b) re-pays it once per key pair sharing the same
+      // name pair — harmless when names are near-unique (sf0.1: 20k parts,
+      // ~20k distinct names) but quadratic in the duplication factor on
+      // a duplicate-heavy corpus (the 10-fold soak copies every name 10×:
+      // verify work ×100, measured 292 s at ~SF1). Deduping first pins
+      // the quadratic stage to the distinct-value domain — the entity-
+      // resolution standard at 100 TB, where hot names repeat millions
+      // of times — and the expansion back to keys is linear in the
+      // OUTPUT, which is the job's inherent size.
+      val names = p.select(col("p_brand"), col("p_name")).distinct()
+      val na = names.select(col("p_brand"), col("p_name").as("name_a"))
+      val nb = names.select(col("p_brand"), col("p_name").as("name_b"))
       // length-blocking as an EQUI key: side A explodes to its 5 candidate
       // lengths len±2, so the join itself enforces |Δlen| ≤ 2 — each block
       // is (brand, length)-sized instead of brand-sized, and levenshtein
       // runs on ~25× fewer pairs (edit distance ≥ |Δlen| makes this exact)
-      val a2 = a.withColumn("lb",
+      val a2 = na.withColumn("lb",
         explode(sequence(length(col("name_a")) - 2, length(col("name_a")) + 2)))
-      val b2 = b.withColumn("lb", length(col("name_b")))
+      val b2 = nb.withColumn("lb", length(col("name_b")))
       // threshold-bounded levenshtein: the 3-arg form runs the banded
       // O(n·k) DP and bails out at distance > 2 (returns -1) instead of
-      // filling the full O(n·m) matrix — the verify stage dominates this
-      // pipeline (measured 8.0 s → 4.1 s at sf0.1 on the 6.9M block pairs)
-      a2.join(b2, Seq("p_brand", "lb"))
-        .filter(col("part_a") < col("part_b"))
+      // filling the full O(n·m) matrix. The ≤ canonical name ordering
+      // halves the DP work exactly like the old part_a < part_b cut, and
+      // keeps the name_a = name_b diagonal (distinct KEYS sharing one
+      // name are dist-0 matches).
+      val namePairs = a2.join(b2, Seq("p_brand", "lb"))
+        .filter(col("name_a") <= col("name_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b"), 2))
         .filter(col("dist") >= 0)
-        .select(col("part_a"), col("part_b"), col("dist"))
+      // Expansion: each matched (brand, name_a, name_b) fans out to all
+      // key pairs carrying those names. A key pair arises from exactly
+      // one unordered name pair, so no dedup pass is needed — only the
+      // diagonal needs the ka < kb cut (both orientations of an equal-
+      // name pair survive the ≤ filter above).
+      val ka = p.select(col("p_brand"), col("p_name").as("name_a"),
+        col("p_partkey").as("ka"))
+      val kb = p.select(col("p_brand"), col("p_name").as("name_b"),
+        col("p_partkey").as("kb"))
+      namePairs.join(ka, Seq("p_brand", "name_a"))
+        .join(kb, Seq("p_brand", "name_b"))
+        .filter(col("name_a") =!= col("name_b") || col("ka") < col("kb"))
+        .select(least(col("ka"), col("kb")).as("part_a"),
+          greatest(col("ka"), col("kb")).as("part_b"), col("dist"))
     }
 
   private[queries] val qFuzzyMatch: Q = (s, d) =>
