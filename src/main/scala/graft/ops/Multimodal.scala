@@ -940,27 +940,39 @@ object Multimodal {
     * (dims, chunk index, chunk bits) — never an all-pairs scan — and
     * only candidates pay the exact per-position verify.
     *
+    * The band join and verify run over the DISTINCT signature domain,
+    * then matched signature pairs expand back to media pairs. Hamming
+    * is a pure function of the two bitstrings, so per-media banding
+    * re-pays the join and verify once per media pair sharing a
+    * signature pair — harmless when signatures are near-unique, but
+    * quadratic in the duplication factor on a duplicate-heavy corpus
+    * (the 10-fold soak copies most planes 10×: measured 77 s at ~SF1
+    * per-media vs inherent-output cost deduped). Exact-duplicate
+    * groups collapse to ONE distinct row for banding, and the
+    * expansion is linear in the OUTPUT — which for a corpus of
+    * duplicates is genuinely pair-quadratic, because those pairs ARE
+    * the answer.
+    *
     * `bucketCap` is the skew guard this join needs that minhash bands
     * don't: minhash bands are high-entropy hashes, but avg-hash chunks
-    * of natural images are LOW-entropy (an all-dark corpus shares the
-    * all-zero chunk), so one bucket can go quadratic at scale. Buckets
-    * larger than the cap are excluded from candidate generation — the
-    * same frequency-cap discipline as `q_common_neighbors`' hub cap —
-    * bounding candidate count by #buckets·cap². A pair is missed ONLY
-    * if every one of its covering chunks is hot; on the degenerate
-    * corpora that create hot buckets those pairs are overwhelmingly
-    * EXACT duplicates, which the exact-signature groupBy
-    * (`q_multimodal_phash`) already reports. The default cap (4096) is
-    * a measured no-op on this corpus (max bucket 96 at sf0.1) with
-    * ~40× headroom; the oracle applies the same cap.
+    * of natural images are LOW-entropy, so one bucket can go quadratic
+    * at scale. The cap counts DISTINCT signatures per (dims, chunk)
+    * bucket — duplication can no longer make a bucket hot (it is
+    * handled by the domain dedup above); only a corpus of MANY
+    * DISTINCT near-colliding signatures trips it, bounding candidates
+    * by #buckets·cap². A pair is missed only if every one of its
+    * covering chunks is that kind of hot. The default cap (4096) is a
+    * measured no-op on this corpus (max distinct-sig bucket 96 at
+    * sf0.1) with ~40× headroom; the oracle applies the same cap on
+    * the same distinct domain.
     */
   def signatureNearPairs(sig: DataFrame, maxHamming: Int = 3,
                          bucketCap: Long = 4096L): DataFrame = {
     val n = maxHamming + 1
-    val chunks = sig
-      .select(col("media_id"), col("width"), col("height"), col("bits"))
+    val dsig = sig.select(col("width"), col("height"), col("bits")).distinct()
+    val chunks = dsig
       .withColumn("clen", expr(s"length(bits) DIV $n"))
-      .select(col("media_id"), col("width"), col("height"), col("bits"),
+      .select(col("width"), col("height"), col("bits"),
         col("clen"), explode(expr(s"sequence(0, ${n - 1})")).as("i"))
       .withColumn("chunk", expr(
         s"CASE WHEN i < ${n - 1} THEN substring(bits, i * clen + 1, clen) " +
@@ -971,15 +983,17 @@ object Multimodal {
         .agg(count(lit(1)).as("bf")).filter(col("bf") <= bucketCap)
         .select("width", "height", "i", "chunk"),
       Seq("width", "height", "i", "chunk"))
-    cold
+    // The ≤ canonical ordering halves the join and keeps the diagonal:
+    // bits_a = bits_b is the exact-duplicate signature pair, whose
+    // media pairs (distinct ids, same plane) are hamming-0 output.
+    val sigPairs = cold
       .select(col("width"), col("height"), col("i"), col("chunk"),
-        col("media_id").as("a"), col("bits").as("bits_a"))
+        col("bits").as("bits_a"))
       .join(cold.select(col("width"), col("height"), col("i"), col("chunk"),
-        col("media_id").as("b"), col("bits").as("bits_b")),
+        col("bits").as("bits_b")),
         Seq("width", "height", "i", "chunk"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("width"), col("height"),
-        col("bits_a"), col("bits_b"))
+      .filter(col("bits_a") <= col("bits_b"))
+      .select(col("width"), col("height"), col("bits_a"), col("bits_b"))
       .distinct()
       // zip_with pads the shorter side with nulls and `x != y` on a null
       // yields null, which `filter` drops — unequal-length signatures
@@ -990,7 +1004,20 @@ object Multimodal {
         "size(filter(zip_with(split(bits_a, ''), split(bits_b, ''), " +
           "(x, y) -> x != y), v -> v))"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("width"), col("height"), col("hamming"))
+    // Expansion: a media pair arises from exactly one unordered
+    // signature pair, so no dedup pass is needed — only the diagonal
+    // needs the a < b cut (both orientations survive the ≤ filter).
+    val ia = sig.select(col("width"), col("height"),
+      col("bits").as("bits_a"), col("media_id").as("ma"))
+    val ib = sig.select(col("width"), col("height"),
+      col("bits").as("bits_b"), col("media_id").as("mb"))
+    sigPairs
+      .join(ia, Seq("width", "height", "bits_a"))
+      .join(ib, Seq("width", "height", "bits_b"))
+      .filter(col("bits_a") =!= col("bits_b") || col("ma") < col("mb"))
+      .select(least(col("ma"), col("mb")).as("a"),
+        greatest(col("ma"), col("mb")).as("b"),
+        col("width"), col("height"), col("hamming"))
   }
 
   case class WavStats(media_id: Long, sample_rate: Int, n_channels: Int,

@@ -150,12 +150,15 @@ object ExtOps {
     * dimensions and the pair set is non-degenerate. The candidate set
     * is near-dup-sized, so the dedup `distinct` exchange is tiny by
     * construction. The band join runs through
-    * [[graft.ops.Multimodal.signatureNearPairs]] with its bucket
-    * frequency cap (4096, mirrored in the oracle): avg-hash chunks are
-    * low-entropy, so a degenerate corpus (all-identical luminance)
-    * would otherwise drive one bucket quadratic — see the op's
-    * scaladoc for the recall argument and ExtOpsSpec for the
-    * degenerate-corpus pin.
+    * [[graft.ops.Multimodal.signatureNearPairs]], which bands and
+    * verifies over the DISTINCT signature domain and expands matches
+    * back to doc pairs (duplicate-heavy corpora — the 10-fold soak —
+    * pay the quadratic stage once per distinct plane, not per copy),
+    * with a bucket frequency cap (4096, counted over distinct
+    * signatures, mirrored in the oracle) guarding genuinely
+    * near-colliding DISTINCT signatures — see the op's scaladoc for
+    * the recall argument and ExtOpsSpec for the distinct-domain and
+    * cap pins.
     */
   private val qMultimodalPhashNear: Q = (s, d) => {
     import s.implicits._
@@ -655,24 +658,32 @@ object ExtOps {
         |    string_agg(CASE WHEN gray * npx > sum_gray THEN '1' ELSE '0' END,
         |      '' ORDER BY j) AS bits
         |  FROM px JOIN sums ON px.doc_id = sums.doc_id GROUP BY 1),
-        |sg AS (SELECT doc_id, w, h, bits, length(bits) // 4 AS clen
-        |  FROM b),
-        |ch AS (SELECT doc_id, w, h, bits, i,
+        |ds AS (SELECT DISTINCT w, h, bits FROM b),
+        |sg AS (SELECT w, h, bits, length(bits) // 4 AS clen
+        |  FROM ds),
+        |ch AS (SELECT w, h, bits, i,
         |    CASE WHEN i < 3 THEN substr(bits, i * clen + 1, clen)
         |      ELSE substr(bits, 3 * clen + 1, length(bits) - 3 * clen)
         |    END AS chunk
         |  FROM sg, LATERAL (SELECT unnest(range(0, 4)) AS i) t),
         |chc AS (SELECT *, count(*) OVER (PARTITION BY w, h, i, chunk) AS bf
         |  FROM ch),
-        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-        |    x.w AS width, x.h AS height, x.bits AS bits_a, y.bits AS bits_b
+        |sp AS (SELECT DISTINCT x.w AS width, x.h AS height,
+        |    x.bits AS bits_a, y.bits AS bits_b
         |  FROM chc x JOIN chc y ON x.w = y.w AND x.h = y.h AND x.i = y.i
-        |    AND x.chunk = y.chunk AND x.doc_id < y.doc_id
-        |  WHERE x.bf <= 4096 AND y.bf <= 4096)
-        |SELECT a AS media_a, b AS media_b, CAST(width AS INT) AS width,
-        |  CAST(height AS INT) AS height,
+        |    AND x.chunk = y.chunk AND x.bits <= y.bits
+        |  WHERE x.bf <= 4096 AND y.bf <= 4096
+        |    AND hamming(x.bits, y.bits) <= 3)
+        |SELECT least(xa.doc_id, yb.doc_id) AS media_a,
+        |  greatest(xa.doc_id, yb.doc_id) AS media_b,
+        |  CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         |  CAST(hamming(bits_a, bits_b) AS INT) AS hamming
-        |FROM cand WHERE hamming(bits_a, bits_b) <= 3
+        |FROM sp
+        |JOIN b xa ON xa.w = sp.width AND xa.h = sp.height
+        |  AND xa.bits = sp.bits_a
+        |JOIN b yb ON yb.w = sp.width AND yb.h = sp.height
+        |  AND yb.bits = sp.bits_b
+        |WHERE bits_a <> bits_b OR xa.doc_id < yb.doc_id
         |ORDER BY media_a, media_b""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -328,26 +328,41 @@ class ExtOpsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("unrecognized image container"))
   }
 
-  test("signatureNearPairs bucket cap keeps a degenerate corpus linear") {
+  test("signatureNearPairs dedups the domain; cap binds on distinct sigs") {
     // all-identical-luminance corpus: every signature is the same
-    // all-zero bitstring, so all 4 chunk buckets are hot — the exact
-    // low-entropy shape that would go quadratic without the cap
+    // all-zero bitstring — ONE distinct signature, so every chunk
+    // bucket has distinct-frequency 1 and the cap never fires. The
+    // banding/verify work is a single diagonal signature pair; the
+    // full quadratic pair set comes only from the OUTPUT expansion,
+    // which is the answer itself (all pairs are exact dups, hamming 0).
     val degenerate = (0 until 200).map(i => (i.toLong, 8, 2, "0" * 16))
       .toDF("media_id", "width", "height", "bits")
-    // cap binds → every bucket excluded → zero candidate pairs (the
-    // exact-signature groupBy is the operator that reports these dups)
-    assert(Multimodal.signatureNearPairs(degenerate, 3, bucketCap = 50L)
-      .count() == 0L)
-    // cap lifted → the full quadratic pair set, pinning that the cap —
-    // not the pigeonhole — is what removed them
-    assert(Multimodal.signatureNearPairs(degenerate, 3, bucketCap = 100000L)
-      .count() == 200L * 199L / 2)
+    val degOut = Multimodal.signatureNearPairs(degenerate, 3, bucketCap = 50L)
+    assert(degOut.count() == 200L * 199L / 2)
+    assert(degOut.filter(col("hamming") =!= 0).count() == 0L)
+    // The cap now guards the shape duplication can't create: MANY
+    // DISTINCT signatures colliding in a chunk bucket. 8 signatures
+    // share the three leading all-zero chunks (distinct-frequency 8 >
+    // cap 5 → hot, excluded) and carry pairwise-distinct final chunks
+    // (cold, but never equal) — so with the cap no candidate survives...
+    val distinctSigs = (0 until 8).map { i =>
+      val tail = Integer.toBinaryString(16 | i).drop(1) // 4 bits, values 0..7
+      (i.toLong, 8, 2, "0" * 12 + tail)
+    }.toDF("media_id", "width", "height", "bits")
+    assert(Multimodal.signatureNearPairs(distinctSigs, 3, bucketCap = 5L)
+      .count() == 0L,
+      "hot distinct-signature buckets must be excluded by the cap")
+    // ...and with the cap lifted the same corpus pairs freely (tails
+    // 0..7 differ pairwise by ≤ 3 bits), pinning that the cap — not
+    // the pigeonhole — removed them
+    assert(Multimodal.signatureNearPairs(distinctSigs, 3, bucketCap = 100L)
+      .count() == 8L * 7L / 2)
     // near-dup pairs OUTSIDE hot buckets survive the cap: two signatures
     // differing in one bit, in their own cold buckets
-    val mixed = degenerate.unionAll(Seq(
+    val mixed = distinctSigs.unionAll(Seq(
       (900L, 9, 2, "111111111111111011"),
       (901L, 9, 2, "111111111111111111")).toDF("media_id", "width", "height", "bits"))
-    val kept = Multimodal.signatureNearPairs(mixed, 3, bucketCap = 50L)
+    val kept = Multimodal.signatureNearPairs(mixed, 3, bucketCap = 5L)
       .select("a", "b", "hamming").as[(Long, Long, Int)].collect().toSet
     assert(kept == Set((900L, 901L, 1)),
       s"cold-bucket near-dup pair must survive the cap, got $kept")
