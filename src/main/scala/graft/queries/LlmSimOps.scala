@@ -452,6 +452,85 @@ private[queries] object LlmSimOps {
   /** Exact top-5 cosine neighbors of the query subset — the oracle for
     * both the brute-force baseline and the exhaustive IVF gate.
     */
+  /** The SRP band-code list as DuckDB SQL — the [[embeddingBlockedSql]]
+    * planeLit construction factored for reuse: band b's tagged code is
+    * `b·2^bits + Σ bit_i·2^i` with bit_i the sign of the dot against
+    * hyperplane `b·bits + i`, exactly [[graft.functions.SrpBands]].
+    */
+  private def srpCodeListSql(bands: Int, bits: Int, dims: Int): String = {
+    def planeLit(p: Int): String =
+      (0 until dims).map(j =>
+        if (graft.functions.SrpBands.positive(p, j)) "1" else "-1")
+        .mkString("CAST([", ",", "] AS DOUBLE[])")
+    (0 until bands).map { b =>
+      val terms = (0 until bits).map { i =>
+        s"(CASE WHEN list_dot_product(v, ${planeLit(b * bits + i)}) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"${b * (1L << bits)} + $terms"
+    }.mkString("[", ",\n", "]")
+  }
+
+  /** Full-algorithm oracle for `q_ann_lsh`: the ANN result is
+    * approximate RELATIVE TO brute force but DETERMINISTIC in itself —
+    * hyperplanes are hash-derived ([[graft.functions.SrpBands]], no
+    * RNG), candidate generation is a set intersection of band codes,
+    * and the re-rank is the mirrored float cosine sequence — so the
+    * committed SQL restates the ALGORITHM (bit-mirrored band codes via
+    * [[srpCodeListSql]], `list_has_any` ≡ the banded equi join, exact
+    * cosine top-k) rather than an idealized answer, and the driver's
+    * hash gate pins the whole path: a plane-sign slip, a band-tag
+    * collision, or a re-rank tie-break drift is a hash mismatch.
+    * Recall vs brute force stays spec-pinned in LlmOpsSpec.
+    */
+  private[queries] def annLshSql(bands: Int, bits: Int, dims: Int, k: Int): String =
+    s"""$cosineCte,
+       |c AS (SELECT vec_id, v, ${srpCodeListSql(bands, bits, dims)} AS ct
+       |      FROM e),
+       |cand AS (SELECT DISTINCT q.vec_id AS q_id, n.vec_id AS n_id
+       |      FROM c q JOIN c n ON q.vec_id < 20 AND n.vec_id <> q.vec_id
+       |        AND list_has_any(q.ct, n.ct)),
+       |p AS (SELECT q_id, n_id, ${cosExpr("a", "b")} AS cos
+       |      FROM cand JOIN e a ON a.vec_id = cand.q_id
+       |        JOIN e b ON b.vec_id = cand.n_id),
+       |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, n_id ASC) AS rnk FROM p)
+       |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** Full-algorithm oracle for `q_ann_ivf` (same determinism argument
+    * as [[annLshSql]]): coarse centroids are the first `cells` corpus
+    * vectors in key order, every corpus vector assigns to its highest-
+    * cosine cell (ties to the lowest cell id — the Spark `min_by`
+    * struct order), each query probes its `nprobe` nearest cells, and
+    * candidates re-rank by the mirrored exact cosine. The hash gate
+    * pins assignment, probe selection, and re-rank; the exhaustive
+    * nprobe=cells variant additionally pins equality with brute force.
+    */
+  private[queries] def annIvfSql(cells: Int, nprobe: Int, k: Int): String =
+    s"""$cosineCte,
+       |cents AS (SELECT vec_id AS cell_id, v FROM e
+       |      ORDER BY vec_id LIMIT $cells),
+       |asg AS (SELECT n_id, cell_id FROM (
+       |      SELECT n.vec_id AS n_id, c.cell_id,
+       |        row_number() OVER (PARTITION BY n.vec_id
+       |          ORDER BY ${cosExpr("n", "c")} DESC, c.cell_id ASC) AS r
+       |      FROM e n CROSS JOIN cents c) WHERE r = 1),
+       |qc AS (SELECT q_id, cell_id FROM (
+       |      SELECT q.vec_id AS q_id, c.cell_id,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${cosExpr("q", "c")} DESC, c.cell_id ASC) AS r
+       |      FROM e q CROSS JOIN cents c WHERE q.vec_id < 20)
+       |      WHERE r <= $nprobe),
+       |p AS (SELECT qc.q_id, asg.n_id, ${cosExpr("a", "b")} AS cos
+       |      FROM qc JOIN asg USING (cell_id)
+       |        JOIN e a ON a.vec_id = qc.q_id
+       |        JOIN e b ON b.vec_id = asg.n_id
+       |      WHERE qc.q_id <> asg.n_id),
+       |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, n_id ASC) AS rnk FROM p)
+       |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
   private[queries] val cosineTopkSql: String =
     s"""$cosineCte,
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -511,7 +590,9 @@ private[queries] object LlmSimOps {
     "q_dedup_embedding" -> embeddingBlockedSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_emb_dedup_eval" -> embDedupEvalSql(0.4, EmbBands, EmbBits, dims = 64),
     "q_cosine_topk" -> cosineTopkSql,
+    "q_ann_ivf" -> annIvfSql(cells = 16, nprobe = 4, k = 5),
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
+    "q_ann_lsh" -> annLshSql(bands = 16, bits = 4, dims = 64, k = 5),
     "q_emb_quantize" ->
       """WITH el AS (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
