@@ -249,6 +249,22 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Quantized ANN (product quantization + ADC): the 100 TB embedding
+    * tier — corpus stored as 8 codes of 4 bits each instead of 64
+    * doubles, queries scan codes through a per-query lookup table.
+    * Deterministic end to end (first-16 codebooks, mirrored float
+    * subspace L2, integer ADC sums), so the committed SQL restates the
+    * full algorithm and the driver hash-gates codebook, encode, LUT,
+    * and ranking ([[graft.ops.Similarity.pqTopK]]); recall vs exact L2
+    * is spec-pinned in LlmOpsSpec.
+    */
+  private[queries] val qAnnPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 64, m = 8, ks = 16)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
     * design); recall vs brute force is spec-asserted (LlmOpsSpec).
     */
@@ -531,6 +547,87 @@ private[queries] object LlmSimOps {
        |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
+  /** Full-algorithm oracle for `q_ann_pq` (the [[annLshSql]]/[[annIvfSql]]
+    * argument applied to product quantization): the whole pipeline lives
+    * on the 2²⁴ integer lattice — quantize once, then codebook seeding,
+    * the Lloyd training round (argmin by `|c|² − 2·x·c`, ties to the
+    * lowest centroid id; update by sign-split integer means — the
+    * kmeansFitCtes idiom with an extra `sub` grouping), the encode, the
+    * query lookup table, and the cross-subspace ADC sum are all exact
+    * BIGINT arithmetic, so a seeding slip, a tie-break drift, a mean
+    * rounding mismatch, or a dropped subspace is a hash mismatch.
+    */
+  private[queries] def annPqSql(dims: Int, m: Int, ks: Int, k: Int,
+                                shortlist: Int = 50): String = {
+    val dsub = dims / m
+    s"""WITH r AS MATERIALIZED (SELECT vec_id,
+       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
+       |        // $dsub AS sub,
+       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+       |        AS BIGINT) AS xe
+       |    FROM embeddings),
+       |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM r
+       |    WHERE vec_id < $ks),
+       |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c0 GROUP BY 1, 2),
+       |d0 AS (SELECT r.vec_id, r.sub, c0.cid,
+       |      CAST(sum(r.xe * c0.ce) AS BIGINT) AS dot
+       |    FROM r JOIN c0 ON r.sub = c0.sub AND r.pos = c0.pos
+       |    GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, cid FROM (SELECT d0.vec_id, d0.sub, d0.cid,
+       |      row_number() OVER (PARTITION BY d0.vec_id, d0.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d0.cid ASC) AS rn
+       |    FROM d0 JOIN cn0 ON d0.sub = cn0.sub AND d0.cid = cn0.cid)
+       |    WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT r.sub, a0.cid, r.pos,
+       |      CAST(sign(sum(xe)) AS BIGINT) *
+       |        (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+       |    FROM r JOIN a0 ON r.vec_id = a0.vec_id AND r.sub = a0.sub
+       |    GROUP BY 1, 2, 3),
+       |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c1 GROUP BY 1, 2),
+       |d1 AS (SELECT r.vec_id, r.sub, c1.cid,
+       |      CAST(sum(r.xe * c1.ce) AS BIGINT) AS dot
+       |    FROM r JOIN c1 ON r.sub = c1.sub AND r.pos = c1.pos
+       |    GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id AS n_id, sub, cid FROM (
+       |    SELECT d1.vec_id, d1.sub, d1.cid,
+       |      row_number() OVER (PARTITION BY d1.vec_id, d1.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d1.cid ASC) AS rn
+       |    FROM d1 JOIN cn1 ON d1.sub = cn1.sub AND d1.cid = cn1.cid)
+       |    WHERE rn = 1),
+       |qn2 AS (SELECT vec_id AS q_id, CAST(sum(xe * xe) AS BIGINT) AS qn2
+       |    FROM r WHERE vec_id < 20 GROUP BY 1),
+       |lut AS (SELECT d1.vec_id AS q_id, d1.sub, d1.cid,
+       |      cn2 - 2 * dot AS term
+       |    FROM d1 JOIN cn1 ON d1.sub = cn1.sub AND d1.cid = cn1.cid
+       |    WHERE d1.vec_id < 20),
+       |adc AS (SELECT q_id, n_id,
+       |      CAST(sum(term) AS BIGINT) AS t
+       |    FROM codes JOIN lut USING (sub, cid)
+       |    WHERE q_id <> n_id GROUP BY 1, 2),
+       |shortl AS (SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY t + qn2 ASC, n_id ASC) AS srnk
+       |    FROM adc JOIN qn2 USING (q_id)) WHERE srnk <= $shortlist),
+       |nn2 AS (SELECT vec_id AS n_id, CAST(sum(xe * xe) AS BIGINT) AS nn2
+       |    FROM r GROUP BY 1),
+       |pd AS (SELECT s.q_id, s.n_id,
+       |      CAST(sum(rn.xe * rq.xe) AS BIGINT) AS dot
+       |    FROM shortl s
+       |    JOIN r rn ON rn.vec_id = s.n_id
+       |    JOIN r rq ON rq.vec_id = s.q_id AND rq.pos = rn.pos
+       |    GROUP BY 1, 2),
+       |f AS (SELECT q_id, n_id,
+       |      CAST(qn2 - 2 * dot + nn2 AS BIGINT) AS d2,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qn2 - 2 * dot + nn2 ASC, n_id ASC) AS rnk
+       |    FROM pd JOIN qn2 USING (q_id) JOIN nn2 USING (n_id))
+       |SELECT q_id, n_id, rnk, d2
+       |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   private[queries] val cosineTopkSql: String =
     s"""$cosineCte,
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -555,6 +652,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivf" -> qAnnIvf,
     "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
+    "q_ann_pq" -> qAnnPq,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_clusters" -> qEntityClusters,
   )
@@ -593,6 +691,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivf" -> annIvfSql(cells = 16, nprobe = 4, k = 5),
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
     "q_ann_lsh" -> annLshSql(bands = 16, bits = 4, dims = 64, k = 5),
+    "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
     "q_emb_quantize" ->
       """WITH el AS (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,

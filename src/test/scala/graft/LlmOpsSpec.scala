@@ -99,6 +99,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(refinedRecall >= 0.8, s"refined IVF recall $refinedRecall too low")
   }
 
+  test("pqTopK recall vs exact L2 brute force") {
+    // PQ approximates L2, so the ground truth is the exact-L2 top-k,
+    // not the cosine ranking the other ANN tiers target
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopKL2(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 64, m = 8, ks = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"PQ recall@5 vs exact L2: $recall")
+    // measured 0.88 with m=8/ks=16/1 Lloyd round/shortlist=50 on the
+    // near-random sf0.01 embeddings (ADC alone reads 0.22 — distance
+    // concentration; the exact re-rank of the shortlist is what makes
+    // the operator usable, exactly the FAISS refine design)
+    assert(recall >= 0.7, s"PQ recall $recall too low")
+  }
+
   test("cosinePairsBlocked: exact-cosine subset of all-pairs with high recall") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
