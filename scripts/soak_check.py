@@ -44,6 +44,32 @@ SHIFTED = {
 }
 
 
+
+def tuned(con):
+    """Bound DuckDB so a blown-up plan spills to disk instead of
+    ballooning resident memory (r11: the committed q_dedup_eval oracle
+    passed 90 GB RSS at ~SF1 before this guard existed)."""
+    con.execute("SET threads TO 16")
+    con.execute("SET memory_limit='48GB'")
+    os.makedirs("target/duck_tmp", exist_ok=True)
+    con.execute("SET temp_directory='target/duck_tmp'")
+    return con
+
+
+def run_guarded(con, sql, seconds=900):
+    """Execute with a wall-clock watchdog: interrupt the query after
+    `seconds` so one pathological oracle records a per-key failure
+    instead of hanging the whole artifact (the r10 soak never landed
+    because one key ground forever)."""
+    import threading
+    t = threading.Timer(seconds, con.interrupt)
+    t.start()
+    try:
+        return con.execute(sql).df()
+    finally:
+        t.cancel()
+
+
 def rule_sql(table, base_dir, cols):
     """DuckDB restatement of the amplified table (folds 0..9)."""
     shifts = set(SHIFTED[table])
@@ -223,6 +249,40 @@ pred AS (SELECT doc_a, doc_b
                     .replace(quad_pred, fast_pred)
 
 
+
+_EC_QUAD = """WITH RECURSIVE p AS MATERIALIZED (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2),"""
+_EC_FAST = """WITH RECURSIVE dn AS MATERIALIZED (
+  SELECT DISTINCT p_brand, p_name FROM part),
+np AS MATERIALIZED (
+  SELECT a.p_brand, a.p_name AS na, b.p_name AS nb
+  FROM dn a JOIN dn b
+    ON a.p_brand = b.p_brand AND a.p_name <= b.p_name
+  WHERE abs(len(a.p_name) - len(b.p_name)) <= 2
+    AND levenshtein(a.p_name, b.p_name) <= 2),
+p AS MATERIALIZED (
+  SELECT least(ka.p_partkey, kb.p_partkey) AS pa,
+         greatest(ka.p_partkey, kb.p_partkey) AS pb
+  FROM np
+  JOIN part ka ON ka.p_brand = np.p_brand AND ka.p_name = np.na
+  JOIN part kb ON kb.p_brand = np.p_brand AND kb.p_name = np.nb
+  WHERE np.na <> np.nb OR ka.p_partkey < kb.p_partkey),"""
+
+
+def _entity_clusters_sql(committed):
+    """The committed pair CTE re-verifies levenshtein once per KEY pair;
+    the soak corpus copies every name 10x, so that is 100x duplicated DP
+    work (the exact pathology the r11 Spark derivation fixed by deduping
+    to the distinct name domain first). Same rewrite here; equivalence is
+    EXCEPT-proven at sf0.01 like every other override."""
+    assert _EC_QUAD in committed, "entity_clusters oracle text drifted"
+    return committed.replace(_EC_QUAD, _EC_FAST)
+
+
 def soak_oracles(committed):
     """name -> scalable oracle; every other key uses its committed text."""
     out = {
@@ -232,6 +292,9 @@ def soak_oracles(committed):
     }
     if "q_dedup_eval" in committed:
         out["q_dedup_eval"] = _dedup_eval_sql(committed["q_dedup_eval"])
+    if "q_entity_clusters" in committed:
+        out["q_entity_clusters"] = _entity_clusters_sql(
+            committed["q_entity_clusters"])
     return out
 
 
@@ -240,8 +303,7 @@ def check_equivalence(committed, overrides):
     the sf0.01 base (where the quadratic forms are fast) and require a
     zero EXCEPT-diff. A fresh connection so the soak views don't leak in.
     """
-    eq = duckdb.connect()
-    eq.execute("SET threads TO 16")
+    eq = tuned(duckdb.connect())
     for t in TABLES:
         eq.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                    f"'/root/testdata/sf0.01/{t}.parquet'")
@@ -249,10 +311,10 @@ def check_equivalence(committed, overrides):
     for k, fast in sorted(overrides.items()):
         eq.execute(f"CREATE OR REPLACE VIEW v_fast AS {fast}")
         eq.execute(f"CREATE OR REPLACE VIEW v_quad AS {committed[k]}")
-        diff = eq.execute(
+        diff = int(run_guarded(eq,
             "SELECT count(*) FROM ((SELECT * FROM v_fast EXCEPT ALL "
             "SELECT * FROM v_quad) UNION ALL (SELECT * FROM v_quad "
-            "EXCEPT ALL SELECT * FROM v_fast))").fetchone()[0]
+            "EXCEPT ALL SELECT * FROM v_fast))").iloc[0, 0])
         out[k] = {"diff_rows": diff, "match": bool(diff == 0)}
         print(f"equiv {'PASS' if diff == 0 else 'FAIL'} {k}: "
               f"override vs committed diff={diff} (sf0.01)")
@@ -279,7 +341,7 @@ def check_queries(con, out_dir):
             print(f"query FAIL {name}: {entry['err']}")
             continue
         try:
-            d_df = con.execute(oracle[name]).df()
+            d_df = run_guarded(con, oracle[name])
             d_cols, d_vals = sorted_vals(d_df, "duckdb", name)
             entry["oracle_rows"] = len(d_vals)
         except Exception as e:
@@ -299,8 +361,7 @@ def check_queries(con, out_dir):
 
 def main():
     base_dir, soak_dir, out_dir, artifact = sys.argv[1:5]
-    con = duckdb.connect()
-    con.execute("SET threads TO 16")
+    con = tuned(duckdb.connect())
     corpus = check_corpus(con, base_dir, soak_dir)
     committed = json.load(open(f"{out_dir}/oracle_sql.json"))
     equiv = check_equivalence(committed, soak_oracles(committed))

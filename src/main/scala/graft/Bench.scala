@@ -113,6 +113,8 @@ object Bench {
     "q_ann_ivf",
     "q_ann_ivf_exhaustive",
     "q_ann_lsh",
+    "q_ann_pq",
+    "q_stream_ingest_gate",
     "q_approx_distinct",
     "q_approx_percentile",
     "q_array_funcs",

@@ -106,16 +106,25 @@ object Dedup {
     * small because a 64-bit band hash only collides for near-identical
     * signature slices.
     */
-  def lshCandidates(sigs: DataFrame, key: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
+  /** Banded view of minhash signatures: one row per (doc, band) keyed
+    * by the band's bucket hash — the indexable form ([[lshCandidates]]
+    * self-joins it; the streaming ingestion gate persists it as the
+    * band index a new batch probes).
+    */
+  def bandBuckets(sigs: DataFrame, key: String, numHashes: Int,
+                  rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val bandCols = (0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
       xxhash64(lit(1000 + b) +: slice: _*)
     }
+    sigs.select(col(key), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+  }
+
+  def lshCandidates(sigs: DataFrame, key: String, numHashes: Int, rowsPerBand: Int): DataFrame = {
     // Both self-join sides are identical subtrees — Spark's ReusedExchange
     // computes the signature pipeline once (persisting here measured slower).
-    val banded = sigs
-      .select(col(key), posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val banded = bandBuckets(sigs, key, numHashes, rowsPerBand)
     val a = banded.select(col(key).as("key_a"), col("band"), col("bucket"))
     val b = banded.select(col(key).as("key_b"), col("band"), col("bucket"))
     a.join(b, Seq("band", "bucket"))

@@ -61,8 +61,21 @@ object StreamShapes {
   private val qStreamAsofWm: Q = (s, d) =>
     Events.replayAsOfWatermarked(s, d)
 
+  /** TRUE end-to-end streaming near-dup ingestion gate: documents
+    * replayed as 4 ascending doc_id-range micro-batches through
+    * foreachBatch against a PERSISTENT band index + shingle store —
+    * every doc admitted or rejected with its earliest ≥0.5-Jaccard
+    * predecessor. The oracle states the same rule as one all-pairs
+    * SQL sentence, so the driver hash-proves the index probe, the
+    * same-batch self-join, the verify, and the cross-batch state
+    * accumulation. See [[graft.streaming.IngestGate]].
+    */
+  private val qStreamIngestGate: Q = (s, d) =>
+    graft.streaming.IngestGate.replayNearDupGate(s, d)
+
   val registry: Map[String, Q] = Map(
     "q_stream_asof_wm" -> qStreamAsofWm,
+    "q_stream_ingest_gate" -> qStreamIngestGate,
     "q_stream_dedup" -> qStreamDedup,
     "q_stream_topk" -> qStreamTopk,
     "q_stream_tumbling" -> qStreamTumbling,
@@ -81,6 +94,25 @@ object StreamShapes {
         |  AND v.ts <= p.ts
         |WHERE p.event_type = 'purchase'
         |GROUP BY p.event_id, p.user_id ORDER BY p.event_id""".stripMargin,
+    // the gate's decision rule as one sentence: dup iff some SMALLER
+    // doc_id reaches Jaccard >= 0.5 on the 3-token shingle sets
+    // (string shingles here ≡ the gate's hashed shingles — the
+    // q_dedup_minhash collision argument); <3-token docs have no
+    // shingle set and are always admitted
+    "q_stream_ingest_gate" ->
+      """WITH s AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |                                for i in range(1, len(t) - 1)]) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |p AS (SELECT b.doc_id AS doc_id, min(a.doc_id) AS dup_src
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+        |        len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        |  GROUP BY 1)
+        |SELECT d.doc_id, (p.dup_src IS NULL) AS admitted, p.dup_src
+        |FROM documents d LEFT JOIN p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_stream_dedup" ->
       """WITH r AS (SELECT user_id, event_type, ts, event_id,
         |    row_number() OVER (PARTITION BY user_id, event_type

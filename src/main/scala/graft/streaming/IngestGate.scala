@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.{Dedup, Par}
+
+/** Streaming near-duplicate INGESTION GATE — the continuous-corpus form
+  * of the batch MinHash dedup: documents arrive in micro-batches, each
+  * batch's band buckets probe a PERSISTENT index of everything seen
+  * before, candidates verify by exact Jaccard, and every document gets
+  * an admit/reject decision with the earliest matching prior document
+  * (`dup_src`). This is the pipeline a training-data ingest actually
+  * runs: the dedup state is a durable TABLE (band index + shingle
+  * store), not in-memory operator state, so it survives restarts, is
+  * shared across jobs, and grows append-only — per batch the probe cost
+  * is (batch bands) ⋈ index, proportional to the BATCH, never a corpus
+  * self-join.
+  *
+  * Contract (stated identically by the DuckDB oracle): doc `d` is a
+  * duplicate iff some earlier document `e` (e.doc_id < d.doc_id — the
+  * replay lands contiguous doc_id ranges in ascending order, so arrival
+  * order IS id order) has exact hashed-shingle Jaccard ≥ 0.5 with `d`;
+  * `dup_src` is the minimum such `e`. "Earlier" means SEEN, not
+  * admitted: near-dup chains collapse to their earliest member, exactly
+  * the batch pipeline's min-id cluster canonicalization
+  * (`q_dedup_clusters`). Documents under 3 tokens have no shingles and
+  * are always admitted — both engines state that rule.
+  *
+  * The banding (32 hashes × 2 rows/band — `q_dedup_minhash`'s exact
+  * parameters, measured recall 1.0 at J ≥ 0.5 on this corpus) makes the
+  * LSH probe complete here, so the gate's output equals the oracle's
+  * all-pairs statement; on a corpus where banding missed a pair this
+  * key would hash-mismatch rather than silently under-dedup.
+  *
+  * Idempotence: each micro-batch Overwrite-writes its own `b<id>`
+  * subdirectory of the decision/index/shingle stores, so an
+  * at-least-once replay of a batch rewrites identical files instead of
+  * double-appending.
+  */
+object IngestGate {
+  private val fixtureLock = new Object
+
+  def replayNearDupGate(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.model.Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val srcDir = new java.io.File(graft.model.Scratch.dir("ingest_gate_src", d))
+    srcDir.mkdirs()
+    val ready = new java.io.File(srcDir, "_GATE_READY")
+    val slices = 4
+    // Land the corpus once per dir as 4 contiguous-doc_id-range files in
+    // ascending order (mtime-pinned — FileStreamSource consumes in
+    // modification-time order), so "earlier batch" always means
+    // "smaller doc_id" and the decision rule is a pure function of the
+    // corpus, not of the arrival plan.
+    fixtureLock.synchronized { if (!ready.exists()) {
+      val hi = docs.agg(max(col("doc_id"))).first().getLong(0)
+      val width = hi / slices + 1L
+      val tmp = new java.io.File(srcDir, "_stage")
+      (0 until slices).foreach { i =>
+        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, f"gate_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified((i + 1) * 60000L): Unit
+      }
+      java.nio.file.Files.writeString(ready.toPath, "ok"): Unit
+    } }
+    val decDir = graft.model.Scratch.dir("ingest_gate_dec", d)
+    val idxDir = graft.model.Scratch.dir("ingest_gate_idx", d)
+    val shDir = graft.model.Scratch.dir("ingest_gate_sh", d)
+    def existing(dir: String): Seq[String] = {
+      val f = new java.io.File(dir)
+      if (!f.isDirectory) Nil
+      else f.listFiles().filter(x => x.isDirectory && x.getName.startsWith("b"))
+        .map(_.getPath).toSeq.sorted
+    }
+    // a rerun in the same session must gate the replay afresh, not
+    // against a previous run's accumulated index
+    Seq(decDir, idxDir, shDir).foreach { dir =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.getPath + "/gate_*.parquet")
+    val ckpt = graft.model.Scratch.dir("ingest_gate_ckpt", d) + "/" +
+      java.util.UUID.randomUUID().toString.take(8)
+    val query = stream.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val ss = batch.sparkSession
+        val withSh = Par.fanOut(
+          Dedup.registerShingleHashFn(batch).select(col("doc_id"), col("text")))
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("sh", Dedup.shingleHashes("toks", 3))
+          .filter(size(col("sh")) > 0)
+          .select(col("doc_id"), col("sh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val sigs = Dedup.minhashSignatures(withSh, "doc_id", 32)
+        val batchBands = Dedup.bandBuckets(sigs, "doc_id", 32, 2)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val idxDirs = existing(idxDir)
+        // prior-batch candidates: probe the persistent band index with
+        // THIS batch's buckets (cost ∝ batch); same-batch candidates:
+        // the ordered self-join, exactly lshCandidates' shape
+        val candPrev =
+          if (idxDirs.isEmpty) ss.emptyDataFrame
+            .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
+          else ss.read.parquet(idxDirs: _*)
+            .select(col("doc_id").as("key_a"), col("band"), col("bucket"))
+            .join(batchBands.select(col("doc_id").as("key_b"),
+              col("band"), col("bucket")), Seq("band", "bucket"))
+            .select(col("key_a"), col("key_b"))
+        val candSame = batchBands.select(col("doc_id").as("key_a"),
+            col("band"), col("bucket"))
+          .join(batchBands.select(col("doc_id").as("key_b"),
+            col("band"), col("bucket")), Seq("band", "bucket"))
+          .filter(col("key_a") < col("key_b"))
+          .select(col("key_a"), col("key_b"))
+        val cands = candPrev.unionByName(candSame).distinct()
+        val shDirs = existing(shDir)
+        val allSh =
+          if (shDirs.isEmpty) withSh
+          else ss.read.parquet(shDirs: _*).unionByName(withSh)
+        val dupSrc = Dedup.verifyJaccard(cands, allSh, "doc_id", 0.5)
+          .groupBy(col("key_b").as("doc_id"))
+          .agg(min(col("key_a")).as("dup_src"))
+        val decisions = batch.select(col("doc_id"))
+          .join(dupSrc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_src").isNull.as("admitted"),
+            col("dup_src"))
+        decisions.write.mode("overwrite").parquet(s"$decDir/b$batchId")
+        batchBands.write.mode("overwrite").parquet(s"$idxDir/b$batchId")
+        withSh.write.mode("overwrite").parquet(s"$shDir/b$batchId")
+        batchBands.unpersist()
+        withSh.unpersist(): Unit
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    try query.awaitTermination()
+    finally rm(new java.io.File(ckpt))
+    s.read.parquet(existing(decDir): _*)
+      .orderBy(col("doc_id"))
+  }
+}

@@ -29,8 +29,14 @@ object Soak {
     "q_triangles", "q_pagerank", "q_ppr", "q_hits", "q_label_prop",
     "q_kcore", "q_graph_bfs", "q_clustering_coeff", "q_top_eigenvector",
     "q_adamic_adar",
-    // dedup / similarity: folds are near-dups by construction
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_eval",
+    // dedup / similarity: folds are near-dups by construction.
+    // q_dedup_eval is deliberately NOT soaked: it is the one key whose
+    // CONTRACT is quadratic (blocking-quality eval scores candidates
+    // against exact all-pairs truth — its own scaladoc pins it to
+    // corpus samples, not production paths); at ~SF1 the fold-amplified
+    // prefix join ballooned past 90 GB in r11's first soak run. The
+    // production dedup paths it evaluates are all soaked below.
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_entity_clusters",
     // text / stats heavies
     "q_tfidf", "q_cluster_topics", "q_ks_test", "q_weighted_median",

@@ -678,4 +678,32 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("near-dup ingestion gate: decisions are consistent and rerunnable") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.streaming.IngestGate.replayNearDupGate(spark, sf)
+      .select($"doc_id", $"admitted", $"dup_src")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val docs = graft.model.Tables.documents(spark, sf).count()
+    assert(out.size == docs, "one decision per document")
+    assert(out.forall { case (id, adm, src) =>
+      if (adm) src.isEmpty else src.exists(_ < id)
+    }, "admitted ⇔ no dup_src; rejections point strictly backwards")
+    assert(out.exists(!_._2), "the corpus plants near-dups — some must reject")
+    // cross-batch state: at least one rejection whose dup_src landed in
+    // an EARLIER micro-batch (slice = contiguous doc_id quartile), so
+    // the persistent index — not just the same-batch self-join — is
+    // proven live
+    val hi = out.map(_._1).max
+    val width = hi / 4 + 1L
+    assert(out.exists { case (id, adm, src) =>
+      !adm && src.exists(_ / width < id / width)
+    }, "no rejection crossed a batch boundary — the index went unused")
+    // a rerun in the same session must reset the gate's stores and
+    // reproduce the decisions exactly (not re-gate against leftovers)
+    val again = graft.streaming.IngestGate.replayNearDupGate(spark, sf)
+      .select($"doc_id", $"admitted", $"dup_src")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(again == out, "gate rerun must be deterministic")
+  }
 }
