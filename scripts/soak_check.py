@@ -56,11 +56,14 @@ def tuned(con):
     return con
 
 
-def run_guarded(con, sql, seconds=900):
+def run_guarded(con, sql, seconds=3600):
     """Execute with a wall-clock watchdog: interrupt the query after
     `seconds` so one pathological oracle records a per-key failure
     instead of hanging the whole artifact (the r10 soak never landed
-    because one key ground forever)."""
+    because one key ground forever). An hour is deliberately generous:
+    the guard exists for unbounded hangs, not to shave minutes off a
+    legitimately heavy single-node oracle at ~SF1 (q_dedup_minhash's
+    prefix-join oracle needs >15 min there)."""
     import threading
     t = threading.Timer(seconds, con.interrupt)
     t.start()
