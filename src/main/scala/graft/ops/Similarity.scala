@@ -334,8 +334,11 @@ object Similarity {
         posexplode(asDouble(col(vec))).as(Seq("pos", "x")))
         .select(col(keyAs), expr(s"pos DIV $dsub").cast("int").as("sub"),
           col("pos"), round(col("x") * MeanScale).cast("long").as("xe"))
+    // the lattice feeds five passes (train assign/update, encode, |n|²,
+    // re-rank dots) — checkpoint it once so each reads materialized
+    // rows instead of re-running the scan+explode+quantize chain
     val rows = lattice(Par.fanOut(corpus.select(col(key).cast("long").as("n_id"),
-      col(vec))), "n_id")
+      col(vec))), "n_id").localCheckpoint(true)
     // seeds: the first ks corpus vectors' subvectors (cid = their key)
     var cb = rows.filter(col("n_id") < ks)
       .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
