@@ -46,7 +46,11 @@ object Soak {
     // multimodal near-dup banding at 10× images
     "q_multimodal_phash_near",
     // stateful streaming replay over 10× events
-    "q_stream_asof_wm")
+    "q_stream_asof_wm",
+    // streaming ingestion gate over 10× documents: the persistent band
+    // index accumulates 10× state and every batch's probe join runs at
+    // 10× — the check's oracle reuses the shared soak_pairs table
+    "q_stream_ingest_gate")
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
