@@ -318,27 +318,36 @@ object Similarity {
     * every stage. Approximation vs exact L2 top-k is spec-pinned
     * (recall), like the other ANN tiers.
     */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
-             k: Int, dims: Int, m: Int = 8, ks: Int = 16,
-             refineIters: Int = 1, shortlist: Int = 50): DataFrame = {
+  /** Lattice rows (id, sub, pos, xe) for the PQ family: coordinates
+    * quantized once onto the 2²⁴ integer lattice (the kmeansFit
+    * discipline) so every later product, mean (sign-split DIV),
+    * comparison, and cross-subspace sum is exact BIGINT arithmetic —
+    * order-independent under any partitioning, no float sequence to
+    * mirror.
+    */
+  private def pqLattice(df: DataFrame, keyAs: String, vec: String,
+                        dsub: Int): DataFrame =
+    df.select(col(keyAs),
+      posexplode(asDouble(col(vec))).as(Seq("pos", "x")))
+      .select(col(keyAs), expr(s"pos DIV $dsub").cast("int").as("sub"),
+        col("pos"), round(col("x") * MeanScale).cast("long").as("xe"))
+
+  /** Shared PQ fit: lattice rows, trained per-subspace codebook, and
+    * the encoded corpus — see [[pqTopK]] for the full design argument.
+    * Returns (rows, cb, codes).
+    */
+  private[graft] def pqFit(corpus: DataFrame, key: String, vec: String,
+                           dims: Int, m: Int, ks: Int, refineIters: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     ensureRegistered(corpus)
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    // everything below lives on the 2²⁴ integer lattice (the kmeansFit
-    // discipline): coordinates quantize ONCE, and every later product,
-    // mean (sign-split DIV), comparison, and the cross-subspace ADC sum
-    // is exact BIGINT arithmetic — order-independent under any
-    // partitioning, with no float sequence to mirror
-    def lattice(df: DataFrame, keyAs: String): DataFrame =
-      df.select(col(keyAs),
-        posexplode(asDouble(col(vec))).as(Seq("pos", "x")))
-        .select(col(keyAs), expr(s"pos DIV $dsub").cast("int").as("sub"),
-          col("pos"), round(col("x") * MeanScale).cast("long").as("xe"))
     // the lattice feeds five passes (train assign/update, encode, |n|²,
     // re-rank dots) — checkpoint it once so each reads materialized
     // rows instead of re-running the scan+explode+quantize chain
-    val rows = lattice(Par.fanOut(corpus.select(col(key).cast("long").as("n_id"),
-      col(vec))), "n_id").localCheckpoint(true)
+    val rows = pqLattice(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
+      .localCheckpoint(true)
     // seeds: the first ks corpus vectors' subvectors (cid = their key)
     var cb = rows.filter(col("n_id") < ks)
       .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
@@ -370,8 +379,39 @@ object Similarity {
         .localCheckpoint(true)
     }
     val codes = assign(rows, "n_id").select("n_id", "sub", "cid")
-    val qrows = lattice(queries.select(col(key).cast("long").as("q_id"),
-      col(vec)), "q_id")
+    (rows, cb, codes)
+  }
+
+  /** Per-cell quantization distortion of the trained PQ index: for each
+    * (subspace, cell), the member count and the mean exact lattice L2
+    * between member subvectors and their centroid — the quality gauge a
+    * PQ deployment monitors (a cell whose distortion explodes means the
+    * codebook no longer fits the data and wants retraining; an empty or
+    * single-member cell means wasted code space). Same exact-integer
+    * arithmetic as the fit, so the committed oracle restates it
+    * verbatim and the driver hash-gates the audit.
+    */
+  def pqDistortion(corpus: DataFrame, key: String, vec: String,
+                   dims: Int, m: Int = 8, ks: Int = 16,
+                   refineIters: Int = 1): DataFrame = {
+    val (rows, cb, codes) = pqFit(corpus, key, vec, dims, m, ks, refineIters)
+    codes.join(rows, Seq("n_id", "sub"))
+      .join(broadcast(cb), Seq("sub", "cid", "pos"))
+      .groupBy(col("n_id"), col("sub"), col("cid"))
+      .agg(sum((col("xe") - col("ce")) * (col("xe") - col("ce"))).as("d2"))
+      .groupBy(col("sub"), col("cid"))
+      .agg(count(lit(1)).as("n_members"),
+        expr("sum(d2) DIV count(1)").as("avg_d2"))
+      .orderBy(col("sub"), col("cid"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
+             k: Int, dims: Int, m: Int = 8, ks: Int = 16,
+             refineIters: Int = 1, shortlist: Int = 50): DataFrame = {
+    val dsub = dims / m
+    val (rows, cb, codes) = pqFit(corpus, key, vec, dims, m, ks, refineIters)
+    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
+      col(vec)), "q_id", vec, dsub)
     val qn2 = qrows.groupBy("q_id").agg(sum(col("xe") * col("xe")).as("qn2"))
     // the LUT is every (query, sub, cell) distance term — ks·m rows per
     // query, the table an ADC scan reads instead of raw vectors

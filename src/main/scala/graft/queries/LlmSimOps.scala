@@ -265,6 +265,14 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-cell quantization distortion of the trained PQ index — the
+    * retrain/health audit a PQ deployment runs beside the index; see
+    * [[graft.ops.Similarity.pqDistortion]].
+    */
+  private[queries] val qPqDistortion: Q = (s, d) =>
+    Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding",
+      dims = 64, m = 8, ks = 16)
+
   /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
     * design); recall vs brute force is spec-asserted (LlmOpsSpec).
     */
@@ -557,10 +565,13 @@ private[queries] object LlmSimOps {
     * BIGINT arithmetic, so a seeding slip, a tie-break drift, a mean
     * rounding mismatch, or a dropped subspace is a hash mismatch.
     */
-  private[queries] def annPqSql(dims: Int, m: Int, ks: Int, k: Int,
-                                shortlist: Int = 50): String = {
+  /** The PQ fit (lattice, seed, one Lloyd round, encode) as shared
+    * DuckDB CTEs — [[annPqSql]] appends the ADC/re-rank stages,
+    * [[annPqDistortionSql]] the per-cell quantization audit.
+    */
+  private def pqFitCtes(dims: Int, m: Int, ks: Int): String = {
     val dsub = dims / m
-    s"""WITH r AS MATERIALIZED (SELECT vec_id,
+    s"""r AS MATERIALIZED (SELECT vec_id,
        |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
        |        // $dsub AS sub,
        |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
@@ -596,7 +607,12 @@ private[queries] object LlmSimOps {
        |      row_number() OVER (PARTITION BY d1.vec_id, d1.sub
        |        ORDER BY cn2 - 2 * dot ASC, d1.cid ASC) AS rn
        |    FROM d1 JOIN cn1 ON d1.sub = cn1.sub AND d1.cid = cn1.cid)
-       |    WHERE rn = 1),
+       |    WHERE rn = 1)""".stripMargin
+  }
+
+  private[queries] def annPqSql(dims: Int, m: Int, ks: Int, k: Int,
+                                shortlist: Int = 50): String = {
+    s"""WITH ${pqFitCtes(dims, m, ks)},
        |qn2 AS (SELECT vec_id AS q_id, CAST(sum(xe * xe) AS BIGINT) AS qn2
        |    FROM r WHERE vec_id < 20 GROUP BY 1),
        |lut AS (SELECT d1.vec_id AS q_id, d1.sub, d1.cid,
@@ -628,6 +644,24 @@ private[queries] object LlmSimOps {
        |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Oracle for `q_pq_distortion`: the shared fit CTEs plus the exact
+    * per-cell mean lattice L2 between members and their centroid —
+    * all BIGINT (the `//` mean mirrors Spark's DIV on the non-negative
+    * distortion sum).
+    */
+  private[queries] def annPqDistortionSql(dims: Int, m: Int, ks: Int): String =
+    s"""WITH ${pqFitCtes(dims, m, ks)},
+       |dist AS (SELECT codes.n_id, codes.sub, codes.cid,
+       |      CAST(sum((r.xe - c1.ce) * (r.xe - c1.ce)) AS BIGINT) AS d2
+       |    FROM codes
+       |    JOIN r ON r.vec_id = codes.n_id AND r.sub = codes.sub
+       |    JOIN c1 ON c1.sub = codes.sub AND c1.cid = codes.cid
+       |      AND c1.pos = r.pos
+       |    GROUP BY 1, 2, 3)
+       |SELECT sub, cid, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2
+       |FROM dist GROUP BY 1, 2 ORDER BY sub, cid""".stripMargin
+
   private[queries] val cosineTopkSql: String =
     s"""$cosineCte,
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -653,6 +687,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_pq" -> qAnnPq,
+    "q_pq_distortion" -> qPqDistortion,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_clusters" -> qEntityClusters,
   )
@@ -692,6 +727,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
     "q_ann_lsh" -> annLshSql(bands = 16, bits = 4, dims = 64, k = 5),
     "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
+    "q_pq_distortion" -> annPqDistortionSql(dims = 64, m = 8, ks = 16),
     "q_emb_quantize" ->
       """WITH el AS (SELECT vec_id,
         |    generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
