@@ -172,9 +172,21 @@ p AS (SELECT doc_a, doc_b,
 # min-predecessor rule). Materialize it once per connection as a temp
 # table; the overrides then read soak_pairs instead of each re-running
 # the prefix join (r11: one evaluation at ~SF1 costs tens of minutes).
+# Exact J >= 0.5 pairs WITHOUT per-pair list ops: |A intersect B| is a
+# posting-list self-join counted per pair (pure vectorized join+agg;
+# the per-pair list_intersect verify measured 40+ GB / >1 h at ~SF1,
+# this form runs in minutes), and the threshold is the integer form
+# 2c >= |A|+|B|-c, exactly equivalent to jac >= 0.5.
 _PAIRS_TABLE_SQL = f"""CREATE OR REPLACE TEMP TABLE soak_pairs AS
-WITH {_PREFIX_PAIRS}
-SELECT doc_a, doc_b, jac FROM p WHERE jac >= 0.5"""
+WITH s AS ({_SHINGLE_S}),
+n AS (SELECT doc_id, len(sh) AS n FROM s),
+post AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+      FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT doc_a, doc_b, c * 1.0 / (na.n + nb.n - c) AS jac
+FROM c JOIN n na ON na.doc_id = c.doc_a JOIN n nb ON nb.doc_id = c.doc_b
+WHERE 2 * c >= na.n + nb.n - c"""
 
 _JACCARD_PAIRS_FROM_TABLE = """SELECT doc_a, doc_b,
   CAST(floor(jac * 1000000) AS BIGINT) AS jaccard_e6
@@ -342,7 +354,10 @@ def check_equivalence(committed, overrides):
     for t in TABLES:
         eq.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                    f"'/root/testdata/sf0.01/{t}.parquet'")
-    prepare_shared(eq)
+    try:
+        prepare_shared(eq)
+    except Exception as e:
+        print(f"shared-pairs build (sf0.01) FAILED: {e}", flush=True)
     out = {}
     for k, fast in sorted(overrides.items()):
         eq.execute(f"CREATE OR REPLACE VIEW v_fast AS {fast}")
@@ -405,9 +420,13 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"'{soak_dir}/{t}.parquet/*.parquet'")
-    print("building shared soak_pairs table (the one prefix join)...",
+    print("building shared soak_pairs table (posting-join count)...",
           flush=True)
-    prepare_shared(con)
+    try:
+        prepare_shared(con)
+    except Exception as e:
+        print(f"shared-pairs build FAILED: {e} -- dependent keys will "
+              f"record per-key failures", flush=True)
     queries = check_queries(con, out_dir)
     timings = {}
     tpath = f"{out_dir}/soak_timings.json"
