@@ -50,7 +50,7 @@ def tuned(con):
     ballooning resident memory (r11: the committed q_dedup_eval oracle
     passed 90 GB RSS at ~SF1 before this guard existed)."""
     con.execute("SET threads TO 16")
-    con.execute("SET memory_limit='48GB'")
+    con.execute(f"SET memory_limit='{os.environ.get('SOAK_MEM', '48GB')}'")
     os.makedirs("target/duck_tmp", exist_ok=True)
     con.execute("SET temp_directory='target/duck_tmp'")
     return con
