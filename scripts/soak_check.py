@@ -29,7 +29,8 @@ from selfcheck import TABLES, sorted_vals  # noqa: E402
 
 SHIFT = 10_000_000
 
-# The ONE rule, restated (ops/ScaleFold.scala `shifted` + documents text):
+# The ONE rule, restated (ops/ScaleFold.scala `shifted` + documents /
+# embeddings text):
 SHIFTED = {
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
@@ -40,20 +41,72 @@ SHIFTED = {
     "documents": ["doc_id"],
     "nation": [],
     "region": [],
-    "embeddings": [],
+    "embeddings": ["vec_id"],
 }
 
+# ScaleFold.EmbEps: exactly 2^-7 — float->double is exact, k*EMB_EPS is
+# exact for k <= 9, one IEEE double add + one round-to-float are
+# correctly rounded identically in Spark and DuckDB, so the EXCEPT
+# compare below is a bit-level gate on the whole perturbation.
+EMB_EPS = "0.0078125"
+
+
+
+DUCK_TMP = "target/duck_tmp"
 
 
 def tuned(con):
     """Bound DuckDB so a blown-up plan spills to disk instead of
     ballooning resident memory (r11: the committed q_dedup_eval oracle
-    passed 90 GB RSS at ~SF1 before this guard existed)."""
+    passed 90 GB RSS at ~SF1 before this guard existed). Spill itself is
+    capped too: r11's q_graph_bfs oracle wrote >79 GB of temp before
+    dying on a full disk, and the leaked files then starved its sibling
+    keys — a runaway recursive CTE must fail fast and per-key instead."""
     con.execute("SET threads TO 16")
     con.execute(f"SET memory_limit='{os.environ.get('SOAK_MEM', '48GB')}'")
-    os.makedirs("target/duck_tmp", exist_ok=True)
-    con.execute("SET temp_directory='target/duck_tmp'")
+    os.makedirs(DUCK_TMP, exist_ok=True)
+    con.execute(f"SET temp_directory='{DUCK_TMP}'")
+    con.execute("SET max_temp_directory_size='"
+                f"{os.environ.get('SOAK_TMP_MAX', '24GB')}'")
     return con
+
+
+def clean_duck_tmp():
+    """Remove leaked spill files; DuckDB only reclaims temp on a clean
+    connection close, so an interrupted/OOM-killed oracle leaves its
+    duckdb_temp_storage-*.tmp behind (r11: 62 GB, disk at 80%). Called
+    from a finally block on every soak-script exit path."""
+    import shutil
+    shutil.rmtree(DUCK_TMP, ignore_errors=True)
+
+
+def classify(entry):
+    """status enum: pass | engine_fail | oracle_env. An `err` that the
+    oracle side raised (disk-full spill, watchdog interrupt, DuckDB
+    internal) is an environment fault, not evidence the engine is wrong;
+    fail_count counts only engine faults so a reader needn't string-match
+    error text (VERDICT r11 item 8)."""
+    if entry.get("hash_match"):
+        return "pass"
+    err = entry.get("err") or ""
+    if err.startswith("oracle-side:"):
+        return "oracle_env"
+    return "engine_fail"
+
+
+def fail_counts(doc):
+    """(engine fail_count, env_fail_count) over all three gates."""
+    eng = (sum(0 if v["match"] else 1 for v in doc["corpus"].values()) +
+           sum(0 if v["match"] else 1
+               for v in doc["oracle_equivalence"].values()))
+    env = 0
+    for v in doc["queries"].values():
+        v["status"] = classify(v)
+        if v["status"] == "engine_fail":
+            eng += 1
+        elif v["status"] == "oracle_env":
+            env += 1
+    return eng, env
 
 
 def run_guarded(con, sql, seconds=3600):
@@ -86,6 +139,9 @@ def rule_sql(table, base_dir, cols):
             sel.append(f"text || ' f' || CAST(k AS VARCHAR) AS text")
         elif table == "documents" and c == "n_chars":
             sel.append("n_chars + 3 AS n_chars")
+        elif table == "embeddings" and c == "embedding":
+            sel.append(f"[CAST(CAST(x AS DOUBLE) + k * {EMB_EPS} AS FLOAT)"
+                       f" for x in embedding] AS embedding")
         else:
             sel.append(c)
     return (f"SELECT {', '.join(sel)} FROM '{base_dir}/{table}.parquet', "
@@ -97,16 +153,9 @@ def check_corpus(con, base_dir, soak_dir):
     for t in TABLES:
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{base_dir}/{t}.parquet'").fetchall()]
-        if t == "embeddings":
-            # list<float> cells break EXCEPT-free compare paths in pandas;
-            # the table is copied unchanged, so compare count + flat checksum
-            q = (f"SELECT count(*) AS n, sum(vec_id) AS s, "
-                 f"sum(len(embedding)) AS d FROM ")
-            a = con.execute(q + f"'{base_dir}/{t}.parquet'").fetchone()
-            b = con.execute(q + f"'{soak_dir}/{t}.parquet/*.parquet'").fetchone()
-            out[t] = {"rule_rows": a[0], "soak_rows": b[0],
-                      "match": bool(a == b)}
-            continue
+        # embeddings included: DuckDB EXCEPT ALL compares LIST(FLOAT)
+        # cells element-wise, so the perturbation rule is gated at the
+        # bit level like every scalar column
         rule = rule_sql(t, base_dir, cols)
         written = f"SELECT * FROM '{soak_dir}/{t}.parquet/*.parquet'"
         n_rule = con.execute(f"SELECT count(*) FROM ({rule})").fetchone()[0]
@@ -212,27 +261,33 @@ def prepare_shared(con, seconds=3600):
 
 
 
+# Every CTE MATERIALIZED: each e_n is referenced three times (by e_n+1
+# and twice inside d_n's UNION ALL); DuckDB's default inlining expands
+# e3 into 3^3 copies of the e0 self-join, each with its own hash-join
+# memory — measured 22+ GiB of spill on a 1.2M-edge fold where the
+# materialized form runs in seconds.
 _KCORE_SQL = """
-WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+WITH li AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS MATERIALIZED (SELECT DISTINCT a.p AS u, b.p AS v
       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
 d0 AS (SELECT src, count(*) AS dg FROM
     (SELECT u AS src FROM e0 UNION ALL SELECT v FROM e0)
   GROUP BY 1),
-k0 AS (SELECT src FROM d0 WHERE dg >= 2),
-e1 AS (SELECT u, v FROM e0
+k0 AS MATERIALIZED (SELECT src FROM d0 WHERE dg >= 2),
+e1 AS MATERIALIZED (SELECT u, v FROM e0
   JOIN k0 ku ON e0.u = ku.src JOIN k0 kv ON e0.v = kv.src),
 d1 AS (SELECT src, count(*) AS dg FROM
     (SELECT u AS src FROM e1 UNION ALL SELECT v FROM e1)
   GROUP BY 1),
-k1 AS (SELECT src FROM d1 WHERE dg >= 2),
-e2 AS (SELECT u, v FROM e1
+k1 AS MATERIALIZED (SELECT src FROM d1 WHERE dg >= 2),
+e2 AS MATERIALIZED (SELECT u, v FROM e1
   JOIN k1 ku ON e1.u = ku.src JOIN k1 kv ON e1.v = kv.src),
 d2 AS (SELECT src, count(*) AS dg FROM
     (SELECT u AS src FROM e2 UNION ALL SELECT v FROM e2)
   GROUP BY 1),
-k2 AS (SELECT src FROM d2 WHERE dg >= 2),
-e3 AS (SELECT u, v FROM e2
+k2 AS MATERIALIZED (SELECT src FROM d2 WHERE dg >= 2),
+e3 AS MATERIALIZED (SELECT u, v FROM e2
   JOIN k2 ku ON e2.u = ku.src JOIN k2 kv ON e2.v = kv.src)
 SELECT src AS node, CAST(count(*) AS BIGINT) AS dg FROM
   (SELECT u AS src FROM e3 UNION ALL SELECT v FROM e3)
@@ -412,37 +467,39 @@ def check_queries(con, out_dir):
 
 def main():
     base_dir, soak_dir, out_dir, artifact = sys.argv[1:5]
-    con = tuned(duckdb.connect())
-    corpus = check_corpus(con, base_dir, soak_dir)
-    committed = json.load(open(f"{out_dir}/oracle_sql.json"))
-    equiv = check_equivalence(committed, soak_oracles(committed))
-    # oracle views read the SOAK corpus -- both engines see the same files
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
-                    f"'{soak_dir}/{t}.parquet/*.parquet'")
-    print("building shared soak_pairs table (posting-join count)...",
-          flush=True)
     try:
-        prepare_shared(con)
-    except Exception as e:
-        print(f"shared-pairs build FAILED: {e} -- dependent keys will "
-              f"record per-key failures", flush=True)
-    queries = check_queries(con, out_dir)
-    timings = {}
-    tpath = f"{out_dir}/soak_timings.json"
-    if os.path.exists(tpath):
-        timings = json.load(open(tpath))
-    n_fail = (sum(0 if v["match"] else 1 for v in corpus.values()) +
-              sum(0 if v["match"] else 1 for v in equiv.values()) +
-              sum(0 if v["hash_match"] else 1 for v in queries.values()))
-    doc = {"scale": "sf0.1 x 10 folds (~SF1)", "base_dir": base_dir,
-           "corpus": corpus, "oracle_equivalence": equiv,
-           "queries": queries, "timings": timings,
-           "fail_count": n_fail}
-    with open(artifact, "w") as f:
-        json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"== soak: {n_fail} failures -> {artifact}")
-    sys.exit(1 if n_fail else 0)
+        con = tuned(duckdb.connect())
+        corpus = check_corpus(con, base_dir, soak_dir)
+        committed = json.load(open(f"{out_dir}/oracle_sql.json"))
+        equiv = check_equivalence(committed, soak_oracles(committed))
+        # oracle views read the SOAK corpus -- both engines see the same
+        # files
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{soak_dir}/{t}.parquet/*.parquet'")
+        print("building shared soak_pairs table (posting-join count)...",
+              flush=True)
+        try:
+            prepare_shared(con)
+        except Exception as e:
+            print(f"shared-pairs build FAILED: {e} -- dependent keys will "
+                  f"record per-key failures", flush=True)
+        queries = check_queries(con, out_dir)
+        timings = {}
+        tpath = f"{out_dir}/soak_timings.json"
+        if os.path.exists(tpath):
+            timings = json.load(open(tpath))
+        doc = {"scale": "sf0.1 x 10 folds (~SF1)", "base_dir": base_dir,
+               "corpus": corpus, "oracle_equivalence": equiv,
+               "queries": queries, "timings": timings}
+        doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
+        with open(artifact, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+        print(f"== soak: {doc['fail_count']} engine failures, "
+              f"{doc['env_fail_count']} oracle-env failures -> {artifact}")
+        sys.exit(1 if doc["fail_count"] else 0)
+    finally:
+        clean_duck_tmp()
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import sorted_vals  # noqa: E402
+from soak_check import fail_counts  # noqa: E402
 
 PAIRS = """
 WITH dn AS (SELECT DISTINCT p_brand, p_name FROM part),
@@ -94,19 +95,20 @@ def main():
         "hash_match": s_cols == d_cols and s_vals == d_vals,
         "spark_rows": len(s_vals), "oracle_rows": len(d_vals),
         "err": None,
+        "method": ("union-find closure over the distinct-name pair set, "
+                   "equivalence-pinned vs the committed recursive CTE at "
+                   "sf0.01; see scripts/soak_fix_entity_clusters.py"),
     }
     status = "PASS" if entry["hash_match"] else "FAIL"
     print(f"query {status} q_entity_clusters: spark={len(s_vals)} "
           f"oracle={len(d_vals)}")
     doc = json.load(open(artifact))
     doc["queries"]["q_entity_clusters"] = entry
-    doc["fail_count"] = (
-        sum(0 if v["match"] else 1 for v in doc["corpus"].values()) +
-        sum(0 if v["match"] else 1 for v in doc["oracle_equivalence"].values()) +
-        sum(0 if v["hash_match"] else 1 for v in doc["queries"].values()))
+    doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"== patched {artifact}: fail_count={doc['fail_count']}")
+    print(f"== patched {artifact}: fail_count={doc['fail_count']} "
+          f"env_fail_count={doc['env_fail_count']}")
     sys.exit(1 if not entry["hash_match"] else 0)
 
 

@@ -19,6 +19,16 @@ fold-local node ids, so the full-corpus row is the fold-wise SUM of
 n_labels and MAX of max_members per round — recombined from all ten
 per-fold oracle runs, no isomorphism assumption.
 
+Decomposability is not merely asserted — it is VALIDATED by the
+comparison itself: the per-fold oracle is compared against the full
+Spark output, so an oracle whose formulation were NOT component-local
+(a 1/N teleport over the whole corpus, a global round count) would
+produce a spurious FAIL, never a false PASS. Concretely, the committed
+q_pagerank/q_ppr texts teleport within the seed/component structure and
+q_label_prop runs a fixed round count, all component-local; if a future
+oracle edit broke that, this check fails loudly and the mismatch means
+"fold assumption broken", not "Spark bug" — check the oracle text first.
+
 Usage: python3 scripts/soak_graph_by_fold.py <soak_dir> <out_dir> <artifact.json> [key ...]
 """
 import json
@@ -29,7 +39,8 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, sorted_vals  # noqa: E402
-from soak_check import tuned, run_guarded  # noqa: E402
+from soak_check import (tuned, run_guarded, fail_counts,  # noqa: E402
+                        clean_duck_tmp, soak_oracles, check_equivalence)
 
 SHIFT = 10_000_000
 FOLDS = 10
@@ -40,10 +51,19 @@ FOLD_COL = {
     "part": "p_partkey", "lineitem": "l_orderkey", "orders": "o_orderkey",
     "customer": "c_custkey", "supplier": "s_suppkey",
     "events": "event_id", "documents": "doc_id",
+    "embeddings": "vec_id",
 }
 
 ID_COL = {"q_graph_bfs": "part", "q_kcore": "node",
           "q_pagerank": "part", "q_ppr": "part"}
+
+# q_ppr's committed text ends in a GLOBAL `ORDER BY rank_e9 DESC, part
+# LIMIT 25` — not component-local, so the full-corpus answer is the
+# top-25 of the UNION of per-fold results (exact: any global top-25 row
+# has < 25 rows above it globally, hence < 25 within its own fold, so
+# it survives the fold's LIMIT). Seeds (src % 97 = 0) exist in every
+# fold since the 10^7 shift permutes residues mod 97.
+TOP_LIMIT = {"q_ppr": (25, ["rank_e9", "part"], [False, True])}
 
 DEFAULT_KEYS = ["q_graph_bfs", "q_kcore", "q_label_prop",
                 "q_pagerank", "q_ppr"]
@@ -63,10 +83,29 @@ def fold_con(soak_dir, fold):
 
 
 def main():
+    try:
+        run()
+    finally:
+        clean_duck_tmp()
+
+
+def run():
     soak_dir, out_dir, artifact = sys.argv[1:4]
     keys = sys.argv[4:] or DEFAULT_KEYS
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # the scalable-override texts are EXCEPT-proven equivalent to the
+    # committed ones at sf0.01 (artifact `oracle_equivalence` block);
+    # q_kcore's committed IN-subquery peel plans catastrophically in
+    # DuckDB even at per-fold size, so use the same override here
+    overrides = {k: v for k, v in soak_oracles(oracle).items() if k in keys}
     doc = json.load(open(artifact))
+    if overrides:
+        # re-pin equivalence for the override texts THIS run uses (the
+        # artifact may hold pins for an older text) — compare against
+        # the still-pristine committed dict BEFORE installing them
+        doc["oracle_equivalence"].update(
+            check_equivalence(oracle, overrides))
+    oracle.update(overrides)
     plain = duckdb.connect()
     for key in keys:
         entry = {"rows_match": False, "schema_match": False,
@@ -105,6 +144,9 @@ def main():
                 assert n_spark_covered == len(s_df), \
                     f"{key}: fold partition lost rows"
                 d_df = pd.concat([g for _, g, _ in parts])
+                if key in TOP_LIMIT:
+                    n, by, asc = TOP_LIMIT[key]
+                    d_df = d_df.sort_values(by, ascending=asc).head(n)
             s_cols, s_vals = sorted_vals(s_df, "spark", key)
             d_cols, d_vals = sorted_vals(d_df, "duckdb", key)
             entry["oracle_rows"] = len(d_vals)
@@ -117,14 +159,11 @@ def main():
         print(f"query {status} {key}: spark={entry['spark_rows']} "
               f"oracle={entry['oracle_rows']} err={entry['err']}", flush=True)
         doc["queries"][key] = entry
-    doc["fail_count"] = (
-        sum(0 if v["match"] else 1 for v in doc["corpus"].values()) +
-        sum(0 if v["match"] else 1
-            for v in doc["oracle_equivalence"].values()) +
-        sum(0 if v["hash_match"] else 1 for v in doc["queries"].values()))
+    doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"== patched {artifact}: fail_count={doc['fail_count']}")
+    print(f"== patched {artifact}: fail_count={doc['fail_count']} "
+          f"env_fail_count={doc['env_fail_count']}")
 
 
 if __name__ == "__main__":

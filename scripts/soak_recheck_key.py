@@ -15,10 +15,18 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, sorted_vals  # noqa: E402
-from soak_check import tuned, run_guarded, soak_oracles, prepare_shared  # noqa: E402
+from soak_check import (tuned, run_guarded, soak_oracles,  # noqa: E402
+                        prepare_shared, fail_counts, clean_duck_tmp)
 
 
 def main():
+    try:
+        run()
+    finally:
+        clean_duck_tmp()
+
+
+def run():
     soak_dir, out_dir, artifact, key = sys.argv[1:5]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     oracle.update(soak_oracles(oracle))
@@ -45,14 +53,11 @@ def main():
     print(f"query {status} {key}: spark={len(s_vals)} oracle={len(d_vals)}")
     doc = json.load(open(artifact))
     doc["queries"][key] = entry
-    doc["fail_count"] = (
-        sum(0 if v["match"] else 1 for v in doc["corpus"].values()) +
-        sum(0 if v["match"] else 1
-            for v in doc["oracle_equivalence"].values()) +
-        sum(0 if v["hash_match"] else 1 for v in doc["queries"].values()))
+    doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
-    print(f"== patched {artifact}: fail_count={doc['fail_count']}")
+    print(f"== patched {artifact}: fail_count={doc['fail_count']} "
+          f"env_fail_count={doc['env_fail_count']}")
     sys.exit(0 if entry["hash_match"] else 1)
 
 

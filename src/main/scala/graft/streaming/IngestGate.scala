@@ -36,7 +36,11 @@ import graft.ops.{Dedup, Par}
   * Idempotence: each micro-batch Overwrite-writes its own `b<id>`
   * subdirectory of the decision/index/shingle stores, so an
   * at-least-once replay of a batch rewrites identical files instead of
-  * double-appending.
+  * double-appending — and the probe reads only STRICTLY EARLIER batch
+  * subdirectories (`existing(dir, before = batchId)`), so a replayed
+  * batch cannot see its own first attempt's just-written index (which
+  * would yield self-pairs and reversed key_a > key_b pairs) and
+  * reproduces byte-identical decisions.
   */
 object IngestGate {
   private val fixtureLock = new Object
@@ -70,10 +74,14 @@ object IngestGate {
     val decDir = graft.model.Scratch.dir("ingest_gate_dec", d)
     val idxDir = graft.model.Scratch.dir("ingest_gate_idx", d)
     val shDir = graft.model.Scratch.dir("ingest_gate_sh", d)
-    def existing(dir: String): Seq[String] = {
+    // `before`: only batches strictly earlier than the given id — the
+    // replay-safety boundary (a retried batch must not probe its own
+    // first attempt's output)
+    def existing(dir: String, before: Long = Long.MaxValue): Seq[String] = {
       val f = new java.io.File(dir)
       if (!f.isDirectory) Nil
-      else f.listFiles().filter(x => x.isDirectory && x.getName.startsWith("b"))
+      else f.listFiles().filter(x => x.isDirectory && x.getName.startsWith("b")
+          && x.getName.drop(1).toLong < before)
         .map(_.getPath).toSeq.sorted
     }
     // a rerun in the same session must gate the replay afresh, not
@@ -104,7 +112,7 @@ object IngestGate {
         val sigs = Dedup.minhashSignatures(withSh, "doc_id", 32)
         val batchBands = Dedup.bandBuckets(sigs, "doc_id", 32, 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val idxDirs = existing(idxDir)
+        val idxDirs = existing(idxDir, before = batchId)
         // prior-batch candidates: probe the persistent band index with
         // THIS batch's buckets (cost ∝ batch); same-batch candidates:
         // the ordered self-join, exactly lshCandidates' shape
@@ -123,7 +131,7 @@ object IngestGate {
           .filter(col("key_a") < col("key_b"))
           .select(col("key_a"), col("key_b"))
         val cands = candPrev.unionByName(candSame).distinct()
-        val shDirs = existing(shDir)
+        val shDirs = existing(shDir, before = batchId)
         val allSh =
           if (shDirs.isEmpty) withSh
           else ss.read.parquet(shDirs: _*).unionByName(withSh)

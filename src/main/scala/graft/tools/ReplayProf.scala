@@ -16,7 +16,16 @@ object ReplayProf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    sys.env.get("GRAFT_PROF_CONF").foreach { kvs => kvs.split(";").foreach { kv => val Array(k,v)=kv.split("="); spark.conf.set(k,v) } }
+    // split(_, 2): conf VALUES may themselves contain '=' ; skip (and
+    // report) malformed entries instead of aborting the profiler
+    sys.env.get("GRAFT_PROF_CONF").foreach { kvs =>
+      kvs.split(";").filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => println(s"ReplayProf: skipping malformed conf '$kv'")
+        }
+      }
+    }
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       import org.apache.spark.sql.streaming.StreamingQueryListener._
