@@ -114,6 +114,7 @@ object Bench {
     "q_ann_ivf_exhaustive",
     "q_ann_lsh",
     "q_ann_pq",
+    "q_ann_ivfpq",
     "q_pq_distortion",
     "q_stream_ingest_gate",
     "q_approx_distinct",

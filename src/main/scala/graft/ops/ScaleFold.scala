@@ -24,9 +24,21 @@ import org.apache.spark.sql.functions._
   *   - documents: doc_id + k·S, text ∥ ' f'∥k (so folds are NEAR-dups,
   *                not exact dups — the shape a dedup pass must survive),
   *                n_chars + 3 (the suffix is always 3 chars for k ≤ 9)
-  *   - embeddings, nation, region: copied unchanged (nation/region are
-  *     fixed-size at every TPC-H scale; the ANN surface has its own
-  *     recall pins and is not a soak target)
+  *   - embeddings: vec_id + k·S, every component perturbed
+  *                 `float(double(x) + k · 2⁻⁷)` — the vector-space
+  *                 analogue of documents' suffix: fold copies are
+  *                 embedding NEAR-dups (cosine ≈ 1), so the similarity
+  *                 tier (SRP blocking, ANN probe/re-rank, top-k
+  *                 tie-breaks) soaks at 10× corpus with the candidate
+  *                 explosion a replicated corpus really produces. The
+  *                 arithmetic is bit-exactly restatable in the oracle:
+  *                 float→double is exact, k·2⁻⁷ is exact for k ≤ 9,
+  *                 one IEEE double add and one round-to-float are
+  *                 correctly rounded identically in Spark and DuckDB.
+  *                 k = 0 is the exact identity (x + 0.0 → x). label
+  *                 passes through, so per-label profiles scale 10×.
+  *   - nation, region: copied unchanged (fixed-size at every TPC-H
+  *     scale)
   *
   * The same rule is restated as DuckDB SQL in `scripts/soak_check.py`,
   * which EXCEPT-compares every amplified table against the
@@ -53,8 +65,12 @@ object ScaleFold {
     "documents" -> Seq("doc_id"),
     "nation" -> Nil,
     "region" -> Nil,
-    "embeddings" -> Nil
+    "embeddings" -> Seq("vec_id")
   )
+
+  /** Exactly 2⁻⁷: representable in float and double, so k·Eps and the
+    * perturbation rounding are identical across engines. */
+  val EmbEps = 0.0078125
 
   def amplifyTable(df: DataFrame, table: String, folds: Int): DataFrame = {
     // the documents rule hardcodes a 3-char ' f<k>' suffix (n_chars + 3),
@@ -76,6 +92,14 @@ object ScaleFold {
             .withColumn("text",
               concat(col("text"), lit(" f"), col("_fold").cast("string")))
             .withColumn("n_chars", col("n_chars") + lit(3L))
+        else if (table == "embeddings")
+          // per-component double add then round back to float — the
+          // only two operations, both correctly rounded, both stated
+          // identically by the DuckDB rule restatement
+          shiftedDf.withColumn("embedding",
+            transform(col("embedding"), x =>
+              (x.cast("double") + col("_fold").cast("double") * lit(EmbEps))
+                .cast("float")))
         else shiftedDf
       // restore the exact input column order (drop the fold marker)
       textFixed.select(df.columns.map(col).toIndexedSeq: _*)

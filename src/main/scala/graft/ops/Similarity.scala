@@ -348,6 +348,17 @@ object Similarity {
     val rows = pqLattice(Par.fanOut(corpus.select(
       col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
       .localCheckpoint(true)
+    val (cb, codes) = pqTrain(rows, ks, refineIters)
+    (rows, cb, codes)
+  }
+
+  /** The PQ training loop over pre-built lattice rows (n_id, sub, pos,
+    * xe): seed from the first `ks` ids' subvectors, `refineIters` Lloyd
+    * rounds, encode. Factored from [[pqFit]] so [[ivfPqTopK]] can train
+    * the SAME discipline on RESIDUAL rows. Returns (codebook, codes).
+    */
+  private[graft] def pqTrain(rows: DataFrame, ks: Int, refineIters: Int)
+      : (DataFrame, DataFrame) = {
     // seeds: the first ks corpus vectors' subvectors (cid = their key)
     var cb = rows.filter(col("n_id") < ks)
       .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
@@ -379,7 +390,7 @@ object Similarity {
         .localCheckpoint(true)
     }
     val codes = assign(rows, "n_id").select("n_id", "sub", "cid")
-    (rows, cb, codes)
+    (cb, codes)
   }
 
   /** Per-cell quantization distortion of the trained PQ index: for each
@@ -443,6 +454,17 @@ object Similarity {
     // k on near-equidistant corpora, so the last step pays the exact
     // lattice L2 on `shortlist` candidates per query only — the raw
     // vectors are fetched for ~shortlist·q rows, never the corpus
+    exactRerankL2(shortl, rows, qrows, qn2, k)
+  }
+
+  /** Exact lattice-L2 re-rank of a (q_id, n_id) shortlist against the
+    * ORIGINAL lattice rows — the FAISS refine stage shared by [[pqTopK]]
+    * and [[ivfPqTopK]]. Raw vectors are fetched for shortlist·q rows
+    * only, never the corpus.
+    */
+  private def exactRerankL2(shortl: DataFrame, rows: DataFrame,
+                            qrows: DataFrame, qn2: DataFrame,
+                            k: Int): DataFrame = {
     val nn2 = rows.groupBy("n_id").agg(sum(col("xe") * col("xe")).as("nn2"))
     val pairDots = shortl
       .join(rows, Seq("n_id"))
@@ -460,6 +482,119 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"), col("d2"))
+  }
+
+  /** IVFADC — the composed 100 TB ANN form (Jégou et al., §IV):
+    * [[ivfTopK]]'s coarse cell pruning fused with [[pqTopK]]'s
+    * quantized-code scan, so a query touches only the codes of its
+    * `nprobe` probed cells instead of the full code table, and the
+    * corpus is stored as PQ codes of RESIDUALS (x − coarse centroid),
+    * which quantize markedly tighter than raw vectors because each
+    * cell's residual cloud is centered at the origin.
+    *
+    * Pipeline, all on the 2²⁴ integer lattice (the [[pqFit]]
+    * determinism discipline — every stage is exact BIGINT arithmetic,
+    * order-independent under any partitioning, so the committed oracle
+    * restates the whole algorithm and the driver hash-gates it):
+    *
+    *  1. COARSE: centroids are the first `cells` corpus vectors'
+    *     full-dim lattice rows; every corpus vector assigns to its
+    *     exact-L2 argmin cell (`|c|² − 2·x·c`, ties → lowest cell id)
+    *     via one broadcast join + partial-aggregate argmin.
+    *  2. RESIDUALS: `x − c(cell)` per coordinate — exact integer
+    *     differences on the lattice.
+    *  3. PQ on residuals: [[pqTrain]] (first-`ks` seeding,
+    *     `refineIters` Lloyd rounds, encode) over the residual rows.
+    *  4. PROBE: each query ranks cells by the same exact term and takes
+    *     `nprobe`; per probed cell the query forms its OWN residual and
+    *     a ks·m lookup table of `|c|² − 2·r·c` terms.
+    *  5. ADC: codes ⋈ probed-cell LUT (an equi-join on (cell, sub,
+    *     cid) — the scan never touches un-probed cells), cross-subspace
+    *     BIGINT sum + |r|² = the exact lattice L2 to the reconstructed
+    *     residual; shortlist by (adist, n_id).
+    *  6. REFINE: exact lattice L2 re-rank of the shortlist against raw
+    *     vectors ([[exactRerankL2]]).
+    *
+    * At 100 TB: the code table is ~50× smaller than raw vectors, the
+    * per-query scan cost drops by ~cells/nprobe versus [[pqTopK]], and
+    * raw vectors are fetched for shortlist·q rows only. Recall vs
+    * [[bruteForceTopKL2]] is spec-pinned in LlmOpsSpec like the other
+    * ANN tiers.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, key: String,
+                vec: String, k: Int, dims: Int, cells: Int = 16,
+                nprobe: Int = 4, m: Int = 8, ks: Int = 16,
+                refineIters: Int = 1, shortlist: Int = 50): DataFrame = {
+    ensureRegistered(corpus)
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    val rows = pqLattice(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
+      .localCheckpoint(true)
+    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
+      col(vec)), "q_id", vec, dsub).localCheckpoint(true)
+    // 1. coarse codebook: first `cells` corpus vectors, full-dim
+    val cc = rows.filter(col("n_id") < cells)
+      .select(col("pos"), col("n_id").as("cell_id"), col("xe").as("ce"))
+    val ccn = cc.groupBy("cell_id").agg(sum(col("ce") * col("ce")).as("cn2"))
+    def cellTerms(xs: DataFrame, keyAs: String): DataFrame =
+      xs.join(broadcast(cc), Seq("pos"))
+        .groupBy(col(keyAs), col("cell_id"))
+        .agg(sum(col("xe") * col("ce")).as("dot"))
+        .join(broadcast(ccn), Seq("cell_id"))
+        .select(col(keyAs), col("cell_id"),
+          (col("cn2") - col("dot") * 2L).as("term"))
+    val casg = cellTerms(rows, "n_id")
+      .groupBy("n_id")
+      .agg(min_by(col("cell_id"), struct(col("term"), col("cell_id")))
+        .as("cell_id"))
+      .localCheckpoint(true)
+    // 2. residual lattice rows (sub survives: residuals split into the
+    // same m subspaces)
+    val rr = rows.join(casg, Seq("n_id"))
+      .join(broadcast(cc), Seq("cell_id", "pos"))
+      .select(col("n_id"), col("sub"), col("pos"),
+        (col("xe") - col("ce")).as("xe"))
+      .localCheckpoint(true)
+    // 3. PQ codebooks + codes over residuals
+    val (cb, codes) = pqTrain(rr, ks, refineIters)
+    // 4. probe selection + per-(query, cell) residual LUT
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
+    val qprobe = cellTerms(qrows, "q_id")
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= nprobe)
+      .select(col("q_id"), col("cell_id"))
+    val qr = qrows.join(broadcast(qprobe), Seq("q_id"))
+      .join(broadcast(cc), Seq("cell_id", "pos"))
+      .select(col("q_id"), col("cell_id"), col("sub"), col("pos"),
+        (col("xe") - col("ce")).as("xe"))
+    val qrn2 = qr.groupBy("q_id", "cell_id")
+      .agg(sum(col("xe") * col("xe")).as("rn2"))
+    val cn = cb.groupBy("sub", "cid").agg(sum(col("ce") * col("ce")).as("cn2"))
+    val lut = qr.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col("q_id"), col("cell_id"), col("sub"), col("cid"))
+      .agg(sum(col("xe") * col("ce")).as("dot"))
+      .join(broadcast(cn), Seq("sub", "cid"))
+      .select(col("q_id"), col("cell_id"), col("sub"), col("cid"),
+        (col("cn2") - col("dot") * 2L).as("term"))
+    // 5. ADC over probed cells only: the (cell_id, sub, cid) equi-join
+    // is the pruning — un-probed cells never join
+    val wAdc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
+    val shortl = codes.join(casg, Seq("n_id"))
+      .join(broadcast(lut), Seq("cell_id", "sub", "cid"))
+      .filter(col("q_id") =!= col("n_id"))
+      .groupBy(col("q_id"), col("n_id"), col("cell_id"))
+      .agg(sum(col("term")).as("t"))
+      .join(broadcast(qrn2), Seq("q_id", "cell_id"))
+      .select(col("q_id"), col("n_id"), (col("t") + col("rn2")).as("adist"))
+      .withColumn("srnk", row_number().over(wAdc))
+      .filter(col("srnk") <= shortlist)
+      .select(col("q_id"), col("n_id"))
+    // 6. exact refine on the original (non-residual) lattice
+    val qn2 = qrows.groupBy("q_id").agg(sum(col("xe") * col("xe")).as("qn2"))
+    exactRerankL2(shortl, rows, qrows, qn2, k)
   }
 
   /** Exact brute-force top-k by L2 distance — the ground truth

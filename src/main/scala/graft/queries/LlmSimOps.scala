@@ -273,6 +273,24 @@ private[queries] object LlmSimOps {
     Similarity.pqDistortion(Tables.embeddings(s, d), "vec_id", "embedding",
       dims = 64, m = 8, ks = 16)
 
+  /** IVFADC — coarse cell pruning composed with residual PQ, the form a
+    * 100 TB deployment actually runs: the ADC scan touches only the
+    * codes of the query's probed cells (vs `q_ann_pq`'s full-table
+    * scan), and codes quantize residuals, which compress tighter. The
+    * whole pipeline is exact lattice BIGINT arithmetic, so the
+    * committed SQL restates every stage (coarse assign, residuals,
+    * codebook train, probe, per-cell LUT, pruned ADC, exact refine) and
+    * the driver hash-gates it; recall vs exact L2 is spec-pinned in
+    * LlmOpsSpec. See [[graft.ops.Similarity.ivfPqTopK]].
+    */
+  private[queries] val qAnnIvfPq: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
+        m = 8, ks = 16)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
     * design); recall vs brute force is spec-asserted (LlmOpsSpec).
     */
@@ -662,6 +680,120 @@ private[queries] object LlmSimOps {
        |  CAST(sum(d2) // count(*) AS BIGINT) AS avg_d2
        |FROM dist GROUP BY 1, 2 ORDER BY sub, cid""".stripMargin
 
+  /** Full-algorithm oracle for `q_ann_ivfpq` (IVFADC): every stage of
+    * [[graft.ops.Similarity.ivfPqTopK]] restated on the same 2²⁴
+    * integer lattice — coarse first-`cells` centroids and exact-L2
+    * argmin assignment, residual rows, the residual PQ fit (seed + one
+    * Lloyd round + encode, the [[pqFitCtes]] chain reading residuals),
+    * per-(query, probed-cell) residual LUTs, the cell-pruned ADC sum,
+    * and the exact re-rank — all BIGINT, so a probe-selection slip, a
+    * residual sign error, a cross-cell ADC leak, or a tie-break drift
+    * is a hash mismatch.
+    */
+  private[queries] def annIvfPqSql(dims: Int, m: Int, ks: Int, cells: Int,
+                                   nprobe: Int, k: Int,
+                                   shortlist: Int = 50): String = {
+    val dsub = dims / m
+    s"""WITH r AS MATERIALIZED (SELECT vec_id,
+       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
+       |        // $dsub AS sub,
+       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+       |        AS BIGINT) AS xe
+       |    FROM embeddings),
+       |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM r
+       |    WHERE vec_id < $cells),
+       |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM cc GROUP BY 1),
+       |ct AS MATERIALIZED (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT r.vec_id, cc.cell,
+       |            CAST(sum(r.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM r JOIN cc ON cc.pos = r.pos GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |casg AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ct) WHERE rn = 1),
+       |qprobe AS (SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ct
+       |    WHERE vec_id < 20) WHERE rn <= $nprobe),
+       |rr AS MATERIALIZED (SELECT r.vec_id, r.sub, r.pos,
+       |      r.xe - cc.ce AS xe
+       |    FROM r JOIN casg ON casg.n_id = r.vec_id
+       |    JOIN cc ON cc.cell = casg.cell AND cc.pos = r.pos),
+       |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM rr
+       |    WHERE vec_id < $ks),
+       |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c0 GROUP BY 1, 2),
+       |d0 AS (SELECT rr.vec_id, rr.sub, c0.cid,
+       |      CAST(sum(rr.xe * c0.ce) AS BIGINT) AS dot
+       |    FROM rr JOIN c0 ON rr.sub = c0.sub AND rr.pos = c0.pos
+       |    GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, cid FROM (SELECT d0.vec_id, d0.sub, d0.cid,
+       |      row_number() OVER (PARTITION BY d0.vec_id, d0.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d0.cid ASC) AS rn
+       |    FROM d0 JOIN cn0 ON d0.sub = cn0.sub AND d0.cid = cn0.cid)
+       |    WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT rr.sub, a0.cid, rr.pos,
+       |      CAST(sign(sum(xe)) AS BIGINT) *
+       |        (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+       |    FROM rr JOIN a0 ON rr.vec_id = a0.vec_id AND rr.sub = a0.sub
+       |    GROUP BY 1, 2, 3),
+       |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c1 GROUP BY 1, 2),
+       |d1 AS (SELECT rr.vec_id, rr.sub, c1.cid,
+       |      CAST(sum(rr.xe * c1.ce) AS BIGINT) AS dot
+       |    FROM rr JOIN c1 ON rr.sub = c1.sub AND rr.pos = c1.pos
+       |    GROUP BY 1, 2, 3),
+       |codes AS MATERIALIZED (SELECT vec_id AS n_id, sub, cid FROM (
+       |    SELECT d1.vec_id, d1.sub, d1.cid,
+       |      row_number() OVER (PARTITION BY d1.vec_id, d1.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d1.cid ASC) AS rn
+       |    FROM d1 JOIN cn1 ON d1.sub = cn1.sub AND d1.cid = cn1.cid)
+       |    WHERE rn = 1),
+       |qr AS MATERIALIZED (SELECT r.vec_id AS q_id, qprobe.cell, r.sub,
+       |      r.pos, r.xe - cc.ce AS xe
+       |    FROM r JOIN qprobe ON qprobe.q_id = r.vec_id
+       |    JOIN cc ON cc.cell = qprobe.cell AND cc.pos = r.pos),
+       |qrn2 AS (SELECT q_id, cell, CAST(sum(xe * xe) AS BIGINT) AS rn2
+       |    FROM qr GROUP BY 1, 2),
+       |lut AS (SELECT qd.q_id, qd.cell, qd.sub, qd.cid,
+       |      cn2 - 2 * dot AS term
+       |    FROM (SELECT qr.q_id, qr.cell, c1.sub, c1.cid,
+       |            CAST(sum(qr.xe * c1.ce) AS BIGINT) AS dot
+       |          FROM qr JOIN c1 ON c1.sub = qr.sub AND c1.pos = qr.pos
+       |          GROUP BY 1, 2, 3, 4) qd
+       |    JOIN cn1 ON cn1.sub = qd.sub AND cn1.cid = qd.cid),
+       |adc AS (SELECT lut.q_id, codes.n_id, casg.cell,
+       |      CAST(sum(term) AS BIGINT) AS t
+       |    FROM codes JOIN casg USING (n_id)
+       |    JOIN lut ON lut.cell = casg.cell AND lut.sub = codes.sub
+       |      AND lut.cid = codes.cid
+       |    WHERE lut.q_id <> codes.n_id GROUP BY 1, 2, 3),
+       |shortl AS (SELECT q_id, n_id FROM (
+       |    SELECT adc.q_id, adc.n_id, row_number() OVER (PARTITION BY adc.q_id
+       |        ORDER BY t + rn2 ASC, n_id ASC) AS srnk
+       |    FROM adc JOIN qrn2 ON qrn2.q_id = adc.q_id
+       |      AND qrn2.cell = adc.cell) WHERE srnk <= $shortlist),
+       |qn2 AS (SELECT vec_id AS q_id, CAST(sum(xe * xe) AS BIGINT) AS qn2
+       |    FROM r WHERE vec_id < 20 GROUP BY 1),
+       |nn2 AS (SELECT vec_id AS n_id, CAST(sum(xe * xe) AS BIGINT) AS nn2
+       |    FROM r GROUP BY 1),
+       |pd AS (SELECT s.q_id, s.n_id,
+       |      CAST(sum(rn.xe * rq.xe) AS BIGINT) AS dot
+       |    FROM shortl s
+       |    JOIN r rn ON rn.vec_id = s.n_id
+       |    JOIN r rq ON rq.vec_id = s.q_id AND rq.pos = rn.pos
+       |    GROUP BY 1, 2),
+       |f AS (SELECT q_id, n_id,
+       |      CAST(qn2 - 2 * dot + nn2 AS BIGINT) AS d2,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qn2 - 2 * dot + nn2 ASC, n_id ASC) AS rnk
+       |    FROM pd JOIN qn2 USING (q_id) JOIN nn2 USING (n_id))
+       |SELECT q_id, n_id, rnk, d2
+       |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+  }
+
   private[queries] val cosineTopkSql: String =
     s"""$cosineCte,
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -687,6 +819,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivf_exhaustive" -> qAnnIvfExhaustive,
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_pq" -> qAnnPq,
+    "q_ann_ivfpq" -> qAnnIvfPq,
     "q_pq_distortion" -> qPqDistortion,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_clusters" -> qEntityClusters,
@@ -727,6 +860,8 @@ private[queries] object LlmSimOps {
     "q_ann_ivf_exhaustive" -> cosineTopkSql,
     "q_ann_lsh" -> annLshSql(bands = 16, bits = 4, dims = 64, k = 5),
     "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
+    "q_ann_ivfpq" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
+      nprobe = 4, k = 5),
     "q_pq_distortion" -> annPqDistortionSql(dims = 64, m = 8, ks = 16),
     "q_emb_quantize" ->
       """WITH el AS (SELECT vec_id,

@@ -38,6 +38,13 @@ object Soak {
     // production dedup paths it evaluates are all soaked below.
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_ngram",
     "q_entity_clusters",
+    // similarity tier over the 10× embeddings corpus (r12: the fold
+    // rule now perturbs vectors, so fold copies are embedding
+    // near-dups — SRP blocking, ANN probe/re-rank, and top-k
+    // tie-breaks all soak against a 20,000-vector corpus with the
+    // candidate explosion a replicated corpus really produces)
+    "q_dedup_embedding", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
+    "q_ann_pq",
     // text / stats heavies
     "q_tfidf", "q_cluster_topics", "q_ks_test", "q_weighted_median",
     "q_theil_sen", "q_assoc_rules",

@@ -119,6 +119,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"PQ recall $recall too low")
   }
 
+  test("ivfPqTopK (IVFADC) recall vs exact L2 brute force") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopKL2(emb, queries, "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 64, cells = 16, nprobe = 4, m = 8, ks = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    // nprobe=4 of 16 cells prunes ~3/4 of the corpus before the ADC
+    // scan, so recall is bounded by the coarse stage's cell hit rate on
+    // this near-random corpus; the residual-PQ + exact-refine stack
+    // must still recover most of the exact set from the probed quarter
+    val recall = (exact & approx).size.toDouble / exact.size
+    info(s"IVFADC recall@5 vs exact L2: $recall")
+    assert(recall >= 0.5, s"IVFADC recall $recall too low")
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+    // exhaustive probe (nprobe = cells) removes the coarse pruning, so
+    // the only loss left is the PQ shortlist — must meet pqTopK's bound
+    val exhaustive = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 64, cells = 16, nprobe = 16, m = 8, ks = 16)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val exRecall = (exact & exhaustive).size.toDouble / exact.size
+    info(s"IVFADC exhaustive-probe recall@5: $exRecall")
+    assert(exRecall >= 0.7, s"exhaustive IVFADC recall $exRecall too low")
+  }
+
   test("cosinePairsBlocked: exact-cosine subset of all-pairs with high recall") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)

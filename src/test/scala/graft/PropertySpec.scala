@@ -56,6 +56,44 @@ class PropertySpec extends AnyFunSuite {
       docs.filter(length(col("text")) =!= col("n_chars")).isEmpty)
   }
 
+  test("ScaleFold embeddings: fold-0 exact identity, folds are near-dups") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val amp = graft.ops.ScaleFold.amplifyTable(emb, "embeddings", 10)
+    val n = emb.count()
+    assert(amp.count() == 10 * n)
+    // fold 0 is the BIT-exact identity: x + 0.0 rounds back to x, so
+    // the base corpus survives verbatim (unlike documents' ' f0')
+    val fold0 = amp.filter(col("vec_id") < graft.ops.ScaleFold.Shift)
+    assert(fold0.exceptAll(emb).isEmpty && emb.exceptAll(fold0).isEmpty,
+      "fold 0 must equal the base corpus bit-for-bit")
+    // the perturbation is the stated rule exactly: fold k's vector is
+    // float(double(x) + k * 2^-7) per component — recompute it from the
+    // base here (a second statement of the one rule, like the DuckDB
+    // restatement in scripts/soak_check.py) and require equality
+    val restated = emb.select(col("*"),
+        explode(sequence(lit(0L), lit(9L))).as("k"))
+      .select((col("vec_id") + col("k") * lit(graft.ops.ScaleFold.Shift))
+          .as("vec_id"),
+        transform(col("embedding"), x =>
+          (x.cast("double") + col("k").cast("double") *
+            lit(graft.ops.ScaleFold.EmbEps)).cast("float")).as("embedding"),
+        col("label"))
+    assert(amp.exceptAll(restated).isEmpty && restated.exceptAll(amp).isEmpty,
+      "amplified embeddings must match the stated rule bit-for-bit")
+    // folds are vector-space NEAR-dups: cosine(fold0, fold9 copy) stays
+    // above the q_dedup_embedding threshold for at least some vectors —
+    // the similarity soak's candidate-pressure premise
+    val f0 = amp.filter(col("vec_id") === 0L).select(col("embedding")).first()
+      .getSeq[Float](0)
+    val f9 = amp.filter(col("vec_id") === 9L * graft.ops.ScaleFold.Shift)
+      .select(col("embedding")).first().getSeq[Float](0)
+    def dot(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val cos = dot(f0, f9) / math.sqrt(dot(f0, f0) * dot(f9, f9))
+    assert(cos > 0.4, s"fold copies must be near-dups, cos=$cos")
+  }
+
   test("every Bench headline/extended key exists in the registry") {
     // Bench silently filters unknown keys (queries.contains), so a
     // typo'd entry would vanish from the artifact instead of failing —
