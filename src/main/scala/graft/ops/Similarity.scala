@@ -171,7 +171,15 @@ object Similarity {
       col("vec_a"), col("va"), col("na"))
     val b = a.select(col("bucket"), col("vec_a").as("vec_b"),
       col("va").as("vb"), col("na").as("nb"))
-    a.join(b, Seq("bucket"))
+    // shuffle_hash pinned: the banded side is corpus×bands rows EACH
+    // CARRYING THE VECTOR, but Catalyst's size estimate rides the
+    // narrow parquet scan (the explode's fan-out is invisible to it),
+    // so auto-broadcast picks BroadcastHashJoin and materializes the
+    // whole banded corpus on the driver — fine at 2k vectors, dead at
+    // 20k (the r12 similarity soak caught exactly this: ~600 MB actual
+    // vs a ~5 MB estimate). A banded SELF-join must co-partition by
+    // bucket; at 100 TB broadcast is never the right shape here.
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
@@ -191,9 +199,12 @@ object Similarity {
     ensureRegistered(corpus)
     val wide = side(Par.fanOut(corpus.select(col(key), col(vec))),
       key, vec, "vec_a", "va", "na")
+    // same shuffle_hash pin as [[cosinePairsBlocked]]: the explode's
+    // fan-out is invisible to the size estimate, so auto-broadcast
+    // would ship the banded corpus to the driver
     val a = banded(wide, bands, bitsPerBand, "va", col("vec_a"))
     val b = a.select(col("bucket"), col("vec_a").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    a.hint("shuffle_hash").join(b.hint("shuffle_hash"), Seq("bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"))
       .distinct()

@@ -50,8 +50,15 @@ object IngestGate {
     val srcDir = new java.io.File(graft.model.Scratch.dir("ingest_gate_src", d))
     srcDir.mkdirs()
     val ready = new java.io.File(srcDir, "_GATE_READY")
-    val slices = 4
-    // Land the corpus once per dir as 4 contiguous-doc_id-range files in
+    // 3 slices (r12, was 4): the smallest count that still exercises a
+    // MULTI-batch accumulated index — batch 2 probes an index of two
+    // prior subdirectories — while trimming one full micro-batch of
+    // store landings off the replay (the q_stream_asof_wm trim
+    // discipline). Decisions are a pure function of the corpus (the
+    // rule is doc_id order, not batch boundaries), so the hash gate is
+    // unchanged at any slice count.
+    val slices = 3
+    // Land the corpus once per dir as contiguous-doc_id-range files in
     // ascending order (mtime-pinned — FileStreamSource consumes in
     // modification-time order), so "earlier batch" always means
     // "smaller doc_id" and the decision rule is a pure function of the
@@ -142,9 +149,14 @@ object IngestGate {
           .join(dupSrc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
-        decisions.write.mode("overwrite").parquet(s"$decDir/b$batchId")
-        batchBands.write.mode("overwrite").parquet(s"$idxDir/b$batchId")
-        withSh.write.mode("overwrite").parquet(s"$shDir/b$batchId")
+        // single-file store landings: a micro-batch here is thousands
+        // of rows, where 32 shuffle partitions × 3 stores × batches of
+        // task-commit overhead dominates the measurement; a production
+        // deployment would keep the natural partitioning (and a real
+        // object store absorbs multi-file commits)
+        decisions.coalesce(1).write.mode("overwrite").parquet(s"$decDir/b$batchId")
+        batchBands.coalesce(1).write.mode("overwrite").parquet(s"$idxDir/b$batchId")
+        withSh.coalesce(1).write.mode("overwrite").parquet(s"$shDir/b$batchId")
         batchBands.unpersist()
         withSh.unpersist(): Unit
       }

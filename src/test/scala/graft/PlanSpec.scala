@@ -207,6 +207,15 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q_dedup_embedding")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2000))
+    // ...and the banded SELF-join is co-partitioned, never broadcast:
+    // Catalyst's size estimate rides the narrow parquet scan and misses
+    // the bands× explode fan-out, so auto-broadcast shipped the whole
+    // banded corpus (with vectors) to the driver — survived 2k vectors,
+    // OOM'd at the 20k-vector r12 soak. The shuffle_hash pin is the
+    // 100 TB shape; a BroadcastHashJoin reappearing here means the pin
+    // was lost.
+    assert(p.contains("ShuffledHashJoin") && !p.contains("BroadcastHashJoin"),
+      p.take(2000))
   }
 
   private def globalWindows(key: String): Seq[Any] = {
