@@ -65,6 +65,37 @@ object Similarity {
     df.select(keep :+
       explode(expr(s"srp_bands($vecCol, $bands, $bitsPerBand)")).as("bucket"): _*)
 
+  /** SRP band-bucket rows `(key, bucket)` — the persistent-index unit
+    * of the streaming embedding gate ([[graft.streaming.EmbGate]]):
+    * the same band-tagged codes as [[cosinePairsBlocked]]'s blocking,
+    * but with NO vector payload, so the durable index stores and the
+    * probe join shuffle ~16 bytes per band row; vectors live in their
+    * own store and are fetched for verification candidates only.
+    */
+  def srpBuckets(corpus: DataFrame, key: String, vec: String,
+                 bands: Int, bitsPerBand: Int): DataFrame = {
+    ensureRegistered(corpus)
+    corpus.select(col(key), asDouble(col(vec)).as("_v"))
+      .select(col(key),
+        explode(expr(s"srp_bands(_v, $bands, $bitsPerBand)")).as("bucket"))
+  }
+
+  /** Exact-cosine verification of `(key_a, key_b)` candidate pairs
+    * against a vector table — candidates only, never a corpus
+    * self-join; the same mirrored float-cosine sequence as
+    * [[cosinePairsBlocked]]'s verify stage.
+    */
+  def verifyCosine(cands: DataFrame, vecs: DataFrame, key: String,
+                   vec: String, threshold: Double): DataFrame = {
+    ensureRegistered(vecs)
+    val a = side(vecs, key, vec, "key_a", "va", "na")
+    val b = side(vecs, key, vec, "key_b", "vb", "nb")
+    cands.join(a, Seq("key_a")).join(b, Seq("key_b"))
+      .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select(col("key_a"), col("key_b"))
+  }
+
   /** Exact brute-force top-k cosine neighbors for a query subset. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, key: String,
                      vec: String, k: Int): DataFrame = {

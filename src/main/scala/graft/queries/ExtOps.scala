@@ -413,8 +413,25 @@ object ExtOps {
     graft.ops.ScaleFold.amplifyTable(Tables.documents(s, d), "documents", 10)
       .orderBy(col("doc_id"))
 
+  /** The r12 EMBEDDINGS fold rule under the same per-round gate: fold
+    * k's vector is `float(double(x) + k·2⁻⁷)` per component
+    * ([[graft.ops.ScaleFold]]) — both operations correctly rounded
+    * identically in Spark and DuckDB, which this key PROVES at the bit
+    * level every round: the perturbed floats are exploded to scalar
+    * rows and emitted as doubles (float→double is exact and injective,
+    * so double equality ⇔ float bit equality), and the driver's
+    * full-precision hash compare fails on any 1-ulp divergence. The
+    * similarity-tier soak (SOAK_r12.json) rides exactly this rule.
+    */
+  private val qScaleFoldEmb: Q = (s, d) =>
+    graft.ops.ScaleFold.amplifyTable(Tables.embeddings(s, d), "embeddings", 10)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x").cast("double").as("x"))
+      .orderBy(col("vec_id"), col("pos"))
+
   val registry: Map[String, Q] = Map(
     "q_scale_fold" -> qScaleFold,
+    "q_scale_fold_emb" -> qScaleFoldEmb,
     "q_expr_laptime" -> qExprLapTime,
     "q_udf_laptime" -> qUdfLapTime,
     "q_udaf_topk" -> qUdafTopk,
@@ -448,6 +465,13 @@ object ExtOps {
         |n_chars + 3 AS n_chars
         |FROM documents, (SELECT unnest(range(10)) AS k)
         |ORDER BY doc_id""".stripMargin,
+    "q_scale_fold_emb" ->
+      """SELECT vec_id + k * 10000000 AS vec_id,
+        |CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+        |CAST(CAST(CAST(unnest(embedding) AS DOUBLE) + k * 0.0078125
+        |  AS FLOAT) AS DOUBLE) AS x
+        |FROM embeddings, (SELECT unnest(range(10)) AS k)
+        |ORDER BY vec_id, pos""".stripMargin,
     "q_expr_laptime" -> lapTimeSql,
     "q_udf_laptime" -> lapTimeSql,
     "q_udaf_topk" ->

@@ -291,6 +291,51 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-query IVFADC recall@5 vs the exact L2 brute force, IN-ENGINE —
+    * the index-quality monitor an ANN deployment runs beside its index
+    * (a cell gone stale or a codebook drifted shows up as a recall drop
+    * long before users notice). Both operands are deterministic
+    * pipelines this registry already mirrors, so even the recall
+    * NUMBERS hash-gate: the committed SQL composes the full
+    * [[annIvfPqSql]] restatement with the exact-L2 top-k and counts the
+    * per-query overlap. Spec-level recall pins live in LlmOpsSpec; this
+    * key turns the measurement itself into a hash-checked artifact
+    * (the `q_dedup_eval` discipline applied to ANN).
+    */
+  private[queries] val qAnnRecallEval: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopKL2(emb, queries,
+        "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"))
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, dims = 64, cells = 16, nprobe = 4, m = 8, ks = 16)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("k"))
+      // exact ppm on the k=5 grid: integer DIV, no float crosses the
+      // engines (hits·10⁶ is an exact multiple of k=5)
+      .select(col("q_id"), col("hits"),
+        expr("hits * 1000000 DIV k").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
+  /** Streaming embedding ingest gate — the vector-space sibling of
+    * `q_stream_ingest_gate`: micro-batched vectors probe a persistent
+    * SRP band index, verify by exact cosine against a persistent vector
+    * store, and land admit/reject decisions with the earliest matching
+    * predecessor. The oracle bit-mirrors the hyperplanes (the
+    * `q_dedup_embedding` discipline) and states the decision rule as
+    * one sentence, so the driver hash-proves the index probe, the
+    * same-batch self-join, the verify, and the cross-batch state
+    * accumulation. See [[graft.streaming.EmbGate]].
+    */
+  private[queries] val qStreamEmbGate: Q = (s, d) =>
+    graft.streaming.EmbGate.replayEmbNearDupGate(s, d, threshold = 0.4,
+      bands = EmbBands, bitsPerBand = EmbBits)
+
   /** Approximate ANN (hyperplane LSH) — no SQL oracle (approximate by
     * design); recall vs brute force is spec-asserted (LlmOpsSpec).
     */
@@ -794,6 +839,56 @@ private[queries] object LlmSimOps {
        |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Oracle for `q_ann_recall_eval`: the exact-L2 top-k (the
+    * [[graft.ops.Similarity.bruteForceTopKL2]] float sequence — d2
+    * floored to e9, ranked by the FLOORED value then n_id, exactly the
+    * Spark window) and the complete [[annIvfPqSql]] restatement as a
+    * subquery, overlap-counted per query with integer-DIV ppm.
+    */
+  private[queries] def annRecallEvalSql(dims: Int, m: Int, ks: Int,
+                                        cells: Int, nprobe: Int,
+                                        k: Int): String =
+    s"""$cosineCte,
+       |bf AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(floor(1e9 * (list_dot_product(q.v, q.v)
+       |          - 2 * list_dot_product(q.v, n.v)
+       |          + list_dot_product(n.v, n.v))) AS BIGINT) ASC,
+       |        n.vec_id ASC) AS rnk
+       |    FROM e q JOIN e n ON q.vec_id < 20 AND n.vec_id <> q.vec_id)
+       |    WHERE rnk <= $k),
+       |ap AS (SELECT q_id, n_id FROM
+       |    (${annIvfPqSql(dims, m, ks, cells, nprobe, k)})),
+       |j AS (SELECT bf.q_id,
+       |      CAST(count(*) AS BIGINT) AS k,
+       |      CAST(sum(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END)
+       |        AS BIGINT) AS hits
+       |    FROM bf LEFT JOIN ap ON ap.q_id = bf.q_id AND ap.n_id = bf.n_id
+       |    GROUP BY 1)
+       |SELECT q_id, hits, hits * 1000000 // k AS recall_ppm
+       |FROM j ORDER BY q_id""".stripMargin
+
+  /** Oracle for `q_stream_emb_gate`: the gate's decision rule as one
+    * sentence — dup iff some SMALLER vec_id shares ≥1 bit-mirrored SRP
+    * band code AND reaches exact cosine ≥ threshold; `dup_src` is the
+    * minimum such predecessor (the [[embeddingBlockedSql]] banding +
+    * verify, reduced to a min-predecessor per vector).
+    */
+  private[queries] def streamEmbGateSql(threshold: Double, bands: Int,
+                                        bits: Int, dims: Int): String =
+    s"""$cosineCte,
+       |c AS (SELECT vec_id, v, ${srpCodeListSql(bands, bits, dims)} AS ct
+       |      FROM e),
+       |p AS (SELECT b.vec_id AS vec_id,
+       |        CAST(min(a.vec_id) AS BIGINT) AS dup_src
+       |      FROM c a JOIN c b ON a.vec_id < b.vec_id
+       |        AND list_has_any(a.ct, b.ct)
+       |      WHERE ${cosExpr("a", "b")} >= $threshold
+       |      GROUP BY 1)
+       |SELECT e.vec_id, (p.dup_src IS NULL) AS admitted, p.dup_src
+       |FROM e LEFT JOIN p USING (vec_id) ORDER BY vec_id""".stripMargin
+
   private[queries] val cosineTopkSql: String =
     s"""$cosineCte,
        |p AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
@@ -820,6 +915,8 @@ private[queries] object LlmSimOps {
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_recall_eval" -> qAnnRecallEval,
+    "q_stream_emb_gate" -> qStreamEmbGate,
     "q_pq_distortion" -> qPqDistortion,
     "q_fuzzy_match" -> qFuzzyMatch,
     "q_entity_clusters" -> qEntityClusters,
@@ -862,6 +959,10 @@ private[queries] object LlmSimOps {
     "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
     "q_ann_ivfpq" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
+    "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
+      cells = 16, nprobe = 4, k = 5),
+    "q_stream_emb_gate" -> streamEmbGateSql(0.4, EmbBands, EmbBits,
+      dims = 64),
     "q_pq_distortion" -> annPqDistortionSql(dims = 64, m = 8, ks = 16),
     "q_emb_quantize" ->
       """WITH el AS (SELECT vec_id,

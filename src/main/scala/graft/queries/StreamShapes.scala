@@ -62,7 +62,7 @@ object StreamShapes {
     Events.replayAsOfWatermarked(s, d)
 
   /** TRUE end-to-end streaming near-dup ingestion gate: documents
-    * replayed as 4 ascending doc_id-range micro-batches through
+    * replayed as 3 ascending doc_id-range micro-batches through
     * foreachBatch against a PERSISTENT band index + shingle store —
     * every doc admitted or rejected with its earliest ≥0.5-Jaccard
     * predecessor. The oracle states the same rule as one all-pairs
