@@ -116,6 +116,7 @@ object Bench {
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_stream_emb_gate",
     "q_pq_distortion",

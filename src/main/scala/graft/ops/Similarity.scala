@@ -302,7 +302,19 @@ object Similarity {
               refineIters: Int = 0): DataFrame = {
     ensureRegistered(corpus)
     val cents = broadcast(kmeansCentroids(corpus, key, vec, cells, refineIters))
-    val corpusCells = side(Par.fanOut(corpus.select(col(key), col(vec))),
+    ivfProbe(ivfAssign(corpus, cents, key, vec), queries, cents,
+      key, vec, k, nprobe)
+  }
+
+  /** Nearest-centroid cell assignment: one broadcast join +
+    * `min_by` partial aggregate — the cells-wide expansion never
+    * crosses an exchange. Factored from [[ivfTopK]] so
+    * [[ivfTopKIncremental]] can assign base and new-batch rows against
+    * the SAME frozen centroids.
+    */
+  private def ivfAssign(xs: DataFrame, cents: DataFrame,
+                        key: String, vec: String): DataFrame =
+    side(Par.fanOut(xs.select(col(key), col(vec))),
         key, vec, "n_id", "n_vec", "n_norm")
       .join(cents)
       .withColumn("sim", expr("dot_arr(n_vec, cent)") / (col("n_norm") * col("cent_norm")))
@@ -311,6 +323,14 @@ object Similarity {
         struct((-col("sim")).as("neg_sim"), col("cell_id"))).as("best"))
       .select(col("best.cell_id").as("cell_id"), col("n_id"),
         col("best.n_vec").as("n_vec"), col("best.n_norm").as("n_norm"))
+
+  /** Query-side probe + exact-cosine re-rank over an assigned cell
+    * table — the read path shared by [[ivfTopK]] and
+    * [[ivfTopKIncremental]].
+    */
+  private def ivfProbe(corpusCells: DataFrame, queries: DataFrame,
+                       cents: DataFrame, key: String, vec: String,
+                       k: Int, nprobe: Int): DataFrame = {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("cell_id").asc)
     val queryCells = side(queries, key, vec, "q_id", "q_vec", "q_norm")
@@ -328,6 +348,33 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("n_id"), col("rnk"),
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
+  }
+
+  /** Incremental IVF insert — the index-MAINTENANCE path a 100 TB ANN
+    * deployment actually runs: coarse centroids were fixed when the
+    * index was built over the BASE corpus; a newly-arrived batch is
+    * assigned to those EXISTING centroids (one broadcast join + argmin
+    * per new vector — cost ∝ batch, no refit, no re-shuffle of the
+    * base), and queries probe the union index. This is IVF's
+    * operational advantage over retrain-coupled structures: inserts
+    * never re-cluster, so the 100 TB index absorbs a continuous feed —
+    * at the price that centroids slowly stale as the distribution
+    * drifts, which is exactly what `q_pq_distortion`-style audits
+    * watch. The base assignment here recomputes what a deployment
+    * would read from its stored cell table; the formula is identical
+    * either way (centroids frozen), so the committed oracle assigns
+    * base ∪ batch in one pass against the base-derived centroids.
+    */
+  def ivfTopKIncremental(base: DataFrame, newBatch: DataFrame,
+                         queries: DataFrame, key: String, vec: String,
+                         k: Int, cells: Int = 16,
+                         nprobe: Int = 4): DataFrame = {
+    ensureRegistered(base)
+    // centroids from the BASE build only — the frozen index geometry
+    val cents = broadcast(kmeansCentroids(base, key, vec, cells, 0))
+    val corpusCells = ivfAssign(base, cents, key, vec)
+      .unionByName(ivfAssign(newBatch, cents, key, vec))
+    ivfProbe(corpusCells, queries, cents, key, vec, k, nprobe)
   }
 
   /** Approximate top-k via product quantization (PQ with asymmetric

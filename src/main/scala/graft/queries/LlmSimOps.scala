@@ -291,6 +291,26 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Incremental IVF insert: the corpus splits into a BASE build
+    * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
+    * centroids freeze at build time over the base, the batch assigns
+    * to them without refit (cost ∝ batch), and queries probe the union
+    * index. Deterministic end to end, so the committed SQL restates
+    * the whole maintenance path — frozen base-derived centroids,
+    * one-pass union assignment, probe, mirrored-cosine re-rank — and
+    * the driver hash-gates that inserts reached the right cells. See
+    * [[graft.ops.Similarity.ivfTopKIncremental]].
+    */
+  private[queries] val qAnnIvfIncremental: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfTopKIncremental(
+        emb.filter(col("vec_id") % 10 =!= 0),
+        emb.filter(col("vec_id") % 10 === 0),
+        emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, cells = 16, nprobe = 4)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Per-query IVFADC recall@5 vs the exact L2 brute force, IN-ENGINE —
     * the index-quality monitor an ANN deployment runs beside its index
     * (a cell gone stale or a codebook drifted shows up as a recall drop
@@ -618,6 +638,40 @@ private[queries] object LlmSimOps {
        |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
        |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
 
+  /** Full-algorithm oracle for `q_ann_ivf_incremental`: [[annIvfSql]]
+    * with the centroids drawn from the BASE partition only
+    * (vec_id % 10 ≠ 0 — the index as built before the batch arrived),
+    * while assignment/probe/re-rank run over the full corpus: the
+    * frozen-centroid insert is the ONLY difference from the rebuild,
+    * so a refit sneaking into the insert path is a hash mismatch.
+    */
+  private[queries] def annIvfIncrementalSql(cells: Int, nprobe: Int,
+                                            k: Int): String =
+    s"""$cosineCte,
+       |cents AS (SELECT vec_id AS cell_id, v FROM e
+       |      WHERE vec_id % 10 <> 0
+       |      ORDER BY vec_id LIMIT $cells),
+       |asg AS (SELECT n_id, cell_id FROM (
+       |      SELECT n.vec_id AS n_id, c.cell_id,
+       |        row_number() OVER (PARTITION BY n.vec_id
+       |          ORDER BY ${cosExpr("n", "c")} DESC, c.cell_id ASC) AS r
+       |      FROM e n CROSS JOIN cents c) WHERE r = 1),
+       |qc AS (SELECT q_id, cell_id FROM (
+       |      SELECT q.vec_id AS q_id, c.cell_id,
+       |        row_number() OVER (PARTITION BY q.vec_id
+       |          ORDER BY ${cosExpr("q", "c")} DESC, c.cell_id ASC) AS r
+       |      FROM e q CROSS JOIN cents c WHERE q.vec_id < 20)
+       |      WHERE r <= $nprobe),
+       |p AS (SELECT qc.q_id, asg.n_id, ${cosExpr("a", "b")} AS cos
+       |      FROM qc JOIN asg USING (cell_id)
+       |        JOIN e a ON a.vec_id = qc.q_id
+       |        JOIN e b ON b.vec_id = asg.n_id
+       |      WHERE qc.q_id <> asg.n_id),
+       |r AS (SELECT q_id, n_id, cos, row_number() OVER (PARTITION BY q_id
+       |        ORDER BY cos DESC, n_id ASC) AS rnk FROM p)
+       |SELECT q_id, n_id, rnk, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6
+       |FROM r WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
   /** Full-algorithm oracle for `q_ann_pq` (the [[annLshSql]]/[[annIvfSql]]
     * argument applied to product quantization): the whole pipeline lives
     * on the 2²⁴ integer lattice — quantize once, then codebook seeding,
@@ -915,6 +969,7 @@ private[queries] object LlmSimOps {
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_stream_emb_gate" -> qStreamEmbGate,
     "q_pq_distortion" -> qPqDistortion,
@@ -959,6 +1014,8 @@ private[queries] object LlmSimOps {
     "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
     "q_ann_ivfpq" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
+    "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
+      k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
       cells = 16, nprobe = 4, k = 5),
     "q_stream_emb_gate" -> streamEmbGateSql(0.4, EmbBands, EmbBits,

@@ -145,6 +145,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exRecall >= 0.7, s"exhaustive IVFADC recall $exRecall too low")
   }
 
+  test("ivfPqTopK is partition-invariant (exact BIGINT lattice claim)") {
+    // the scaladoc claims every stage is order-independent under any
+    // partitioning — prove it: a deliberately odd repartitioning of the
+    // corpus must yield row-identical results (ties, means, ADC sums
+    // and all). This is the property that lets the committed oracle
+    // restate the algorithm at all.
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 10)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(c, queries, "vec_id", "embedding",
+          k = 5, dims = 64, cells = 16, nprobe = 4, m = 8, ks = 16)
+        .select($"q_id", $"n_id", $"rnk", $"d2")
+        .as[(Long, Long, Int, Long)].collect().toSet
+    val base = run(emb)
+    val shuffled = run(emb.repartition(7, $"label"))
+    assert(base == shuffled,
+      s"partitioning changed IVFADC output: ${(base diff shuffled).take(3)}")
+  }
+
   test("cosinePairsBlocked: exact-cosine subset of all-pairs with high recall") {
     val emb = graft.model.Tables.embeddings(spark, sf)
     val exact = Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.4)
