@@ -116,6 +116,7 @@ object Bench {
     "q_ann_lsh",
     "q_ann_pq",
     "q_ann_ivfpq",
+    "q_ann_ivfpq_read",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_stream_emb_gate",
@@ -324,6 +325,8 @@ object Bench {
         (() => graft.queries.LlmOps.materializeClusters(spark, sfDir)),
       "_derive_match_pairs" ->
         (() => graft.queries.LlmOps.materializeMatchPairs(spark, sfDir)),
+      "_derive_ann_index" ->
+        (() => graft.queries.LlmOps.materializeAnnIndex(spark, sfDir)),
       "_derive_partsupp" ->
         (() => graft.queries.SqlSurface.materializePartsupp(spark, sfDir))
     ).map { case (name, fn) =>

@@ -554,9 +554,14 @@ object Similarity {
   private def exactRerankL2(shortl: DataFrame, rows: DataFrame,
                             qrows: DataFrame, qn2: DataFrame,
                             k: Int): DataFrame = {
-    val nn2 = rows.groupBy("n_id").agg(sum(col("xe") * col("xe")).as("nn2"))
+    // prune to the shortlist's vectors FIRST: norms and dots are only
+    // ever joined for shortlisted n_ids, so at 100 TB this is a
+    // shortlist·q-row fetch, never a full-corpus pass per query batch
+    val pruned = rows.join(
+      shortl.select(col("n_id")).distinct(), Seq("n_id"))
+    val nn2 = pruned.groupBy("n_id").agg(sum(col("xe") * col("xe")).as("nn2"))
     val pairDots = shortl
-      .join(rows, Seq("n_id"))
+      .join(pruned, Seq("n_id"))
       .join(broadcast(qrows.select(col("q_id"), col("pos"),
         col("xe").as("qxe"))), Seq("q_id", "pos"))
       .groupBy(col("q_id"), col("n_id"))
@@ -614,26 +619,57 @@ object Similarity {
                 vec: String, k: Int, dims: Int, cells: Int = 16,
                 nprobe: Int = 4, m: Int = 8, ks: Int = 16,
                 refineIters: Int = 1, shortlist: Int = 50): DataFrame = {
+    val (postings, cb) = ivfPqBuild(corpus, key, vec, dims, cells, m, ks,
+      refineIters)
+    ivfPqQuery(postings, cb, corpus, queries, key, vec, k, dims, cells,
+      nprobe, m, shortlist)
+  }
+
+  /** Full-dim coarse lattice codebook: the first `cells` corpus
+    * vectors' lattice rows, shared by the build and query paths (the
+    * query side recomputes it instead of persisting — `cells` vectors
+    * is a broadcast-trivial read against the frozen key order).
+    */
+  private def coarseLattice(rows: DataFrame, cells: Int): DataFrame =
+    rows.filter(col("n_id") < cells)
+      .select(col("pos"), col("n_id").as("cell_id"), col("xe").as("ce"))
+
+  /** Exact-integer cell distance terms `|c|² − 2·x·c` per (row, cell):
+    * the argmin/probe ordering key shared by assign and probe. */
+  private def ivfPqCellTerms(xs: DataFrame, keyAs: String,
+                             cc: DataFrame): DataFrame = {
+    val ccn = cc.groupBy("cell_id").agg(sum(col("ce") * col("ce")).as("cn2"))
+    xs.join(broadcast(cc), Seq("pos"))
+      .groupBy(col(keyAs), col("cell_id"))
+      .agg(sum(col("xe") * col("ce")).as("dot"))
+      .join(broadcast(ccn), Seq("cell_id"))
+      .select(col(keyAs), col("cell_id"),
+        (col("cn2") - col("dot") * 2L).as("term"))
+  }
+
+  /** One-time IVFADC index BUILD — steps 1-3 of the pipeline (coarse
+    * assign, residuals, PQ train + encode), returning
+    * `(postings, codebook)`: postings are `(cell_id, n_id, sub, cid)`
+    * — the inverted lists, codes already grouped by their cell, the
+    * durable ~50×-compressed representation of the corpus — and the
+    * codebook is `(sub, cid, pos, ce)` (ks·m·dsub rows, broadcast
+    * size). Together they are what an ANN index FILE contains; at
+    * 100 TB this runs once per corpus snapshot and lands as a table
+    * ([[graft.queries.LlmOps]]'s durable `_derive_ann_index`), not per
+    * query.
+    */
+  private[graft] def ivfPqBuild(corpus: DataFrame, key: String, vec: String,
+                                dims: Int, cells: Int, m: Int, ks: Int,
+                                refineIters: Int): (DataFrame, DataFrame) = {
     ensureRegistered(corpus)
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
     val rows = pqLattice(Par.fanOut(corpus.select(
       col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
       .localCheckpoint(true)
-    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
-      col(vec)), "q_id", vec, dsub).localCheckpoint(true)
     // 1. coarse codebook: first `cells` corpus vectors, full-dim
-    val cc = rows.filter(col("n_id") < cells)
-      .select(col("pos"), col("n_id").as("cell_id"), col("xe").as("ce"))
-    val ccn = cc.groupBy("cell_id").agg(sum(col("ce") * col("ce")).as("cn2"))
-    def cellTerms(xs: DataFrame, keyAs: String): DataFrame =
-      xs.join(broadcast(cc), Seq("pos"))
-        .groupBy(col(keyAs), col("cell_id"))
-        .agg(sum(col("xe") * col("ce")).as("dot"))
-        .join(broadcast(ccn), Seq("cell_id"))
-        .select(col(keyAs), col("cell_id"),
-          (col("cn2") - col("dot") * 2L).as("term"))
-    val casg = cellTerms(rows, "n_id")
+    val cc = coarseLattice(rows, cells)
+    val casg = ivfPqCellTerms(rows, "n_id", cc)
       .groupBy("n_id")
       .agg(min_by(col("cell_id"), struct(col("term"), col("cell_id")))
         .as("cell_id"))
@@ -645,12 +681,37 @@ object Similarity {
       .select(col("n_id"), col("sub"), col("pos"),
         (col("xe") - col("ce")).as("xe"))
       .localCheckpoint(true)
-    // 3. PQ codebooks + codes over residuals
+    // 3. PQ codebooks + codes over residuals; codes join their cell to
+    // become the inverted-list postings
     val (cb, codes) = pqTrain(rr, ks, refineIters)
+    (codes.join(casg, Seq("n_id"))
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid")), cb)
+  }
+
+  /** IVFADC query READ PATH — steps 4-6 over a pre-built index (probe
+    * selection, per-(query, probed-cell) residual LUTs, cell-pruned
+    * ADC over the postings, exact refine): everything a query costs
+    * once the index exists. Raw corpus vectors are touched only to
+    * (a) recompute the `cells` coarse centroids (broadcast-trivial)
+    * and (b) fetch shortlist·q rows for the exact re-rank.
+    */
+  private[graft] def ivfPqQuery(postings: DataFrame, cb: DataFrame,
+                                corpus: DataFrame, queries: DataFrame,
+                                key: String, vec: String, k: Int, dims: Int,
+                                cells: Int, nprobe: Int, m: Int,
+                                shortlist: Int): DataFrame = {
+    ensureRegistered(corpus)
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
+      col(vec)), "q_id", vec, dsub).localCheckpoint(true)
+    val cc = coarseLattice(pqLattice(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))
+      .filter(col(key) < cells), "n_id", vec, dsub), cells)
     // 4. probe selection + per-(query, cell) residual LUT
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
-    val qprobe = cellTerms(qrows, "q_id")
+    val qprobe = ivfPqCellTerms(qrows, "q_id", cc)
       .withColumn("crnk", row_number().over(probeW))
       .filter(col("crnk") <= nprobe)
       .select(col("q_id"), col("cell_id"))
@@ -671,7 +732,7 @@ object Similarity {
     // is the pruning — un-probed cells never join
     val wAdc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adist").asc, col("n_id").asc)
-    val shortl = codes.join(casg, Seq("n_id"))
+    val shortl = postings
       .join(broadcast(lut), Seq("cell_id", "sub", "cid"))
       .filter(col("q_id") =!= col("n_id"))
       .groupBy(col("q_id"), col("n_id"), col("cell_id"))
@@ -681,7 +742,9 @@ object Similarity {
       .withColumn("srnk", row_number().over(wAdc))
       .filter(col("srnk") <= shortlist)
       .select(col("q_id"), col("n_id"))
-    // 6. exact refine on the original (non-residual) lattice
+    // 6. exact refine: raw lattice rows for shortlist vectors only
+    val rows = pqLattice(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
     val qn2 = qrows.groupBy("q_id").agg(sum(col("xe") * col("xe")).as("qn2"))
     exactRerankL2(shortl, rows, qrows, qn2, k)
   }

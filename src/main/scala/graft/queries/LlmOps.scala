@@ -58,4 +58,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
     */
   private[graft] def materializeMatchPairs(s: SparkSession, d: String): Long =
     LlmSimOps.materializeMatchPairs(s, d)
+
+  /** ANN-index derivation counter, pinned run-once by LlmOpsSpec. */
+  private[graft] def annIndexDerivations = LlmSimOps.annIndexDerivations
+
+  /** Force the durable IVFADC index build — Bench's
+    * `_derive_ann_index` entry.
+    */
+  private[graft] def materializeAnnIndex(s: SparkSession, d: String): Long =
+    LlmSimOps.materializeAnnIndex(s, d)
 }

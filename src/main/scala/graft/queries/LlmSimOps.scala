@@ -291,6 +291,62 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** The durable IVFADC index — what an ANN index FILE contains, as a
+    * [[graft.ops.DurableTable]]: inverted-list postings (kind='p':
+    * cell_id, n_id, sub, cid — the ~50×-compressed corpus, codes
+    * grouped by cell) and the trained residual codebook (kind='c':
+    * sub, cid, pos, ce — ks·m·dsub rows, broadcast size), packed in
+    * one table the way FAISS packs lists + codebooks in one file. At
+    * 100 TB the build runs once per corpus snapshot (Bench's
+    * `_derive_ann_index`); every query after reads the postings.
+    * Parameters are the registry's standard ANN geometry (dims=64,
+    * cells=16, m=8, ks=16, one Lloyd round) — a deployment would key
+    * the table by its geometry.
+    */
+  private[queries] val annIndexTable = new graft.ops.DurableTable("ann_index")
+
+  private[graft] val annIndexDerivations = annIndexTable.derivations
+
+  private[graft] def materializeAnnIndex(s: SparkSession, d: String): Long =
+    annIndex(s, d).count()
+
+  private[queries] def annIndex(s: SparkSession, d: String): DataFrame =
+    annIndexTable(s, d) {
+      val (postings, cb) = Similarity.ivfPqBuild(Tables.embeddings(s, d),
+        "vec_id", "embedding", dims = 64, cells = 16, m = 8, ks = 16,
+        refineIters = 1)
+      postings.select(lit("p").as("kind"), col("cell_id"), col("n_id"),
+          col("sub"), col("cid"), lit(null).cast("int").as("pos"),
+          lit(null).cast("long").as("ce"))
+        .unionByName(cb.select(lit("c").as("kind"),
+          lit(null).cast("long").as("cell_id"),
+          lit(null).cast("long").as("n_id"),
+          col("sub"), col("cid"), col("pos"), col("ce")))
+    }
+
+  /** IVFADC through the DURABLE index — the production read path:
+    * `q_ann_ivfpq` rebuilds the index inside the query (honest
+    * whole-algorithm cost, like the other ANN keys); THIS key reads
+    * the pre-built `_derive_ann_index` table and pays only the query
+    * side (probe + per-cell LUT + pruned ADC + shortlist re-rank).
+    * Same algorithm, same parameters, so the committed oracle is the
+    * identical full restatement — the build/read split cannot change a
+    * row without a hash mismatch — and LlmOpsSpec additionally pins
+    * read ≡ rebuild row-for-row and the derivation run-once.
+    */
+  private[queries] val qAnnIvfPqRead: Q = (s, d) => {
+    val idx = annIndex(s, d)
+    val postings = idx.filter(col("kind") === "p")
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
+    val cb = idx.filter(col("kind") === "c")
+      .select(col("sub"), col("cid"), col("pos"), col("ce"))
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqQuery(postings, cb, emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
+        m = 8, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -969,6 +1025,7 @@ private[queries] object LlmSimOps {
     "q_ann_lsh" -> qAnnLsh,
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
+    "q_ann_ivfpq_read" -> qAnnIvfPqRead,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_stream_emb_gate" -> qStreamEmbGate,
@@ -1013,6 +1070,8 @@ private[queries] object LlmSimOps {
     "q_ann_lsh" -> annLshSql(bands = 16, bits = 4, dims = 64, k = 5),
     "q_ann_pq" -> annPqSql(dims = 64, m = 8, ks = 16, k = 5),
     "q_ann_ivfpq" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
+      nprobe = 4, k = 5),
+    "q_ann_ivfpq_read" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),

@@ -145,6 +145,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(exRecall >= 0.7, s"exhaustive IVFADC recall $exRecall too low")
   }
 
+  test("q_ann_ivfpq_read (durable index) equals q_ann_ivfpq (rebuild), derivation runs once") {
+    val rebuild = SparkEntry.queries("q_ann_ivfpq")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val before = graft.queries.LlmOps.annIndexDerivations.get()
+    val read1 = SparkEntry.queries("q_ann_ivfpq_read")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val read2 = SparkEntry.queries("q_ann_ivfpq_read")(spark, sf)
+      .as[(Long, Long, Int, Long)].collect().toSet
+    val after = graft.queries.LlmOps.annIndexDerivations.get()
+    assert(read1 == rebuild,
+      s"index read path diverged from rebuild: ${(read1 diff rebuild).take(3)}")
+    assert(read2 == read1, "second read not reproducible")
+    assert(after - before <= 1,
+      s"ANN index derived ${after - before} times for two reads — " +
+        "the durable table must build once per (session, dir)")
+  }
+
   test("ivfPqTopK is partition-invariant (exact BIGINT lattice claim)") {
     // the scaladoc claims every stage is order-independent under any
     // partitioning — prove it: a deliberately odd repartitioning of the
