@@ -347,6 +347,23 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** Per-cell membership of the durable IVFADC index — the BALANCE
+    * audit beside `q_pq_distortion`'s quality audit: IVF probe cost is
+    * proportional to the probed cells' sizes, so a hot cell (first-k
+    * seeding is deliberately cheap, not balanced) means slow probes
+    * and wants a re-seed/Lloyd refresh, while near-empty cells waste
+    * the coarse fan-out. Reads the `_derive_ann_index` postings —
+    * distinct (cell, vector) pairs ÷ the m-way code rows — never
+    * re-assigning; the oracle restates the assignment from scratch, so
+    * a drifted stored index is a hash mismatch.
+    */
+  private[queries] val qIvfPqCellStats: Q = (s, d) =>
+    annIndex(s, d).filter(col("kind") === "p")
+      .select(col("cell_id"), col("n_id")).distinct()
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cell_id"))
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -845,11 +862,14 @@ private[queries] object LlmSimOps {
     * residual sign error, a cross-cell ADC leak, or a tie-break drift
     * is a hash mismatch.
     */
-  private[queries] def annIvfPqSql(dims: Int, m: Int, ks: Int, cells: Int,
-                                   nprobe: Int, k: Int,
-                                   shortlist: Int = 50): String = {
-    val dsub = dims / m
-    s"""WITH r AS MATERIALIZED (SELECT vec_id,
+  /** The IVFADC coarse stage as shared CTEs — lattice rows `r`, the
+    * full-dim coarse codebook `cc`, exact cell terms `ct`, and the
+    * corpus cell assignment `casg` — reused verbatim by
+    * [[annIvfPqSql]] and [[ivfPqCellStatsSql]] so the assignment rule
+    * has ONE statement.
+    */
+  private def ivfCoarseCtes(dims: Int, dsub: Int, cells: Int): String =
+    s"""r AS MATERIALIZED (SELECT vec_id,
        |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
        |        // $dsub AS sub,
        |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
@@ -867,7 +887,13 @@ private[queries] object LlmSimOps {
        |    JOIN ccn ON ccn.cell = cd.cell),
        |casg AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY term ASC, cell ASC) AS rn FROM ct) WHERE rn = 1),
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ct) WHERE rn = 1)""".stripMargin
+
+  private[queries] def annIvfPqSql(dims: Int, m: Int, ks: Int, cells: Int,
+                                   nprobe: Int, k: Int,
+                                   shortlist: Int = 50): String = {
+    val dsub = dims / m
+    s"""WITH ${ivfCoarseCtes(dims, dsub, cells)},
        |qprobe AS (SELECT vec_id AS q_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
        |        ORDER BY term ASC, cell ASC) AS rn FROM ct
@@ -949,6 +975,15 @@ private[queries] object LlmSimOps {
        |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
+    * the per-cell membership histogram.
+    */
+  private[queries] def ivfPqCellStatsSql(dims: Int, m: Int,
+                                         cells: Int): String =
+    s"""WITH ${ivfCoarseCtes(dims, dims / m, cells)}
+       |SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n_members
+       |FROM casg GROUP BY 1 ORDER BY cell_id""".stripMargin
+
   /** Oracle for `q_ann_recall_eval`: the exact-L2 top-k (the
     * [[graft.ops.Similarity.bruteForceTopKL2]] float sequence — d2
     * floored to e9, ranked by the FLOORED value then n_id, exactly the
@@ -1026,6 +1061,7 @@ private[queries] object LlmSimOps {
     "q_ann_pq" -> qAnnPq,
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_read" -> qAnnIvfPqRead,
+    "q_ivfpq_cell_stats" -> qIvfPqCellStats,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_stream_emb_gate" -> qStreamEmbGate,
@@ -1073,6 +1109,7 @@ private[queries] object LlmSimOps {
       nprobe = 4, k = 5),
     "q_ann_ivfpq_read" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
+    "q_ivfpq_cell_stats" -> ivfPqCellStatsSql(dims = 64, m = 8, cells = 16),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
