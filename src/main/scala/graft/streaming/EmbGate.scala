@@ -38,6 +38,12 @@ import graft.ops.Similarity
 object EmbGate {
   private val fixtureLock = new Object
 
+  /** Micro-batch count of the replay fixture — see
+    * [[IngestGate.Slices]] for the 3-batch argument; exposed for the
+    * spec's cross-batch assertion.
+    */
+  val Slices = 3
+
   def replayEmbNearDupGate(s: SparkSession, d: String, threshold: Double,
                            bands: Int, bitsPerBand: Int): DataFrame = {
     val embs = graft.model.Tables.embeddings(s, d)
@@ -45,7 +51,7 @@ object EmbGate {
     val srcDir = new java.io.File(graft.model.Scratch.dir("emb_gate_src", d))
     srcDir.mkdirs()
     val ready = new java.io.File(srcDir, "_GATE_READY")
-    val slices = 3
+    val slices = Slices
     // contiguous ascending vec_id ranges, mtime-pinned (FileStreamSource
     // consumes in modification-time order) — see IngestGate's fixture
     fixtureLock.synchronized { if (!ready.exists()) {

@@ -45,19 +45,24 @@ import graft.ops.{Dedup, Par}
 object IngestGate {
   private val fixtureLock = new Object
 
+  /** Micro-batch count of the replay fixture (r12, was 4): the
+    * smallest count that still exercises a MULTI-batch accumulated
+    * index — batch 2 probes an index of two prior subdirectories —
+    * while trimming one full micro-batch of store landings off the
+    * replay. Exposed so the spec's cross-batch assertion slices the
+    * id space exactly as the fixture does.
+    */
+  val Slices = 3
+
   def replayNearDupGate(s: SparkSession, d: String): DataFrame = {
     val docs = graft.model.Tables.documents(s, d).select(col("doc_id"), col("text"))
     val srcDir = new java.io.File(graft.model.Scratch.dir("ingest_gate_src", d))
     srcDir.mkdirs()
     val ready = new java.io.File(srcDir, "_GATE_READY")
-    // 3 slices (r12, was 4): the smallest count that still exercises a
-    // MULTI-batch accumulated index — batch 2 probes an index of two
-    // prior subdirectories — while trimming one full micro-batch of
-    // store landings off the replay (the q_stream_asof_wm trim
-    // discipline). Decisions are a pure function of the corpus (the
-    // rule is doc_id order, not batch boundaries), so the hash gate is
-    // unchanged at any slice count.
-    val slices = 3
+    // decisions are a pure function of the corpus (the rule is doc_id
+    // order, not batch boundaries), so the hash gate is unchanged at
+    // any slice count — see [[Slices]]
+    val slices = Slices
     // Land the corpus once per dir as contiguous-doc_id-range files in
     // ascending order (mtime-pinned — FileStreamSource consumes in
     // modification-time order), so "earlier batch" always means

@@ -691,11 +691,12 @@ class StreamingSpec extends AnyFunSuite {
     }, "admitted ⇔ no dup_src; rejections point strictly backwards")
     assert(out.exists(!_._2), "the corpus plants near-dups — some must reject")
     // cross-batch state: at least one rejection whose dup_src landed in
-    // an EARLIER micro-batch (slice = contiguous doc_id quartile), so
+    // an EARLIER micro-batch (slice = contiguous doc_id range, width
+    // exactly as the fixture computes it from IngestGate.Slices), so
     // the persistent index — not just the same-batch self-join — is
     // proven live
     val hi = out.map(_._1).max
-    val width = hi / 4 + 1L
+    val width = hi / graft.streaming.IngestGate.Slices + 1L
     assert(out.exists { case (id, adm, src) =>
       !adm && src.exists(_ / width < id / width)
     }, "no rejection crossed a batch boundary — the index went unused")
@@ -705,5 +706,28 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"admitted", $"dup_src")
       .as[(Long, Boolean, Option[Long])].collect().toSeq
     assert(again == out, "gate rerun must be deterministic")
+  }
+
+  test("embedding ingestion gate: decisions consistent, cross-batch, rerunnable") {
+    val sf = "/root/testdata/sf0.001"
+    def run() = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8)
+      .select($"vec_id", $"admitted", $"dup_src")
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val out = run()
+    val vecs = graft.model.Tables.embeddings(spark, sf).count()
+    assert(out.size == vecs, "one decision per vector")
+    assert(out.forall { case (id, adm, src) =>
+      if (adm) src.isEmpty else src.exists(_ < id)
+    }, "admitted ⇔ no dup_src; rejections point strictly backwards")
+    assert(out.exists(!_._2), "the corpus plants cos≥0.4 pairs — some must reject")
+    // cross-batch state: a rejection whose dup_src landed in an EARLIER
+    // micro-batch, proving the persistent band index is live
+    val hi = out.map(_._1).max
+    val width = hi / graft.streaming.EmbGate.Slices + 1L
+    assert(out.exists { case (id, adm, src) =>
+      !adm && src.exists(_ / width < id / width)
+    }, "no rejection crossed a batch boundary — the index went unused")
+    assert(run() == out, "gate rerun must be deterministic")
   }
 }
