@@ -350,6 +350,50 @@ object Similarity {
         floor(col("cos") * 1e6).cast("long").as("cos_e6"))
   }
 
+  /** IVFADC index APPEND — the write path of a live ANN service: the
+    * index geometry (coarse centroids + residual PQ codebooks) froze
+    * when the BASE corpus was built; a newly-arrived batch is encoded
+    * against it — coarse-assign to the nearest frozen cell, form the
+    * residual, PQ-assign each subspace against the frozen codebook —
+    * and the resulting postings rows `(cell_id, n_id, sub, cid)`
+    * append to the inverted lists. Cost ∝ batch (two broadcast-join
+    * argmins per new vector); the base is never re-read, re-trained,
+    * or re-shuffled — the property that lets a 100 TB index absorb a
+    * continuous feed, with staleness watched by `q_pq_distortion` /
+    * `q_ivfpq_cell_stats`. Returns the NEW postings only (the rows an
+    * append RPC would write).
+    */
+  private[graft] def ivfPqAppend(base: DataFrame, newBatch: DataFrame,
+                                 key: String, vec: String, dims: Int,
+                                 cells: Int, m: Int, ks: Int,
+                                 refineIters: Int): DataFrame = {
+    ensureRegistered(base)
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    // frozen geometry from the base build (a deployment reads these
+    // from its index file; recomputing is the ivfPqQuery discipline)
+    val (_, cb) = ivfPqBuild(base, key, vec, dims, cells, m, ks, refineIters)
+    val cc = coarseLattice(pqLattice(base.select(
+      col(key).cast("long").as("n_id"), col(vec))
+      .filter(col(key) < cells), "n_id", vec, dsub), cells)
+    // encode the batch: coarse argmin → residual → frozen-codebook argmin
+    val rowsNew = pqLattice(newBatch.select(
+      col(key).cast("long").as("n_id"), col(vec)), "n_id", vec, dsub)
+      .localCheckpoint(true)
+    val casgNew = ivfPqCellTerms(rowsNew, "n_id", cc)
+      .groupBy("n_id")
+      .agg(min_by(col("cell_id"), struct(col("term"), col("cell_id")))
+        .as("cell_id"))
+    val rrNew = rowsNew.join(casgNew, Seq("n_id"))
+      .join(broadcast(cc), Seq("cell_id", "pos"))
+      .select(col("n_id"), col("cell_id"), col("sub"), col("pos"),
+        (col("xe") - col("ce")).as("xe"))
+    pqAssign(rrNew.select(col("n_id"), col("sub"), col("pos"), col("xe")),
+        cb, "n_id")
+      .join(casgNew, Seq("n_id"))
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
+  }
+
   /** Incremental IVF insert — the index-MAINTENANCE path a 100 TB ANN
     * deployment actually runs: coarse centroids were fixed when the
     * index was built over the BASE corpus; a newly-arrived batch is
@@ -452,24 +496,8 @@ object Similarity {
     var cb = rows.filter(col("n_id") < ks)
       .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
       .localCheckpoint(true)
-    // per-(vector, sub) argmin: |sv|² is constant inside the group, so
-    // cn2 − 2·dot orders cells exactly like the true L2 (ties → lowest
-    // cid); the vector×centroid expansion never crosses an exchange
-    // un-aggregated (broadcast join + partial groupBy)
-    def assign(xs: DataFrame, keyAs: String): DataFrame = {
-      val cn = cb.groupBy("sub", "cid").agg(sum(col("ce") * col("ce")).as("cn2"))
-      xs.join(broadcast(cb), Seq("sub", "pos"))
-        .groupBy(col(keyAs), col("sub"), col("cid"))
-        .agg(sum(col("xe") * col("ce")).as("dot"))
-        .join(broadcast(cn), Seq("sub", "cid"))
-        .groupBy(col(keyAs), col("sub"))
-        .agg(min_by(struct(col("cid"), (col("cn2") - col("dot") * 2L).as("term")),
-          struct((col("cn2") - col("dot") * 2L).as("d"), col("cid"))).as("best"))
-        .select(col(keyAs), col("sub"), col("best.cid").as("cid"),
-          col("best.term").as("term"))
-    }
     for (_ <- 0 until refineIters) {
-      cb = rows.join(assign(rows, "n_id").select("n_id", "sub", "cid"),
+      cb = rows.join(pqAssign(rows, cb, "n_id").select("n_id", "sub", "cid"),
           Seq("n_id", "sub"))
         .groupBy(col("sub"), col("cid"), col("pos"))
         // sign-split mean: Spark DIV truncates, DuckDB // floors —
@@ -478,8 +506,29 @@ object Similarity {
           "(abs(sum(xe)) DIV count(1))").as("ce"))
         .localCheckpoint(true)
     }
-    val codes = assign(rows, "n_id").select("n_id", "sub", "cid")
+    val codes = pqAssign(rows, cb, "n_id").select("n_id", "sub", "cid")
     (cb, codes)
+  }
+
+  /** Per-(vector, sub) codebook argmin: |sv|² is constant inside the
+    * group, so cn2 − 2·dot orders cells exactly like the true L2 (ties
+    * → lowest cid); the vector×centroid expansion never crosses an
+    * exchange un-aggregated (broadcast join + partial groupBy).
+    * Factored from [[pqTrain]] so the append/encode path can assign
+    * against a FROZEN codebook.
+    */
+  private def pqAssign(xs: DataFrame, cb: DataFrame,
+                       keyAs: String): DataFrame = {
+    val cn = cb.groupBy("sub", "cid").agg(sum(col("ce") * col("ce")).as("cn2"))
+    xs.join(broadcast(cb), Seq("sub", "pos"))
+      .groupBy(col(keyAs), col("sub"), col("cid"))
+      .agg(sum(col("xe") * col("ce")).as("dot"))
+      .join(broadcast(cn), Seq("sub", "cid"))
+      .groupBy(col(keyAs), col("sub"))
+      .agg(min_by(struct(col("cid"), (col("cn2") - col("dot") * 2L).as("term")),
+        struct((col("cn2") - col("dot") * 2L).as("d"), col("cid"))).as("best"))
+      .select(col(keyAs), col("sub"), col("best.cid").as("cid"),
+        col("best.term").as("term"))
   }
 
   /** Per-cell quantization distortion of the trained PQ index: for each

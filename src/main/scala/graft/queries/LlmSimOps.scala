@@ -364,6 +364,28 @@ private[queries] object LlmSimOps {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cell_id"))
 
+  /** IVFADC index append: the LAST 10% of the corpus by vec_id (the
+    * "newly-arrived" tail — cut = 9·max DIV 10, a pure function of the
+    * corpus both engines state) encodes against the geometry FROZEN at
+    * the base build: coarse argmin cell, residual, frozen-codebook PQ
+    * argmin per subspace. Output is exactly the postings rows an
+    * append RPC would write to the inverted lists — so the hash gate
+    * pins cell routing AND code assignment of the write path, the
+    * complement of `q_ann_ivf_incremental`'s read-path pin. See
+    * [[graft.ops.Similarity.ivfPqAppend]].
+    */
+  private[queries] val qAnnIvfPqAppend: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cut = emb.agg(expr("9 * max(vec_id) DIV 10").as("cut"))
+    val base = emb.crossJoin(broadcast(cut))
+      .filter(col("vec_id") < col("cut")).drop("cut")
+    val newb = emb.crossJoin(broadcast(cut))
+      .filter(col("vec_id") >= col("cut")).drop("cut")
+    Similarity.ivfPqAppend(base, newb, "vec_id", "embedding", dims = 64,
+        cells = 16, m = 8, ks = 16, refineIters = 1)
+      .orderBy(col("n_id"), col("sub"))
+  }
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -975,6 +997,88 @@ private[queries] object LlmSimOps {
        |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
+  /** Full-algorithm oracle for `q_ann_ivfpq_append`: the base-build
+    * fit (coarse codebook from the base prefix, base residuals, one
+    * Lloyd round — the [[annIvfPqSql]] chain restricted to
+    * vec_id < cut) followed by the encode of the tail batch against
+    * the FROZEN c1/cn1 — a retrain sneaking into the append path, a
+    * mis-routed cell, or a code tie-break drift is a hash mismatch.
+    */
+  private[queries] def annIvfPqAppendSql(dims: Int, m: Int, ks: Int,
+                                         cells: Int): String = {
+    val dsub = dims / m
+    s"""WITH mx AS (SELECT 9 * max(vec_id) // 10 AS cut FROM embeddings),
+       |r AS MATERIALIZED (SELECT vec_id,
+       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
+       |        // $dsub AS sub,
+       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+       |        AS BIGINT) AS xe
+       |    FROM embeddings),
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |rn AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id >= mx.cut),
+       |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM rb
+       |    WHERE vec_id < $cells),
+       |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM cc GROUP BY 1),
+       |ctb AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT rb.vec_id, cc.cell,
+       |            CAST(sum(rb.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM rb JOIN cc ON cc.pos = rb.pos GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |casgb AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ctb) WHERE rn = 1),
+       |rrb AS MATERIALIZED (SELECT rb.vec_id, rb.sub, rb.pos,
+       |      rb.xe - cc.ce AS xe
+       |    FROM rb JOIN casgb ON casgb.n_id = rb.vec_id
+       |    JOIN cc ON cc.cell = casgb.cell AND cc.pos = rb.pos),
+       |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM rrb
+       |    WHERE vec_id < $ks),
+       |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c0 GROUP BY 1, 2),
+       |d0 AS (SELECT rrb.vec_id, rrb.sub, c0.cid,
+       |      CAST(sum(rrb.xe * c0.ce) AS BIGINT) AS dot
+       |    FROM rrb JOIN c0 ON rrb.sub = c0.sub AND rrb.pos = c0.pos
+       |    GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, cid FROM (SELECT d0.vec_id, d0.sub, d0.cid,
+       |      row_number() OVER (PARTITION BY d0.vec_id, d0.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d0.cid ASC) AS rn
+       |    FROM d0 JOIN cn0 ON d0.sub = cn0.sub AND d0.cid = cn0.cid)
+       |    WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT rrb.sub, a0.cid, rrb.pos,
+       |      CAST(sign(sum(xe)) AS BIGINT) *
+       |        (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+       |    FROM rrb JOIN a0 ON rrb.vec_id = a0.vec_id AND rrb.sub = a0.sub
+       |    GROUP BY 1, 2, 3),
+       |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c1 GROUP BY 1, 2),
+       |ctn AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT rn.vec_id, cc.cell,
+       |            CAST(sum(rn.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM rn JOIN cc ON cc.pos = rn.pos GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |casgn AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ctn) WHERE rn = 1),
+       |rrn AS (SELECT rn.vec_id, rn.sub, rn.pos, rn.xe - cc.ce AS xe
+       |    FROM rn JOIN casgn ON casgn.n_id = rn.vec_id
+       |    JOIN cc ON cc.cell = casgn.cell AND cc.pos = rn.pos),
+       |dn AS (SELECT rrn.vec_id, rrn.sub, c1.cid,
+       |      CAST(sum(rrn.xe * c1.ce) AS BIGINT) AS dot
+       |    FROM rrn JOIN c1 ON rrn.sub = c1.sub AND rrn.pos = c1.pos
+       |    GROUP BY 1, 2, 3),
+       |enc AS (SELECT vec_id, sub, cid FROM (SELECT dn.vec_id, dn.sub, dn.cid,
+       |      row_number() OVER (PARTITION BY dn.vec_id, dn.sub
+       |        ORDER BY cn2 - 2 * dot ASC, dn.cid ASC) AS rn
+       |    FROM dn JOIN cn1 ON dn.sub = cn1.sub AND dn.cid = cn1.cid)
+       |    WHERE rn = 1)
+       |SELECT casgn.cell AS cell_id, enc.vec_id AS n_id,
+       |  CAST(enc.sub AS INT) AS sub, enc.cid
+       |FROM enc JOIN casgn ON casgn.n_id = enc.vec_id
+       |ORDER BY n_id, sub""".stripMargin
+  }
+
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.
     */
@@ -1062,6 +1166,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_read" -> qAnnIvfPqRead,
     "q_ivfpq_cell_stats" -> qIvfPqCellStats,
+    "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_stream_emb_gate" -> qStreamEmbGate,
@@ -1110,6 +1215,8 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_read" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
     "q_ivfpq_cell_stats" -> ivfPqCellStatsSql(dims = 64, m = 8, cells = 16),
+    "q_ann_ivfpq_append" -> annIvfPqAppendSql(dims = 64, m = 8, ks = 16,
+      cells = 16),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
