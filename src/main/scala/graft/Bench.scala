@@ -285,7 +285,14 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       spark.catalog.clearCache()
     }
-    val reps = 3
+    // 5 reps (r12, was 3): the r12 sweeps showed per-key cost decaying
+    // monotonically across runs under host load (run 1 systematically
+    // 2-4× run 3), so a median of 3 lands on the still-decaying second
+    // sample; the median of 5 lands on the third — deeper into steady
+    // state and robust to two outliers instead of one. All raw runs
+    // still ship in `runs`, so any cross-round comparison can recompute
+    // either estimator.
+    val reps = 5
     val results = headline.filter(SparkEntry.queries.contains).map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
@@ -422,7 +429,10 @@ object Bench {
     val note = "headline totals are sensitive to concurrent host load " +
       "(r11 carried a uniform ~30ms/key inflation vs r9 from sweep-time " +
       "load; re-measured quiet in r12 at-or-below r10 readings with no " +
-      "plan changes)"
+      "plan changes; r12 also observed the whole VM slowing ~2x for " +
+      "hours with steal=0 and full CPU clocks — shared-host variance " +
+      "outside the benchmark's control). Headline medians are of 5 runs " +
+      "since r12 (was 3; raw runs in `runs`)."
     val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
