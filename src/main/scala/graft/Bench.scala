@@ -119,6 +119,7 @@ object Bench {
     "q_ann_ivfpq_read",
     "q_ivfpq_cell_stats",
     "q_ann_ivfpq_append",
+    "q_stream_ann_ingest",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_stream_emb_gate",

@@ -373,10 +373,22 @@ object Similarity {
     // frozen geometry from the base build (a deployment reads these
     // from its index file; recomputing is the ivfPqQuery discipline)
     val (_, cb) = ivfPqBuild(base, key, vec, dims, cells, m, ks, refineIters)
-    val cc = coarseLattice(pqLattice(base.select(
-      col(key).cast("long").as("n_id"), col(vec))
-      .filter(col(key) < cells), "n_id", vec, dsub), cells)
-    // encode the batch: coarse argmin → residual → frozen-codebook argmin
+    ivfPqEncode(newBatch, coarseFromBase(base, key, vec, dsub, cells), cb,
+      key, vec, dsub)
+  }
+
+  /** Encode a batch against a FROZEN IVFADC geometry (coarse lattice
+    * codebook `cc` + residual PQ codebook `cb`): coarse argmin →
+    * residual → frozen-codebook argmin per subspace. Returns the
+    * postings rows `(cell_id, n_id, sub, cid)`. Shared by
+    * [[ivfPqAppend]] and the streaming ingest
+    * ([[graft.streaming.AnnIngest]]); cost ∝ batch (two broadcast-join
+    * argmins per vector).
+    */
+  private[graft] def ivfPqEncode(newBatch: DataFrame, cc: DataFrame,
+                                 cb: DataFrame, key: String, vec: String,
+                                 dsub: Int): DataFrame = {
+    ensureRegistered(newBatch)
     val rowsNew = pqLattice(newBatch.select(
       col(key).cast("long").as("n_id"), col(vec)), "n_id", vec, dsub)
       .localCheckpoint(true)
@@ -393,6 +405,18 @@ object Similarity {
       .join(casgNew, Seq("n_id"))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
   }
+
+  /** The frozen coarse lattice codebook recomputed from a stored base
+    * slice — first `cells` vectors in key order as `(pos, cell_id,
+    * ce)`; the stream's batch-1+ encodes read this from the vector
+    * store instead of recomputing the lattice of the whole corpus.
+    */
+  private[graft] def coarseFromBase(base: DataFrame, key: String,
+                                    vec: String, dsub: Int,
+                                    cells: Int): DataFrame =
+    coarseLattice(pqLattice(base.select(
+      col(key).cast("long").as("n_id"), col(vec))
+      .filter(col(key) < cells), "n_id", vec, dsub), cells)
 
   /** Incremental IVF insert — the index-MAINTENANCE path a 100 TB ANN
     * deployment actually runs: coarse centroids were fixed when the

@@ -386,6 +386,17 @@ private[queries] object LlmSimOps {
       .orderBy(col("n_id"), col("sub"))
   }
 
+  /** The full streaming ANN ingest: gate + frozen-geometry encode +
+    * durable postings append, end to end in one replay — see
+    * [[graft.streaming.AnnIngest]]. Gate parameters are the
+    * `q_dedup_embedding` banding; index geometry is the registry's
+    * standard (dims 64, 16 cells, m=8, ks=16, one Lloyd round).
+    */
+  private[queries] val qStreamAnnIngest: Q = (s, d) =>
+    graft.streaming.AnnIngest.replayAnnIngest(s, d, threshold = 0.4,
+      bands = EmbBands, bitsPerBand = EmbBits, dims = 64, cells = 16,
+      m = 8, ks = 16, refineIters = 1)
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -1079,6 +1090,101 @@ private[queries] object LlmSimOps {
        |ORDER BY n_id, sub""".stripMargin
   }
 
+  /** Full-algorithm oracle for `q_stream_ann_ingest`: the gate rule
+    * ([[streamEmbGateSql]]'s bit-mirrored banding + exact cosine,
+    * reduced to the rejected set) composed with the frozen-geometry
+    * encode ([[annIvfPqAppendSql]]'s fit-on-base chain with the cut at
+    * the first slice, the encode set being every ADMITTED vector) —
+    * one statement covering gate decisions, geometry training, cell
+    * routing, and code assignment end to end.
+    */
+  private[queries] def streamAnnIngestSql(threshold: Double, bands: Int,
+                                          bits: Int, dims: Int, m: Int,
+                                          ks: Int, cells: Int): String = {
+    val dsub = dims / m
+    s"""WITH mx AS (SELECT max(vec_id) // 3 + 1 AS cut FROM embeddings),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |cg AS MATERIALIZED (SELECT vec_id, v,
+       |      ${srpCodeListSql(bands, bits, dims)} AS ct FROM e),
+       |rej AS (SELECT DISTINCT b.vec_id
+       |    FROM cg a JOIN cg b ON a.vec_id < b.vec_id
+       |      AND list_has_any(a.ct, b.ct)
+       |    WHERE ${cosExpr("a", "b")} >= $threshold),
+       |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
+       |    WHERE rej.vec_id IS NULL),
+       |r AS MATERIALIZED (SELECT vec_id,
+       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
+       |        // $dsub AS sub,
+       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
+       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
+       |        AS BIGINT) AS xe
+       |    FROM embeddings),
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM rb
+       |    WHERE vec_id < $cells),
+       |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM cc GROUP BY 1),
+       |ctb AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT rb.vec_id, cc.cell,
+       |            CAST(sum(rb.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM rb JOIN cc ON cc.pos = rb.pos GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |casgb AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM ctb) WHERE rn = 1),
+       |rrb AS MATERIALIZED (SELECT rb.vec_id, rb.sub, rb.pos,
+       |      rb.xe - cc.ce AS xe
+       |    FROM rb JOIN casgb ON casgb.n_id = rb.vec_id
+       |    JOIN cc ON cc.cell = casgb.cell AND cc.pos = rb.pos),
+       |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM rrb
+       |    WHERE vec_id < $ks),
+       |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c0 GROUP BY 1, 2),
+       |d0 AS (SELECT rrb.vec_id, rrb.sub, c0.cid,
+       |      CAST(sum(rrb.xe * c0.ce) AS BIGINT) AS dot
+       |    FROM rrb JOIN c0 ON rrb.sub = c0.sub AND rrb.pos = c0.pos
+       |    GROUP BY 1, 2, 3),
+       |a0 AS (SELECT vec_id, sub, cid FROM (SELECT d0.vec_id, d0.sub, d0.cid,
+       |      row_number() OVER (PARTITION BY d0.vec_id, d0.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d0.cid ASC) AS rn
+       |    FROM d0 JOIN cn0 ON d0.sub = cn0.sub AND d0.cid = cn0.cid)
+       |    WHERE rn = 1),
+       |c1 AS MATERIALIZED (SELECT rrb.sub, a0.cid, rrb.pos,
+       |      CAST(sign(sum(xe)) AS BIGINT) *
+       |        (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
+       |    FROM rrb JOIN a0 ON rrb.vec_id = a0.vec_id AND rrb.sub = a0.sub
+       |    GROUP BY 1, 2, 3),
+       |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
+       |    FROM c1 GROUP BY 1, 2),
+       |ra AS MATERIALIZED (SELECT r.* FROM r
+       |    JOIN adm ON adm.vec_id = r.vec_id),
+       |cta AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT ra.vec_id, cc.cell,
+       |            CAST(sum(ra.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM ra JOIN cc ON cc.pos = ra.pos GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |casga AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM cta) WHERE rn = 1),
+       |rra AS (SELECT ra.vec_id, ra.sub, ra.pos, ra.xe - cc.ce AS xe
+       |    FROM ra JOIN casga ON casga.n_id = ra.vec_id
+       |    JOIN cc ON cc.cell = casga.cell AND cc.pos = ra.pos),
+       |da AS (SELECT rra.vec_id, rra.sub, c1.cid,
+       |      CAST(sum(rra.xe * c1.ce) AS BIGINT) AS dot
+       |    FROM rra JOIN c1 ON rra.sub = c1.sub AND rra.pos = c1.pos
+       |    GROUP BY 1, 2, 3),
+       |enca AS (SELECT vec_id, sub, cid FROM (SELECT da.vec_id, da.sub,
+       |      da.cid, row_number() OVER (PARTITION BY da.vec_id, da.sub
+       |        ORDER BY cn2 - 2 * dot ASC, da.cid ASC) AS rn
+       |    FROM da JOIN cn1 ON da.sub = cn1.sub AND da.cid = cn1.cid)
+       |    WHERE rn = 1)
+       |SELECT casga.cell AS cell_id, enca.vec_id AS n_id,
+       |  CAST(enca.sub AS INT) AS sub, enca.cid
+       |FROM enca JOIN casga ON casga.n_id = enca.vec_id
+       |ORDER BY n_id, sub""".stripMargin
+  }
+
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.
     */
@@ -1167,6 +1273,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_read" -> qAnnIvfPqRead,
     "q_ivfpq_cell_stats" -> qIvfPqCellStats,
     "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
+    "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_stream_emb_gate" -> qStreamEmbGate,
@@ -1217,6 +1324,8 @@ private[queries] object LlmSimOps {
     "q_ivfpq_cell_stats" -> ivfPqCellStatsSql(dims = 64, m = 8, cells = 16),
     "q_ann_ivfpq_append" -> annIvfPqAppendSql(dims = 64, m = 8, ks = 16,
       cells = 16),
+    "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,
+      dims = 64, m = 8, ks = 16, cells = 16),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
