@@ -730,4 +730,28 @@ class StreamingSpec extends AnyFunSuite {
     }, "no rejection crossed a batch boundary — the index went unused")
     assert(run() == out, "gate rerun must be deterministic")
   }
+
+  test("streaming ANN ingest: postings cover exactly the admitted set, m rows each") {
+    val sf = "/root/testdata/sf0.001"
+    val posts = graft.streaming.AnnIngest.replayAnnIngest(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64,
+        cells = 16, m = 8, ks = 16, refineIters = 1)
+      .select($"cell_id", $"n_id", $"sub", $"cid")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // the postings' vector set must equal the gate's admitted set —
+    // the composition law between the two pipeline stages
+    val admitted = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8)
+      .filter($"admitted").select($"vec_id").as[Long].collect().toSet
+    assert(posts.map(_._2).toSet == admitted,
+      "postings must cover exactly the gate-admitted vectors")
+    // m=8 code rows per admitted vector, one cell per vector, cid in
+    // the trained codebook's id domain (seed ids are vec_ids < ks or
+    // their Lloyd-updated descendants — same cid key space)
+    val perVec = posts.groupBy(_._2)
+    assert(perVec.values.forall(_.size == 8), "8 subspace codes per vector")
+    assert(perVec.values.forall(_.map(_._1).distinct.size == 1),
+      "every vector routes to exactly one cell")
+    assert(posts.map(_._3).toSet == (0 until 8).toSet, "all subspaces present")
+  }
 }
