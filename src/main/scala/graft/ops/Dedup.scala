@@ -145,12 +145,24 @@ object Dedup {
     * Jaccard, which is what the DuckDB oracle computes).
     */
   def verifyJaccard(candidates: DataFrame, docsWithShingles: DataFrame, key: String,
-                    threshold: Double): DataFrame = {
-    docsWithShingles.sparkSession.sessionState.functionRegistry
+                    threshold: Double): DataFrame =
+    verifyJaccardSides(candidates, docsWithShingles, docsWithShingles, key,
+      threshold)
+
+  /** [[verifyJaccard]] with separate shingle tables per pair side — the
+    * streaming-gate shape (see
+    * [[graft.ops.Similarity.verifyCosineSides]]): `key_b` rows come from
+    * the in-memory micro-batch, `key_a` rows from a candidate-pruned
+    * slice of the durable shingle store.
+    */
+  def verifyJaccardSides(candidates: DataFrame, shA: DataFrame,
+                         shB: DataFrame, key: String,
+                         threshold: Double): DataFrame = {
+    shA.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction("jaccard_sorted",
         exprs => graft.functions.JaccardSorted(exprs(0), exprs(1)), "built-in")
-    val sa = docsWithShingles.select(col(key).as("key_a"), col("sh").as("sh_a"))
-    val sb = docsWithShingles.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    val sa = shA.select(col(key).as("key_a"), col("sh").as("sh_a"))
+    val sb = shB.select(col(key).as("key_b"), col("sh").as("sh_b"))
     candidates.join(sa, "key_a").join(sb, "key_b")
       .withColumn("jac", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jac") >= threshold)

@@ -86,10 +86,21 @@ object Similarity {
     * [[cosinePairsBlocked]]'s verify stage.
     */
   def verifyCosine(cands: DataFrame, vecs: DataFrame, key: String,
-                   vec: String, threshold: Double): DataFrame = {
-    ensureRegistered(vecs)
-    val a = side(vecs, key, vec, "key_a", "va", "na")
-    val b = side(vecs, key, vec, "key_b", "vb", "nb")
+                   vec: String, threshold: Double): DataFrame =
+    verifyCosineSides(cands, vecs, vecs, key, vec, threshold)
+
+  /** [[verifyCosine]] with separate vector tables per pair side — the
+    * streaming-gate shape: `key_b` rows always come from the in-memory
+    * micro-batch while `key_a` rows may come from a (candidate-pruned)
+    * slice of the durable vector store, so the store fetch is
+    * ∝ candidates and the same-batch path never touches the store.
+    */
+  def verifyCosineSides(cands: DataFrame, vecsA: DataFrame, vecsB: DataFrame,
+                        key: String, vec: String,
+                        threshold: Double): DataFrame = {
+    ensureRegistered(vecsA)
+    val a = side(vecsA, key, vec, "key_a", "va", "na")
+    val b = side(vecsB, key, vec, "key_b", "vb", "nb")
     cands.join(a, Seq("key_a")).join(b, Seq("key_b"))
       .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)

@@ -794,13 +794,7 @@ private[queries] object LlmSimOps {
     */
   private def pqFitCtes(dims: Int, m: Int, ks: Int): String = {
     val dsub = dims / m
-    s"""r AS MATERIALIZED (SELECT vec_id,
-       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
-       |        // $dsub AS sub,
-       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
-       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
-       |        AS BIGINT) AS xe
-       |    FROM embeddings),
+    s"""${latticeCte(dsub)},
        |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM r
        |    WHERE vec_id < $ks),
        |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
@@ -902,13 +896,7 @@ private[queries] object LlmSimOps {
     * has ONE statement.
     */
   private def ivfCoarseCtes(dims: Int, dsub: Int, cells: Int): String =
-    s"""r AS MATERIALIZED (SELECT vec_id,
-       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
-       |        // $dsub AS sub,
-       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
-       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
-       |        AS BIGINT) AS xe
-       |    FROM embeddings),
+    s"""${latticeCte(dsub)},
        |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM r
        |    WHERE vec_id < $cells),
        |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
@@ -1008,27 +996,27 @@ private[queries] object LlmSimOps {
        |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
-  /** Full-algorithm oracle for `q_ann_ivfpq_append`: the base-build
-    * fit (coarse codebook from the base prefix, base residuals, one
-    * Lloyd round — the [[annIvfPqSql]] chain restricted to
-    * vec_id < cut) followed by the encode of the tail batch against
-    * the FROZEN c1/cn1 — a retrain sneaking into the append path, a
-    * mis-routed cell, or a code tie-break drift is a hash mismatch.
+  /** The 2²⁴-lattice rows CTE `r` over embeddings — the opening
+    * statement every PQ-family oracle shares.
     */
-  private[queries] def annIvfPqAppendSql(dims: Int, m: Int, ks: Int,
-                                         cells: Int): String = {
-    val dsub = dims / m
-    s"""WITH mx AS (SELECT 9 * max(vec_id) // 10 AS cut FROM embeddings),
-       |r AS MATERIALIZED (SELECT vec_id,
+  private def latticeCte(dsub: Int): String =
+    s"""r AS MATERIALIZED (SELECT vec_id,
        |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
        |        // $dsub AS sub,
        |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
        |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
        |        AS BIGINT) AS xe
-       |    FROM embeddings),
-       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
-       |rn AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id >= mx.cut),
-       |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM rb
+       |    FROM embeddings)""".stripMargin
+
+  /** Frozen-geometry IVFADC FIT over the base CTE `rb`: coarse codebook
+    * `cc` from rb's first `cells` ids, base cell assignment, base
+    * residuals, PQ seed + one Lloyd round → the frozen `c1`/`cn1`.
+    * Shared verbatim by [[annIvfPqAppendSql]] and
+    * [[streamAnnIngestSql]] (the ADVICE r12 de-duplication: ONE
+    * statement of the frozen-fit rule).
+    */
+  private def frozenFitCtes(ks: Int, cells: Int): String =
+    s"""cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM rb
        |    WHERE vec_id < $cells),
        |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
        |    FROM cc GROUP BY 1),
@@ -1063,46 +1051,75 @@ private[queries] object LlmSimOps {
        |    FROM rrb JOIN a0 ON rrb.vec_id = a0.vec_id AND rrb.sub = a0.sub
        |    GROUP BY 1, 2, 3),
        |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
-       |    FROM c1 GROUP BY 1, 2),
-       |ctn AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
-       |    FROM (SELECT rn.vec_id, cc.cell,
-       |            CAST(sum(rn.xe * cc.ce) AS BIGINT) AS dot
-       |          FROM rn JOIN cc ON cc.pos = rn.pos GROUP BY 1, 2) cd
+       |    FROM c1 GROUP BY 1, 2)""".stripMargin
+
+  /** ENCODE of the lattice-row CTE `src` against the frozen geometry
+    * (`cc`/`ccn`/`c1`/`cn1` from [[frozenFitCtes]]): coarse argmin cell,
+    * residual, frozen-codebook argmin per subspace — ending in the
+    * postings SELECT an append RPC would write. Shared by the append
+    * and stream-ingest oracles.
+    */
+  private def frozenEncodeSql(src: String): String =
+    s"""ct_e AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT $src.vec_id, cc.cell,
+       |            CAST(sum($src.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM $src JOIN cc ON cc.pos = $src.pos GROUP BY 1, 2) cd
        |    JOIN ccn ON ccn.cell = cd.cell),
-       |casgn AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
+       |casg_e AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
        |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY term ASC, cell ASC) AS rn FROM ctn) WHERE rn = 1),
-       |rrn AS (SELECT rn.vec_id, rn.sub, rn.pos, rn.xe - cc.ce AS xe
-       |    FROM rn JOIN casgn ON casgn.n_id = rn.vec_id
-       |    JOIN cc ON cc.cell = casgn.cell AND cc.pos = rn.pos),
-       |dn AS (SELECT rrn.vec_id, rrn.sub, c1.cid,
-       |      CAST(sum(rrn.xe * c1.ce) AS BIGINT) AS dot
-       |    FROM rrn JOIN c1 ON rrn.sub = c1.sub AND rrn.pos = c1.pos
+       |        ORDER BY term ASC, cell ASC) AS rw FROM ct_e) WHERE rw = 1),
+       |rr_e AS (SELECT $src.vec_id, $src.sub, $src.pos,
+       |      $src.xe - cc.ce AS xe
+       |    FROM $src JOIN casg_e ON casg_e.n_id = $src.vec_id
+       |    JOIN cc ON cc.cell = casg_e.cell AND cc.pos = $src.pos),
+       |d_e AS (SELECT rr_e.vec_id, rr_e.sub, c1.cid,
+       |      CAST(sum(rr_e.xe * c1.ce) AS BIGINT) AS dot
+       |    FROM rr_e JOIN c1 ON rr_e.sub = c1.sub AND rr_e.pos = c1.pos
        |    GROUP BY 1, 2, 3),
-       |enc AS (SELECT vec_id, sub, cid FROM (SELECT dn.vec_id, dn.sub, dn.cid,
-       |      row_number() OVER (PARTITION BY dn.vec_id, dn.sub
-       |        ORDER BY cn2 - 2 * dot ASC, dn.cid ASC) AS rn
-       |    FROM dn JOIN cn1 ON dn.sub = cn1.sub AND dn.cid = cn1.cid)
-       |    WHERE rn = 1)
-       |SELECT casgn.cell AS cell_id, enc.vec_id AS n_id,
-       |  CAST(enc.sub AS INT) AS sub, enc.cid
-       |FROM enc JOIN casgn ON casgn.n_id = enc.vec_id
+       |enc_e AS (SELECT vec_id, sub, cid FROM (SELECT d_e.vec_id, d_e.sub,
+       |      d_e.cid, row_number() OVER (PARTITION BY d_e.vec_id, d_e.sub
+       |        ORDER BY cn2 - 2 * dot ASC, d_e.cid ASC) AS rw
+       |    FROM d_e JOIN cn1 ON d_e.sub = cn1.sub AND d_e.cid = cn1.cid)
+       |    WHERE rw = 1)
+       |SELECT casg_e.cell AS cell_id, enc_e.vec_id AS n_id,
+       |  CAST(enc_e.sub AS INT) AS sub, enc_e.cid
+       |FROM enc_e JOIN casg_e ON casg_e.n_id = enc_e.vec_id
        |ORDER BY n_id, sub""".stripMargin
+
+  /** Full-algorithm oracle for `q_ann_ivfpq_append`: the base-build
+    * fit (coarse codebook from the base prefix, base residuals, one
+    * Lloyd round — [[frozenFitCtes]] over vec_id < cut) followed by
+    * the encode of the tail batch against the FROZEN c1/cn1
+    * ([[frozenEncodeSql]]) — a retrain sneaking into the append path,
+    * a mis-routed cell, or a code tie-break drift is a hash mismatch.
+    */
+  private[queries] def annIvfPqAppendSql(dims: Int, m: Int, ks: Int,
+                                         cells: Int): String = {
+    val dsub = dims / m
+    s"""WITH mx AS (SELECT 9 * max(vec_id) // 10 AS cut FROM embeddings),
+       |${latticeCte(dsub)},
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |rt AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id >= mx.cut),
+       |${frozenFitCtes(ks, cells)},
+       |${frozenEncodeSql("rt")}""".stripMargin
   }
 
   /** Full-algorithm oracle for `q_stream_ann_ingest`: the gate rule
     * ([[streamEmbGateSql]]'s bit-mirrored banding + exact cosine,
     * reduced to the rejected set) composed with the frozen-geometry
-    * encode ([[annIvfPqAppendSql]]'s fit-on-base chain with the cut at
-    * the first slice, the encode set being every ADMITTED vector) —
-    * one statement covering gate decisions, geometry training, cell
-    * routing, and code assignment end to end.
+    * encode ([[frozenFitCtes]] with the cut at the first slice —
+    * `slices` is interpolated from [[graft.streaming.AnnIngest.Slices]]
+    * so the fixture and the oracle state the ONE slice rule — and
+    * [[frozenEncodeSql]] over every ADMITTED vector): one statement
+    * covering gate decisions, geometry training, cell routing, and
+    * code assignment end to end.
     */
   private[queries] def streamAnnIngestSql(threshold: Double, bands: Int,
                                           bits: Int, dims: Int, m: Int,
-                                          ks: Int, cells: Int): String = {
+                                          ks: Int, cells: Int,
+                                          slices: Int): String = {
     val dsub = dims / m
-    s"""WITH mx AS (SELECT max(vec_id) // 3 + 1 AS cut FROM embeddings),
+    s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |    FROM embeddings),
        |cg AS MATERIALIZED (SELECT vec_id, v,
@@ -1113,76 +1130,12 @@ private[queries] object LlmSimOps {
        |    WHERE ${cosExpr("a", "b")} >= $threshold),
        |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
        |    WHERE rej.vec_id IS NULL),
-       |r AS MATERIALIZED (SELECT vec_id,
-       |      (generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1)
-       |        // $dsub AS sub,
-       |      generate_subscripts(CAST(embedding AS DOUBLE[]), 1) - 1 AS pos,
-       |      CAST(round(unnest(CAST(embedding AS DOUBLE[])) * 16777216.0)
-       |        AS BIGINT) AS xe
-       |    FROM embeddings),
+       |${latticeCte(dsub)},
        |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
-       |cc AS MATERIALIZED (SELECT pos, vec_id AS cell, xe AS ce FROM rb
-       |    WHERE vec_id < $cells),
-       |ccn AS (SELECT cell, CAST(sum(ce * ce) AS BIGINT) AS cn2
-       |    FROM cc GROUP BY 1),
-       |ctb AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
-       |    FROM (SELECT rb.vec_id, cc.cell,
-       |            CAST(sum(rb.xe * cc.ce) AS BIGINT) AS dot
-       |          FROM rb JOIN cc ON cc.pos = rb.pos GROUP BY 1, 2) cd
-       |    JOIN ccn ON ccn.cell = cd.cell),
-       |casgb AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY term ASC, cell ASC) AS rn FROM ctb) WHERE rn = 1),
-       |rrb AS MATERIALIZED (SELECT rb.vec_id, rb.sub, rb.pos,
-       |      rb.xe - cc.ce AS xe
-       |    FROM rb JOIN casgb ON casgb.n_id = rb.vec_id
-       |    JOIN cc ON cc.cell = casgb.cell AND cc.pos = rb.pos),
-       |c0 AS (SELECT sub, pos, vec_id AS cid, xe AS ce FROM rrb
-       |    WHERE vec_id < $ks),
-       |cn0 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
-       |    FROM c0 GROUP BY 1, 2),
-       |d0 AS (SELECT rrb.vec_id, rrb.sub, c0.cid,
-       |      CAST(sum(rrb.xe * c0.ce) AS BIGINT) AS dot
-       |    FROM rrb JOIN c0 ON rrb.sub = c0.sub AND rrb.pos = c0.pos
-       |    GROUP BY 1, 2, 3),
-       |a0 AS (SELECT vec_id, sub, cid FROM (SELECT d0.vec_id, d0.sub, d0.cid,
-       |      row_number() OVER (PARTITION BY d0.vec_id, d0.sub
-       |        ORDER BY cn2 - 2 * dot ASC, d0.cid ASC) AS rn
-       |    FROM d0 JOIN cn0 ON d0.sub = cn0.sub AND d0.cid = cn0.cid)
-       |    WHERE rn = 1),
-       |c1 AS MATERIALIZED (SELECT rrb.sub, a0.cid, rrb.pos,
-       |      CAST(sign(sum(xe)) AS BIGINT) *
-       |        (abs(CAST(sum(xe) AS BIGINT)) // count(*)) AS ce
-       |    FROM rrb JOIN a0 ON rrb.vec_id = a0.vec_id AND rrb.sub = a0.sub
-       |    GROUP BY 1, 2, 3),
-       |cn1 AS (SELECT sub, cid, CAST(sum(ce * ce) AS BIGINT) AS cn2
-       |    FROM c1 GROUP BY 1, 2),
+       |${frozenFitCtes(ks, cells)},
        |ra AS MATERIALIZED (SELECT r.* FROM r
        |    JOIN adm ON adm.vec_id = r.vec_id),
-       |cta AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
-       |    FROM (SELECT ra.vec_id, cc.cell,
-       |            CAST(sum(ra.xe * cc.ce) AS BIGINT) AS dot
-       |          FROM ra JOIN cc ON cc.pos = ra.pos GROUP BY 1, 2) cd
-       |    JOIN ccn ON ccn.cell = cd.cell),
-       |casga AS MATERIALIZED (SELECT vec_id AS n_id, cell FROM (
-       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
-       |        ORDER BY term ASC, cell ASC) AS rn FROM cta) WHERE rn = 1),
-       |rra AS (SELECT ra.vec_id, ra.sub, ra.pos, ra.xe - cc.ce AS xe
-       |    FROM ra JOIN casga ON casga.n_id = ra.vec_id
-       |    JOIN cc ON cc.cell = casga.cell AND cc.pos = ra.pos),
-       |da AS (SELECT rra.vec_id, rra.sub, c1.cid,
-       |      CAST(sum(rra.xe * c1.ce) AS BIGINT) AS dot
-       |    FROM rra JOIN c1 ON rra.sub = c1.sub AND rra.pos = c1.pos
-       |    GROUP BY 1, 2, 3),
-       |enca AS (SELECT vec_id, sub, cid FROM (SELECT da.vec_id, da.sub,
-       |      da.cid, row_number() OVER (PARTITION BY da.vec_id, da.sub
-       |        ORDER BY cn2 - 2 * dot ASC, da.cid ASC) AS rn
-       |    FROM da JOIN cn1 ON da.sub = cn1.sub AND da.cid = cn1.cid)
-       |    WHERE rn = 1)
-       |SELECT casga.cell AS cell_id, enca.vec_id AS n_id,
-       |  CAST(enca.sub AS INT) AS sub, enca.cid
-       |FROM enca JOIN casga ON casga.n_id = enca.vec_id
-       |ORDER BY n_id, sub""".stripMargin
+       |${frozenEncodeSql("ra")}""".stripMargin
   }
 
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
@@ -1325,7 +1278,8 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_append" -> annIvfPqAppendSql(dims = 64, m = 8, ks = 16,
       cells = 16),
     "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,
-      dims = 64, m = 8, ks = 16, cells = 16),
+      dims = 64, m = 8, ks = 16, cells = 16,
+      slices = graft.streaming.AnnIngest.Slices),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,

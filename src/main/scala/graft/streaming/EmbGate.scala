@@ -16,7 +16,8 @@ import graft.ops.Similarity
   * store), not operator memory, so it survives restarts and grows
   * append-only; per batch the probe cost is (batch buckets) ⋈ index —
   * proportional to the BATCH — and raw vectors are fetched for
-  * verification candidates only, never joined corpus×corpus.
+  * verification candidates only (the [[gateBatch]] two-half
+  * discipline), never joined corpus×corpus.
   *
   * Contract (stated identically by the committed DuckDB oracle, which
   * bit-mirrors the SRP hyperplanes like `q_dedup_embedding`): vector
@@ -30,10 +31,11 @@ import graft.ops.Similarity
   * decisions are a pure function of the corpus and the gate hash-gates
   * against the oracle's one-sentence restatement.
   *
-  * Idempotence: the [[IngestGate]] discipline — each micro-batch
-  * Overwrite-writes its own `b<id>` store subdirectories and probes
-  * only STRICTLY EARLIER ones, so an at-least-once replay reproduces
-  * byte-identical decisions.
+  * Idempotence: the [[GateStores]] discipline — per-batch Overwrite
+  * subdirectories, probes read strictly-earlier batches only — so an
+  * at-least-once replay (including a run killed mid-batch and resumed
+  * from its checkpoint; StreamingSpec exercises exactly that)
+  * reproduces byte-identical decisions.
   */
 object EmbGate {
   private val fixtureLock = new Object
@@ -44,112 +46,131 @@ object EmbGate {
     */
   val Slices = 3
 
+  /** One micro-batch of the SRP embedding gate, shared verbatim by this
+    * gate and [[AnnIngest]]'s composed pipeline: band the batch, build
+    * the candidate set (strictly-earlier index probe + same-batch
+    * ordered self-join — every a<b pair with a shared band exactly
+    * once), verify by exact cosine, reduce to the min admitted
+    * predecessor per vector.
+    *
+    * The verify's STORE fetch obeys the [[GateStores.PruneStoreBytes]]
+    * cutover: a small accumulated store reads straight into the verify
+    * join (one stage — at fixture/soak scale the candidate set dwarfs
+    * the store, so an id semi-join would cost more than it saves),
+    * while a large store is pruned to the vectors whose index rows
+    * collide with a batch bucket — the fetch becomes ∝ candidates, the
+    * only shape that survives a 100 TB corpus where the store dwarfs
+    * any batch's candidates. Returns (vecs, buckets, dupSrc);
+    * vecs/buckets arrive persisted — the caller lands the stores and
+    * unpersists.
+    */
+  private[graft] def gateBatch(batch: DataFrame, batchId: Long,
+      idxDir: String, vecDir: String, threshold: Double,
+      bands: Int, bitsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+    val ss = batch.sparkSession
+    val vecs = batch.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = Similarity.srpBuckets(vecs, "vec_id", "embedding",
+        bands, bitsPerBand)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val idxDirs = GateStores.existing(idxDir, before = batchId)
+    val index =
+      if (idxDirs.isEmpty) None
+      else Some(GateStores.readBandIndex(ss, idxDirs)
+        .select(col("vec_id"), col("bucket")))
+    // prior-batch candidates: probe the persistent band index with THIS
+    // batch's buckets (cost ∝ batch); same-batch candidates: the
+    // ordered self-join
+    val candPrev = index match {
+      case None => ss.emptyDataFrame
+        .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
+      case Some(idx) => idx
+        .select(col("vec_id").as("key_a"), col("bucket"))
+        .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
+          Seq("bucket"))
+        .select(col("key_a"), col("key_b"))
+    }
+    val candSame = buckets.select(col("vec_id").as("key_a"), col("bucket"))
+      .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"))
+    val cands = candPrev.unionByName(candSame).distinct()
+    val vecDirs = GateStores.existing(vecDir, before = batchId)
+    val allVecs =
+      if (vecDirs.isEmpty) vecs
+      else {
+        val store = GateStores.readBatches(ss, vecDirs)
+        val fetched =
+          if (GateStores.storeBytes(vecDirs) < GateStores.PruneStoreBytes)
+            store
+          else store.join(
+            index.get.join(buckets.select(col("bucket")).distinct(),
+                Seq("bucket"), "left_semi")
+              .select(col("vec_id")).distinct(),
+            Seq("vec_id"), "left_semi")
+        fetched.unionByName(vecs)
+      }
+    val dupSrc = Similarity.verifyCosine(cands, allVecs, "vec_id",
+        "embedding", threshold)
+      .groupBy(col("key_b").as("vec_id"))
+      .agg(min(col("key_a")).as("dup_src"))
+    (vecs, buckets, dupSrc)
+  }
+
   def replayEmbNearDupGate(s: SparkSession, d: String, threshold: Double,
-                           bands: Int, bitsPerBand: Int): DataFrame = {
+                           bands: Int, bitsPerBand: Int): DataFrame =
+    replayInternal(s, d, threshold, bands, bitsPerBand,
+      ckpt = graft.model.Scratch.dir("emb_gate_ckpt", d) + "/" +
+        java.util.UUID.randomUUID().toString.take(8),
+      wipeStores = true, crashAtBatch = None)
+
+  /** The replay with its lifecycle knobs exposed for the restart spec:
+    * a fixed checkpoint + `wipeStores = false` resumes a killed run
+    * against its surviving stores; `crashAtBatch` injects a failure
+    * AFTER that batch's stores land but BEFORE the checkpoint commits —
+    * the worst at-least-once window, forcing the resumed run to
+    * re-execute the batch over its own first attempt's files.
+    */
+  private[graft] def replayInternal(s: SparkSession, d: String,
+      threshold: Double, bands: Int, bitsPerBand: Int, ckpt: String,
+      wipeStores: Boolean, crashAtBatch: Option[Long]): DataFrame = {
     val embs = graft.model.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
     val srcDir = new java.io.File(graft.model.Scratch.dir("emb_gate_src", d))
-    srcDir.mkdirs()
-    val ready = new java.io.File(srcDir, "_GATE_READY")
-    val slices = Slices
-    // contiguous ascending vec_id ranges, mtime-pinned (FileStreamSource
-    // consumes in modification-time order) — see IngestGate's fixture
-    fixtureLock.synchronized { if (!ready.exists()) {
-      val hi = embs.agg(max(col("vec_id"))).first().getLong(0)
-      val width = hi / slices + 1L
-      val tmp = new java.io.File(srcDir, "_stage")
-      (0 until slices).foreach { i =>
-        embs.filter(col("vec_id") >= i * width && col("vec_id") < (i + 1) * width)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(srcDir, f"gate_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified((i + 1) * 60000L): Unit
-      }
-      java.nio.file.Files.writeString(ready.toPath, "ok"): Unit
-    } }
+    GateStores.landSliceFixture(embs, "vec_id", srcDir, Slices, fixtureLock)
     val decDir = graft.model.Scratch.dir("emb_gate_dec", d)
     val idxDir = graft.model.Scratch.dir("emb_gate_idx", d)
     val vecDir = graft.model.Scratch.dir("emb_gate_vec", d)
-    def existing(dir: String, before: Long = Long.MaxValue): Seq[String] = {
-      val f = new java.io.File(dir)
-      if (!f.isDirectory) Nil
-      else f.listFiles().filter(x => x.isDirectory && x.getName.startsWith("b")
-          && x.getName.drop(1).toLong < before)
-        .map(_.getPath).toSeq.sorted
-    }
-    // a rerun in the same session gates the replay afresh
-    Seq(decDir, idxDir, vecDir).foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-    }
+    if (wipeStores) GateStores.wipe(Seq(decDir, idxDir, vecDir))
     val stream = s.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getPath + "/gate_*.parquet")
-    val ckpt = graft.model.Scratch.dir("emb_gate_ckpt", d) + "/" +
-      java.util.UUID.randomUUID().toString.take(8)
     val query = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val ss = batch.sparkSession
-        val vecs = batch.select(col("vec_id"), col("embedding"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val buckets = Similarity.srpBuckets(vecs, "vec_id", "embedding",
+        val (vecs, buckets, dupSrc) =
+          gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val idxDirs = existing(idxDir, before = batchId)
-        // prior-batch candidates: probe the persistent band index with
-        // THIS batch's buckets (cost ∝ batch); same-batch candidates:
-        // the ordered self-join — together they cover every a<b pair
-        // with a shared band exactly once
-        val candPrev =
-          if (idxDirs.isEmpty) ss.emptyDataFrame
-            .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
-          else ss.read.parquet(idxDirs: _*)
-            .select(col("vec_id").as("key_a"), col("bucket"))
-            .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
-              Seq("bucket"))
-            .select(col("key_a"), col("key_b"))
-        val candSame = buckets.select(col("vec_id").as("key_a"), col("bucket"))
-          .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
-            Seq("bucket"))
-          .filter(col("key_a") < col("key_b"))
-          .select(col("key_a"), col("key_b"))
-        val cands = candPrev.unionByName(candSame).distinct()
-        val vecDirs = existing(vecDir, before = batchId)
-        val allVecs =
-          if (vecDirs.isEmpty) vecs
-          else ss.read.parquet(vecDirs: _*).unionByName(vecs)
-        val dupSrc = Similarity.verifyCosine(cands, allVecs, "vec_id",
-            "embedding", threshold)
-          .groupBy(col("key_b").as("vec_id"))
-          .agg(min(col("key_a")).as("dup_src"))
         val decisions = batch.select(col("vec_id"))
           .join(dupSrc, Seq("vec_id"), "left")
           .select(col("vec_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
-        // single-file store landings — the IngestGate trim argument:
-        // micro-batches here are thousands of rows, where multi-file
-        // task commits would dominate the measurement
-        decisions.coalesce(1).write.mode("overwrite").parquet(s"$decDir/b$batchId")
-        buckets.coalesce(1).write.mode("overwrite").parquet(s"$idxDir/b$batchId")
-        vecs.coalesce(1).write.mode("overwrite").parquet(s"$vecDir/b$batchId")
+        GateStores.land(decisions, s"$decDir/b$batchId")
+        GateStores.land(GateStores.withBandGroup(buckets),
+          s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
+        GateStores.land(vecs, s"$vecDir/b$batchId")
         buckets.unpersist()
-        vecs.unpersist(): Unit
+        vecs.unpersist()
+        if (crashAtBatch.contains(batchId))
+          throw new RuntimeException(s"injected crash after batch $batchId")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     try query.awaitTermination()
-    finally rm(new java.io.File(ckpt))
-    s.read.parquet(existing(decDir): _*)
+    finally if (crashAtBatch.isEmpty) GateStores.rmTree(ckpt)
+    s.read.parquet(GateStores.existing(decDir): _*)
       .orderBy(col("vec_id"))
   }
 }

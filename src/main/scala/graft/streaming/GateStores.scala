@@ -1,0 +1,179 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared plumbing of the streaming ingest gates ([[IngestGate]],
+  * [[EmbGate]], [[AnnIngest]]): the durable per-batch store layout, the
+  * replay fixture landing, and the candidate-pruning discipline. One
+  * statement of each rule — the three gates previously carried verbatim
+  * copies of this logic, so an edit to the store contract had to be
+  * repeated in three places (and the lexicographic batch-dir sort bug
+  * would have needed three fixes).
+  *
+  * Store contract: each micro-batch Overwrite-writes its own `b<id>`
+  * subdirectory, and probes read only STRICTLY EARLIER batches
+  * (`existing(dir, before = batchId)`) — the replay-safety boundary: a
+  * retried batch must never see its own first attempt's output (which
+  * would yield self-pairs and reversed key_a > key_b candidates). An
+  * at-least-once replay therefore rewrites identical files instead of
+  * double-appending, and a run killed mid-batch resumes to byte-identical
+  * stores (StreamingSpec pins this across a checkpoint restart).
+  */
+private[graft] object GateStores {
+
+  /** Batch subdirectories `b<id>` of a store with id < `before`, sorted
+    * NUMERICALLY by batch id — a lexicographic path sort would order
+    * "b10" before "b2", silently shuffling "earlier" once a replay
+    * passes ten batches.
+    */
+  def existing(dir: String, before: Long = Long.MaxValue): Seq[String] = {
+    val f = new java.io.File(dir)
+    if (!f.isDirectory) Nil
+    else f.listFiles().toSeq
+      .filter(x => x.isDirectory && x.getName.startsWith("b"))
+      .map(x => (x.getName.drop(1).toLong, x.getPath))
+      .filter(_._1 < before)
+      .sortBy(_._1)
+      .map(_._2)
+  }
+
+  def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(path))
+  }
+
+  /** A rerun in the same session gates the replay afresh, not against a
+    * previous run's accumulated stores.
+    */
+  def wipe(dirs: Seq[String]): Unit = dirs.foreach(rmTree)
+
+  /** Per-batch store landing. `files = 1` is the fixture default (a
+    * micro-batch here is thousands of rows, where 32 shuffle partitions
+    * of task-commit overhead would dominate the measurement); a real
+    * deployment raises it to its natural write parallelism — the knob
+    * exists so the single-file funnel is a parameter, not a hardcoded
+    * shape. `partitionCols` lands a Hive layout inside the batch dir so
+    * later probes can prune at the FILE level (see [[bandIndexGroups]]).
+    */
+  def land(df: DataFrame, path: String, partitionCols: Seq[String] = Nil,
+           files: Int = 1): Unit = {
+    val w = df.coalesce(files).write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** Bucket-group count for the partitioned band-index layout: each
+    * batch's index dir is Hive-partitioned by `bgrp = bucket mod 16`, so
+    * a probe that touches few groups (a point lookup, a skewed trickle
+    * batch) reads ~groups/16 of the index FILES instead of scanning and
+    * join-pruning everything — the file-level half of the pruning the
+    * bucket equi-join already does logically. 16 groups keeps the
+    * per-batch landing at 16 files (modest) while giving 16× best-case
+    * scan pruning; a 100 TB deployment would size it to its file-size
+    * targets.
+    */
+  val BandGroups = 16
+
+  /** The band-index rows with their partition group attached. */
+  def withBandGroup(buckets: DataFrame): DataFrame =
+    buckets.withColumn("bgrp", pmod(col("bucket"), lit(BandGroups)).cast("int"))
+
+  /** The distinct bucket groups a probe batch touches — BOUNDED by
+    * [[BandGroups]] (16 values), so the driver-side collect is
+    * metadata-sized by construction at any corpus scale.
+    */
+  def bandIndexGroups(buckets: DataFrame): Seq[Int] =
+    withBandGroup(buckets).select(col("bgrp")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Read a set of per-batch store dirs, each possibly Hive-partitioned
+    * inside: one read per batch dir (its own `basePath`) unioned by
+    * name — a single multi-path read would reject the mixed
+    * `b<id>/bgrp=…` directory depths as conflicting partition
+    * structures.
+    */
+  def readBatches(ss: org.apache.spark.sql.SparkSession,
+                  dirs: Seq[String]): DataFrame =
+    dirs.map(p => ss.read.option("basePath", p).parquet(p))
+      .reduce(_.unionByName(_))
+
+  /** Read the accumulated band index, pruned at the file level to the
+    * probe's bucket groups when given (a narrow probe — a point lookup
+    * or trickle batch — reads ~|groups|/16 of the index FILES;
+    * LayoutSpec counts the pruned files). The replay gates pass None:
+    * a corpus-slice batch always covers every group, so computing the
+    * group set per batch would pay a job to prune nothing.
+    */
+  def readBandIndex(ss: org.apache.spark.sql.SparkSession,
+                    idxDirs: Seq[String],
+                    groups: Option[Seq[Int]] = None): DataFrame = {
+    val idx = readBatches(ss, idxDirs)
+    groups match {
+      case Some(g) if g.size < BandGroups =>
+        idx.filter(col("bgrp").isin(g.map(Integer.valueOf): _*))
+      case _ => idx
+    }
+  }
+
+  /** Total bytes under a store's batch directories — a driver-side
+    * METADATA read (file lengths only), the cutover signal for
+    * [[PruneStoreBytes]].
+    */
+  def storeBytes(dirs: Seq[String]): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+    dirs.map(d => size(new java.io.File(d))).sum
+  }
+
+  /** Scan-vs-prune cutover for the gates' verify-side store fetch:
+    * below this, the accumulated store is read straight into the
+    * verify join (the candidate-id semi-join would ADD a shuffle
+    * larger than the store itself — at the replay fixture and the
+    * ~SF1 soak the candidate set is 10-100× the store); at or above
+    * it, the store fetch is pruned to the ids colliding with a batch
+    * bucket, making the read ∝ candidates — the only shape that
+    * survives a corpus whose store dwarfs any batch's candidate set
+    * (the 100 TB regime). The decision input is file-size metadata,
+    * so it costs no job — the same class of size-based cutover AQE
+    * applies to join strategies.
+    */
+  val PruneStoreBytes: Long = 64L << 20
+
+  /** Land a keyed table as `slices` contiguous-id-range single-file
+    * parquet slices in ascending order, mtime-pinned (FileStreamSource
+    * consumes in modification-time order) — so "earlier batch" always
+    * means "smaller id" and a gate's decision rule is a pure function of
+    * the corpus, not of the arrival plan.
+    *
+    * Fixture-lock contract: the ONLY driver-side read is `max(key)` —
+    * one scalar aggregate, never a corpus-sized column; a deployment
+    * derives slice widths from table statistics / ingest metadata, and
+    * this helper exists purely to construct the deterministic replay
+    * fixture. Slice width = max/slices + 1, the rule the committed
+    * oracles restate (a pure function of the corpus).
+    */
+  def landSliceFixture(df: DataFrame, keyCol: String, srcDir: java.io.File,
+                       slices: Int, lock: AnyRef): Unit = {
+    srcDir.mkdirs()
+    val ready = new java.io.File(srcDir, "_GATE_READY")
+    lock.synchronized { if (!ready.exists()) {
+      val hi = df.agg(max(col(keyCol))).first().getLong(0)
+      val width = hi / slices + 1L
+      val tmp = new java.io.File(srcDir, "_stage")
+      (0 until slices).foreach { i =>
+        df.filter(col(keyCol) >= i * width && col(keyCol) < (i + 1) * width)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(srcDir, f"gate_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified((i + 1) * 60000L): Unit
+      }
+      java.nio.file.Files.writeString(ready.toPath, "ok"): Unit
+    } }
+  }
+}

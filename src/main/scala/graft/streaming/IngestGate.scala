@@ -56,55 +56,16 @@ object IngestGate {
 
   def replayNearDupGate(s: SparkSession, d: String): DataFrame = {
     val docs = graft.model.Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val srcDir = new java.io.File(graft.model.Scratch.dir("ingest_gate_src", d))
-    srcDir.mkdirs()
-    val ready = new java.io.File(srcDir, "_GATE_READY")
     // decisions are a pure function of the corpus (the rule is doc_id
     // order, not batch boundaries), so the hash gate is unchanged at
-    // any slice count — see [[Slices]]
-    val slices = Slices
-    // Land the corpus once per dir as contiguous-doc_id-range files in
-    // ascending order (mtime-pinned — FileStreamSource consumes in
-    // modification-time order), so "earlier batch" always means
-    // "smaller doc_id" and the decision rule is a pure function of the
-    // corpus, not of the arrival plan.
-    fixtureLock.synchronized { if (!ready.exists()) {
-      val hi = docs.agg(max(col("doc_id"))).first().getLong(0)
-      val width = hi / slices + 1L
-      val tmp = new java.io.File(srcDir, "_stage")
-      (0 until slices).foreach { i =>
-        docs.filter(col("doc_id") >= i * width && col("doc_id") < (i + 1) * width)
-          .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-        val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(srcDir, f"gate_$i%02d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        dst.setLastModified((i + 1) * 60000L): Unit
-      }
-      java.nio.file.Files.writeString(ready.toPath, "ok"): Unit
-    } }
+    // any slice count — see [[Slices]]; fixture landing + the per-batch
+    // store contract are the shared [[GateStores]] statements
+    val srcDir = new java.io.File(graft.model.Scratch.dir("ingest_gate_src", d))
+    GateStores.landSliceFixture(docs, "doc_id", srcDir, Slices, fixtureLock)
     val decDir = graft.model.Scratch.dir("ingest_gate_dec", d)
     val idxDir = graft.model.Scratch.dir("ingest_gate_idx", d)
     val shDir = graft.model.Scratch.dir("ingest_gate_sh", d)
-    // `before`: only batches strictly earlier than the given id — the
-    // replay-safety boundary (a retried batch must not probe its own
-    // first attempt's output)
-    def existing(dir: String, before: Long = Long.MaxValue): Seq[String] = {
-      val f = new java.io.File(dir)
-      if (!f.isDirectory) Nil
-      else f.listFiles().filter(x => x.isDirectory && x.getName.startsWith("b")
-          && x.getName.drop(1).toLong < before)
-        .map(_.getPath).toSeq.sorted
-    }
-    // a rerun in the same session must gate the replay afresh, not
-    // against a previous run's accumulated index
-    Seq(decDir, idxDir, shDir).foreach { dir =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      rm(new java.io.File(dir))
-    }
+    GateStores.wipe(Seq(decDir, idxDir, shDir))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getPath + "/gate_*.parquet")
@@ -124,18 +85,23 @@ object IngestGate {
         val sigs = Dedup.minhashSignatures(withSh, "doc_id", 32)
         val batchBands = Dedup.bandBuckets(sigs, "doc_id", 32, 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val idxDirs = existing(idxDir, before = batchId)
+        val idxDirs = GateStores.existing(idxDir, before = batchId)
+        val index =
+          if (idxDirs.isEmpty) None
+          else Some(GateStores.readBandIndex(ss, idxDirs)
+            .select(col("doc_id"), col("band"), col("bucket")))
         // prior-batch candidates: probe the persistent band index with
         // THIS batch's buckets (cost ∝ batch); same-batch candidates:
         // the ordered self-join, exactly lshCandidates' shape
-        val candPrev =
-          if (idxDirs.isEmpty) ss.emptyDataFrame
+        val candPrev = index match {
+          case None => ss.emptyDataFrame
             .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
-          else ss.read.parquet(idxDirs: _*)
+          case Some(idx) => idx
             .select(col("doc_id").as("key_a"), col("band"), col("bucket"))
             .join(batchBands.select(col("doc_id").as("key_b"),
               col("band"), col("bucket")), Seq("band", "bucket"))
             .select(col("key_a"), col("key_b"))
+        }
         val candSame = batchBands.select(col("doc_id").as("key_a"),
             col("band"), col("bucket"))
           .join(batchBands.select(col("doc_id").as("key_b"),
@@ -143,10 +109,25 @@ object IngestGate {
           .filter(col("key_a") < col("key_b"))
           .select(col("key_a"), col("key_b"))
         val cands = candPrev.unionByName(candSame).distinct()
-        val shDirs = existing(shDir, before = batchId)
+        val shDirs = GateStores.existing(shDir, before = batchId)
+        // verify-side store fetch under the PruneStoreBytes cutover —
+        // see EmbGate.gateBatch: direct read while the store is small,
+        // colliding-id semi-join (fetch ∝ candidates) once it is not
         val allSh =
           if (shDirs.isEmpty) withSh
-          else ss.read.parquet(shDirs: _*).unionByName(withSh)
+          else {
+            val store = GateStores.readBatches(ss, shDirs)
+            val fetched =
+              if (GateStores.storeBytes(shDirs) < GateStores.PruneStoreBytes)
+                store
+              else store.join(
+                index.get.join(batchBands
+                    .select(col("band"), col("bucket")).distinct(),
+                    Seq("band", "bucket"), "left_semi")
+                  .select(col("doc_id")).distinct(),
+                Seq("doc_id"), "left_semi")
+            fetched.unionByName(withSh)
+          }
         val dupSrc = Dedup.verifyJaccard(cands, allSh, "doc_id", 0.5)
           .groupBy(col("key_b").as("doc_id"))
           .agg(min(col("key_a")).as("dup_src"))
@@ -154,26 +135,18 @@ object IngestGate {
           .join(dupSrc, Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
-        // single-file store landings: a micro-batch here is thousands
-        // of rows, where 32 shuffle partitions × 3 stores × batches of
-        // task-commit overhead dominates the measurement; a production
-        // deployment would keep the natural partitioning (and a real
-        // object store absorbs multi-file commits)
-        decisions.coalesce(1).write.mode("overwrite").parquet(s"$decDir/b$batchId")
-        batchBands.coalesce(1).write.mode("overwrite").parquet(s"$idxDir/b$batchId")
-        withSh.coalesce(1).write.mode("overwrite").parquet(s"$shDir/b$batchId")
+        GateStores.land(decisions, s"$decDir/b$batchId")
+        GateStores.land(GateStores.withBandGroup(batchBands),
+          s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
+        GateStores.land(withSh, s"$shDir/b$batchId")
         batchBands.unpersist()
         withSh.unpersist(): Unit
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     try query.awaitTermination()
-    finally rm(new java.io.File(ckpt))
-    s.read.parquet(existing(decDir): _*)
+    finally GateStores.rmTree(ckpt)
+    s.read.parquet(GateStores.existing(decDir): _*)
       .orderBy(col("doc_id"))
   }
 }
