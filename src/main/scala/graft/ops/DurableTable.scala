@@ -31,8 +31,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     the _LATEST pointer).
   *
   * @param name scratch-path key, unique per derived table
+  * @param partitionCols optional Hive partition columns for the
+  *   snapshot layout — readers filtering on them prune whole files
+  *   (the ANN index partitions postings by cell so a probe opens
+  *   ~nprobe/cells of the files)
   */
-final class DurableTable(name: String) {
+final class DurableTable(name: String, partitionCols: Seq[String] = Nil) {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
 
@@ -58,7 +62,7 @@ final class DurableTable(name: String) {
       locks.computeIfAbsent(path, _ => new Object).synchronized {
         if (Sinks.latestVersion(s, path).isEmpty) {
           derivations.incrementAndGet()
-          Sinks.writeVersioned(derive, path)
+          Sinks.writeVersioned(derive, path, partitionCols)
         }
       }
       val built = Sinks.readVersioned(s, path)

@@ -772,6 +772,37 @@ object Similarity {
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid")), cb)
   }
 
+  /** The distinct coarse cells a query batch probes — at most `cells`
+    * values regardless of query count, i.e. index-METADATA scale, so
+    * the driver-side collect is bounded by construction. This is the
+    * file-pruning driver for cell-partitioned postings reads: the
+    * returned ids become a static `isin` partition filter, and the
+    * postings scan opens ~|probed|/cells of the index files
+    * ([[graft.queries.LlmSimOps]]'s `q_ann_ivfpq_read`; LayoutSpec pins
+    * the pruned file count). Recomputes the probe-selection stage of
+    * [[ivfPqQuery]] — lattice rows for the query batch and the
+    * `cells`-vector coarse codebook, both broadcast-trivial.
+    */
+  private[graft] def ivfPqProbeCells(corpus: DataFrame, queries: DataFrame,
+                                     key: String, vec: String, dims: Int,
+                                     cells: Int, nprobe: Int,
+                                     m: Int): Seq[Long] = {
+    ensureRegistered(corpus)
+    val dsub = dims / m
+    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
+      col(vec)), "q_id", vec, dsub)
+    val cc = coarseLattice(pqLattice(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))
+      .filter(col(key) < cells), "n_id", vec, dsub), cells)
+    val probeW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
+    ivfPqCellTerms(qrows, "q_id", cc)
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= nprobe)
+      .select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+  }
+
   /** IVFADC query READ PATH — steps 4-6 over a pre-built index (probe
     * selection, per-(query, probed-cell) residual LUTs, cell-pruned
     * ADC over the postings, exact refine): everything a query costs

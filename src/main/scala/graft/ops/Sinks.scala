@@ -112,11 +112,12 @@ object Sinks {
     * (write-then-flip is the atomicity discipline). Old versions remain
     * readable by number until [[vacuumVersions]] trims them.
     */
-  def writeVersioned(df: DataFrame, path: String): Long = {
+  def writeVersioned(df: DataFrame, path: String,
+                     partitionCols: Seq[String] = Nil): Long = {
     // rename is the atomic flip on HDFS-like stores; object stores need
     // their conditional-put equivalent
     val next = latestVersion(df.sparkSession, path).map(_ + 1).getOrElse(0L)
-    writeVersionAt(df, path, next)
+    writeVersionAt(df, path, next, partitionCols)
     next
   }
 
@@ -126,7 +127,8 @@ object Sinks {
     * version is a no-op, so retries cannot double-write or move the
     * pointer backwards.
     */
-  def writeVersionAt(df: DataFrame, path: String, version: Long): Boolean = {
+  def writeVersionAt(df: DataFrame, path: String, version: Long,
+                     partitionCols: Seq[String] = Nil): Boolean = {
     val spark = df.sparkSession
     val committed = latestVersion(spark, path)
     if (committed.exists(_ >= version)) false
@@ -134,7 +136,12 @@ object Sinks {
       val conf = spark.sparkContext.hadoopConfiguration
       val hPath = new org.apache.hadoop.fs.Path(path)
       val fs = hPath.getFileSystem(conf)
-      df.write.mode(SaveMode.Overwrite).parquet(s"$path/v=$version")
+      val w = df.write.mode(SaveMode.Overwrite)
+      // Hive layout inside the snapshot: filters on the partition
+      // columns prune whole files at planning time (the writePartitioned
+      // rationale applied to versioned tables)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(s"$path/v=$version")
       val qualified = fs.makeQualified(hPath)
       val tmp = new org.apache.hadoop.fs.Path(qualified, "_LATEST.tmp")
       val out = fs.create(tmp, true)

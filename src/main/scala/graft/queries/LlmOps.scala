@@ -67,4 +67,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
     */
   private[graft] def materializeAnnIndex(s: SparkSession, d: String): Long =
     LlmSimOps.materializeAnnIndex(s, d)
+
+  /** The durable IVFADC index table (read-back plan) — exposed for
+    * LayoutSpec's file-pruning pins.
+    */
+  private[graft] def annIndexRead(s: SparkSession, d: String): DataFrame =
+    LlmSimOps.annIndex(s, d)
 }

@@ -296,21 +296,30 @@ private[queries] object LlmSimOps {
     * cell_id, n_id, sub, cid — the ~50×-compressed corpus, codes
     * grouped by cell) and the trained residual codebook (kind='c':
     * sub, cid, pos, ce — ks·m·dsub rows, broadcast size), packed in
-    * one table the way FAISS packs lists + codebooks in one file. At
-    * 100 TB the build runs once per corpus snapshot (Bench's
-    * `_derive_ann_index`); every query after reads the postings.
-    * Parameters are the registry's standard ANN geometry (dims=64,
-    * cells=16, m=8, ks=16, one Lloyd round) — a deployment would key
-    * the table by its geometry.
+    * one table the way FAISS packs lists + codebooks in one file —
+    * Hive-partitioned by (kind, cell_id), so the codebook read opens
+    * only the kind=c files and a probe's postings read opens
+    * ~nprobe/cells of the kind=p files (file-level pruning, the r12
+    * layout note closed; LayoutSpec counts the files). At 100 TB the
+    * build runs once per corpus snapshot (Bench's `_derive_ann_index`);
+    * every query after reads the postings. Parameters are the
+    * registry's standard ANN geometry (dims=64, cells=16, m=8, ks=16,
+    * one Lloyd round) — a deployment would key the table by its
+    * geometry.
+    *
+    * Read-back note: Hive partition values come from directory names,
+    * so `cell_id` reads as INT and rides last in column order —
+    * consumers select explicitly and cast where the column is output.
     */
-  private[queries] val annIndexTable = new graft.ops.DurableTable("ann_index")
+  private[queries] val annIndexTable =
+    new graft.ops.DurableTable("ann_index", Seq("kind", "cell_id"))
 
   private[graft] val annIndexDerivations = annIndexTable.derivations
 
   private[graft] def materializeAnnIndex(s: SparkSession, d: String): Long =
     annIndex(s, d).count()
 
-  private[queries] def annIndex(s: SparkSession, d: String): DataFrame =
+  private[graft] def annIndex(s: SparkSession, d: String): DataFrame =
     annIndexTable(s, d) {
       val (postings, cb) = Similarity.ivfPqBuild(Tables.embeddings(s, d),
         "vec_id", "embedding", dims = 64, cells = 16, m = 8, ks = 16,
@@ -336,12 +345,22 @@ private[queries] object LlmSimOps {
     */
   private[queries] val qAnnIvfPqRead: Q = (s, d) => {
     val idx = annIndex(s, d)
-    val postings = idx.filter(col("kind") === "p")
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    // Probe-cell selection FIRST (bounded by `cells` — index-metadata
+    // scale), so the postings read carries a static partition filter:
+    // the cell_id-partitioned store opens only the probed cells' files
+    // instead of scanning every posting into the ADC join. Harmless to
+    // results — the (cell, sub, cid) equi-join already ignores
+    // un-probed cells — this is purely the I/O half of that pruning.
+    val probed = Similarity.ivfPqProbeCells(emb, queries, "vec_id",
+      "embedding", dims = 64, cells = 16, nprobe = 4, m = 8)
+    val postings = idx.filter(col("kind") === "p" &&
+        col("cell_id").isin(probed.map(java.lang.Long.valueOf): _*))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
     val cb = idx.filter(col("kind") === "c")
       .select(col("sub"), col("cid"), col("pos"), col("ce"))
-    val emb = Tables.embeddings(s, d)
-    Similarity.ivfPqQuery(postings, cb, emb, emb.filter(col("vec_id") < 20),
+    Similarity.ivfPqQuery(postings, cb, emb, queries,
         "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
         m = 8, shortlist = 50)
       .orderBy(col("q_id"), col("rnk"))
@@ -359,7 +378,8 @@ private[queries] object LlmSimOps {
     */
   private[queries] val qIvfPqCellStats: Q = (s, d) =>
     annIndex(s, d).filter(col("kind") === "p")
-      .select(col("cell_id"), col("n_id")).distinct()
+      .select(col("cell_id").cast("long").as("cell_id"), col("n_id"))
+      .distinct()
       .groupBy(col("cell_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cell_id"))

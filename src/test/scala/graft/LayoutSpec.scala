@@ -181,6 +181,71 @@ class LayoutSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
+  test("durable ANN index: cell-partitioned layout, probe scan prunes to probed cells' files") {
+    // the physical LAYOUT: postings land one Hive directory per coarse
+    // cell (kind=p/cell_id=N/), the codebook under kind=c — so a probe
+    // of nprobe cells opens ~nprobe/cells of the posting files
+    graft.queries.LlmOps.materializeAnnIndex(spark, sf)
+    val root = new java.io.File(graft.model.Scratch.dir("ann_index", sf), "v=0")
+    assert(root.isDirectory, s"expected versioned snapshot at $root")
+    val cellDirs = new java.io.File(root, "kind=p").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell_id="))
+    assert(cellDirs.length > 2, s"postings must land per-cell directories, got ${cellDirs.length}")
+    assert(new java.io.File(root, "kind=c").isDirectory, "codebook partition missing")
+    def parquetFiles(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(parquetFiles).sum
+      else if (f.getName.endsWith(".parquet")) 1L else 0L
+
+    // the probe-shaped read: static cell filter on the partition column
+    val idx = graft.queries.LlmOps.annIndexRead(spark, sf)
+    val probedCells = cellDirs.take(2)
+      .map(_.getName.stripPrefix("cell_id=").toLong).toSeq
+    val pruned = idx.filter(col("kind") === "p" &&
+      col("cell_id").isin(probedCells.map(java.lang.Long.valueOf): _*))
+    // collect() executes THIS Dataset's plan (count() would build a new
+    // aggregate query whose metrics live elsewhere)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*cell_id".r.findFirstIn(plan).isDefined,
+      s"expected a cell_id partition filter in the scan:\n${plan.take(2500)}")
+    // file-count pin: the scan's numFiles metric equals the two probed
+    // cells' files, not the whole index's
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "expected a FileSourceScan over the index")
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    val probedFiles = cellDirs.take(2).map(parquetFiles).sum
+    val allFiles = parquetFiles(root)
+    assert(readFiles == probedFiles && readFiles < allFiles,
+      s"probe read $readFiles files; probed cells hold $probedFiles of $allFiles total")
+  }
+
+  test("gate band index: bucket-group layout prunes a narrow probe's files") {
+    import spark.implicits._
+    import graft.streaming.GateStores
+    // a synthetic band-index batch covering every bucket group
+    val dir = tmp("band_idx") + "/b0"
+    val buckets = (0L until 160L).map(i => (i, i)).toDF("vec_id", "bucket")
+    GateStores.land(GateStores.withBandGroup(buckets), dir,
+      partitionCols = Seq("bgrp"))
+    val grpDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bgrp="))
+    assert(grpDirs.length == GateStores.BandGroups,
+      s"expected ${GateStores.BandGroups} group directories, got ${grpDirs.length}")
+    // a narrow probe (two groups) reads 2/16 of the index files
+    val narrow = GateStores.readBandIndex(spark, Seq(dir), Some(Seq(3, 7)))
+    assert(narrow.select($"vec_id").as[Long].collect().toSet ==
+      (0L until 160L).filter(i => i % 16 == 3 || i % 16 == 7).toSet)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]*bgrp".r.findFirstIn(plan).isDefined,
+      s"expected a bgrp partition filter:\n${plan.take(2500)}")
+    // a full-coverage probe (None) applies no filter — the gates' case
+    assert(GateStores.readBandIndex(spark, Seq(dir), None).count() == 160L)
+  }
+
   test("z-ordered layout bounds per-file ranges in BOTH dimensions") {
     import spark.implicits._
     // 64×64 grid: symmetric bit-widths make the clustering effect exact
