@@ -118,6 +118,8 @@ object Bench {
     "q_ann_ivfpq",
     "q_ann_ivfpq_read",
     "q_ivfpq_cell_stats",
+    "q_ann_ivfpq_delete",
+    "q_ann_ivfpq_delete_stats",
     "q_ann_ivfpq_append",
     "q_stream_ann_ingest",
     "q_ann_ivf_incremental",

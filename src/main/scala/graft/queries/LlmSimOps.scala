@@ -384,6 +384,62 @@ private[queries] object LlmSimOps {
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cell_id"))
 
+  /** The delete keys' tombstone rule: vec_id ≡ 3 (mod 7) — ~14% of the
+    * corpus, a pure function of the ids that both engines state (the
+    * TTL/takedown batch a production index receives).
+    */
+  private def deleteTombstones(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("n_id"))
+
+  /** IVFADC query AFTER A DELETE — the read path over the durable index
+    * with a tombstone set applied ([[graft.ops.AnnIndexLifecycle]]):
+    * deleted vectors' postings are hidden by one anti-join, the
+    * geometry stays frozen (deletes are O(postings), never a retrain),
+    * and the top-k can no longer contain a deleted id. The committed
+    * oracle restates the full [[annIvfPqSql]] pipeline with the
+    * tombstone predicate excluding deleted codes from the ADC — so a
+    * delete that leaks a row, hides a survivor, or perturbs the
+    * geometry is a hash mismatch. The physical
+    * tombstone→compaction→new-version flow is spec-pinned in
+    * LlmOpsSpec (tombstone-read ≡ compacted-read, old version
+    * time-travels).
+    */
+  private[queries] val qAnnIvfPqDelete: Q = (s, d) => {
+    val idx = annIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val probed = Similarity.ivfPqProbeCells(emb, queries, "vec_id",
+      "embedding", dims = 64, cells = 16, nprobe = 4, m = 8)
+    val postings = idx.filter(col("kind") === "p" &&
+        col("cell_id").isin(probed.map(java.lang.Long.valueOf): _*))
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
+    val visible = graft.ops.AnnIndexLifecycle.applyTombstones(postings,
+      deleteTombstones(s, d))
+    val cb = idx.filter(col("kind") === "c")
+      .select(col("sub"), col("cid"), col("pos"), col("ce"))
+    Similarity.ivfPqQuery(visible, cb, emb, queries,
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
+        m = 8, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** Per-cell membership AFTER the delete — `q_ivfpq_cell_stats` over
+    * the tombstone-applied postings: the balance audit reflects
+    * removals immediately (the erasure-verification readout: a cell
+    * whose count did not drop still holds a deleted vector).
+    */
+  private[queries] val qAnnIvfPqDeleteStats: Q = (s, d) =>
+    graft.ops.AnnIndexLifecycle.applyTombstones(
+        annIndex(s, d).filter(col("kind") === "p")
+          .select(col("cell_id").cast("long").as("cell_id"), col("n_id"),
+            col("sub"), col("cid")),
+        deleteTombstones(s, d))
+      .select(col("cell_id"), col("n_id")).distinct()
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cell_id"))
+
   /** IVFADC index append: the LAST 10% of the corpus by vec_id (the
     * "newly-arrived" tail — cut = 9·max DIV 10, a pure function of the
     * corpus both engines state) encodes against the geometry FROZEN at
@@ -932,7 +988,12 @@ private[queries] object LlmSimOps {
 
   private[queries] def annIvfPqSql(dims: Int, m: Int, ks: Int, cells: Int,
                                    nprobe: Int, k: Int,
-                                   shortlist: Int = 50): String = {
+                                   shortlist: Int = 50,
+                                   delete: Option[String] = None): String = {
+    // `delete`: a predicate over codes.n_id marking TOMBSTONED vectors
+    // — excluded from the ADC scan (the q_ann_ivfpq_delete oracle:
+    // geometry/codebook CTEs untouched, only visibility changes)
+    val delPred = delete.map(p => s" AND NOT ($p)").getOrElse("")
     val dsub = dims / m
     s"""WITH ${ivfCoarseCtes(dims, dsub, cells)},
        |qprobe AS (SELECT vec_id AS q_id, cell FROM (
@@ -991,7 +1052,7 @@ private[queries] object LlmSimOps {
        |    FROM codes JOIN casg USING (n_id)
        |    JOIN lut ON lut.cell = casg.cell AND lut.sub = codes.sub
        |      AND lut.cid = codes.cid
-       |    WHERE lut.q_id <> codes.n_id GROUP BY 1, 2, 3),
+       |    WHERE lut.q_id <> codes.n_id$delPred GROUP BY 1, 2, 3),
        |shortl AS (SELECT q_id, n_id FROM (
        |    SELECT adc.q_id, adc.n_id, row_number() OVER (PARTITION BY adc.q_id
        |        ORDER BY t + rn2 ASC, n_id ASC) AS srnk
@@ -1161,11 +1222,13 @@ private[queries] object LlmSimOps {
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.
     */
-  private[queries] def ivfPqCellStatsSql(dims: Int, m: Int,
-                                         cells: Int): String =
+  private[queries] def ivfPqCellStatsSql(dims: Int, m: Int, cells: Int,
+                                         delete: Option[String] = None)
+      : String =
     s"""WITH ${ivfCoarseCtes(dims, dims / m, cells)}
        |SELECT cell AS cell_id, CAST(count(*) AS BIGINT) AS n_members
-       |FROM casg GROUP BY 1 ORDER BY cell_id""".stripMargin
+       |FROM casg${delete.map(p => s" WHERE NOT ($p)").getOrElse("")}
+       |GROUP BY 1 ORDER BY cell_id""".stripMargin
 
   /** Oracle for `q_ann_recall_eval`: the exact-L2 top-k (the
     * [[graft.ops.Similarity.bruteForceTopKL2]] float sequence — d2
@@ -1245,6 +1308,8 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq" -> qAnnIvfPq,
     "q_ann_ivfpq_read" -> qAnnIvfPqRead,
     "q_ivfpq_cell_stats" -> qIvfPqCellStats,
+    "q_ann_ivfpq_delete" -> qAnnIvfPqDelete,
+    "q_ann_ivfpq_delete_stats" -> qAnnIvfPqDeleteStats,
     "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
     "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
@@ -1295,6 +1360,10 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_read" -> annIvfPqSql(dims = 64, m = 8, ks = 16, cells = 16,
       nprobe = 4, k = 5),
     "q_ivfpq_cell_stats" -> ivfPqCellStatsSql(dims = 64, m = 8, cells = 16),
+    "q_ann_ivfpq_delete" -> annIvfPqSql(dims = 64, m = 8, ks = 16,
+      cells = 16, nprobe = 4, k = 5, delete = Some("codes.n_id % 7 = 3")),
+    "q_ann_ivfpq_delete_stats" -> ivfPqCellStatsSql(dims = 64, m = 8,
+      cells = 16, delete = Some("n_id % 7 = 3")),
     "q_ann_ivfpq_append" -> annIvfPqAppendSql(dims = 64, m = 8, ks = 16,
       cells = 16),
     "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,

@@ -530,4 +530,53 @@ class LlmOpsSpec extends AnyFunSuite {
     val ols = (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
     assert(math.abs(slope - ols) < 1e-3, s"slope $slope vs recompute $ols")
   }
+
+  test("IVFADC delete lifecycle: tombstone-read ≡ compacted-read, old version time-travels, stats drop") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val (postings, _) = Similarity.ivfPqBuild(emb, "vec_id", "embedding",
+      dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1)
+    val tombs = emb.filter($"vec_id" % 7 === 3).select($"vec_id".as("n_id"))
+    val dir = java.nio.file.Files.createTempDirectory("ann_del").toString
+
+    // v0: the live index (cell-partitioned, like _derive_ann_index)
+    assert(graft.ops.Sinks.writeVersioned(postings, dir, Seq("cell_id")) == 0L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int, Long)] =
+      df.select($"cell_id".cast("long"), $"n_id", $"sub", $"cid")
+        .as[(Long, Long, Int, Long)].collect().toSet
+    val v0 = graft.ops.Sinks.readVersioned(spark, dir)
+    val all = rows(v0)
+    val deadIds = tombs.as[Long].collect().toSet
+    assert(deadIds.nonEmpty && all.exists(p => deadIds(p._2)),
+      "fixture must tombstone vectors that are actually indexed")
+
+    // while tombstones accumulate: the anti-join read form
+    val visible = rows(graft.ops.AnnIndexLifecycle.applyTombstones(v0, tombs))
+    assert(visible == all.filterNot(p => deadIds(p._2)),
+      "tombstone read must hide exactly the deleted vectors' postings")
+
+    // ~14% dead: below a 50% compaction bar, above a 5% one
+    assert(!graft.ops.AnnIndexLifecycle.shouldCompact(v0, tombs, 0.5))
+    assert(graft.ops.AnnIndexLifecycle.shouldCompact(v0, tombs, 0.05))
+
+    // compaction lands the survivors as v1; v0 stays readable by number
+    // (the erasure audit trail)
+    assert(graft.ops.AnnIndexLifecycle.compactVersioned(spark, dir, v0, tombs) == 1L)
+    assert(rows(graft.ops.Sinks.readVersioned(spark, dir)) == visible,
+      "compacted read must equal the tombstone read, row for row")
+    assert(rows(graft.ops.Sinks.readVersioned(spark, dir, Some(0L))) == all,
+      "the pre-delete snapshot must still time-travel")
+
+    // the balance audit reflects the delete immediately
+    val statsAfter = SparkEntry.queries("q_ann_ivfpq_delete_stats")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    val expect = all.filterNot(p => deadIds(p._2))
+      .map(p => (p._1, p._2)).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(statsAfter == expect, "post-delete cell stats must count survivors only")
+
+    // and the query path can never return a deleted vector
+    val res = SparkEntry.queries("q_ann_ivfpq_delete")(spark, sf)
+      .select($"n_id").as[Long].collect()
+    assert(res.nonEmpty && res.forall(!deadIds(_)),
+      "top-k after delete must exclude tombstoned ids")
+  }
 }
