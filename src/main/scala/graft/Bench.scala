@@ -124,6 +124,7 @@ object Bench {
     "q_stream_ann_ingest",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
+    "q_ann_param_sweep",
     "q_stream_emb_gate",
     "q_pq_distortion",
     "q_stream_ingest_gate",

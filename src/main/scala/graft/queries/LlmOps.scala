@@ -73,4 +73,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
     */
   private[graft] def annIndexRead(s: SparkSession, d: String): DataFrame =
     LlmSimOps.annIndex(s, d)
+
+  /** `q_ann_param_sweep`'s nprobe grid — exposed for the spec. */
+  private[graft] def nprobeSweep: Seq[Int] = LlmSimOps.NprobeSweep
 }

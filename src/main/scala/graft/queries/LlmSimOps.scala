@@ -524,6 +524,62 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"))
   }
 
+  /** The nprobe sweep grid for `q_ann_param_sweep` — shared with its
+    * oracle and the monotone-recall spec.
+    */
+  private[graft] val NprobeSweep = Seq(1, 2, 4, 8, 16)
+
+  /** nprobe/recall trade-off readout — the tuning table every IVFADC
+    * deployment derives before fixing nprobe: per nprobe in
+    * [[NprobeSweep]] and per query, recall@5 of the durable-index read
+    * path against the exact-L2 brute force. ONE brute-force pass and
+    * ONE index read are shared across the whole sweep (the index is
+    * never rebuilt; only the probe width varies — exactly how a real
+    * parameter sweep amortizes), and every number is exact integer ppm,
+    * so the committed oracle (five [[annRecallEvalSql]] restatements
+    * UNION ALL'd) hash-gates the entire trade-off curve.
+    */
+  private[queries] val qAnnParamSweep: Q = (s, d) => {
+    val idx = annIndex(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    val postings = idx.filter(col("kind") === "p")
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
+    val cb = idx.filter(col("kind") === "c")
+      .select(col("sub"), col("cid"), col("pos"), col("ce"))
+    // the ground truth is nprobe-independent: materialize once
+    val exact = Similarity.bruteForceTopKL2(emb, queries,
+        "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"))
+      .localCheckpoint(true)
+    NprobeSweep.map { np =>
+      val approx = Similarity.ivfPqQuery(postings, cb, emb, queries,
+          "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = np,
+          m = 8, shortlist = 50)
+        .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("q_id", "n_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+          count(lit(1)).as("k"))
+        .select(lit(np).as("nprobe"), col("q_id"), col("hits"),
+          expr("hits * 1000000 DIV k").as("recall_ppm"))
+    }.reduce(_.unionByName(_))
+      .orderBy(col("nprobe"), col("q_id"))
+  }
+
+  /** Oracle for `q_ann_param_sweep`: the [[annRecallEvalSql]]
+    * restatement once per swept nprobe, UNION ALL'd — five full IVFADC
+    * pipelines in one statement, so a drift at ANY probe width is a
+    * hash mismatch.
+    */
+  private[queries] def annParamSweepSql(dims: Int, m: Int, ks: Int,
+                                        cells: Int, k: Int,
+                                        nprobes: Seq[Int]): String =
+    nprobes.map { np =>
+      s"""SELECT $np AS nprobe, q_id, hits, recall_ppm FROM (
+         |${annRecallEvalSql(dims, m, ks, cells, np, k)})""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY nprobe, q_id")
+
   /** Streaming embedding ingest gate — the vector-space sibling of
     * `q_stream_ingest_gate`: micro-batched vectors probe a persistent
     * SRP band index, verify by exact cosine against a persistent vector
@@ -1314,6 +1370,7 @@ private[queries] object LlmSimOps {
     "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
+    "q_ann_param_sweep" -> qAnnParamSweep,
     "q_stream_emb_gate" -> qStreamEmbGate,
     "q_pq_distortion" -> qPqDistortion,
     "q_fuzzy_match" -> qFuzzyMatch,
@@ -1373,6 +1430,8 @@ private[queries] object LlmSimOps {
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,
       cells = 16, nprobe = 4, k = 5),
+    "q_ann_param_sweep" -> annParamSweepSql(dims = 64, m = 8, ks = 16,
+      cells = 16, k = 5, nprobes = NprobeSweep),
     "q_stream_emb_gate" -> streamEmbGateSql(0.4, EmbBands, EmbBits,
       dims = 64),
     "q_pq_distortion" -> annPqDistortionSql(dims = 64, m = 8, ks = 16),
