@@ -754,4 +754,51 @@ class StreamingSpec extends AnyFunSuite {
       "every vector routes to exactly one cell")
     assert(posts.map(_._3).toSet == (0 until 8).toSet, "all subspaces present")
   }
+
+  test("AnnIngest restart mid-replay: a run killed after batch 1 lands resumes to identical stores") {
+    val sf = "/root/testdata/sf0.001"
+    def run(ckpt: String, wipe: Boolean, crashAt: Option[Long]) =
+      graft.streaming.AnnIngest.replayInternal(spark, sf, threshold = 0.4,
+        bands = 96, bitsPerBand = 8, dims = 64, cells = 16, m = 8, ks = 16,
+        refineIters = 1, ckpt = ckpt, wipeStores = wipe,
+        crashAtBatch = crashAt)
+    // reference: an uninterrupted replay
+    val clean = graft.streaming.AnnIngest.replayAnnIngest(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64, cells = 16,
+        m = 8, ks = 16, refineIters = 1)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // crash run: a fixed checkpoint, killed AFTER batch 1's stores are
+    // Overwrite-written but BEFORE its checkpoint commit — the worst
+    // at-least-once window (the resumed run must re-execute batch 1 on
+    // top of its own first attempt's files)
+    val ckpt = graft.model.Scratch.dir("ann_restart_ckpt", sf)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt, wipe = true, crashAt = Some(1L))
+    }
+    assert(ex.getMessage.contains("injected crash"), ex.getMessage)
+    // resume from the SAME checkpoint without wiping the stores
+    val resumed = run(ckpt, wipe = false, crashAt = None)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(resumed == clean,
+      "a killed-and-resumed replay must land stores identical to an uninterrupted run")
+  }
+
+  test("EmbGate restart mid-replay: killed-and-resumed decisions identical to an uninterrupted run") {
+    val sf = "/root/testdata/sf0.001"
+    def run(ckpt: String, wipe: Boolean, crashAt: Option[Long]) =
+      graft.streaming.EmbGate.replayInternal(spark, sf, threshold = 0.4,
+        bands = 96, bitsPerBand = 8, ckpt = ckpt, wipeStores = wipe,
+        crashAtBatch = crashAt)
+    val clean = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val ckpt = graft.model.Scratch.dir("emb_restart_ckpt", sf)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt, wipe = true, crashAt = Some(1L))
+    }
+    val resumed = run(ckpt, wipe = false, crashAt = None)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(resumed == clean,
+      "a killed-and-resumed gate must reproduce the uninterrupted decisions")
+  }
 }
