@@ -80,18 +80,42 @@ def clean_duck_tmp():
     shutil.rmtree(DUCK_TMP, ignore_errors=True)
 
 
+# Known ENVIRONMENT failure signatures on the oracle side: the watchdog
+# interrupt (run_guarded), disk-full spill, the temp-directory cap, and
+# allocator OOM. Matched case-insensitively as substrings of the error.
+ENV_SIGS = ("interrupt", "no space left on device", "out of memory",
+            "outofmemory", "cannot allocate memory",
+            "max_temp_directory_size", "failed to offload")
+
+
 def classify(entry):
-    """status enum: pass | engine_fail | oracle_env. An `err` that the
-    oracle side raised (disk-full spill, watchdog interrupt, DuckDB
-    internal) is an environment fault, not evidence the engine is wrong;
-    fail_count counts only engine faults so a reader needn't string-match
-    error text (VERDICT r11 item 8)."""
+    """status enum: pass | engine_fail | oracle_env. Only an oracle-side
+    error matching a KNOWN environment signature (ENV_SIGS: watchdog
+    interrupt, disk-full spill, temp cap, OOM) is an environment fault;
+    any OTHER oracle-side exception — binder error, bad table reference,
+    syntax — is evidence the COMMITTED ORACLE is broken, so it counts as
+    engine_fail and fails the soak's exit code instead of silently
+    skipping the key (ADVICE r12)."""
     if entry.get("hash_match"):
         return "pass"
-    err = entry.get("err") or ""
-    if err.startswith("oracle-side:"):
+    err = (entry.get("err") or "").lower()
+    if err.startswith("oracle-side:") and any(s in err for s in ENV_SIGS):
         return "oracle_env"
     return "engine_fail"
+
+
+def preserve_original(doc, key, new_entry):
+    """Patch doc['queries'][key] without erasing the round's original
+    failure evidence (ADVICE r12: the r11 artifact was rewritten in
+    place, losing the original error strings): the superseded failing
+    entry rides along under `recovered_from`."""
+    old = doc.get("queries", {}).get(key)
+    if old is not None and not old.get("hash_match"):
+        new_entry = dict(new_entry)
+        new_entry["recovered_from"] = {
+            "err": old.get("err"), "status": old.get("status"),
+            "hash_match": old.get("hash_match")}
+    doc["queries"][key] = new_entry
 
 
 def fail_counts(doc):

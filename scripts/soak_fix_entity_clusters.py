@@ -22,7 +22,7 @@ import duckdb
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import sorted_vals  # noqa: E402
-from soak_check import fail_counts  # noqa: E402
+from soak_check import fail_counts, preserve_original  # noqa: E402
 
 PAIRS = """
 WITH dn AS (SELECT DISTINCT p_brand, p_name FROM part),
@@ -103,7 +103,7 @@ def main():
     print(f"query {status} q_entity_clusters: spark={len(s_vals)} "
           f"oracle={len(d_vals)}")
     doc = json.load(open(artifact))
-    doc["queries"]["q_entity_clusters"] = entry
+    preserve_original(doc, "q_entity_clusters", entry)
     doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)

@@ -40,6 +40,7 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, sorted_vals  # noqa: E402
 from soak_check import (tuned, run_guarded, fail_counts,  # noqa: E402
+                        preserve_original,
                         clean_duck_tmp, soak_oracles, check_equivalence)
 
 SHIFT = 10_000_000
@@ -158,7 +159,7 @@ def run():
         status = "PASS" if entry["hash_match"] else "FAIL"
         print(f"query {status} {key}: spark={entry['spark_rows']} "
               f"oracle={entry['oracle_rows']} err={entry['err']}", flush=True)
-        doc["queries"][key] = entry
+        preserve_original(doc, key, entry)
     doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)

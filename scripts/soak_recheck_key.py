@@ -16,7 +16,8 @@ import duckdb
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from selfcheck import TABLES, sorted_vals  # noqa: E402
 from soak_check import (tuned, run_guarded, soak_oracles,  # noqa: E402
-                        prepare_shared, fail_counts, clean_duck_tmp)
+                        prepare_shared, fail_counts, clean_duck_tmp,
+                        preserve_original)
 
 
 def main():
@@ -52,7 +53,7 @@ def run():
     status = "PASS" if entry["hash_match"] else "FAIL"
     print(f"query {status} {key}: spark={len(s_vals)} oracle={len(d_vals)}")
     doc = json.load(open(artifact))
-    doc["queries"][key] = entry
+    preserve_original(doc, key, entry)
     doc["fail_count"], doc["env_fail_count"] = fail_counts(doc)
     with open(artifact, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)

@@ -327,6 +327,25 @@ object Bench {
     // planning/codegen — `first_run_total` preserves that definition for
     // cross-round comparison.
     val firstTotal = results.collect { case (_, v, ts) if v >= 0 => ts.head }.sum
+    // Load calibration (r13, VERDICT r12 item 6): the host has shown ~2×
+    // multi-hour speed swings with steal=0, so raw totals partly measure
+    // weather. The trivial key's same-sweep median divided by its
+    // quiet-host floor (q_filter_eq warm median, 0.08–0.10 s across the
+    // r10/r12 quiet re-measures → 0.09) estimates THIS sweep's host-load
+    // multiplier; `value_normalized` = value ÷ ratio rides next to the
+    // raw total so round-over-round deltas separate engine changes from
+    // host state. Ratio clamps at 1 (never report better-than-raw).
+    val CalibKey = "q_filter_eq"
+    val CalibFloorSec = 0.09
+    val calibSec = results.find(_._1 == CalibKey).map(_._2).filter(_ > 0)
+    val calibRatio = calibSec.map(c => math.max(1.0, c / CalibFloorSec))
+    val calibJson = (calibSec, calibRatio) match {
+      case (Some(c), Some(r)) =>
+        s""","calib_key":"$CalibKey","calib_floor_sec":$CalibFloorSec,""" +
+          s""""calib_sec":${f(c)},"calib_ratio":${f(r)},""" +
+          s""""value_normalized":${f(total / r)}"""
+      case _ => ""
+    }
     // Shared durable-table derivations, timed as their own entries so
     // the graph/cluster keys below report steady-state cost.
     val deriveResults: Seq[(String, Double)] = Seq[(String, () => Long)](
@@ -437,7 +456,7 @@ object Bench {
       "hours with steal=0 and full CPU clocks — shared-host variance " +
       "outside the benchmark's control). Headline medians are of 5 runs " +
       "since r12 (was 3; raw runs in `runs`)."
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_runs":$extRuns}"""
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
     // COMPLETE artifact is therefore also written to a repo file,
@@ -452,7 +471,7 @@ object Bench {
     // direction is unknown, so either way one copy of the headline
     // summary survives a partial capture (duplicate keys are harmless
     // to json.load — last wins with identical values)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"value":${f(total)},"first_run_total":${f(firstTotal)},"errors":$allErrors}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","queries":$qs,"runs":$runs,"extended":$ext,"extended_runs":$extRuns,"value":${f(total)},"first_run_total":${f(firstTotal)},"errors":$allErrors}""")
     // The full line above outgrew the driver's ~2 KB stdout tail as the
     // registry widened (r5/r6 artifacts lost `value`; r7's survived only
     // because extended_runs was short). Emit a SECOND, compact line LAST
@@ -462,7 +481,7 @@ object Bench {
     // fields lead AND trail the line.
     // Derive timings ride the compact line too: the full line's tail is
     // what the driver truncates, and the r8 artifact lost them entirely.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)},"errors":$allErrors,"sf":"$sfDir","derive":$deriveJson0,"queries":$qs,"value":${f(total)}}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","derive":$deriveJson0,"queries":$qs,"value":${f(total)}}""")
     spark.stop()
   }
 }
