@@ -150,8 +150,8 @@ def run_guarded(con, sql, seconds=3600):
         t.cancel()
 
 
-def rule_sql(table, base_dir, cols):
-    """DuckDB restatement of the amplified table (folds 0..9)."""
+def rule_sql(table, base_dir, cols, folds=10):
+    """DuckDB restatement of the amplified table (folds 0..folds-1)."""
     shifts = set(SHIFTED[table])
     if not shifts:
         return f"SELECT * FROM '{base_dir}/{table}.parquet'"
@@ -162,14 +162,16 @@ def rule_sql(table, base_dir, cols):
         elif table == "documents" and c == "text":
             sel.append(f"text || ' f' || CAST(k AS VARCHAR) AS text")
         elif table == "documents" and c == "n_chars":
-            sel.append("n_chars + 3 AS n_chars")
+            # 2 + digits(k): +3 for the single-digit folds of the ~SF1
+            # soak (the historical rule), +4 at two digits (SF10)
+            sel.append("n_chars + 2 + len(CAST(k AS VARCHAR)) AS n_chars")
         elif table == "embeddings" and c == "embedding":
             sel.append(f"[CAST(CAST(x AS DOUBLE) + k * {EMB_EPS} AS FLOAT)"
                        f" for x in embedding] AS embedding")
         else:
             sel.append(c)
     return (f"SELECT {', '.join(sel)} FROM '{base_dir}/{table}.parquet', "
-            f"(SELECT unnest(range(10)) AS k)")
+            f"(SELECT unnest(range({folds})) AS k)")
 
 
 def check_corpus(con, base_dir, soak_dir):
@@ -452,9 +454,13 @@ def check_equivalence(committed, overrides):
     return out
 
 
-def check_queries(con, out_dir):
+def check_queries(con, out_dir, only=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     oracle.update(soak_oracles(oracle))
+    if only is not None:
+        # callers with a scoped key set (soak100_check) drop the
+        # unconditional overrides for keys they never ran
+        oracle = {k: v for k, v in oracle.items() if k in only}
     res = {}
     for name in sorted(oracle):
         entry = {"rows_match": False, "schema_match": False,

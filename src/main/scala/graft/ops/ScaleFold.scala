@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
   *   - events:    event_id + k·S, user_id + k·S
   *   - documents: doc_id + k·S, text ∥ ' f'∥k (so folds are NEAR-dups,
   *                not exact dups — the shape a dedup pass must survive),
-  *                n_chars + 3 (the suffix is always 3 chars for k ≤ 9)
+  *                n_chars + 2 + digits(k) (= +3 for k ≤ 9, +4 for the
+  *                two-digit folds of the SF10 soak)
   *   - embeddings: vec_id + k·S, every component perturbed
   *                 `float(double(x) + k · 2⁻⁷)` — the vector-space
   *                 analogue of documents' suffix: fold copies are
@@ -73,9 +74,9 @@ object ScaleFold {
   val EmbEps = 0.0078125
 
   def amplifyTable(df: DataFrame, table: String, folds: Int): DataFrame = {
-    // the documents rule hardcodes a 3-char ' f<k>' suffix (n_chars + 3),
-    // valid only while every fold index is a single digit
-    require(folds >= 1 && folds <= 10, s"folds must be in 1..10, got $folds")
+    // ≤ 100: keys shift by k·10⁷ and must stay under 2³¹ (max base key
+    // ~2.4M at sf0.1), and k·EmbEps stays exact (integer × 2⁻⁷)
+    require(folds >= 1 && folds <= 100, s"folds must be in 1..100, got $folds")
     val shiftCols = shifted(table)
     if (shiftCols.isEmpty) df
     else {
@@ -88,10 +89,14 @@ object ScaleFold {
       }
       val textFixed =
         if (table == "documents")
+          // n_chars grows by the suffix width: 2 + digits(k) — exactly
+          // +3 for k ≤ 9 (the ~SF1 soak's historical rule), +4 for the
+          // two-digit folds of the SF10 soak
           shiftedDf
             .withColumn("text",
               concat(col("text"), lit(" f"), col("_fold").cast("string")))
-            .withColumn("n_chars", col("n_chars") + lit(3L))
+            .withColumn("n_chars",
+              col("n_chars") + 2L + length(col("_fold").cast("string")))
         else if (table == "embeddings")
           // per-component double add then round back to float — the
           // only two operations, both correctly rounded, both stated
@@ -111,7 +116,8 @@ object ScaleFold {
     * unchanged. Idempotent via a completion marker.
     */
   def amplify(s: SparkSession, inDir: String, outDir: String,
-      folds: Int = 10): Unit = {
+      folds: Int = 10,
+      tables: Seq[String] = shifted.keys.toSeq.sorted): Unit = {
     val marker = new java.io.File(s"$outDir/_SOAK_COMPLETE")
     if (marker.exists()) return
     // read timestamps as NTZ so the written files keep the BASE corpus's
@@ -122,7 +128,7 @@ object ScaleFold {
     val prevNtz = s.conf.getOption(ntzKey)
     try {
       s.conf.set(ntzKey, "true")
-      shifted.keys.toSeq.sorted.foreach { t =>
+      tables.sorted.foreach { t =>
         val in = s.read.parquet(s"$inDir/$t.parquet")
         // 8 output files for the fact tables keeps downstream scans
         // parallel without a shuffle: repartition would be one, so the

@@ -1,0 +1,114 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** 100× scale soak (~SF10-equivalent documents): amplify the sf0.1
+  * documents table to 100 folds (≈500k docs) with the ONE
+  * [[graft.ops.ScaleFold]] rule and run the O(n)-shaped text/dedup tier
+  * over it — the keys whose cost and output are linear in the corpus,
+  * where a 100× run flushes constants (hash widths, UDF buffers,
+  * per-partition state) that even the 10× soak cannot.
+  *
+  * Every key here is verified against its COMMITTED oracle text run
+  * verbatim over the soak corpus (`scripts/soak100_check.py`) — at
+  * 500k documents the linear oracles are entirely feasible in DuckDB,
+  * so no per-key override is needed.
+  *
+  * Deliberately EXCLUDED: the pair-generating near-dup keys
+  * (minhash / ngram / embedding). The fold rule makes every fold a
+  * near-duplicate of fold 0, so at 100 folds the TRUE pair set is
+  * Θ(base_dups · folds²) ≈ hundreds of millions of rows — the answer
+  * itself explodes by construction of the adversarial corpus, which
+  * measures the workload, not the engine. Their adversarial-density
+  * coverage lives in the ~SF1 soak (10 folds), where the pair set is
+  * large but bounded.
+  *
+  * Usage: runMain graft.tools.Soak100 [baseDir] [soakDir] [outDir]
+  */
+object Soak100 {
+  val Folds = 100
+
+  /** The O(n) tier: per-document transforms, one-shuffle aggregates,
+    * and the two dedup forms whose grouping keys stay fold-local
+    * (exact: texts differ across folds by suffix) or whose committed
+    * oracle is a plain linear GROUP BY (prefix).
+    */
+  val keys: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_prefix",
+    "q_text_stats", "q_token_count", "q_fingerprint",
+    "q_fingerprint_rolling", "q_lang_id", "q_quality_score", "q_lang_agg")
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val soakDir = if (args.length > 1) args(1) else "target/soak_sf10"
+    val outDir = if (args.length > 2) args(2) else "target/soak_sf10_out"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    def timed[A](body: => A): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok = try { body; true }
+        catch { case e: Throwable =>
+          System.err.println(s"[soak100] FAILED: ${e.getMessage}"); false }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    def dropBlocks(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.catalog.clearCache()
+    }
+
+    // the keys read documents only — amplify just that table
+    val (ampSec, _) = timed {
+      graft.ops.ScaleFold.amplify(spark, baseDir, soakDir, folds = Folds,
+        tables = Seq("documents"))
+    }
+    println(f"[soak100] amplify (documents x$Folds): $ampSec%.1f s")
+
+    val results = keys.filter(graft.SparkEntry.queries.contains).map { name =>
+      val fn = graft.SparkEntry.queries(name)
+      val (t1, ok1) = timed(fn(spark, soakDir).count())
+      dropBlocks()
+      val (t2, ok2) = timed {
+        fn(spark, soakDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
+      dropBlocks()
+      val ok = ok1 && ok2
+      println(f"[soak100] $name%-24s ${if (ok) f"$t1%8.1f s  warm+write $t2%8.1f s" else "FAILED"}")
+      (name, if (ok1) t1 else -1.0, if (ok2) t2 else -1.0)
+    }
+
+    def f(d: Double): String =
+      BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
+    val oracle = graft.SparkEntry.oracleSql
+      .filter { case (k, _) => keys.contains(k) }
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    val timings =
+      s"""{"amplify_sec":${f(ampSec)},"queries":${
+        results.map { case (k, t1, t2) =>
+          s"${q(k)}:{" + "\"first\":" + f(t1) + ",\"warm_write\":" + f(t2) + "}"
+        }.mkString("{", ",", "}")
+      }}"""
+    Files.writeString(Paths.get(s"$outDir/soak_timings.json"), timings)
+    println(s"[soak100] timings -> $outDir/soak_timings.json")
+    spark.stop()
+  }
+}
