@@ -95,11 +95,26 @@ private[graft] object GateStores {
     * name — a single multi-path read would reject the mixed
     * `b<id>/bgrp=…` directory depths as conflicting partition
     * structures.
+    *
+    * Batch dirs holding NO parquet files are skipped: a partitioned
+    * write of an EMPTY frame lands only a `_SUCCESS` marker (no
+    * partition dirs, no schema-bearing file), and that is a legitimate
+    * store state — a micro-batch whose gate rejects every vector
+    * appends zero postings (the ~SF1 soak's batches 1-2, where every
+    * arrival is a fold near-dup of batch 0). Reading such a dir would
+    * fail schema inference; semantically it contributes nothing.
     */
   def readBatches(ss: org.apache.spark.sql.SparkSession,
-                  dirs: Seq[String]): DataFrame =
-    dirs.map(p => ss.read.option("basePath", p).parquet(p))
+                  dirs: Seq[String]): DataFrame = {
+    def hasParquet(f: java.io.File): Boolean =
+      (f.isFile && f.getName.endsWith(".parquet")) ||
+        (f.isDirectory && f.listFiles().exists(hasParquet))
+    val nonEmpty = dirs.filter(d => hasParquet(new java.io.File(d)))
+    require(nonEmpty.nonEmpty,
+      s"no parquet files under any batch dir of: ${dirs.mkString(", ")}")
+    nonEmpty.map(p => ss.read.option("basePath", p).parquet(p))
       .reduce(_.unionByName(_))
+  }
 
   /** Read the accumulated band index, pruned at the file level to the
     * probe's bucket groups when given (a narrow probe — a point lookup

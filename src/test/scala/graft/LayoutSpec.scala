@@ -244,6 +244,18 @@ class LayoutSpec extends AnyFunSuite {
       s"expected a bgrp partition filter:\n${plan.take(2500)}")
     // a full-coverage probe (None) applies no filter — the gates' case
     assert(GateStores.readBandIndex(spark, Seq(dir), None).count() == 160L)
+
+    // an ALL-REJECTED batch lands an EMPTY partitioned store (just a
+    // _SUCCESS marker, no schema-bearing file — the ~SF1 soak's
+    // batches 1-2); readBatches must skip it instead of failing schema
+    // inference, and the union still carries the non-empty batches
+    val emptyDir = tmp("band_idx_empty") + "/b1"
+    GateStores.land(
+      GateStores.withBandGroup(buckets).filter($"vec_id" < 0),
+      emptyDir, partitionCols = Seq("bgrp"))
+    assert(!new java.io.File(emptyDir).listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    assert(GateStores.readBatches(spark, Seq(dir, emptyDir)).count() == 160L)
   }
 
   test("z-ordered layout bounds per-file ranges in BOTH dimensions") {
