@@ -454,8 +454,13 @@ object Bench {
       "load; re-measured quiet in r12 at-or-below r10 readings with no " +
       "plan changes; r12 also observed the whole VM slowing ~2x for " +
       "hours with steal=0 and full CPU clocks — shared-host variance " +
-      "outside the benchmark's control). Headline medians are of 5 runs " +
-      "since r12 (was 3; raw runs in `runs`)."
+      "outside the benchmark's control; the ENTIRE r13 session ran in " +
+      "such a slow window: every UNTOUCHED key — q_union, q_rollup, " +
+      "q_join_inner — read ~1.7x its r12 median, and an A/B of the r12 " +
+      "tree on the same host reproduced the inflation, so the r13/r12 " +
+      "delta is dominated by host state; calib_* fields quantify it " +
+      "per-sweep). Headline medians are of 5 runs since r12 (was 3; " +
+      "raw runs in `runs`)."
     val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
