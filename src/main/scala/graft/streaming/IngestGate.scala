@@ -54,7 +54,18 @@ object IngestGate {
     */
   val Slices = 3
 
-  def replayNearDupGate(s: SparkSession, d: String): DataFrame = {
+  def replayNearDupGate(s: SparkSession, d: String): DataFrame =
+    replayInternal(s, d,
+      ckpt = graft.model.Scratch.dir("ingest_gate_ckpt", d) + "/" +
+        java.util.UUID.randomUUID().toString.take(8),
+      wipeStores = true, crashAtBatch = None)
+
+  /** Lifecycle-exposed form — see [[EmbGate.replayInternal]] for the
+    * restart-spec contract of `ckpt` / `wipeStores` / `crashAtBatch`.
+    */
+  private[graft] def replayInternal(s: SparkSession, d: String,
+      ckpt: String, wipeStores: Boolean,
+      crashAtBatch: Option[Long]): DataFrame = {
     val docs = graft.model.Tables.documents(s, d).select(col("doc_id"), col("text"))
     // decisions are a pure function of the corpus (the rule is doc_id
     // order, not batch boundaries), so the hash gate is unchanged at
@@ -65,12 +76,10 @@ object IngestGate {
     val decDir = graft.model.Scratch.dir("ingest_gate_dec", d)
     val idxDir = graft.model.Scratch.dir("ingest_gate_idx", d)
     val shDir = graft.model.Scratch.dir("ingest_gate_sh", d)
-    GateStores.wipe(Seq(decDir, idxDir, shDir))
+    if (wipeStores) GateStores.wipe(Seq(decDir, idxDir, shDir))
     val stream = s.readStream.schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getPath + "/gate_*.parquet")
-    val ckpt = graft.model.Scratch.dir("ingest_gate_ckpt", d) + "/" +
-      java.util.UUID.randomUUID().toString.take(8)
     val query = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -140,12 +149,15 @@ object IngestGate {
           s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
         GateStores.land(withSh, s"$shDir/b$batchId")
         batchBands.unpersist()
-        withSh.unpersist(): Unit
+        withSh.unpersist()
+        if (crashAtBatch.contains(batchId))
+          throw new RuntimeException(s"injected crash after batch $batchId")
+        ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     try query.awaitTermination()
-    finally GateStores.rmTree(ckpt)
+    finally if (crashAtBatch.isEmpty) GateStores.rmTree(ckpt)
     s.read.parquet(GateStores.existing(decDir): _*)
       .orderBy(col("doc_id"))
   }

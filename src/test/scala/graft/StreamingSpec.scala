@@ -801,4 +801,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(resumed == clean,
       "a killed-and-resumed gate must reproduce the uninterrupted decisions")
   }
+
+  test("IngestGate restart mid-replay: killed-and-resumed decisions identical to an uninterrupted run") {
+    val sf = "/root/testdata/sf0.001"
+    def run(ckpt: String, wipe: Boolean, crashAt: Option[Long]) =
+      graft.streaming.IngestGate.replayInternal(spark, sf, ckpt = ckpt,
+        wipeStores = wipe, crashAtBatch = crashAt)
+    val clean = graft.streaming.IngestGate.replayNearDupGate(spark, sf)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val ckpt = graft.model.Scratch.dir("ingest_restart_ckpt", sf)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(ckpt, wipe = true, crashAt = Some(1L))
+    }
+    val resumed = run(ckpt, wipe = false, crashAt = None)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(resumed == clean,
+      "a killed-and-resumed doc gate must reproduce the uninterrupted decisions")
+  }
 }
