@@ -473,6 +473,22 @@ private[queries] object LlmSimOps {
       bands = EmbBands, bitsPerBand = EmbBits, dims = 64, cells = 16,
       m = 8, ks = 16, refineIters = 1)
 
+  /** Streaming ingest WITH A TAKEDOWN: the same replay, but after batch
+    * [[graft.streaming.AnnIngest.DeleteAfterBatch]] commits, every
+    * arrived id ≡ 3 (mod 7) is tombstoned — hidden from all subsequent
+    * postings reads by one anti-join and physically dropped by the
+    * next store compaction ([[graft.streaming.AnnIngest]]'s delete
+    * path, the streaming form of `q_ann_ivfpq_delete`). Output is the
+    * SURVIVING postings; the committed oracle is the full ingest
+    * restatement with the tombstone predicate excluded, so a delete
+    * that leaks a posting, hides a survivor, or perturbs the frozen
+    * geometry is a hash mismatch.
+    */
+  private[queries] val qStreamAnnDelete: Q = (s, d) =>
+    graft.streaming.AnnIngest.replayAnnIngestDelete(s, d, threshold = 0.4,
+      bands = EmbBands, bitsPerBand = EmbBits, dims = 64, cells = 16,
+      m = 8, ks = 16, refineIters = 1)
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -1275,6 +1291,26 @@ private[queries] object LlmSimOps {
        |${frozenEncodeSql("ra")}""".stripMargin
   }
 
+  /** Oracle for `q_stream_ann_delete`: the full [[streamAnnIngestSql]]
+    * restatement minus the tombstoned ids — ≡ residue (mod modulo)
+    * among the first `deleteAfter + 1` slices (ids below
+    * `(deleteAfter+1) · width`, width = max/slices + 1 — the same
+    * slice rule the fixture and ingest oracle state). One sentence of
+    * SQL on top of the ingest statement, exactly the survivors-only
+    * contract the delete path promises.
+    */
+  private[queries] def streamAnnDeleteSql(threshold: Double, bands: Int,
+                                          bits: Int, dims: Int, m: Int,
+                                          ks: Int, cells: Int, slices: Int,
+                                          deleteAfter: Long, modulo: Long,
+                                          residue: Long): String =
+    s"""SELECT * FROM (
+       |${streamAnnIngestSql(threshold, bands, bits, dims, m, ks, cells, slices)}
+       |) WHERE NOT (n_id % $modulo = $residue AND n_id <
+       |  ${deleteAfter + 1} * (SELECT max(vec_id) // $slices + 1
+       |                        FROM embeddings))
+       |ORDER BY n_id, sub""".stripMargin
+
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.
     */
@@ -1368,6 +1404,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_delete_stats" -> qAnnIvfPqDeleteStats,
     "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
     "q_stream_ann_ingest" -> qStreamAnnIngest,
+    "q_stream_ann_delete" -> qStreamAnnDelete,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_ann_param_sweep" -> qAnnParamSweep,
@@ -1426,6 +1463,12 @@ private[queries] object LlmSimOps {
     "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,
       dims = 64, m = 8, ks = 16, cells = 16,
       slices = graft.streaming.AnnIngest.Slices),
+    "q_stream_ann_delete" -> streamAnnDeleteSql(0.4, EmbBands, EmbBits,
+      dims = 64, m = 8, ks = 16, cells = 16,
+      slices = graft.streaming.AnnIngest.Slices,
+      deleteAfter = graft.streaming.AnnIngest.DeleteAfterBatch,
+      modulo = graft.streaming.AnnIngest.DeleteMod,
+      residue = graft.streaming.AnnIngest.DeleteResidue),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,

@@ -31,10 +31,28 @@ import graft.ops.Similarity
   * admitted" ≡ "encode slice 0 against the frozen geometry, keep
   * admitted".
   *
+  * DELETE path (r14, VERDICT r13 #3): [[replayAnnIngestDelete]] runs
+  * the same replay with a takedown between batches — after batch
+  * [[DeleteAfterBatch]] commits its stores, a tombstone batch (ids
+  * ≡ 3 mod [[DeleteMod]] among everything that has arrived so far —
+  * the batch lifecycle's `q_ann_ivfpq_delete` rule scoped to the
+  * arrived prefix, a pure function of the corpus the oracle restates)
+  * lands in its own per-batch store. Tombstoned ids are hidden from
+  * every subsequent postings read by one `n_id` anti-join
+  * ([[graft.ops.AnnIndexLifecycle.applyTombstones]] — the identical
+  * rule), and the NEXT store compaction physically rewrites the
+  * folded postings without the dead rows (erasure rides the rewrite
+  * the store pays anyway). The gate's dedup memory deliberately keeps
+  * the deleted vectors — "seen" is an ingest-history property, the
+  * postings are the SERVING index; a takedown removes a vector from
+  * serving, it does not un-see it (otherwise a re-upload of deleted
+  * content would be re-admitted as a second serving copy).
+  *
   * Idempotence: the [[GateStores]] discipline — per-batch Overwrite
   * subdirectories, probes read strictly-earlier batches only;
   * StreamingSpec kills a run between batches and proves the resumed
-  * run lands identical stores.
+  * run lands identical stores (including a kill exactly between the
+  * tombstone landing and its checkpoint commit).
   */
 object AnnIngest {
   private val fixtureLock = new Object
@@ -45,32 +63,67 @@ object AnnIngest {
     */
   val Slices = 3
 
+  /** Delete-variant constants, interpolated into the committed oracle:
+    * the takedown arrives after batch [[DeleteAfterBatch]] commits, and
+    * removes every arrived id ≡ [[DeleteResidue]] (mod [[DeleteMod]]) —
+    * the `q_ann_ivfpq_delete` tombstone rule scoped to the first
+    * `DeleteAfterBatch + 1` slices.
+    */
+  val DeleteAfterBatch = 1L
+  val DeleteMod = 7L
+  val DeleteResidue = 3L
+
   def replayAnnIngest(s: SparkSession, d: String, threshold: Double,
                       bands: Int, bitsPerBand: Int, dims: Int, cells: Int,
                       m: Int, ks: Int, refineIters: Int): DataFrame =
     replayInternal(s, d, threshold, bands, bitsPerBand, dims, cells, m, ks,
-      refineIters,
+      refineIters, ns = "ann_ingest",
       ckpt = graft.model.Scratch.dir("ann_ingest_ckpt", d) + "/" +
         java.util.UUID.randomUUID().toString.take(8),
-      wipeStores = true, crashAtBatch = None)
+      wipeStores = true, crashAtBatch = None, delete = false)
+
+  /** The ingest replay with a takedown injected after
+    * [[DeleteAfterBatch]] — returns the SURVIVING postings (tombstoned
+    * ids anti-joined out; the physically compacted store holds no dead
+    * row either, which the restart spec checks file by file).
+    */
+  def replayAnnIngestDelete(s: SparkSession, d: String, threshold: Double,
+                            bands: Int, bitsPerBand: Int, dims: Int,
+                            cells: Int, m: Int, ks: Int,
+                            refineIters: Int): DataFrame =
+    replayInternal(s, d, threshold, bands, bitsPerBand, dims, cells, m, ks,
+      refineIters, ns = "ann_ingest_del",
+      ckpt = graft.model.Scratch.dir("ann_ingest_del_ckpt", d) + "/" +
+        java.util.UUID.randomUUID().toString.take(8),
+      wipeStores = true, crashAtBatch = None, delete = true)
 
   /** Lifecycle-exposed form — see [[EmbGate.replayInternal]] for the
     * restart-spec contract of `ckpt` / `wipeStores` / `crashAtBatch`.
+    * `ns` namespaces the scratch stores so the plain and delete
+    * variants never read each other's state; `delete` arms the
+    * [[DeleteAfterBatch]] takedown.
     */
   private[graft] def replayInternal(s: SparkSession, d: String,
       threshold: Double, bands: Int, bitsPerBand: Int, dims: Int,
-      cells: Int, m: Int, ks: Int, refineIters: Int, ckpt: String,
-      wipeStores: Boolean, crashAtBatch: Option[Long]): DataFrame = {
+      cells: Int, m: Int, ks: Int, refineIters: Int, ns: String,
+      ckpt: String, wipeStores: Boolean, crashAtBatch: Option[Long],
+      delete: Boolean): DataFrame = {
     val dsub = dims / m
     val embs = graft.model.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
+    // the arrival fixture is shared between the variants (read-only
+    // after creation); the mutable stores are namespaced by `ns`
     val srcDir = new java.io.File(graft.model.Scratch.dir("ann_ingest_src", d))
     GateStores.landSliceFixture(embs, "vec_id", srcDir, Slices, fixtureLock)
-    val idxDir = graft.model.Scratch.dir("ann_ingest_idx", d)
-    val vecDir = graft.model.Scratch.dir("ann_ingest_vec", d)
-    val geoDir = graft.model.Scratch.dir("ann_ingest_geo", d)
-    val postDir = graft.model.Scratch.dir("ann_ingest_post", d)
-    if (wipeStores) GateStores.wipe(Seq(idxDir, vecDir, geoDir, postDir))
+    val idxDir = graft.model.Scratch.dir(s"${ns}_idx", d)
+    val vecDir = graft.model.Scratch.dir(s"${ns}_vec", d)
+    val geoDir = graft.model.Scratch.dir(s"${ns}_geo", d)
+    val postDir = graft.model.Scratch.dir(s"${ns}_post", d)
+    val tombDir = graft.model.Scratch.dir(s"${ns}_tomb", d)
+    if (wipeStores)
+      GateStores.wipe(Seq(idxDir, vecDir, geoDir, postDir, tombDir))
+    def tombstones(before: Long): Option[DataFrame] =
+      GateStores.readStoreOpt(s, tombDir, before)
     val stream = s.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getPath + "/gate_*.parquet")
@@ -78,6 +131,15 @@ object AnnIngest {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        // fold the settled tails before probing; the postings fold
+        // anti-joins the accumulated tombstones out — physical erasure
+        // of deleted vectors rides the compaction rewrite
+        GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
+          partitionCols = Seq("bgrp")): Unit
+        GateStores.maybeCompact(ss, vecDir, upTo = batchId - 1): Unit
+        GateStores.maybeCompact(ss, postDir, upTo = batchId - 1,
+          partitionCols = Seq("cell_id"),
+          tombstones = tombstones(batchId)): Unit
         // ---- 1. the gate: EmbGate's exact rule, shared code ----
         val (vecs, buckets, dupSrc) =
           EmbGate.gateBatch(batch, batchId, idxDir, vecDir, threshold,
@@ -89,18 +151,24 @@ object AnnIngest {
         val postings =
           if (batchId == 0L) {
             // build the geometry on the WHOLE first slice, land the
-            // codebook, keep admitted vectors' postings ("build then
-            // keep admitted" ≡ encode-vs-frozen: pqTrain's final
-            // encode assigns against the trained codebook)
+            // residual codebook AND the coarse lattice, keep admitted
+            // vectors' postings ("build then keep admitted" ≡
+            // encode-vs-frozen: pqTrain's final encode assigns against
+            // the trained codebook)
             val (p0, cb) = Similarity.ivfPqBuild(vecs, "vec_id", "embedding",
               dims, cells, m, ks, refineIters)
             GateStores.land(cb, s"$geoDir/b0")
+            // the frozen coarse coordinates land once, so batch-1+
+            // encodes read ~cells rows instead of re-deriving the
+            // lattice from a pinned vector slice every batch (and the
+            // vector store is free to compact its b0 away)
+            GateStores.land(Similarity.coarseFromBase(vecs, "vec_id",
+              "embedding", dsub, cells), s"$geoDir/cc")
             p0.join(admitted.select(col("vec_id").as("n_id")), Seq("n_id"))
           } else {
             val cb = ss.read.parquet(s"$geoDir/b0")
-            val base = ss.read.parquet(s"$vecDir/b0") // slice 0
-            Similarity.ivfPqEncode(admitted, Similarity.coarseFromBase(
-                base, "vec_id", "embedding", dsub, cells), cb,
+            val cc = ss.read.parquet(s"$geoDir/cc")
+            Similarity.ivfPqEncode(admitted, cc, cb,
               "vec_id", "embedding", dsub)
           }
         // postings partitioned by cell: the inverted-list layout — a
@@ -110,6 +178,16 @@ object AnnIngest {
         GateStores.land(GateStores.withBandGroup(buckets),
           s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
         GateStores.land(vecs, s"$vecDir/b$batchId")
+        if (delete && batchId == DeleteAfterBatch) {
+          // the takedown: everything arrived so far (this batch
+          // included — before = batchId+1) matching the id rule.
+          // Overwrite per-batch landing = replay-idempotent like every
+          // other store write.
+          val tombs = GateStores.readStoreOpt(ss, vecDir, batchId + 1).get
+            .filter(col("vec_id") % DeleteMod === DeleteResidue)
+            .select(col("vec_id").as("n_id"))
+          GateStores.land(tombs, s"$tombDir/b$batchId")
+        }
         admitted.unpersist()
         buckets.unpersist()
         vecs.unpersist()
@@ -121,9 +199,16 @@ object AnnIngest {
       .start()
     try query.awaitTermination()
     finally if (crashAtBatch.isEmpty) GateStores.rmTree(ckpt)
-    GateStores.readBatches(s, GateStores.existing(postDir))
+    val landed = GateStores.readStoreOpt(s, postDir).get
       .select(col("cell_id").cast("long").as("cell_id"), col("n_id"),
         col("sub"), col("cid"))
-      .orderBy(col("n_id"), col("sub"))
+    // tombstoned postings are hidden even where compaction has not yet
+    // physically dropped them (e.g. a run killed right after the
+    // takedown landed) — the applyTombstones read form
+    val visible = tombstones(Long.MaxValue) match {
+      case Some(t) => graft.ops.AnnIndexLifecycle.applyTombstones(landed, t)
+      case None => landed
+    }
+    visible.orderBy(col("n_id"), col("sub"))
   }
 }

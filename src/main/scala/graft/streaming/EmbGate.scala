@@ -73,11 +73,8 @@ object EmbGate {
     val buckets = Similarity.srpBuckets(vecs, "vec_id", "embedding",
         bands, bitsPerBand)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val idxDirs = GateStores.existing(idxDir, before = batchId)
-    val index =
-      if (idxDirs.isEmpty) None
-      else Some(GateStores.readBandIndex(ss, idxDirs)
-        .select(col("vec_id"), col("bucket")))
+    val index = GateStores.readBandIndexStore(ss, idxDir, batchId)
+      .map(_.select(col("vec_id"), col("bucket")))
     // prior-batch candidates: probe the persistent band index with THIS
     // batch's buckets (cost ∝ batch); same-batch candidates: the
     // ordered self-join
@@ -96,23 +93,29 @@ object EmbGate {
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"))
     val cands = candPrev.unionByName(candSame).distinct()
-    val vecDirs = GateStores.existing(vecDir, before = batchId)
-    val allVecs =
-      if (vecDirs.isEmpty) vecs
-      else {
-        val store = GateStores.readBatches(ss, vecDirs)
+    val allVecs = GateStores.readStoreOpt(ss, vecDir, batchId) match {
+      case None => vecs
+      case Some(store) =>
         val fetched =
-          if (GateStores.storeBytes(vecDirs) < GateStores.PruneStoreBytes)
+          if (GateStores.storeBytesBefore(vecDir, batchId)
+              < GateStores.PruneStoreBytes)
             store
-          else store.join(
-            index.get.join(buckets.select(col("bucket")).distinct(),
-                Seq("bucket"), "left_semi")
-              .select(col("vec_id")).distinct(),
-            Seq("vec_id"), "left_semi")
+          else {
+            GateStores.prunedFetches.incrementAndGet(): Unit
+            store.join(
+              index.get.join(buckets.select(col("bucket")).distinct(),
+                  Seq("bucket"), "left_semi")
+                .select(col("vec_id")).distinct(),
+              Seq("vec_id"), "left_semi")
+          }
         fetched.unionByName(vecs)
-      }
-    val dupSrc = Similarity.verifyCosine(cands, allVecs, "vec_id",
-        "embedding", threshold)
+    }
+    // Sides form: key_b always names a THIS-batch vector (both candidate
+    // halves construct it so), so the b-side join builds on the
+    // micro-batch alone — at 100 TB that is batch-sized instead of
+    // store-sized
+    val dupSrc = Similarity.verifyCosineSides(cands, allVecs, vecs,
+        "vec_id", "embedding", threshold)
       .groupBy(col("key_b").as("vec_id"))
       .agg(min(col("key_a")).as("dup_src"))
     (vecs, buckets, dupSrc)
@@ -149,6 +152,12 @@ object EmbGate {
     val query = stream.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fold the settled tail (ids <= batchId-1 are committed) before
+        // probing — the probe then reads snapshot + short tail instead
+        // of one plan per historical micro-batch
+        GateStores.maybeCompact(s, idxDir, upTo = batchId - 1,
+          partitionCols = Seq("bgrp")): Unit
+        GateStores.maybeCompact(s, vecDir, upTo = batchId - 1): Unit
         val (vecs, buckets, dupSrc) =
           gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand)

@@ -27,7 +27,14 @@ private[graft] object GateStores {
     * "b10" before "b2", silently shuffling "earlier" once a replay
     * passes ten batches.
     */
-  def existing(dir: String, before: Long = Long.MaxValue): Seq[String] = {
+  def existing(dir: String, before: Long = Long.MaxValue): Seq[String] =
+    existingIds(dir, before).map(_._2)
+
+  /** [[existing]] with the batch ids attached — the compaction logic
+    * needs them to exclude already-folded dirs from the live tail.
+    */
+  def existingIds(dir: String,
+                  before: Long = Long.MaxValue): Seq[(Long, String)] = {
     val f = new java.io.File(dir)
     if (!f.isDirectory) Nil
     else f.listFiles().toSeq
@@ -35,7 +42,6 @@ private[graft] object GateStores {
       .map(x => (x.getName.drop(1).toLong, x.getPath))
       .filter(_._1 < before)
       .sortBy(_._1)
-      .map(_._2)
   }
 
   def rmTree(path: String): Unit = {
@@ -105,15 +111,24 @@ private[graft] object GateStores {
     * fail schema inference; semantically it contributes nothing.
     */
   def readBatches(ss: org.apache.spark.sql.SparkSession,
-                  dirs: Seq[String]): DataFrame = {
-    def hasParquet(f: java.io.File): Boolean =
-      (f.isFile && f.getName.endsWith(".parquet")) ||
-        (f.isDirectory && f.listFiles().exists(hasParquet))
+                  dirs: Seq[String]): DataFrame =
+    readBatchesOpt(ss, dirs).getOrElse(throw new IllegalArgumentException(
+      s"no parquet files under any batch dir of: ${dirs.mkString(", ")}"))
+
+  private def hasParquet(f: java.io.File): Boolean =
+    (f.isFile && f.getName.endsWith(".parquet")) ||
+      (f.isDirectory && f.listFiles().exists(hasParquet))
+
+  /** [[readBatches]] that reports an all-empty dir set as None instead
+    * of failing — the compaction fold and the snapshot-aware store read
+    * both have legitimate nothing-here cases.
+    */
+  def readBatchesOpt(ss: org.apache.spark.sql.SparkSession,
+                     dirs: Seq[String]): Option[DataFrame] = {
     val nonEmpty = dirs.filter(d => hasParquet(new java.io.File(d)))
-    require(nonEmpty.nonEmpty,
-      s"no parquet files under any batch dir of: ${dirs.mkString(", ")}")
-    nonEmpty.map(p => ss.read.option("basePath", p).parquet(p))
-      .reduce(_.unionByName(_))
+    if (nonEmpty.isEmpty) None
+    else Some(nonEmpty.map(p => ss.read.option("basePath", p).parquet(p))
+      .reduce(_.unionByName(_)))
   }
 
   /** Read the accumulated band index, pruned at the file level to the
@@ -125,14 +140,27 @@ private[graft] object GateStores {
     */
   def readBandIndex(ss: org.apache.spark.sql.SparkSession,
                     idxDirs: Seq[String],
-                    groups: Option[Seq[Int]] = None): DataFrame = {
-    val idx = readBatches(ss, idxDirs)
+                    groups: Option[Seq[Int]] = None): DataFrame =
+    pruneGroups(readBatches(ss, idxDirs), groups)
+
+  private def pruneGroups(idx: DataFrame,
+                          groups: Option[Seq[Int]]): DataFrame =
     groups match {
       case Some(g) if g.size < BandGroups =>
         idx.filter(col("bgrp").isin(g.map(Integer.valueOf): _*))
       case _ => idx
     }
-  }
+
+  /** Snapshot-aware [[readBandIndex]]: the accumulated band index
+    * visible to batch `before` (committed snapshot + live tail), with
+    * the same optional file-level group pruning — the bgrp Hive layout
+    * survives compaction because the fold rewrites under the identical
+    * `partitionBy`.
+    */
+  def readBandIndexStore(ss: org.apache.spark.sql.SparkSession,
+                         dir: String, before: Long,
+                         groups: Option[Seq[Int]] = None): Option[DataFrame] =
+    readStoreOpt(ss, dir, before).map(pruneGroups(_, groups))
 
   /** Total bytes under a store's batch directories — a driver-side
     * METADATA read (file lengths only), the cutover signal for
@@ -155,8 +183,152 @@ private[graft] object GateStores {
     * (the 100 TB regime). The decision input is file-size metadata,
     * so it costs no job — the same class of size-based cutover AQE
     * applies to join strategies.
+    *
+    * A `var` (r14, VERDICT r13 #1): every fixture store sits far under
+    * the production default, so the ONLY way to execute the pruned
+    * branch — the branch a 100 TB deployment runs permanently — under
+    * the hash gates is to force the cutover down. StreamingSpec sets
+    * it to 0, re-runs the replay gates, asserts [[prunedFetches]]
+    * advanced AND the decisions are identical to the scan branch.
+    * Production code never writes it.
     */
-  val PruneStoreBytes: Long = 64L << 20
+  val DefaultPruneStoreBytes: Long = 64L << 20
+  @volatile private[graft] var PruneStoreBytes: Long = DefaultPruneStoreBytes
+
+  /** Count of store fetches that took the candidates-pruned branch —
+    * observability for the cutover spec (a plan assertion would be
+    * brittle across the three gates; a counter is exact).
+    */
+  val prunedFetches = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  // ------------------------------------------------------------------
+  // Snapshot compaction (r14, VERDICT r13 #2): unbounded micro-batches
+  // previously meant one `b<id>` dir per batch FOREVER — a driver-side
+  // listing plus an N-way union plan per probe. Settled batches now
+  // fold into a SNAPSHOT while recent batches stay as a tail:
+  //
+  //   dir/snap/f=<id>/   all rows of batches 0..<id>, one table,
+  //                      same partition layout as the batch dirs
+  //   dir/b<j>/          the live tail, j > <id>
+  //
+  // The snapshot's version key IS the folded-through batch id, so the
+  // write is self-describing: a reader derives "what the snapshot
+  // covers" from the completed (_SUCCESS-marked) f= dir alone, never
+  // from a separate pointer that could be a crash-window behind the
+  // data. Crash between the snapshot write and the folded-dir cleanup
+  // therefore cannot double-count — the reader ignores b<j> with
+  // j <= foldedThrough whether or not the dirs still exist. Probes
+  // keep the strictly-earlier contract because folding stops at the
+  // last COMMITTED batch (the fold runs at the START of processing
+  // batch B over ids <= B-1; a replayed batch's own first-attempt
+  // files are never folded). Single writer per store by construction
+  // (one streaming query owns a gate's scratch namespace).
+  // ------------------------------------------------------------------
+
+  private def snapRoot(dir: String) = new java.io.File(dir, "snap")
+
+  /** Complete snapshot versions under `dir`, ascending by
+    * folded-through id. Incomplete writes (no `_SUCCESS`) are invisible.
+    */
+  private def snapVersions(dir: String): Seq[(Long, java.io.File)] = {
+    val root = snapRoot(dir)
+    if (!root.isDirectory) Nil
+    else root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("f=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(f => (f.getName.drop(2).toLong, f))
+      .sortBy(_._1)
+  }
+
+  /** Highest batch id folded into a committed snapshot; -1 if none. */
+  def foldedThrough(dir: String): Long =
+    snapVersions(dir).lastOption.map(_._1).getOrElse(-1L)
+
+  /** Minimum live tail size before a fold is considered at all. */
+  val CompactMinTail = 2
+
+  /** Fold the settled tail (batch ids in (foldedThrough, upTo]) plus
+    * the current snapshot into a new snapshot version, when the
+    * geometric trigger fires: tail bytes ≥ half the snapshot bytes.
+    * Rewriting on a FRACTION of the snapshot keeps total compaction
+    * work O(n log n) over the store's life — a fixed every-K-batches
+    * fold would be O(n²/K). `tombstones` (an `n_id`-keyed delete set)
+    * is anti-joined out of the folded rows — physical erasure rides
+    * the rewrite the store was paying anyway ([[graft.ops
+    * .AnnIndexLifecycle]]'s compaction discipline applied here).
+    * Returns true iff a new snapshot version landed. Old versions stay
+    * readable (time-travel/audit) up to `keepVersions` behind latest.
+    */
+  def maybeCompact(ss: org.apache.spark.sql.SparkSession, dir: String,
+                   upTo: Long, partitionCols: Seq[String] = Nil,
+                   tombstones: Option[DataFrame] = None,
+                   keepVersions: Int = 2): Boolean = {
+    val ft = foldedThrough(dir)
+    val tail = existingIds(dir, before = upTo + 1).filter(_._1 > ft)
+    if (tail.size < CompactMinTail) return false
+    val snapBytes = snapVersions(dir).lastOption
+      .map(v => storeBytes(Seq(v._2.getPath))).getOrElse(0L)
+    if (2 * storeBytes(tail.map(_._2)) < snapBytes) return false
+    val snap = snapVersions(dir).lastOption
+      .flatMap(v => readBatchesOpt(ss, Seq(v._2.getPath)))
+    val cur = (snap.toSeq ++ readBatchesOpt(ss, tail.map(_._2)).toSeq)
+      .reduceOption(_.unionByName(_))
+    val folded = cur.map { df =>
+      tombstones match {
+        case Some(t) => df.join(
+          t.select(col("n_id")).distinct(), Seq("n_id"), "left_anti")
+          .select(df.columns.map(col).toIndexedSeq: _*)
+        case None => df
+      }
+    }
+    val target = new java.io.File(snapRoot(dir), s"f=${tail.last._1}")
+    folded match {
+      case Some(df) =>
+        // Overwrite absorbs a crash-orphaned partial dir of the same id
+        val w = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(target.getPath)
+      case None =>
+        // every foldable dir was empty — still commit the fold so the
+        // empty b-dirs stop being listed; _SUCCESS alone marks it
+        target.mkdirs()
+        java.nio.file.Files.writeString(
+          new java.io.File(target, "_SUCCESS").toPath, ""): Unit
+    }
+    // cleanup AFTER the commit point; readers ignore these either way
+    tail.foreach { case (_, p) => rmTree(p) }
+    snapVersions(dir).dropRight(keepVersions)
+      .foreach { case (_, f) => rmTree(f.getPath) }
+    true
+  }
+
+  /** The accumulated store visible to batch `before`: the committed
+    * snapshot plus the live tail strictly between foldedThrough and
+    * `before`. None iff the store holds no rows yet. The guard is the
+    * strictly-earlier contract: a snapshot may never cover the probing
+    * batch itself (folds stop at the previous committed batch, so this
+    * can only trip on external tampering).
+    */
+  def readStoreOpt(ss: org.apache.spark.sql.SparkSession, dir: String,
+                   before: Long = Long.MaxValue): Option[DataFrame] = {
+    val ft = foldedThrough(dir)
+    require(ft < before,
+      s"store at $dir folded through batch $ft, not strictly earlier than $before")
+    val snap = snapVersions(dir).lastOption
+      .flatMap(v => readBatchesOpt(ss, Seq(v._2.getPath)))
+    val tail = readBatchesOpt(ss,
+      existingIds(dir, before).filter(_._1 > ft).map(_._2))
+    (snap.toSeq ++ tail.toSeq).reduceOption(_.unionByName(_))
+  }
+
+  /** Bytes the [[readStoreOpt]] read would touch — snapshot latest
+    * version plus the live tail; the [[PruneStoreBytes]] cutover input.
+    */
+  def storeBytesBefore(dir: String, before: Long = Long.MaxValue): Long = {
+    val ft = foldedThrough(dir)
+    val snap = snapVersions(dir).lastOption.map(_._2.getPath).toSeq
+    storeBytes(snap ++ existingIds(dir, before).filter(_._1 > ft).map(_._2))
+  }
 
   /** Land a keyed table as `slices` contiguous-id-range single-file
     * parquet slices in ascending order, mtime-pinned (FileStreamSource

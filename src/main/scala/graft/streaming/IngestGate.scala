@@ -84,6 +84,10 @@ object IngestGate {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        // fold the settled tail before probing — see EmbGate
+        GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
+          partitionCols = Seq("bgrp")): Unit
+        GateStores.maybeCompact(ss, shDir, upTo = batchId - 1): Unit
         val withSh = Par.fanOut(
           Dedup.registerShingleHashFn(batch).select(col("doc_id"), col("text")))
           .withColumn("toks", split(col("text"), " "))
@@ -94,11 +98,8 @@ object IngestGate {
         val sigs = Dedup.minhashSignatures(withSh, "doc_id", 32)
         val batchBands = Dedup.bandBuckets(sigs, "doc_id", 32, 2)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val idxDirs = GateStores.existing(idxDir, before = batchId)
-        val index =
-          if (idxDirs.isEmpty) None
-          else Some(GateStores.readBandIndex(ss, idxDirs)
-            .select(col("doc_id"), col("band"), col("bucket")))
+        val index = GateStores.readBandIndexStore(ss, idxDir, batchId)
+          .map(_.select(col("doc_id"), col("band"), col("bucket")))
         // prior-batch candidates: probe the persistent band index with
         // THIS batch's buckets (cost ∝ batch); same-batch candidates:
         // the ordered self-join, exactly lshCandidates' shape
@@ -118,26 +119,31 @@ object IngestGate {
           .filter(col("key_a") < col("key_b"))
           .select(col("key_a"), col("key_b"))
         val cands = candPrev.unionByName(candSame).distinct()
-        val shDirs = GateStores.existing(shDir, before = batchId)
         // verify-side store fetch under the PruneStoreBytes cutover —
         // see EmbGate.gateBatch: direct read while the store is small,
         // colliding-id semi-join (fetch ∝ candidates) once it is not
-        val allSh =
-          if (shDirs.isEmpty) withSh
-          else {
-            val store = GateStores.readBatches(ss, shDirs)
+        val allSh = GateStores.readStoreOpt(ss, shDir, batchId) match {
+          case None => withSh
+          case Some(store) =>
             val fetched =
-              if (GateStores.storeBytes(shDirs) < GateStores.PruneStoreBytes)
+              if (GateStores.storeBytesBefore(shDir, batchId)
+                  < GateStores.PruneStoreBytes)
                 store
-              else store.join(
-                index.get.join(batchBands
-                    .select(col("band"), col("bucket")).distinct(),
-                    Seq("band", "bucket"), "left_semi")
-                  .select(col("doc_id")).distinct(),
-                Seq("doc_id"), "left_semi")
+              else {
+                GateStores.prunedFetches.incrementAndGet(): Unit
+                store.join(
+                  index.get.join(batchBands
+                      .select(col("band"), col("bucket")).distinct(),
+                      Seq("band", "bucket"), "left_semi")
+                    .select(col("doc_id")).distinct(),
+                  Seq("doc_id"), "left_semi")
+              }
             fetched.unionByName(withSh)
-          }
-        val dupSrc = Dedup.verifyJaccard(cands, allSh, "doc_id", 0.5)
+        }
+        // Sides form: key_b is always a THIS-batch document, so the
+        // b-side shingle join builds on the micro-batch alone
+        val dupSrc = Dedup.verifyJaccardSides(cands, allSh, withSh,
+            "doc_id", 0.5)
           .groupBy(col("key_b").as("doc_id"))
           .agg(min(col("key_a")).as("dup_src"))
         val decisions = batch.select(col("doc_id"))

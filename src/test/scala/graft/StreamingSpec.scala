@@ -760,8 +760,8 @@ class StreamingSpec extends AnyFunSuite {
     def run(ckpt: String, wipe: Boolean, crashAt: Option[Long]) =
       graft.streaming.AnnIngest.replayInternal(spark, sf, threshold = 0.4,
         bands = 96, bitsPerBand = 8, dims = 64, cells = 16, m = 8, ks = 16,
-        refineIters = 1, ckpt = ckpt, wipeStores = wipe,
-        crashAtBatch = crashAt)
+        refineIters = 1, ns = "ann_ingest", ckpt = ckpt, wipeStores = wipe,
+        crashAtBatch = crashAt, delete = false)
     // reference: an uninterrupted replay
     val clean = graft.streaming.AnnIngest.replayAnnIngest(spark, sf,
         threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64, cells = 16,
@@ -817,5 +817,134 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Boolean, Option[Long])].collect().toSeq
     assert(resumed == clean,
       "a killed-and-resumed doc gate must reproduce the uninterrupted decisions")
+  }
+
+  test("pruned store fetch (PruneStoreBytes=0): decisions identical to the scan branch, and the branch actually runs") {
+    // The candidates-pruned fetch is the ONLY store-fetch shape that
+    // survives 100 TB, and every fixture store sits far under the
+    // production cutover — so force the cutover to zero and prove the
+    // pruned branch (a) executes (the counter advances) and (b) gates
+    // identically to the scan branch (VERDICT r13 #1 / ADVICE r13).
+    val sf = "/root/testdata/sf0.001"
+    val scanEmb = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val scanDoc = graft.streaming.IngestGate.replayNearDupGate(spark, sf)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    val before = graft.streaming.GateStores.prunedFetches.get()
+    graft.streaming.GateStores.PruneStoreBytes = 0L
+    try {
+      val prunedEmb = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+          threshold = 0.4, bands = 96, bitsPerBand = 8)
+        .as[(Long, Boolean, Option[Long])].collect().toSeq
+      val prunedDoc = graft.streaming.IngestGate.replayNearDupGate(spark, sf)
+        .as[(Long, Boolean, Option[Long])].collect().toSeq
+      assert(graft.streaming.GateStores.prunedFetches.get() >= before + 4,
+        "the pruned branch must actually execute (2 gates × batches 1,2)")
+      assert(prunedEmb == scanEmb,
+        "pruned-fetch decisions must equal scan-fetch decisions (EmbGate)")
+      assert(prunedDoc == scanDoc,
+        "pruned-fetch decisions must equal scan-fetch decisions (IngestGate)")
+    } finally {
+      graft.streaming.GateStores.PruneStoreBytes =
+        graft.streaming.GateStores.DefaultPruneStoreBytes
+    }
+  }
+
+  test("store compaction: the replay folds settled batches into a snapshot, and a crash AFTER the fold resumes identically") {
+    val sf = "/root/testdata/sf0.001"
+    val clean = graft.streaming.EmbGate.replayEmbNearDupGate(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    // the replay itself compacts: at batch 2's start the settled tail
+    // {b0, b1} folds into snap/f=1, so batch 2's probe read the
+    // snapshot + nothing — the decisions above already hash-gate that.
+    // Here pin the LAYOUT: snapshot committed through batch 1, folded
+    // b-dirs gone, and the band-group partitioning survived the fold.
+    val idxDir = graft.model.Scratch.dir("emb_gate_idx", sf)
+    val vecDir = graft.model.Scratch.dir("emb_gate_vec", sf)
+    for (d <- Seq(idxDir, vecDir)) {
+      assert(graft.streaming.GateStores.foldedThrough(d) == 1L,
+        s"$d must have folded batches 0..1 into a snapshot")
+      assert(graft.streaming.GateStores.existingIds(d).forall(_._1 > 1L),
+        s"$d must not keep folded batch dirs around")
+    }
+    assert(new java.io.File(s"$idxDir/snap/f=1").listFiles()
+        .exists(_.getName.startsWith("bgrp=")),
+      "the snapshot must keep the bgrp Hive layout (file-level probe pruning)")
+    // crash exactly between the fold+landing of batch 2 and its
+    // checkpoint commit — the resumed run re-executes batch 2 against
+    // an ALREADY-compacted store (the window VERDICT r13 #2 asks for)
+    val ckpt = graft.model.Scratch.dir("emb_compact_ckpt", sf)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.EmbGate.replayInternal(spark, sf, threshold = 0.4,
+        bands = 96, bitsPerBand = 8, ckpt = ckpt, wipeStores = true,
+        crashAtBatch = Some(2L))
+    }
+    assert(graft.streaming.GateStores.foldedThrough(idxDir) == 1L,
+      "the crash landed after the fold — the snapshot must be committed")
+    val resumed = graft.streaming.EmbGate.replayInternal(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, ckpt = ckpt,
+        wipeStores = false, crashAtBatch = None)
+      .as[(Long, Boolean, Option[Long])].collect().toSeq
+    assert(resumed == clean,
+      "re-executing a batch over a compacted store must reproduce the decisions")
+  }
+
+  test("streaming ANN delete: survivors only, physically erased from every postings file, restart-safe") {
+    val sf = "/root/testdata/sf0.001"
+    val full = graft.streaming.AnnIngest.replayAnnIngest(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64, cells = 16,
+        m = 8, ks = 16, refineIters = 1)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val deleted = graft.streaming.AnnIngest.replayAnnIngestDelete(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64, cells = 16,
+        m = 8, ks = 16, refineIters = 1)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    // the tombstone rule, restated: ids ≡ 3 (mod 7) among the first two
+    // slices
+    val hi = graft.model.Tables.embeddings(spark, sf)
+      .agg(max($"vec_id")).as[Long].head()
+    val width = hi / graft.streaming.AnnIngest.Slices + 1L
+    def dead(id: Long) = id % 7L == 3L && id < 2L * width
+    assert(deleted.nonEmpty && deleted == full.filterNot(p => dead(p._2)),
+      "delete-run postings must equal the plain run minus the tombstoned ids")
+    assert(full.exists(p => dead(p._2)),
+      "fixture must actually tombstone indexed vectors")
+    // file-level erasure: after the batch-2 fold (which anti-joined the
+    // tombstones) NO parquet file under the postings store still holds
+    // a dead id — bytes on disk, not query results
+    val postDir = graft.model.Scratch.dir("ann_ingest_del_post", sf)
+    assert(graft.streaming.GateStores.foldedThrough(postDir) == 1L,
+      "the delete replay must have compacted the postings store")
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = parquetFiles(new java.io.File(postDir))
+    assert(files.nonEmpty)
+    files.foreach { pf =>
+      val leaked = spark.read.parquet(pf.getPath)
+        .select($"n_id").as[Long].collect().filter(dead)
+      assert(leaked.isEmpty,
+        s"postings file ${pf.getPath} still holds erased ids: ${leaked.take(5).toSeq}")
+    }
+    // restart in the worst window: killed right after the TOMBSTONES
+    // land (batch 1's stores + takedown written, checkpoint uncommitted)
+    val ckpt = graft.model.Scratch.dir("ann_del_restart_ckpt", sf)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      graft.streaming.AnnIngest.replayInternal(spark, sf, threshold = 0.4,
+        bands = 96, bitsPerBand = 8, dims = 64, cells = 16, m = 8, ks = 16,
+        refineIters = 1, ns = "ann_ingest_del",
+        ckpt = ckpt, wipeStores = true,
+        crashAtBatch = Some(graft.streaming.AnnIngest.DeleteAfterBatch),
+        delete = true)
+    }
+    val resumed = graft.streaming.AnnIngest.replayInternal(spark, sf,
+        threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64, cells = 16,
+        m = 8, ks = 16, refineIters = 1, ns = "ann_ingest_del",
+        ckpt = ckpt, wipeStores = false, crashAtBatch = None, delete = true)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(resumed == deleted,
+      "a kill between the takedown and its commit must resume to identical survivors")
   }
 }
