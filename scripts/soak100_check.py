@@ -26,21 +26,27 @@ from soak_check import (tuned, rule_sql, fail_counts,  # noqa: E402
 FOLDS = 100
 
 
-def check_corpus_documents(con, base_dir, soak_dir):
-    cols = [r[0] for r in con.execute(
-        f"DESCRIBE SELECT * FROM '{base_dir}/documents.parquet'").fetchall()]
-    rule = rule_sql("documents", base_dir, cols, folds=FOLDS)
-    written = f"SELECT * FROM '{soak_dir}/documents.parquet/*.parquet'"
-    n_rule = con.execute(f"SELECT count(*) FROM ({rule})").fetchone()[0]
-    n_soak = con.execute(f"SELECT count(*) FROM ({written})").fetchone()[0]
-    diff = con.execute(
-        f"SELECT count(*) FROM (({rule} EXCEPT ALL {written}) "
-        f"UNION ALL ({written} EXCEPT ALL {rule}))").fetchone()[0]
-    out = {"documents": {"rule_rows": n_rule, "soak_rows": n_soak,
-                         "match": bool(diff == 0 and n_rule == n_soak)}}
-    status = "PASS" if out["documents"]["match"] else "FAIL"
-    print(f"corpus {status} documents: rule={n_rule} soak={n_soak} "
-          f"diff={diff}")
+TABLES_SF10 = ["documents", "events"]
+
+
+def check_corpus_sf10(con, base_dir, soak_dir):
+    out = {}
+    for t in TABLES_SF10:
+        cols = [r[0] for r in con.execute(
+            f"DESCRIBE SELECT * FROM '{base_dir}/{t}.parquet'").fetchall()]
+        rule = rule_sql(t, base_dir, cols, folds=FOLDS)
+        written = f"SELECT * FROM '{soak_dir}/{t}.parquet/*.parquet'"
+        n_rule = con.execute(f"SELECT count(*) FROM ({rule})").fetchone()[0]
+        n_soak = con.execute(
+            f"SELECT count(*) FROM ({written})").fetchone()[0]
+        diff = con.execute(
+            f"SELECT count(*) FROM (({rule} EXCEPT ALL {written}) "
+            f"UNION ALL ({written} EXCEPT ALL {rule}))").fetchone()[0]
+        out[t] = {"rule_rows": n_rule, "soak_rows": n_soak,
+                  "match": bool(diff == 0 and n_rule == n_soak)}
+        status = "PASS" if out[t]["match"] else "FAIL"
+        print(f"corpus {status} {t}: rule={n_rule} soak={n_soak} "
+              f"diff={diff}")
     return out
 
 
@@ -48,10 +54,11 @@ def main():
     base_dir, soak_dir, out_dir, artifact = sys.argv[1:5]
     try:
         con = tuned(duckdb.connect())
-        corpus = check_corpus_documents(con, base_dir, soak_dir)
-        # the keys read documents only; committed oracles run verbatim
-        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
-                    f"'{soak_dir}/documents.parquet/*.parquet'")
+        corpus = check_corpus_sf10(con, base_dir, soak_dir)
+        # the keys read documents + events; committed oracles run verbatim
+        for t in TABLES_SF10:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"'{soak_dir}/{t}.parquet/*.parquet'")
         committed = set(json.load(open(f"{out_dir}/oracle_sql.json")))
         queries = check_queries(con, out_dir, only=committed)
         timings = {}
@@ -67,7 +74,9 @@ def main():
             json.dump(doc, f, indent=1, sort_keys=True)
         print(f"== soak100: {doc['fail_count']} engine failures, "
               f"{doc['env_fail_count']} oracle-env failures -> {artifact}")
-        sys.exit(1 if doc["fail_count"] else 0)
+        # unrecovered env-failures are loud — see soak_check.main
+        sys.exit(1 if doc["fail_count"]
+                 else (2 if doc["env_fail_count"] else 0))
     finally:
         clean_duck_tmp()
 

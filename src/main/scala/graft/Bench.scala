@@ -122,6 +122,7 @@ object Bench {
     "q_ann_ivfpq_delete_stats",
     "q_ann_ivfpq_append",
     "q_stream_ann_ingest",
+    "q_stream_ann_delete",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_ann_param_sweep",
@@ -335,17 +336,45 @@ object Bench {
     // multiplier; `value_normalized` = value ÷ ratio rides next to the
     // raw total so round-over-round deltas separate engine changes from
     // host state. Ratio clamps at 1 (never report better-than-raw).
-    val CalibKey = "q_filter_eq"
-    val CalibFloorSec = 0.09
-    val calibSec = results.find(_._1 == CalibKey).map(_._2).filter(_ > 0)
-    val calibRatio = calibSec.map(c => math.max(1.0, c / CalibFloorSec))
-    val calibJson = (calibSec, calibRatio) match {
-      case (Some(c), Some(r)) =>
-        s""","calib_key":"$CalibKey","calib_floor_sec":$CalibFloorSec,""" +
-          s""""calib_sec":${f(c)},"calib_ratio":${f(r)},""" +
-          s""""value_normalized":${f(total / r)}"""
-      case _ => ""
+    // r14 (ADVICE r13): the multiplier is the MEDIAN of six cheap,
+    // stable, long-untouched keys' ratios against their quiet floors —
+    // a transient on any single key (r13's q_filter_eq read 2.84× while
+    // its peers read ~1.7×) can no longer skew the whole sweep's
+    // normalization. Floors are the minimum warm medians observed
+    // across the r10–r13 driver sweeps cross-checked against
+    // load-scaled quiet local re-measures (q_filter_eq's 0.09 is the
+    // established r10/r12 quiet reading; the others are their best
+    // driver-sweep medians, which today's ~1.9×-window TimeKey readings
+    // scale back to within ~10%).
+    val CalibFloors: Seq[(String, Double)] = Seq(
+      "q_filter_eq" -> 0.09, "q_project" -> 0.10, "q_union" -> 0.165,
+      "q_window_running" -> 0.073, "q_topk" -> 0.08,
+      "q_expr_laptime" -> 0.07)
+    val calibObs = CalibFloors.flatMap { case (k, fl) =>
+      results.find(_._1 == k).map(_._2).filter(_ > 0).map(s => (k, fl, s))
     }
+    val calibRatio: Option[Double] =
+      if (calibObs.isEmpty) None
+      else Some(math.max(1.0, {
+        val rs = calibObs.map { case (_, fl, s) => s / fl }.sorted
+        rs(rs.size / 2) // upper median; clamped ≥ 1 (never better-than-raw)
+      }))
+    val calibJson = calibRatio match {
+      case Some(r) =>
+        val per = calibObs.map { case (k, fl, s) =>
+          s""""$k":{"floor":$fl,"sec":${f(s)},"ratio":${f(s / fl)}}"""
+        }.mkString("{", ",", "}")
+        s""","calib_keys":$per,"calib_ratio":${f(r)},""" +
+          s""""value_normalized":${f(total / r)}"""
+      case None => ""
+    }
+    // Per-key normalized medians (r14, VERDICT r13 #5): cross-round
+    // per-key diffs become a mechanical field comparison instead of
+    // each reader re-dividing by the sweep's ratio.
+    val normRatio = calibRatio.getOrElse(1.0)
+    def fNorm(v: Double): String = if (v < 0) "-1" else f(v / normRatio)
+    val qsNorm = results.map { case (k, v, _) => s"\"" + k + "\":" + fNorm(v) }
+      .mkString("{", ",", "}")
     // Shared durable-table derivations, timed as their own entries so
     // the graph/cluster keys below report steady-state cost.
     val deriveResults: Seq[(String, Double)] = Seq[(String, () => Long)](
@@ -413,6 +442,9 @@ object Bench {
     val ext = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
       .map { case (k, t) => s"\"" + k + "\":" + f(t) }
       .mkString("{", ",", "}")
+    val extNorm = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
+      .map { case (k, t) => s"\"" + k + "\":" + fNorm(t) }
+      .mkString("{", ",", "}")
     val extRuns = extResults.collect { case (k, _, ts) if ts.size > 1 =>
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -460,8 +492,12 @@ object Bench {
       "tree on the same host reproduced the inflation, so the r13/r12 " +
       "delta is dominated by host state; calib_* fields quantify it " +
       "per-sweep). Headline medians are of 5 runs since r12 (was 3; " +
-      "raw runs in `runs`)."
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_runs":$extRuns}"""
+      "raw runs in `runs`). Since r14 calib_ratio is the MEDIAN of six " +
+      "stable keys' ratios vs their quiet floors (per-key evidence in " +
+      "calib_keys; r13 used q_filter_eq alone, which overstated that " +
+      "sweep's load 2.84x vs its peers' ~1.7x), and queries_normalized/" +
+      "extended_normalized carry per-key load-normalized medians."
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"queries_normalized":$qsNorm,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_normalized":$extNorm,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
     // COMPLETE artifact is therefore also written to a repo file,

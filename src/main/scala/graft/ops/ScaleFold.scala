@@ -118,8 +118,24 @@ object ScaleFold {
   def amplify(s: SparkSession, inDir: String, outDir: String,
       folds: Int = 10,
       tables: Seq[String] = shifted.keys.toSeq.sorted): Unit = {
+    // The marker records WHAT was amplified (fold count + table set),
+    // not just that something was: a documents-only Soak100 run into a
+    // dir later reused for a wider soak must re-amplify the missing
+    // tables instead of silently skipping them (ADVICE r13). Tables
+    // already covered at the same fold count are not rewritten; a
+    // DIFFERENT fold count invalidates everything.
     val marker = new java.io.File(s"$outDir/_SOAK_COMPLETE")
-    if (marker.exists()) return
+    val (doneFolds, doneTables): (Int, Set[String]) =
+      if (!marker.exists()) (folds, Set.empty)
+      else java.nio.file.Files.readString(marker.toPath).trim.split(":", 2) match {
+        case Array(f, ts) if f.forall(_.isDigit) && f.nonEmpty =>
+          (f.toInt, ts.split(",").filter(_.nonEmpty).toSet)
+        // legacy empty marker (pre-r14): treat as "all tables, 10 folds"
+        case _ => (10, shifted.keys.toSet)
+      }
+    val covered = if (doneFolds == folds) doneTables else Set.empty[String]
+    val todo = tables.filterNot(covered)
+    if (todo.isEmpty) return
     // read timestamps as NTZ so the written files keep the BASE corpus's
     // physical flavor (unadjusted micros) — the DuckDB rule restatement
     // then EXCEPT-compares naive timestamps on both sides, and
@@ -128,7 +144,7 @@ object ScaleFold {
     val prevNtz = s.conf.getOption(ntzKey)
     try {
       s.conf.set(ntzKey, "true")
-      tables.sorted.foreach { t =>
+      todo.sorted.foreach { t =>
         val in = s.read.parquet(s"$inDir/$t.parquet")
         // 8 output files for the fact tables keeps downstream scans
         // parallel without a shuffle: repartition would be one, so the
@@ -141,6 +157,7 @@ object ScaleFold {
       case Some(v) => s.conf.set(ntzKey, v)
       case None => s.conf.unset(ntzKey)
     }
-    marker.createNewFile(): Unit
+    java.nio.file.Files.writeString(marker.toPath,
+      s"$folds:${(covered ++ todo).toSeq.sorted.mkString(",")}"): Unit
   }
 }

@@ -12,13 +12,20 @@ import org.apache.spark.sql.functions._
   * would have needed three fixes).
   *
   * Store contract: each micro-batch Overwrite-writes its own `b<id>`
-  * subdirectory, and probes read only STRICTLY EARLIER batches
-  * (`existing(dir, before = batchId)`) — the replay-safety boundary: a
-  * retried batch must never see its own first attempt's output (which
-  * would yield self-pairs and reversed key_a > key_b candidates). An
-  * at-least-once replay therefore rewrites identical files instead of
-  * double-appending, and a run killed mid-batch resumes to byte-identical
-  * stores (StreamingSpec pins this across a checkpoint restart).
+  * subdirectory, and probes read only STRICTLY EARLIER batches — the
+  * replay-safety boundary: a retried batch must never see its own first
+  * attempt's output (which would yield self-pairs and reversed
+  * key_a > key_b candidates). An at-least-once replay therefore
+  * rewrites identical files instead of double-appending, and a run
+  * killed mid-batch resumes to byte-identical stores (StreamingSpec
+  * pins this across a checkpoint restart).
+  *
+  * Since r14 the settled prefix of the batch dirs folds into a
+  * versioned SNAPSHOT (`snap/f=<foldedThrough>`, see [[maybeCompact]])
+  * and reads go through [[readStoreOpt]] = snapshot + live tail — so a
+  * long-running gate's probe plan stays O(tail), not O(all batches
+  * ever), and the per-batch contract above is unchanged (folds stop at
+  * the last committed batch).
   */
 private[graft] object GateStores {
 

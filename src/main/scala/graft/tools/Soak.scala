@@ -46,8 +46,8 @@ object Soak {
     "q_dedup_embedding", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_read", "q_ivfpq_cell_stats",
     "q_ann_ivfpq_delete", "q_ann_ivfpq_delete_stats",
-    "q_ann_ivfpq_append", "q_stream_ann_ingest", "q_ann_ivf_incremental",
-    "q_ann_recall_eval", "q_stream_emb_gate",
+    "q_ann_ivfpq_append", "q_stream_ann_ingest", "q_stream_ann_delete",
+    "q_ann_ivf_incremental", "q_ann_recall_eval", "q_stream_emb_gate",
     // text / stats heavies
     "q_tfidf", "q_cluster_topics", "q_ks_test", "q_weighted_median",
     "q_theil_sen", "q_assoc_rules",
@@ -67,6 +67,14 @@ object Soak {
     val soakDir = if (args.length > 1) args(1) else "target/soak_sf1"
     val outDir = if (args.length > 2) args(2) else "target/soak_out"
     val only = args.drop(3).toSet
+    // SPARK_GRAFT_PRUNE_BYTES=0 forces the gates' candidates-pruned
+    // store fetch at soak scale (the 100 TB branch; decisions are
+    // branch-invariant, so the hash gates are unchanged — StreamingSpec
+    // pins that law at fixture scale)
+    sys.env.get("SPARK_GRAFT_PRUNE_BYTES").foreach { v =>
+      graft.streaming.GateStores.PruneStoreBytes = v.toLong
+      println(s"[soak] PruneStoreBytes forced to $v")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -39,6 +39,17 @@ object Soak100 {
     "q_text_stats", "q_token_count", "q_fingerprint",
     "q_fingerprint_rolling", "q_lang_id", "q_quality_score", "q_lang_agg")
 
+  /** The O(n) EVENTS tier (r14, VERDICT r13 #6): per-user window
+    * pipelines over the 10M-row amplified events table — sessionization,
+    * interval coalescing, and the Markov transition aggregate. The fold
+    * rule shifts `user_id`, so every window partition stays fold-local
+    * (per-fold users are disjoint) and the workload is the base
+    * workload ×100, not a fold-crossing blow-up; committed oracles run
+    * verbatim like the documents tier.
+    */
+  val eventKeys: Seq[String] = Seq(
+    "q_sessionize", "q_interval_union", "q_markov_transitions")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val soakDir = if (args.length > 1) args(1) else "target/soak_sf10"
@@ -65,14 +76,17 @@ object Soak100 {
       spark.catalog.clearCache()
     }
 
-    // the keys read documents only — amplify just that table
+    // the keys read documents + events only — amplify just those tables
+    // (the marker records the covered set, so a re-run over an older
+    // documents-only soak dir amplifies the missing events table)
     val (ampSec, _) = timed {
       graft.ops.ScaleFold.amplify(spark, baseDir, soakDir, folds = Folds,
-        tables = Seq("documents"))
+        tables = Seq("documents", "events"))
     }
-    println(f"[soak100] amplify (documents x$Folds): $ampSec%.1f s")
+    println(f"[soak100] amplify (documents+events x$Folds): $ampSec%.1f s")
 
-    val results = keys.filter(graft.SparkEntry.queries.contains).map { name =>
+    val allKeys = keys ++ eventKeys
+    val results = allKeys.filter(graft.SparkEntry.queries.contains).map { name =>
       val fn = graft.SparkEntry.queries(name)
       val (t1, ok1) = timed(fn(spark, soakDir).count())
       dropBlocks()
@@ -98,7 +112,7 @@ object Soak100 {
       case c => c.toString
     } + "\""
     val oracle = graft.SparkEntry.oracleSql
-      .filter { case (k, _) => keys.contains(k) }
+      .filter { case (k, _) => allKeys.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
     val timings =

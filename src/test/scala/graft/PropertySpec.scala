@@ -56,6 +56,36 @@ class PropertySpec extends AnyFunSuite {
       docs.filter(length(col("text")) =!= col("n_chars")).isEmpty)
   }
 
+  test("ScaleFold.amplify marker records fold count + table set; uncovered tables re-amplify") {
+    // ADVICE r13: a documents-only SF10 soak dir later reused for a
+    // wider soak must amplify the MISSING tables instead of returning
+    // as complete on a bare marker.
+    val out = java.nio.file.Files.createTempDirectory("amp_marker").toString
+    val base = "/root/testdata/sf0.001"
+    def markerText = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$out/_SOAK_COMPLETE"))
+    def parts(t: String) = new java.io.File(s"$out/$t.parquet")
+      .listFiles().map(_.getName).toSet
+    graft.ops.ScaleFold.amplify(spark, base, out, folds = 3,
+      tables = Seq("region"))
+    assert(markerText == "3:region")
+    assert(!new java.io.File(s"$out/supplier.parquet").exists())
+    val regionParts = parts("region")
+    // widening the requested set amplifies ONLY the missing table
+    graft.ops.ScaleFold.amplify(spark, base, out, folds = 3,
+      tables = Seq("region", "supplier"))
+    assert(markerText == "3:region,supplier")
+    assert(parts("region") == regionParts,
+      "already-covered tables must not be rewritten")
+    val nSupp = graft.model.Tables.supplier(spark, base).count()
+    assert(spark.read.parquet(s"$out/supplier.parquet").count() == 3 * nSupp)
+    // a DIFFERENT fold count invalidates all prior coverage
+    graft.ops.ScaleFold.amplify(spark, base, out, folds = 2,
+      tables = Seq("supplier"))
+    assert(markerText == "2:supplier")
+    assert(spark.read.parquet(s"$out/supplier.parquet").count() == 2 * nSupp)
+  }
+
   test("ScaleFold embeddings: fold-0 exact identity, folds are near-dups") {
     import org.apache.spark.sql.functions._
     val emb = graft.model.Tables.embeddings(spark, sf)
