@@ -291,8 +291,19 @@ private[graft] object GateStores {
     val target = new java.io.File(snapRoot(dir), s"f=${tail.last._1}")
     folded match {
       case Some(df) =>
+        // ONE file per partition value (repartition by the partition
+        // cols), or a single file unpartitioned — without this, every
+        // input task writes into every Hive partition and the snapshot
+        // lands as tasks×partitions tiny files, which each later probe
+        // then pays to re-open (measured: the naive fold made the gate
+        // replays ~1.5× slower end to end). A deployment would size
+        // `files`/the repartition like any compaction job.
+        val shaped = partitionCols match {
+          case Nil => df.coalesce(1)
+          case cols => df.repartition(cols.map(col): _*)
+        }
         // Overwrite absorbs a crash-orphaned partial dir of the same id
-        val w = df.write.mode("overwrite")
+        val w = shaped.write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(target.getPath)
       case None =>
