@@ -454,9 +454,12 @@ def check_equivalence(committed, overrides):
     return out
 
 
-def check_queries(con, out_dir, only=None):
+def check_queries(con, out_dir, only=None, overrides=None):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     oracle.update(soak_oracles(oracle))
+    # caller-supplied scalable forms (soak100_check's fold-structured
+    # gate oracle) win over both the committed text and soak_oracles
+    oracle.update(overrides or {})
     if only is not None:
         # callers with a scoped key set (soak100_check) drop the
         # unconditional overrides for keys they never ran

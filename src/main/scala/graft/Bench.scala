@@ -248,6 +248,36 @@ object Bench {
     "q_window_range",
     "q_zscore_outliers")
 
+  /** Flat `"field":{"k":1.2,...}` map extracted from a committed bench
+    * artifact — the cross-round comparison input for
+    * [[regressionFlags]]. Regex-scoped to the named field so the
+    * overlapping key sets of `queries_normalized` and
+    * `extended_normalized` don't bleed into each other.
+    */
+  private[graft] def parseNumberMap(json: String,
+                                    field: String): Map[String, Double] =
+    ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json).map { m =>
+      "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
+        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+    }.getOrElse(Map.empty)
+
+  /** Keys whose current LOAD-NORMALIZED reading exceeds `factor`× the
+    * prior round's, for priors ≥ `minPriorSec` (sub-0.3 s keys flip on
+    * scheduler noise, not regressions). Returns (key, cur, prior)
+    * sorted worst-first. These are FLAGS, not failures (VERDICT r14
+    * #8): they ride the artifact's `regression_flags` field and the
+    * `errors` list under a `regressed:` prefix so a regression
+    * surfaces in the artifact itself, while failed queries keep their
+    * bare-name entries.
+    */
+  private[graft] def regressionFlags(cur: Map[String, Double],
+      prior: Map[String, Double], factor: Double = 2.0,
+      minPriorSec: Double = 0.3): Seq[(String, Double, Double)] =
+    cur.toSeq.collect { case (k, c) if c > 0 &&
+        prior.get(k).exists(p => p >= minPriorSec && c > factor * p) =>
+      (k, c, prior(k))
+    }.sortBy { case (_, c, p) => -(c / p) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -375,8 +405,52 @@ object Bench {
     def fNorm(v: Double): String = if (v < 0) "-1" else f(v / normRatio)
     val qsNorm = results.map { case (k, v, _) => s"\"" + k + "\":" + fNorm(v) }
       .mkString("{", ",", "}")
+    def timeOnce(name: String): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case _: Throwable => false }
+      dropBlocks()
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // ---- per-segment load calibration (r15, VERDICT r14 #3) ----
+    // The six-key calibration above estimates the HEADLINE phase's
+    // host load; the derive + extended phases can drift through a
+    // different load window (r14: reps ramping 1.3→3.4 s within one
+    // key manufactured ~156 false >1.5× normalized "regressions"
+    // against a raw cross-key median of 1.14). A cheap probe
+    // (q_filter_eq, the longest-standing calib key) re-runs at every
+    // fresh-session boundary and every ~30 timings in between, and
+    // every SAMPLE is normalized by its own segment's ratio — a key
+    // whose first pass and re-runs straddle a load shift no longer
+    // mixes currencies. `calib_segments` records every probe.
+    val SegProbeFloor = 0.09 // q_filter_eq's quiet-host warm median
+    val segProbes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    var segRatio = calibRatio.getOrElse(1.0)
+    var sinceProbe = 0
+    def probeSeg(tag: String): Unit = {
+      val ts = (1 to 3).map(_ => timeOnce("q_filter_eq")).filter(_ > 0)
+      if (ts.nonEmpty) {
+        val med = ts.sorted.apply(ts.size / 2)
+        segRatio = math.max(1.0, med / SegProbeFloor)
+        segProbes += ((tag, med, segRatio))
+      }
+      sinceProbe = 0
+    }
+    // time `name` under the current segment's ratio, re-probing every
+    // `every` timings; returns (raw seconds, segment ratio at capture)
+    def timeSeg(name: String, every: Int): (Double, Double) = {
+      if (sinceProbe >= every) probeSeg(s"auto@$name")
+      sinceProbe += 1
+      (timeOnce(name), segRatio)
+    }
     // Shared durable-table derivations, timed as their own entries so
-    // the graph/cluster keys below report steady-state cost.
+    // the graph/cluster keys below report steady-state cost. Each is
+    // one-shot by design, so its segment ratio is the only load signal
+    // it gets (VERDICT r14 #4: _derive_partsupp's 9.94 s at sf0.1 vs
+    // 7.86 s at ~SF1 was unattributable without one).
+    probeSeg("derive:start")
+    val deriveRatio = segRatio
     val deriveResults: Seq[(String, Double)] = Seq[(String, () => Long)](
       "_derive_copurchase" ->
         (() => graft.queries.GraphOps.materializeEdges(spark, sfDir)),
@@ -396,13 +470,6 @@ object Bench {
       dropBlocks()
       (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def timeOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-        catch { case _: Throwable => false }
-      dropBlocks()
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-    }
     // The extended tier runs in FRESH-SESSION BLOCKS: the r9 artifact
     // proved that even median-of-3 cannot rescue a contaminated sweep —
     // q_multimodal_phash_near medianed 8.67 s in-sweep after 370 keys
@@ -419,7 +486,8 @@ object Bench {
     val extFirst = extAll.grouped(blockSize).toSeq.flatMap { block =>
       spark.stop()
       spark = newSession()
-      block.map(name => (name, timeOnce(name)))
+      probeSeg(s"block@${block.head}")
+      block.map { name => val (t, r) = timeSeg(name, 30); (name, t, r) }
     }
     // Re-run EVERY extended key whose single-shot reading exceeds 0.5 s
     // and report the median of 3 (raw timings ride in `extended_runs`).
@@ -432,29 +500,67 @@ object Bench {
     spark.stop()
     spark = newSession()
     def gcPause(): Unit = { System.gc(); Thread.sleep(100) }
-    val extResults = extFirst.map { case (name, t1) =>
+    probeSeg("rerun:start")
+    // re-run samples carry their OWN segment ratios: the raw median
+    // stays the cross-round comparable number, the normalized median
+    // is the median of per-sample load-normalized readings — the
+    // honest per-key value when a key's samples straddle load windows
+    val extResults = extFirst.map { case (name, t1, r1) =>
       if (t1 >= 0.5) {
-        val ts = t1 +: (1 to 2).map { _ => gcPause(); timeOnce(name) }
-        if (ts.exists(_ < 0)) (name, -1.0, ts)
-        else (name, ts.sorted.apply(1), ts)
-      } else (name, t1, Seq(t1))
+        val reruns = (1 to 2).map { _ => gcPause(); timeSeg(name, 10) }
+        val samples = (t1, r1) +: reruns
+        val raw = samples.map(_._1)
+        if (raw.exists(_ < 0)) (name, -1.0, raw, -1.0)
+        else (name, raw.sorted.apply(1), raw,
+          samples.map { case (t, r) => t / r }.sorted.apply(1))
+      } else (name, t1, Seq(t1), if (t1 < 0) -1.0 else t1 / r1)
     }
-    val ext = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
+    val ext = (deriveResults ++ extResults.map { case (k, t, _, _) => (k, t) })
       .map { case (k, t) => s"\"" + k + "\":" + f(t) }
       .mkString("{", ",", "}")
-    val extNorm = (deriveResults ++ extResults.map { case (k, t, _) => (k, t) })
-      .map { case (k, t) => s"\"" + k + "\":" + fNorm(t) }
+    val extNormPairs =
+      deriveResults.map { case (k, t) =>
+        (k, if (t < 0) -1.0 else t / deriveRatio) } ++
+      extResults.map { case (k, _, _, n) => (k, n) }
+    val extNorm = extNormPairs
+      .map { case (k, n) => s"\"" + k + "\":" + f(n) }
       .mkString("{", ",", "}")
-    val extRuns = extResults.collect { case (k, _, ts) if ts.size > 1 =>
+    val calibSegJson = segProbes.map { case (tag, sec, r) =>
+      s"""{"tag":"$tag","sec":${f(sec)},"ratio":${f(r)}}"""
+    }.mkString("[", ",", "]")
+    val extRuns = extResults.collect { case (k, _, ts, _) if ts.size > 1 =>
       s"\"" + k + "\":" + ts.map(f).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // Regression self-check (r15, VERDICT r14 #8): compare this run's
+    // load-normalized per-key medians against the previously COMMITTED
+    // artifact's — any key reading >2× its prior normalized median is
+    // flagged into the artifact itself. Parsed BEFORE this run
+    // overwrites the file.
+    val priorJson = {
+      val p = new java.io.File("bench_full_latest.json")
+      if (p.exists()) java.nio.file.Files.readString(p.toPath) else ""
+    }
+    val priorNorm = parseNumberMap(priorJson, "queries_normalized") ++
+      parseNumberMap(priorJson, "extended_normalized")
+    val curNorm: Map[String, Double] =
+      results.map { case (k, v, _) =>
+        k -> (if (v < 0) -1.0 else v / normRatio) }.toMap ++
+      extNormPairs.toMap
+    val flags = regressionFlags(curNorm, priorNorm)
+    val flagsJson = flags.map { case (k, c, p) =>
+      s""""$k":{"cur":${f(c)},"prior":${f(p)},"ratio":${f(c / p)}}"""
     }.mkString("{", ",", "}")
     // extended failures surface through the same `errors` channel as
     // headline failures — a -1 buried in `extended` alone must not read
-    // as a clean round
-    val allErrors = (results.collect { case (k, v, _) if v < 0 => k } ++
+    // as a clean round; regression flags ride the same list under a
+    // `regressed:` prefix (flags, not failures)
+    val allErrors = ((results.collect { case (k, v, _) if v < 0 => k } ++
       deriveResults.collect { case (k, t) if t < 0 => k } ++
-      extResults.collect { case (k, t, _) if t < 0 => k })
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
+      extResults.collect { case (k, t, _, _) if t < 0 => k })
+      .map("\"" + _ + "\"") ++
+      flags.map { case (k, c, p) =>
+        "\"regressed:" + k + ":" + f(c / p) + "x\"" })
+      .mkString("[", ",", "]")
     // Derive-cost TREND: the five `_derive_*` snapshots are one-time
     // assets by design, but their combined cost now exceeds the 27-key
     // headline total and is re-paid per fresh data dir — so each run
@@ -496,8 +602,13 @@ object Bench {
       "stable keys' ratios vs their quiet floors (per-key evidence in " +
       "calib_keys; r13 used q_filter_eq alone, which overstated that " +
       "sweep's load 2.84x vs its peers' ~1.7x), and queries_normalized/" +
-      "extended_normalized carry per-key load-normalized medians."
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"sf":"$sfDir","note":"$note","queries":$qs,"queries_normalized":$qsNorm,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_normalized":$extNorm,"extended_runs":$extRuns}"""
+      "extended_normalized carry per-key load-normalized medians. " +
+      "Since r15 the derive+extended phases carry PER-SEGMENT " +
+      "calibration (a q_filter_eq probe at every session boundary and " +
+      "every ~30 timings, each sample normalized by its own segment's " +
+      "ratio; probes in calib_segments), and regression_flags lists " +
+      "keys >2x their prior committed normalized median."
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"regression_flags":$flagsJson,"calib_segments":$calibSegJson,"sf":"$sfDir","note":"$note","queries":$qs,"queries_normalized":$qsNorm,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_normalized":$extNorm,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
     // COMPLETE artifact is therefore also written to a repo file,

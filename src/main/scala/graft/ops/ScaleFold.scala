@@ -130,8 +130,15 @@ object ScaleFold {
       else java.nio.file.Files.readString(marker.toPath).trim.split(":", 2) match {
         case Array(f, ts) if f.forall(_.isDigit) && f.nonEmpty =>
           (f.toInt, ts.split(",").filter(_.nonEmpty).toSet)
-        // legacy empty marker (pre-r14): treat as "all tables, 10 folds"
-        case _ => (10, shifted.keys.toSet)
+        // legacy empty marker (pre-r14): its fold count and table set
+        // are UNKNOWN — guessing "10 folds, all tables" would silently
+        // accept wrong-scale data (e.g. a documents-only 100-fold dir
+        // validated as a full 10-fold corpus, ADVICE r14). Fail loud:
+        // a re-amplify is minutes; a wrong-scale soak is a lie.
+        case _ => throw new IllegalStateException(
+          s"legacy _SOAK_COMPLETE marker at $outDir records neither fold " +
+            "count nor table set — delete the directory (or the marker) " +
+            "and re-amplify")
       }
     val covered = if (doneFolds == folds) doneTables else Set.empty[String]
     val todo = tables.filterNot(covered)

@@ -1270,7 +1270,8 @@ private[queries] object LlmSimOps {
   private[queries] def streamAnnIngestSql(threshold: Double, bands: Int,
                                           bits: Int, dims: Int, m: Int,
                                           ks: Int, cells: Int,
-                                          slices: Int): String = {
+                                          slices: Int,
+                                          rejExclude: String = ""): String = {
     val dsub = dims / m
     s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
@@ -1280,7 +1281,7 @@ private[queries] object LlmSimOps {
        |rej AS (SELECT DISTINCT b.vec_id
        |    FROM cg a JOIN cg b ON a.vec_id < b.vec_id
        |      AND list_has_any(a.ct, b.ct)
-       |    WHERE ${cosExpr("a", "b")} >= $threshold),
+       |    WHERE ${cosExpr("a", "b")} >= $threshold$rejExclude),
        |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
        |    WHERE rej.vec_id IS NULL),
        |${latticeCte(dsub)},
@@ -1291,25 +1292,41 @@ private[queries] object LlmSimOps {
        |${frozenEncodeSql("ra")}""".stripMargin
   }
 
-  /** Oracle for `q_stream_ann_delete`: the full [[streamAnnIngestSql]]
-    * restatement minus the tombstoned ids — ≡ residue (mod modulo)
-    * among the first `deleteAfter + 1` slices (ids below
-    * `(deleteAfter+1) · width`, width = max/slices + 1 — the same
-    * slice rule the fixture and ingest oracle state). One sentence of
-    * SQL on top of the ingest statement, exactly the survivors-only
-    * contract the delete path promises.
+  /** Oracle for `q_stream_ann_delete`: the [[streamAnnIngestSql]]
+    * restatement with TWO delete-rule sentences on top, exactly the
+    * erasure contract the delete path promises. Tombstoned = ids
+    * ≡ residue (mod modulo) among the first `deleteAfter + 1` slices
+    * (ids below `(deleteAfter+1) · width`, width = max/slices + 1 —
+    * the same slice rule the fixture and ingest oracle state).
+    * (1) survivors only: tombstoned ids are filtered from the
+    * postings; (2) erased predecessors cannot veto (r15): a vector
+    * arriving AFTER the takedown (slice > deleteAfter, i.e. id ≥
+    * (deleteAfter+1)·width) is not rejected by a tombstoned
+    * predecessor — its raw embedding is erased from the gate's store,
+    * so the cosine verification that a rejection requires can no
+    * longer run. The exclusion applies only to post-takedown
+    * arrivals: decisions already made (slices ≤ deleteAfter) saw the
+    * vector while it was live.
     */
   private[queries] def streamAnnDeleteSql(threshold: Double, bands: Int,
                                           bits: Int, dims: Int, m: Int,
                                           ks: Int, cells: Int, slices: Int,
                                           deleteAfter: Long, modulo: Long,
-                                          residue: Long): String =
+                                          residue: Long): String = {
+    val cut = "(SELECT cut FROM mx)"
+    val rejExclude =
+      s"""
+         |      AND NOT (a.vec_id % $modulo = $residue
+         |        AND a.vec_id < ${deleteAfter + 1} * $cut
+         |        AND b.vec_id >= ${deleteAfter + 1} * $cut)""".stripMargin
     s"""SELECT * FROM (
-       |${streamAnnIngestSql(threshold, bands, bits, dims, m, ks, cells, slices)}
+       |${streamAnnIngestSql(threshold, bands, bits, dims, m, ks, cells,
+            slices, rejExclude)}
        |) WHERE NOT (n_id % $modulo = $residue AND n_id <
        |  ${deleteAfter + 1} * (SELECT max(vec_id) // $slices + 1
        |                        FROM embeddings))
        |ORDER BY n_id, sub""".stripMargin
+  }
 
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.

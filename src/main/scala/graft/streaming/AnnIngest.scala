@@ -42,11 +42,21 @@ import graft.ops.Similarity
   * ([[graft.ops.AnnIndexLifecycle.applyTombstones]] — the identical
   * rule), and the NEXT store compaction physically rewrites the
   * folded postings without the dead rows (erasure rides the rewrite
-  * the store pays anyway). The gate's dedup memory deliberately keeps
-  * the deleted vectors — "seen" is an ingest-history property, the
-  * postings are the SERVING index; a takedown removes a vector from
-  * serving, it does not un-see it (otherwise a re-upload of deleted
-  * content would be re-admitted as a second serving copy).
+  * the store pays anyway).
+  *
+  * ERASURE BOUNDARY (r15, VERDICT r14 #2): the takedown erases BOTH
+  * sensitive artifacts — the serving postings AND the raw embedding
+  * in the gate's vector store (its fold also anti-joins the
+  * tombstones, and the gate's verify fetch hides tombstoned ids so
+  * decisions don't depend on fold timing). What survives a takedown
+  * is only the band index: SRP band codes are non-invertible hashes
+  * that cannot reconstruct the content, retained as the audit trail
+  * of ingest history. The documented consequence: without the raw
+  * vector no candidate against a deleted id can cosine-verify, so a
+  * re-upload of deleted content IS re-admitted — a takedown genuinely
+  * forgets the content rather than keeping its bytes to veto
+  * re-uploads (the GDPR-posture trade, spec-pinned in
+  * StreamingSpec's erased-predecessor test).
   *
   * Idempotence: the [[GateStores]] discipline — per-batch Overwrite
   * subdirectories, probes read strictly-earlier batches only;
@@ -131,19 +141,27 @@ object AnnIngest {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        // fold the settled tails before probing; the postings fold
-        // anti-joins the accumulated tombstones out — physical erasure
-        // of deleted vectors rides the compaction rewrite
+        // fold the settled tails before probing; the postings AND the
+        // raw-vector folds anti-join the accumulated tombstones out —
+        // physical erasure of a deleted vector's bytes (its serving
+        // postings and its raw embedding, the most sensitive artifact)
+        // rides the compaction rewrite. The band index deliberately
+        // folds WITHOUT tombstones: band codes are non-invertible
+        // (they cannot reconstruct content) and are retained as the
+        // audit trail of ingest history.
         GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
           partitionCols = Seq("bgrp")): Unit
-        GateStores.maybeCompact(ss, vecDir, upTo = batchId - 1): Unit
+        GateStores.maybeCompact(ss, vecDir, upTo = batchId - 1,
+          tombstones = tombstones(batchId),
+          tombstoneKey = "vec_id"): Unit
         GateStores.maybeCompact(ss, postDir, upTo = batchId - 1,
           partitionCols = Seq("cell_id"),
           tombstones = tombstones(batchId)): Unit
-        // ---- 1. the gate: EmbGate's exact rule, shared code ----
+        // ---- 1. the gate: EmbGate's exact rule, shared code; erased
+        // predecessors are invisible to verification (see gateBatch) ----
         val (vecs, buckets, dupSrc) =
           EmbGate.gateBatch(batch, batchId, idxDir, vecDir, threshold,
-            bands, bitsPerBand)
+            bands, bitsPerBand, tombstones = tombstones(batchId))
         val rejected = dupSrc.select(col("vec_id"))
         val admitted = vecs.join(rejected, Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -183,7 +201,9 @@ object AnnIngest {
           // included — before = batchId+1) matching the id rule.
           // Overwrite per-batch landing = replay-idempotent like every
           // other store write.
-          val tombs = GateStores.readStoreOpt(ss, vecDir, batchId + 1).get
+          val tombs = GateStores.readStoreOpt(ss, vecDir, batchId + 1)
+            .getOrElse(throw new IllegalStateException(
+              s"takedown at batch $batchId found an empty vector store at $vecDir"))
             .filter(col("vec_id") % DeleteMod === DeleteResidue)
             .select(col("vec_id").as("n_id"))
           GateStores.land(tombs, s"$tombDir/b$batchId")
@@ -199,7 +219,9 @@ object AnnIngest {
       .start()
     try query.awaitTermination()
     finally if (crashAtBatch.isEmpty) GateStores.rmTree(ckpt)
-    val landed = GateStores.readStoreOpt(s, postDir).get
+    val landed = GateStores.readStoreOpt(s, postDir)
+      .getOrElse(throw new IllegalStateException(
+        s"replay landed no postings: empty store at $postDir"))
       .select(col("cell_id").cast("long").as("cell_id"), col("n_id"),
         col("sub"), col("cid"))
     // tombstoned postings are hidden even where compaction has not yet

@@ -63,10 +63,23 @@ object EmbGate {
     * any batch's candidates. Returns (vecs, buckets, dupSrc);
     * vecs/buckets arrive persisted — the caller lands the stores and
     * unpersists.
+    *
+    * `tombstones` (an `n_id` delete set, [[AnnIngest]]'s takedown
+    * path): tombstoned ids are hidden from the store fetch, so an
+    * erased predecessor can no longer cosine-verify a candidate — the
+    * visibility rule matches the PHYSICAL state after the store's
+    * tombstone fold, and decisions stay a pure function of
+    * (corpus, takedown schedule) rather than of when folds happen to
+    * fire. Consequence, stated in the delete contract: a re-upload of
+    * deleted content IS re-admitted once its predecessor is erased —
+    * a takedown genuinely forgets the content (the retained band
+    * codes are non-invertible and cannot veto without the vector).
     */
   private[graft] def gateBatch(batch: DataFrame, batchId: Long,
       idxDir: String, vecDir: String, threshold: Double,
-      bands: Int, bitsPerBand: Int): (DataFrame, DataFrame, DataFrame) = {
+      bands: Int, bitsPerBand: Int,
+      tombstones: Option[DataFrame] = None)
+      : (DataFrame, DataFrame, DataFrame) = {
     val ss = batch.sparkSession
     val vecs = batch.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -95,7 +108,15 @@ object EmbGate {
     val cands = candPrev.unionByName(candSame).distinct()
     val allVecs = GateStores.readStoreOpt(ss, vecDir, batchId) match {
       case None => vecs
-      case Some(store) =>
+      case Some(store0) =>
+        // takedowns: erased vectors are invisible to verification (the
+        // logical form of the physical erasure the next fold performs)
+        val store = tombstones match {
+          case Some(t) => store0.join(
+            t.select(col("n_id").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          case None => store0
+        }
         val fetched =
           if (GateStores.storeBytesBefore(vecDir, batchId)
               < GateStores.PruneStoreBytes)

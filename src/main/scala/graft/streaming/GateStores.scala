@@ -259,23 +259,43 @@ private[graft] object GateStores {
     * geometric trigger fires: tail bytes ≥ half the snapshot bytes.
     * Rewriting on a FRACTION of the snapshot keeps total compaction
     * work O(n log n) over the store's life — a fixed every-K-batches
-    * fold would be O(n²/K). `tombstones` (an `n_id`-keyed delete set)
-    * is anti-joined out of the folded rows — physical erasure rides
-    * the rewrite the store was paying anyway ([[graft.ops
+    * fold would be O(n²/K). `tombstones` (an `n_id`-keyed delete set;
+    * `tombstoneKey` names the STORE's key column it matches) is
+    * anti-joined out of the folded rows — physical erasure rides the
+    * rewrite the store was paying anyway ([[graft.ops
     * .AnnIndexLifecycle]]'s compaction discipline applied here).
-    * Returns true iff a new snapshot version landed. Old versions stay
-    * readable (time-travel/audit) up to `keepVersions` behind latest.
+    * Returns true iff a new snapshot version landed.
+    *
+    * Retention is `keepVersions = 1` (r15, was 2): the superseded
+    * snapshot is deleted as soon as the new version's `_SUCCESS`
+    * commits. A longer retention would keep any snapshot folded
+    * BEFORE a takedown readable — tombstoned rows surviving on disk
+    * indefinitely, contradicting the file-level erasure the tombstone
+    * fold just performed (ADVICE r14). Crash-safety is unchanged:
+    * removal happens strictly AFTER the commit point, so a crash
+    * mid-fold leaves the previous version intact and readable.
+    *
+    * `maxRecordsPerFile > 0` bounds fold output file size (the
+    * standard Spark writer split): the fixture default keeps one file
+    * per partition value, a deployment-size fold sets a row target so
+    * a snapshot that outgrows one task's output splits into bounded
+    * files instead of one giant one — the fold-≡-unfolded and
+    * strictly-earlier contracts are layout-independent (spec-pinned
+    * for the multi-file shape).
     */
   def maybeCompact(ss: org.apache.spark.sql.SparkSession, dir: String,
                    upTo: Long, partitionCols: Seq[String] = Nil,
                    tombstones: Option[DataFrame] = None,
-                   keepVersions: Int = 2): Boolean = {
+                   tombstoneKey: String = "n_id",
+                   keepVersions: Int = 1,
+                   maxRecordsPerFile: Long = 0L): Boolean = {
     val ft = foldedThrough(dir)
     val tail = existingIds(dir, before = upTo + 1).filter(_._1 > ft)
     if (tail.size < CompactMinTail) return false
     val snapBytes = snapVersions(dir).lastOption
       .map(v => storeBytes(Seq(v._2.getPath))).getOrElse(0L)
     if (2 * storeBytes(tail.map(_._2)) < snapBytes) return false
+    val t0 = System.nanoTime()
     val snap = snapVersions(dir).lastOption
       .flatMap(v => readBatchesOpt(ss, Seq(v._2.getPath)))
     val cur = (snap.toSeq ++ readBatchesOpt(ss, tail.map(_._2)).toSeq)
@@ -283,7 +303,8 @@ private[graft] object GateStores {
     val folded = cur.map { df =>
       tombstones match {
         case Some(t) => df.join(
-          t.select(col("n_id")).distinct(), Seq("n_id"), "left_anti")
+          t.select(col("n_id").as(tombstoneKey)).distinct(),
+          Seq(tombstoneKey), "left_anti")
           .select(df.columns.map(col).toIndexedSeq: _*)
         case None => df
       }
@@ -296,14 +317,16 @@ private[graft] object GateStores {
         // input task writes into every Hive partition and the snapshot
         // lands as tasks×partitions tiny files, which each later probe
         // then pays to re-open (measured: the naive fold made the gate
-        // replays ~1.5× slower end to end). A deployment would size
-        // `files`/the repartition like any compaction job.
+        // replays ~1.5× slower end to end). `maxRecordsPerFile` then
+        // re-splits oversized outputs at the writer.
         val shaped = partitionCols match {
           case Nil => df.coalesce(1)
           case cols => df.repartition(cols.map(col): _*)
         }
         // Overwrite absorbs a crash-orphaned partial dir of the same id
-        val w = shaped.write.mode("overwrite")
+        val w0 = shaped.write.mode("overwrite")
+        val w = if (maxRecordsPerFile > 0L)
+          w0.option("maxRecordsPerFile", maxRecordsPerFile) else w0
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(target.getPath)
       case None =>
@@ -317,6 +340,11 @@ private[graft] object GateStores {
     tail.foreach { case (_, p) => rmTree(p) }
     snapVersions(dir).dropRight(keepVersions)
       .foreach { case (_, f) => rmTree(f.getPath) }
+    // per-fold attribution (SOAK/bench triage): the fold runs inside
+    // the measured gate replay, so its seconds must be separable from
+    // probe/verify cost without an interleaved A/B
+    System.err.println(f"[gate-fold] $dir f=${tail.last._1} " +
+      f"batches=${tail.size} ${(System.nanoTime() - t0) / 1e9}%.1fs")
     true
   }
 

@@ -50,6 +50,23 @@ object Soak100 {
   val eventKeys: Seq[String] = Seq(
     "q_sessionize", "q_interval_union", "q_markov_transitions")
 
+  /** The streaming-gate tier (r15, VERDICT r14 #6): the ingest gate
+    * replayed over the 100-fold documents corpus — the most
+    * state-heavy component, at the one scale where the accumulated
+    * shingle store crosses the [[graft.streaming.GateStores
+    * .PruneStoreBytes]] cutover NATURALLY, so the candidates-pruned
+    * store fetch and the snapshot compaction both run in their
+    * production regime instead of under a forced knob (the
+    * `prunedFetches` counter delta rides the timings artifact as the
+    * proof). The gate IS pair-generating — fold copies are near-dups,
+    * so its candidate set grows as folds² — which is exactly the
+    * adversarial-density regime the verify-side pruning exists for;
+    * its oracle is the fold-structured restatement in
+    * `scripts/soak100_check.py` (equivalence-proven against the
+    * committed text at small scale), not the quadratic verbatim text.
+    */
+  val gateKeys: Seq[String] = Seq("q_stream_ingest_gate")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val soakDir = if (args.length > 1) args(1) else "target/soak_sf10"
@@ -85,7 +102,8 @@ object Soak100 {
     }
     println(f"[soak100] amplify (documents+events x$Folds): $ampSec%.1f s")
 
-    val allKeys = keys ++ eventKeys
+    val allKeys = keys ++ eventKeys ++ gateKeys
+    val pruneBefore = graft.streaming.GateStores.prunedFetches.get()
     val results = allKeys.filter(graft.SparkEntry.queries.contains).map { name =>
       val fn = graft.SparkEntry.queries(name)
       val (t1, ok1) = timed(fn(spark, soakDir).count())
@@ -115,8 +133,10 @@ object Soak100 {
       .filter { case (k, _) => allKeys.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    val prunedDelta = graft.streaming.GateStores.prunedFetches.get() - pruneBefore
+    println(s"[soak100] pruned store fetches this run: $prunedDelta")
     val timings =
-      s"""{"amplify_sec":${f(ampSec)},"queries":${
+      s"""{"amplify_sec":${f(ampSec)},"pruned_fetches":$prunedDelta,"queries":${
         results.map { case (k, t1, t2) =>
           s"${q(k)}:{" + "\"first\":" + f(t1) + ",\"warm_write\":" + f(t2) + "}"
         }.mkString("{", ",", "}")

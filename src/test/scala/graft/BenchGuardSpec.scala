@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's regression self-check (VERDICT r14 #8): the
+  * pure comparison that flags keys reading >2× their prior committed
+  * LOAD-NORMALIZED median, exercised with a forced example — so the
+  * guard's behavior is pinned without running a sweep.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  test("parseNumberMap scopes to the named field and ignores its neighbors") {
+    val json = """{"value":1.0,"queries_normalized":{"q_a":0.5,"q_b":-1},""" +
+      """"extended_normalized":{"q_a":9.9,"q_c":2.25}}"""
+    assert(Bench.parseNumberMap(json, "queries_normalized") ==
+      Map("q_a" -> 0.5, "q_b" -> -1.0))
+    assert(Bench.parseNumberMap(json, "extended_normalized") ==
+      Map("q_a" -> 9.9, "q_c" -> 2.25))
+    assert(Bench.parseNumberMap(json, "missing_field") == Map.empty)
+  }
+
+  test("regressionFlags: forced 3x regression flagged; noise floor, failures, and new keys are not") {
+    val prior = Map("q_big" -> 2.0, "q_tiny" -> 0.05, "q_ok" -> 1.0,
+      "q_gone" -> 0.8)
+    val cur = Map(
+      "q_big" -> 6.0,   // 3x a 2 s prior -> FLAG (the forced example)
+      "q_tiny" -> 0.4,  // 8x but prior under the 0.3 s noise floor -> no
+      "q_ok" -> 1.9,    // 1.9x, under the 2x factor -> no
+      "q_new" -> 5.0,   // no prior -> no
+      "q_fail" -> -1.0) // failed run reports -1, not a regression
+    val flags = Bench.regressionFlags(cur, prior)
+    assert(flags == Seq(("q_big", 6.0, 2.0)))
+  }
+
+  test("regressionFlags orders worst ratio first") {
+    val prior = Map("q_a" -> 1.0, "q_b" -> 1.0)
+    val cur = Map("q_a" -> 2.5, "q_b" -> 4.0)
+    assert(Bench.regressionFlags(cur, prior).map(_._1) == Seq("q_b", "q_a"))
+  }
+}

@@ -907,8 +907,21 @@ class StreamingSpec extends AnyFunSuite {
       .agg(max($"vec_id")).as[Long].head()
     val width = hi / graft.streaming.AnnIngest.Slices + 1L
     def dead(id: Long) = id % 7L == 3L && id < 2L * width
-    assert(deleted.nonEmpty && deleted == full.filterNot(p => dead(p._2)),
-      "delete-run postings must equal the plain run minus the tombstoned ids")
+    // The r15 erasure contract, restated in three sentences: (1) no
+    // tombstoned id survives; (2) every plain-run survivor posting is
+    // still served (erasing predecessors can only ADMIT more, never
+    // reject); (3) any extra admissions are post-takedown arrivals —
+    // vectors whose only matching predecessors were erased and so
+    // could no longer be cosine-verified (the exact set is pinned by
+    // the DuckDB oracle's rejExclude restatement at Verify/soak time).
+    assert(deleted.nonEmpty && deleted.forall(p => !dead(p._2)),
+      "no tombstoned id may survive in the served postings")
+    val fullSurvivors = full.filterNot(p => dead(p._2)).toSet
+    assert(fullSurvivors.subsetOf(deleted.toSet),
+      "every plain-run survivor posting must still be served after the takedown")
+    val extraIds = deleted.map(_._2).toSet -- fullSurvivors.map(_._2)
+    assert(extraIds.forall(_ >= 2L * width),
+      s"extra admissions must be post-takedown arrivals only, got: ${extraIds.filter(_ < 2L * width).take(5)}")
     assert(full.exists(p => dead(p._2)),
       "fixture must actually tombstone indexed vectors")
     // file-level erasure: after the batch-2 fold (which anti-joined the
@@ -928,6 +941,27 @@ class StreamingSpec extends AnyFunSuite {
       assert(leaked.isEmpty,
         s"postings file ${pf.getPath} still holds erased ids: ${leaked.take(5).toSeq}")
     }
+    // and the RAW EMBEDDINGS (r15, VERDICT r14 #2): the gate's vector
+    // store folds with the same tombstones, so the most sensitive
+    // artifact — the deleted vector's bytes — is gone from every file
+    val vecDir = graft.model.Scratch.dir("ann_ingest_del_vec", sf)
+    assert(graft.streaming.GateStores.foldedThrough(vecDir) == 1L,
+      "the delete replay must have compacted the vector store")
+    val vecFiles = parquetFiles(new java.io.File(vecDir))
+    assert(vecFiles.nonEmpty)
+    vecFiles.foreach { vf =>
+      val leaked = spark.read.parquet(vf.getPath)
+        .select($"vec_id").as[Long].collect().filter(dead)
+      assert(leaked.isEmpty,
+        s"vector-store file ${vf.getPath} still holds erased embeddings: ${leaked.take(5).toSeq}")
+    }
+    // the band index deliberately RETAINS the deleted ids' codes — the
+    // non-invertible audit trail of ingest history (the documented
+    // erasure boundary); pin it so a future edit can't silently flip it
+    val idxDir = graft.model.Scratch.dir("ann_ingest_del_idx", sf)
+    assert(graft.streaming.GateStores.readStoreOpt(spark, idxDir).get
+        .select($"vec_id").as[Long].collect().exists(dead),
+      "band codes of deleted ids are the retained (non-invertible) audit trail")
     // restart in the worst window: killed right after the TOMBSTONES
     // land (batch 1's stores + takedown written, checkpoint uncommitted)
     val ckpt = graft.model.Scratch.dir("ann_del_restart_ckpt", sf)
@@ -946,5 +980,103 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Long, Int, Long)].collect().toSeq
     assert(resumed == deleted,
       "a kill between the takedown and its commit must resume to identical survivors")
+  }
+
+  test("erased predecessor: a tombstoned vector cannot veto a later arrival; a live one can") {
+    // The r15 visibility rule pinned deterministically: identical
+    // vectors 1 and 2, vector 1 seen first. With vector 1 live, 2 is a
+    // duplicate (dup_src = 1); with vector 1 tombstoned, its raw
+    // embedding is invisible to verification and 2 is ADMITTED — the
+    // documented "a takedown forgets the content" consequence (the
+    // retained band codes still collide, but cannot cosine-verify).
+    val sf = "/root/testdata/sf0.001"
+    val idxDir = graft.model.Scratch.dir("erase_sem_idx", sf)
+    val vecDir = graft.model.Scratch.dir("erase_sem_vec", sf)
+    graft.streaming.GateStores.wipe(Seq(idxDir, vecDir))
+    val v = Array.tabulate(64)(i => (i % 7 + 1).toFloat)
+    val b0 = Seq((1L, v)).toDF("vec_id", "embedding")
+    val (vecs0, buckets0, dup0) = graft.streaming.EmbGate.gateBatch(
+      b0, 0L, idxDir, vecDir, threshold = 0.9, bands = 96, bitsPerBand = 8)
+    assert(dup0.count() == 0L, "first arrival has no predecessor")
+    graft.streaming.GateStores.land(
+      graft.streaming.GateStores.withBandGroup(buckets0),
+      s"$idxDir/b0", partitionCols = Seq("bgrp"))
+    graft.streaming.GateStores.land(vecs0, s"$vecDir/b0")
+    vecs0.unpersist(); buckets0.unpersist()
+    val b1 = Seq((2L, v)).toDF("vec_id", "embedding")
+    val (v1, k1, live) = graft.streaming.EmbGate.gateBatch(
+      b1, 1L, idxDir, vecDir, threshold = 0.9, bands = 96, bitsPerBand = 8)
+    assert(live.as[(Long, Long)].collect().toSeq == Seq((2L, 1L)),
+      "a LIVE identical predecessor must reject the re-upload")
+    v1.unpersist(); k1.unpersist()
+    val tombs = Seq(1L).toDF("n_id")
+    val (v2, k2, erased) = graft.streaming.EmbGate.gateBatch(
+      b1, 1L, idxDir, vecDir, threshold = 0.9, bands = 96, bitsPerBand = 8,
+      tombstones = Some(tombs))
+    assert(erased.count() == 0L,
+      "an ERASED predecessor cannot veto — the re-upload is admitted")
+    v2.unpersist(); k2.unpersist()
+  }
+
+  test("snapshot retention: a tombstone fold leaves no superseded snapshot holding the dead rows") {
+    // ADVICE r14 (medium): with keepVersions=2, a snapshot folded
+    // BEFORE a takedown retained tombstoned rows on disk indefinitely.
+    // Schedule exactly that — fold, THEN takedown, then fold again —
+    // and walk every parquet file under the store.
+    val dir = graft.model.Scratch.dir("retention_walk", "/root/testdata/sf0.001")
+    graft.streaming.GateStores.rmTree(dir)
+    def land(id: Long, ids: Seq[Long]): Unit =
+      graft.streaming.GateStores.land(ids.toDF("n_id"), s"$dir/b$id")
+    land(0, Seq(1L, 2L, 3L)); land(1, Seq(4L, 5L, 6L))
+    assert(graft.streaming.GateStores.maybeCompact(spark, dir, upTo = 1),
+      "the pre-takedown fold must fire (snap/f=1 holds ids 1..6)")
+    land(2, Seq(7L, 8L)); land(3, Seq(9L, 10L))
+    val tombs = Seq(3L, 9L).toDF("n_id")
+    assert(graft.streaming.GateStores.maybeCompact(spark, dir, upTo = 3,
+      tombstones = Some(tombs)), "the tombstone fold must fire")
+    assert(!new java.io.File(s"$dir/snap/f=1").exists(),
+      "keepVersions=1: the pre-takedown snapshot (which held id 3) must be deleted")
+    def parquetFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(parquetFiles)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    val files = parquetFiles(new java.io.File(dir))
+    assert(files.nonEmpty)
+    files.foreach { pf =>
+      val leaked = spark.read.parquet(pf.getPath)
+        .select($"n_id").as[Long].collect().toSet.intersect(Set(3L, 9L))
+      assert(leaked.isEmpty,
+        s"file ${pf.getPath} still holds tombstoned rows: $leaked")
+    }
+    assert(graft.streaming.GateStores.readStoreOpt(spark, dir).get
+        .as[Long].collect().toSet == Set(1L, 2L, 4L, 5L, 6L, 7L, 8L, 10L),
+      "the folded store must serve exactly the survivors")
+  }
+
+  test("snapshot fold sizing: maxRecordsPerFile splits the fold into bounded files, fold ≡ unfolded") {
+    // VERDICT r14 #5: the fixture fold funnels to one file; a
+    // deployment-size fold bounds FILE SIZE instead. Pin that a
+    // multi-file snapshot still satisfies fold-≡-unfolded and the
+    // strictly-earlier guard.
+    val dir = graft.model.Scratch.dir("fold_sizing", "/root/testdata/sf0.001")
+    graft.streaming.GateStores.rmTree(dir)
+    graft.streaming.GateStores.land(
+      (0L until 100L).toDF("n_id"), s"$dir/b0")
+    graft.streaming.GateStores.land(
+      (100L until 200L).toDF("n_id"), s"$dir/b1")
+    val unfolded = graft.streaming.GateStores.readStoreOpt(spark, dir).get
+      .as[Long].collect().toSet
+    assert(graft.streaming.GateStores.maybeCompact(spark, dir, upTo = 1,
+      maxRecordsPerFile = 50L))
+    val snapFiles = new java.io.File(s"$dir/snap/f=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(snapFiles.length >= 4,
+      s"200 rows at maxRecordsPerFile=50 must land >=4 files, got ${snapFiles.length}")
+    assert(graft.streaming.GateStores.readStoreOpt(spark, dir).get
+        .as[Long].collect().toSet == unfolded,
+      "a multi-file fold must serve exactly the unfolded rows")
+    // strictly-earlier: a probe at/below the folded-through id refuses
+    intercept[IllegalArgumentException] {
+      graft.streaming.GateStores.readStoreOpt(spark, dir, before = 1L)
+    }
   }
 }
