@@ -71,6 +71,17 @@ object Soak100 {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val soakDir = if (args.length > 1) args(1) else "target/soak_sf10"
     val outDir = if (args.length > 2) args(2) else "target/soak_sf10_out"
+    // The gate's verify-side store fetch: the 100-fold corpus is the
+    // right SCALE for the candidates-pruned branch, but fold copies are
+    // near-identical so the shingle store dictionary-compresses under
+    // the 64 MB production cutover — force a byte threshold the
+    // snapshot exceeds so the SF10 row hash-passes THROUGH the pruned
+    // (100 TB) read path, cutover logic included (same knob as Soak's
+    // PRUNED_GATES runs; decisions are branch-invariant, spec-pinned).
+    sys.env.get("SPARK_GRAFT_PRUNE_BYTES").foreach { v =>
+      graft.streaming.GateStores.PruneStoreBytes = v.toLong
+      println(s"[soak100] PruneStoreBytes forced to $v")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
