@@ -121,6 +121,7 @@ object Bench {
     "q_ann_ivfpq_delete",
     "q_ann_ivfpq_delete_stats",
     "q_ann_ivfpq_append",
+    "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest",
     "q_stream_ann_delete",
     "q_ann_ivf_incremental",

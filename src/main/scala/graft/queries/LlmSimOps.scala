@@ -462,6 +462,39 @@ private[queries] object LlmSimOps {
       .orderBy(col("n_id"), col("sub"))
   }
 
+  /** DISTRIBUTED IVFADC index build (r15): the 100 TB build story.
+    * The geometry — coarse lattice + residual PQ codebooks, trained
+    * once on the base prefix (vec_id < 9·max DIV 10, the append key's
+    * cut) — is broadcast-shared state; the corpus splits into four
+    * disjoint hash shards (vec_id mod 4) that encode INDEPENDENTLY,
+    * each a self-contained job a separate worker pool could run with
+    * no cross-shard reads and no shared shuffle; the "merge" is a bag
+    * union of postings, because a posting is a pure per-vector
+    * function of (vector, frozen geometry). This is how a 100 TB
+    * index is actually built: train small, broadcast the geometry,
+    * encode embarrassingly parallel, concatenate inverted lists. The
+    * committed oracle encodes the WHOLE corpus in one pass against
+    * the same frozen fit, so the hash gate IS the law
+    * shard-merge ≡ single build; LlmOpsSpec additionally pins the
+    * union against the in-engine single-pass encode row for row.
+    */
+  private[queries] val qAnnIvfPqShardMerge: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cut = emb.agg(expr("9 * max(vec_id) DIV 10").as("cut"))
+    val base = emb.crossJoin(broadcast(cut))
+      .filter(col("vec_id") < col("cut")).drop("cut")
+    val (_, cb) = Similarity.ivfPqBuild(base, "vec_id", "embedding",
+      dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1)
+    val cc = Similarity.coarseFromBase(base, "vec_id", "embedding",
+      dsub = 8, cells = 16)
+    (0 until 4).map { i =>
+        Similarity.ivfPqEncode(emb.filter(pmod(col("vec_id"), lit(4)) === i),
+          cc, cb, "vec_id", "embedding", dsub = 8)
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("n_id"), col("sub"))
+  }
+
   /** The full streaming ANN ingest: gate + frozen-geometry encode +
     * durable postings append, end to end in one replay — see
     * [[graft.streaming.AnnIngest]]. Gate parameters are the
@@ -1257,6 +1290,26 @@ private[queries] object LlmSimOps {
        |${frozenEncodeSql("rt")}""".stripMargin
   }
 
+  /** Full-algorithm oracle for `q_ann_ivfpq_shard_merge`: the
+    * base-prefix fit ([[frozenFitCtes]] over vec_id < cut, cut =
+    * 9·max DIV 10 — the append key's rule) followed by ONE single-pass
+    * encode of the ENTIRE corpus against the frozen geometry. The
+    * Spark side builds the index as four independent hash shards and
+    * unions their postings; equality against this one-pass statement
+    * is exactly the distributed-build law (a posting is a pure
+    * per-vector function of the frozen geometry, so shard boundaries
+    * cannot show).
+    */
+  private[queries] def annIvfPqShardMergeSql(dims: Int, m: Int, ks: Int,
+                                             cells: Int): String = {
+    val dsub = dims / m
+    s"""WITH mx AS (SELECT 9 * max(vec_id) // 10 AS cut FROM embeddings),
+       |${latticeCte(dsub)},
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |${frozenFitCtes(ks, cells)},
+       |${frozenEncodeSql("r")}""".stripMargin
+  }
+
   /** Full-algorithm oracle for `q_stream_ann_ingest`: the gate rule
     * ([[streamEmbGateSql]]'s bit-mirrored banding + exact cosine,
     * reduced to the rejected set) composed with the frozen-geometry
@@ -1420,6 +1473,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_delete" -> qAnnIvfPqDelete,
     "q_ann_ivfpq_delete_stats" -> qAnnIvfPqDeleteStats,
     "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
+    "q_ann_ivfpq_shard_merge" -> qAnnIvfPqShardMerge,
     "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_stream_ann_delete" -> qStreamAnnDelete,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
@@ -1477,6 +1531,8 @@ private[queries] object LlmSimOps {
       cells = 16, delete = Some("n_id % 7 = 3")),
     "q_ann_ivfpq_append" -> annIvfPqAppendSql(dims = 64, m = 8, ks = 16,
       cells = 16),
+    "q_ann_ivfpq_shard_merge" -> annIvfPqShardMergeSql(dims = 64, m = 8,
+      ks = 16, cells = 16),
     "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,
       dims = 64, m = 8, ks = 16, cells = 16,
       slices = graft.streaming.AnnIngest.Slices),

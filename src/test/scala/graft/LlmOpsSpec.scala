@@ -650,4 +650,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recalls.last == 1.0,
       s"nprobe=cells with unbound shortlist must recover the exact top-k, got ${recalls.last}")
   }
+
+  test("sharded IVFADC build: union of independent shard encodes equals the single-pass encode") {
+    // The distributed-build law q_ann_ivfpq_shard_merge's oracle states
+    // cross-engine, pinned in-engine here: a posting is a pure
+    // per-vector function of the frozen geometry, so four disjoint
+    // hash-shard encodes unioned must match one whole-corpus encode
+    // row for row (and cover every vector exactly once).
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val cut = emb.agg(expr("9 * max(vec_id) DIV 10").as("cut"))
+    val base = emb.crossJoin(broadcast(cut))
+      .filter(col("vec_id") < col("cut")).drop("cut")
+    val (_, cb) = graft.ops.Similarity.ivfPqBuild(base, "vec_id",
+      "embedding", dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1)
+    val cc = graft.ops.Similarity.coarseFromBase(base, "vec_id",
+      "embedding", dsub = 8, cells = 16)
+    val single = graft.ops.Similarity.ivfPqEncode(emb, cc, cb,
+        "vec_id", "embedding", dsub = 8)
+      .orderBy(col("n_id"), col("sub"))
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val merged = graft.SparkEntry.queries("q_ann_ivfpq_shard_merge")(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(merged == single,
+      "shard-merged postings must equal the single-pass encode")
+    val nVecs = emb.count()
+    assert(merged.map(_._2).distinct.size == nVecs,
+      "the merged index must cover every corpus vector exactly once")
+  }
 }
