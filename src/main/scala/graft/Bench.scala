@@ -124,6 +124,7 @@ object Bench {
     "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest",
     "q_stream_ann_delete",
+    "q_stream_ann_query",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_ann_param_sweep",

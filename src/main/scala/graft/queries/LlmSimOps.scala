@@ -522,6 +522,31 @@ private[queries] object LlmSimOps {
       bands = EmbBands, bitsPerBand = EmbBits, dims = 64, cells = 16,
       m = 8, ks = 16, refineIters = 1)
 
+  /** END-TO-END SERVING (r15): answer top-k queries FROM the
+    * stream-built, takedown-filtered store — the full vector-database
+    * loop in one key. The delete replay runs the gated ingest with its
+    * takedown ([[qStreamAnnDelete]]'s store), then the IVFADC read
+    * path serves 20 queries from what survived: coarse probe of the
+    * frozen lattice, per-(query, cell) residual LUT against the
+    * codebook read from the stream's geometry store (the "index
+    * file"), cell-pruned ADC over the surviving postings, exact L2
+    * re-rank of the shortlist. A taken-down vector cannot appear in
+    * results — it has no postings to probe — and the committed oracle
+    * restates ingest + takedown + serve as ONE statement, so the
+    * whole loop hash-gates.
+    */
+  private[queries] val qStreamAnnQuery: Q = (s, d) => {
+    val post = graft.streaming.AnnIngest.replayAnnIngestDelete(s, d,
+      threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits, dims = 64,
+      cells = 16, m = 8, ks = 16, refineIters = 1)
+    val cb = graft.streaming.AnnIngest.deleteGeometry(s, d)
+    val emb = Tables.embeddings(s, d)
+    Similarity.ivfPqQuery(post, cb, emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
+        m = 8, shortlist = 50)
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -1246,6 +1271,18 @@ private[queries] object LlmSimOps {
     * and stream-ingest oracles.
     */
   private def frozenEncodeSql(src: String): String =
+    s"""${frozenEncodeCtes(src)}
+       |SELECT casg_e.cell AS cell_id, enc_e.vec_id AS n_id,
+       |  CAST(enc_e.sub AS INT) AS sub, enc_e.cid
+       |FROM enc_e JOIN casg_e ON casg_e.n_id = enc_e.vec_id
+       |ORDER BY n_id, sub""".stripMargin
+
+  /** [[frozenEncodeSql]]'s CTE chain without the final postings SELECT
+    * — for oracles that keep composing past the encode (the
+    * stream-served query restatement joins the encoded postings to a
+    * probe/ADC/re-rank chain).
+    */
+  private def frozenEncodeCtes(src: String): String =
     s"""ct_e AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
        |    FROM (SELECT $src.vec_id, cc.cell,
        |            CAST(sum($src.xe * cc.ce) AS BIGINT) AS dot
@@ -1266,11 +1303,7 @@ private[queries] object LlmSimOps {
        |      d_e.cid, row_number() OVER (PARTITION BY d_e.vec_id, d_e.sub
        |        ORDER BY cn2 - 2 * dot ASC, d_e.cid ASC) AS rw
        |    FROM d_e JOIN cn1 ON d_e.sub = cn1.sub AND d_e.cid = cn1.cid)
-       |    WHERE rw = 1)
-       |SELECT casg_e.cell AS cell_id, enc_e.vec_id AS n_id,
-       |  CAST(enc_e.sub AS INT) AS sub, enc_e.cid
-       |FROM enc_e JOIN casg_e ON casg_e.n_id = enc_e.vec_id
-       |ORDER BY n_id, sub""".stripMargin
+       |    WHERE rw = 1)""".stripMargin
 
   /** Full-algorithm oracle for `q_ann_ivfpq_append`: the base-build
     * fit (coarse codebook from the base prefix, base residuals, one
@@ -1327,7 +1360,24 @@ private[queries] object LlmSimOps {
                                           rejExclude: String = ""): String = {
     val dsub = dims / m
     s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
-       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |${streamGateCtes(threshold, bands, bits, dims, rejExclude)},
+       |${latticeCte(dsub)},
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |${frozenFitCtes(ks, cells)},
+       |ra AS MATERIALIZED (SELECT r.* FROM r
+       |    JOIN adm ON adm.vec_id = r.vec_id),
+       |${frozenEncodeSql("ra")}""".stripMargin
+  }
+
+  /** The streaming embedding gate's decision rule as a CTE chain ending
+    * in `adm` (the admitted ids) — shared by the ingest, delete, and
+    * served-query oracles so the one-sentence gate statement cannot
+    * drift between them. `rejExclude` is the delete path's
+    * erased-predecessor exclusion.
+    */
+  private def streamGateCtes(threshold: Double, bands: Int, bits: Int,
+                             dims: Int, rejExclude: String): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |    FROM embeddings),
        |cg AS MATERIALIZED (SELECT vec_id, v,
        |      ${srpCodeListSql(bands, bits, dims)} AS ct FROM e),
@@ -1336,14 +1386,7 @@ private[queries] object LlmSimOps {
        |      AND list_has_any(a.ct, b.ct)
        |    WHERE ${cosExpr("a", "b")} >= $threshold$rejExclude),
        |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
-       |    WHERE rej.vec_id IS NULL),
-       |${latticeCte(dsub)},
-       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
-       |${frozenFitCtes(ks, cells)},
-       |ra AS MATERIALIZED (SELECT r.* FROM r
-       |    JOIN adm ON adm.vec_id = r.vec_id),
-       |${frozenEncodeSql("ra")}""".stripMargin
-  }
+       |    WHERE rej.vec_id IS NULL)""".stripMargin
 
   /** Oracle for `q_stream_ann_delete`: the [[streamAnnIngestSql]]
     * restatement with TWO delete-rule sentences on top, exactly the
@@ -1379,6 +1422,93 @@ private[queries] object LlmSimOps {
        |  ${deleteAfter + 1} * (SELECT max(vec_id) // $slices + 1
        |                        FROM embeddings))
        |ORDER BY n_id, sub""".stripMargin
+  }
+
+  /** Oracle for `q_stream_ann_query` — the END-TO-END serving
+    * statement: the gate rule (with the delete path's
+    * erased-predecessor exclusion), the frozen-geometry fit and encode
+    * of the admitted vectors, the tombstone filter, and then the FULL
+    * IVFADC read path over the surviving postings — coarse probe of
+    * the frozen lattice, per-(query, cell) residual LUT against the
+    * frozen codebook, cell-pruned ADC, shortlist, exact L2 re-rank.
+    * One SQL statement covering ingest-with-dedup → takedown → serve;
+    * a leak of a deleted id into results, a probe against drifted
+    * geometry, or a re-rank tie-break drift is a hash mismatch.
+    */
+  private[queries] def streamAnnQuerySql(threshold: Double, bands: Int,
+      bits: Int, dims: Int, m: Int, ks: Int, cells: Int, slices: Int,
+      deleteAfter: Long, modulo: Long, residue: Long,
+      nprobe: Int, k: Int, shortlist: Int): String = {
+    val dsub = dims / m
+    val cut = "(SELECT cut FROM mx)"
+    val rejExclude =
+      s"""
+         |      AND NOT (a.vec_id % $modulo = $residue
+         |        AND a.vec_id < ${deleteAfter + 1} * $cut
+         |        AND b.vec_id >= ${deleteAfter + 1} * $cut)""".stripMargin
+    s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
+       |${streamGateCtes(threshold, bands, bits, dims, rejExclude)},
+       |${latticeCte(dsub)},
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |${frozenFitCtes(ks, cells)},
+       |ra AS MATERIALIZED (SELECT r.* FROM r
+       |    JOIN adm ON adm.vec_id = r.vec_id),
+       |${frozenEncodeCtes("ra")},
+       |vis AS MATERIALIZED (SELECT casg_e.cell, enc_e.vec_id AS n_id,
+       |      enc_e.sub, enc_e.cid
+       |    FROM enc_e JOIN casg_e ON casg_e.n_id = enc_e.vec_id
+       |    WHERE NOT (enc_e.vec_id % $modulo = $residue
+       |      AND enc_e.vec_id < ${deleteAfter + 1} * $cut)),
+       |qct AS (SELECT cd.vec_id, cd.cell, cn2 - 2 * dot AS term
+       |    FROM (SELECT r.vec_id, cc.cell,
+       |            CAST(sum(r.xe * cc.ce) AS BIGINT) AS dot
+       |          FROM r JOIN cc ON cc.pos = r.pos
+       |          WHERE r.vec_id < 20 GROUP BY 1, 2) cd
+       |    JOIN ccn ON ccn.cell = cd.cell),
+       |qprobe AS (SELECT vec_id AS q_id, cell FROM (
+       |    SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY term ASC, cell ASC) AS rn FROM qct)
+       |    WHERE rn <= $nprobe),
+       |qr AS MATERIALIZED (SELECT r.vec_id AS q_id, qprobe.cell, r.sub,
+       |      r.pos, r.xe - cc.ce AS xe
+       |    FROM r JOIN qprobe ON qprobe.q_id = r.vec_id
+       |    JOIN cc ON cc.cell = qprobe.cell AND cc.pos = r.pos),
+       |qrn2 AS (SELECT q_id, cell, CAST(sum(xe * xe) AS BIGINT) AS rn2
+       |    FROM qr GROUP BY 1, 2),
+       |lut AS (SELECT qd.q_id, qd.cell, qd.sub, qd.cid,
+       |      cn2 - 2 * dot AS term
+       |    FROM (SELECT qr.q_id, qr.cell, c1.sub, c1.cid,
+       |            CAST(sum(qr.xe * c1.ce) AS BIGINT) AS dot
+       |          FROM qr JOIN c1 ON c1.sub = qr.sub AND c1.pos = qr.pos
+       |          GROUP BY 1, 2, 3, 4) qd
+       |    JOIN cn1 ON cn1.sub = qd.sub AND cn1.cid = qd.cid),
+       |adc AS (SELECT lut.q_id, vis.n_id, vis.cell,
+       |      CAST(sum(term) AS BIGINT) AS t
+       |    FROM vis JOIN lut ON lut.cell = vis.cell AND lut.sub = vis.sub
+       |      AND lut.cid = vis.cid
+       |    WHERE lut.q_id <> vis.n_id GROUP BY 1, 2, 3),
+       |shortl AS (SELECT q_id, n_id FROM (
+       |    SELECT adc.q_id, adc.n_id, row_number() OVER (PARTITION BY adc.q_id
+       |        ORDER BY t + rn2 ASC, n_id ASC) AS srnk
+       |    FROM adc JOIN qrn2 ON qrn2.q_id = adc.q_id
+       |      AND qrn2.cell = adc.cell) WHERE srnk <= $shortlist),
+       |qn2 AS (SELECT vec_id AS q_id, CAST(sum(xe * xe) AS BIGINT) AS qn2
+       |    FROM r WHERE vec_id < 20 GROUP BY 1),
+       |nn2 AS (SELECT vec_id AS n_id, CAST(sum(xe * xe) AS BIGINT) AS nn2
+       |    FROM r GROUP BY 1),
+       |pd AS (SELECT s.q_id, s.n_id,
+       |      CAST(sum(rn.xe * rq.xe) AS BIGINT) AS dot
+       |    FROM shortl s
+       |    JOIN r rn ON rn.vec_id = s.n_id
+       |    JOIN r rq ON rq.vec_id = s.q_id AND rq.pos = rn.pos
+       |    GROUP BY 1, 2),
+       |f AS (SELECT q_id, n_id,
+       |      CAST(qn2 - 2 * dot + nn2 AS BIGINT) AS d2,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY qn2 - 2 * dot + nn2 ASC, n_id ASC) AS rnk
+       |    FROM pd JOIN qn2 USING (q_id) JOIN nn2 USING (n_id))
+       |SELECT q_id, n_id, rnk, d2
+       |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
   }
 
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
@@ -1476,6 +1606,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_shard_merge" -> qAnnIvfPqShardMerge,
     "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_stream_ann_delete" -> qStreamAnnDelete,
+    "q_stream_ann_query" -> qStreamAnnQuery,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_ann_param_sweep" -> qAnnParamSweep,
@@ -1542,6 +1673,13 @@ private[queries] object LlmSimOps {
       deleteAfter = graft.streaming.AnnIngest.DeleteAfterBatch,
       modulo = graft.streaming.AnnIngest.DeleteMod,
       residue = graft.streaming.AnnIngest.DeleteResidue),
+    "q_stream_ann_query" -> streamAnnQuerySql(0.4, EmbBands, EmbBits,
+      dims = 64, m = 8, ks = 16, cells = 16,
+      slices = graft.streaming.AnnIngest.Slices,
+      deleteAfter = graft.streaming.AnnIngest.DeleteAfterBatch,
+      modulo = graft.streaming.AnnIngest.DeleteMod,
+      residue = graft.streaming.AnnIngest.DeleteResidue,
+      nprobe = 4, k = 5, shortlist = 50),
     "q_ann_ivf_incremental" -> annIvfIncrementalSql(cells = 16, nprobe = 4,
       k = 5),
     "q_ann_recall_eval" -> annRecallEvalSql(dims = 64, m = 8, ks = 16,

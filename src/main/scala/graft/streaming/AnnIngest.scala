@@ -107,6 +107,14 @@ object AnnIngest {
         java.util.UUID.randomUUID().toString.take(8),
       wipeStores = true, crashAtBatch = None, delete = true)
 
+  /** The delete-replay's frozen-geometry store — the residual codebook
+    * a SERVING tier reads (the "index file"), landed once by batch 0 of
+    * [[replayAnnIngestDelete]]. `q_stream_ann_query` composes it with
+    * the surviving postings into the full read path.
+    */
+  def deleteGeometry(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(graft.model.Scratch.dir("ann_ingest_del_geo", d) + "/b0")
+
   /** Lifecycle-exposed form — see [[EmbGate.replayInternal]] for the
     * restart-spec contract of `ckpt` / `wipeStores` / `crashAtBatch`.
     * `ns` namespaces the scratch stores so the plain and delete

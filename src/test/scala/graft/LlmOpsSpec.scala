@@ -679,4 +679,28 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(merged.map(_._2).distinct.size == nVecs,
       "the merged index must cover every corpus vector exactly once")
   }
+
+  test("stream-served queries: a taken-down vector is never served, tombstoned queries still query, shape is top-5 x 20") {
+    // The serving end of q_stream_ann_query (the oracle pins
+    // exactness; this pins the TAKEDOWN LAW at the serving surface):
+    // a tombstoned id has no postings, so no query can return it.
+    import org.apache.spark.sql.functions.max
+    val d = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("q_stream_ann_query")(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val hi = graft.model.Tables.embeddings(spark, d)
+      .agg(max($"vec_id")).as[Long].head()
+    val width = hi / graft.streaming.AnnIngest.Slices + 1L
+    def dead(id: Long) = id % graft.streaming.AnnIngest.DeleteMod ==
+      graft.streaming.AnnIngest.DeleteResidue &&
+      id < (graft.streaming.AnnIngest.DeleteAfterBatch + 1L) * width
+    assert(served.nonEmpty && served.forall(r => !dead(r._2)),
+      "no taken-down vector may be served")
+    assert(served.exists(r => dead(r._1)),
+      "tombstoned QUERY vectors still query (only serving is revoked)")
+    val perQuery = served.groupBy(_._1)
+    assert(perQuery.size == 20 &&
+      perQuery.values.forall(_.map(_._3).sorted == (1 to 5)),
+      "every query must serve a full top-5")
+  }
 }
