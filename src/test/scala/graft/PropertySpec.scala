@@ -84,6 +84,16 @@ class PropertySpec extends AnyFunSuite {
       tables = Seq("supplier"))
     assert(markerText == "2:supplier")
     assert(spark.read.parquet(s"$out/supplier.parquet").count() == 2 * nSupp)
+    // a LEGACY (empty) marker records neither fold count nor table set
+    // — amplify must fail loud instead of guessing coverage (ADVICE
+    // r14: the guess validated wrong-scale data)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/_SOAK_COMPLETE"), "")
+    val e = intercept[IllegalStateException] {
+      graft.ops.ScaleFold.amplify(spark, base, out, folds = 2,
+        tables = Seq("supplier"))
+    }
+    assert(e.getMessage.contains("re-amplify"))
   }
 
   test("ScaleFold embeddings: fold-0 exact identity, folds are near-dups") {
