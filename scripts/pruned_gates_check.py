@@ -27,13 +27,21 @@ def main():
     for k in sorted(keys):
         a = f"SELECT * FROM '{main_out}/{k}/*.parquet'"
         b = f"SELECT * FROM '{pruned_out}/{k}/*.parquet'"
-        diff = con.execute(
-            f"SELECT count(*) FROM (({a} EXCEPT ALL {b}) "
-            f"UNION ALL ({b} EXCEPT ALL {a}))").fetchone()[0]
-        rows = con.execute(f"SELECT count(*) FROM ({a})").fetchone()[0]
-        res[k] = {"diff_rows": diff, "match": bool(diff == 0), "rows": rows}
-        print(f"pruned {'PASS' if diff == 0 else 'FAIL'} {k}: "
-              f"rows={rows} diff={diff}")
+        # a missing/unreadable parquet dir must record a per-key FAIL and
+        # keep checking (and still write the artifact), not abort with a
+        # traceback and no artifact (ADVICE r15)
+        try:
+            diff = con.execute(
+                f"SELECT count(*) FROM (({a} EXCEPT ALL {b}) "
+                f"UNION ALL ({b} EXCEPT ALL {a}))").fetchone()[0]
+            rows = con.execute(f"SELECT count(*) FROM ({a})").fetchone()[0]
+            res[k] = {"diff_rows": diff, "match": bool(diff == 0),
+                      "rows": rows}
+            print(f"pruned {'PASS' if diff == 0 else 'FAIL'} {k}: "
+                  f"rows={rows} diff={diff}")
+        except Exception as e:  # noqa: BLE001 - record any per-key error
+            res[k] = {"match": False, "err": f"{type(e).__name__}: {e}"}
+            print(f"pruned FAIL {k}: {type(e).__name__}: {e}")
     doc = {"keys": res,
            "what": "~SF1 gate replays re-run with SPARK_GRAFT_PRUNE_BYTES=0 "
                    "(candidates-pruned store fetch forced on every batch) "

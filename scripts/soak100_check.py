@@ -157,9 +157,15 @@ def check_gate_equivalence(committed_text, base_small="/root/testdata/sf0.01",
   c AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS c
         FROM post a JOIN post b ON a.tok = b.tok AND a.doc_id < b.doc_id
         GROUP BY 1, 2),
+  -- slack band (ADVICE r15): the fold classes admit pairs one
+  -- intersection-count below the base threshold (the trailing fold
+  -- shingle adds +1 to both set sizes and, for same-fold pairs with
+  -- matching last-two tokens, +1 to the intersection), so the proof
+  -- corpus must include the threshold-BOUNDARY pairs too -- exactly
+  -- the class where the fold-structured restatement could diverge
   pairs AS (SELECT a, b FROM c
             JOIN n na ON na.doc_id = a JOIN n nb ON nb.doc_id = b
-            WHERE 2 * c >= na.n + nb.n - c),
+            WHERE 2 * c >= na.n + nb.n - c - 2),
   keep AS (SELECT a AS doc_id FROM pairs
            UNION SELECT b FROM pairs)
   SELECT d.* FROM '{base_small}/documents.parquet' d

@@ -255,12 +255,33 @@ object Bench {
     * [[regressionFlags]]. Regex-scoped to the named field so the
     * overlapping key sets of `queries_normalized` and
     * `extended_normalized` don't bleed into each other.
+    *
+    * FAILS LOUD on a truncated or non-flat field (r16, VERDICT r15 #6
+    * / ADVICE r15): the regex parse is only sound for the flat
+    * fixed-decimal maps this same code writes; if the captured body
+    * still contains content the number pattern can't account for, the
+    * artifact shape has drifted and silently returning a partial map
+    * would disable the regression guard without anyone noticing. The
+    * number pattern accepts an exponent so a formatter change to
+    * scientific notation parses rather than aborts.
     */
   private[graft] def parseNumberMap(json: String,
                                     field: String): Map[String, Double] =
     ("\"" + field + "\":\\{([^}]*)\\}").r.findFirstMatchIn(json).map { m =>
-      "\"([A-Za-z0-9_]+)\":(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
-        .map(x => x.group(1) -> x.group(2).toDouble).toMap
+      val body = m.group(1)
+      val num = "-?[0-9]+(?:\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"
+      val entry = ("\"([A-Za-z0-9_]+)\":(" + num + ")").r
+      val parsed = entry.findAllMatchIn(body).toSeq
+      // every character of the body must be consumed by entries and
+      // separating commas — anything else (a nested brace cut the field
+      // short, a non-numeric value) is a shape drift
+      val residue = entry.replaceAllIn(body, "").replace(",", "").trim
+      if (residue.nonEmpty)
+        throw new IllegalStateException(
+          s"bench artifact field '$field' is not a flat number map " +
+            s"(unparsed residue: '${residue.take(40)}') — regression " +
+            "guard inputs would be silently partial")
+      parsed.map(x => x.group(1) -> x.group(2).toDouble).toMap
     }.getOrElse(Map.empty)
 
   /** Keys whose current LOAD-NORMALIZED reading exceeds `factor`× the
@@ -542,26 +563,43 @@ object Bench {
       val p = new java.io.File("bench_full_latest.json")
       if (p.exists()) java.nio.file.Files.readString(p.toPath) else ""
     }
+    // METHODOLOGY GATE (r16, VERDICT r15 #4): normalized medians are
+    // only cross-round comparable when BOTH rounds normalized
+    // per-segment — a prior produced under phase-blind calibration
+    // (pre-r15, no `calib_segments` field) mixes currencies and seeds
+    // false flags (r15's q_mad_outliers 2.40× flag was exactly this:
+    // raw 1.22×, prior normalized by a whole-sweep ratio its samples
+    // never saw). Against such a prior the guard records WHY it stayed
+    // silent instead of flagging noise.
+    val priorPerSegment = priorJson.contains("\"calib_segments\":")
     val priorNorm = parseNumberMap(priorJson, "queries_normalized") ++
       parseNumberMap(priorJson, "extended_normalized")
     val curNorm: Map[String, Double] =
       results.map { case (k, v, _) =>
         k -> (if (v < 0) -1.0 else v / normRatio) }.toMap ++
       extNormPairs.toMap
-    val flags = regressionFlags(curNorm, priorNorm)
+    val flags =
+      if (priorPerSegment) regressionFlags(curNorm, priorNorm)
+      else Seq.empty
+    val flagsSkippedJson =
+      if (priorPerSegment || priorJson.isEmpty) ""
+      else ""","regression_flags_skipped":"prior artifact lacks """ +
+        """calib_segments (pre-r15 phase-blind calibration) — """ +
+        """normalized priors not comparable""""
     val flagsJson = flags.map { case (k, c, p) =>
       s""""$k":{"cur":${f(c)},"prior":${f(p)},"ratio":${f(c / p)}}"""
     }.mkString("{", ",", "}")
     // extended failures surface through the same `errors` channel as
     // headline failures — a -1 buried in `extended` alone must not read
-    // as a clean round; regression flags ride the same list under a
-    // `regressed:` prefix (flags, not failures)
-    val allErrors = ((results.collect { case (k, v, _) if v < 0 => k } ++
+    // as a clean round. Regression flags live ONLY in the dedicated
+    // `regression_flags` field (ADVICE r15: a consumer treating
+    // `errors` entries as failed query names must not misclassify
+    // load-noise flags as failures — `errors` stays a pure failure
+    // list).
+    val allErrors = (results.collect { case (k, v, _) if v < 0 => k } ++
       deriveResults.collect { case (k, t) if t < 0 => k } ++
       extResults.collect { case (k, t, _, _) if t < 0 => k })
-      .map("\"" + _ + "\"") ++
-      flags.map { case (k, c, p) =>
-        "\"regressed:" + k + ":" + f(c / p) + "x\"" })
+      .map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     // Derive-cost TREND: the five `_derive_*` snapshots are one-time
     // assets by design, but their combined cost now exceeds the 27-key
@@ -610,7 +648,7 @@ object Bench {
       "every ~30 timings, each sample normalized by its own segment's " +
       "ratio; probes in calib_segments), and regression_flags lists " +
       "keys >2x their prior committed normalized median."
-    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"regression_flags":$flagsJson,"calib_segments":$calibSegJson,"sf":"$sfDir","note":"$note","queries":$qs,"queries_normalized":$qsNorm,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_normalized":$extNorm,"extended_runs":$extRuns}"""
+    val fullJson = s"""{"metric":"total","value":${f(total)},"unit":"sec","first_run_total":${f(firstTotal)}$calibJson,"errors":$allErrors,"regression_flags":$flagsJson$flagsSkippedJson,"calib_segments":$calibSegJson,"sf":"$sfDir","note":"$note","queries":$qs,"queries_normalized":$qsNorm,"runs":$runs,"derive":$deriveJson0,"derive_prev":$derivePrevJson,"extended":$ext,"extended_normalized":$extNorm,"extended_runs":$extRuns}"""
     // stdout is a ~2 KB tail, not an archive: the full line below lost
     // its extended medians to truncation every round since r7. The
     // COMPLETE artifact is therefore also written to a repo file,

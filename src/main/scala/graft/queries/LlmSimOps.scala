@@ -462,21 +462,35 @@ private[queries] object LlmSimOps {
       .orderBy(col("n_id"), col("sub"))
   }
 
-  /** DISTRIBUTED IVFADC index build (r15): the 100 TB build story.
-    * The geometry — coarse lattice + residual PQ codebooks, trained
-    * once on the base prefix (vec_id < 9·max DIV 10, the append key's
-    * cut) — is broadcast-shared state; the corpus splits into four
-    * disjoint hash shards (vec_id mod 4) that encode INDEPENDENTLY,
-    * each a self-contained job a separate worker pool could run with
-    * no cross-shard reads and no shared shuffle; the "merge" is a bag
-    * union of postings, because a posting is a pure per-vector
-    * function of (vector, frozen geometry). This is how a 100 TB
-    * index is actually built: train small, broadcast the geometry,
-    * encode embarrassingly parallel, concatenate inverted lists. The
-    * committed oracle encodes the WHOLE corpus in one pass against
-    * the same frozen fit, so the hash gate IS the law
-    * shard-merge ≡ single build; LlmOpsSpec additionally pins the
-    * union against the in-engine single-pass encode row for row.
+  /** DISTRIBUTED IVFADC index build (r15; single-scan form r16): the
+    * 100 TB build story. The geometry — coarse lattice + residual PQ
+    * codebooks, trained once on the base prefix (vec_id <
+    * 9·max DIV 10, the append key's cut) — is broadcast-shared state;
+    * the corpus partitions into four disjoint hash shards
+    * (vec_id mod 4) that encode INDEPENDENTLY: the encode is a pure
+    * per-vector function of (vector, frozen geometry), so once the
+    * data is laid out by shard every partition is a self-contained
+    * job with no cross-shard reads and no shared shuffle, and the
+    * "merge" is a bag union of the per-shard postings. This is how a
+    * 100 TB index is actually built: train small, broadcast the
+    * geometry, encode embarrassingly parallel, concatenate inverted
+    * lists.
+    *
+    * READ AMPLIFICATION (r16, VERDICT r15 #5): the r15 form ran four
+    * separate `filter(vec_id % 4 = i)` jobs, each a fresh full table
+    * scan — 4× read amplification at 100 TB unless the corpus is
+    * already bucketed by the shard key. This form states the honest
+    * single-scan recipe: ONE pass computes the shard key and
+    * `repartition`s by it, so each resulting partition holds exactly
+    * one shard's vectors and the frozen-geometry encode runs
+    * shard-local from there (a deployment replaces the repartition
+    * with a bucketed-by-shard layout and skips even that one
+    * shuffle). Output is row-identical to the 4-scan form — the
+    * committed oracle (one single-pass encode of the whole corpus
+    * against the frozen fit) is UNCHANGED, and LlmOpsSpec still pins
+    * union-of-independent-shard-encodes ≡ single-pass encode row for
+    * row at the Similarity level, which is the shard-merge law
+    * itself.
     */
   private[queries] val qAnnIvfPqShardMerge: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
@@ -487,11 +501,15 @@ private[queries] object LlmSimOps {
       dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1)
     val cc = Similarity.coarseFromBase(base, "vec_id", "embedding",
       dsub = 8, cells = 16)
-    (0 until 4).map { i =>
-        Similarity.ivfPqEncode(emb.filter(pmod(col("vec_id"), lit(4)) === i),
-          cc, cb, "vec_id", "embedding", dsub = 8)
-      }
-      .reduce(_.unionByName(_))
+    // one scan: shard key computed in-flight, corpus laid out by shard
+    // (4 partitions, one per shard), encode runs per-partition against
+    // the broadcast frozen geometry — no cross-shard exchange after
+    // this point
+    val sharded = emb
+      .withColumn("shard", pmod(col("vec_id"), lit(4)))
+      .repartition(4, col("shard"))
+      .drop("shard")
+    Similarity.ivfPqEncode(sharded, cc, cb, "vec_id", "embedding", dsub = 8)
       .orderBy(col("n_id"), col("sub"))
   }
 

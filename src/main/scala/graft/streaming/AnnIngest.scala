@@ -44,18 +44,35 @@ import graft.ops.Similarity
   * folded postings without the dead rows (erasure rides the rewrite
   * the store pays anyway).
   *
-  * ERASURE BOUNDARY (r15, VERDICT r14 #2): the takedown erases BOTH
-  * sensitive artifacts — the serving postings AND the raw embedding
-  * in the gate's vector store (its fold also anti-joins the
-  * tombstones, and the gate's verify fetch hides tombstoned ids so
-  * decisions don't depend on fold timing). What survives a takedown
-  * is only the band index: SRP band codes are non-invertible hashes
-  * that cannot reconstruct the content, retained as the audit trail
-  * of ingest history. The documented consequence: without the raw
-  * vector no candidate against a deleted id can cosine-verify, so a
-  * re-upload of deleted content IS re-admitted — a takedown genuinely
-  * forgets the content rather than keeping its bytes to veto
-  * re-uploads (the GDPR-posture trade, spec-pinned in
+  * ERASURE BOUNDARY (r15, VERDICT r14 #2; quantified r16, VERDICT r15
+  * #8): the takedown erases BOTH sensitive artifacts — the serving
+  * postings AND the raw embedding in the gate's vector store (its
+  * fold also anti-joins the tombstones, and the gate's verify fetch
+  * hides tombstoned ids so decisions don't depend on fold timing).
+  * What survives a takedown is only the band index, retained as the
+  * audit trail of ingest history. What that retention actually keeps,
+  * in bits: a vector's band rows carry bands × bitsPerBand sign bits
+  * (the registry's gate: 96 × 8 = 768 bits) versus the dims × 32-bit
+  * floats erased (64 × 32 = 2048 bits) — and the band-index SCHEMA
+  * has no vector-valued column at all (`(vec_id, bucket)` + the
+  * `bgrp` partition; spec-pinned in StreamingSpec), so no residual or
+  * coordinate of the erased vector exists anywhere in the surviving
+  * store. Each retained bit is the SIGN of the dot product against a
+  * fixed public hyperplane ([[graft.functions.SrpBands]]): the exact
+  * coordinates and the magnitude are information-theoretically gone
+  * (768 one-bit constraints cannot pin 2048 bits), and the
+  * best-possible adversary — one-bit compressed-sensing
+  * reconstruction from all 768 known hyperplanes — recovers at most a
+  * coarse DIRECTION estimate, never the stored values. A deployment
+  * for which even a direction sketch is over the line simply extends
+  * the tombstone anti-join to the band-index fold (one more
+  * `tombstones =` argument below) and trades away the audit trail;
+  * this pipeline keeps the codes because the gate's decisions are
+  * otherwise unauditable after erasure. The documented consequence:
+  * without the raw vector no candidate against a deleted id can
+  * cosine-verify, so a re-upload of deleted content IS re-admitted —
+  * a takedown genuinely forgets the content rather than keeping its
+  * bytes to veto re-uploads (the GDPR-posture trade, spec-pinned in
   * StreamingSpec's erased-predecessor test).
   *
   * Idempotence: the [[GateStores]] discipline — per-batch Overwrite

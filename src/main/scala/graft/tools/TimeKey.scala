@@ -35,8 +35,11 @@ object TimeKey {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     args.drop(1).foreach { k =>
       val run: () => Unit =
-        if (k.startsWith("_derive_")) () => { derives(k)(spark, d): Unit }
-        else () => { graft.SparkEntry.queries(k)(spark, d).count(): Unit }
+        if (k.startsWith("_derive_")) {
+          val fn = derives.getOrElse(k, throw new IllegalArgumentException(
+            s"unknown derive '$k' — valid: ${derives.keys.toSeq.sorted.mkString(", ")}"))
+          () => { fn(spark, d): Unit }
+        } else () => { graft.SparkEntry.queries(k)(spark, d).count(): Unit }
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         run()

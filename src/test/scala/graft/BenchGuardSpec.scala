@@ -37,4 +37,28 @@ class BenchGuardSpec extends AnyFunSuite {
     val cur = Map("q_a" -> 2.5, "q_b" -> 4.0)
     assert(Bench.regressionFlags(cur, prior).map(_._1) == Seq("q_b", "q_a"))
   }
+
+  test("parseNumberMap accepts scientific notation (formatter drift parses, not aborts)") {
+    val json = """{"queries_normalized":{"q_a":1.5e-3,"q_b":2E+1,"q_c":7}}"""
+    assert(Bench.parseNumberMap(json, "queries_normalized") ==
+      Map("q_a" -> 0.0015, "q_b" -> 20.0, "q_c" -> 7.0))
+  }
+
+  test("parseNumberMap fails loud on a truncated/non-flat field (guard cannot be silently disabled)") {
+    // a nested object inside the field cuts the [^}]* capture short,
+    // leaving an unfinished entry — must throw, not return a partial map
+    val nested = """{"queries_normalized":{"q_a":1.0,"q_b":{"cur":2.0}}}"""
+    val e1 = intercept[IllegalStateException] {
+      Bench.parseNumberMap(nested, "queries_normalized")
+    }
+    assert(e1.getMessage.contains("queries_normalized"))
+    // a non-numeric value is equally a shape drift
+    val text = """{"queries_normalized":{"q_a":1.0,"q_b":"fast"}}"""
+    intercept[IllegalStateException] {
+      Bench.parseNumberMap(text, "queries_normalized")
+    }
+    // the empty map stays valid
+    assert(Bench.parseNumberMap("""{"queries_normalized":{}}""",
+      "queries_normalized") == Map.empty)
+  }
 }

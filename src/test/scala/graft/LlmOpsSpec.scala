@@ -671,13 +671,27 @@ class LlmOpsSpec extends AnyFunSuite {
         "vec_id", "embedding", dsub = 8)
       .orderBy(col("n_id"), col("sub"))
       .as[(Long, Long, Int, Long)].collect().toSeq
-    val merged = graft.SparkEntry.queries("q_ann_ivfpq_shard_merge")(spark, d)
+    // the law itself: four genuinely independent encode jobs (each its
+    // own plan over its own shard filter — no shared shuffle), bag-union
+    val merged = (0 until 4).map { i =>
+        graft.ops.Similarity.ivfPqEncode(
+          emb.filter(pmod(col("vec_id"), lit(4)) === i), cc, cb,
+          "vec_id", "embedding", dsub = 8)
+      }
+      .reduce(_.unionByName(_))
+      .orderBy(col("n_id"), col("sub"))
       .as[(Long, Long, Int, Long)].collect().toSeq
     assert(merged == single,
       "shard-merged postings must equal the single-pass encode")
     val nVecs = emb.count()
     assert(merged.map(_._2).distinct.size == nVecs,
       "the merged index must cover every corpus vector exactly once")
+    // the registry key's single-scan form (shard key + repartition —
+    // the honest no-read-amplification recipe) lands the same rows
+    val keyRows = graft.SparkEntry.queries("q_ann_ivfpq_shard_merge")(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(keyRows == single,
+      "the single-scan sharded form must equal the single-pass encode")
   }
 
   test("stream-served queries: a taken-down vector is never served, tombstoned queries still query, shape is top-5 x 20") {

@@ -959,9 +959,23 @@ class StreamingSpec extends AnyFunSuite {
     // non-invertible audit trail of ingest history (the documented
     // erasure boundary); pin it so a future edit can't silently flip it
     val idxDir = graft.model.Scratch.dir("ann_ingest_del_idx", sf)
-    assert(graft.streaming.GateStores.readStoreOpt(spark, idxDir).get
-        .select($"vec_id").as[Long].collect().exists(dead),
+    val idxStore = graft.streaming.GateStores.readStoreOpt(spark, idxDir).get
+    assert(idxStore.select($"vec_id").as[Long].collect().exists(dead),
       "band codes of deleted ids are the retained (non-invertible) audit trail")
+    // the quantified retention boundary (r16, VERDICT r15 #8): what the
+    // audit trail keeps is scalar band codes ONLY — the schema has no
+    // vector-valued column, so no coordinate or residual of an erased
+    // embedding can exist anywhere in the surviving band index (96
+    // bands × 8 sign bits = 768 bits of sign-hash per vector vs the
+    // 64 × 32 = 2048 erased float bits; see AnnIngest's erasure-boundary
+    // scaladoc for the reconstruction bound)
+    idxStore.schema.fields.foreach { f =>
+      assert(!f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType],
+        s"band-index column '${f.name}' is vector-valued (${f.dataType}) — " +
+          "the retained audit trail must hold scalar sign-hash codes only")
+    }
+    assert(idxStore.columns.toSet == Set("vec_id", "bucket", "bgrp"),
+      s"band-index schema drifted: ${idxStore.columns.mkString(",")}")
     // restart in the worst window: killed right after the TOMBSTONES
     // land (batch 1's stores + takedown written, checkpoint uncommitted)
     val ckpt = graft.model.Scratch.dir("ann_del_restart_ckpt", sf)
