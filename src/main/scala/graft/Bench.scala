@@ -125,6 +125,7 @@ object Bench {
     "q_stream_ann_ingest",
     "q_stream_ann_delete",
     "q_stream_ann_query",
+    "q_stream_ann_recall",
     "q_ann_ivf_incremental",
     "q_ann_recall_eval",
     "q_ann_param_sweep",

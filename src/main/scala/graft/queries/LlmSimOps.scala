@@ -565,6 +565,47 @@ private[queries] object LlmSimOps {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  /** SERVING-STORE RECALL (r16, VERDICT r15 #1): recall@5 of the
+    * stream-built, takedown-filtered store — the question a vector-DB
+    * user actually asks of the index they serve from. [[qStreamAnnQuery]]
+    * proves the serve loop is deterministic; THIS key measures whether
+    * serving quality survives gate rejections + takedowns: the ground
+    * truth is the exact-L2 top-5 over the ADMITTED-AND-SURVIVING
+    * corpus (the only vectors the store can possibly return — rejected
+    * and tombstoned vectors are not recall misses, they are absent by
+    * contract), and the approx side is the full frozen-geometry serve
+    * path over the surviving postings. Both operands are
+    * deterministic, so the recall NUMBERS hash-gate (the
+    * `q_ann_recall_eval` discipline applied to the streaming store);
+    * the ≥0.8 quality bar is spec-pinned in LlmOpsSpec.
+    */
+  private[queries] val qStreamAnnRecall: Q = (s, d) => {
+    val post = graft.streaming.AnnIngest.replayAnnIngestDelete(s, d,
+      threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits, dims = 64,
+      cells = 16, m = 8, ks = 16, refineIters = 1)
+      .localCheckpoint(true)
+    val cb = graft.streaming.AnnIngest.deleteGeometry(s, d)
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 20)
+    // admitted-and-surviving = exactly the ids with live postings
+    val survivors = emb.join(
+      post.select(col("n_id").as("vec_id")).distinct(), Seq("vec_id"))
+    val exact = Similarity.bruteForceTopKL2(survivors, queries,
+        "vec_id", "embedding", k = 5)
+      .select(col("q_id"), col("n_id"))
+    val approx = Similarity.ivfPqQuery(post, cb, emb, queries,
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
+        m = 8, shortlist = 50)
+      .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("q_id", "n_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"),
+        count(lit(1)).as("k"))
+      .select(col("q_id"), col("hits"),
+        expr("hits * 1000000 DIV k").as("recall_ppm"))
+      .orderBy(col("q_id"))
+  }
+
   /** Incremental IVF insert: the corpus splits into a BASE build
     * (vec_id % 10 ≠ 0) and a newly-arrived batch (vec_id % 10 = 0);
     * centroids freeze at build time over the base, the batch assigns
@@ -1456,7 +1497,21 @@ private[queries] object LlmSimOps {
   private[queries] def streamAnnQuerySql(threshold: Double, bands: Int,
       bits: Int, dims: Int, m: Int, ks: Int, cells: Int, slices: Int,
       deleteAfter: Long, modulo: Long, residue: Long,
-      nprobe: Int, k: Int, shortlist: Int): String = {
+      nprobe: Int, k: Int, shortlist: Int): String =
+    s"""WITH ${streamServeCtes(threshold, bands, bits, dims, m, ks, cells,
+          slices, deleteAfter, modulo, residue, nprobe, shortlist)}
+       |SELECT q_id, n_id, rnk, d2
+       |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+
+  /** The end-to-end serving pipeline (gate → frozen fit/encode →
+    * tombstone filter `vis` → probe/LUT/ADC/shortlist → exact re-rank
+    * `f`) as a reusable CTE chain — shared by [[streamAnnQuerySql]] and
+    * [[streamAnnRecallSql]] so the serve rule has ONE statement.
+    */
+  private def streamServeCtes(threshold: Double, bands: Int,
+      bits: Int, dims: Int, m: Int, ks: Int, cells: Int, slices: Int,
+      deleteAfter: Long, modulo: Long, residue: Long,
+      nprobe: Int, shortlist: Int): String = {
     val dsub = dims / m
     val cut = "(SELECT cut FROM mx)"
     val rejExclude =
@@ -1464,7 +1519,7 @@ private[queries] object LlmSimOps {
          |      AND NOT (a.vec_id % $modulo = $residue
          |        AND a.vec_id < ${deleteAfter + 1} * $cut
          |        AND b.vec_id >= ${deleteAfter + 1} * $cut)""".stripMargin
-    s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
+    s"""mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
        |${streamGateCtes(threshold, bands, bits, dims, rejExclude)},
        |${latticeCte(dsub)},
        |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
@@ -1524,10 +1579,45 @@ private[queries] object LlmSimOps {
        |      CAST(qn2 - 2 * dot + nn2 AS BIGINT) AS d2,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY qn2 - 2 * dot + nn2 ASC, n_id ASC) AS rnk
-       |    FROM pd JOIN qn2 USING (q_id) JOIN nn2 USING (n_id))
-       |SELECT q_id, n_id, rnk, d2
-       |FROM f WHERE rnk <= $k ORDER BY q_id, rnk""".stripMargin
+       |    FROM pd JOIN qn2 USING (q_id) JOIN nn2 USING (n_id))""".stripMargin
   }
+
+  /** Oracle for `q_stream_ann_recall` — the serving-quality statement:
+    * the full [[streamServeCtes]] pipeline (ingest gate → takedown →
+    * frozen-geometry serve) scored against the exact-L2 top-k over the
+    * ADMITTED-AND-SURVIVING corpus (`vis`'s distinct ids — the set the
+    * store can possibly serve), per-query overlap in exact integer
+    * ppm. Ground truth deliberately restricts to survivors: recall of
+    * the serving store is "of what it holds, how much does it find",
+    * not "does a takedown lower recall against vectors that no longer
+    * exist".
+    */
+  private[queries] def streamAnnRecallSql(threshold: Double, bands: Int,
+      bits: Int, dims: Int, m: Int, ks: Int, cells: Int, slices: Int,
+      deleteAfter: Long, modulo: Long, residue: Long,
+      nprobe: Int, k: Int, shortlist: Int): String =
+    s"""WITH ${streamServeCtes(threshold, bands, bits, dims, m, ks, cells,
+          slices, deleteAfter, modulo, residue, nprobe, shortlist)},
+       |surv AS (SELECT DISTINCT n_id AS vec_id FROM vis),
+       |bf AS (SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        CAST(floor(1e9 * (list_dot_product(q.v, q.v)
+       |          - 2 * list_dot_product(q.v, n.v)
+       |          + list_dot_product(n.v, n.v))) AS BIGINT) ASC,
+       |        n.vec_id ASC) AS rnk
+       |    FROM e q JOIN e n ON q.vec_id < 20 AND n.vec_id <> q.vec_id
+       |      AND n.vec_id IN (SELECT vec_id FROM surv))
+       |    WHERE rnk <= $k),
+       |ap AS (SELECT q_id, n_id FROM f WHERE rnk <= $k),
+       |j AS (SELECT bf.q_id,
+       |      CAST(count(*) AS BIGINT) AS k,
+       |      CAST(sum(CASE WHEN ap.n_id IS NULL THEN 0 ELSE 1 END)
+       |        AS BIGINT) AS hits
+       |    FROM bf LEFT JOIN ap ON ap.q_id = bf.q_id AND ap.n_id = bf.n_id
+       |    GROUP BY 1)
+       |SELECT q_id, hits, hits * 1000000 // k AS recall_ppm
+       |FROM j ORDER BY q_id""".stripMargin
 
   /** Oracle for `q_ivfpq_cell_stats`: the shared coarse CTEs reduced to
     * the per-cell membership histogram.
@@ -1625,6 +1715,7 @@ private[queries] object LlmSimOps {
     "q_stream_ann_ingest" -> qStreamAnnIngest,
     "q_stream_ann_delete" -> qStreamAnnDelete,
     "q_stream_ann_query" -> qStreamAnnQuery,
+    "q_stream_ann_recall" -> qStreamAnnRecall,
     "q_ann_ivf_incremental" -> qAnnIvfIncremental,
     "q_ann_recall_eval" -> qAnnRecallEval,
     "q_ann_param_sweep" -> qAnnParamSweep,
@@ -1692,6 +1783,13 @@ private[queries] object LlmSimOps {
       modulo = graft.streaming.AnnIngest.DeleteMod,
       residue = graft.streaming.AnnIngest.DeleteResidue),
     "q_stream_ann_query" -> streamAnnQuerySql(0.4, EmbBands, EmbBits,
+      dims = 64, m = 8, ks = 16, cells = 16,
+      slices = graft.streaming.AnnIngest.Slices,
+      deleteAfter = graft.streaming.AnnIngest.DeleteAfterBatch,
+      modulo = graft.streaming.AnnIngest.DeleteMod,
+      residue = graft.streaming.AnnIngest.DeleteResidue,
+      nprobe = 4, k = 5, shortlist = 50),
+    "q_stream_ann_recall" -> streamAnnRecallSql(0.4, EmbBands, EmbBits,
       dims = 64, m = 8, ks = 16, cells = 16,
       slices = graft.streaming.AnnIngest.Slices,
       deleteAfter = graft.streaming.AnnIngest.DeleteAfterBatch,

@@ -48,6 +48,7 @@ object Soak {
     "q_ann_ivfpq_delete", "q_ann_ivfpq_delete_stats",
     "q_ann_ivfpq_append", "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest", "q_stream_ann_delete", "q_stream_ann_query",
+    "q_stream_ann_recall",
     "q_ann_ivf_incremental", "q_ann_recall_eval", "q_stream_emb_gate",
     // text / stats heavies
     "q_tfidf", "q_cluster_topics", "q_ks_test", "q_weighted_median",

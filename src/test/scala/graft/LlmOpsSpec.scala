@@ -717,4 +717,49 @@ class LlmOpsSpec extends AnyFunSuite {
       perQuery.values.forall(_.map(_._3).sorted == (1 to 5)),
       "every query must serve a full top-5")
   }
+
+  test("stream-store recall: floor at the serving config, no degradation vs the batch index, exhaustive probe is exact") {
+    // VERDICT r15 #1: does serving quality survive gate rejections +
+    // takedowns? Three laws, weakest to strongest:
+    // (1) absolute floor: mean recall@5 of the serving path at its
+    //     production config (nprobe 4/16, shortlist 50) stays ≥ 0.75 at
+    //     fixture scale (measured 0.78; the batch-built index itself
+    //     reads 0.82 here — the limit is probe width, not the store);
+    // (2) the store does not DEGRADE recall: stream-built +
+    //     takedown-filtered serving recalls within 0.05 of the
+    //     batch-built full-corpus index at the same parameters — gate
+    //     rejections and takedowns shrink cells but must not corrupt
+    //     what remains;
+    // (3) exhaustive probe + unbound shortlist over the SURVIVING
+    //     corpus recovers recall 1.0 — every miss at production config
+    //     is cell pruning, never a lost or mis-encoded posting.
+    val d = "/root/testdata/sf0.001"
+    val streamRecall = graft.SparkEntry.queries("q_stream_ann_recall")(spark, d)
+      .agg(avg($"recall_ppm")).as[Double].head() / 1e6
+    val batchRecall = graft.SparkEntry.queries("q_ann_recall_eval")(spark, d)
+      .agg(avg($"recall_ppm")).as[Double].head() / 1e6
+    info(f"mean recall@5: stream store $streamRecall%.3f, batch index $batchRecall%.3f")
+    assert(streamRecall >= 0.75,
+      f"serving-store recall floor: $streamRecall%.3f < 0.75")
+    assert(streamRecall >= batchRecall - 0.05,
+      f"stream store degraded recall: $streamRecall%.3f vs batch $batchRecall%.3f")
+    // (3): same store, probe everything, rank everything
+    val post = graft.streaming.AnnIngest.replayAnnIngestDelete(spark, d,
+      threshold = 0.4, bands = 96, bitsPerBand = 8, dims = 64,
+      cells = 16, m = 8, ks = 16, refineIters = 1)
+    val cb = graft.streaming.AnnIngest.deleteGeometry(spark, d)
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val queries = emb.filter($"vec_id" < 20)
+    val survivors = emb.join(
+      post.select($"n_id".as("vec_id")).distinct(), Seq("vec_id"))
+    val exact = Similarity.bruteForceTopKL2(survivors, queries,
+        "vec_id", "embedding", k = 5)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    val exhaustive = Similarity.ivfPqQuery(post, cb, emb, queries,
+        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 16,
+        m = 8, shortlist = 1000000)
+      .select($"q_id", $"n_id").as[(Long, Long)].collect().toSet
+    assert((exact & exhaustive).size == exact.size,
+      "exhaustive probe over the surviving store must recover the exact top-k")
+  }
 }
