@@ -120,6 +120,7 @@ object Bench {
     "q_ivfpq_cell_stats",
     "q_ann_ivfpq_delete",
     "q_ann_ivfpq_delete_stats",
+    "q_ann_ivfpq_retrain",
     "q_ann_ivfpq_append",
     "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest",

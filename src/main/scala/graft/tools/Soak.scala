@@ -46,6 +46,7 @@ object Soak {
     "q_dedup_embedding", "q_cosine_topk", "q_ann_ivf", "q_ann_lsh",
     "q_ann_pq", "q_ann_ivfpq", "q_ann_ivfpq_read", "q_ivfpq_cell_stats",
     "q_ann_ivfpq_delete", "q_ann_ivfpq_delete_stats",
+    "q_ann_ivfpq_retrain",
     "q_ann_ivfpq_append", "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest", "q_stream_ann_delete", "q_stream_ann_query",
     "q_stream_ann_recall",

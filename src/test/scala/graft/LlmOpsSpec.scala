@@ -694,6 +694,64 @@ class LlmOpsSpec extends AnyFunSuite {
       "the single-scan sharded form must equal the single-pass encode")
   }
 
+  test("geometry retrain: trigger fires on skew only; retrain = fresh build via versioned cutover; old geometry vacuumed") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = "/root/testdata/sf0.001"
+    // (1) the trigger consumes the maintained stats: fires on the
+    // fixture's post-takedown skew, stays quiet on a balanced index
+    val skewed = graft.SparkEntry.queries("q_ann_ivfpq_delete_stats")(spark, d)
+    assert(graft.ops.AnnIndexLifecycle.shouldRetrain(skewed, 1.1),
+      "the fixture's post-delete stats must trip the imbalance trigger")
+    val balanced = Seq((0L, 10L), (1L, 10L), (2L, 10L))
+      .toDF("cell_id", "n_members")
+    assert(!graft.ops.AnnIndexLifecycle.shouldRetrain(balanced, 1.1),
+      "a perfectly balanced index must not pay a retrain")
+    assert(!graft.ops.AnnIndexLifecycle.shouldRetrain(
+        balanced.filter(col("cell_id") < 0), 1.1),
+      "empty stats (no index) must not trigger")
+    // (2) the law: the key's output (rebuild -> versioned write ->
+    // pointer flip -> read-back) equals a fresh in-engine build over
+    // the surviving corpus, row for row
+    val emb = graft.model.Tables.embeddings(spark, d)
+    val survivors = emb.filter(col("vec_id") % 7 =!= 3)
+    val (freshPostings, freshCb) = Similarity.ivfPqBuild(survivors, "vec_id",
+      "embedding", dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1)
+    val fresh = freshPostings
+      .select(col("cell_id").cast("long"), col("n_id"),
+        col("sub").cast("int"), col("cid"))
+      .orderBy(col("n_id"), col("sub"))
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    val retrained = graft.SparkEntry.queries("q_ann_ivfpq_retrain")(spark, d)
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(retrained == fresh,
+      "post-retrain index must equal a fresh build on the surviving corpus")
+    assert(!retrained.exists(_._2 % 7 == 3),
+      "no tombstoned id may appear in the retrained index")
+    // (3) atomic cutover + vacuum: a second retrain advances the
+    // version pointer and the superseded geometry directory is GONE
+    val path = graft.model.Scratch.dir("ann_geo_retrain", d)
+    val v1 = graft.ops.Sinks.latestVersion(spark, path).get
+    graft.SparkEntry.queries("q_ann_ivfpq_retrain")(spark, d).count()
+    val v2 = graft.ops.Sinks.latestVersion(spark, path).get
+    assert(v2 == v1 + 1, "each retrain lands as the next version")
+    assert(!new java.io.File(s"$path/v=$v1").exists(),
+      "keepVersions=1: the superseded geometry version must be vacuumed")
+    // the packed store carries BOTH halves of the geometry: the
+    // retrained residual codebook (kind=c) beside the postings the key
+    // outputs — row-identical to the fresh build's codebook
+    val packed = graft.ops.Sinks.readVersioned(spark, path, Some(v2))
+    val storedCb = packed.filter(col("kind") === "c")
+      .select(col("sub").cast("int"), col("cid"), col("pos"), col("ce"))
+      .orderBy("sub", "cid", "pos")
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    val expectCb = freshCb
+      .select(col("sub").cast("int"), col("cid"), col("pos"), col("ce"))
+      .orderBy("sub", "cid", "pos")
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    assert(storedCb.nonEmpty && storedCb == expectCb,
+      "the new version must carry the retrained residual codebook verbatim")
+  }
+
   test("stream-served queries: a taken-down vector is never served, tombstoned queries still query, shape is top-5 x 20") {
     // The serving end of q_stream_ann_query (the oracle pins
     // exactness; this pins the TAKEDOWN LAW at the serving surface):
@@ -723,8 +781,9 @@ class LlmOpsSpec extends AnyFunSuite {
     // takedowns? Three laws, weakest to strongest:
     // (1) absolute floor: mean recall@5 of the serving path at its
     //     production config (nprobe 4/16, shortlist 50) stays ≥ 0.75 at
-    //     fixture scale (measured 0.78; the batch-built index itself
-    //     reads 0.82 here — the limit is probe width, not the store);
+    //     fixture scale (measured 0.79 post-seed-fix; the batch-built
+    //     index itself reads 0.80 here — the limit is probe width +
+    //     shortlist, not the store);
     // (2) the store does not DEGRADE recall: stream-built +
     //     takedown-filtered serving recalls within 0.05 of the
     //     batch-built full-corpus index at the same parameters — gate
