@@ -27,7 +27,7 @@ FOLDS = 100
 SHIFT = 10000000
 
 
-TABLES_SF10 = ["documents", "events"]
+TABLES_SF10 = ["documents", "events", "embeddings"]
 
 
 # ---------------------------------------------------------------------

@@ -124,6 +124,7 @@ object Bench {
     "q_ann_ivfpq_append",
     "q_ann_ivfpq_shard_merge",
     "q_stream_ann_ingest",
+    "q_stream_ann_ingest_wide",
     "q_stream_ann_delete",
     "q_stream_ann_query",
     "q_stream_ann_recall",

@@ -570,6 +570,42 @@ private[queries] object LlmSimOps {
       bands = EmbBands, bitsPerBand = EmbBits, dims = 64, cells = 16,
       m = 8, ks = 16, refineIters = 1)
 
+  /** Gate parameters for the WIDE-BAND scale variant: at 96 bands × 8
+    * bits (tuned for the zero-margin 0.4 threshold at corpus-sample
+    * scale) two RANDOM vectors share a band with probability
+    * 1 − (1 − 2⁻⁸)⁹⁶ ≈ 0.31 — the verify join is ~31% of ALL pairs,
+    * a quadratic death sentence past ~10⁵ vectors. The deployment
+    * configuration for a large corpus gates TRUE near-dups
+    * (threshold 0.9) with few, deep bands: 16 bands × 16 bits puts the
+    * background collision rate at ~16·2⁻¹⁶ ≈ 2.4·10⁻⁴ (≈5M candidate
+    * pairs at 200k vectors — linear-ish in practice) while a cos ≥ 0.9
+    * near-dup still collides with ~75% probability per arrival. Same
+    * code, same stores, same oracle discipline — only the constants
+    * move, which is exactly the knob a 100 TB deployment turns.
+    */
+  private[queries] val WideBands = 16
+  private[queries] val WideBits = 16
+  private[queries] val WideThreshold = 0.9
+
+  /** The streaming ANN ingest at the SCALE configuration (r16, VERDICT
+    * r15 #3): [[qStreamAnnIngest]]'s exact machinery — gate, frozen
+    * geometry, durable postings, snapshot folds — replayed with
+    * [[WideBands]]×[[WideBits]] banding at threshold [[WideThreshold]].
+    * This is the variant the SF10 soak drives over the 100-fold
+    * embeddings corpus (200k vectors), where the snapshot dominates
+    * the store and the 96×8 gate's ~31%-of-all-pairs candidate rate
+    * would be quadratic; its committed oracle states the band-collision
+    * candidate rule via unnest + code equi-join (semantically identical
+    * to `list_has_any`, and the form DuckDB executes at 200k vectors
+    * without a nested-loop pair scan — the same banded-equi-join shape
+    * the Spark side runs).
+    */
+  private[queries] val qStreamAnnIngestWide: Q = (s, d) =>
+    graft.streaming.AnnIngest.replayAnnIngest(s, d,
+      threshold = WideThreshold, bands = WideBands, bitsPerBand = WideBits,
+      dims = 64, cells = 16, m = 8, ks = 16, refineIters = 1,
+      ns = "ann_ingest_wide")
+
   /** Streaming ingest WITH A TAKEDOWN: the same replay, but after batch
     * [[graft.streaming.AnnIngest.DeleteAfterBatch]] commits, every
     * arrived id ≡ 3 (mod 7) is tombstoned — hidden from all subsequent
@@ -1524,6 +1560,53 @@ private[queries] object LlmSimOps {
        |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
        |    WHERE rej.vec_id IS NULL)""".stripMargin
 
+  /** The streaming embedding gate's decision rule in the SCALABLE
+    * candidate form: band codes unnest to `(vec_id, code)` rows and
+    * candidates come from a DISTINCT code equi-join — semantically
+    * identical to [[streamGateCtes]]'s `list_has_any` (a pair shares
+    * ≥1 tagged code iff some unnested code matches) but executable as
+    * a hash join at any corpus size, the exact shape the Spark side
+    * runs. Used by the wide-band scale variant whose soak corpus
+    * (200k vectors) a nested-loop pair scan cannot cover.
+    */
+  private def streamGateCtesEquiJoin(threshold: Double, bands: Int,
+                                     bits: Int, dims: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |cg AS MATERIALIZED (SELECT vec_id, v,
+       |      ${srpCodeListSql(bands, bits, dims)} AS ct FROM e),
+       |u AS MATERIALIZED (SELECT vec_id, unnest(ct) AS code FROM cg),
+       |cand AS (SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+       |    FROM u a JOIN u b ON a.code = b.code
+       |      AND a.vec_id < b.vec_id),
+       |rej AS (SELECT DISTINCT vb AS vec_id
+       |    FROM cand JOIN cg a ON a.vec_id = cand.va
+       |      JOIN cg b ON b.vec_id = cand.vb
+       |    WHERE ${cosExpr("a", "b")} >= $threshold),
+       |adm AS (SELECT e.vec_id FROM e LEFT JOIN rej USING (vec_id)
+       |    WHERE rej.vec_id IS NULL)""".stripMargin
+
+  /** Oracle for `q_stream_ann_ingest_wide`: [[streamAnnIngestSql]]'s
+    * exact statement with the gate in the scalable equi-join form
+    * ([[streamGateCtesEquiJoin]]) — one statement covering gate
+    * decisions, geometry training, cell routing, and code assignment,
+    * runnable verbatim by DuckDB at the SF10 soak's 200k vectors.
+    */
+  private[queries] def streamAnnIngestWideSql(threshold: Double, bands: Int,
+                                              bits: Int, dims: Int, m: Int,
+                                              ks: Int, cells: Int,
+                                              slices: Int): String = {
+    val dsub = dims / m
+    s"""WITH mx AS (SELECT max(vec_id) // $slices + 1 AS cut FROM embeddings),
+       |${streamGateCtesEquiJoin(threshold, bands, bits, dims)},
+       |${latticeCte(dsub)},
+       |rb AS MATERIALIZED (SELECT r.* FROM r, mx WHERE r.vec_id < mx.cut),
+       |${frozenFitCtes(ks, cells)},
+       |ra AS MATERIALIZED (SELECT r.* FROM r
+       |    JOIN adm ON adm.vec_id = r.vec_id),
+       |${frozenEncodeSql("ra")}""".stripMargin
+  }
+
   /** Oracle for `q_stream_ann_delete`: the [[streamAnnIngestSql]]
     * restatement with TWO delete-rule sentences on top, exactly the
     * erasure contract the delete path promises. Tombstoned = ids
@@ -1791,6 +1874,7 @@ private[queries] object LlmSimOps {
     "q_ann_ivfpq_append" -> qAnnIvfPqAppend,
     "q_ann_ivfpq_shard_merge" -> qAnnIvfPqShardMerge,
     "q_stream_ann_ingest" -> qStreamAnnIngest,
+    "q_stream_ann_ingest_wide" -> qStreamAnnIngestWide,
     "q_stream_ann_delete" -> qStreamAnnDelete,
     "q_stream_ann_query" -> qStreamAnnQuery,
     "q_stream_ann_recall" -> qStreamAnnRecall,
@@ -1855,6 +1939,9 @@ private[queries] object LlmSimOps {
       ks = 16, cells = 16),
     "q_stream_ann_ingest" -> streamAnnIngestSql(0.4, EmbBands, EmbBits,
       dims = 64, m = 8, ks = 16, cells = 16,
+      slices = graft.streaming.AnnIngest.Slices),
+    "q_stream_ann_ingest_wide" -> streamAnnIngestWideSql(WideThreshold,
+      WideBands, WideBits, dims = 64, m = 8, ks = 16, cells = 16,
       slices = graft.streaming.AnnIngest.Slices),
     "q_stream_ann_delete" -> streamAnnDeleteSql(0.4, EmbBands, EmbBits,
       dims = 64, m = 8, ks = 16, cells = 16,

@@ -100,12 +100,17 @@ object AnnIngest {
   val DeleteMod = 7L
   val DeleteResidue = 3L
 
+  /** `ns` namespaces the scratch stores — the wide-band scale variant
+    * (`q_stream_ann_ingest_wide`) replays with its own stores so the
+    * two parameterizations never read each other's state.
+    */
   def replayAnnIngest(s: SparkSession, d: String, threshold: Double,
                       bands: Int, bitsPerBand: Int, dims: Int, cells: Int,
-                      m: Int, ks: Int, refineIters: Int): DataFrame =
+                      m: Int, ks: Int, refineIters: Int,
+                      ns: String = "ann_ingest"): DataFrame =
     replayInternal(s, d, threshold, bands, bitsPerBand, dims, cells, m, ks,
-      refineIters, ns = "ann_ingest",
-      ckpt = graft.model.Scratch.dir("ann_ingest_ckpt", d) + "/" +
+      refineIters, ns = ns,
+      ckpt = graft.model.Scratch.dir(s"${ns}_ckpt", d) + "/" +
         java.util.UUID.randomUUID().toString.take(8),
       wipeStores = true, crashAtBatch = None, delete = false)
 

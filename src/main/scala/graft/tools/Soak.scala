@@ -105,6 +105,24 @@ object Soak {
     }
     println(f"[soak] amplify: $ampSec%.1f s")
 
+    // Load calibration probes (r16, VERDICT r15 #7): q_filter_eq over
+    // the BASE dir (the bench calib keys' 0.09 s quiet floor) at each
+    // phase boundary, so a soak-target miss on this host's documented
+    // ~2x slow windows is attributable to load without a re-run.
+    val calibProbes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def probe(tag: String): Unit = {
+      val fn = graft.SparkEntry.queries("q_filter_eq")
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, baseDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      calibProbes += ((tag, ts(1)))
+      println(f"[soak] calib probe $tag: ${ts(1)}%.3f s (quiet floor 0.09)")
+    }
+    probe("start")
+
     // shared durable tables first, timed, so per-key readings report
     // steady-state cost (the Bench discipline)
     val derives = Seq[(String, () => Long)](
@@ -127,6 +145,7 @@ object Soak {
       (name, if (ok) sec else -1.0)
     }
 
+    probe("post-derive")
     val results = keys.filter(k => only.isEmpty || only(k)).map { name =>
       val fn = graft.SparkEntry.queries(name)
       val (t1, ok1) = timed(fn(spark, soakDir).count())
@@ -156,8 +175,12 @@ object Soak {
       .filter { case (k, _) => keys.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    probe("end")
+    val calibJson = calibProbes.map { case (tag, sec) =>
+      s"""{"tag":${q(tag)},"sec":${f(sec)}}"""
+    }.mkString("[", ",", "]")
     val timings =
-      s"""{"amplify_sec":${f(ampSec)},"derive":${
+      s"""{"amplify_sec":${f(ampSec)},"calib_probes":$calibJson,"calib_floor":0.09,"derive":${
         derives.map { case (k, t) => s"${q(k)}:${f(t)}" }.mkString("{", ",", "}")
       },"queries":${
         results.map { case (k, t1, t2) =>

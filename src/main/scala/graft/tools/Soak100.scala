@@ -67,6 +67,22 @@ object Soak100 {
     */
   val gateKeys: Seq[String] = Seq("q_stream_ingest_gate")
 
+  /** The ANN-gate tier (r16, VERDICT r15 #3): the full streaming ANN
+    * ingest — gate + frozen-geometry encode + durable postings +
+    * snapshot folds — over the 100-fold embeddings corpus (200k
+    * vectors), the one scale where the SNAPSHOT dominates the store
+    * (vector store ~100 MB, band index 3.2M postings). Runs the
+    * WIDE-BAND parameterization (`q_stream_ann_ingest_wide`: 16 bands
+    * × 16 bits at threshold 0.9 — see its scaladoc for why 96×8 is a
+    * quadratic death sentence at this corpus size), whose committed
+    * oracle is stated in the equi-join candidate form DuckDB executes
+    * verbatim at 200k vectors — no per-key override, no equivalence
+    * proof needed. The forced PruneStoreBytes knob drives the
+    * candidates-pruned vector-store fetch (the 100 TB branch) and the
+    * fold stderr timings attribute the compaction share.
+    */
+  val annGateKeys: Seq[String] = Seq("q_stream_ann_ingest_wide")
+
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val soakDir = if (args.length > 1) args(1) else "target/soak_sf10"
@@ -104,16 +120,35 @@ object Soak100 {
       spark.catalog.clearCache()
     }
 
-    // the keys read documents + events only — amplify just those tables
-    // (the marker records the covered set, so a re-run over an older
-    // documents-only soak dir amplifies the missing events table)
+    // the keys read documents + events + embeddings only — amplify just
+    // those tables (the marker records the covered set, so a re-run over
+    // an older documents-only soak dir amplifies the missing tables)
     val (ampSec, _) = timed {
       graft.ops.ScaleFold.amplify(spark, baseDir, soakDir, folds = Folds,
-        tables = Seq("documents", "events"))
+        tables = Seq("documents", "events", "embeddings"))
     }
-    println(f"[soak100] amplify (documents+events x$Folds): $ampSec%.1f s")
+    println(f"[soak100] amplify (documents+events+embeddings x$Folds): $ampSec%.1f s")
 
-    val allKeys = keys ++ eventKeys ++ gateKeys
+    // Load calibration probes (r16, VERDICT r15 #7): soak targets are
+    // raw wall-clock on a host with documented multi-hour ~2x windows —
+    // a q_filter_eq probe over the BASE dir (same 0.09 s quiet floor as
+    // Bench's calib keys) at each phase boundary lets a future target
+    // miss be attributed to load without a re-run.
+    val calibProbes =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def probe(tag: String): Unit = {
+      val fn = graft.SparkEntry.queries("q_filter_eq")
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, baseDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      calibProbes += ((tag, ts(1)))
+      println(f"[soak100] calib probe $tag: ${ts(1)}%.3f s (quiet floor 0.09)")
+    }
+    probe("start")
+
+    val allKeys = keys ++ eventKeys ++ gateKeys ++ annGateKeys
     val pruneBefore = graft.streaming.GateStores.prunedFetches.get()
     val results = allKeys.filter(graft.SparkEntry.queries.contains).map { name =>
       val fn = graft.SparkEntry.queries(name)
@@ -144,10 +179,14 @@ object Soak100 {
       .filter { case (k, _) => allKeys.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracle)
+    probe("end")
     val prunedDelta = graft.streaming.GateStores.prunedFetches.get() - pruneBefore
     println(s"[soak100] pruned store fetches this run: $prunedDelta")
+    val calibJson = calibProbes.map { case (tag, sec) =>
+      s"""{"tag":${q(tag)},"sec":${f(sec)}}"""
+    }.mkString("[", ",", "]")
     val timings =
-      s"""{"amplify_sec":${f(ampSec)},"pruned_fetches":$prunedDelta,"queries":${
+      s"""{"amplify_sec":${f(ampSec)},"pruned_fetches":$prunedDelta,"calib_probes":$calibJson,"calib_floor":0.09,"queries":${
         results.map { case (k, t1, t2) =>
           s"${q(k)}:{" + "\"first\":" + f(t1) + ",\"warm_write\":" + f(t2) + "}"
         }.mkString("{", ",", "}")
