@@ -166,8 +166,11 @@ def rule_sql(table, base_dir, cols, folds=10):
             # soak (the historical rule), +4 at two digits (SF10)
             sel.append("n_chars + 2 + len(CAST(k AS VARCHAR)) AS n_chars")
         elif table == "embeddings" and c == "embedding":
-            sel.append(f"[CAST(CAST(x AS DOUBLE) + k * {EMB_EPS} AS FLOAT)"
-                       f" for x in embedding] AS embedding")
+            # (k % 10): the bounded perturbation alphabet (r16) -- a
+            # no-op at the ~SF1 soak's 10 folds, the anti-collapse rule
+            # at SF10's 100 (see ScaleFold.scala's embeddings rule)
+            sel.append(f"[CAST(CAST(x AS DOUBLE) + k % 10 * {EMB_EPS} "
+                       f"AS FLOAT) for x in embedding] AS embedding")
         else:
             sel.append(c)
     return (f"SELECT {', '.join(sel)} FROM '{base_dir}/{table}.parquet', "

@@ -26,18 +26,36 @@ import org.apache.spark.sql.functions._
   *                n_chars + 2 + digits(k) (= +3 for k ≤ 9, +4 for the
   *                two-digit folds of the SF10 soak)
   *   - embeddings: vec_id + k·S, every component perturbed
-  *                 `float(double(x) + k · 2⁻⁷)` — the vector-space
-  *                 analogue of documents' suffix: fold copies are
-  *                 embedding NEAR-dups (cosine ≈ 1), so the similarity
-  *                 tier (SRP blocking, ANN probe/re-rank, top-k
-  *                 tie-breaks) soaks at 10× corpus with the candidate
+  *                 `float(double(x) + (k mod 10) · 2⁻⁷)` — the
+  *                 vector-space analogue of documents' suffix: fold
+  *                 copies are embedding NEAR-dups (cosine ≈ 1), so the
+  *                 similarity tier (SRP blocking, ANN probe/re-rank,
+  *                 top-k tie-breaks) soaks with the candidate
   *                 explosion a replicated corpus really produces. The
-  *                 arithmetic is bit-exactly restatable in the oracle:
-  *                 float→double is exact, k·2⁻⁷ is exact for k ≤ 9,
-  *                 one IEEE double add and one round-to-float are
-  *                 correctly rounded identically in Spark and DuckDB.
-  *                 k = 0 is the exact identity (x + 0.0 → x). label
-  *                 passes through, so per-label profiles scale 10×.
+  *                 perturbation ALPHABET is bounded at 10 levels
+  *                 (r16): an unbounded k·2⁻⁷ shifts every fold along
+  *                 the SAME all-ones direction, and past ~30 folds the
+  *                 shift (k·2⁻⁷·√64 ≥ 1.9) dwarfs the unit-norm base
+  *                 vectors — ALL high-fold copies of DIFFERENT bases
+  *                 collapse into one mutually-near-dup cluster
+  *                 (pairwise cos ≥ 0.9), and any near-dup pass over
+  *                 them is Θ((n·folds)²) by construction of the
+  *                 corpus, not by any property of the engine (the
+  *                 same reason Soak100 excludes the pair-generating
+  *                 document keys). Bounding the alphabet keeps each
+  *                 base's copies near THAT base — constant near-dup
+  *                 density per vector at every fold count — and folds
+  *                 k, k+10 of one base are exact duplicates, the shape
+  *                 a dedup gate must also survive. At folds ≤ 10 the
+  *                 rule is bit-identical to the pre-r16 `k · 2⁻⁷`
+  *                 form (k mod 10 = k), so the ~SF1 soak corpus and
+  *                 its oracle restatement are unchanged. The
+  *                 arithmetic is bit-exactly restatable in the
+  *                 oracle: float→double is exact, (k mod 10)·2⁻⁷ is
+  *                 exact, one IEEE double add and one round-to-float
+  *                 are correctly rounded identically in Spark and
+  *                 DuckDB. k = 0 is the exact identity (x + 0.0 → x).
+  *                 label passes through, so per-label profiles scale.
   *   - nation, region: copied unchanged (fixed-size at every TPC-H
   *     scale)
   *
@@ -100,10 +118,12 @@ object ScaleFold {
         else if (table == "embeddings")
           // per-component double add then round back to float — the
           // only two operations, both correctly rounded, both stated
-          // identically by the DuckDB rule restatement
+          // identically by the DuckDB rule restatement; the (k mod 10)
+          // alphabet bound is the r16 anti-collapse rule (see scaladoc)
           shiftedDf.withColumn("embedding",
             transform(col("embedding"), x =>
-              (x.cast("double") + col("_fold").cast("double") * lit(EmbEps))
+              (x.cast("double") +
+                (col("_fold") % 10).cast("double") * lit(EmbEps))
                 .cast("float")))
         else shiftedDf
       // restore the exact input column order (drop the fold marker)

@@ -468,7 +468,7 @@ object ExtOps {
     "q_scale_fold_emb" ->
       """SELECT vec_id + k * 10000000 AS vec_id,
         |CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
-        |CAST(CAST(CAST(unnest(embedding) AS DOUBLE) + k * 0.0078125
+        |CAST(CAST(CAST(unnest(embedding) AS DOUBLE) + k % 10 * 0.0078125
         |  AS FLOAT) AS DOUBLE) AS x
         |FROM embeddings, (SELECT unnest(range(10)) AS k)
         |ORDER BY vec_id, pos""".stripMargin,

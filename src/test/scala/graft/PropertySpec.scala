@@ -108,9 +108,10 @@ class PropertySpec extends AnyFunSuite {
     assert(fold0.exceptAll(emb).isEmpty && emb.exceptAll(fold0).isEmpty,
       "fold 0 must equal the base corpus bit-for-bit")
     // the perturbation is the stated rule exactly: fold k's vector is
-    // float(double(x) + k * 2^-7) per component — recompute it from the
-    // base here (a second statement of the one rule, like the DuckDB
-    // restatement in scripts/soak_check.py) and require equality
+    // float(double(x) + (k mod 10) * 2^-7) per component — recompute it
+    // from the base here (a second statement of the one rule, like the
+    // DuckDB restatement in scripts/soak_check.py) and require
+    // equality; at 10 folds the mod is the identity
     val restated = emb.select(col("*"),
         explode(sequence(lit(0L), lit(9L))).as("k"))
       .select((col("vec_id") + col("k") * lit(graft.ops.ScaleFold.Shift))
@@ -132,6 +133,21 @@ class PropertySpec extends AnyFunSuite {
       a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
     val cos = dot(f0, f9) / math.sqrt(dot(f0, f0) * dot(f9, f9))
     assert(cos > 0.4, s"fold copies must be near-dups, cos=$cos")
+    // the BOUNDED alphabet (r16): past 10 folds the perturbation wraps,
+    // so fold k+10 is the EXACT duplicate of fold k (ids shifted) —
+    // near-dup density per vector stays constant at any fold count
+    // instead of every high fold collapsing toward the all-ones
+    // direction (an unbounded k*2^-7 at fold 99 shifts by 6.2x the
+    // unit norm, making copies of DIFFERENT bases mutually near-dup —
+    // a O((n*folds)^2) corpus no engine property can save)
+    val amp20 = graft.ops.ScaleFold.amplifyTable(emb, "embeddings", 20)
+    val fold10 = amp20
+      .filter(col("vec_id") >= 10L * graft.ops.ScaleFold.Shift &&
+        col("vec_id") < 11L * graft.ops.ScaleFold.Shift)
+      .select((col("vec_id") - 10L * graft.ops.ScaleFold.Shift).as("vec_id"),
+        col("embedding"), col("label"))
+    assert(fold10.exceptAll(emb).isEmpty && emb.exceptAll(fold10).isEmpty,
+      "fold 10 must be the exact duplicate of fold 0 (wrapped alphabet)")
   }
 
   test("every Bench headline/extended key exists in the registry") {
