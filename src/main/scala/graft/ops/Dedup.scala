@@ -156,14 +156,20 @@ object Dedup {
     * slice of the durable shingle store.
     */
   def verifyJaccardSides(candidates: DataFrame, shA: DataFrame,
-                         shB: DataFrame, key: String,
-                         threshold: Double): DataFrame = {
+                         shB: DataFrame, key: String, threshold: Double,
+                         broadcastB: Boolean = false): DataFrame = {
     shA.sparkSession.sessionState.functionRegistry
       .createOrReplaceTempFunction("jaccard_sorted",
         exprs => graft.functions.JaccardSorted(exprs(0), exprs(1)), "built-in")
     val sa = shA.select(col(key).as("key_a"), col("sh").as("sh_a"))
-    val sb = shB.select(col(key).as("key_b"), col("sh").as("sh_b"))
-    candidates.join(sa, "key_a").join(sb, "key_b")
+    val sb0 = shB.select(col(key).as("key_b"), col("sh").as("sh_b"))
+    // broadcastB: caller-guaranteed bounded b side AND candidate set
+    // (the streaming gates' micro-batch) — the verify then streams the
+    // big a-side store map-side, no exchange carries shingle arrays;
+    // see Similarity.verifyCosineSides
+    val cand = if (broadcastB) broadcast(candidates) else candidates
+    val sb = if (broadcastB) broadcast(sb0) else sb0
+    cand.join(sa, "key_a").join(sb, "key_b")
       .withColumn("jac", expr("jaccard_sorted(sh_a, sh_b)"))
       .filter(col("jac") >= threshold)
       .select(col("key_a"), col("key_b"),

@@ -70,16 +70,28 @@ object Ranks {
     * single-partition stage anywhere in the plan.
     */
   def globalRowNumber(df: DataFrame, order: Seq[Column], as: String,
-                      partitions: Int = 0): DataFrame = {
+                      partitions: Int = 0): DataFrame =
+    globalRowNumberWithCount(df, order, as, partitions)._1
+
+  /** [[globalRowNumber]] plus the TOTAL row count, which the offset job
+    * already collected — callers needing |df| (median ranks, quantile
+    * cuts) read it here for free instead of paying a second full
+    * evaluation of `df` for a count aggregate (r16: q_theil_sen ran its
+    * calendar-pair theta join three times — rank pass, count pass, and
+    * the consuming filter — for one number this pass already had).
+    */
+  def globalRowNumberWithCount(df: DataFrame, order: Seq[Column], as: String,
+                               partitions: Int = 0): (DataFrame, Long) = {
     val sorted = sortedWithPid(df, order, partitions)
       .withColumn("_mid", monotonically_increasing_id())
     val counts = sorted.groupBy(col("_pid"))
       .agg(count(lit(1)).as("_cnt"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
     val localIdx = col("_mid") - shiftleft(col("_pid").cast("long"), 33)
-    sorted
+    (sorted
       .withColumn(as, (offsetCol(cumOffsets(counts)) + localIdx + 1L).cast("int"))
-      .drop("_pid", "_mid")
+      .drop("_pid", "_mid"),
+      counts.map(_._2).sum)
   }
 
   /** Global EXCLUSIVE running minimum of LONG `value` by `order` (must

@@ -96,12 +96,23 @@ object Similarity {
     * ∝ candidates and the same-batch path never touches the store.
     */
   def verifyCosineSides(cands: DataFrame, vecsA: DataFrame, vecsB: DataFrame,
-                        key: String, vec: String,
-                        threshold: Double): DataFrame = {
+                        key: String, vec: String, threshold: Double,
+                        broadcastB: Boolean = false): DataFrame = {
     ensureRegistered(vecsA)
     val a = side(vecsA, key, vec, "key_a", "va", "na")
-    val b = side(vecsB, key, vec, "key_b", "vb", "nb")
-    cands.join(a, Seq("key_a")).join(b, Seq("key_b"))
+    val b0 = side(vecsB, key, vec, "key_b", "vb", "nb")
+    // broadcastB: the caller guarantees the b side AND the candidate
+    // set are BOUNDED (the streaming gates' micro-batch and its
+    // collisions) — broadcasting both makes the verify a pure map-side
+    // pass over the (big) a-side store: zero exchanges carry vectors,
+    // at any corpus scale (guide §3.1: broadcast the side that is
+    // small by construction; candidate pairs are 16 bytes/row)
+    if (broadcastB)
+      broadcast(cands).join(a, Seq("key_a")).join(broadcast(b0), Seq("key_b"))
+        .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
+        .filter(col("cos") >= threshold)
+        .select(col("key_a"), col("key_b"))
+    else cands.join(a, Seq("key_a")).join(b0, Seq("key_b"))
       .withColumn("cos", expr("dot_arr(va, vb)") / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("key_a"), col("key_b"))
@@ -400,6 +411,12 @@ object Similarity {
                                  cb: DataFrame, key: String, vec: String,
                                  dsub: Int): DataFrame = {
     ensureRegistered(newBatch)
+    // EAGER checkpoint, deliberately (re-measured r16): a lazy persist
+    // here looks cheaper (no dedicated job) but the codebook/LUT
+    // consumers are BROADCAST builds that AQE runs concurrently — they
+    // race the cache population and each recomputes the whole train
+    // chain (measured 5.4 s -> 19.4 s on q_ann_ivfpq). Materializing
+    // once up-front is what keeps every later stage a cheap re-read.
     val rowsNew = pqLattice(newBatch.select(
       col(key).cast("long").as("n_id"), col(vec)), "n_id", vec, dsub)
       .localCheckpoint(true)
@@ -513,6 +530,8 @@ object Similarity {
     // the lattice feeds five passes (train assign/update, encode, |n|²,
     // re-rank dots) — checkpoint it once so each reads materialized
     // rows instead of re-running the scan+explode+quantize chain
+    // (EAGER: concurrent broadcast consumers race a lazy cache and
+    // recompute the chain per build — measured r16, see ivfPqEncode)
     val rows = pqLattice(Par.fanOut(corpus.select(
       col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
       .localCheckpoint(true)
@@ -759,6 +778,9 @@ object Similarity {
     ensureRegistered(corpus)
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
+    // eager checkpoints throughout, deliberately (re-measured r16):
+    // lazy persists race the concurrent broadcast builds downstream
+    // and recompute these chains repeatedly — see ivfPqEncode
     val rows = pqLattice(Par.fanOut(corpus.select(
       col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
       .localCheckpoint(true)
@@ -831,7 +853,8 @@ object Similarity {
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
     val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
-      col(vec)), "q_id", vec, dsub).localCheckpoint(true)
+      col(vec)), "q_id", vec, dsub)
+      .localCheckpoint(true)
     val cc = coarseLattice(pqLattice(corpus.select(
       col(key).cast("long").as("n_id"), col(vec))
       .filter(col(key) < cells), "n_id", vec, dsub), cells)

@@ -432,8 +432,19 @@ object GraphOps {
     val arcs = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val dg = degrees(und).select(col("n").as("src"), col("dg"))
-    val outArcs = arcs.join(dg, "src").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = dg.select(col("src").as("n"), col("dg")).localCheckpoint(true)
+    // Partitioning established ONCE (guide §2.4, r16): the arc table is
+    // hash-laid-out by src before the persist, and every structure the
+    // loop joins it with arrives partitioned the same way (rank renames
+    // n→src off a groupBy(n) output; aliases preserve partitioning), so
+    // each iteration's arcs⋈rank join is exchange-free — the arc table,
+    // the only data-sized structure here, is shuffled once per QUERY
+    // instead of once per ITERATION.
+    val outArcs = arcs.join(dg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // nodes partitioned by n for the same reason: the per-iteration
+    // nodes⋈contrib join aligns with contrib's groupBy(n) partitioning
+    val nodes = dg.select(col("src").as("n"), col("dg"))
+      .repartition(col("n")).localCheckpoint(true)
     var rank = nodes.select(col("n"), lit(Scale).as("r")).localCheckpoint(true)
     for (_ <- 1 to 3) {
       val contrib = outArcs
@@ -477,11 +488,13 @@ object GraphOps {
     val arcs = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
     val dg = degrees(und).select(col("n").as("src"), col("dg"))
-    val outArcs = arcs.join(dg, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    // partitioning established once — see qPagerank (r16)
+    val outArcs = arcs.join(dg, "src").repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = dg.select(col("src").as("n"), col("dg"))
       .withColumn("base",
         when(col("n") % 97L === 0L, lit(15L * Scale / 100L)).otherwise(0L))
-      .localCheckpoint(true)
+      .repartition(col("n")).localCheckpoint(true)
     var rank = nodes
       .select(col("n"),
         when(col("n") % 97L === 0L, lit(Scale)).otherwise(0L).as("r"))
@@ -545,8 +558,12 @@ object GraphOps {
     */
   private val qGraphBfs: Q = (s, d) => {
     val und = coPurchaseEdges(s, d)
+    // hash-laid-out by src once (guide §2.4, r16): each level's
+    // arcs⋈frontier join then exchanges only the (small) frontier,
+    // never the arc table
     val arcs = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = degrees(und).select(col("n"))
     var dist = nodes.filter(col("n") % 97L === 0L)
@@ -683,8 +700,12 @@ object GraphOps {
     */
   private val qLabelProp: Q = (s, d) => {
     val und = coPurchaseEdges(s, d)
+    // hash-laid-out by src once — see qGraphBfs (r16); the label table
+    // arrives at each round's join already partitioned the same way
+    // (distinct on src ≡ hash by src, alias-preserved through n)
     val arcs = und.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = arcs.select(col("src").as("n")).distinct()
       .select(col("n"), col("n").as("l")).localCheckpoint(true)

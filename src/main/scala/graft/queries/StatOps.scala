@@ -134,6 +134,8 @@ object StatOps {
       .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
       .agg(sum(round(col("o_totalprice") * 100.0).cast("long")).as("cents"))
       .withColumn("dow", (col("day") + 3L) % 7L)
+      // calendar-bounded spine, materialized once — see qTheilSen (r16)
+      .localCheckpoint(true)
     val med = daily.groupBy("dow")
       .agg(expr("percentile(cents, 0.5)").as("med"))
     val dev = daily.join(broadcast(med), "dow")
@@ -703,6 +705,8 @@ object StatOps {
     val daily = Tables.orders(s, d)
       .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
       .agg(count(lit(1)).as("y"))
+      // calendar-bounded spine, materialized once — see qTheilSen (r16)
+      .localCheckpoint(true)
     val lagged = daily.select(col("day"), col("y"),
         explode(array((1 to 7).map(l => lit(l.toLong)): _*)).as("lag"))
       .withColumn("dn", col("day") + col("lag"))
@@ -741,17 +745,23 @@ object StatOps {
     val daily = Tables.orders(s, d)
       .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
       .agg(count(lit(1)).as("y"))
+      // calendar-bounded (<=2,557 rows): materialize once so the two
+      // theta-join sides (and any later aggregate) read ~2.5k cached
+      // rows instead of re-running the orders scan+collapse each (r16)
+      .localCheckpoint(true)
     val pairs = daily.toDF("d1", "y1")
       .join(broadcast(daily.toDF("d2", "y2")), col("d1") < col("d2"))
     val sl = pairs.select(
       expr("(1000000 * (y2 - y1)) DIV (d2 - d1)").as("slope_e6"),
       col("d1"), col("d2"))
-    val r = graft.ops.Ranks.globalRowNumber(sl,
+    // ONE pass over the pair join (r16): the rank pass's offset job
+    // already counted every partition, so m arrives as a literal
+    // instead of a second (and, through the crossJoin, third) full
+    // evaluation of the calendar-pair theta join — same m, same row.
+    val (r, m) = graft.ops.Ranks.globalRowNumberWithCount(sl,
       Seq(col("slope_e6").asc, col("d1").asc, col("d2").asc), "rn")
-    val tot = sl.agg(count(lit(1)).as("m"))
-    r.crossJoin(broadcast(tot))
-      .filter(col("rn").cast("long") === expr("(m + 1) DIV 2"))
-      .select(col("m"), col("slope_e6").as("ts_slope_e6"))
+    r.filter(col("rn").cast("long") === lit((m + 1L) / 2L))
+      .select(lit(m).as("m"), col("slope_e6").as("ts_slope_e6"))
       .orderBy("m")
   }
 
@@ -771,6 +781,10 @@ object StatOps {
     val daily = Tables.orders(s, d)
       .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
       .agg(count(lit(1)).as("y"))
+      // calendar-bounded (<=2,557 rows): materialize once so the two
+      // theta-join sides (and any later aggregate) read ~2.5k cached
+      // rows instead of re-running the orders scan+collapse each (r16)
+      .localCheckpoint(true)
     val pairs = daily.toDF("d1", "y1")
       .join(broadcast(daily.toDF("d2", "y2")), col("d1") < col("d2"))
     // integer sign via CASE (signum returns DOUBLE; CASE keeps BIGINT)
@@ -807,6 +821,8 @@ object StatOps {
       .groupBy(unix_date(to_date(col("o_orderdate"))).cast("long").as("day"))
       .agg(count(lit(1)).as("y"),
         sum(round(col("o_totalprice") * 100.0).cast("long")).as("r"))
+      // calendar-bounded spine, materialized once — see qTheilSen (r16)
+      .localCheckpoint(true)
     val pairs = daily
       .select(col("day").as("d1"), col("y").as("y1"), col("r").as("r1"))
       .join(broadcast(daily.select(col("day").as("d2"), col("y").as("y2"),

@@ -192,8 +192,9 @@ object AnnIngest {
         val (vecs, buckets, dupSrc) =
           EmbGate.gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand, tombstones = tombstones(batchId))
+        // rejected ids are batch-bounded — broadcast the anti-join side
         val rejected = dupSrc.select(col("vec_id"))
-        val admitted = vecs.join(rejected, Seq("vec_id"), "left_anti")
+        val admitted = vecs.join(broadcast(rejected), Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // ---- 2. the encode: frozen after batch 0 ----
         val postings =
@@ -212,7 +213,8 @@ object AnnIngest {
             // vector store is free to compact its b0 away)
             GateStores.land(Similarity.coarseFromBase(vecs, "vec_id",
               "embedding", dsub, cells), s"$geoDir/cc")
-            p0.join(admitted.select(col("vec_id").as("n_id")), Seq("n_id"))
+            p0.join(broadcast(admitted.select(col("vec_id").as("n_id"))),
+              Seq("n_id"))
           } else {
             val cb = ss.read.parquet(s"$geoDir/b0")
             val cc = ss.read.parquet(s"$geoDir/cc")

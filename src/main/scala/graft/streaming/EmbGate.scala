@@ -91,21 +91,31 @@ object EmbGate {
     // prior-batch candidates: probe the persistent band index with THIS
     // batch's buckets (cost ∝ batch); same-batch candidates: the
     // ordered self-join
+    // The batch's bucket rows are BOUNDED (one micro-batch × bands), so
+    // every join against them broadcasts the batch side: the persistent
+    // index streams map-side through the probe instead of being
+    // exchanged by bucket — the broadcast-the-small-side shape that
+    // holds at any store size (guide §3.1; probe cost stays ∝ batch).
     val candPrev = index match {
       case None => ss.emptyDataFrame
         .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
       case Some(idx) => idx
         .select(col("vec_id").as("key_a"), col("bucket"))
-        .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
-          Seq("bucket"))
+        .join(broadcast(buckets.select(col("vec_id").as("key_b"),
+          col("bucket"))), Seq("bucket"))
         .select(col("key_a"), col("key_b"))
     }
     val candSame = buckets.select(col("vec_id").as("key_a"), col("bucket"))
-      .join(buckets.select(col("vec_id").as("key_b"), col("bucket")),
-        Seq("bucket"))
+      .join(broadcast(buckets.select(col("vec_id").as("key_b"),
+        col("bucket"))), Seq("bucket"))
       .filter(col("key_a") < col("key_b"))
       .select(col("key_a"), col("key_b"))
-    val cands = candPrev.unionByName(candSame).distinct()
+    // no distinct: a pair colliding in several bands verifies once per
+    // collision and collapses in dupSrc's min-aggregate — redundant
+    // map-side flops are strictly cheaper than an exchange of the whole
+    // candidate set to dedup it first (the cosinePairsBlocked argument;
+    // plan: one Exchange removed per batch)
+    val cands = candPrev.unionByName(candSame)
     val allVecs = GateStores.readStoreOpt(ss, vecDir, batchId) match {
       case None => vecs
       case Some(store0) =>
@@ -124,7 +134,8 @@ object EmbGate {
           else {
             GateStores.prunedFetches.incrementAndGet(): Unit
             store.join(
-              index.get.join(buckets.select(col("bucket")).distinct(),
+              index.get.join(
+                  broadcast(buckets.select(col("bucket")).distinct()),
                   Seq("bucket"), "left_semi")
                 .select(col("vec_id")).distinct(),
               Seq("vec_id"), "left_semi")
@@ -136,7 +147,7 @@ object EmbGate {
     // micro-batch alone — at 100 TB that is batch-sized instead of
     // store-sized
     val dupSrc = Similarity.verifyCosineSides(cands, allVecs, vecs,
-        "vec_id", "embedding", threshold)
+        "vec_id", "embedding", threshold, broadcastB = true)
       .groupBy(col("key_b").as("vec_id"))
       .agg(min(col("key_a")).as("dup_src"))
     (vecs, buckets, dupSrc)
@@ -183,7 +194,7 @@ object EmbGate {
           gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand)
         val decisions = batch.select(col("vec_id"))
-          .join(dupSrc, Seq("vec_id"), "left")
+          .join(broadcast(dupSrc), Seq("vec_id"), "left")
           .select(col("vec_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
         GateStores.land(decisions, s"$decDir/b$batchId")

@@ -103,22 +103,29 @@ object IngestGate {
         // prior-batch candidates: probe the persistent band index with
         // THIS batch's buckets (cost ∝ batch); same-batch candidates:
         // the ordered self-join, exactly lshCandidates' shape
+        // batch-side band rows are bounded (micro-batch × bands): every
+        // join against them broadcasts that side, so the persistent
+        // index streams map-side through the probe instead of being
+        // exchanged by (band, bucket) — holds at any store size
+        // (guide §3.1); and no candidate distinct — duplicates collapse
+        // in dupSrc's min-aggregate, saving the pair-set exchange
+        // (the cosinePairsBlocked verify-per-collision argument)
         val candPrev = index match {
           case None => ss.emptyDataFrame
             .select(lit(0L).as("key_a"), lit(0L).as("key_b")).limit(0)
           case Some(idx) => idx
             .select(col("doc_id").as("key_a"), col("band"), col("bucket"))
-            .join(batchBands.select(col("doc_id").as("key_b"),
-              col("band"), col("bucket")), Seq("band", "bucket"))
+            .join(broadcast(batchBands.select(col("doc_id").as("key_b"),
+              col("band"), col("bucket"))), Seq("band", "bucket"))
             .select(col("key_a"), col("key_b"))
         }
         val candSame = batchBands.select(col("doc_id").as("key_a"),
             col("band"), col("bucket"))
-          .join(batchBands.select(col("doc_id").as("key_b"),
-            col("band"), col("bucket")), Seq("band", "bucket"))
+          .join(broadcast(batchBands.select(col("doc_id").as("key_b"),
+            col("band"), col("bucket"))), Seq("band", "bucket"))
           .filter(col("key_a") < col("key_b"))
           .select(col("key_a"), col("key_b"))
-        val cands = candPrev.unionByName(candSame).distinct()
+        val cands = candPrev.unionByName(candSame)
         // verify-side store fetch under the PruneStoreBytes cutover —
         // see EmbGate.gateBatch: direct read while the store is small,
         // colliding-id semi-join (fetch ∝ candidates) once it is not
@@ -132,8 +139,8 @@ object IngestGate {
               else {
                 GateStores.prunedFetches.incrementAndGet(): Unit
                 store.join(
-                  index.get.join(batchBands
-                      .select(col("band"), col("bucket")).distinct(),
+                  index.get.join(broadcast(batchBands
+                      .select(col("band"), col("bucket")).distinct()),
                       Seq("band", "bucket"), "left_semi")
                     .select(col("doc_id")).distinct(),
                   Seq("doc_id"), "left_semi")
@@ -143,11 +150,11 @@ object IngestGate {
         // Sides form: key_b is always a THIS-batch document, so the
         // b-side shingle join builds on the micro-batch alone
         val dupSrc = Dedup.verifyJaccardSides(cands, allSh, withSh,
-            "doc_id", 0.5)
+            "doc_id", 0.5, broadcastB = true)
           .groupBy(col("key_b").as("doc_id"))
           .agg(min(col("key_a")).as("dup_src"))
         val decisions = batch.select(col("doc_id"))
-          .join(dupSrc, Seq("doc_id"), "left")
+          .join(broadcast(dupSrc), Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
         GateStores.land(decisions, s"$decDir/b$batchId")

@@ -31,7 +31,9 @@ object ProfileKey {
                       var end: Long = 0L,
                       var stages: Int = 0, var tasks: Int = 0,
                       var taskTimeMs: Long = 0L)
+    case class StageRec(name: String, tasks: Int, taskTimeMs: Long)
     val jobs = mutable.LinkedHashMap.empty[Int, JobRec]
+    val stageRecs = mutable.ArrayBuffer.empty[StageRec]
     val stageToJob = mutable.Map.empty[Int, Int]
     @volatile var recording = false
     val listener = new SparkListener {
@@ -53,13 +55,16 @@ object ProfileKey {
         }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
         jobs.synchronized {
+          val tt = Option(sc.stageInfo.taskMetrics)
+            .map(_.executorRunTime).getOrElse(0L)
+          if (recording || stageToJob.contains(sc.stageInfo.stageId))
+            stageRecs += StageRec(sc.stageInfo.name,
+              sc.stageInfo.numTasks, tt)
           stageToJob.get(sc.stageInfo.stageId)
             .flatMap(jobs.get).foreach { j =>
               j.stages += 1
               j.tasks += sc.stageInfo.numTasks
-              j.taskTimeMs += (for {
-                s <- Option(sc.stageInfo.taskMetrics)
-              } yield s.executorRunTime).getOrElse(0L)
+              j.taskTimeMs += tt
             }
         }
     }
@@ -77,7 +82,9 @@ object ProfileKey {
       fn(spark, d).count()
       val warm = (System.nanoTime() - tw0) / 1e9
       dropBlocks()
-      jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      jobs.synchronized {
+        jobs.clear(); stageToJob.clear(); stageRecs.clear()
+      }
       recording = true
       val t0 = System.nanoTime()
       fn(spark, d).count()
@@ -88,11 +95,19 @@ object ProfileKey {
       println(f"== $k: run1=$warm%.2fs run2=$sec%.2fs jobs=${snap.size} " +
         f"stages=${snap.map(_.stages).sum} tasks=${snap.map(_.tasks).sum} " +
         f"taskTime=${snap.map(_.taskTimeMs).sum / 1000.0}%.2fs ==")
-      snap.sortBy(j => -(j.end - j.start)).take(25).foreach { j =>
+      snap.sortBy(j => -(j.end - j.start)).take(15).foreach { j =>
         println(f"  job ${j.id}%4d ${(j.end - j.start) / 1000.0}%6.2fs " +
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
           f"taskTime=${j.taskTimeMs / 1000.0}%6.2fs  ${j.desc.take(110)}")
       }
+      val byName = jobs.synchronized { stageRecs.toSeq }
+        .groupBy(_.name.takeWhile(_ != '(').trim)
+      println("  -- stages by callsite (top 12 by task time) --")
+      byName.toSeq.sortBy(-_._2.map(_.taskTimeMs).sum).take(12)
+        .foreach { case (n, rs) =>
+          println(f"  ${rs.size}%3d stages ${rs.map(_.tasks).sum}%5d tasks " +
+            f"${rs.map(_.taskTimeMs).sum / 1000.0}%7.2fs  $n")
+        }
       dropBlocks()
     }
     spark.stop()
