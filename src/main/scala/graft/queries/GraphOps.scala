@@ -604,9 +604,14 @@ object GraphOps {
     * both engines agree exactly, no float division anywhere.
     */
   private val qAssocRules: Q = (s, d) => {
+    // materialized once (r16): the basket-count scalar, the item
+    // counts, and BOTH pair-join sides previously each re-ran the
+    // lineitem scan + distinct — four evaluations of the same
+    // one-shuffle aggregate for one query
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint(true)
     val baskets = li.select(col("o")).distinct().count()
     val items = li.groupBy(col("p")).agg(count(lit(1)).as("item_n"))
     val pairs = li.as("a").join(li.as("b"),

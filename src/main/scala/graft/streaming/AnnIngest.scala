@@ -164,6 +164,11 @@ object AnnIngest {
       GateStores.wipe(Seq(idxDir, vecDir, geoDir, postDir, tombDir))
     def tombstones(before: Long): Option[DataFrame] =
       GateStores.readStoreOpt(s, tombDir, before)
+    // the geometry froze at batch 0 and never changes, so batch-1+
+    // encodes share ONE read plan per store instead of re-running
+    // parquet footer inference twice per batch (r16); plain memo —
+    // single foreachBatch thread, no synchronization needed
+    var geoMemo: Option[(DataFrame, DataFrame)] = None
     val stream = s.readStream.schema(embs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.getPath + "/gate_*.parquet")
@@ -171,6 +176,12 @@ object AnnIngest {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
+        // section labels (guide §1.5): foreachBatch runs all jobs on one
+        // thread, so the thread-local description attributes each job to
+        // its pipeline stage in the UI / ProfileKey without any cost
+        def label(sec: String): Unit =
+          ss.sparkContext.setJobDescription(s"ann-ingest b$batchId: $sec")
+        label("fold")
         // fold the settled tails before probing; the postings AND the
         // raw-vector folds anti-join the accumulated tombstones out —
         // physical erasure of a deleted vector's bytes (its serving
@@ -189,6 +200,7 @@ object AnnIngest {
           tombstones = tombstones(batchId)): Unit
         // ---- 1. the gate: EmbGate's exact rule, shared code; erased
         // predecessors are invisible to verification (see gateBatch) ----
+        label("gate")
         val (vecs, buckets, dupSrc) =
           EmbGate.gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand, tombstones = tombstones(batchId))
@@ -197,6 +209,7 @@ object AnnIngest {
         val admitted = vecs.join(broadcast(rejected), Seq("vec_id"), "left_anti")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // ---- 2. the encode: frozen after batch 0 ----
+        label("encode")
         val postings =
           if (batchId == 0L) {
             // build the geometry on the WHOLE first slice, land the
@@ -216,13 +229,18 @@ object AnnIngest {
             p0.join(broadcast(admitted.select(col("vec_id").as("n_id"))),
               Seq("n_id"))
           } else {
-            val cb = ss.read.parquet(s"$geoDir/b0")
-            val cc = ss.read.parquet(s"$geoDir/cc")
+            val (cb, cc) = geoMemo.getOrElse {
+              val g = (ss.read.parquet(s"$geoDir/b0"),
+                ss.read.parquet(s"$geoDir/cc"))
+              geoMemo = Some(g)
+              g
+            }
             Similarity.ivfPqEncode(admitted, cc, cb,
               "vec_id", "embedding", dsub)
           }
         // postings partitioned by cell: the inverted-list layout — a
         // reader probing nprobe cells opens nprobe/cells of the files
+        label("land")
         GateStores.land(postings, s"$postDir/b$batchId",
           partitionCols = Seq("cell_id"))
         GateStores.land(GateStores.withBandGroup(buckets),

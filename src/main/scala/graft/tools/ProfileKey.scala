@@ -100,6 +100,13 @@ object ProfileKey {
           f"stages=${j.stages}%2d tasks=${j.tasks}%4d " +
           f"taskTime=${j.taskTimeMs / 1000.0}%6.2fs  ${j.desc.take(110)}")
       }
+      val byDesc = snap.groupBy(_.desc.take(40))
+      println("  -- jobs by description --")
+      byDesc.toSeq.sortBy(-_._2.map(j => j.end - j.start).sum).take(12)
+        .foreach { case (desc, js) =>
+          println(f"  ${js.size}%3d jobs ${js.map(j => j.end - j.start).sum / 1000.0}%7.2fs " +
+            f"taskTime=${js.map(_.taskTimeMs).sum / 1000.0}%7.2fs  $desc")
+        }
       val byName = jobs.synchronized { stageRecs.toSeq }
         .groupBy(_.name.takeWhile(_ != '(').trim)
       println("  -- stages by callsite (top 12 by task time) --")
