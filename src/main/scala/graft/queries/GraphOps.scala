@@ -72,12 +72,21 @@ object GraphOps {
 
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
     edgeTable(s, d) {
+      // one groupBy + row-local pair expansion (r16; was an o-keyed
+      // self-join): the per-order part set is bounded (C(lines-per-
+      // order, 2) ≤ 21 pairs on TPC-H-shaped data — the same fan-out
+      // bound the join form relied on), so collecting it per order and
+      // exploding the ordered pairs row-locally yields the identical
+      // pair set with ONE exchange (the groupBy) where the join paid
+      // the distinct exchange PLUS a re-exchange of both sides by o.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
         .distinct()
-      li.as("a").join(li.as("b"),
-          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
+      li.groupBy(col("o")).agg(collect_list(col("p")).as("ps"))
+        .select(explode(col("ps")).as("u"), col("ps"))
+        .select(col("u"), explode(col("ps")).as("v"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v"))
         .distinct()
     }
 
