@@ -326,24 +326,35 @@ object InsightOps {
     val p = trans.join(totals, "prev_type")
       .select(col("prev_type"), col("next_type"),
         expr("1000000 * n DIV out_n").as("p_e6"))
-    val states = p.select(col("prev_type").as("state"))
-      .union(p.select(col("next_type"))).distinct()
-    var v = states.withColumn("v", lit(1000000L))
+    // The DISTRIBUTED stage is the event-volume lag window + the
+    // transition aggregate above; the matrix is |states|² cells —
+    // CATEGORY-bounded, never data-sized — so the three power steps
+    // run as driver arithmetic over the collected cells (r16, the
+    // qTopEigenvector exception): ≤ |states|² rows ever cross the
+    // driver, and the former join-based rounds re-evaluated the whole
+    // event-window subtree once per round. Every integer operation is
+    // the SAME sequence the former plan (and the unchanged oracle)
+    // executes — exact Longs, order-independent sums, one truncating
+    // division per state per step — so results are bit-identical.
+    import s.implicits._
+    val pRows = p.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (pRows.map(_._1) ++ pRows.map(_._2)).distinct
+    var v: Map[String, Long] = states.map(_ -> 1000000L).toMap
     for (_ <- 1 to 3) {
-      val stepped = p
-        .join(v.withColumnRenamed("state", "prev_type")
-          .withColumnRenamed("v", "vin"), Seq("prev_type"))
-        .groupBy(col("next_type").as("state"))
-        .agg(expr("sum(vin * p_e6) DIV 1000000").as("vnext"))
-      v = states.join(stepped, Seq("state"), "left")
-        .select(col("state"), coalesce(col("vnext"), lit(0L)).as("v"))
+      val stepped = pRows.groupBy(_._2).map { case (nt, rows) =>
+        // sum(vin * p_e6) DIV 1e6: operands non-negative, so Scala /
+        // (truncate toward zero) ≡ Spark DIV ≡ DuckDB // here
+        nt -> rows.iterator.map { case (pt, _, pe6) => v(pt) * pe6 }.sum / 1000000L
+      }
+      v = states.map(st => st -> stepped.getOrElse(st, 0L)).toMap
     }
-    val tv = v.agg(sum("v").as("tv"))
-    v.crossJoin(broadcast(tv))
-      .filter(col("tv") > 0L)
-      .select(col("state"), col("v").as("mass_e6"),
-        expr("1000000 * v DIV tv").as("pi_ppm"))
-      .orderBy("state")
+    val tv = v.values.sum
+    val out: Seq[(String, Long, Long)] =
+      if (tv <= 0L) Seq.empty
+      else states.sorted.toSeq.map(st =>
+        (st, v(st), 1000000L * v(st) / tv))
+    out.toDF("state", "mass_e6", "pi_ppm").orderBy("state")
   }
 
   /** Time-weighted average value per user (TWAP): each event's value
