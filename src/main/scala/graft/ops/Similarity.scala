@@ -36,6 +36,7 @@ object Similarity {
       "srp_bands", exprs => graft.functions.SrpBands(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()), "built-in")
+    graft.functions.PqCodec.register(reg)
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
@@ -411,26 +412,27 @@ object Similarity {
                                  cb: DataFrame, key: String, vec: String,
                                  dsub: Int): DataFrame = {
     ensureRegistered(newBatch)
-    // EAGER checkpoint, deliberately (re-measured r16): a lazy persist
-    // here looks cheaper (no dedicated job) but the codebook/LUT
-    // consumers are BROADCAST builds that AQE runs concurrently — they
-    // race the cache population and each recomputes the whole train
-    // chain (measured 5.4 s -> 19.4 s on q_ann_ivfpq). Materializing
-    // once up-front is what keeps every later stage a cheap re-read.
-    val rowsNew = pqLattice(newBatch.select(
-      col(key).cast("long").as("n_id"), col(vec)), "n_id", vec, dsub)
-      .localCheckpoint(true)
-    val casgNew = ivfPqCellTerms(rowsNew, "n_id", cc)
-      .groupBy("n_id")
-      .agg(min_by(col("cell_id"), struct(col("term"), col("cell_id")))
-        .as("cell_id"))
-    val rrNew = rowsNew.join(casgNew, Seq("n_id"))
-      .join(broadcast(cc), Seq("cell_id", "pos"))
-      .select(col("n_id"), col("cell_id"), col("sub"), col("pos"),
-        (col("xe") - col("ce")).as("xe"))
-    pqAssign(rrNew.select(col("n_id"), col("sub"), col("pos"), col("xe")),
-        cb, "n_id")
-      .join(casgNew, Seq("n_id"))
+    // array-native (r16): the frozen geometry collects to driver
+    // arrays (cells·dims + m·ks·dsub longs — index metadata) and the
+    // whole encode — coarse argmin, residual, per-subspace code argmin
+    // — is one map-side pass over the batch: no checkpoint, no joins,
+    // no exchange, exactly the per-partition frozen-geometry encode
+    // the shard-merge key's 100 TB recipe describes. (The former form
+    // checkpointed dims×-exploded rows and paid two broadcast-join
+    // argmins per batch.)
+    val (ccIds, ccCents) = collectCoarseGeo(cc)
+    val (subCids, subCents) = collectCbGeo(cb, dsub)
+    import graft.functions.PqCodec.{sqlArr, sqlMat}
+    val asgE = s"pq_cell_asg(xs, ${sqlArr(ccIds)}, ${sqlMat(ccCents)})"
+    val residE =
+      s"pq_residual(xs, cell_id, ${sqlArr(ccIds)}, ${sqlMat(ccCents)})"
+    latticeVecs(newBatch.select(
+        col(key).cast("long").as("n_id"), col(vec)), "n_id", vec)
+      .select(col("n_id"), expr(asgE).as("cell_id"), col("xs"))
+      .select(col("n_id"), col("cell_id"), expr(residE).as("xs"))
+      .select(col("cell_id"), col("n_id"),
+        posexplode(expr(pqCodesSql("xs", dsub, subCids, subCents)))
+          .as(Seq("sub", "cid")))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
   }
 
@@ -517,9 +519,211 @@ object Similarity {
       .select(col(keyAs), expr(s"pos DIV $dsub").cast("int").as("sub"),
         col("pos"), round(col("x") * MeanScale).cast("long").as("xe"))
 
+  /** Array-native lattice vectors `(keyAs, xs array<long>)` — the SAME
+    * per-coordinate quantization as [[pqLattice]] (`round(x·MeanScale)`
+    * as BIGINT), kept as ONE row per vector so the codec expressions
+    * ([[graft.functions.PqCodec]]) run coarse assign, residuals and
+    * code assignment map-side: checkpoints and exchanges carry one row
+    * per vector instead of dims, and the per-assignment broadcast-join
+    * + two-Exchange argmin disappears (r16 profile: the PQ keys were
+    * job-count bound on exactly those materializations).
+    */
+  private def latticeVecs(df: DataFrame, keyAs: String,
+                          vec: String): DataFrame =
+    df.select(col(keyAs), transform(asDouble(col(vec)),
+      x => round(x * MeanScale).cast("long")).as("xs"))
+
+  /** Exploded `(keyAs, sub, pos, xe)` lattice rows re-derived from
+    * [[latticeVecs]] output — identical content to [[pqLattice]] (the
+    * quantization commutes with the explode), generated map-side from
+    * the checkpointed vectors for the paths that stay row-form (norms,
+    * exact re-rank).
+    */
+  private def explodeLattice(vecs: DataFrame, keyAs: String,
+                             dsub: Int): DataFrame =
+    vecs.select(col(keyAs), posexplode(col("xs")).as(Seq("pos", "xe")))
+      .select(col(keyAs), expr(s"pos DIV $dsub").cast("int").as("sub"),
+        col("pos"), col("xe"))
+
+  /** Collect a coarse codebook `(pos, cell_id, ce)` to driver arrays
+    * (ids ascending, centroid per id indexed by pos) — `cells`·dims
+    * longs, index METADATA by construction (the bounded-collect rule:
+    * parameter-sized like [[ivfPqProbeCells]]'s nprobe cells, never
+    * data-sized).
+    */
+  private def collectCoarseGeo(cc: DataFrame)
+      : (Array[Long], Array[Array[Long]]) = {
+    val rows = cc.select(col("cell_id").cast("long"), col("pos").cast("int"),
+      col("ce").cast("long")).collect()
+    val byId = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+    val ids = byId.map(_._1)
+    val cents = byId.map { case (_, rs) =>
+      val a = new Array[Long](rs.map(_.getInt(1)).max + 1)
+      rs.foreach(r => a(r.getInt(1)) = r.getLong(2))
+      a
+    }
+    (ids, cents)
+  }
+
+  /** Collect a PQ codebook `(sub, cid, pos, ce)` to per-sub driver
+    * arrays (cids ascending, centroids indexed by `pos − sub·dsub`) —
+    * m·ks·dsub longs, index metadata like [[collectCoarseGeo]].
+    */
+  private def collectCbGeo(cb: DataFrame, dsub: Int)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val rows = cb.select(col("sub").cast("int"), col("cid").cast("long"),
+      col("pos").cast("int"), col("ce").cast("long")).collect()
+    require(rows.nonEmpty, "PQ codebook is empty")
+    val bySub = rows.groupBy(_.getInt(0))
+    val m = bySub.keys.max + 1
+    val subCids = Array.tabulate(m) { s =>
+      bySub.get(s).map(_.map(_.getLong(1)).distinct.sorted).getOrElse(
+        throw new IllegalStateException(
+          s"PQ codebook has no centroids for subspace $s"))
+    }
+    val subCents = Array.tabulate(m) { s =>
+      val byCid = bySub(s).groupBy(_.getLong(1))
+      subCids(s).map { cid =>
+        val a = new Array[Long](dsub)
+        byCid(cid).foreach(r => a(r.getInt(2) - s * dsub) = r.getLong(3))
+        a
+      }
+    }
+    (subCids, subCents)
+  }
+
+  /** A coarse codebook `(pos, cell_id, ce)` DataFrame rebuilt locally
+    * from collected geometry arrays: a LocalTableScan, so every
+    * downstream broadcast build is metadata-cheap instead of
+    * re-running the corpus-scan + quantize subtree per consumer.
+    */
+  private def ccFromGeo(spark: org.apache.spark.sql.SparkSession,
+                        ids: Array[Long],
+                        cents: Array[Array[Long]]): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (i <- ids.indices; p <- cents(i).indices)
+      rows.add(org.apache.spark.sql.Row(p, ids(i), cents(i)(p)))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cell_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("ce",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** The PQ codebook as the `(sub, cid, pos, ce)` DataFrame the query
+    * paths and the durable index consume — built locally from the
+    * trained driver arrays (no job).
+    */
+  private def cbFromGeo(spark: org.apache.spark.sql.SparkSession, dsub: Int,
+                        subCids: Array[Array[Long]],
+                        subCents: Array[Array[Array[Long]]]): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (s <- subCids.indices; j <- subCids(s).indices; p <- 0 until dsub)
+      rows.add(org.apache.spark.sql.Row(
+        s, subCids(s)(j), s * dsub + p, subCents(s)(j)(p)))
+    spark.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sub",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("cid",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ce",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+  }
+
+  /** SQL text of the [[graft.functions.PqCodes]] call for a trained
+    * codebook (the geometry rides the call as BIGINT array literals).
+    */
+  private def pqCodesSql(xsCol: String, dsub: Int,
+                         subCids: Array[Array[Long]],
+                         subCents: Array[Array[Array[Long]]]): String = {
+    import graft.functions.PqCodec.{sqlCube, sqlMat}
+    s"pq_codes($xsCol, $dsub, ${sqlMat(subCids)}, ${sqlCube(subCents)})"
+  }
+
+  /** Array-native PQ training over `(n_id, xs array<long>)` vectors:
+    * the SAME seeding (the `ks` vectors at ids `[seedFrom,
+    * seedFrom+ks)`, cid = id), the SAME Lloyd rounds (assign by exact
+    * lattice term, ties → lowest cid; update by the sign-split integer
+    * mean), the SAME surviving-cid semantics (empty cells drop out of
+    * the codebook) as the former join-form `pqTrain` — hash-identical
+    * by the argument on [[graft.functions.PqCodec]]. Per round the
+    * cluster sums partial-aggregate map-side and only m·ks·dsub groups
+    * cross the wire into a driver collect (the codebook is index
+    * metadata); the corpus itself is never exchanged.
+    */
+  private[graft] def pqTrainVec(vecs: DataFrame, dsub: Int, m: Int, ks: Int,
+                                refineIters: Int, seedFrom: Long = 0L)
+      : (Array[Array[Long]], Array[Array[Array[Long]]]) = {
+    val seedRows = vecs.filter(col("n_id") >= seedFrom &&
+        col("n_id") < seedFrom + ks)
+      .select(col("n_id"), col("xs")).collect().sortBy(_.getLong(0))
+    require(seedRows.nonEmpty,
+      s"PQ seed id range [$seedFrom, ${seedFrom + ks}) is unpopulated")
+    var subCids: Array[Array[Long]] =
+      Array.fill(m)(seedRows.map(_.getLong(0)))
+    var subCents: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      seedRows.map { r =>
+        val xs = r.getSeq[Long](1)
+        Array.tabulate(dsub) { p =>
+          val i = s * dsub + p
+          if (i < xs.length) xs(i) else 0L
+        }
+      }
+    }
+    for (_ <- 0 until refineIters) {
+      val upd = vecs
+        .select(expr(pqCodesSql("xs", dsub, subCids, subCents)).as("cids"),
+          posexplode(col("xs")).as(Seq("pos", "xe")))
+        .filter(col("pos") < lit(m * dsub))
+        .select(expr(s"CAST(pos DIV $dsub AS INT)").as("sub"), col("pos"),
+          expr(s"cids[CAST(pos DIV $dsub AS INT)]").as("cid"), col("xe"))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        // sign-split mean: Spark DIV truncates, DuckDB // floors —
+        // dividing magnitudes keeps the two equal on negative sums
+        .agg(expr("CAST(sign(sum(xe)) AS BIGINT) * " +
+          "(abs(sum(xe)) DIV count(1))").as("ce"))
+        .collect()
+      require(upd.nonEmpty, "PQ Lloyd round produced an empty codebook")
+      val bySub = upd.groupBy(_.getInt(0))
+      subCids = Array.tabulate(m)(s =>
+        bySub.get(s).map(_.map(_.getLong(1)).distinct.sorted).getOrElse(
+          throw new IllegalStateException(
+            s"PQ Lloyd round emptied subspace $s")))
+      subCents = Array.tabulate(m) { s =>
+        val byCid = bySub(s).groupBy(_.getLong(1))
+        subCids(s).map { cid =>
+          val a = new Array[Long](dsub)
+          byCid(cid).foreach(r => a(r.getInt(2) - s * dsub) = r.getLong(3))
+          a
+        }
+      }
+    }
+    (subCids, subCents)
+  }
+
   /** Shared PQ fit: lattice rows, trained per-subspace codebook, and
     * the encoded corpus — see [[pqTopK]] for the full design argument.
     * Returns (rows, cb, codes).
+    *
+    * Array-native (r16): the corpus checkpoints ONCE as `(n_id, xs)`
+    * vectors (one row per vector, not dims); training runs through
+    * [[pqTrainVec]] (seed collect + one tiny partial-aggregated update
+    * per Lloyd round — the codebook is index metadata, the corpus is
+    * never exchanged); codes and the exploded rows the re-rank path
+    * reads are map-side generates off the checkpoint. Seeding note
+    * (unchanged law): raw-vector fits seed from id 0; RESIDUAL fits
+    * (IVFADC) must seed PAST the coarse centroids — ids < cells ARE
+    * the centroids, their residuals are identically zero, and 16 zero
+    * seeds collapse the Lloyd round to one surviving centroid per
+    * subspace (measured r16: ADC ranks degenerate, recall@5 0.40 at
+    * 2k vectors once the shortlist binds; seeding at [cells,
+    * cells+ks) restores an informative codebook, 0.54 same config /
+    * 0.89 unbound shortlist). Like the first-`cells` coarse rule,
+    * this assumes the corpus populates the seed id range.
     */
   private[graft] def pqFit(corpus: DataFrame, key: String, vec: String,
                            dims: Int, m: Int, ks: Int, refineIters: Int)
@@ -527,73 +731,15 @@ object Similarity {
     ensureRegistered(corpus)
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    // the lattice feeds five passes (train assign/update, encode, |n|²,
-    // re-rank dots) — checkpoint it once so each reads materialized
-    // rows instead of re-running the scan+explode+quantize chain
-    // (EAGER: concurrent broadcast consumers race a lazy cache and
-    // recompute the chain per build — measured r16, see ivfPqEncode)
-    val rows = pqLattice(Par.fanOut(corpus.select(
-      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
+    val vecs = latticeVecs(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec)
       .localCheckpoint(true)
-    val (cb, codes) = pqTrain(rows, ks, refineIters)
-    (rows, cb, codes)
-  }
-
-  /** The PQ training loop over pre-built lattice rows (n_id, sub, pos,
-    * xe): seed from the first `ks` ids' subvectors, `refineIters` Lloyd
-    * rounds, encode. Factored from [[pqFit]] so [[ivfPqTopK]] can train
-    * the SAME discipline on RESIDUAL rows. Returns (codebook, codes).
-    */
-  private[graft] def pqTrain(rows: DataFrame, ks: Int, refineIters: Int,
-                             seedFrom: Long = 0L)
-      : (DataFrame, DataFrame) = {
-    // seeds: ks corpus vectors' subvectors starting at key `seedFrom`
-    // (cid = their key). Raw-vector fits seed from 0; RESIDUAL fits
-    // (IVFADC) must seed PAST the coarse centroids — ids < cells ARE
-    // the centroids, their residuals are identically zero, and 16 zero
-    // seeds collapse the Lloyd round to one surviving centroid per
-    // subspace (measured r16: ADC ranks degenerate, recall@5 0.40 at
-    // 2k vectors once the shortlist binds; seeding at [cells,
-    // cells+ks) restores an informative codebook, 0.54 same config /
-    // 0.89 unbound shortlist). Like the first-`cells` coarse rule,
-    // this assumes the corpus populates the seed id range.
-    var cb = rows.filter(col("n_id") >= seedFrom &&
-        col("n_id") < seedFrom + ks)
-      .select(col("sub"), col("pos"), col("n_id").as("cid"), col("xe").as("ce"))
-      .localCheckpoint(true)
-    for (_ <- 0 until refineIters) {
-      cb = rows.join(pqAssign(rows, cb, "n_id").select("n_id", "sub", "cid"),
-          Seq("n_id", "sub"))
-        .groupBy(col("sub"), col("cid"), col("pos"))
-        // sign-split mean: Spark DIV truncates, DuckDB // floors —
-        // dividing magnitudes keeps the two equal on negative sums
-        .agg(expr("CAST(sign(sum(xe)) AS BIGINT) * " +
-          "(abs(sum(xe)) DIV count(1))").as("ce"))
-        .localCheckpoint(true)
-    }
-    val codes = pqAssign(rows, cb, "n_id").select("n_id", "sub", "cid")
-    (cb, codes)
-  }
-
-  /** Per-(vector, sub) codebook argmin: |sv|² is constant inside the
-    * group, so cn2 − 2·dot orders cells exactly like the true L2 (ties
-    * → lowest cid); the vector×centroid expansion never crosses an
-    * exchange un-aggregated (broadcast join + partial groupBy).
-    * Factored from [[pqTrain]] so the append/encode path can assign
-    * against a FROZEN codebook.
-    */
-  private def pqAssign(xs: DataFrame, cb: DataFrame,
-                       keyAs: String): DataFrame = {
-    val cn = cb.groupBy("sub", "cid").agg(sum(col("ce") * col("ce")).as("cn2"))
-    xs.join(broadcast(cb), Seq("sub", "pos"))
-      .groupBy(col(keyAs), col("sub"), col("cid"))
-      .agg(sum(col("xe") * col("ce")).as("dot"))
-      .join(broadcast(cn), Seq("sub", "cid"))
-      .groupBy(col(keyAs), col("sub"))
-      .agg(min_by(struct(col("cid"), (col("cn2") - col("dot") * 2L).as("term")),
-        struct((col("cn2") - col("dot") * 2L).as("d"), col("cid"))).as("best"))
-      .select(col(keyAs), col("sub"), col("best.cid").as("cid"),
-        col("best.term").as("term"))
+    val (subCids, subCents) = pqTrainVec(vecs, dsub, m, ks, refineIters)
+    val codes = vecs.select(col("n_id"),
+      posexplode(expr(pqCodesSql("xs", dsub, subCids, subCents)))
+        .as(Seq("sub", "cid")))
+    (explodeLattice(vecs, "n_id", dsub),
+      cbFromGeo(corpus.sparkSession, dsub, subCids, subCents), codes)
   }
 
   /** Per-cell quantization distortion of the trained PQ index: for each
@@ -608,11 +754,23 @@ object Similarity {
   def pqDistortion(corpus: DataFrame, key: String, vec: String,
                    dims: Int, m: Int = 8, ks: Int = 16,
                    refineIters: Int = 1): DataFrame = {
-    val (rows, cb, codes) = pqFit(corpus, key, vec, dims, m, ks, refineIters)
-    codes.join(rows, Seq("n_id", "sub"))
-      .join(broadcast(cb), Seq("sub", "cid", "pos"))
-      .groupBy(col("n_id"), col("sub"), col("cid"))
-      .agg(sum((col("xe") - col("ce")) * (col("xe") - col("ce"))).as("d2"))
+    ensureRegistered(corpus)
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val dsub = dims / m
+    val vecs = latticeVecs(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec)
+      .localCheckpoint(true)
+    val (subCids, subCents) = pqTrainVec(vecs, dsub, m, ks, refineIters)
+    import graft.functions.PqCodec.{sqlCube, sqlMat}
+    // per-(vector, sub) assigned cid and exact squared distance to its
+    // centroid in one map pass (pq_dist2 recomputes the same argmin as
+    // pq_codes), then one partial-aggregated m·ks-group rollup —
+    // replaces the former codes ⋈ lattice-rows ⋈ codebook join chain
+    val d2E = s"pq_dist2(xs, $dsub, ${sqlMat(subCids)}, ${sqlCube(subCents)})"
+    vecs.select(expr(d2E).as("ds"),
+        posexplode(expr(pqCodesSql("xs", dsub, subCids, subCents)))
+          .as(Seq("sub", "cid")))
+      .select(col("sub"), col("cid"), expr("ds[sub]").as("d2"))
       .groupBy(col("sub"), col("cid"))
       .agg(count(lit(1)).as("n_members"),
         expr("sum(d2) DIV count(1)").as("avg_d2"))
@@ -711,7 +869,7 @@ object Similarity {
     *     via one broadcast join + partial-aggregate argmin.
     *  2. RESIDUALS: `x − c(cell)` per coordinate — exact integer
     *     differences on the lattice.
-    *  3. PQ on residuals: [[pqTrain]] (first-`ks` seeding,
+    *  3. PQ on residuals: [[pqTrainVec]] (first-`ks` seeding,
     *     `refineIters` Lloyd rounds, encode) over the residual rows.
     *  4. PROBE: each query ranks cells by the same exact term and takes
     *     `nprobe`; per probed cell the query forms its OWN residual and
@@ -778,32 +936,38 @@ object Similarity {
     ensureRegistered(corpus)
     require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
-    // eager checkpoints throughout, deliberately (re-measured r16):
-    // lazy persists race the concurrent broadcast builds downstream
-    // and recompute these chains repeatedly — see ivfPqEncode
-    val rows = pqLattice(Par.fanOut(corpus.select(
-      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec, dsub)
+    // array-native (r16): ONE eager checkpoint of the quantized
+    // vectors; coarse assign, residuals and code assignment are
+    // map-side codec expressions against driver-collected geometry
+    // (cells·dims + m·ks·dsub longs — index metadata, the bounded-
+    // collect rule), so the build never exchanges the corpus at all —
+    // the former chain paid two Exchanges per argmin plus three
+    // dims×-row checkpoints
+    val vecs = latticeVecs(Par.fanOut(corpus.select(
+      col(key).cast("long").as("n_id"), col(vec))), "n_id", vec)
       .localCheckpoint(true)
     // 1. coarse codebook: first `cells` corpus vectors, full-dim
-    val cc = coarseLattice(rows, cells)
-    val casg = ivfPqCellTerms(rows, "n_id", cc)
-      .groupBy("n_id")
-      .agg(min_by(col("cell_id"), struct(col("term"), col("cell_id")))
-        .as("cell_id"))
-      .localCheckpoint(true)
-    // 2. residual lattice rows (sub survives: residuals split into the
-    // same m subspaces)
-    val rr = rows.join(casg, Seq("n_id"))
-      .join(broadcast(cc), Seq("cell_id", "pos"))
-      .select(col("n_id"), col("sub"), col("pos"),
-        (col("xe") - col("ce")).as("xe"))
-      .localCheckpoint(true)
+    val ccRows = vecs.filter(col("n_id") < cells).collect()
+      .sortBy(_.getLong(0))
+    val ccIds = ccRows.map(_.getLong(0))
+    val ccCents = ccRows.map(_.getSeq[Long](1).toArray)
+    import graft.functions.PqCodec.{sqlArr, sqlMat}
+    val asgE = s"pq_cell_asg(xs, ${sqlArr(ccIds)}, ${sqlMat(ccCents)})"
+    val residE =
+      s"pq_residual(xs, cell_id, ${sqlArr(ccIds)}, ${sqlMat(ccCents)})"
+    // 2. residual vectors, the cell assignment riding alongside
+    val resid = vecs.select(col("n_id"), expr(asgE).as("cell_id"), col("xs"))
+      .select(col("n_id"), col("cell_id"), expr(residE).as("xs"))
     // 3. PQ codebooks + codes over residuals — seeded PAST the coarse
-    // centroids (see pqTrain: centroid residuals are zero); codes join
+    // centroids (see pqFit: centroid residuals are zero); codes carry
     // their cell to become the inverted-list postings
-    val (cb, codes) = pqTrain(rr, ks, refineIters, seedFrom = cells)
-    (codes.join(casg, Seq("n_id"))
-      .select(col("cell_id"), col("n_id"), col("sub"), col("cid")), cb)
+    val (subCids, subCents) =
+      pqTrainVec(resid, dsub, m, ks, refineIters, seedFrom = cells)
+    val postings = resid.select(col("cell_id"), col("n_id"),
+        posexplode(expr(pqCodesSql("xs", dsub, subCids, subCents)))
+          .as(Seq("sub", "cid")))
+      .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
+    (postings, cbFromGeo(corpus.sparkSession, dsub, subCids, subCents))
   }
 
   /** The distinct coarse cells a query batch probes — at most `cells`
@@ -825,9 +989,15 @@ object Similarity {
     val dsub = dims / m
     val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
       col(vec)), "q_id", vec, dsub)
-    val cc = coarseLattice(pqLattice(corpus.select(
-      col(key).cast("long").as("n_id"), col(vec))
-      .filter(col(key) < cells), "n_id", vec, dsub), cells)
+    // coarse geometry localized once (cells·dims longs — the same
+    // bounded collect the encode path pays), so the probe's broadcast
+    // builds read a LocalTableScan instead of re-running the
+    // corpus-scan + quantize subtree per consumer (r16)
+    val (ccIds, ccCents) = collectCoarseGeo(
+      coarseLattice(pqLattice(corpus.select(
+        col(key).cast("long").as("n_id"), col(vec))
+        .filter(col(key) < cells), "n_id", vec, dsub), cells))
+    val cc = ccFromGeo(corpus.sparkSession, ccIds, ccCents)
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
     ivfPqCellTerms(qrows, "q_id", cc)
@@ -855,9 +1025,14 @@ object Similarity {
     val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
       col(vec)), "q_id", vec, dsub)
       .localCheckpoint(true)
-    val cc = coarseLattice(pqLattice(corpus.select(
-      col(key).cast("long").as("n_id"), col(vec))
-      .filter(col(key) < cells), "n_id", vec, dsub), cells)
+    // coarse geometry localized once — see [[ivfPqProbeCells]] (r16):
+    // the probe, residual and rn2 subtrees each broadcast cc; a
+    // LocalTableScan makes those builds metadata-cheap
+    val (ccIds, ccCents) = collectCoarseGeo(
+      coarseLattice(pqLattice(corpus.select(
+        col(key).cast("long").as("n_id"), col(vec))
+        .filter(col(key) < cells), "n_id", vec, dsub), cells))
+    val cc = ccFromGeo(corpus.sparkSession, ccIds, ccCents)
     // 4. probe selection + per-(query, cell) residual LUT
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)

@@ -143,11 +143,21 @@ object GraphOps {
     */
   private[graft] def triangleParticipation(oriented: DataFrame,
       maxAdjEntries: Long = 4L << 20): DataFrame = {
-    val maxOut = oriented.groupBy(col("src"))
-      .agg(count(lit(1)).as("k")).agg(max(col("k")).as("m"))
-      .first().get(0)
-    val wide = maxOut != null &&
-      maxOut.asInstanceOf[Long] > maxAdjEntries
+    // two-tier probe (r16): orientation caps out-degree at √(2E)
+    // (Chiba–Nishizeki, see [[orient]]), so while 2E ≤ maxAdjEntries²
+    // NO row can exceed the cap and the exact max-out-degree probe — a
+    // full groupBy shuffle of the edge table — is provably redundant;
+    // a plain count (a column-less scan, parquet-footer cheap on the
+    // durable oriented table) decides that. Only past the bound does
+    // the exact probe run and choose between the paths as before.
+    val edgeCount = oriented.count()
+    val wide = 2.0 * edgeCount.toDouble >
+        maxAdjEntries.toDouble * maxAdjEntries.toDouble && {
+      val maxOut = oriented.groupBy(col("src"))
+        .agg(count(lit(1)).as("k")).agg(max(col("k")).as("m"))
+        .first().get(0)
+      maxOut != null && maxOut.asInstanceOf[Long] > maxAdjEntries
+    }
     val tris =
       if (!wide) {
         // a triangle with apex u is an out-neighbor w shared by both
@@ -229,9 +239,18 @@ object GraphOps {
     val k = 2
     var e = coPurchaseEdges(s, d)
     for (_ <- 1 to 3) {
-      val keep = degrees(e).filter(col("dg") >= k).select(col("n"))
-      e = e.join(keep.withColumnRenamed("n", "u"), Seq("u"), "left_semi")
-        .join(keep.withColumnRenamed("n", "v"), Seq("v"), "left_semi")
+      // peel by ANTI-joining the DROPPED set (deg < k) instead of
+      // semi-joining the keep set (r16, guide §3.1): every edge
+      // endpoint appears in degrees(e), so keep/dropped partition the
+      // nodes and anti(dropped) ≡ semi(keep) row-for-row — but the
+      // dropped side is the FRINGE (shrinking per round, empty at the
+      // fixpoint) where keep is ~all nodes (data-sized at 100 TB, can
+      // never broadcast); AQE turns the anti-join into a broadcast
+      // whenever the round's peel is small, leaving the surviving edge
+      // table un-exchanged
+      val dropped = degrees(e).filter(col("dg") < k).select(col("n"))
+      e = e.join(dropped.withColumnRenamed("n", "u"), Seq("u"), "left_anti")
+        .join(dropped.withColumnRenamed("n", "v"), Seq("v"), "left_anti")
         .select(col("u"), col("v"))
         .localCheckpoint(true)
     }

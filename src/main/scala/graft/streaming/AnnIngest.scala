@@ -26,7 +26,7 @@ import graft.ops.Similarity
   * pure function of the corpus; the oracle interpolates the SAME
   * [[Slices]] constant); a vector's postings land iff the gate admits
   * it (no earlier banded candidate with cosine ≥ threshold). Batch
-  * 0's own postings are exactly this statement too: pqTrain's final
+  * 0's own postings are exactly this statement too: the build's final
   * encode assigns against the trained codebook, so "build then keep
   * admitted" ≡ "encode slice 0 against the frozen geometry, keep
   * admitted".
@@ -215,7 +215,7 @@ object AnnIngest {
             // build the geometry on the WHOLE first slice, land the
             // residual codebook AND the coarse lattice, keep admitted
             // vectors' postings ("build then keep admitted" ≡
-            // encode-vs-frozen: pqTrain's final encode assigns against
+            // encode-vs-frozen: the build's final encode assigns against
             // the trained codebook)
             val (p0, cb) = Similarity.ivfPqBuild(vecs, "vec_id", "embedding",
               dims, cells, m, ks, refineIters)
