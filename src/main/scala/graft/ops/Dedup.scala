@@ -414,10 +414,14 @@ object Dedup {
       val s = sym(e)
       val mins = s.groupBy(col("a").as("u"))
         .agg(least(min(col("b")), first(col("a"))).as("m"))
+      // no distinct here (r16): smallStar's terminal distinct dedups the
+      // round's output anyway — duplicates only pass through its min
+      // aggregate (unaffected) and relink join (multiplicity ≤ the sym
+      // fan), so the intermediate dedup was one pure Exchange per round
       s.filter(col("b") > col("a"))
         .join(mins, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
-        .filter(col("a") =!= col("b")).distinct()
+        .filter(col("a") =!= col("b"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val s = sym(e).filter(col("b") <= col("a"))

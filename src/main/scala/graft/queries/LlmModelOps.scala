@@ -32,39 +32,59 @@ private[queries] object LlmModelOps {
     */
   /** The 2-round Lloyd fit shared by q_kmeans and q_cluster_topics:
     * returns (final centroid table, final assignment).
+    *
+    * Array-native (r16, the [[graft.functions.PqCodec]] discipline):
+    * the corpus checkpoints once as `(vec_id, xs array<long>)`;
+    * assignment is the map-side `pq_cell_asg` codegen argmin against
+    * driver-collected centroids (k·dims longs — model metadata, the
+    * bounded-collect rule), and each Lloyd update is one partial-
+    * aggregated groupBy whose exchange carries ≤ k·dims groups,
+    * collected into the next round's centroid arrays. Same exact
+    * integer terms, same lowest-k tie rule, same empty-cluster drop —
+    * hash-identical to the former broadcast-join rounds; the final
+    * centroid table is a LocalTableScan.
     */
   private[queries] def kmeansFit(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val xe = Tables.embeddings(s, d)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .withColumn("xe",
-        round(col("x").cast("double") * Similarity.MeanScale).cast("long"))
-      .select(col("vec_id"), col("pos"), col("xe"))
+    graft.functions.PqCodec.register(s.sessionState.functionRegistry)
+    import graft.functions.PqCodec.{sqlArr, sqlMat}
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding").cast("array<double>"),
+        x => round(x * Similarity.MeanScale).cast("long")).as("xs"))
       .localCheckpoint()
-    val init = xe.filter(col("vec_id") < 8L)
-      .select(col("vec_id").cast("long").as("k"), col("pos"),
-        col("xe").as("ce"))
-    def assignStep(cent: DataFrame): DataFrame = {
-      val cn = cent.groupBy("k").agg(sum(col("ce") * col("ce")).as("cn2"))
-      val dots = xe.join(broadcast(cent), "pos")
-        .groupBy("vec_id", "k").agg(sum(col("xe") * col("ce")).as("dot"))
-      val scoredK = dots.join(broadcast(cn), "k")
-        .select(col("vec_id"), col("k"),
-          (col("cn2") - col("dot") * 2L).as("d2"))
-      scoredK.groupBy("vec_id")
-        .agg(min(struct(col("d2"), col("k"))).as("m"))
-        .select(col("vec_id"), col("m.k").as("k"))
-    }
-    def update(assign: DataFrame): DataFrame =
-      xe.join(assign, "vec_id")
+    // deterministic init: the 8 lowest vec_ids' quantized vectors
+    val seed = vecs.filter(col("vec_id") < 8L).collect().sortBy(_.getLong(0))
+    var ids = seed.map(_.getLong(0))
+    var cents = seed.map(_.getSeq[Long](1).toArray)
+    def asgE = s"pq_cell_asg(xs, ${sqlArr(ids)}, ${sqlMat(cents)})"
+    def update(): Unit = {
+      val upd = vecs
+        .select(expr(asgE).as("k"), posexplode(col("xs")).as(Seq("pos", "xe")))
         .groupBy("k", "pos")
         // sign-split: component sums go negative, where Spark DIV
         // (truncate) and DuckDB // (floor) disagree — divide magnitudes
         .agg(expr("CAST(sign(sum(xe)) AS BIGINT) * " +
           "(abs(sum(xe)) DIV count(1))").as("ce"))
-        .localCheckpoint()
-    val c1 = update(assignStep(init))
-    val c2 = update(assignStep(c1))
-    (c2, assignStep(c2))
+        .collect()
+      val byK = upd.groupBy(_.getLong(0)).toArray.sortBy(_._1)
+      ids = byK.map(_._1)
+      cents = byK.map { case (_, rs) =>
+        val a = new Array[Long](rs.map(_.getInt(1)).max + 1)
+        rs.foreach(r => a(r.getInt(1)) = r.getLong(2))
+        a
+      }
+    }
+    update(); update()
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for (i <- ids.indices; p <- cents(i).indices)
+      rows.add(org.apache.spark.sql.Row(ids(i), p, cents(i)(p)))
+    val cent = s.createDataFrame(rows, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("ce",
+        org.apache.spark.sql.types.LongType, nullable = false))))
+    (cent, vecs.select(col("vec_id"), expr(asgE).as("k")))
   }
 
   private[queries] val qKmeans: Q = (s, d) => {
