@@ -148,8 +148,13 @@ private[queries] object LlmModelOps {
       explode(split(col("text"), " ")).as("tok")).filter(col("tok") =!= "")
     val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
     val nDocs = docs.agg(count(lit(1)).as("nd"))
-    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-    val weights = tf.join(dft, "tok").crossJoin(broadcast(nDocs))
+    // df via an unordered window over tf (r16, the docNll form): the
+    // groupBy(tok) + join-back paid an aggregate exchange AND re-
+    // exchanged tf by tok for the join; the whole-partition count is
+    // one exchange and the identical integer per token
+    val weights = tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy("tok")))
+      .crossJoin(broadcast(nDocs))
       .filter(col("df") * 10L <= col("nd"))
       .select(col("doc_id"), col("tok"),
         (col("tf") * floor(lit(1000000.0) * log(col("nd").cast("double") /

@@ -377,9 +377,13 @@ private[queries] object LlmTextOps {
         "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
           "(a, b) -> struct(a AS w1, b AS w2))")).as("p"))
       .select(col("doc_id"), col("p.w1"), col("p.w2"))
+    // out_n via an unordered window over the (w1, w2) counts (r16):
+    // the groupBy(w1) + join-back form re-exchanged the count table by
+    // w1 twice (aggregate + join); the whole-partition sum window is
+    // ONE exchange and the identical exact integer per group
     val n = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-    val tot = n.groupBy("w1").agg(sum("n").as("out_n"))
-    val model = n.join(tot, "w1")
+    val model = n.withColumn("out_n",
+        sum("n").over(Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
         greatest(expr("1000000L * n DIV out_n"), lit(1L)).as("p_e6"))
     pairs.join(broadcast(model), Seq("w1", "w2"))
@@ -412,13 +416,18 @@ private[queries] object LlmTextOps {
     val w = Window.partitionBy("lang").orderBy(col("nll_e6").asc,
       col("doc_id").asc)
     val ranked = nll.withColumn("rnk", row_number().over(w))
-    // cut = value at rank ceil(3n/4): compute per-lang n first, then
-    // pick the row — two passes over the lang-partitioned rank table.
-    val n = ranked.groupBy("lang").agg(count(lit(1)).as("n_docs"))
-    val cut = ranked.join(n, "lang")
-      .filter(col("rnk") === expr("(3 * n_docs + 3) DIV 4"))
-      .select(col("lang"), col("nll_e6").as("cut_nll_e6"))
-    ranked.join(n, "lang").join(cut, "lang")
+    // n and the rank-ceil(3n/4) cut as whole-partition windows over the
+    // ranked table (r16): the former groupBy + two join-backs re-ran
+    // the ranked subtree three times and paid three lang exchanges; the
+    // unordered windows ride the rank window's existing lang
+    // partitioning in one pass. rnk is unique per lang, so exactly one
+    // row matches the cut rank — max(case...) is that row's value,
+    // identical to the former filter+join.
+    val wl = Window.partitionBy("lang")
+    ranked
+      .withColumn("n_docs", count(lit(1)).over(wl))
+      .withColumn("cut_nll_e6", max(when(
+        col("rnk") === expr("(3 * n_docs + 3) DIV 4"), col("nll_e6"))).over(wl))
       .groupBy(col("lang"), col("n_docs"), col("cut_nll_e6"))
       .agg(sum((col("nll_e6") <= col("cut_nll_e6")).cast("long")).as("n_kept"),
         sum(when(col("nll_e6") <= col("cut_nll_e6"), col("n_chars"))

@@ -888,7 +888,14 @@ object Relational {
     * payload columns inside an otherwise-columnar table.
     */
   private val qParseFuncs: Q = (s, d) =>
-    Tables.events(s, d)
+    // fanOut (r16): the per-row from_csv + from_xml work is the
+    // expensive stage and the narrow events scan yields ~1 split at
+    // bench scale, serializing it on one core (profiled 3 jobs / 3
+    // tasks, 1.1 s in one task); the guarded round-robin exchange of
+    // the three projected columns spreads the parse across the session
+    // parallelism and is a no-op on production-wide inputs
+    graft.ops.Par.fanOut(Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type")))
       // render-safety guard, mirrored in the oracle: the CSV/XML
       // renders below do no escaping, so a type containing a comma or
       // an XML special would make the parsers disagree and SILENTLY
