@@ -129,6 +129,8 @@ case class CellArgmin(child: Expression, ids: Array[Long],
     s"ids (${ids.length}) and centroids (${cents.length}) must align")
   require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
     "centroid ids must be strictly ascending (the tie rule)")
+  require(cents.forall(_.length == cents(0).length),
+    "coarse centroids must share one length (the fixed-dims convention)")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -140,8 +142,17 @@ case class CellArgmin(child: Expression, ids: Array[Long],
 
   @transient private lazy val cn2 = PqCodec.norms2(cents)
 
-  def assign(xs: ArrayData): Long =
+  def assign(xs: ArrayData): Long = {
+    // fixed-dims contract (ADVICE r16): the replaced equi-join form
+    // silently DROPPED a vector whose length mismatched the geometry
+    // (no joined rows), while argmin over a short vector would assign
+    // the min-norm centroid — fail loud instead of either
+    if (xs.numElements() != cents(0).length)
+      throw new IllegalArgumentException(
+        s"pq_cell_asg: vector length ${xs.numElements()} != geometry " +
+          s"dims ${cents(0).length}")
     ids(PqCodec.argmin(xs, 0, cents, cn2))
+  }
 
   override def nullSafeEval(x: Any): Any = assign(x.asInstanceOf[ArrayData])
 
@@ -246,6 +257,10 @@ case class PqCodes(child: Expression, dsub: Int,
 
   def codes(xs: ArrayData): ArrayData = {
     val m = subCids.length
+    // fixed-dims contract (ADVICE r16) — see CellArgmin.assign
+    if (xs.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_codes: vector length ${xs.numElements()} < m·dsub = ${m * dsub}")
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {
@@ -298,6 +313,10 @@ case class PqDist2(child: Expression, dsub: Int,
 
   def dists(xs: ArrayData): ArrayData = {
     val m = subCids.length
+    // fixed-dims contract (ADVICE r16) — see CellArgmin.assign
+    if (xs.numElements() < m * dsub)
+      throw new IllegalArgumentException(
+        s"pq_dist2: vector length ${xs.numElements()} < m·dsub = ${m * dsub}")
     val out = new Array[Long](m)
     var s = 0
     while (s < m) {

@@ -551,7 +551,7 @@ object Similarity {
     * parameter-sized like [[ivfPqProbeCells]]'s nprobe cells, never
     * data-sized).
     */
-  private def collectCoarseGeo(cc: DataFrame)
+  private[graft] def collectCoarseGeo(cc: DataFrame)
       : (Array[Long], Array[Array[Long]]) = {
     val rows = cc.select(col("cell_id").cast("long"), col("pos").cast("int"),
       col("ce").cast("long")).collect()
@@ -562,6 +562,15 @@ object Similarity {
       rs.foreach(r => a(r.getInt(1)) = r.getLong(2))
       a
     }
+    // dense-geometry contract (ADVICE r16): a cell missing trailing pos
+    // rows (a truncated or hand-landed coarse table) would silently
+    // yield a SHORT centroid whose absent coordinates read as 0 in the
+    // dot/norm but pass through unsubtracted in pq_residual — matching
+    // the old inner-join semantics only while every cell is dense. A
+    // corrupt store must fail loudly, not skew residuals.
+    require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+      s"coarse geometry is not dense: centroid lengths " +
+        s"${cents.map(_.length).distinct.mkString(",")} differ across cells")
     (ids, cents)
   }
 
@@ -929,6 +938,16 @@ object Similarity {
     * 100 TB this runs once per corpus snapshot and lands as a table
     * ([[graft.queries.LlmOps]]'s durable `_derive_ann_index`), not per
     * query.
+    *
+    * Degenerate-corpus behavior (ADVICE r16, intentional hardening):
+    * where the pre-r16 join forms returned silently-empty codebooks or
+    * assignments, the array-native path FAILS LOUD — [[pqTrainVec]]
+    * throws on an unpopulated seed id range (e.g. a first slice
+    * smaller than `cells + ks`), an empty Lloyd round, or an emptied
+    * subspace, and the codec expressions reject vectors shorter than
+    * the geometry's dims. A caller feeding a tiny or ragged corpus
+    * (the streaming gate's batch 0 included) gets an exception naming
+    * the violated assumption instead of an empty index.
     */
   private[graft] def ivfPqBuild(corpus: DataFrame, key: String, vec: String,
                                 dims: Int, cells: Int, m: Int, ks: Int,

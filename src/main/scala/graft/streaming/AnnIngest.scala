@@ -80,6 +80,14 @@ import graft.ops.Similarity
   * StreamingSpec kills a run between batches and proves the resumed
   * run lands identical stores (including a kill exactly between the
   * tombstone landing and its checkpoint commit).
+  *
+  * Degenerate batch-0 behavior (ADVICE r16): the geometry build fails
+  * loud — not silently empty — if the first slice does not populate
+  * the seed id ranges (ids < `cells` for the coarse lattice, ids in
+  * `[cells, cells + ks)` for the residual codebooks) or a Lloyd round
+  * empties a subspace; see [[graft.ops.Similarity.ivfPqBuild]]. A
+  * deployment whose first micro-batch can be that small seeds from a
+  * base snapshot instead.
   */
 object AnnIngest {
   private val fixtureLock = new Object
@@ -190,14 +198,17 @@ object AnnIngest {
         // folds WITHOUT tombstones: band codes are non-invertible
         // (they cannot reconstruct content) and are retained as the
         // audit trail of ingest history.
-        GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
-          partitionCols = Seq("bgrp")): Unit
-        GateStores.maybeCompact(ss, vecDir, upTo = batchId - 1,
-          tombstones = tombstones(batchId),
-          tombstoneKey = "vec_id"): Unit
-        GateStores.maybeCompact(ss, postDir, upTo = batchId - 1,
-          partitionCols = Seq("cell_id"),
-          tombstones = tombstones(batchId)): Unit
+        // the three stores fold concurrently (disjoint dirs; each task's
+        // tombstone read of tombDir is read-only — GateStores.inParallel)
+        GateStores.inParallel(Seq(
+          () => GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
+            partitionCols = Seq("bgrp")): Unit,
+          () => GateStores.maybeCompact(ss, vecDir, upTo = batchId - 1,
+            tombstones = tombstones(batchId),
+            tombstoneKey = "vec_id"): Unit,
+          () => GateStores.maybeCompact(ss, postDir, upTo = batchId - 1,
+            partitionCols = Seq("cell_id"),
+            tombstones = tombstones(batchId)): Unit))
         // ---- 1. the gate: EmbGate's exact rule, shared code; erased
         // predecessors are invisible to verification (see gateBatch) ----
         label("gate")
@@ -219,13 +230,15 @@ object AnnIngest {
             // the trained codebook)
             val (p0, cb) = Similarity.ivfPqBuild(vecs, "vec_id", "embedding",
               dims, cells, m, ks, refineIters)
-            GateStores.land(cb, s"$geoDir/b0")
             // the frozen coarse coordinates land once, so batch-1+
             // encodes read ~cells rows instead of re-deriving the
             // lattice from a pinned vector slice every batch (and the
-            // vector store is free to compact its b0 away)
-            GateStores.land(Similarity.coarseFromBase(vecs, "vec_id",
-              "embedding", dsub, cells), s"$geoDir/cc")
+            // vector store is free to compact its b0 away); the two
+            // geometry landings are independent writes — overlap them
+            GateStores.inParallel(Seq(
+              () => GateStores.land(cb, s"$geoDir/b0"),
+              () => GateStores.land(Similarity.coarseFromBase(vecs, "vec_id",
+                "embedding", dsub, cells), s"$geoDir/cc")))
             p0.join(broadcast(admitted.select(col("vec_id").as("n_id"))),
               Seq("n_id"))
           } else {
@@ -241,11 +254,15 @@ object AnnIngest {
         // postings partitioned by cell: the inverted-list layout — a
         // reader probing nprobe cells opens nprobe/cells of the files
         label("land")
-        GateStores.land(postings, s"$postDir/b$batchId",
-          partitionCols = Seq("cell_id"))
-        GateStores.land(GateStores.withBandGroup(buckets),
-          s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
-        GateStores.land(vecs, s"$vecDir/b$batchId")
+        // three independent landing writes to disjoint stores — overlap
+        // their fixed per-job latency (the takedown below reads the
+        // vector store INCLUDING this batch, so it stays strictly after)
+        GateStores.inParallel(Seq(
+          () => GateStores.land(postings, s"$postDir/b$batchId",
+            partitionCols = Seq("cell_id")),
+          () => GateStores.land(GateStores.withBandGroup(buckets),
+            s"$idxDir/b$batchId", partitionCols = Seq("bgrp")),
+          () => GateStores.land(vecs, s"$vecDir/b$batchId")))
         if (delete && batchId == DeleteAfterBatch) {
           // the takedown: everything arrived so far (this batch
           // included — before = batchId+1) matching the id rule.

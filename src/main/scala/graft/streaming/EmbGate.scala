@@ -186,10 +186,12 @@ object EmbGate {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // fold the settled tail (ids <= batchId-1 are committed) before
         // probing — the probe then reads snapshot + short tail instead
-        // of one plan per historical micro-batch
-        GateStores.maybeCompact(s, idxDir, upTo = batchId - 1,
-          partitionCols = Seq("bgrp")): Unit
-        GateStores.maybeCompact(s, vecDir, upTo = batchId - 1): Unit
+        // of one plan per historical micro-batch; the two stores fold
+        // concurrently (disjoint dirs — GateStores.inParallel)
+        GateStores.inParallel(Seq(
+          () => GateStores.maybeCompact(s, idxDir, upTo = batchId - 1,
+            partitionCols = Seq("bgrp")): Unit,
+          () => GateStores.maybeCompact(s, vecDir, upTo = batchId - 1): Unit))
         val (vecs, buckets, dupSrc) =
           gateBatch(batch, batchId, idxDir, vecDir, threshold,
             bands, bitsPerBand)
@@ -197,10 +199,15 @@ object EmbGate {
           .join(broadcast(dupSrc), Seq("vec_id"), "left")
           .select(col("vec_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
-        GateStores.land(decisions, s"$decDir/b$batchId")
-        GateStores.land(GateStores.withBandGroup(buckets),
-          s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
-        GateStores.land(vecs, s"$vecDir/b$batchId")
+        // three independent landing writes to disjoint stores — overlap
+        // their fixed per-job latency (decisions also materializes the
+        // probe/verify plan; concurrent first computation of the shared
+        // persisted vecs/buckets blocks is block-lock-safe)
+        GateStores.inParallel(Seq(
+          () => GateStores.land(decisions, s"$decDir/b$batchId"),
+          () => GateStores.land(GateStores.withBandGroup(buckets),
+            s"$idxDir/b$batchId", partitionCols = Seq("bgrp")),
+          () => GateStores.land(vecs, s"$vecDir/b$batchId")))
         buckets.unpersist()
         vecs.unpersist()
         if (crashAtBatch.contains(batchId))

@@ -64,6 +64,40 @@ private[graft] object GateStores {
     */
   def wipe(dirs: Seq[String]): Unit = dirs.foreach(rmTree)
 
+  /** Run INDEPENDENT per-batch store jobs concurrently (guide §2.6:
+    * overlap independent jobs). A gate batch ends with 2-3 landing
+    * writes to disjoint stores and starts with 1-3 folds of disjoint
+    * stores; each is a tiny Spark job whose wall time at micro-batch
+    * scale is dominated by fixed scheduling/commit latency, so running
+    * them sequentially pays that latency K times for work the
+    * scheduler could overlap — and on a real cluster the same overlap
+    * back-fills executors freed by another job's task tail. Spark
+    * schedules concurrent jobs FIFO; the job description/group are
+    * InheritableThreadLocal SparkContext properties, so jobs submitted
+    * from these short-lived threads keep the enclosing batch's label.
+    *
+    * Batch semantics are unchanged: every task completes (or fails)
+    * before this returns, so the enclosing foreachBatch still owns the
+    * batch's commit point, and the first failure rethrows — a failed
+    * store write fails the batch exactly as it did sequentially.
+    */
+  def inParallel(tasks: Seq[() => Unit]): Unit =
+    if (tasks.size <= 1) tasks.foreach(_())
+    else {
+      val errs = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[Throwable]())
+      val threads = tasks.zipWithIndex.map { case (t, i) =>
+        val th = new Thread(
+          () => try t() catch { case e: Throwable => errs.add(e): Unit },
+          s"gate-store-par-$i")
+        th.setDaemon(true)
+        th.start()
+        th
+      }
+      threads.foreach(_.join())
+      if (!errs.isEmpty) throw errs.get(0)
+    }
+
   /** Per-batch store landing. `files = 1` is the fixture default (a
     * micro-batch here is thousands of rows, where 32 shuffle partitions
     * of task-commit overhead would dominate the measurement); a real

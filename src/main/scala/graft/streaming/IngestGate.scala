@@ -84,10 +84,12 @@ object IngestGate {
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val ss = batch.sparkSession
-        // fold the settled tail before probing — see EmbGate
-        GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
-          partitionCols = Seq("bgrp")): Unit
-        GateStores.maybeCompact(ss, shDir, upTo = batchId - 1): Unit
+        // fold the settled tail before probing — see EmbGate; the two
+        // stores fold concurrently (disjoint dirs)
+        GateStores.inParallel(Seq(
+          () => GateStores.maybeCompact(ss, idxDir, upTo = batchId - 1,
+            partitionCols = Seq("bgrp")): Unit,
+          () => GateStores.maybeCompact(ss, shDir, upTo = batchId - 1): Unit))
         val withSh = Par.fanOut(
           Dedup.registerShingleHashFn(batch).select(col("doc_id"), col("text")))
           .withColumn("toks", split(col("text"), " "))
@@ -157,10 +159,13 @@ object IngestGate {
           .join(broadcast(dupSrc), Seq("doc_id"), "left")
           .select(col("doc_id"), col("dup_src").isNull.as("admitted"),
             col("dup_src"))
-        GateStores.land(decisions, s"$decDir/b$batchId")
-        GateStores.land(GateStores.withBandGroup(batchBands),
-          s"$idxDir/b$batchId", partitionCols = Seq("bgrp"))
-        GateStores.land(withSh, s"$shDir/b$batchId")
+        // three independent landing writes to disjoint stores — overlap
+        // their fixed per-job latency (see EmbGate)
+        GateStores.inParallel(Seq(
+          () => GateStores.land(decisions, s"$decDir/b$batchId"),
+          () => GateStores.land(GateStores.withBandGroup(batchBands),
+            s"$idxDir/b$batchId", partitionCols = Seq("bgrp")),
+          () => GateStores.land(withSh, s"$shDir/b$batchId")))
         batchBands.unpersist()
         withSh.unpersist()
         if (crashAtBatch.contains(batchId))

@@ -146,4 +146,46 @@ class PqCodecSpec extends AnyFunSuite {
     assert(cids2(0).sameElements(Array(0L)),
       s"sub 0 kept ${cids2(0).mkString(",")}")
   }
+
+  test("fixed-dims contract: short vectors fail loud instead of " +
+      "assigning the min-norm centroid (ADVICE r16)") {
+    val ids = Array(0L, 3L)
+    val cents = Array(vecOf(0L), vecOf(3L))
+    val short = Seq((0L, Array(1L, 2L, 3L))).toDF("n_id", "xs")
+    // local mode may surface the row-level throw directly or wrapped in
+    // a SparkException — accept either, require the expression's name
+    def rootChain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val e1 = intercept[Exception] {
+      short.select(
+        expr(s"pq_cell_asg(xs, ${sqlArr(ids)}, ${sqlMat(cents)})")).collect()
+    }
+    assert(rootChain(e1).exists(_.contains("pq_cell_asg")))
+    val dsub = 4
+    val subs = Array(vecOf(2L).take(dsub), vecOf(5L).take(dsub))
+    val e2 = intercept[Exception] {
+      short.select(
+        expr(s"pq_codes(xs, $dsub, ${sqlMat(Array(Array(1L, 2L)))}, " +
+          s"${sqlCube(Array(subs))})")).collect()
+    }
+    assert(rootChain(e2).exists(_.contains("pq_codes")))
+  }
+
+  test("collectCoarseGeo rejects a sparse coarse table (ADVICE r16)") {
+    // cell 3 misses its trailing pos row: a truncated/hand-landed store
+    val sparse = Seq(
+      (0L, 0, 10L), (0L, 1, 11L),
+      (3L, 0, 20L)
+    ).toDF("cell_id", "pos", "ce")
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.collectCoarseGeo(sparse)
+    }
+    assert(e.getMessage.contains("not dense"))
+    // and the dense form of the same table passes
+    val dense = sparse.union(Seq((3L, 1, 21L)).toDF("cell_id", "pos", "ce"))
+    val (idsOk, centsOk) = graft.ops.Similarity.collectCoarseGeo(dense)
+    assert(idsOk.sameElements(Array(0L, 3L)))
+    assert(centsOk.forall(_.length == 2))
+  }
 }

@@ -1093,4 +1093,27 @@ class StreamingSpec extends AnyFunSuite {
       graft.streaming.GateStores.readStoreOpt(spark, dir, before = 1L)
     }
   }
+
+  test("inParallel completes every task and rethrows the first failure " +
+      "(r17: concurrent per-batch store jobs)") {
+    // all tasks run — including ones scheduled after a failing sibling —
+    // and a failure still reaches the caller, so a failed store write
+    // fails its batch exactly as the sequential form did
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    graft.streaming.GateStores.inParallel(Seq(
+      () => { ran.incrementAndGet(): Unit },
+      () => { ran.incrementAndGet(): Unit },
+      () => { ran.incrementAndGet(): Unit }))
+    assert(ran.get() == 3)
+    val survivors = new java.util.concurrent.atomic.AtomicInteger(0)
+    val e = intercept[RuntimeException] {
+      graft.streaming.GateStores.inParallel(Seq(
+        () => { survivors.incrementAndGet(): Unit },
+        () => throw new RuntimeException("boom"),
+        () => { survivors.incrementAndGet(): Unit }))
+    }
+    assert(e.getMessage == "boom")
+    assert(survivors.get() == 2,
+      "non-failing siblings must still complete before the rethrow")
+  }
 }
