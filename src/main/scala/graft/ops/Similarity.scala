@@ -1004,10 +1004,40 @@ object Similarity {
                                      key: String, vec: String, dims: Int,
                                      cells: Int, nprobe: Int,
                                      m: Int): Seq[Long] = {
+    val (_, _, terms) = ivfPqProbeTerms(corpus, queries, key, vec, dims,
+      cells, m)
+    probedCellIds(probeOf(terms, nprobe))
+  }
+
+  /** The distinct cell ids of a probe assignment — bounded by `cells`
+    * (index metadata), the static partition filter for cell-partitioned
+    * postings reads.
+    */
+  private[graft] def probedCellIds(qprobe: DataFrame): Seq[Long] =
+    qprobe.select(col("cell_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+
+  /** Probe-selection internals shared across consumers (r17): the query
+    * batch's lattice rows (eagerly checkpointed), the localized coarse
+    * geometry as a LocalTableScan, and the exact per-(query, cell)
+    * distance terms. Splitting this out lets a caller that needs BOTH
+    * the probed-cell partition filter AND the query plan (the durable-
+    * index read keys previously ran the whole pipeline twice — once in
+    * [[ivfPqProbeCells]], again inside [[ivfPqQuery]]), or several
+    * probe widths over one index (`q_ann_param_sweep`, which re-ran it
+    * per swept nprobe), pay the qrows checkpoint + coarse-geometry
+    * collect + terms subtree ONCE.
+    */
+  private[graft] def ivfPqProbeTerms(corpus: DataFrame, queries: DataFrame,
+                                     key: String, vec: String, dims: Int,
+                                     cells: Int, m: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     ensureRegistered(corpus)
+    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val dsub = dims / m
     val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
       col(vec)), "q_id", vec, dsub)
+      .localCheckpoint(true)
     // coarse geometry localized once (cells·dims longs — the same
     // bounded collect the encode path pays), so the probe's broadcast
     // builds read a LocalTableScan instead of re-running the
@@ -1017,13 +1047,19 @@ object Similarity {
         col(key).cast("long").as("n_id"), col(vec))
         .filter(col(key) < cells), "n_id", vec, dsub), cells))
     val cc = ccFromGeo(corpus.sparkSession, ccIds, ccCents)
+    (qrows, cc, ivfPqCellTerms(qrows, "q_id", cc))
+  }
+
+  /** Step 4a — probe selection at one width from shared terms: rank
+    * cells per query by the exact term and keep `nprobe` (ties → lowest
+    * cell id, the committed tie rule).
+    */
+  private[graft] def probeOf(terms: DataFrame, nprobe: Int): DataFrame = {
     val probeW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
-    ivfPqCellTerms(qrows, "q_id", cc)
-      .withColumn("crnk", row_number().over(probeW))
+    terms.withColumn("crnk", row_number().over(probeW))
       .filter(col("crnk") <= nprobe)
-      .select(col("cell_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq.sorted
+      .select(col("q_id"), col("cell_id"))
   }
 
   /** IVFADC query READ PATH — steps 4-6 over a pre-built index (probe
@@ -1038,27 +1074,24 @@ object Similarity {
                                 key: String, vec: String, k: Int, dims: Int,
                                 cells: Int, nprobe: Int, m: Int,
                                 shortlist: Int): DataFrame = {
-    ensureRegistered(corpus)
-    require(dims % m == 0, s"dims=$dims must split into m=$m subspaces")
-    val dsub = dims / m
-    val qrows = pqLattice(queries.select(col(key).cast("long").as("q_id"),
-      col(vec)), "q_id", vec, dsub)
-      .localCheckpoint(true)
-    // coarse geometry localized once — see [[ivfPqProbeCells]] (r16):
-    // the probe, residual and rn2 subtrees each broadcast cc; a
-    // LocalTableScan makes those builds metadata-cheap
-    val (ccIds, ccCents) = collectCoarseGeo(
-      coarseLattice(pqLattice(corpus.select(
-        col(key).cast("long").as("n_id"), col(vec))
-        .filter(col(key) < cells), "n_id", vec, dsub), cells))
-    val cc = ccFromGeo(corpus.sparkSession, ccIds, ccCents)
-    // 4. probe selection + per-(query, cell) residual LUT
-    val probeW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("term").asc, col("cell_id").asc)
-    val qprobe = ivfPqCellTerms(qrows, "q_id", cc)
-      .withColumn("crnk", row_number().over(probeW))
-      .filter(col("crnk") <= nprobe)
-      .select(col("q_id"), col("cell_id"))
+    val (qrows, cc, terms) = ivfPqProbeTerms(corpus, queries, key, vec,
+      dims, cells, m)
+    ivfPqQueryFrom(postings, cb, corpus, key, vec, k, dims / m,
+      qrows, cc, probeOf(terms, nprobe), shortlist)
+  }
+
+  /** Steps 4b-6 over a PREPARED probe — `qrows` the checkpointed query
+    * lattice rows, `cc` the localized coarse codebook, `qprobe` the
+    * (q_id, cell_id) probe assignment — so callers that already paid
+    * the probe pipeline ([[ivfPqProbeTerms]]) don't re-run it here.
+    */
+  private[graft] def ivfPqQueryFrom(postings: DataFrame, cb: DataFrame,
+                                    corpus: DataFrame, key: String,
+                                    vec: String, k: Int, dsub: Int,
+                                    qrows: DataFrame, cc: DataFrame,
+                                    qprobe: DataFrame,
+                                    shortlist: Int): DataFrame = {
+    // 4b. per-(query, probed cell) residual LUT
     val qr = qrows.join(broadcast(qprobe), Seq("q_id"))
       .join(broadcast(cc), Seq("cell_id", "pos"))
       .select(col("q_id"), col("cell_id"), col("sub"), col("pos"),

@@ -353,16 +353,21 @@ private[queries] object LlmSimOps {
     // instead of scanning every posting into the ADC join. Harmless to
     // results — the (cell, sub, cid) equi-join already ignores
     // un-probed cells — this is purely the I/O half of that pruning.
-    val probed = Similarity.ivfPqProbeCells(emb, queries, "vec_id",
-      "embedding", dims = 64, cells = 16, nprobe = 4, m = 8)
+    // ONE probe pipeline (r17): the checkpointed probe feeds both the
+    // bounded distinct-cells collect and the query plan, where the key
+    // previously ran qrows/coarse-collect/terms twice (ivfPqProbeCells
+    // + again inside ivfPqQuery).
+    val (qrows, cc, terms) = Similarity.ivfPqProbeTerms(emb, queries,
+      "vec_id", "embedding", dims = 64, cells = 16, m = 8)
+    val qprobe = Similarity.probeOf(terms, nprobe = 4).localCheckpoint(true)
+    val probed = Similarity.probedCellIds(qprobe)
     val postings = idx.filter(col("kind") === "p" &&
         col("cell_id").isin(probed.map(java.lang.Long.valueOf): _*))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
     val cb = idx.filter(col("kind") === "c")
       .select(col("sub"), col("cid"), col("pos"), col("ce"))
-    Similarity.ivfPqQuery(postings, cb, emb, queries,
-        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
-        m = 8, shortlist = 50)
+    Similarity.ivfPqQueryFrom(postings, cb, emb, "vec_id", "embedding",
+        k = 5, dsub = 8, qrows, cc, qprobe, shortlist = 50)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -409,8 +414,12 @@ private[queries] object LlmSimOps {
     val idx = annIndex(s, d)
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 20)
-    val probed = Similarity.ivfPqProbeCells(emb, queries, "vec_id",
-      "embedding", dims = 64, cells = 16, nprobe = 4, m = 8)
+    // one probe pipeline for the partition filter AND the query plan —
+    // see qAnnIvfPqRead (r17)
+    val (qrows, cc, terms) = Similarity.ivfPqProbeTerms(emb, queries,
+      "vec_id", "embedding", dims = 64, cells = 16, m = 8)
+    val qprobe = Similarity.probeOf(terms, nprobe = 4).localCheckpoint(true)
+    val probed = Similarity.probedCellIds(qprobe)
     val postings = idx.filter(col("kind") === "p" &&
         col("cell_id").isin(probed.map(java.lang.Long.valueOf): _*))
       .select(col("cell_id"), col("n_id"), col("sub"), col("cid"))
@@ -418,9 +427,8 @@ private[queries] object LlmSimOps {
       deleteTombstones(s, d))
     val cb = idx.filter(col("kind") === "c")
       .select(col("sub"), col("cid"), col("pos"), col("ce"))
-    Similarity.ivfPqQuery(visible, cb, emb, queries,
-        "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = 4,
-        m = 8, shortlist = 50)
+    Similarity.ivfPqQueryFrom(visible, cb, emb, "vec_id", "embedding",
+        k = 5, dsub = 8, qrows, cc, qprobe, shortlist = 50)
       .orderBy(col("q_id"), col("rnk"))
   }
 
@@ -636,9 +644,14 @@ private[queries] object LlmSimOps {
     * whole loop hash-gates.
     */
   private[queries] val qStreamAnnQuery: Q = (s, d) => {
+    // the surviving postings materialize once (the recall key's
+    // discipline, r17): the serve plan otherwise re-embeds the
+    // store-read + tombstone-anti-join subtree at every postings
+    // reference (ADC, shortlist, re-rank chain — ~215k chars of plan)
     val post = graft.streaming.AnnIngest.replayAnnIngestDelete(s, d,
       threshold = 0.4, bands = EmbBands, bitsPerBand = EmbBits, dims = 64,
       cells = 16, m = 8, ks = 16, refineIters = 1)
+      .localCheckpoint(true)
     val cb = graft.streaming.AnnIngest.deleteGeometry(s, d)
     val emb = Tables.embeddings(s, d)
     Similarity.ivfPqQuery(post, cb, emb, emb.filter(col("vec_id") < 20),
@@ -767,10 +780,21 @@ private[queries] object LlmSimOps {
         "vec_id", "embedding", k = 5)
       .select(col("q_id"), col("n_id"))
       .localCheckpoint(true)
+    // the probe pipeline (query lattice checkpoint, coarse-geometry
+    // collect, distance terms) is nprobe-INDEPENDENT: pay it once for
+    // the whole sweep instead of once per width (r17) — only the
+    // rank-filter differs per nprobe. The terms table (queries×cells
+    // rows) checkpoints eagerly so the five branches' plans embed a
+    // truncated scan instead of five copies of the terms subtree per
+    // broadcast consumer (the plan was ~1 MB of text — planning time
+    // itself was a cost).
+    val (qrows, cc, terms0) = Similarity.ivfPqProbeTerms(emb, queries,
+      "vec_id", "embedding", dims = 64, cells = 16, m = 8)
+    val terms = terms0.localCheckpoint(true)
     NprobeSweep.map { np =>
-      val approx = Similarity.ivfPqQuery(postings, cb, emb, queries,
-          "vec_id", "embedding", k = 5, dims = 64, cells = 16, nprobe = np,
-          m = 8, shortlist = 50)
+      val approx = Similarity.ivfPqQueryFrom(postings, cb, emb,
+          "vec_id", "embedding", k = 5, dsub = 8, qrows, cc,
+          Similarity.probeOf(terms, np), shortlist = 50)
         .select(col("q_id"), col("n_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("q_id", "n_id"), "left")
         .groupBy(col("q_id"))
